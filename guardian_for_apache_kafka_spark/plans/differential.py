@@ -1,0 +1,106 @@
+"""DuckDB-oracle differential harness (SURVEY.md §5, added layer).
+
+Approximates the driver's correctness gate: run a registered query's Spark
+builder and its DuckDB oracle over the same parquet tables, canonicalize both
+result sets (sort columns by name, render values, sort rows), and diff.
+
+Canonicalization (FIXTURES.md §C): NULL -> ``\\N``; floats -> fixed 2dp;
+timestamps -> ``YYYY-MM-DD HH:MM:SS`` (UTC); bools -> true/false.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from guardian_for_apache_kafka_spark.plans.registry import REGISTRY
+from guardian_for_apache_kafka_spark.sources.tables import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _render(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.2f}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_render(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    rendered = sorted("|".join(_render(r[i]) for i in order) for r in rows)
+    return cols, rendered
+
+
+@dataclass
+class DiffResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def run_one(spark: SparkSession, sf_dir: str, name: str, con=None) -> DiffResult:
+    q = REGISTRY[name]
+    sdf = q.builder(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+    if q.oracle is None:
+        ok = len(spark_rows) >= 0
+        return DiffResult(name, ok, f"rows-only check: {len(spark_rows)} rows")
+    own_con = con is None
+    if own_con:
+        con = duckdb_connection(sf_dir)
+    try:
+        res = con.execute(q.oracle)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = [tuple(r) for r in res.fetchall()]
+    finally:
+        if own_con:
+            con.close()
+    sc, sr = _canon(spark_cols, spark_rows)
+    dc, dr = _canon(duck_cols, duck_rows)
+    if sc != dc:
+        return DiffResult(name, False, f"column mismatch: spark={sc} duckdb={dc}")
+    if len(sr) != len(dr):
+        return DiffResult(name, False, f"row count: spark={len(sr)} duckdb={len(dr)}")
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        if a != b:
+            return DiffResult(name, False, f"row {i}: spark={a!r} duckdb={b!r}")
+    return DiffResult(name, True, f"{len(sr)} rows match")
+
+
+def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[DiffResult]:
+    con = duckdb_connection(sf_dir)
+    out = []
+    try:
+        for name in names or list(REGISTRY):
+            try:
+                out.append(run_one(spark, sf_dir, name, con))
+            except Exception as e:  # surface, don't abort the sweep
+                out.append(DiffResult(name, False, f"EXCEPTION: {type(e).__name__}: {e}"))
+    finally:
+        con.close()
+    return out

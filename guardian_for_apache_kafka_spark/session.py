@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB posture (SURVEY.md §4.2):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting, and
+  dynamic broadcast-join conversion replace hand-tuned partition counts.
+- shuffle.partitions sized to the local harness (32 cores); on a real cluster this
+  is overridden to ~2-3x total cores and AQE coalesces down.
+- Arrow enabled for the Pandas-UDF paths (minhash, embeddings, multimodal).
+- `nanosAsLong` because the driver's events.parquet stores timestamp[ns]
+  (TESTDATA.md / FIXTURES.md §B); the canonical loader converts to TimestampType.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "guardian-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's defaults.
+
+    Any already-active session is reused (configs on an active session are not
+    reapplied by Spark; tests share one session for speed).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

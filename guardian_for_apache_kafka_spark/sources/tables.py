@@ -1,0 +1,52 @@
+"""Canonical loaders for the driver-provided parquet tables (TESTDATA.md).
+
+One quirk: ``events.ts`` is a nanosecond parquet timestamp. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` Spark reads it as LongType epoch
+nanos; the canonical loader converts to TimestampType (µs) with *integer*
+division — ``ts DIV 1000`` — because a double-precision detour
+(``cast(ts/1000 as long)``) would lose precision above 2^53 ns (~1970+104 days).
+The source data is µs-granular (verified: sub-µs component is zero at every sf),
+so the conversion is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; events gets its ns->µs timestamp normalization."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register all tables as temp views (names = table names) and return them."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
