@@ -1,1 +1,726 @@
-"""Q1-Q22: the general relational surface (SURVEY.md §2.3). Populated incrementally."""
+"""Q1-Q22: the general relational surface (SURVEY.md §2.3).
+
+Design rules (scale posture — SURVEY.md §4.2):
+- Built-in functions only; every plan stays inside whole-stage codegen.
+- Dimension joins are explicitly ``broadcast()`` (region/nation/customer-sized);
+  fact-fact joins shuffle on their keys and rely on AQE for skew.
+- The range join (Q7) is expressed as a bucketed equi-join + residual filter —
+  the 100 TB-safe shape — not a nested-loop theta join.
+- Dialect notes: DuckDB sum(INT)->HUGEINT, ceil/floor->DOUBLE, year()->BIGINT,
+  rank()->BIGINT are cast to match Spark's types; NULL ordering is pinned
+  explicitly (Spark asc = NULLS FIRST, DuckDB asc = NULLS LAST by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.plans.registry import query
+from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+
+@query(
+    "q01_scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    tags=("relational", "scan", "filter", "projection"),
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + pushed-down filter + arithmetic projection; the filter and the
+    2-column-ish read should reach the parquet scan (PushedFilters/ReadSchema)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "q02_hash_aggregate_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                                       AS avg_qty,
+           round(avg(l_extendedprice), 2)                                  AS avg_price,
+           round(avg(l_discount), 2)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg"),
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape hash aggregate: partial (map-side) agg + final agg after a
+    6-group shuffle — the canonical two-phase plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q03_multiway_join",
+    oracle="""
+    SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way equi-join (TPC-H Q5 shape). customer/nation/region are dimensions:
+    broadcast all three so the only full pass is the orders scan — zero shuffles
+    before the 5-group aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q04_broadcast_join",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS cnt,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with an explicit broadcast hint: part is small after the p_type
+    filter; lineitem never shuffles for the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q05_left_outer_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(o.o_orderkey) AS order_cnt,
+           count(*) AS row_cnt
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("relational", "join", "outer"),
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders; count(col) vs
+    count(*) distinguishes null-extended rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count("o_orderkey").alias("order_cnt"), F.count("*").alias("row_cnt"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q06_semi_anti_join",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS with_orders,
+      (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS without_f_orders
+    """,
+    tags=("relational", "join", "semi", "anti"),
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (customers with orders) and anti join (customers with no 'F'
+    orders) — the decorrelated forms of IN / NOT IN."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("with_orders")
+    )
+    anti = c.join(
+        o.where(F.col("o_orderstatus") == "F"), c.c_custkey == o.o_custkey, "left_anti"
+    ).agg(F.count("*").alias("without_f_orders"))
+    return semi.crossJoin(anti)
+
+
+@query(
+    "q07_range_join",
+    oracle="""
+    SELECT count(*) AS pair_cnt
+    FROM events e1
+    JOIN events e2
+      ON e2.event_type = 'purchase'
+     AND e1.event_id <> e2.event_id
+     AND e1.ts >= e2.ts
+     AND e1.ts <= e2.ts + INTERVAL 1 MINUTE
+    """,
+    tags=("relational", "join", "range"),
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join done scale-safe: bucket both sides to the minute and
+    equi-join on the bucket (each probe-side row lands in 2 candidate buckets),
+    then apply the exact range as a residual filter. O(n) shuffle instead of the
+    nested-loop a naive theta join plans; the DuckDB oracle states the same
+    semantics as a plain theta join."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket_us = 60 * 1_000_000
+    e1 = ev.select(
+        F.col("event_id").alias("id1"),
+        F.col("ts").alias("ts1"),
+        (F.unix_micros("ts") / bucket_us).cast("long").alias("bucket"),
+    )
+    e2 = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("id2"),
+            F.col("ts").alias("ts2"),
+            (F.unix_micros("ts") / bucket_us).cast("long").alias("b2"),
+        )
+        .withColumn("bucket", F.explode(F.array(F.col("b2"), F.col("b2") + 1)))
+    )
+    pairs = e1.join(e2, "bucket").where(
+        (F.col("id1") != F.col("id2"))
+        & (F.col("ts1") >= F.col("ts2"))
+        & (F.col("ts1") <= F.col("ts2") + F.expr("INTERVAL 1 MINUTE"))
+    )
+    return pairs.agg(F.count("*").alias("pair_cnt"))
+
+
+@query(
+    "q08_rollup_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT)  AS g_status,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status,
+             l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("relational", "agg", "rollup"),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers; NULL ordering pinned explicitly (Spark
+    and DuckDB default opposite NULL sort positions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("cnt"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "cnt")
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q09_distinct_count",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps,
+           count(*) AS total_rows
+    FROM lineitem
+    """,
+    tags=("relational", "distinct"),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation (expand + two-phase agg in Spark).
+    The approximate path (approx_count_distinct / HLL) is engine-side only —
+    see pipeline_queries and tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count("*").alias("total_rows"),
+    )
+
+
+@query(
+    "q10_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY row_number() OVER w <= 2
+    ORDER BY o_custkey, rn, o_orderkey
+    """,
+    tags=("relational", "window_fn"),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions, top-2 orders per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .where(F.col("rn") <= 2)
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    )
+
+
+@query(
+    "q11_window_frame_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll_sum,
+           round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_val,
+           round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_val
+    FROM events
+    WHERE event_type = 'click'
+    ORDER BY user_id, event_id
+    """,
+    tags=("relational", "window_fn", "frame"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with an explicit ROWS frame + lag/lead, on a filtered
+    events subset; ordering key (ts, event_id) is unique so frames are
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(wf), 2).alias("roll_sum"),
+        F.round(F.lag("value").over(w), 2).alias("prev_val"),
+        F.round(F.lead("value").over(w), 2).alias("next_val"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "q12_topk",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("relational", "sort", "limit"),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"), "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .drop("o_totalprice")
+    )
+
+
+@query(
+    "q13_set_ops",
+    oracle="""
+    SELECT 'except' AS op, count(*) AS cnt FROM (
+        SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (
+        SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union', count(*) FROM (
+        SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union_all', count(*) FROM (
+        SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+    ORDER BY op
+    """,
+    tags=("relational", "setop"),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / UNION ALL / INTERSECT / EXCEPT over nation-key projections."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("cnt")).select(F.lit(op).alias("op"), "cnt")
+
+    return (
+        one("except", c.subtract(s))
+        .unionAll(one("intersect", c.intersect(s)))
+        .unionAll(one("union", c.union(s).distinct()))
+        .unionAll(one("union_all", c.union(s)))
+        .orderBy("op")
+    )
+
+
+@query(
+    "q14_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 5))                 AS up5,
+           lower(p_brand)                              AS lbrand,
+           CAST(length(p_name) AS INT)                 AS name_len,
+           replace(p_name, ' ', '_')                   AS snake,
+           lpad(p_brand, 12, '*')                      AS padded,
+           split_part(p_name, ' ', 1)                  AS first_word,
+           regexp_extract(p_name, '([a-z]+)$', 1)      AS last_word,
+           concat(trim(p_type), ':', p_brand)          AS tagged,
+           (p_name LIKE '%widget%')                    AS is_widget
+    FROM part
+    ORDER BY p_partkey
+    LIMIT 100
+    """,
+    tags=("relational", "scalar", "string"),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string function battery."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 5)).alias("up5"),
+            F.lower("p_brand").alias("lbrand"),
+            F.length("p_name").alias("name_len"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+            F.lpad("p_brand", 12, "*").alias("padded"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+            F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+            F.concat(F.trim(F.col("p_type")), F.lit(":"), F.col("p_brand")).alias("tagged"),
+            F.col("p_name").like("%widget%").alias("is_widget"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q15_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)   AS yr,
+           CAST(month(o_orderdate) AS INT)  AS mo,
+           CAST(day(o_orderdate) AS INT)    AS dy,
+           CAST(o_orderdate AS DATE) + 30   AS plus30,
+           date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE)) AS diff_days,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           epoch_ms(o_orderdate)            AS epoch_msec
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+    tags=("relational", "scalar", "date"),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time battery: extract, arithmetic, trunc, epoch conversion."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+            F.date_add(d, 30).alias("plus30"),
+            F.datediff(d, F.lit("2000-01-01").cast("date")).cast("long").alias("diff_days"),
+            F.trunc(d, "month").alias("month_start"),
+            # parquet ms timestamps surface as TIMESTAMP_NTZ; session TZ is
+            # pinned UTC so the cast to instant is exact
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_msec"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q16_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 2)        AS r_abs,
+           CAST(ceil(l_extendedprice)  AS BIGINT)  AS r_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT)  AS r_floor,
+           round(l_extendedprice / 7, 2)           AS r_div7,
+           l_linenumber % 3                        AS r_mod,
+           round(power(l_quantity, 2), 2)          AS r_pow,
+           round(sqrt(l_extendedprice), 2)         AS r_sqrt,
+           round(ln(l_extendedprice), 2)           AS r_ln,
+           round(greatest(l_quantity, l_discount * 100), 2) AS r_greatest,
+           round(least(l_quantity, l_tax * 100), 2)         AS r_least
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    tags=("relational", "scalar", "math"),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math battery (DuckDB ceil/floor return DOUBLE — cast to match
+    Spark's BIGINT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.abs(F.col("l_discount") - 0.05), 2).alias("r_abs"),
+            F.ceil("l_extendedprice").alias("r_ceil"),
+            F.floor("l_extendedprice").alias("r_floor"),
+            F.round(F.col("l_extendedprice") / 7, 2).alias("r_div7"),
+            (F.col("l_linenumber") % 3).alias("r_mod"),
+            F.round(F.pow("l_quantity", F.lit(2)), 2).alias("r_pow"),
+            F.round(F.sqrt("l_extendedprice"), 2).alias("r_sqrt"),
+            F.round(F.log("l_extendedprice"), 2).alias("r_ln"),
+            F.round(F.greatest(F.col("l_quantity"), F.col("l_discount") * 100), 2).alias(
+                "r_greatest"
+            ),
+            F.round(F.least(F.col("l_quantity"), F.col("l_tax") * 100), 2).alias("r_least"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "q17_json_extraction",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS cnt
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("relational", "json"),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props payload column
+    (Spark get_json_object ≡ DuckDB json_extract_string)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("k")
+    )
+
+
+@query(
+    "q18_array_functions",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 50
+    """,
+    tags=("relational", "array", "explode"),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode word counts (the array/table-function surface)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(50)
+    )
+
+
+@query(
+    "q19_conditional_null",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS band,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
+           count(*) AS cnt,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer
+    GROUP BY 1, 2
+    ORDER BY band, seg
+    """,
+    tags=("relational", "scalar", "conditional"),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / coalesce / nullif over account-balance bands."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER"))
+    return (
+        c.select(band.alias("band"), seg.alias("seg"), "c_acctbal")
+        .groupBy("band", "seg")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .orderBy("band", "seg")
+    )
+
+
+@query(
+    "q20_correlated_subquery",
+    oracle="""
+    SELECT c.c_nationkey, count(*) AS cnt
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    tags=("relational", "subquery"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, written in its decorrelated form (per-key
+    aggregate + equi-join) — exactly what Catalyst's
+    RewriteCorrelatedScalarSubquery produces."""
+    c = load_table(spark, sf_dir, "customer")
+    nation_avg = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.avg("c_acctbal").alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), c.c_nationkey == nation_avg.nk)
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q21_cte_multiblock",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS slice, count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    stats AS (SELECT avg(cnt) AS avg_cnt FROM hourly)
+    SELECT h.slice, h.cnt
+    FROM hourly h, stats s
+    WHERE h.cnt > s.avg_cnt
+    ORDER BY h.slice
+    """,
+    tags=("relational", "cte"),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE chain (slice stats joined back against their own average) via the
+    SQL entry point — exercises spark.sql parsing/analysis over temp views."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS slice, count(*) AS cnt
+            FROM events GROUP BY 1
+        ),
+        stats AS (SELECT avg(cnt) AS avg_cnt FROM hourly)
+        SELECT h.slice, h.cnt
+        FROM hourly h CROSS JOIN stats s
+        WHERE h.cnt > s.avg_cnt
+        ORDER BY h.slice
+        """
+    )
+
+
+@query(
+    "q22_documents_tokens",
+    oracle="""
+    SELECT lang, token, cnt, rn FROM (
+        SELECT lang, token, cnt,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rn
+        FROM (
+            SELECT lang, token, count(*) AS cnt
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY 1, 2
+        )
+    )
+    WHERE rn <= 20
+    ORDER BY lang, rn
+    """,
+    tags=("relational", "text", "window_fn"),
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens per language over documents (tokenize → agg → ranked
+    window), the text-analysis shape of SURVEY §2.3 Q22."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 20)
+        .orderBy("lang", "rn")
+    )

@@ -1,0 +1,93 @@
+"""Property tests of the pure slice math, mirroring the reference's ScalaCheck
+properties (SURVEY.md §5 layer 1-2; BackupClientInterfaceTest.scala:53-127):
+- at least one boundary exists when the stream spans > period;
+- a record after a boundary is in the next period;
+- consecutive in-slice records differ < period;
+- key round-trips: key_to_datetime(calculate_key(t)) == t.
+"""
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from guardian_for_apache_kafka_spark.core.timeslice import (
+    ChronoUnitSlice,
+    PeriodFromFirst,
+    anchor_for,
+    calculate_key,
+    compression_of_key,
+    is_at_boundary,
+    key_to_datetime,
+    slice_index,
+)
+
+# Timestamps in epoch micros over a realistic span (2020-2030)
+TS_US = st.integers(min_value=1_577_836_800_000_000, max_value=1_893_456_000_000_000)
+PERIOD_US = st.integers(min_value=1_000_000, max_value=24 * 3600 * 1_000_000)
+
+
+@given(ts=TS_US, period=PERIOD_US)
+def test_slice_index_of_anchor_is_zero(ts, period):
+    assert slice_index(ts, ts, period) == 0
+
+
+@given(ts=TS_US, period=PERIOD_US, k=st.integers(0, 1000))
+def test_slice_index_affine(ts, period, k):
+    assert slice_index(ts, ts + k * period, period) == k
+    assert slice_index(ts, ts + k * period + period - 1, period) == k
+
+
+@given(anchor=TS_US, period=PERIOD_US, data=st.data())
+def test_boundary_properties(anchor, period, data):
+    # monotone stream of offsets from the anchor (reference generators:
+    # strictly increasing timestamps, Generators.scala:76-84)
+    gaps = data.draw(st.lists(st.integers(1, period), min_size=2, max_size=50))
+    ts = [anchor]
+    for g in gaps:
+        ts.append(ts[-1] + g)
+    idx = [slice_index(anchor, t, period) for t in ts]
+    # span > period implies at least one boundary
+    if ts[-1] - ts[0] >= period:
+        assert any(is_at_boundary(a, b) for a, b in zip(idx, idx[1:]))
+    for (t0, i0), (t1, i1) in zip(zip(ts, idx), zip(ts[1:], idx[1:])):
+        if is_at_boundary(i0, i1):
+            # post-boundary record is in a strictly later period
+            assert i1 > i0
+        else:
+            # consecutive in-slice records differ < period
+            assert t1 - t0 < period
+
+
+@given(
+    ts=st.datetimes(
+        min_value=dt.datetime(2000, 1, 1),
+        max_value=dt.datetime(2100, 1, 1),
+        timezones=st.just(dt.timezone.utc),
+    ),
+    gz=st.booleans(),
+)
+@settings(max_examples=200)
+def test_key_roundtrip(ts, gz):
+    key = calculate_key(ts, "gzip" if gz else None)
+    assert key_to_datetime(key) == ts
+    assert compression_of_key(key) == ("gzip" if gz else None)
+    assert key.endswith(".json.gz" if gz else ".json")
+
+
+def test_key_format_matches_java_iso_offset():
+    # java.time ISO_OFFSET_DATE_TIME omits :00 seconds and renders UTC as Z
+    t0 = dt.datetime(2023, 1, 1, 10, 0, tzinfo=dt.timezone.utc)
+    assert calculate_key(t0) == "2023-01-01T10:00Z.json"
+    t1 = dt.datetime(2023, 1, 1, 10, 0, 30, tzinfo=dt.timezone.utc)
+    assert calculate_key(t1) == "2023-01-01T10:00:30Z.json"
+    t2 = dt.datetime(2023, 1, 1, 10, 0, 30, 123000, tzinfo=dt.timezone.utc)
+    assert calculate_key(t2) == "2023-01-01T10:00:30.123Z.json"
+
+
+@given(ts=TS_US)
+def test_chrono_unit_anchor_truncates(ts):
+    cfg = ChronoUnitSlice("HOURS")
+    a = anchor_for(cfg, ts)
+    assert a <= ts and a % (3600 * 1_000_000) == 0
+    assert anchor_for(PeriodFromFirst(dt.timedelta(minutes=5)), ts) == ts
