@@ -1,0 +1,163 @@
+"""Restore: archive objects -> records -> Kafka-producible rows.
+
+Reference semantics (SURVEY.md §2.1 R1-R7, /root/reference citations inline):
+- list keys, parse slice time from the key (Utils.scala:8-26), sort by time
+  (RestoreClientInterface.scala:50-58);
+- fromWhen pruning KEEPS ONE SLICE BEFORE the cutoff — that slice may straddle
+  it (RestoreClientInterface.scala:60-79: ``indexWhere(time >= picked)`` then
+  ``splitAt(index - 1)``; when no key is >= the cutoff, only the LAST key is
+  kept);
+- per-record filters: topic ∈ configured set AND time >= fromWhen AND drop the
+  ``null`` interrupted-stream sentinel (RestoreClientInterface.scala:83-91,
+  :115-120);
+- producer mapping: topic rename via map-with-fallback, Base64-decode
+  key/value, null key passes through (core-restore/.../KafkaProducer.scala:32-53).
+
+Scale note: the reference materializes the full key list in driver memory
+(RestoreClientInterface.scala:104-123 — a List). Here only *slice partition
+values* (one per slice, bounded by time-range/period) ever reach the driver;
+record data flows executor-side. On the engine-native layout pruning is
+partition pruning Catalyst applies from a ``slice >=`` predicate.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import urllib.parse as _urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.core.model import (
+    RECORD_JSON_SCHEMA_DDL,
+    parsed_json_to_record_cols,
+)
+from guardian_for_apache_kafka_spark.core.timeslice import key_to_datetime
+from guardian_for_apache_kafka_spark.operators.backup import logical_name, physical_name
+
+
+def list_backup_keys(dest: str) -> list[str]:
+    """R2: logical slice keys sorted by their parsed time. Decodes both on-disk
+    escapings: guardian-format files use ``_`` for ``:`` (see
+    backup.physical_name); Spark partition directories URL-encode
+    (``slice=2024-01-01T00%3A00%3A00Z``)."""
+    names = []
+    for n in os.listdir(dest):
+        if n.startswith("_") or n.startswith("."):
+            continue
+        if n.startswith("slice="):
+            n = "slice=" + _urlparse.unquote(n[len("slice=") :])
+            stem = n[len("slice=") :]
+        else:
+            n = logical_name(n)
+            stem = n
+        try:
+            names.append((key_to_datetime(stem), n))
+        except ValueError:
+            continue
+    names.sort(key=lambda p: p[0])
+    return [n for _, n in names]
+
+
+def prune_keys_from_when(keys: list[str], from_when: _dt.datetime) -> list[str]:
+    """R3: drop keys strictly before the slice *preceding* the cutoff.
+
+    Mirrors RestoreClientInterface.scala:60-79 exactly: find the first key with
+    time >= fromWhen and keep from (index - 1); if every key is earlier, keep
+    only the last (it may still straddle); index 0 keeps everything.
+    """
+    if not keys:
+        return []
+    times = [key_to_datetime(k[len("slice=") :] if k.startswith("slice=") else k) for k in keys]
+    idx = next((i for i, t in enumerate(times) if t >= from_when), None)
+    if idx is None:
+        return keys[-1:]
+    return keys[max(idx - 1, 0) :]
+
+
+def read_guardian_files(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """R4+R5: parse reference-format backup objects (JSON arrays, possibly
+    ``null``-terminated, possibly .gz) into the internal record schema.
+
+    ``spark.read.text`` handles the gzip codec transparently; each whole-file
+    array is parsed JVM-side with ``from_json`` + ``explode`` and the null
+    sentinel dropped (R6's ``rec IS NOT NULL``) — no Python per-record work.
+    """
+    raw = spark.read.text(paths, wholetext=True)
+    rec = F.explode(
+        F.from_json(F.col("value"), f"array<struct<{RECORD_JSON_SCHEMA_DDL}>>")
+    ).alias("rec")
+    return (
+        raw.select(rec)
+        .where(F.col("rec").isNotNull())
+        .select(*parsed_json_to_record_cols(F.col("rec")))
+    )
+
+
+def read_backup_jsonl(spark: SparkSession, dest: str) -> DataFrame:
+    """Read the engine-native partitioned JSON-lines archive back to records,
+    keeping the ``slice`` partition column for pruning."""
+    raw = spark.read.format("text").option("basePath", dest).load(f"{dest}/slice=*")
+    rec = F.from_json(F.col("value"), RECORD_JSON_SCHEMA_DDL).alias("rec")
+    return raw.select(rec, F.col("slice")).select(
+        *parsed_json_to_record_cols(F.col("rec")), F.to_timestamp("slice").alias("slice")
+    )
+
+
+def restore_batch(
+    spark: SparkSession,
+    source: str,
+    topics: set[str] | None = None,
+    from_when: _dt.datetime | None = None,
+    fmt: str = "guardian",
+) -> DataFrame:
+    """Full restore read: prune slices (R3), parse (R4/R5), filter records (R6).
+
+    fmt="guardian": reference-format array files; fmt="json": engine-native
+    partitioned JSON-lines (pruning via the slice partition column predicate —
+    Catalyst partition pruning, the scan never opens pruned directories).
+    """
+    if fmt == "guardian":
+        keys = list_backup_keys(source)
+        if from_when is not None:
+            keys = prune_keys_from_when(keys, from_when)
+        if not keys:
+            return spark.createDataFrame([], schema="topic string")
+        records = read_guardian_files(spark, [os.path.join(source, physical_name(k)) for k in keys])
+    elif fmt == "json":
+        records = read_backup_jsonl(spark, source)
+        if from_when is not None:
+            # -1-slice straddle handled record-exact by the timestamp filter;
+            # partition pruning needs only a lower bound on the slice value
+            keys = prune_keys_from_when(list_backup_keys(source), from_when)
+            if keys:
+                lo = key_to_datetime(keys[0][len("slice=") :])
+                records = records.where(F.col("slice") >= F.lit(lo))
+        records = records.drop("slice")
+    else:
+        raise ValueError(f"unsupported restore format: {fmt}")
+    if topics is not None:
+        records = records.where(F.col("topic").isin(*sorted(topics)))
+    if from_when is not None:
+        records = records.where(F.col("timestamp") >= F.lit(from_when))
+    return records
+
+
+def restore_to_producer_records(
+    records: DataFrame, override_topics: dict[str, str] | None = None
+) -> DataFrame:
+    """K5: map restored records to Kafka-producer shape — topic rename with
+    fallback, raw bytes for key/value, null key passthrough
+    (KafkaProducer.scala:32-53). The result is exactly what
+    ``df.write.format("kafka")`` expects."""
+    topic = F.col("topic")
+    if override_topics:
+        m = F.create_map(*[F.lit(x) for kv in override_topics.items() for x in kv])
+        topic = F.coalesce(F.element_at(m, F.col("topic")), F.col("topic"))
+    return records.select(
+        topic.alias("topic"),
+        F.col("key"),
+        F.col("value"),
+        F.col("timestamp"),
+    )

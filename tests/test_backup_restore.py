@@ -1,0 +1,168 @@
+"""Pipeline round-trip properties, mirroring the reference's test strategy
+(SURVEY.md §5 layer 3: backup completes and decode(backup) == input; every
+object but an interrupted last is ``]``-terminated; fromWhen-filtered restore
+equality; key-pruning correctness — BackupClientInterfaceTest.scala:169-303,
+RestoreClientInterfaceTest.scala:44-151)."""
+
+import datetime as dt
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice, PeriodFromFirst
+from guardian_for_apache_kafka_spark.operators.backup import physical_name
+from guardian_for_apache_kafka_spark.operators import (
+    backup_batch,
+    compact_latest_by_key,
+    list_backup_keys,
+    prune_keys_from_when,
+    restore_batch,
+    restore_to_producer_records,
+    write_guardian_format,
+)
+from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture(scope="module")
+def records(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    # wire format is epoch-millis (Kafka precision); truncate so round-trips are exact
+    return normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+
+
+def as_set(df):
+    return {
+        (r.topic, r.partition, r.offset, bytes(r.key) if r.key else None,
+         bytes(r.value), r.timestamp, r.timestamp_type)
+        for r in df.collect()
+    }
+
+
+def test_guardian_format_roundtrip(spark, records, tmp_path):
+    dest = str(tmp_path / "archive")
+    keys = write_guardian_format(records, dest, ChronoUnitSlice("HOURS"))
+    assert keys == list_backup_keys(dest)
+    assert all(k.endswith(".json") for k in keys)
+    # every file is a well-formed JSON array ending in ']'
+    for k in keys:
+        body = open(os.path.join(dest, physical_name(k)), "rb").read()
+        assert body.startswith(b"[") and body.endswith(b"}]")
+    restored = restore_batch(spark, dest, fmt="guardian")
+    assert as_set(restored) == as_set(records)
+
+
+def test_guardian_format_gzip_and_interrupted(spark, records, tmp_path):
+    dest = str(tmp_path / "gz")
+    keys = write_guardian_format(
+        records, dest, ChronoUnitSlice("HOURS"), compression="gzip", interrupted=True
+    )
+    assert all(k.endswith(".json.gz") for k in keys)
+    last = keys[-1]
+    body = gzip.open(os.path.join(dest, physical_name(last)), "rb").read()
+    assert body.endswith(b",null]")  # terminateSource sentinel
+    for k in keys[:-1]:
+        assert gzip.open(os.path.join(dest, physical_name(k)), "rb").read().endswith(b"}]")
+    # the null sentinel is dropped on parse; round-trip still exact
+    restored = restore_batch(spark, dest, fmt="guardian")
+    assert as_set(restored) == as_set(records)
+
+
+def test_period_from_first_slices(spark, records, tmp_path):
+    dest = str(tmp_path / "pff")
+    keys = write_guardian_format(records, dest, PeriodFromFirst(dt.timedelta(hours=6)))
+    # anchor = first record's event time, so the first key IS that timestamp
+    first_ts = records.agg(F.min("timestamp")).collect()[0][0]
+    from guardian_for_apache_kafka_spark.core.timeslice import key_to_datetime
+
+    assert key_to_datetime(keys[0]) == first_ts.replace(tzinfo=UTC)
+    restored = restore_batch(spark, dest, fmt="guardian")
+    assert as_set(restored) == as_set(records)
+
+
+def test_fromwhen_restore_filter(spark, records, tmp_path):
+    dest = str(tmp_path / "fw")
+    write_guardian_format(records, dest, ChronoUnitSlice("HOURS"))
+    cutoff_row = records.approxQuantile("offset", [0.5], 0)[0]
+    cutoff_ts = records.where(F.col("offset") >= cutoff_row).agg(F.min("timestamp")).collect()[0][0]
+    from_when = cutoff_ts.replace(tzinfo=UTC)
+    restored = restore_batch(spark, dest, from_when=from_when, fmt="guardian")
+    expected = records.where(F.col("timestamp") >= F.lit(cutoff_ts))
+    assert as_set(restored) == as_set(expected)
+
+
+def test_prune_keys_straddle_rule():
+    keys = [
+        "2024-01-01T00:00Z.json",
+        "2024-01-01T01:00Z.json",
+        "2024-01-01T02:00Z.json",
+        "2024-01-01T03:00Z.json",
+    ]
+    # cutoff inside slice 02: first key >= cutoff is 03:00 (idx 3) -> keep from idx-1 = 02:00
+    got = prune_keys_from_when(keys, dt.datetime(2024, 1, 1, 2, 30, tzinfo=UTC))
+    assert got == keys[2:]
+    # exact boundary: first >= is the slice itself (idx 2) -> keep one before it too
+    got = prune_keys_from_when(keys, dt.datetime(2024, 1, 1, 2, 0, tzinfo=UTC))
+    assert got == keys[1:]
+    # cutoff before the second slice: idx=1 -> max(idx-1,0)=0 -> keep all
+    got = prune_keys_from_when(keys, dt.datetime(2024, 1, 1, 0, 30, tzinfo=UTC))
+    assert got == keys
+    # cutoff before everything -> keep all
+    got = prune_keys_from_when(keys, dt.datetime(2023, 12, 31, tzinfo=UTC))
+    assert got == keys
+    # cutoff after everything -> keep only the last (it may straddle)
+    got = prune_keys_from_when(keys, dt.datetime(2024, 1, 2, tzinfo=UTC))
+    assert got == keys[-1:]
+    assert prune_keys_from_when([], dt.datetime(2024, 1, 1, tzinfo=UTC)) == []
+
+
+def test_native_jsonl_archive_roundtrip(spark, records, tmp_path):
+    dest = str(tmp_path / "native")
+    backup_batch(records, dest, ChronoUnitSlice("HOURS"), fmt="json")
+    # partition dirs named slice=<ISO>
+    dirs = [d for d in os.listdir(dest) if d.startswith("slice=")]
+    assert dirs
+    restored = restore_batch(spark, dest, fmt="json")
+    assert as_set(restored) == as_set(records)
+    # pruned restore with both topic filter and from_when
+    from_when = dt.datetime(2024, 1, 3, tzinfo=UTC)
+    got = restore_batch(spark, dest, topics={"click", "view"}, from_when=from_when, fmt="json")
+    exp = records.where(
+        F.col("topic").isin("click", "view")
+        & (F.col("timestamp") >= F.lit(from_when.replace(tzinfo=None)))
+    )
+    assert as_set(got) == as_set(exp)
+
+
+def test_producer_mapping_rename_and_null_key(spark, records):
+    out = restore_to_producer_records(records, override_topics={"click": "tap"})
+    assert out.columns == ["topic", "key", "value", "timestamp"]
+    assert out.where(F.col("topic") == "click").count() == 0
+    n_click = records.where(F.col("topic") == "click").count()
+    assert out.where(F.col("topic") == "tap").count() == n_click
+    # null keys pass through
+    nulled = records.withColumn("key", F.lit(None).cast("binary"))
+    out2 = restore_to_producer_records(nulled)
+    assert out2.where(F.col("key").isNull()).count() == records.count()
+
+
+def test_compaction_latest_by_key(spark, records):
+    compacted = compact_latest_by_key(records)
+    # one record per (topic, partition, key)
+    keyed = compacted.where(F.col("key").isNotNull())
+    assert keyed.groupBy("topic", "partition", "key").count().where("count > 1").count() == 0
+    # each kept record carries its key's max timestamp
+    expected = (
+        records.where(F.col("key").isNotNull())
+        .groupBy("topic", "partition", "key")
+        .agg(F.max("timestamp").alias("max_ts"))
+    )
+    joined = keyed.join(expected, ["topic", "partition", "key"])
+    assert joined.where(F.col("timestamp") != F.col("max_ts")).count() == 0
+    assert keyed.count() == expected.count()
