@@ -1,0 +1,19 @@
+from guardian_for_apache_kafka_spark.functions.columns import (
+    cosine_similarity,
+    hamming_distance64,
+    minhash_signature,
+    ngram_shingles,
+    rolling_fingerprint,
+    simhash64,
+    tokens_col,
+)
+
+__all__ = [
+    "cosine_similarity",
+    "hamming_distance64",
+    "minhash_signature",
+    "ngram_shingles",
+    "rolling_fingerprint",
+    "simhash64",
+    "tokens_col",
+]

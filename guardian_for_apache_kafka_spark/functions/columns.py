@@ -1,0 +1,119 @@
+"""Column-expression building blocks for the training-data-pipeline operators.
+
+Everything here is built from Spark higher-order functions (transform /
+aggregate / zip_with) and JVM hash primitives (xxhash64, bit ops) — no Python
+UDFs, so minhash/simhash/cosine all run inside whole-stage codegen and scale
+with the executors. The Pandas-UDF path is reserved for genuinely non-SQL work
+(multimodal decode, operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: str | Column = "text", sep: str = " ") -> Column:
+    """Whitespace tokenization (documents.text is space-separated tokens)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def ngram_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array; empty when the document
+    has fewer than n tokens (guards Spark's sign-inferring ``sequence``)."""
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: position k = min over shingles of xxhash64(s, k).
+
+    Seeding the hash family by mixing the band index into the hash input keeps
+    the whole signature one JVM expression; NULL when the shingle set is empty
+    (callers filter those out before LSH)."""
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, k))),
+    )
+    return F.when(F.size(shingles) > 0, sig)
+
+
+def simhash64(tokens: Column, words: int = 4, bits_per_word: int = 16) -> Column:
+    """64-bit SimHash of a token multiset as an array of ``words`` unsigned
+    ``bits_per_word``-bit integers (word w covers bits [w*bpw, (w+1)*bpw)).
+
+    Bit b is set iff the signed sum of bit b over xxhash64(token) is positive.
+    The word-array form avoids 64-bit sign/overflow gymnastics AND is exactly
+    the shape the pigeonhole LSH bucketing wants (one bucket key per word).
+    Pure bit arithmetic in nested higher-order aggregates."""
+
+    # Per-token 64-char two's-complement bit strings, computed once. The
+    # PySpark shiftright/shiftleft wrappers take only Python-int shift amounts,
+    # so bit b is read via bin()+substr (both Column-parameterized, JVM-side).
+    bins = F.transform(tokens, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+
+    def bit_vote(b: Column) -> Column:  # b = 0 is the least-significant bit
+        return F.aggregate(
+            bins,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(F.substr(s, F.lit(64) - b, F.lit(1)) == "1", F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    def word(w: Column) -> Column:
+        # fold bits high->low within the word: acc*2 + vote(bit)
+        return F.aggregate(
+            F.reverse(F.sequence(w * bits_per_word, (w + 1) * bits_per_word - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + F.when(bit_vote(b) > 0, 1).otherwise(0),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(words - 1)), word)
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """Hamming distance between two word-array SimHash values: sum of popcounts
+    of per-word XORs."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two numeric arrays, computed as sequential
+    left-to-right folds in double precision (deterministic, matches an
+    equivalent fold in the oracle engine)."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
+
+
+def rolling_fingerprint(tokens: Column, mod: int = 1_000_000_007) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens:
+    fold (acc*31 + code(token)) % mod with code = length*17 + ascii(first char).
+    Deterministic and dialect-portable (the same fold is expressible in DuckDB
+    list_reduce for the oracle)."""
+    codes = F.transform(
+        tokens, lambda t: (F.length(t) * 17 + F.ascii(t)).cast("long")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % mod,
+    )

@@ -1,0 +1,262 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (BASELINE.json north star), all partition-parallel, no driver-side
+record materialization:
+
+- exact:        hash-groupBy on the content column, keep lowest id.
+- ngram-jaccard: exact word-shingle Jaccard via an inverted-index self-join
+                (explode shingles -> equi-join on shingle -> count / union).
+- minhash-LSH:  signature -> bands -> bucket equi-join -> candidate pairs;
+                Jaccard estimated from signature agreement. The scale path:
+                candidate generation never compares non-colliding pairs.
+- simhash:      64-bit fingerprints, near-dup = hamming distance <= k, bucketed
+                by the 4-split of the fingerprint (each half-band collides for
+                any pair within distance 3 by pigeonhole when split into 4).
+- embedding:    cosine near-dup over embedding vectors (see similarity.py for
+                the ANN machinery it shares).
+
+At 100 TB: every family is (explode -> shuffle on a key -> bounded-bucket
+join). Bucket skew (a shingle shared by millions of docs) is the real risk —
+``max_bucket`` caps pathological buckets exactly like production LSH dedup
+pipelines drop stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.functions.columns import (
+    hamming_distance64,
+    minhash_signature,
+    ngram_shingles,
+    simhash64,
+    tokens_col,
+)
+
+
+def dedup_exact(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact content value (one shuffle)."""
+    w = Window.partitionBy(content_col).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def _shingled(df: DataFrame, id_col: str, content_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        ngram_shingles(tokens_col(content_col), n).alias("__shingles"),
+    ).where(F.size("__shingles") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from an inverted index.
+
+    |A∩B| comes from the per-shingle join; |A∪B| = |A|+|B|-|A∩B|. Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = _shingled(df, id_col, content_col, n)
+    sizes = sh.select("__id", F.size("__shingles").alias("__n"))
+    inv = sh.select("__id", F.explode("__shingles").alias("__s"))
+    if max_bucket is not None:
+        # drop stop-shingles: buckets larger than max_bucket contribute
+        # candidates quadratically but little signal
+        hot = inv.groupBy("__s").count().where(F.col("count") > max_bucket).select("__s")
+        inv = inv.join(F.broadcast(hot), "__s", "left_anti")
+    a = inv.select(F.col("__id").alias("id_a"), "__s")
+    b = inv.select(F.col("__id").alias("id_b"), "__s")
+    common = (
+        a.join(b, "__s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__common"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__common")
+                / (F.col("__na") + F.col("__nb") - F.col("__common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs.
+
+    Signature (num_hashes positions) is split into ``bands``; a pair is a
+    candidate iff some band's sub-signature hashes equal — the classic
+    s-curve with collision prob 1-(1-j^r)^b, r = num_hashes/bands. Returns
+    (id_a, id_b, est_jaccard) where est_jaccard = fraction of agreeing
+    signature positions (unbiased Jaccard estimator).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(ngram_shingles(tokens_col(content_col), n), num_hashes).alias("__sig"),
+    ).where(F.col("__sig").isNotNull())
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(F.slice("__sig", bi * r + 1, r), F.lit(42)).alias("bh"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__id", "__sig", "__b.band", "__b.bh")
+    l = banded.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"), "band", "bh")
+    rt = banded.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"), "band", "bh")
+    pairs = (
+        l.join(rt, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return pairs.select(
+        "id_a", "id_b", (agree / F.lit(len(range(num_hashes)))).alias("est_jaccard")
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Near-dedup: drop every row whose estimated Jaccard to a LOWER-id row is
+    >= threshold (the standard keep-first policy; transitive chains collapse
+    toward the smallest id without an iterative connected-components pass —
+    at massive scale swap in a CC iteration if cluster-exact grouping matters)."""
+    cand = minhash_lsh_candidates(df, n, num_hashes, bands, id_col, content_col)
+    doomed = (
+        cand.where(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(doomed, id_col, "left_anti")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit fingerprint as 4 16-bit words,
+    bucket by each word (pigeonhole: any pair with hamming <= 3 agrees exactly
+    on at least one word), verify hamming on collisions."""
+    fp = df.select(
+        F.col(id_col).alias("__id"), simhash64(tokens_col(content_col)).alias("__fp")
+    )
+    quarters = fp.select(
+        "__id",
+        "__fp",
+        F.posexplode("__fp").alias("q", "qv"),
+    )
+    l = quarters.select(F.col("__id").alias("id_a"), F.col("__fp").alias("__fa"), "q", "qv")
+    rt = quarters.select(F.col("__id").alias("id_b"), F.col("__fp").alias("__fb"), "q", "qv")
+    return (
+        l.join(rt, ["q", "qv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_distance64(F.col("__fa"), F.col("__fb")).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    tables: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH.
+
+    Bucket = the ``planes``-bit sign pattern of projections onto pseudo-random
+    hyperplanes (derived deterministically from xxhash64 of
+    (dimension, plane, table) — no stored model); ``tables`` independent hash
+    tables OR-amplify recall (a pair is a candidate if it collides in ANY
+    table). Exact cosine verifies within buckets. Recall ≈
+    1-(1-p^planes)^tables with p = 1 - angle/pi."""
+    from guardian_for_apache_kafka_spark.functions.columns import cosine_similarity
+
+    v = F.col(vec_col).cast("array<double>")
+
+    def plane_bit(p, tbl):
+        # projection onto hyperplane (p, tbl): sum_d v[d] * u(d, p, tbl), u in {-1, +1}
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda x, d: x
+                * F.when(F.xxhash64(d, p, tbl) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (proj > 0).cast("long")
+
+    def bucket(tbl):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc * 2 + plane_bit(p, tbl),
+        )
+
+    b = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(tables - 1)),
+                lambda tbl: F.struct(tbl.alias("tbl"), bucket(tbl).alias("bk")),
+            )
+        ).alias("__b"),
+    ).select("__id", "__v", "__b.tbl", "__b.bk")
+    l = b.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "tbl", "bk")
+    rt = b.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "tbl", "bk")
+    return (
+        l.join(rt, ["tbl", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

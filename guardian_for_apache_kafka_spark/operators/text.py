@@ -1,0 +1,101 @@
+"""Text analysis operators (north star): token stats, quality scoring,
+language ID, fingerprinting. All built-in column expressions over the
+``documents`` table shape (doc_id, text, lang, source, n_chars)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.functions.columns import rolling_fingerprint, tokens_col
+
+#: Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+#: Real deployments swap in fastText/CLD3 via a Pandas UDF; the heuristic keeps
+#: the operator dependency-free and deterministic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "de", "des", "est", "dans"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+
+#: A BPE-ish word/number/punctuation splitter (GPT-2-style coarse classes).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: whitespace tokens, distinct tokens,
+    BPE-ish regex tokens, char length, avg token length."""
+    toks = tokens_col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks),
+            "n_distinct_tokens": F.size(F.array_distinct(toks)),
+            "n_bpe_tokens": F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))),
+            "text_len": F.length(text_col),
+            "avg_token_len": F.try_divide(
+                F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double"),
+                F.size(toks).cast("double"),
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality rubric in [0,1]: length band, lexical diversity,
+    alpha ratio, stopword presence — the shape of Gopher/C4-style quality
+    filters, as one arithmetic expression."""
+    toks = tokens_col(text_col)
+    n = F.size(toks).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)) / n
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    alpha_ratio = alpha_chars / F.greatest(F.length(text_col), F.lit(1)).cast("double")
+    en_stops = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stops))
+    length_band = F.least(n / 50.0, F.lit(1.0))
+    score = (
+        length_band * 0.3
+        + uniq_ratio * 0.3
+        + alpha_ratio * 0.2
+        + F.least(stop_hits.cast("double") / 4.0, F.lit(1.0)) * 0.2
+    )
+    return df.withColumn("quality", F.round(score, 4))
+
+
+def language_scores(text: str | Column = "text") -> Column:
+    """Map of lang -> stopword-hit count (the lang-ID evidence vector)."""
+    toks = F.array_distinct(tokens_col(text))
+    return F.map_from_arrays(
+        F.array([F.lit(lang) for lang in STOPWORDS]),
+        F.array(
+            [
+                F.size(F.array_intersect(toks, F.array([F.lit(s) for s in sw])))
+                for sw in STOPWORDS.values()
+            ]
+        ),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Predict language = argmax stopword hits (ties -> lexicographically first
+    language; 'und' when nothing matches)."""
+    scores = language_scores(text_col)
+    entries = F.map_entries(scores)  # array<struct<key,value>>
+    best = F.array_sort(
+        entries,
+        lambda a, b: F.when(a["value"] > b["value"], -1)
+        .when(a["value"] < b["value"], 1)
+        .when(a["key"] < b["key"], -1)
+        .when(a["key"] > b["key"], 1)
+        .otherwise(0),
+    )[0]
+    return df.withColumn(
+        "lang_pred", F.when(best["value"] > 0, best["key"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (shift-resistant exact
+    dup detection cheaper than storing full text)."""
+    return df.withColumn("fingerprint", rolling_fingerprint(tokens_col(text_col)))

@@ -1,1 +1,420 @@
-"""North-star training-data-pipeline queries (dedup/similarity/text/multimodal)."""
+"""North-star training-data-pipeline queries (SURVEY.md §7 M5): dedup,
+similarity search, text analysis, multimodal plumbing, plus a pipeline
+round-trip. SQL-expressible ops carry DuckDB oracles (fold arithmetic written
+with the same association order on both sides so doubles match bit-exactly);
+hash-based ops (minhash/simhash/LSH — xxhash64 has no DuckDB twin) are
+rows-only here and validated against exact metrics in tests/."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.plans.registry import query
+from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d1_dedup_exact_stats",
+    oracle="""
+    SELECT count(*) AS docs,
+           count(DISTINCT text) AS uniq_texts,
+           count(*) - count(DISTINCT text) AS dup_docs
+    FROM documents
+    """,
+    tags=("dedup", "exact"),
+)
+def d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup census over documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("docs"),
+        F.countDistinct("text").alias("uniq_texts"),
+        (F.count("*") - F.countDistinct("text")).alias("dup_docs"),
+    )
+
+
+@query(
+    "d2_dedup_exact_keepers",
+    oracle="""
+    SELECT min(doc_id) AS kept_doc_id, count(*) AS copies
+    FROM documents
+    GROUP BY text
+    ORDER BY kept_doc_id
+    LIMIT 100
+    """,
+    tags=("dedup", "exact"),
+)
+def d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-first policy: lowest doc_id survives per text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("copies"))
+        .select("kept_doc_id", "copies")
+        .orderBy("kept_doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "d3_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 4) AS jaccard
+    FROM common
+    WHERE c * 1.0 / (na + nb - c) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "jaccard"),
+)
+def d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold .5 isolates the planted
+    near-dups: observed distribution has a clean gap between ~.07 and ~.9)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, n=3, threshold=0.5)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "d4_minhash_lsh_dedup",
+    oracle=None,  # xxhash64 family has no DuckDB twin; validated vs exact jaccard in tests
+    tags=("dedup", "minhash", "lsh"),
+)
+def d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup survivors (rows-only check; recall/precision vs
+    exact Jaccard asserted in tests/test_dedup.py)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import dedup_minhash_lsh
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        dedup_minhash_lsh(d, threshold=0.7)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "d5_simhash_pairs",
+    oracle=None,
+    tags=("dedup", "simhash"),
+)
+def d5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidates within hamming distance 6 of each other (rows-only;
+    correspondence with jaccard near-dups asserted in tests)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import simhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=6).orderBy("id_a", "id_b")
+
+
+@query(
+    "d6_embedding_near_dup",
+    oracle=None,
+    tags=("dedup", "embedding"),
+)
+def d6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets (rows-only;
+    exactness of the cosine column itself is oracle-checked in s1)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dup_pairs(e, threshold=0.3, planes=8, tables=8)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+@query(
+    "s1_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_duck_cosine('c.embedding', 'q.qv')} AS cosine
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, round(cosine, 4) AS cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rnk FROM ranked
+    WHERE rnk <= 3
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "ann"),
+)
+def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-3 for query vectors vec_id < 5. The oracle
+    computes the identical left-fold dot product (same association order ->
+    bit-identical doubles)."""
+    from guardian_for_apache_kafka_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk(e, q, k=3)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rnk")
+
+
+@query(
+    "s2_ivf_topk",
+    oracle=None,  # approximate path; recall vs s1 asserted in tests
+    tags=("similarity", "ann", "ivf"),
+)
+def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-3 (rows-only; recall measured in tests)."""
+    from guardian_for_apache_kafka_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(e, q, k=3, nlist=8, nprobe=3)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rnk")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t1_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+           CAST(length(text) AS INT) AS text_len,
+           round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))),
+                 (a, x) -> a + x) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+    tags=("text", "stats"),
+)
+def t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (whitespace + BPE-ish regex tokenizer)."""
+    from guardian_for_apache_kafka_spark.operators.text import token_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    out = token_stats(d)
+    return (
+        out.select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            "n_bpe_tokens",
+            "text_len",
+            F.round("avg_token_len", 4).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "t2_lang_token_summary",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "agg"),
+)
+def t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per language."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ntok).alias("total_tokens"),
+            F.round(F.avg(ntok), 2).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "t3_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS tk,
+             length(text) AS tl,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           round(
+             least(len(tk) / 50.0, 1.0) * 0.3
+             + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
+             + (alpha * 1.0 / greatest(tl, 1)) * 0.2
+             + least(len(list_intersect(list_distinct(tk),
+                 ['the','and','of','to','in','is','that','with'])) / 4.0, 1.0) * 0.2
+           , 4) AS quality
+    FROM t
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+    tags=("text", "quality"),
+)
+def t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style deterministic quality rubric."""
+    from guardian_for_apache_kafka_spark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_score(d).select("doc_id", "quality").orderBy("doc_id").limit(200)
+
+
+@query(
+    "t4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                   t -> CAST(length(t) * 17 + ascii(t) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+    tags=("text", "fingerprint"),
+)
+def t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (identical fold in DuckDB)."""
+    from guardian_for_apache_kafka_spark.operators.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id").limit(200)
+
+
+@query(
+    "t5_language_id",
+    oracle=None,  # heuristic argmax over map entries; mechanics tested in tests/test_text.py
+    tags=("text", "langid"),
+)
+def t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (rows-only; the synthetic corpus text is
+    language-agnostic so accuracy-vs-label is not meaningful here)."""
+    from guardian_for_apache_kafka_spark.operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        language_id(d)
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing + pipeline round-trip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m1_multimodal_features",
+    oracle=None,  # decode is stubbed (no codec libs); plumbing checked rows-only + tests
+    tags=("multimodal",),
+)
+def m1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: wrap document text bytes as fake blobs,
+    decode features partition-parallel via mapInPandas (stubbed codec)."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        extract_image_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(d, "blob", "image", "png")
+    return (
+        extract_image_features(media)
+        .select("doc_id", "media_type", "size_bytes", "width", "height", "n_channels")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "p1_backup_restore_roundtrip",
+    oracle=None,  # file-writing pipeline; equality properties asserted in tests
+    tags=("guardian", "pipeline"),
+)
+def p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Guardian pipeline as a query: events -> records -> hourly
+    guardian-format archive (tempdir) -> restore -> per-topic counts with a
+    roundtrip-equality flag."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators import restore_batch, write_guardian_format
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    rec = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    dest = tempfile.mkdtemp(prefix="guardian_roundtrip_")
+    write_guardian_format(rec, dest, ChronoUnitSlice("HOURS"))
+    restored = restore_batch(spark, dest, fmt="guardian")
+    orig = rec.groupBy("topic").agg(F.count("*").alias("n_in"))
+    back = restored.groupBy("topic").agg(F.count("*").alias("n_out"))
+    return (
+        orig.join(back, "topic")
+        .select("topic", "n_in", "n_out", (F.col("n_in") == F.col("n_out")).alias("equal"))
+        .orderBy("topic")
+    )

@@ -1,0 +1,110 @@
+"""Dedup + similarity operator validation: approximate paths are checked
+against their exact counterparts (minhash vs exact jaccard, IVF vs brute
+force), exact paths against first principles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    embedding_near_dup_pairs,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from guardian_for_apache_kafka_spark.operators.similarity import cosine_topk, ivf_topk
+from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def true_pairs(docs):
+    return {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+
+
+def test_dedup_exact_drops_planted_dups(spark, docs):
+    dup = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+    with_dups = docs.unionByName(dup)
+    kept = dedup_exact(with_dups)
+    assert kept.count() == docs.count()
+    # keep-first: original (lower) ids survive
+    assert kept.where(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_ngram_jaccard_finds_planted_near_dups(true_pairs):
+    # the generator plants near-dup pairs with jaccard >= ~0.9 (observed);
+    # threshold .5 sits in the distribution gap
+    assert len(true_pairs) > 0
+
+
+def test_minhash_estimates_track_exact_jaccard(docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_candidates(docs, num_hashes=64, bands=16).collect()
+    }
+    found = set(exact) & set(est)
+    # banded LSH at (64,16) catches essentially all >= .9 pairs
+    assert len(found) / len(exact) >= 0.9
+    for pair in found:
+        assert abs(est[pair] - exact[pair]) < 0.25  # 64-hash estimator tolerance
+
+
+def test_dedup_minhash_lsh_keeps_lower_ids(docs, true_pairs):
+    survivors = {r.doc_id for r in dedup_minhash_lsh(docs, threshold=0.7).collect()}
+    doomed_expected = {b for _, b in true_pairs}
+    # every planted near-dup's higher id should be gone (est >= .7 for ~.9 true)
+    missed = doomed_expected & survivors
+    assert len(missed) <= max(1, len(doomed_expected) // 10)
+    # and the lower ids survive
+    keepers = {a for a, _ in true_pairs} - doomed_expected
+    assert keepers <= survivors
+
+
+def test_simhash_recall_of_near_dups(docs, true_pairs):
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert len(got & true_pairs) / len(true_pairs) >= 0.8
+
+
+def test_embedding_lsh_pairs_are_exact_cosine(emb):
+    got = embedding_near_dup_pairs(emb, threshold=0.3, planes=8, tables=8)
+    rows = got.collect()
+    assert all(r.cosine >= 0.3 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
+    # no duplicates despite multi-table OR-amplification
+    assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
+
+
+def test_cosine_topk_exact_properties(emb):
+    q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk(emb, q, k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for rows in per_q.values():
+        assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r.cosine for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != r.query_id for r in rows)
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    q = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=3).collect()}
+    approx = {(r.query_id, r.vec_id) for r in ivf_topk(emb, q, k=3, nlist=8, nprobe=4).collect()}
+    # nprobe=4 of 8 lists: expect strong-but-not-perfect recall
+    assert len(exact & approx) / len(exact) >= 0.6

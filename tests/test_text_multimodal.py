@@ -1,0 +1,95 @@
+"""Text-analysis + multimodal plumbing validation."""
+
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.operators.multimodal import (
+    attach_media,
+    extract_image_features,
+    frame_sample_plan,
+)
+from guardian_for_apache_kafka_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+
+def test_token_stats_first_principles(spark):
+    df = spark.createDataFrame([(1, "a bb ccc a")], "doc_id long, text string")
+    r = token_stats(df).collect()[0]
+    assert r.n_tokens == 4
+    assert r.n_distinct_tokens == 3
+    assert r.text_len == 10
+    assert abs(r.avg_token_len - 7 / 4) < 1e-12
+    assert r.n_bpe_tokens == 4
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    scored = quality_score(d)
+    assert scored.where((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+    # repeated-token junk scores below diverse text
+    junk = spark.createDataFrame([(1, " ".join(["spam"] * 60))], "doc_id long, text string")
+    good = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over lazy dogs with great skill and energy " * 4)],
+        "doc_id long, text string",
+    )
+    jq = quality_score(junk).collect()[0].quality
+    gq = quality_score(good).collect()[0].quality
+    assert gq > jq
+
+
+def test_language_id_stopword_evidence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is that big with fur"),
+            (2, "el perro y la casa de los gatos que en madrid por ahi"),
+            (3, "der hund und die katze ist von den bergen mit schnee"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "de" and got[4] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert fps[1] == fps[3]
+    assert fps[1] != fps[2]
+
+
+def test_multimodal_plumbing_roundtrip(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(50).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(d, "blob", "image", "png")
+    assert [f.name for f in media.schema.fields] == ["doc_id", "content", "meta"]
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
+        assert 1 <= r.n_channels <= 4
+        assert r.media_type == "image"
+        assert len(r.sha256) == 64
+    # determinism: same content -> same fake decode
+    again = {r.doc_id: (r.width, r.height) for r in extract_image_features(media).collect()}
+    assert all(again[r.doc_id] == (r.width, r.height) for r in rows)
+
+
+def test_frame_sample_plan_shape(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(3).withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(d, "blob", "video", "mp4")
+    plan = frame_sample_plan(media, every_n=10, max_frames=4)
+    rows = plan.collect()
+    assert len(rows) == 12
+    assert {r.frame_index for r in rows} == {0, 10, 20, 30}
