@@ -195,6 +195,16 @@ def slice_col(ts: Column, config: TimeConfiguration, anchor_us: int | None = Non
     return F.timestamp_micros((idx * F.lit(period) + F.lit(anchor_us)).cast("long"))
 
 
+def slice_dir_pattern(config: TimeConfiguration) -> str:
+    """date_format pattern for slice partition-directory values. ChronoUnit
+    slice starts are whole seconds; PeriodFromFirst anchors at the first
+    record's (millisecond) event time, so its directories carry millis — a
+    seconds-only pattern would silently merge-shift every slice name."""
+    if isinstance(config, PeriodFromFirst):
+        return "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+    return "yyyy-MM-dd'T'HH:mm:ssXXX"
+
+
 def slice_key_col(slice_start: Column, compression: str | None = None) -> Column:
     """ISO-8601 object-key string for a slice-start column. Spark's
     ``date_format`` always prints seconds; `calculate_key` (driver-side) is the

@@ -41,6 +41,7 @@ from guardian_for_apache_kafka_spark.core.timeslice import (
     TimeConfiguration,
     calculate_key,
     slice_col,
+    slice_dir_pattern,
 )
 
 
@@ -82,10 +83,10 @@ def with_slice(records: DataFrame, config: TimeConfiguration, anchor_us: int | N
     return records.withColumn("slice", slice_col(F.col("timestamp"), config, anchor_us))
 
 
-def _slice_dir_col(slice_: Column) -> Column:
-    # partition-directory value: ISO-8601 basic-safe (``:`` is legal on linux
-    # fs and hadoop paths; seconds always printed for sortability)
-    return F.date_format(slice_, "yyyy-MM-dd'T'HH:mm:ssXXX")
+def _slice_dir_col(slice_: Column, config: TimeConfiguration) -> Column:
+    # partition-directory value: ISO-8601, second (ChronoUnit) or millisecond
+    # (PeriodFromFirst) precision — see timeslice.slice_dir_pattern
+    return F.date_format(slice_, slice_dir_pattern(config))
 
 
 def backup_batch(
@@ -104,14 +105,14 @@ def backup_batch(
     sliced = with_slice(records, config, anchor_us)
     if fmt == "json":
         out = sliced.select(
-            _slice_dir_col(F.col("slice")).alias("slice"),
+            _slice_dir_col(F.col("slice"), config).alias("slice"),
             record_to_json_col().alias("value"),
         )
         writer = out.write.partitionBy("slice").mode("append").format("text")
         if compression:
             writer = writer.option("compression", compression)
     elif fmt == "parquet":
-        out = sliced.withColumn("slice", _slice_dir_col(F.col("slice")))
+        out = sliced.withColumn("slice", _slice_dir_col(F.col("slice"), config))
         writer = out.write.partitionBy("slice").mode("append").format("parquet")
         if compression:
             writer = writer.option("compression", compression)

@@ -1,0 +1,183 @@
+"""Structured-Streaming backup pipeline (SURVEY.md §7 M3).
+
+The reference's continuous backup (§3.1: Kafka consume -> slice -> serialize ->
+multipart upload -> commit offsets after upload) maps onto:
+
+- source: ``spark.readStream.format("kafka")`` in production;
+  a schema'd file stream here (no broker in this harness) — the source is an
+  argument, everything downstream is source-agnostic.
+- slice assignment: the same ``slice_col`` expression as batch (stateless for
+  ChronoUnitSlice — no boundary-detection operator, no watermark needed for
+  the *archival* path).
+- sink: partitioned streaming file sink with checkpointing. Spark's
+  ``_spark_metadata`` commit log + offset tracking IS the reference's
+  commit-after-upload + resume protocol (K2/K4/T8/T9, ~300 LoC there) —
+  records are committed to the checkpoint only after their files are
+  durably written, and a killed query resumes by replaying the uncommitted
+  micro-batch into new atomically-committed files.
+- PeriodFromFirst anchoring (§4.3): the anchor (first record's event time)
+  is captured on the first micro-batch and persisted next to the checkpoint,
+  making restarts reuse the same anchor — strictly stronger than the
+  reference, which opens a new anchor/file per run (TimeConfiguration.scala:9-14).
+
+Slice-closure semantics divergence (documented, SURVEY.md §2.2): the reference
+closes a slice only when a later-slice record arrives (isAtBoundary); the
+watermarked aggregation path closes on event-time progress. Observable only
+for idle-then-burst topics; the archival path has no closure at all (files
+append per micro-batch and readers see slices grow), which matches the
+reference's resumable ChronoUnitSlice behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from guardian_for_apache_kafka_spark.core.model import RECORD_SCHEMA, record_to_json_col
+from guardian_for_apache_kafka_spark.core.timeslice import (
+    ChronoUnitSlice,
+    PeriodFromFirst,
+    TimeConfiguration,
+    slice_col,
+    slice_dir_pattern,
+)
+
+
+def records_file_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """A deterministic streaming source over parquet record files — the test
+    stand-in for the Kafka source (the reference does the same with its mocked
+    consumer, core-backup/src/test/.../MockedKafkaConsumerInterface.scala:34-128)."""
+    reader = spark.readStream.schema(RECORD_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def _anchor_path(checkpoint: str) -> str:
+    return os.path.join(checkpoint, "_guardian_anchor.json")
+
+
+def _load_or_store_anchor(checkpoint: str, batch_df: DataFrame) -> int | None:
+    """Run-scoped PeriodFromFirst anchor, persisted beside the checkpoint so a
+    restarted query keeps slicing against the same origin (§4.3 option (a))."""
+    p = _anchor_path(checkpoint)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)["anchor_us"]
+    row = batch_df.agg(F.min(F.unix_micros("timestamp")).alias("a")).collect()[0]
+    if row["a"] is None:
+        return None
+    os.makedirs(checkpoint, exist_ok=True)
+    with open(p, "w") as fh:
+        json.dump({"anchor_us": int(row["a"])}, fh)
+    return int(row["a"])
+
+
+def stream_backup(
+    records: DataFrame,
+    dest: str,
+    checkpoint: str,
+    config: TimeConfiguration | None = None,
+    compression: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Native streaming archival: slice assignment as a stateless column, then
+    the partitioned streaming text sink (JSON-lines wire format). Exactly-once
+    to the archive via checkpoint + ``_spark_metadata``. ChronoUnitSlice only —
+    PeriodFromFirst needs the anchored variant below."""
+    config = config or ChronoUnitSlice("HOURS")
+    if isinstance(config, PeriodFromFirst):
+        raise ValueError("use stream_backup_foreach_batch for PeriodFromFirst (anchored) mode")
+    out = records.select(
+        F.date_format(slice_col(F.col("timestamp"), config), slice_dir_pattern(config)).alias(
+            "slice"
+        ),
+        record_to_json_col().alias("value"),
+    )
+    writer = (
+        out.writeStream.format("text")
+        .partitionBy("slice")
+        .option("path", dest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_backup_foreach_batch(
+    records: DataFrame,
+    dest: str,
+    checkpoint: str,
+    config: TimeConfiguration,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch archival supporting PeriodFromFirst: batch 0 captures and
+    persists the anchor; every batch then appends partitioned JSON-lines with
+    the same deterministic slice expression. Batch writes under foreachBatch
+    are idempotent per slice-directory because replayed batches rewrite the
+    same records (offsets are part of the wire format; restore dedups exact
+    replays via dropDuplicates on (topic, partition, offset) if the sink ever
+    double-commits)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        anchor = None
+        if isinstance(config, PeriodFromFirst):
+            anchor = _load_or_store_anchor(checkpoint, batch_df)
+            if anchor is None:
+                return
+        out = batch_df.select(
+            F.date_format(
+                slice_col(F.col("timestamp"), config, anchor), slice_dir_pattern(config)
+            ).alias("slice"),
+            record_to_json_col().alias("value"),
+        )
+        out.write.partitionBy("slice").mode("append").format("text").save(dest)
+
+    writer = records.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_slice_counts(
+    records: DataFrame,
+    watermark: str | None = "1 hour",
+    slice_duration: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window slice statistics (the streaming twin of G2):
+    append-mode windows close when the event-time watermark passes — the
+    documented divergence from the reference's close-on-next-record rule.
+    ``watermark=None`` keeps all windows open (complete-mode usage)."""
+    if watermark is not None:
+        records = records.withWatermark("timestamp", watermark)
+    return (
+        records
+        .groupBy(F.window("timestamp", slice_duration).alias("win"), F.col("topic"))
+        .agg(F.count("*").alias("record_cnt"))
+        .select(
+            F.col("win.start").alias("slice"),
+            "topic",
+            "record_cnt",
+        )
+    )
+
+
+def stream_dedup_replays(records: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """At-least-once -> effectively-once record stream: drop exact replays by
+    (topic, partition, offset) within the watermark horizon — the streaming
+    equivalent of the reference's offset-resume filter (S7)."""
+    return records.withWatermark("timestamp", watermark).dropDuplicates(
+        ["topic", "partition", "offset"]
+    )

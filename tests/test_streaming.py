@@ -1,0 +1,178 @@
+"""Streaming validation: batch/stream equivalence on replayed finite input
+(SURVEY.md §2.3 streaming surface), checkpoint restart without loss or
+duplication, watermarked window closure, replay dedup."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice, PeriodFromFirst
+from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
+from guardian_for_apache_kafka_spark.sources.tables import load_table
+from guardian_for_apache_kafka_spark.streaming.pipeline import (
+    records_file_stream,
+    stream_backup,
+    stream_backup_foreach_batch,
+    stream_dedup_replays,
+    stream_slice_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def records(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 400)
+    return normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+
+
+def rec_set(df):
+    return {
+        (r.topic, r.partition, r.offset, bytes(r.value), r.timestamp) for r in df.collect()
+    }
+
+
+def _stage_input(records, path, n_files=4):
+    records.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def test_stream_backup_equals_batch(spark, records, tmp_path):
+    src = str(tmp_path / "in")
+    dest = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_input(records, src)
+    q = stream_backup(
+        records_file_stream(spark, src, max_files_per_trigger=1), dest, ckpt
+    )
+    q.awaitTermination(120)
+    restored = read_backup_jsonl(spark, dest).drop("slice")
+    assert rec_set(restored) == rec_set(records)
+    # multiple micro-batches actually happened (maxFilesPerTrigger=1)
+    assert q.lastProgress is not None
+
+
+def test_stream_restart_from_checkpoint_no_dup_no_loss(spark, records, tmp_path):
+    src = str(tmp_path / "in")
+    dest = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = records.where(F.col("offset") < 200)
+    second = records.where(F.col("offset") >= 200)
+    first.write.mode("overwrite").parquet(src)
+    q1 = stream_backup(records_file_stream(spark, src), dest, ckpt)
+    q1.awaitTermination(120)
+    # "suspend/resume": new files arrive, a NEW query restarts on the SAME checkpoint
+    second.write.mode("append").parquet(src)
+    q2 = stream_backup(records_file_stream(spark, src), dest, ckpt)
+    q2.awaitTermination(120)
+    restored = read_backup_jsonl(spark, dest).drop("slice")
+    assert rec_set(restored) == rec_set(records)  # nothing lost, nothing doubled
+
+
+def test_period_from_first_anchor_survives_restart(spark, records, tmp_path):
+    src = str(tmp_path / "in")
+    dest = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PeriodFromFirst(dt.timedelta(hours=6))
+    first = records.where(F.col("offset") < 200)
+    second = records.where(F.col("offset") >= 200)
+    first.write.mode("overwrite").parquet(src)
+    q1 = stream_backup_foreach_batch(records_file_stream(spark, src), dest, ckpt, cfg)
+    q1.awaitTermination(120)
+    anchor_file = os.path.join(ckpt, "_guardian_anchor.json")
+    assert os.path.exists(anchor_file)
+    second.write.mode("append").parquet(src)
+    q2 = stream_backup_foreach_batch(records_file_stream(spark, src), dest, ckpt, cfg)
+    q2.awaitTermination(120)
+    restored = read_backup_jsonl(spark, dest).drop("slice")
+    assert rec_set(restored) == rec_set(records)
+    # slices align with the ORIGINAL anchor: every slice dir's offset from the
+    # global min timestamp is a multiple of 6h
+    anchor_ts = records.agg(F.min("timestamp")).collect()[0][0]
+    slices = {
+        r.slice
+        for r in read_backup_jsonl(spark, dest).select("slice").distinct().collect()
+    }
+    for s in slices:
+        delta_s = (s - anchor_ts).total_seconds()
+        assert delta_s % (6 * 3600) == 0
+
+
+def test_stream_slice_counts_equal_batch_g2(spark, records, tmp_path):
+    import time
+
+    src = str(tmp_path / "in")
+    # stage time-ordered chunks with distinct mtimes: the file source orders
+    # batches by modification time, and watermark progress needs event-time
+    # order across micro-batches
+    with_us = records.withColumn("__us", F.unix_micros("timestamp"))
+    qs = with_us.approxQuantile("__us", [0.25, 0.5, 0.75], 0)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        chunk = with_us
+        if bounds[i] is not None:
+            chunk = chunk.where(F.col("__us") > F.lit(int(bounds[i])))
+        if bounds[i + 1] is not None:
+            chunk = chunk.where(F.col("__us") <= F.lit(int(bounds[i + 1])))
+        chunk.drop("__us").coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    batch = {
+        (r.slice, r.topic): r.cnt
+        for r in records.groupBy(F.date_trunc("hour", "timestamp").alias("slice"), "topic")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+
+    # complete mode (no watermark): full batch/stream equivalence
+    qc = (
+        stream_slice_counts(records_file_stream(spark, src), watermark=None)
+        .writeStream.format("memory")
+        .queryName("slice_counts_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qc.awaitTermination(120)
+    got_c = {
+        (r.slice, r.topic): r.record_cnt
+        for r in spark.sql("select * from slice_counts_complete").collect()
+    }
+    assert got_c == batch
+
+    # append mode: watermark-closed windows only — every emitted row matches
+    # batch, and windows close as event time progresses across micro-batches
+    qa = (
+        stream_slice_counts(records_file_stream(spark, src, max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("slice_counts_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qa.awaitTermination(120)
+    got_a = {
+        (r.slice, r.topic): r.record_cnt
+        for r in spark.sql("select * from slice_counts_append").collect()
+    }
+    assert got_a, "no window closed despite multi-batch event-time progress"
+    for k, v in got_a.items():
+        assert batch[k] == v
+
+
+def test_stream_dedup_replays(spark, records, tmp_path):
+    src = str(tmp_path / "in")
+    doubled = records.unionByName(records)  # exact replay of every record
+    _stage_input(doubled, src)
+    q = (
+        stream_dedup_replays(records_file_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(*) c from deduped").collect()[0].c
+    assert n == records.count()
