@@ -2,6 +2,7 @@ from guardian_for_apache_kafka_spark.functions.columns import (
     cosine_similarity,
     hamming_distance64,
     minhash_signature,
+    minhash_signature_udf,
     ngram_shingles,
     rolling_fingerprint,
     simhash64,
@@ -12,6 +13,7 @@ __all__ = [
     "cosine_similarity",
     "hamming_distance64",
     "minhash_signature",
+    "minhash_signature_udf",
     "ngram_shingles",
     "rolling_fingerprint",
     "simhash64",

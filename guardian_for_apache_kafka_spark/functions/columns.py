@@ -9,6 +9,7 @@ with the executors. The Pandas-UDF path is reserved for genuinely non-SQL work
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -34,14 +35,64 @@ def ngram_shingles(tokens: Column, n: int = 3) -> Column:
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: position k = min over shingles of xxhash64(s, k).
 
-    Seeding the hash family by mixing the band index into the hash input keeps
-    the whole signature one JVM expression; NULL when the shingle set is empty
-    (callers filter those out before LSH)."""
+    Pure-JVM variant kept for reference/tests; the hot path in
+    operators/dedup.py uses :func:`minhash_signature_udf` instead — this
+    nested higher-order expression is interpreted (HOFs skip codegen) and,
+    worse, gets re-evaluated per band when a downstream explode inlines it,
+    turning O(hashes x shingles) into O(bands x hashes x shingles) per row."""
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda k: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, k))),
     )
     return F.when(F.size(shingles) > 0, sig)
+
+
+def minhash_signature_udf(num_hashes: int = 64, n: int = 3, seed: int = 0x6A09E667):
+    """Arrow-vectorized MinHash over per-token xxhash64s (``array<long>``).
+
+    Returns a pandas_udf that (1) forms word n-gram shingle hashes with a
+    rolling polynomial combine over consecutive token hashes (uint64
+    wraparound, FNV-prime multiplier — shingle *strings* are never built),
+    then (2) computes signature position k = min over shingle hashes h of the
+    universal hash (A[k]*h + B[k]) (A odd => bijective). Duplicate shingles
+    cannot change a min, so the multiset/set distinction is immaterial and
+    the signature is an unbiased Jaccard estimator over distinct shingles
+    (modulo 64-bit rolling-hash collisions). Coefficients derive from a fixed
+    seed: signatures are deterministic across runs/executors. NULL when the
+    document has < n tokens.
+
+    Scale rationale: the ArrowEvalPython node physically materializes the
+    signature column, so downstream banding/joins slice a concrete array
+    instead of re-inlining a giant expression (see :func:`minhash_signature`,
+    whose interpreted HOF tree this replaces at ~100x); JVM-side cost drops
+    to one xxhash64 per token.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(seed)
+    A = (rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64)
+    P = np.uint64(1099511628211)  # FNV-1a prime (odd)
+
+    @pandas_udf("array<long>")
+    def _sig(token_hashes: pd.Series) -> pd.Series:
+        out = []
+        for th in token_hashes:
+            if th is None or len(th) < n:
+                out.append(None)
+                continue
+            x = np.asarray(th, dtype=np.int64).view(np.uint64)
+            w = np.lib.stride_tricks.sliding_window_view(x, n)
+            sh = w[:, 0].copy()
+            for j in range(1, n):
+                sh = sh * P + w[:, j]
+            # (num_hashes x n_shingles) universal hashes, min per position
+            m = (A[:, None] * sh[None, :] + B[:, None]).min(axis=1)
+            out.append(m.view(np.int64))
+        return pd.Series(out)
+
+    return _sig
 
 
 def simhash64(tokens: Column, words: int = 4, bits_per_word: int = 16) -> Column:

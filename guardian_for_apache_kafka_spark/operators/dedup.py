@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from guardian_for_apache_kafka_spark.functions.columns import (
     hamming_distance64,
-    minhash_signature,
+    minhash_signature_udf,
     ngram_shingles,
     simhash64,
     tokens_col,
@@ -113,13 +113,19 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = df.select(
+    # JVM side hashes tokens only (one xxhash64 per token); shingling and the
+    # signature happen vectorized in Arrow batches, and the UDF output is a
+    # physically materialized column — banding slices a concrete array rather
+    # than re-evaluating a giant HOF expression per band.
+    hashed = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(ngram_shingles(tokens_col(content_col), n), num_hashes).alias("__sig"),
+        F.transform(tokens_col(content_col), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    sig = hashed.select(
+        "__id", minhash_signature_udf(num_hashes, n)("__th").alias("__sig")
     ).where(F.col("__sig").isNotNull())
     banded = sig.select(
         "__id",
-        "__sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -129,22 +135,29 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("__b"),
-    ).select("__id", "__sig", "__b.band", "__b.bh")
-    l = banded.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"), "band", "bh")
-    rt = banded.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"), "band", "bh")
+    ).select("__id", "__b.band", "__b.bh")
+    # Bucket join carries ids only — signatures (num_hashes longs each) would
+    # multiply the shuffle by 16x; they're re-attached to the (much smaller)
+    # distinct candidate set below.
+    l = banded.select(F.col("__id").alias("id_a"), "band", "bh")
+    rt = banded.select(F.col("__id").alias("id_b"), "band", "bh")
     pairs = (
         l.join(rt, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sa", "__sb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
+    sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
     agree = F.aggregate(
         F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return pairs.select(
-        "id_a", "id_b", (agree / F.lit(len(range(num_hashes)))).alias("est_jaccard")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (agree / F.lit(num_hashes)).alias("est_jaccard"))
     )
 
 
