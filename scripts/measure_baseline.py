@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Measure the stock-PySpark baseline that BASELINE.md §2 records.
+
+Protocol is identical to bench.py (median of N_RUNS warm runs, collect()
+included) but the engine is deliberately NOT used: a plain SparkSession with
+stock defaults (only nanosAsLong/UTC, required to read the driver's parquet at
+all) runs independently-written spark.sql text against temp views. Re-run this
+back-to-back with bench.py on the same machine before comparing numbers —
+absolute latencies at this scale move with machine load.
+
+Usage: python scripts/measure_baseline.py  (env: SPARK_GRAFT_SF_DIR)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+# Stock formulations of the eight BASELINE.md metrics. Same semantics as the
+# engine's registry queries (and their DuckDB oracles), written as plain SQL.
+QUERIES = {
+    "agg_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 2) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "join_q5ish": """
+        SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """,
+    "window_rank": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn, rnk, drnk
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER w AS rn,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        )
+        WHERE rn <= 2
+        ORDER BY o_custkey, rn, o_orderkey
+    """,
+    "topk": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    "dedup_latest_by_key": """
+        SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+               round(value, 2) AS last_value
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id
+    """,
+    "tumbling_window": """
+        SELECT date_trunc('hour', ts) AS slice, count(*) AS cnt
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "semi_anti": """
+        SELECT
+          (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS with_orders,
+          (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS without_f_orders
+    """,
+    "json_extract": """
+        SELECT CAST(get_json_object(props, '$.k') AS INT) AS k, count(*) AS cnt
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+}
+
+N_RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("stock-baseline")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+              "events", "documents", "embeddings"):
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", df.ts.cast("long")).selectExpr(
+                "* except(ts)", "timestamp_micros(ts DIV 1000) AS ts"
+            )
+        df.createOrReplaceTempView(t)
+
+    timings = {}
+    for name, sql in QUERIES.items():
+        spark.sql(sql).collect()
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            spark.sql(sql).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+
+    print(json.dumps({"baseline": "stock-pyspark", "sf_dir": sf_dir, "runs": N_RUNS,
+                      "queries": timings}))
+
+
+if __name__ == "__main__":
+    main()
