@@ -1,0 +1,263 @@
+"""Guardian-compatible CLI: backup / restore / compaction entry points.
+
+Flag parity with the reference CLIs (file:line into /root/reference):
+- shared flags --kafka-topics (repeatable), --kafka-bootstrap-servers,
+  --s3-data-bucket: core-cli/src/main/scala/io/aiven/guardian/cli/options/
+  Options.scala:16-28 (the --storage selector collapses into the URI scheme of
+  the destination: s3a://bucket/prefix vs local path — Spark's Hadoop FS layer
+  owns storage dispatch).
+- backup flags --kafka-group-id / --period-from-first / --chrono-unit-slice /
+  --commit-timeout-buffer-window and the gzip subcommand's
+  --compression-level: cli-backup/src/main/scala/io/aiven/guardian/kafka/
+  backup/Main.scala:36-60 (gzip subcommand becomes --compression gzip;
+  --kafka-group-id and the commit buffer are accepted-and-recorded only — the
+  Structured Streaming checkpoint owns group/commit state, SURVEY.md §2.1 K4).
+- restore flags --from-when / --override-topics key:value /
+  --single-message-per-kafka-request: cli-restore/src/main/scala/io/aiven/
+  guardian/kafka/restore/Main.scala:40-142.
+- compaction: the reference stubbed it (core-compaction ``???`` bodies); here
+  it is the finished latest-per-key operator.
+
+Sources/sinks: with --kafka-bootstrap-servers the Kafka edges are used
+(requires the spark-sql-kafka jar); otherwise --source/--target parquet or
+guardian-format directories drive the same pipelines file-to-file — the
+library is the product, the CLI is a thin adapter.
+
+Usage:
+  python -m guardian_for_apache_kafka_spark.cli backup --source events.parquet \
+      --dest /archive --chrono-unit-slice hours --format guardian
+  python -m guardian_for_apache_kafka_spark.cli restore --source /archive \
+      --from-when 2024-01-15T00:00:00Z --override-topics click:tap --target /out
+  python -m guardian_for_apache_kafka_spark.cli compact --source /archive --target /compacted
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import json
+import sys
+
+from guardian_for_apache_kafka_spark.core.timeslice import (
+    _CHRONO_UNIT_SECONDS,
+    ChronoUnitSlice,
+    PeriodFromFirst,
+    TimeConfiguration,
+)
+
+
+def _parse_iso_duration_seconds(text: str) -> int:
+    """PT15M / PT1H / plain seconds -> seconds (subset of ISO-8601 durations,
+    matching the FiniteDuration flag values the reference accepts)."""
+    t = text.strip().upper()
+    if t.isdigit():
+        return int(t)
+    if not t.startswith("PT"):
+        raise argparse.ArgumentTypeError(f"expected PT<n>H/M/S or seconds, got {text!r}")
+    total, num = 0, ""
+    for ch in t[2:]:
+        if ch.isdigit():
+            num += ch
+        elif ch in "HMS" and num:
+            total += int(num) * {"H": 3600, "M": 60, "S": 1}[ch]
+            num = ""
+        else:
+            raise argparse.ArgumentTypeError(f"bad duration: {text!r}")
+    if num:
+        raise argparse.ArgumentTypeError(f"bad duration: {text!r}")
+    return total
+
+
+def _parse_from_when(text: str) -> _dt.datetime:
+    return _dt.datetime.fromisoformat(text.replace("Z", "+00:00"))
+
+
+def _parse_override_topics(pairs: list[str]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for p in pairs:
+        parts = p.split(":")
+        if len(parts) != 2:
+            raise argparse.ArgumentTypeError(f"expected colon delimited key:value, got {p!r}")
+        out[parts[0]] = parts[1]
+    return out
+
+
+def _time_configuration(args: argparse.Namespace) -> TimeConfiguration:
+    if args.period_from_first and args.chrono_unit_slice:
+        raise SystemExit("--period-from-first and --chrono-unit-slice are mutually exclusive")
+    if args.period_from_first:
+        return PeriodFromFirst(_parse_iso_duration_seconds(args.period_from_first))
+    unit = (args.chrono_unit_slice or "hours").upper()
+    if unit not in _CHRONO_UNIT_SECONDS:
+        raise SystemExit(
+            f"unsupported chrono unit {unit!r}; one of {sorted(_CHRONO_UNIT_SECONDS)}"
+        )
+    return ChronoUnitSlice(unit)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="guardian-spark", description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp: argparse.ArgumentParser) -> None:
+        sp.add_argument("--kafka-topics", action="append", default=None,
+                        help="Kafka topics to operate on (repeatable)")
+        sp.add_argument("--kafka-bootstrap-servers", action="append", default=None,
+                        help="Kafka bootstrap servers (repeatable)")
+        sp.add_argument("--s3-data-bucket", default=None,
+                        help="S3 bucket for backup data (alias for an s3a:// dest/source)")
+        sp.add_argument("--master", default=None, help="Spark master (default local[$SPARK_GRAFT_CPUS])")
+        sp.add_argument("--dry-run", action="store_true",
+                        help="Print the resolved plan config as JSON and exit without starting Spark")
+
+    b = sub.add_parser("backup", help="archive records into time-sliced objects")
+    common(b)
+    b.add_argument("--source", default=None,
+                   help="parquet file/dir of records (stand-in source when no Kafka)")
+    b.add_argument("--dest", default=None, help="archive directory (local path or s3a:// URI)")
+    b.add_argument("--kafka-group-id", default=None,
+                   help="accepted for parity; offset state lives in the checkpoint")
+    b.add_argument("--period-from-first", default=None, metavar="PT15M",
+                   help="PeriodFromFirst slice duration")
+    b.add_argument("--chrono-unit-slice", default=None, metavar="hours",
+                   help="ChronoUnitSlice calendar unit (default: hours)")
+    b.add_argument("--commit-timeout-buffer-window", default="PT10S",
+                   help="accepted for parity; commit timing is checkpoint-managed")
+    b.add_argument("--compression", choices=["gzip"], default=None)
+    b.add_argument("--compression-level", type=int, default=None,
+                   help="accepted for parity; Hadoop gzip codec level is cluster conf")
+    b.add_argument("--format", choices=["guardian", "json", "parquet"], default="guardian",
+                   help="guardian = reference byte-format array files; json = partitioned "
+                        "JSON-lines; parquet = columnar archival")
+    b.add_argument("--streaming", action="store_true",
+                   help="run as a Structured Streaming query (availableNow) with a checkpoint")
+    b.add_argument("--checkpoint", default=None, help="checkpoint dir for --streaming")
+
+    r = sub.add_parser("restore", help="read archived slices and produce records")
+    common(r)
+    r.add_argument("--source", default=None, help="archive directory")
+    r.add_argument("--from-when", type=_parse_from_when, default=None,
+                   help="Only restore records from a given ISO-8601 time")
+    r.add_argument("--override-topics", action="append", default=[], metavar="key:value",
+                   help="Restore a topic under a different name (repeatable)")
+    r.add_argument("--single-message-per-kafka-request", action="store_true",
+                   help="idempotent single-in-flight producer mode")
+    r.add_argument("--format", choices=["guardian", "json"], default="guardian")
+    r.add_argument("--target", default=None,
+                   help="output parquet dir (or Kafka when bootstrap servers are given)")
+
+    c = sub.add_parser("compact", help="latest-per-key compaction of an archive")
+    common(c)
+    c.add_argument("--source", default=None, help="archive directory")
+    c.add_argument("--format", choices=["guardian", "json"], default="guardian")
+    c.add_argument("--target", required=False, default=None, help="compacted parquet dir")
+    return p
+
+
+def _resolved_config(args: argparse.Namespace) -> dict:
+    cfg = {k: v for k, v in vars(args).items() if v not in (None, [], False)}
+    cfg.pop("dry_run", None)
+    if args.command == "backup":
+        tc = _time_configuration(args)
+        cfg["time_configuration"] = repr(tc)
+    if getattr(args, "override_topics", None):
+        cfg["override_topics"] = _parse_override_topics(args.override_topics)
+    return cfg
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = _resolved_config(args)
+    if args.dry_run:
+        print(json.dumps(cfg, default=str))
+        return 0
+
+    from guardian_for_apache_kafka_spark.session import get_spark
+
+    spark = get_spark(f"guardian-{args.command}", master=args.master)
+    bootstrap = ",".join(args.kafka_bootstrap_servers) if args.kafka_bootstrap_servers else None
+
+    if args.command == "backup":
+        tc = _time_configuration(args)
+        compression = args.compression
+        if bootstrap:
+            from guardian_for_apache_kafka_spark.streaming.kafka import kafka_record_stream
+            from guardian_for_apache_kafka_spark.streaming.pipeline import (
+                stream_backup,
+                stream_backup_foreach_batch,
+            )
+
+            records = kafka_record_stream(spark, bootstrap, set(args.kafka_topics or []))
+            if not args.checkpoint:
+                raise SystemExit("--checkpoint is required for Kafka-sourced backup")
+            if isinstance(tc, PeriodFromFirst):
+                q = stream_backup_foreach_batch(records, args.dest, args.checkpoint, tc)
+            else:
+                q = stream_backup(records, args.dest, args.checkpoint, tc, compression)
+            q.awaitTermination()
+        else:
+            from guardian_for_apache_kafka_spark.operators.backup import (
+                backup_batch,
+                write_guardian_format,
+            )
+
+            if not args.source or not args.dest:
+                raise SystemExit("--source and --dest are required without Kafka")
+            records = spark.read.schema(
+                "topic STRING, partition INT, offset BIGINT, key BINARY, value BINARY, "
+                "timestamp TIMESTAMP, timestamp_type INT"
+            ).parquet(args.source)
+            if args.kafka_topics:
+                from pyspark.sql import functions as F
+
+                records = records.where(F.col("topic").isin(args.kafka_topics))
+            if args.format == "guardian":
+                write_guardian_format(records, args.dest, tc, compression=compression)
+            else:
+                backup_batch(records, args.dest, tc, compression=compression, fmt=args.format)
+        return 0
+
+    if args.command == "restore":
+        from guardian_for_apache_kafka_spark.operators.restore import (
+            restore_batch,
+            restore_to_producer_records,
+        )
+
+        records = restore_batch(
+            spark,
+            args.source,
+            topics=set(args.kafka_topics) if args.kafka_topics else None,
+            from_when=args.from_when,
+            fmt=args.format,
+        )
+        overrides = _parse_override_topics(args.override_topics)
+        if bootstrap:
+            from guardian_for_apache_kafka_spark.streaming.kafka import write_records_to_kafka
+
+            write_records_to_kafka(
+                records, bootstrap, overrides or None,
+                single_message_per_request=args.single_message_per_kafka_request,
+            )
+        else:
+            if not args.target:
+                raise SystemExit("--target is required without Kafka bootstrap servers")
+            out = restore_to_producer_records(records, overrides or None)
+            out.write.mode("overwrite").parquet(args.target)
+        return 0
+
+    if args.command == "compact":
+        from guardian_for_apache_kafka_spark.operators.compaction import compact_latest_by_key
+        from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+
+        records = restore_batch(spark, args.source, fmt=args.format)
+        compacted = compact_latest_by_key(records)
+        if not args.target:
+            raise SystemExit("--target is required for compact")
+        compacted.write.mode("overwrite").parquet(args.target)
+        return 0
+
+    raise SystemExit(f"unknown command {args.command}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

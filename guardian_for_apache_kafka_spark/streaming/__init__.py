@@ -1,3 +1,10 @@
+from guardian_for_apache_kafka_spark.streaming.kafka import (
+    kafka_record_batch,
+    kafka_record_stream,
+    kafka_support_available,
+    normalize_kafka_source,
+    write_records_to_kafka,
+)
 from guardian_for_apache_kafka_spark.streaming.pipeline import (
     records_file_stream,
     stream_backup,
@@ -5,9 +12,17 @@ from guardian_for_apache_kafka_spark.streaming.pipeline import (
     stream_slice_counts,
 )
 
+from guardian_for_apache_kafka_spark.streaming.stateful import anchored_slice_records
+
 __all__ = [
+    "anchored_slice_records",
+    "kafka_record_batch",
+    "kafka_record_stream",
+    "kafka_support_available",
+    "normalize_kafka_source",
     "records_file_stream",
     "stream_backup",
     "stream_backup_foreach_batch",
     "stream_slice_counts",
+    "write_records_to_kafka",
 ]

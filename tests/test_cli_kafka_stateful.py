@@ -1,0 +1,147 @@
+"""CLI round-trips, Kafka builder plumbing, and the applyInPandasWithState
+PeriodFromFirst operator (batch/stream equivalence)."""
+
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.cli import main as cli_main
+from guardian_for_apache_kafka_spark.core.model import normalize_events_to_records
+from guardian_for_apache_kafka_spark.sources.tables import load_table
+from guardian_for_apache_kafka_spark.streaming import (
+    anchored_slice_records,
+    kafka_record_stream,
+    kafka_support_available,
+    normalize_kafka_source,
+)
+
+
+@pytest.fixture(scope="module")
+def records_parquet(spark, sf_dir, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("records") / "records.parquet")
+    normalize_events_to_records(load_table(spark, sf_dir, "events")).write.parquet(p)
+    return p
+
+
+# ---------------------------------------------------------------- CLI
+
+
+def test_cli_dry_run_resolves_config():
+    out = subprocess.run(
+        [sys.executable, "-m", "guardian_for_apache_kafka_spark.cli", "backup",
+         "--source", "x", "--dest", "y", "--period-from-first", "PT15M",
+         "--compression", "gzip", "--dry-run"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert '"time_configuration"' in out.stdout and "900" in out.stdout
+
+
+def test_cli_rejects_conflicting_time_config():
+    with pytest.raises(SystemExit):
+        cli_main(["backup", "--source", "x", "--dest", "y", "--dry-run",
+                  "--period-from-first", "PT1H", "--chrono-unit-slice", "hours"])
+
+
+def test_cli_backup_restore_compact_roundtrip(spark, records_parquet, tmp_path):
+    archive = str(tmp_path / "archive")
+    restored = str(tmp_path / "restored")
+    compacted = str(tmp_path / "compacted")
+
+    assert cli_main(["backup", "--source", records_parquet, "--dest", archive,
+                     "--chrono-unit-slice", "hours", "--format", "guardian"]) == 0
+    assert cli_main(["restore", "--source", archive, "--format", "guardian",
+                     "--override-topics", "click:tap", "--target", restored]) == 0
+    assert cli_main(["compact", "--source", archive, "--format", "guardian",
+                     "--target", compacted]) == 0
+
+    src = spark.read.parquet(records_parquet)
+    out = spark.read.parquet(restored)
+    assert out.count() == src.count()
+    # override-topics renamed every click record, and only those
+    src_clicks = src.where(F.col("topic") == "click").count()
+    assert out.where(F.col("topic") == "tap").count() == src_clicks
+    assert out.where(F.col("topic") == "click").count() == 0
+
+    comp = spark.read.parquet(compacted)
+    # latest-per-key: one row per distinct non-null key (+ null-key passthrough)
+    keys = src.where(F.col("key").isNotNull()).select("topic", "partition", "key").distinct()
+    nulls = src.where(F.col("key").isNull()).count()
+    assert comp.count() == keys.count() + nulls
+
+
+# ---------------------------------------------------------------- Kafka builders
+
+
+def test_kafka_builders_give_clear_error_or_analyze(spark):
+    """Without the connector jar the builders fail fast with guidance; with it
+    they produce a record-schema streaming DataFrame."""
+    if not kafka_support_available(spark):
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            kafka_record_stream(spark, "localhost:9092", {"t"})
+        return
+    df = kafka_record_stream(spark, "localhost:9092", {"t"})
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "topic", "partition", "offset", "key", "value", "timestamp", "timestamp_type"]
+
+
+def test_normalize_kafka_source_shape(spark):
+    """The normalization projection works on any DataFrame with the Kafka
+    source layout (here: a literal stand-in) and yields the record schema with
+    null timestampType coalesced to NO_TIMESTAMP_TYPE=0."""
+    raw = spark.createDataFrame(
+        [("t", 0, 7, bytearray(b"k"), bytearray(b"v"), None)],
+        "topic STRING, partition INT, offset BIGINT, key BINARY, value BINARY, "
+        "timestampType INT",
+    ).withColumn("timestamp", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    rec = normalize_kafka_source(raw).collect()[0]
+    assert rec.timestamp_type == 0 and rec.offset == 7 and bytes(rec.value) == b"v"
+
+
+# ---------------------------------------------------------------- stateful op
+
+
+def test_anchored_slice_stream_equals_batch(spark, tmp_path, records_parquet):
+    """applyInPandasWithState PeriodFromFirst == batch G3-style anchored
+    windows on a finite replay (input ordered by time per topic so first-seen
+    record == min, matching the reference's single ordered stream)."""
+    src_dir = str(tmp_path / "stream_src")
+    period = 900
+    records = spark.read.parquet(records_parquet).orderBy("timestamp")
+    records.coalesce(1).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        anchored_slice_records(stream, period_seconds=period)
+        .writeStream.format("memory")
+        .queryName("anchored_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.topic, r.partition, r.offset): r.slice_idx
+        for r in spark.sql("select * from anchored_t").collect()
+    }
+
+    batch = spark.read.parquet(src_dir)
+    anchors = batch.groupBy("topic").agg(F.min(F.unix_micros("timestamp")).alias("anchor_us"))
+    expected = {
+        (r.topic, r.partition, r.offset): r.slice_idx
+        for r in batch.join(anchors, "topic")
+        .select(
+            "topic", "partition", "offset",
+            F.floor((F.unix_micros("timestamp") - F.col("anchor_us")) / (period * 1_000_000))
+            .alias("slice_idx"),
+        )
+        .collect()
+    }
+    assert got == expected
