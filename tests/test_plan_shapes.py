@@ -1,0 +1,98 @@
+"""Physical-plan shape assertions — the 100 TB posture, checked in CI.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is the one
+that survives a 1000-executor scale-up: filters reach the parquet scan, small
+dimensions broadcast instead of shuffling, top-k never globally sorts, and
+aggregates are two-phase (map-side partial). A regression here is a silent
+10-100x at scale long before it is a wrong answer.
+"""
+
+import pytest
+
+from guardian_for_apache_kafka_spark.plans import all_queries
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = all_queries()
+
+    def plan_of(name: str) -> str:
+        # AQE defers join/exchange decisions to runtime; disable it while
+        # dumping so the static plan exposes the strategy choices to assert on
+        # (the engine's sessions run with AQE on — it can only improve these).
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return qs[name](spark, sf_dir)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    return plan_of
+
+
+def test_q01_filter_pushed_to_scan(plans):
+    p = plans("q01_scan_filter_project")
+    assert "PushedFilters: [" in p
+    assert "l_shipdate" in p.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_q01_scan_prunes_columns(plans):
+    # the lineitem scan must not read all 16 columns for a 5-column projection
+    p = plans("q01_scan_filter_project")
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+
+
+def test_q03_dimensions_broadcast(plans):
+    # customer/nation/region are dims: no shuffle join anywhere in Q5-shape
+    p = plans("q03_multiway_join")
+    tree = p.split("\n\n")[0]  # the plan tree, before per-node detail sections
+    assert tree.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in tree
+
+
+def test_q04_part_side_broadcast(plans):
+    assert "BroadcastHashJoin" in plans("q04_broadcast_join")
+
+
+def test_q06_semi_anti_plan(plans):
+    p = plans("q06_semi_anti_join")
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_q12_topk_never_global_sorts(plans):
+    assert "TakeOrderedAndProject" in plans("q12_topk")
+
+
+def test_q02_two_phase_aggregate(plans):
+    # partial (map-side) agg before the shuffle, final after
+    p = plans("q02_hash_aggregate_tpch_q1")
+    assert "partial_sum" in p or "Partial" in p
+    assert "HashAggregate" in p
+
+
+def test_q02_codegen_covers_agg(plans):
+    # the hot path (scan -> filter -> partial agg) stays in whole-stage codegen
+    assert "[codegen id :" in plans("q02_hash_aggregate_tpch_q1")
+
+
+def test_g6_single_shuffle_for_latest_per_key(plans):
+    # latest-per-key = window over one hash-partition exchange; a second
+    # exchange would mean the sort/window repartitioned needlessly
+    p = plans("g6_compaction_latest_by_key")
+    assert p.count("Arguments: hashpartitioning") == 1
+    # Spark 4 plans the rn=1 filter as WindowGroupLimit with a Partial
+    # (map-side) phase — keep that: it prunes to 1 row/key before the shuffle
+    assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_d4_lsh_join_carries_ids_only(plans):
+    # the LSH bucket self-join must not shuffle 64-long signatures; sig
+    # columns re-attach after the distinct — check no exchange row wider
+    # than (id, band, bh) feeds the join
+    p = plans("d4_minhash_lsh_dedup")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    join_section = p.split("Join")[1][:2000]
+    assert "__sig" not in join_section.split("Output")[0]
