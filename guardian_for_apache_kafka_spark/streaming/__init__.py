@@ -9,7 +9,10 @@ from guardian_for_apache_kafka_spark.streaming.pipeline import (
     records_file_stream,
     stream_backup,
     stream_backup_foreach_batch,
+    stream_dedup_replays,
+    stream_session_stats,
     stream_slice_counts,
+    stream_sliding_counts,
 )
 
 from guardian_for_apache_kafka_spark.streaming.stateful import anchored_slice_records
@@ -23,6 +26,9 @@ __all__ = [
     "records_file_stream",
     "stream_backup",
     "stream_backup_foreach_batch",
+    "stream_dedup_replays",
+    "stream_session_stats",
     "stream_slice_counts",
+    "stream_sliding_counts",
     "write_records_to_kafka",
 ]

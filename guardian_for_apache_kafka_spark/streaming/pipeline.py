@@ -174,6 +174,53 @@ def stream_slice_counts(
     )
 
 
+def stream_sliding_counts(
+    records: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Sliding event-time windows (each record lands in window/slide windows) —
+    the overlapping generalization of the reference's tumbling slices, used for
+    rolling backup-lag/volume monitoring over the record stream."""
+    if watermark is not None:
+        records = records.withWatermark("timestamp", watermark)
+    return (
+        records.groupBy(F.window("timestamp", window, slide).alias("win"), F.col("topic"))
+        .agg(F.count("*").alias("record_cnt"))
+        .select(F.col("win.start").alias("win_start"), "topic", "record_cnt")
+    )
+
+
+def stream_session_stats(
+    records: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Session windows per topic: a session closes after ``gap`` of event-time
+    silence. No reference twin — the reference's PeriodFromFirst is a *fixed*
+    window anchored at first arrival; sessionization is the data-dependent
+    window a training-data pipeline wants for burst/session analysis."""
+    if watermark is not None:
+        records = records.withWatermark("timestamp", watermark)
+    return (
+        records.groupBy(F.session_window("timestamp", gap).alias("sess"), F.col("topic"))
+        .agg(
+            F.count("*").alias("record_cnt"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "topic",
+            "record_cnt",
+            "min_offset",
+            "max_offset",
+        )
+    )
+
+
 def stream_dedup_replays(records: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """At-least-once -> effectively-once record stream: drop exact replays by
     (topic, partition, offset) within the watermark horizon — the streaming

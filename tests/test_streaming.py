@@ -176,3 +176,78 @@ def test_stream_dedup_replays(spark, records, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("select count(*) c from deduped").collect()[0].c
     assert n == records.count()
+
+
+def test_stream_sliding_counts_equal_batch(spark, records, tmp_path):
+    """Sliding windows on a replayed finite stream == batch window() agg."""
+    from guardian_for_apache_kafka_spark.streaming.pipeline import stream_sliding_counts
+
+    src = str(tmp_path / "in")
+    _stage_input(records, src)
+    q = (
+        stream_sliding_counts(records_file_stream(spark, src), watermark=None)
+        .writeStream.format("memory")
+        .queryName("sliding_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.win_start, r.topic): r.record_cnt
+        for r in spark.sql("select * from sliding_complete").collect()
+    }
+    batch = {
+        (r.win_start, r.topic): r.record_cnt
+        for r in records.groupBy(
+            F.window("timestamp", "1 hour", "15 minutes").alias("win"), "topic"
+        )
+        .agg(F.count("*").alias("record_cnt"))
+        .select(F.col("win.start").alias("win_start"), "topic", "record_cnt")
+        .collect()
+    }
+    assert got == batch
+    # every record lands in window/slide = 4 overlapping windows
+    assert sum(got.values()) == records.count() * 4
+
+
+def test_stream_session_stats_equal_batch(spark, records, tmp_path):
+    """Session windows on a replayed finite stream == batch session_window()."""
+    from guardian_for_apache_kafka_spark.streaming.pipeline import stream_session_stats
+
+    src = str(tmp_path / "in")
+    _stage_input(records, src)
+    q = (
+        stream_session_stats(records_file_stream(spark, src), gap="30 minutes", watermark=None)
+        .writeStream.format("memory")
+        .queryName("sessions_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.sess_start, r.sess_end, r.topic): (r.record_cnt, r.min_offset, r.max_offset)
+        for r in spark.sql("select * from sessions_complete").collect()
+    }
+    batch = {
+        (r.sess_start, r.sess_end, r.topic): (r.record_cnt, r.min_offset, r.max_offset)
+        for r in records.groupBy(F.session_window("timestamp", "30 minutes").alias("s"), "topic")
+        .agg(
+            F.count("*").alias("record_cnt"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+        .select(
+            F.col("s.start").alias("sess_start"),
+            F.col("s.end").alias("sess_end"),
+            "topic",
+            "record_cnt",
+            "min_offset",
+            "max_offset",
+        )
+        .collect()
+    }
+    assert got == batch
+    # sessions partition the records: counts add up, sessions don't overlap per topic
+    assert sum(v[0] for v in got.values()) == records.count()
