@@ -724,3 +724,72 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .orderBy("lang", "rn")
     )
+
+
+@query(
+    "q23_statistical_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 2) + 0            AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 2) + 0     AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 2) + 0     AS p75_price,
+           round(stddev_samp(l_quantity), 2) + 0                  AS sd_qty,
+           round(var_samp(l_discount), 4) + 0                     AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 4) + 0        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) + 0  AS cov_qty_price,
+           round(skewness(l_quantity), 4) + 0                     AS skew_qty,
+           round(kurtosis(l_quantity), 4) + 0                     AS kurt_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg", "statistics"),
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: exact interpolated percentiles
+    (Spark ``percentile`` == DuckDB ``quantile_cont``), sample
+    stddev/variance, correlation/covariance, skewness/kurtosis — all
+    single-pass algebraic/sketchable aggregates that partial-aggregate
+    map-side at scale. ``+ 0`` canonicalizes IEEE -0.0 to 0.0 on both
+    engines (skew/corr of near-symmetric data can round to either)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = F.lit(0.0)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.round(F.expr("percentile(l_quantity, 0.5D)"), 2) + z).alias("med_qty"),
+            (F.round(F.expr("percentile(l_extendedprice, 0.25D)"), 2) + z).alias("p25_price"),
+            (F.round(F.expr("percentile(l_extendedprice, 0.75D)"), 2) + z).alias("p75_price"),
+            (F.round(F.stddev_samp("l_quantity"), 2) + z).alias("sd_qty"),
+            (F.round(F.var_samp("l_discount"), 4) + z).alias("var_disc"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + z).alias("corr_qty_price"),
+            (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + z).alias("cov_qty_price"),
+            (F.round(F.skewness("l_quantity"), 4) + z).alias("skew_qty"),
+            (F.round(F.kurtosis("l_quantity"), 4) + z).alias("kurt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q24_approx_aggregates",
+    oracle=None,  # approximate sketches have no cross-engine oracle; bounds asserted in tests
+    tags=("relational", "agg", "approx"),
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregate surface for the 100 TB path: HyperLogLog++
+    distinct counts and t-digest percentiles — constant memory per group
+    where the exact forms (q09/q23) buffer per-key state. Error bounds vs
+    exact asserted in tests/test_query_oracle.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.round(
+                F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)"), 2
+            ).alias("approx_med_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

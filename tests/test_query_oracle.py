@@ -30,3 +30,58 @@ def test_entry_contract(spark):
     # column names are sort-stable identifiers on both sides
     for name, sql in e.oracle_sql().items():
         assert sql.strip(), name
+
+
+def test_q24_approx_tracks_exact(spark, sf_dir):
+    """HLL++ distinct within its configured 2% rsd (allow 3 sigma), t-digest
+    median within 5% of the exact median."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    approx = {r.l_returnflag: r for r in all_queries()["q24_approx_aggregates"](spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("med_price"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.approx_parts - e.parts) <= max(1, 0.06 * e.parts)
+        assert abs(a.approx_med_price - e.med_price) <= 0.05 * e.med_price
+
+
+def test_salted_join_equals_unsalted(spark, sf_dir):
+    """Replicate-and-salt join == plain join, for inner and left, including
+    unmatched preserved rows."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.functions.skew import salted_join, top_keys
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    cust_k = cust.withColumnRenamed("c_custkey", "o_custkey")
+    # make some orders unmatched to exercise the left-join preserved path
+    cust_half = cust_k.where(F.col("o_custkey") % 2 == 0)
+
+    def key_set(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    plain_inner = orders.join(cust_half, "o_custkey")
+    salted_inner = salted_join(orders, cust_half, "o_custkey", buckets=8)
+    assert key_set(salted_inner) == key_set(plain_inner)
+
+    plain_left = orders.join(cust_half, "o_custkey", "left")
+    salted_left = salted_join(orders, cust_half, "o_custkey", buckets=8, how="left")
+    assert key_set(salted_left) == key_set(plain_left)
+
+    hot = top_keys(orders, "o_custkey", n=5).collect()
+    assert len(hot) == 5 and hot[0].cnt >= hot[-1].cnt
