@@ -124,6 +124,12 @@ def minhash_lsh_candidates(
     sig = hashed.select(
         "__id", minhash_signature_udf(num_hashes, n)("__th").alias("__sig")
     ).where(F.col("__sig").isNotNull())
+    # The signature frame feeds four plan branches (two self-join sides, two
+    # candidate re-attachments); without a materialization barrier each branch
+    # re-runs the scan + UDF. Persist it — |docs| x num_hashes longs, orders of
+    # magnitude smaller than the corpus, spills to disk if not. Long-lived
+    # sessions can reclaim with spark.catalog.clearCache().
+    sig = sig.persist()
     banded = sig.select(
         "__id",
         F.explode(
