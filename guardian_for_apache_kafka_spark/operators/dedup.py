@@ -30,7 +30,7 @@ from guardian_for_apache_kafka_spark.functions.columns import (
     hamming_distance64,
     minhash_signature_udf,
     ngram_shingles,
-    simhash64,
+    simhash_words_udf,
     tokens_col,
 )
 
@@ -61,7 +61,10 @@ def ngram_jaccard_pairs(
     |A∩B| comes from the per-shingle join; |A∪B| = |A|+|B|-|A∩B|. Returns
     (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = _shingled(df, id_col, content_col, n)
+    # persisted: the shingle arrays feed sizes + both inverted-index join
+    # sides — without the barrier the (expensive, string-building) shingle
+    # expression re-runs once per branch
+    sh = _shingled(df, id_col, content_col, n).persist()
     sizes = sh.select("__id", F.size("__shingles").alias("__n"))
     inv = sh.select("__id", F.explode("__shingles").alias("__s"))
     if max_bucket is not None:
@@ -198,21 +201,31 @@ def simhash_pairs(
     """SimHash near-dup candidates: 64-bit fingerprint as 4 16-bit words,
     bucket by each word (pigeonhole: any pair with hamming <= 3 agrees exactly
     on at least one word), verify hamming on collisions."""
-    fp = df.select(
-        F.col(id_col).alias("__id"), simhash64(tokens_col(content_col)).alias("__fp")
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(tokens_col(content_col), lambda t: F.xxhash64(t)).alias("__th"),
     )
-    quarters = fp.select(
-        "__id",
-        "__fp",
-        F.posexplode("__fp").alias("q", "qv"),
+    # materialized + persisted: feeds both join sides and both re-attachments
+    fp = (
+        hashed.select("__id", simhash_words_udf()("__th").alias("__fp"))
+        .where(F.col("__fp").isNotNull())
+        .persist()
     )
-    l = quarters.select(F.col("__id").alias("id_a"), F.col("__fp").alias("__fa"), "q", "qv")
-    rt = quarters.select(F.col("__id").alias("id_b"), F.col("__fp").alias("__fb"), "q", "qv")
-    return (
+    quarters = fp.select("__id", F.posexplode("__fp").alias("q", "qv"))
+    l = quarters.select(F.col("__id").alias("id_a"), "q", "qv")
+    rt = quarters.select(F.col("__id").alias("id_b"), "q", "qv")
+    pairs = (
         l.join(rt, ["q", "qv"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("__id").alias("id_a"), F.col("__fp").alias("__fa"))
+    fb = fp.select(F.col("__id").alias("id_b"), F.col("__fp").alias("__fb"))
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
         .select("id_a", "id_b", hamming_distance64(F.col("__fa"), F.col("__fb")).alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
 
@@ -258,22 +271,36 @@ def embedding_near_dup_pairs(
             lambda acc, p: acc * 2 + plane_bit(p, tbl),
         )
 
-    b = emb.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(tables - 1)),
-                lambda tbl: F.struct(tbl.alias("tbl"), bucket(tbl).alias("bk")),
-            )
-        ).alias("__b"),
-    ).select("__id", "__v", "__b.tbl", "__b.bk")
-    l = b.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "tbl", "bk")
-    rt = b.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "tbl", "bk")
-    return (
+    # persisted: the bucket expression is planes x dim interpreted fold
+    # arithmetic — evaluate once, then both join sides and the vector
+    # re-attachments read the materialized frame
+    b = (
+        emb.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(tables - 1)),
+                    lambda tbl: F.struct(tbl.alias("tbl"), bucket(tbl).alias("bk")),
+                )
+            ).alias("__b"),
+        )
+        .select("__id", "__v", "__b.tbl", "__b.bk")
+        .persist()
+    )
+    l = b.select(F.col("__id").alias("id_a"), "tbl", "bk")
+    rt = b.select(F.col("__id").alias("id_b"), "tbl", "bk")
+    pairs = (
         l.join(rt, ["tbl", "bk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = b.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")).dropDuplicates(["id_a"])
+    vb = b.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")).dropDuplicates(["id_b"])
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a", "id_b", cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine")
         )
