@@ -1,0 +1,99 @@
+"""Connected components over near-duplicate pair graphs.
+
+The pairwise dedup operators (dedup.py) emit edges (id_a, id_b); keep-first
+dedup drops id_b per edge, which under-collapses transitive chains
+(a~b, b~c but a!~c still keeps c when b is dropped first... actually keep-first
+drops both b and c — it can *over*-collapse too: c is dropped because of b
+even though b itself was dropped). Cluster-exact dedup needs the connected
+components of the pair graph: one keeper (min id) per component.
+
+Implementation: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+shuffle-parallel CC used by production dedup pipelines:
+
+- large-star: for each node u, connect every strictly-larger neighbor v to
+  min(neighbors(u) ∪ {u}).
+- small-star: connect every neighbor <= u (and u) to the minimum.
+
+Each round is two DataFrame shuffles; converges in O(log^2 n) rounds (a few,
+in practice — near-dup graphs are unions of small cliques). Everything stays
+distributed: no driver-side graph, termination checked by a count aggregate,
+per-round ``localCheckpoint`` truncates the exponentially-growing lineage
+(the standard Spark iteration pattern; at 100 TB use reliable checkpoints on
+the cluster FS instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect bigger neighbors to min) or small-star
+    (connect smaller-or-equal neighbors to min) round over canonical edges
+    (src, dst). Input and output edges satisfy src > dst (parent pointers)."""
+    # neighborhood view: for each node u, its neighbors in both directions
+    fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    rev = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    nbrs = fwd.unionByName(rev)
+    m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    joined = nbrs.join(m, "u")
+    if large:
+        out = joined.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("src"), F.col("m").alias("dst")
+        )
+    else:
+        out = joined.where(F.col("v") <= F.col("u")).select(
+            F.col("u").alias("src"), F.col("m").alias("dst")
+        )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Components of the undirected pair graph: returns (node, component) with
+    component = min node id of the component. Nodes appearing in no edge are
+    not returned (callers union isolated nodes as their own component)."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+            F.least(F.col(id_a), F.col(id_b)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        after_large = _star_round(edges, large=True)
+        after_small = _star_round(after_large, large=False).localCheckpoint()
+        # converged when the parent-pointer forest is stable
+        changed = after_small.exceptAll(edges).limit(1).count()
+        edges = after_small
+        if changed == 0:
+            break
+    comp = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.unionByName(roots).dropDuplicates(["node"])
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster-exact dedup: keep exactly one row (the min id) per connected
+    component of the pair graph, plus every row not in any pair."""
+    comp = connected_components(pairs, id_a, id_b)
+    doomed = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(doomed, id_col, "left_anti")

@@ -418,3 +418,52 @@ def p1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("topic", "n_in", "n_out", (F.col("n_in") == F.col("n_out")).alias("equal"))
         .orderBy("topic")
     )
+
+
+@query(
+    "d7_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common WHERE c * 1.0 / (na + nb - c) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    comp AS (SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "clusters", "graph"),
+)
+def d7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-exact near-dedup: one keeper (min doc_id) per connected
+    component of the exact-Jaccard pair graph, via distributed alternating
+    large-star/small-star (operators/clusters.py) — the oracle computes the
+    same components with a recursive-CTE transitive closure (tractable at
+    oracle SF; the engine side is the one that scales)."""
+    from guardian_for_apache_kafka_spark.operators.clusters import dedup_clusters
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup_clusters(d, pairs).select("doc_id", "lang", "source").orderBy("doc_id")

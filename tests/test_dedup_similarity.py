@@ -108,3 +108,34 @@ def test_ivf_recall_vs_brute_force(emb):
     approx = {(r.query_id, r.vec_id) for r in ivf_topk(emb, q, k=3, nlist=8, nprobe=4).collect()}
     # nprobe=4 of 8 lists: expect strong-but-not-perfect recall
     assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_connected_components_chains_and_cliques(spark):
+    from guardian_for_apache_kafka_spark.operators.clusters import connected_components
+
+    # chain 1-2-3-4, clique 10-11-12, isolated edge 20-21, self-loop 30-30
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (11, 12), (10, 12), (20, 21), (30, 30)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert {n: comp[n] for n in (1, 2, 3, 4)} == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert {n: comp[n] for n in (10, 11, 12)} == {10: 10, 11: 10, 12: 10}
+    assert comp[20] == 20 and comp[21] == 20
+    assert 30 not in comp  # self-loops are not edges
+
+
+def test_dedup_clusters_transitive_chain(spark, docs):
+    """Cluster dedup keeps exactly one doc per component, including transitive
+    chains where keep-first over-collapses (b dropped for a, c dropped for the
+    already-dropped b)."""
+    from guardian_for_apache_kafka_spark.operators.clusters import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (7, 9)], "id_a BIGINT, id_b BIGINT"
+    )
+    kept = dedup_clusters(docs, pairs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in kept_ids and {1, 2, 3}.isdisjoint(kept_ids)
+    assert 7 in kept_ids and 9 not in kept_ids
+    assert kept.count() == docs.count() - 4
