@@ -467,3 +467,47 @@ def d7(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
     return dedup_clusters(d, pairs).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@query(
+    "q25_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, max(event_id) AS p_event_id,
+               round(max_by("value", event_id), 2) AS p_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS ts_r,
+           p.p_event_id, p.p_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+    tags=("relational", "asof", "join"),
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click attaches the user's latest prior-or-equal
+    purchase (operators/asof.py — union + running window, one shuffle,
+    no range-join row explosion). Oracle = DuckDB's native ASOF LEFT JOIN.
+    The purchase side is pre-deduped per (user_id, ts) so ties cannot make
+    either engine's pick ambiguous."""
+    from guardian_for_apache_kafka_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.round(F.max_by("value", "event_id"), 2).alias("p_value"),
+        )
+    )
+    return (
+        asof_join(clicks, purchases, on="ts", by=("user_id",), right_order="p_event_id")
+        .select("event_id", "user_id", "ts", "ts_r", "p_event_id", "p_value")
+        .orderBy("event_id")
+    )

@@ -85,3 +85,49 @@ def test_salted_join_equals_unsalted(spark, sf_dir):
 
     hot = top_keys(orders, "o_custkey", n=5).collect()
     assert len(hot) == 5 and hot[0].cnt >= hot[-1].cnt
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from guardian_for_apache_kafka_spark.operators.asof import asof_join
+
+    def ts(s):
+        import datetime as dt
+        return dt.datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [(1, "a", ts("2024-01-01 10:00:00")), (2, "a", ts("2024-01-01 12:00:00")),
+         (3, "b", ts("2024-01-01 10:30:00")), (4, "c", ts("2024-01-01 09:00:00"))],
+        "lid INT, k STRING, t TIMESTAMP")
+    right = spark.createDataFrame(
+        [("a", ts("2024-01-01 09:30:00"), 100), ("a", ts("2024-01-01 11:00:00"), 200),
+         ("b", ts("2024-01-01 11:00:00"), 300)],
+        "k STRING, t TIMESTAMP, v INT")
+
+    back = {r.lid: (r.v, r.t_r) for r in
+            asof_join(left, right, on="t", by=("k",)).collect()}
+    assert back[1][0] == 100       # 10:00 -> 09:30
+    assert back[2][0] == 200       # 12:00 -> 11:00
+    assert back[3] == (None, None)  # b's only right row is later
+    assert back[4] == (None, None)  # no right rows for c
+
+    fwd = {r.lid: r.v for r in
+           asof_join(left, right, on="t", by=("k",), direction="forward").collect()}
+    assert fwd[1] == 200 and fwd[2] is None and fwd[3] == 300
+
+    tol = {r.lid: r.v for r in
+           asof_join(left, right, on="t", by=("k",), tolerance_seconds=1800).collect()}
+    assert tol[1] == 100 and tol[2] is None  # 12:00-11:00 = 1h > 30min
+
+
+def test_asof_join_equal_time_and_tie_break(spark):
+    from guardian_for_apache_kafka_spark.operators.asof import asof_join
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame([(1, "a", t0)], "lid INT, k STRING, t TIMESTAMP")
+    right = spark.createDataFrame(
+        [("a", t0, 7, 70), ("a", t0, 9, 90), ("a", t0 - dt.timedelta(hours=1), 1, 10)],
+        "k STRING, t TIMESTAMP, o INT, v INT")
+    got = asof_join(left, right, on="t", by=("k",), right_order="o").collect()[0]
+    assert got.t_r == t0      # <= matches equal time
+    assert got.v == 90        # ties resolve to max right_order
