@@ -51,14 +51,11 @@ def cosine_topk(
     )
 
 
-def _centroids(corpus: DataFrame, nlist: int, id_col: str, vec_col: str) -> DataFrame:
-    """Deterministic coarse centroids: mean vector of each of ``nlist`` groups
-    formed by id mod nlist (a k-means iteration zero; swap in trained centroids
-    for recall-critical deployments — the query plan is identical)."""
-    # mean per dimension: explode positions, average, re-assemble in order
-    exploded = corpus.select(
-        (F.col(id_col) % nlist).alias("cid"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+def _mean_vectors(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """(cid, vec) -> (cid, centroid=mean vec): explode positions, average,
+    re-assemble in order — pure aggregates, partial map-side at scale."""
+    exploded = assigned.select(
+        "cid", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
     )
     return (
         exploded.groupBy("cid", "pos")
@@ -67,6 +64,39 @@ def _centroids(corpus: DataFrame, nlist: int, id_col: str, vec_col: str) -> Data
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
     )
+
+
+def _centroids(
+    corpus: DataFrame, nlist: int, id_col: str, vec_col: str, kmeans_iterations: int = 2
+) -> DataFrame:
+    """Coarse centroids: deterministic seed (mean of id-mod-nlist groups, a
+    k-means iteration zero) refined by ``kmeans_iterations`` Lloyd steps —
+    assign-to-nearest (broadcast centroids, one corpus pass) then re-mean.
+    Each step is bounded DataFrame work; empty clusters keep their previous
+    centroid. Iterations persist the small centroid frame, never the corpus."""
+    seed = corpus.select(
+        (F.col(id_col) % nlist).alias("cid"), F.col(vec_col).alias("__v")
+    )
+    cents = _mean_vectors(seed.withColumnRenamed("__v", vec_col), vec_col).persist()
+    for _ in range(kmeans_iterations):
+        scored = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).crossJoin(
+            F.broadcast(cents)
+        ).select(
+            "__id", "__v", "cid",
+            cosine_similarity(F.col("__v"), F.col("centroid")).alias("__cs"),
+        )
+        w = Window.partitionBy("__id").orderBy(F.col("__cs").desc(), F.col("cid"))
+        assigned = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("cid", F.col("__v").alias(vec_col))
+        )
+        refined = _mean_vectors(assigned, vec_col)
+        # empty clusters fall back to their previous centroid (anti-join keeps
+        # the centroid count stable so probe math stays meaningful)
+        kept = cents.join(refined.select("cid"), "cid", "left_anti")
+        cents = refined.unionByName(kept).persist()
+    return cents
 
 
 def ivf_topk(
@@ -78,11 +108,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    kmeans_iterations: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus vectors to their nearest centroid
     (broadcast join, one corpus pass), then score queries only against the
     ``nprobe`` lists whose centroids are nearest to each query."""
-    cents = _centroids(corpus, nlist, id_col, vec_col)
+    cents = _centroids(corpus, nlist, id_col, vec_col, kmeans_iterations)
 
     def nearest(df: DataFrame, idc: str, vcol: str, keep: int, out: str) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
