@@ -37,6 +37,9 @@ HEADLINE = {
     # engine-specific headline ops beyond the stock baseline
     "minhash_lsh": "d4_minhash_lsh_dedup",
     "cosine_topk": "s1_cosine_topk",
+    "simhash": "d5_simhash_pairs",
+    "asof_join": "q25_asof_join",
+    "dedup_clusters": "d7_dedup_clusters",
 }
 
 N_RUNS = 3
