@@ -15,7 +15,10 @@ from guardian_for_apache_kafka_spark.streaming.pipeline import (
     stream_sliding_counts,
 )
 
-from guardian_for_apache_kafka_spark.streaming.stateful import anchored_slice_records
+from guardian_for_apache_kafka_spark.streaming.stateful import (
+    anchored_slice_records,
+    stream_compact_latest,
+)
 
 __all__ = [
     "anchored_slice_records",
@@ -26,6 +29,7 @@ __all__ = [
     "records_file_stream",
     "stream_backup",
     "stream_backup_foreach_batch",
+    "stream_compact_latest",
     "stream_dedup_replays",
     "stream_session_stats",
     "stream_slice_counts",

@@ -145,3 +145,50 @@ def test_anchored_slice_stream_equals_batch(spark, tmp_path, records_parquet):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_compact_latest_equals_batch(spark, tmp_path, records_parquet):
+    """Continuous compaction changelog: last emitted row per key == batch
+    compact_latest_by_key (for keyed records)."""
+    from guardian_for_apache_kafka_spark.operators.compaction import compact_latest_by_key
+    from guardian_for_apache_kafka_spark.streaming.stateful import stream_compact_latest
+
+    src_dir = str(tmp_path / "stream_src")
+    batch_records = spark.read.parquet(records_parquet).orderBy("timestamp")
+    # several files -> several micro-batches, in event-time order
+    batch_records.withColumn(
+        "__b", (F.unix_micros("timestamp") % 3)
+    ).repartition(3, "__b").drop("__b").write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream_compact_latest(stream)
+        .writeStream.format("memory")
+        .queryName("compact_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # changelog: later batches overwrite earlier emissions per key; the memory
+    # sink appends, so take the max-(timestamp, offset) row per key
+    rows = spark.sql("select * from compact_t").collect()
+    latest = {}
+    for r in rows:
+        k = (r.topic, r.partition, bytes(r.key))
+        cand = (r.timestamp, r.offset, bytes(r.value) if r.value is not None else None)
+        if k not in latest or (cand[0], cand[1]) > (latest[k][0], latest[k][1]):
+            latest[k] = cand
+
+    expected = {
+        (r.topic, r.partition, bytes(r.key)): (
+            r.timestamp, r.offset, bytes(r.value) if r.value is not None else None)
+        for r in compact_latest_by_key(
+            spark.read.parquet(records_parquet).where(F.col("key").isNotNull())
+        ).collect()
+    }
+    assert latest == expected
