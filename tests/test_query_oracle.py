@@ -131,3 +131,49 @@ def test_asof_join_equal_time_and_tie_break(spark):
     got = asof_join(left, right, on="t", by=("k",), right_order="o").collect()[0]
     assert got.t_r == t0      # <= matches equal time
     assert got.v == 90        # ties resolve to max right_order
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_key = st.sampled_from(["a", "b", "c"])
+_t = st.integers(min_value=0, max_value=500)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    left=st.lists(st.tuples(_key, _t), min_size=1, max_size=25),
+    right=st.dictionaries(st.tuples(_key, _t), st.integers(0, 1000), min_size=1, max_size=25),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Property: distributed asof_join == pandas merge_asof (backward,
+    exact matches allowed) on arbitrary key/time layouts. Right rows are
+    unique per (key, time) so neither engine's tie-break is exercised."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+
+    lpdf = pd.DataFrame(
+        {"k": [k for k, _ in left],
+         "t": [base + dt.timedelta(seconds=s) for _, s in left],
+         "lid": range(len(left))}
+    )
+    rpdf = pd.DataFrame(
+        {"k": [k for k, _ in right],
+         "t": [base + dt.timedelta(seconds=s) for _, s in right],
+         "v": list(right.values())}
+    )
+    ldf = spark.createDataFrame(lpdf.astype({"lid": "int64"}))
+    rdf = spark.createDataFrame(rpdf.astype({"v": "int64"}))
+
+    from guardian_for_apache_kafka_spark.operators.asof import asof_join
+
+    got = {r.lid: r.v for r in asof_join(ldf, rdf, on="t", by=("k",)).collect()}
+
+    exp_pdf = pd.merge_asof(
+        lpdf.sort_values(["t", "lid"]), rpdf.sort_values("t"),
+        on="t", by="k", direction="backward", allow_exact_matches=True,
+    )
+    exp = {int(r.lid): (None if pd.isna(r.v) else int(r.v)) for r in exp_pdf.itertuples()}
+    assert got == exp
