@@ -91,6 +91,72 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, IMAGE_FEATURES_DDL)
 
 
+AUDIO_FEATURES_DDL = (
+    "doc_id BIGINT, size_bytes BIGINT, sample_rate INT, n_samples BIGINT, "
+    "duration_s DOUBLE, sha256 STRING"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio twin of ``extract_image_features``: mapInPandas decode to
+    (sample_rate, n_samples, duration). Decode STUBBED (deterministic fake
+    from the digest; a real deployment replaces it with soundfile/ffprobe —
+    the Arrow batch contract is identical)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                h = hashlib.sha256(content).digest()
+                sample_rate = (8000, 16000, 22050, 44100)[h[3] % 4]
+                n_samples = int.from_bytes(h[4:7], "big")
+                rows.append(
+                    {
+                        "doc_id": row["doc_id"],
+                        "size_bytes": row["meta"]["size_bytes"],
+                        "sample_rate": sample_rate,
+                        "n_samples": n_samples,
+                        "duration_s": round(n_samples / sample_rate, 6),
+                        "sha256": hashlib.sha256(content).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, AUDIO_FEATURES_DDL)
+
+
+RESIZED_DDL = "doc_id BIGINT, content BINARY, width INT, height INT, format STRING"
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing: mapInPandas batch transform emitting a new binary
+    column with target-dimension metadata. The pixel op is STUBBED (content
+    passes through digest-prefixed, deterministically); a real deployment
+    swaps the inner function for PIL ``Image.resize`` — batch shape, schema,
+    and memory posture (one Arrow batch of blobs in flight per task) are the
+    deployment-real parts."""
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                fake_resized = hashlib.sha256(content).digest() + content[:16]
+                rows.append(
+                    {
+                        "doc_id": row["doc_id"],
+                        "content": fake_resized,
+                        "width": width,
+                        "height": height,
+                        "format": row["meta"]["format"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(transform, RESIZED_DDL)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
     """Plan video frame sampling: one output row per (doc_id, frame_index) —
     the explode happens BEFORE decode so frame extraction parallelizes across

@@ -93,3 +93,34 @@ def test_frame_sample_plan_shape(spark, sf_dir):
     rows = plan.collect()
     assert len(rows) == 12
     assert {r.frame_index for r in rows} == {0, 10, 20, 30}
+
+
+def test_audio_features_and_resize_plumbing(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        extract_audio_features,
+        resize_images,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50).withColumn(
+        "blob", F.encode("text", "utf-8")
+    )
+    media = attach_media(d, "blob", "audio", "wav")
+
+    audio = extract_audio_features(media)
+    rows = audio.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.sample_rate in (8000, 16000, 22050, 44100)
+        assert abs(r.duration_s - r.n_samples / r.sample_rate) < 1e-5
+    # determinism across runs
+    again = {r.doc_id: r.sha256 for r in extract_audio_features(media).collect()}
+    assert {r.doc_id: r.sha256 for r in rows} == again
+
+    resized = resize_images(attach_media(d, "blob", "image", "png"), 128, 128)
+    rr = resized.collect()
+    assert len(rr) == 50
+    assert all(r.width == 128 and r.height == 128 and r.format == "png" for r in rr)
+    assert all(len(bytes(r.content)) >= 32 for r in rr)
