@@ -96,3 +96,37 @@ def test_d4_lsh_join_carries_ids_only(plans):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     join_section = p.split("Join")[1][:2000]
     assert "__sig" not in join_section.split("Output")[0]
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-bucketed tables joined on the bucket key must plan with zero
+    Exchange nodes — the scan delivers the hash distribution (and, with
+    sortBy, the sort order)."""
+    from guardian_for_apache_kafka_spark.sources.bucketing import bucketed_join, write_bucketed
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    # managed tables land in the session's spark-warehouse dir (static conf);
+    # DROP TABLE in the finally block removes the files
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS o_custkey", "c_nationkey"
+    )
+    write_bucketed(orders, "b_orders", "o_custkey", 4)
+    write_bucketed(cust, "b_cust", "o_custkey", 4)
+    try:
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        # force a non-broadcast join so the shuffle question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        joined = bucketed_join(spark, "b_orders", "b_cust", "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        # and it computes the same thing as the unbucketed join
+        assert joined.count() == orders.join(cust, "o_custkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
