@@ -195,6 +195,25 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 q = stream_backup(records, args.dest, args.checkpoint, tc, compression)
             q.awaitTermination()
+        elif args.streaming:
+            from guardian_for_apache_kafka_spark.streaming.pipeline import (
+                records_file_stream,
+                stream_backup,
+                stream_backup_foreach_batch,
+            )
+
+            if not args.source or not args.dest or not args.checkpoint:
+                raise SystemExit("--source, --dest and --checkpoint are required for --streaming")
+            records = records_file_stream(spark, args.source)
+            if args.kafka_topics:
+                from pyspark.sql import functions as F
+
+                records = records.where(F.col("topic").isin(args.kafka_topics))
+            if isinstance(tc, PeriodFromFirst):
+                q = stream_backup_foreach_batch(records, args.dest, args.checkpoint, tc)
+            else:
+                q = stream_backup(records, args.dest, args.checkpoint, tc, compression)
+            q.awaitTermination()
         else:
             from guardian_for_apache_kafka_spark.operators.backup import (
                 backup_batch,

@@ -192,3 +192,27 @@ def test_stream_compact_latest_equals_batch(spark, tmp_path, records_parquet):
         ).collect()
     }
     assert latest == expected
+
+
+def test_cli_streaming_file_backup(spark, records_parquet, tmp_path):
+    """--streaming without Kafka: checkpointed file-stream archival
+    (availableNow) whose output equals the batch backup record set."""
+    import os
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    spark.read.parquet(records_parquet).write.parquet(src_dir, mode="overwrite")
+    archive = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+    assert cli_main(["backup", "--source", src_dir, "--dest", archive,
+                     "--checkpoint", ckpt, "--streaming",
+                     "--chrono-unit-slice", "hours"]) == 0
+
+    from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
+
+    restored = read_backup_jsonl(spark, archive).drop("slice")
+    src = spark.read.parquet(records_parquet)
+    assert restored.count() == src.count()
+    a = {(r.topic, r.partition, r.offset) for r in restored.collect()}
+    b = {(r.topic, r.partition, r.offset) for r in src.collect()}
+    assert a == b
