@@ -5,11 +5,16 @@ from guardian_for_apache_kafka_spark.streaming.kafka import (
     normalize_kafka_source,
     write_records_to_kafka,
 )
+from guardian_for_apache_kafka_spark.streaming.listener import (
+    ProgressListener,
+    run_with_restarts,
+)
 from guardian_for_apache_kafka_spark.streaming.pipeline import (
     records_file_stream,
     stream_backup,
     stream_backup_foreach_batch,
     stream_dedup_replays,
+    stream_restore,
     stream_session_stats,
     stream_slice_counts,
     stream_sliding_counts,
@@ -21,6 +26,9 @@ from guardian_for_apache_kafka_spark.streaming.stateful import (
 )
 
 __all__ = [
+    "ProgressListener",
+    "run_with_restarts",
+    "stream_restore",
     "anchored_slice_records",
     "kafka_record_batch",
     "kafka_record_stream",

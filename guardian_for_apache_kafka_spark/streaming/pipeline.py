@@ -174,6 +174,39 @@ def stream_slice_counts(
     )
 
 
+def stream_restore(
+    spark: SparkSession,
+    archive: str,
+    topics: set[str] | None = None,
+    from_when=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Rate-limited streaming restore (SURVEY.md §3.2's Spark equivalent):
+    read the JSON-lines archive as a file stream — ``maxFilesPerTrigger``
+    bounds replay throughput per micro-batch, the knob the reference lacks
+    (its restore floods the producer as fast as S3 downloads arrive). Route
+    the result to write_records_to_kafka for a paced point-in-time replay, or
+    any sink for ETL re-processing. Record-exact filters match restore_batch
+    (R6); slice-level pruning happens via the partition column predicate."""
+    reader = spark.readStream.schema("value STRING, slice STRING").format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.option("basePath", archive).load(f"{archive}/slice=*")
+    from guardian_for_apache_kafka_spark.core.model import (
+        RECORD_JSON_SCHEMA_DDL,
+        parsed_json_to_record_cols,
+    )
+
+    rec = F.from_json(F.col("value"), RECORD_JSON_SCHEMA_DDL).alias("rec")
+    records = raw.select(rec).select(*parsed_json_to_record_cols(F.col("rec")))
+    records = records.where(F.col("topic").isNotNull())  # null] sentinel drop
+    if topics is not None:
+        records = records.where(F.col("topic").isin(*sorted(topics)))
+    if from_when is not None:
+        records = records.where(F.col("timestamp") >= F.lit(from_when))
+    return records
+
+
 def stream_sliding_counts(
     records: DataFrame,
     window: str = "1 hour",

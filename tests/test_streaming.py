@@ -251,3 +251,70 @@ def test_stream_session_stats_equal_batch(spark, records, tmp_path):
     assert got == batch
     # sessions partition the records: counts add up, sessions don't overlap per topic
     assert sum(v[0] for v in got.values()) == records.count()
+
+
+def test_stream_restore_equals_batch_restore(spark, records, tmp_path):
+    """Streaming restore over a JSON-lines archive == batch restore_batch
+    (records + fromWhen filter), with multi-batch rate limiting."""
+    import datetime as dt
+
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+    from guardian_for_apache_kafka_spark.streaming.pipeline import stream_restore
+
+    archive = str(tmp_path / "archive")
+    backup_batch(records, archive, ChronoUnitSlice("HOURS"), fmt="json")
+    from_when = dt.datetime(2024, 1, 1, 6, 0, 0)
+
+    q = (
+        stream_restore(spark, archive, from_when=from_when, max_files_per_trigger=2)
+        .writeStream.format("memory")
+        .queryName("srestore")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = rec_set(spark.sql("select * from srestore"))
+    expected = rec_set(restore_batch(spark, archive, from_when=from_when, fmt="json"))
+    assert got == expected and len(got) > 0
+
+
+def test_progress_listener_and_restart_wrapper(spark, records, tmp_path):
+    from guardian_for_apache_kafka_spark.streaming.listener import (
+        ProgressListener,
+        run_with_restarts,
+    )
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        records_file_stream,
+        stream_backup,
+    )
+
+    src = str(tmp_path / "in")
+    dest = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_input(records, src)
+
+    listener = ProgressListener()
+    spark.streams.addListener(listener)
+    try:
+        q = run_with_restarts(
+            lambda: stream_backup(
+                records_file_stream(spark, src, max_files_per_trigger=2), dest, ckpt
+            ),
+            max_restarts=1,
+        )
+        assert not q.isActive  # availableNow ran to completion
+        # listener saw the start and at least one progress batch with rows
+        import time
+
+        n = records.count()
+        for _ in range(40):  # listener delivery is async; wait for all batches
+            if sum(p["numInputRows"] for p in listener.progress) >= n:
+                break
+            time.sleep(0.5)
+        assert listener.started
+        assert sum(p["numInputRows"] for p in listener.progress) >= n
+    finally:
+        spark.streams.removeListener(listener)
