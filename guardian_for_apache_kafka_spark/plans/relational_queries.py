@@ -793,3 +793,37 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q26_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    WHERE user_id < 100
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("relational", "pivot", "agg"),
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long->wide event-type counts per user. Spark's
+    groupBy().pivot(values=[...]) with explicit values skips the extra
+    distinct-values job and keeps the plan a single two-phase aggregate;
+    the oracle states the same thing as portable FILTER aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.where(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+        .orderBy("user_id")
+    )
+    return out
