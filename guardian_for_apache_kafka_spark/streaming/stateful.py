@@ -86,6 +86,67 @@ def anchored_slice_records(records: DataFrame, period_seconds: int = 900) -> Dat
     )
 
 
+BOUNDARY_OUTPUT_SCHEMA = "topic STRING, slice_idx BIGINT, record_cnt BIGINT"
+BOUNDARY_STATE_SCHEMA = "slice_idx BIGINT, record_cnt BIGINT"
+
+
+def stream_slice_counts_boundary_mode(
+    records: DataFrame, period_seconds: int = 3600
+) -> DataFrame:
+    """The reference's exact slice-closure semantics: a slice closes only when
+    a record with a strictly greater slice index ARRIVES (isAtBoundary,
+    BackupClientInterface.scala:543-549) — no watermark, no event-time
+    progress rule; out-of-order records land in whatever slice is current.
+
+    This is the documented divergence-discharge operator (SURVEY.md §2.2
+    streaming row / §7 risk register): ``stream_slice_counts`` closes windows
+    by watermark; this operator reproduces close-on-next-record for
+    byte-format parity tests and idle-then-burst topics. The LAST slice per
+    topic never closes (exactly like the reference, whose final file is only
+    terminated by shutdown, T9); a finite replay therefore yields batch-G2
+    results minus each topic's final slice.
+
+    Slice index uses calendar alignment (epoch-anchored tumbling windows, the
+    ChronoUnitSlice mode); state per topic = (current slice, running count).
+    """
+    period = _period_us(period_seconds)
+
+    def close_on_boundary(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        (topic,) = key
+        cur, cnt = state.get if state.exists else (None, 0)
+        closed: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for ts_us in (pdf["timestamp"].astype("int64") // 1000).tolist():
+                idx = ts_us // period
+                if cur is None:
+                    cur, cnt = idx, 0
+                elif idx > cur:  # strictly-greater index fires the boundary
+                    closed.append((cur, cnt))
+                    cur, cnt = idx, 0
+                cnt += 1
+        state.update((cur, cnt))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "topic": [topic] * len(closed),
+                    "slice_idx": [c[0] for c in closed],
+                    "record_cnt": [c[1] for c in closed],
+                }
+            )
+
+    return records.groupBy("topic").applyInPandasWithState(
+        close_on_boundary,
+        outputStructType=BOUNDARY_OUTPUT_SCHEMA,
+        stateStructType=BOUNDARY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 COMPACT_OUTPUT_SCHEMA = (
     "topic STRING, partition INT, key BINARY, offset BIGINT, "
     "timestamp TIMESTAMP, value BINARY"

@@ -216,3 +216,50 @@ def test_cli_streaming_file_backup(spark, records_parquet, tmp_path):
     a = {(r.topic, r.partition, r.offset) for r in restored.collect()}
     b = {(r.topic, r.partition, r.offset) for r in src.collect()}
     assert a == b
+
+
+def test_boundary_mode_slice_closure(spark, tmp_path, records_parquet):
+    """Close-on-next-record slice closure == batch hourly G2 counts minus the
+    final (never-closed) slice per topic, on an in-order finite replay."""
+    from guardian_for_apache_kafka_spark.streaming.stateful import (
+        stream_slice_counts_boundary_mode,
+    )
+
+    src_dir = str(tmp_path / "stream_src")
+    records = spark.read.parquet(records_parquet).orderBy("timestamp")
+    records.coalesce(1).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream_slice_counts_boundary_mode(stream, period_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("boundary_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.topic, r.slice_idx): r.record_cnt
+        for r in spark.sql("select * from boundary_t").collect()
+    }
+
+    batch = spark.read.parquet(src_dir)
+    full = {
+        (r.topic, r.slice_idx): r.cnt
+        for r in batch.groupBy(
+            "topic", (F.unix_micros("timestamp") / (3600 * 1_000_000)).cast("long").alias("slice_idx")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    # the last slice per topic never closes (reference T9 semantics)
+    last_per_topic = {}
+    for (topic, idx) in full:
+        last_per_topic[topic] = max(last_per_topic.get(topic, -1), idx)
+    expected = {k: v for k, v in full.items() if k[1] != last_per_topic[k[0]]}
+    assert got == expected and len(got) > 0
