@@ -30,9 +30,14 @@ from pyspark.sql import functions as F
 
 
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
-    """One large-star (connect bigger neighbors to min) or small-star
-    (connect smaller-or-equal neighbors to min) round over canonical edges
-    (src, dst). Input and output edges satisfy src > dst (parent pointers)."""
+    """One star round over canonical edges (src, dst), per Kiveris et al. §3:
+
+    - large-star(u): emit (v, m) for every neighbor v > u,
+    - small-star(u): emit (v, m) for every v in N(u) ∪ {u} with v <= u
+      (u itself included — dropping it strands star centers),
+
+    with m = min(N(u) ∪ {u}). Output edges satisfy src > dst (parent
+    pointers); self-edges are filtered."""
     # neighborhood view: for each node u, its neighbors in both directions
     fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     rev = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
@@ -44,9 +49,11 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
             F.col("v").alias("src"), F.col("m").alias("dst")
         )
     else:
-        out = joined.where(F.col("v") <= F.col("u")).select(
-            F.col("u").alias("src"), F.col("m").alias("dst")
+        small_nbrs = joined.where(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("src"), F.col("m").alias("dst")
         )
+        self_rows = m.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+        out = small_nbrs.unionByName(self_rows)
     return out.where(F.col("src") != F.col("dst")).distinct()
 
 
@@ -68,14 +75,19 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    prev_count = edges.count()
     for _ in range(max_rounds):
         after_large = _star_round(edges, large=True)
         after_small = _star_round(after_large, large=False).localCheckpoint()
-        # converged when the parent-pointer forest is stable
-        changed = after_small.exceptAll(edges).limit(1).count()
-        edges = after_small
-        if changed == 0:
+        # convergence = stable parent-pointer forest; compare counts first
+        # (one cheap aggregate) and run the exact set-difference only when
+        # counts agree — the common non-converged case skips the join
+        new_count = after_small.count()
+        if new_count == prev_count and after_small.exceptAll(edges).limit(1).count() == 0:
+            edges = after_small
             break
+        prev_count = new_count
+        edges = after_small
     comp = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(
         "component", F.col("node")

@@ -139,3 +139,49 @@ def test_dedup_clusters_transitive_chain(spark, docs):
     assert 0 in kept_ids and {1, 2, 3}.isdisjoint(kept_ids)
     assert 7 in kept_ids and 9 not in kept_ids
     assert kept.count() == docs.count() - 4
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=40
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: distributed alternating-star CC == a driver-side union-find
+    on arbitrary small graphs (self-loops allowed, dropped by both)."""
+    from guardian_for_apache_kafka_spark.operators.clusters import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            union(a, b)
+            nodes.update((a, b))
+    # canonical: every node -> min of its component
+    comp_of = {}
+    for n in nodes:
+        comp_of.setdefault(find(n), []).append(n)
+    expected = {n: min(members) for members in comp_of.values() for n in members}
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == expected
