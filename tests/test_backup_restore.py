@@ -166,3 +166,41 @@ def test_compaction_latest_by_key(spark, records):
     joined = keyed.join(expected, ["topic", "partition", "key"])
     assert joined.where(F.col("timestamp") != F.col("max_ts")).count() == 0
     assert keyed.count() == expected.count()
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    offsets=st.lists(st.integers(0, 10_000), min_size=0, max_size=30, unique=True),
+    cutoff=st.integers(0, 10_000),
+)
+def test_prune_keys_straddle_invariants(offsets, cutoff):
+    """R3 invariants for any slice layout and cutoff (RestoreClientInterface
+    semantics): the kept keys are a suffix; every slice >= cutoff is kept;
+    exactly min(1, #earlier) slices before the cutoff survive (the one that
+    may straddle); empty input stays empty."""
+    import datetime as dt
+
+    from guardian_for_apache_kafka_spark.core.timeslice import calculate_key
+    from guardian_for_apache_kafka_spark.operators.restore import prune_keys_from_when
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    times = sorted(base + dt.timedelta(minutes=m) for m in offsets)
+    keys = [calculate_key(t) for t in times]
+    from_when = base + dt.timedelta(minutes=cutoff)
+
+    kept = prune_keys_from_when(keys, from_when)
+
+    if not keys:
+        assert kept == []
+        return
+    # suffix property
+    assert kept == keys[len(keys) - len(kept):]
+    n_earlier_total = sum(1 for t in times if t < from_when)
+    kept_times = times[len(keys) - len(kept):]
+    # completeness: every slice >= cutoff survives pruning
+    assert sum(1 for t in kept_times if t >= from_when) == len(times) - n_earlier_total
+    # minimality: exactly one possibly-straddling earlier slice is kept
+    assert sum(1 for t in kept_times if t < from_when) == min(1, n_earlier_total)
