@@ -185,3 +185,23 @@ def test_connected_components_matches_union_find(spark, edges):
     )
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_simhash_udf_matches_jvm_reference(spark, docs):
+    """The vectorized simhash_words_udf must be bit-identical to the pure-JVM
+    simhash64 reference expression (same xxhash64 family, same word layout)."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        simhash64,
+        simhash_words_udf,
+        tokens_col,
+    )
+
+    sample = docs.limit(100)
+    jvm = {r.doc_id: list(r.fp) for r in
+           sample.select("doc_id", simhash64(tokens_col("text")).alias("fp")).collect()}
+    hashed = sample.select(
+        "doc_id", F.transform(tokens_col("text"), lambda t: F.xxhash64(t)).alias("th")
+    )
+    vec = {r.doc_id: list(r.fp) for r in
+           hashed.select("doc_id", simhash_words_udf()("th").alias("fp")).collect()}
+    assert jvm == vec
