@@ -90,7 +90,13 @@ def stream_backup(
     """Native streaming archival: slice assignment as a stateless column, then
     the partitioned streaming text sink (JSON-lines wire format). Exactly-once
     to the archive via checkpoint + ``_spark_metadata``. ChronoUnitSlice only —
-    PeriodFromFirst needs the anchored variant below."""
+    PeriodFromFirst needs the anchored variant below.
+
+    Concurrency note: one query per destination root — the native file sink
+    owns its ``_spark_metadata``, and even plain concurrent batch appends
+    race in ``_temporary`` staging with the default committer. Multiple
+    backup instances (the reference's concurrent-instances deployment) take
+    per-instance roots under the shared archive; restore unions the roots."""
     config = config or ChronoUnitSlice("HOURS")
     if isinstance(config, PeriodFromFirst):
         raise ValueError("use stream_backup_foreach_batch for PeriodFromFirst (anchored) mode")

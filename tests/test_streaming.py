@@ -318,3 +318,32 @@ def test_progress_listener_and_restart_wrapper(spark, records, tmp_path):
         assert sum(p["numInputRows"] for p in listener.progress) >= n
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_concurrent_backup_instances_share_archive(spark, records, tmp_path):
+    """Two concurrently-running backup queries over disjoint topic subsets
+    writing the same archive root (the reference's concurrent-instances e2e,
+    RealS3BackupClientTest 'concurrent backup instances'): no interference,
+    union of outputs == full record set.
+
+    Deployment rule (stream_backup docstring): one sink root per instance —
+    Spark's native file sink owns its _spark_metadata, and concurrent batch
+    appends to one directory race in _temporary staging. Per-instance roots
+    under one archive are the engine's shared-bucket layout; restore unions
+    the roots."""
+    topics = [r.topic for r in records.select("topic").distinct().collect()]
+    half = len(topics) // 2
+    g1, g2 = set(topics[:half]), set(topics[half:])
+    src1, src2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    dest1 = str(tmp_path / "archive" / "instance1")
+    dest2 = str(tmp_path / "archive" / "instance2")
+    records.where(F.col("topic").isin(g1)).write.parquet(src1)
+    records.where(F.col("topic").isin(g2)).write.parquet(src2)
+
+    q1 = stream_backup(records_file_stream(spark, src1), dest1, str(tmp_path / "c1"))
+    q2 = stream_backup(records_file_stream(spark, src2), dest2, str(tmp_path / "c2"))
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    restored = read_backup_jsonl(spark, dest1).unionByName(read_backup_jsonl(spark, dest2))
+    assert rec_set(restored.drop("slice")) == rec_set(records)
