@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from guardian_for_apache_kafka_spark.plans.registry import query
@@ -510,4 +510,59 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
         asof_join(clicks, purchases, on="ts", by=("user_id",), right_order="p_event_id")
         .select("event_id", "user_id", "ts", "ts_r", "p_event_id", "p_value")
         .orderBy("event_id")
+    )
+
+
+@query(
+    "t6_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT token, count(*) AS doc_freq FROM tok GROUP BY token),
+    tf AS (
+        SELECT t.doc_id, t.token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, token,
+           round(tf * ln(n.n_docs * 1.0 / df.doc_freq), 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE doc_id < 20
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf * ln(n.n_docs * 1.0 / df.doc_freq) DESC, token) <= 3
+    ORDER BY doc_id, tfidf DESC, token
+    """,
+    tags=("text", "tfidf", "agg", "window_fn"),
+)
+def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (sample of 20 docs for a bounded
+    result): term frequency per (doc, token), document frequency over
+    distinct (doc, token), idf = ln(N/df). The df table is tokens-sized —
+    broadcast for the scale path; everything else is two-phase aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = (
+        tokens.select("doc_id", "token").distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .where(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq"))).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("__s").desc(), "token")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 3)
+        .select("doc_id", "token", F.round("__s", 4).alias("tfidf"))
+        .orderBy("doc_id", F.col("tfidf").desc(), "token")
     )
