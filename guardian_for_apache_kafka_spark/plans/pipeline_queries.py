@@ -542,7 +542,7 @@ def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (doc, token), idf = ln(N/df). The df table is tokens-sized —
     broadcast for the scale path; everything else is two-phase aggregates."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))  # lazy scalar, no driver action
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = (
@@ -553,10 +553,11 @@ def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(df_), "token")
         .where(F.col("doc_id") < 20)
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
-            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq"))).alias("__s"),
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq"))).alias("__s"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("__s").desc(), "token")
