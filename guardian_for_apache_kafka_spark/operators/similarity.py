@@ -14,10 +14,84 @@ in the scoring loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from guardian_for_apache_kafka_spark.functions.columns import cosine_similarity
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization: per-vector max-abs scale, 4x memory cut.
+
+    Output (id, qvec: array<tinyint>, qscale: float) reconstructs as
+    ``qvec[i] * qscale``; at 100 TB the quantized corpus is what stays
+    resident for ANN probing while full-precision vectors remain on disk for
+    final re-ranking. Pure JVM expressions (no UDF)."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    return emb.select(
+        F.col(id_col),
+        F.transform(v, lambda x: F.round(x / safe).cast("tinyint")).alias("qvec"),
+        safe.cast("float").alias("qscale"),
+    )
+
+
+def dequantized_cosine(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
+    """Cosine over int8-quantized vectors. The per-vector scales cancel in
+    cosine (they factor out of numerator and both norms), so this is integer
+    dot-product arithmetic promoted to double — scales are accepted for
+    interface symmetry and future asymmetric (dot-product) scoring."""
+    from guardian_for_apache_kafka_spark.functions.columns import cosine_similarity
+
+    return cosine_similarity(qa.cast("array<double>"), qb.cast("array<double>"))
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force top-k over the int8-quantized corpus: same plan shape as
+    cosine_topk but the scanned corpus payload is 4x smaller. Recall vs the
+    full-precision exact top-k is asserted in tests (max-abs int8 keeps
+    cosine ordering nearly intact for unit-ish embeddings)."""
+    qc = quantize_embeddings(corpus, id_col, vec_col)
+    qq = quantize_embeddings(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
+        "query_id",
+        vec_col,
+    )
+    scored = (
+        qc.crossJoin(
+            F.broadcast(
+                qq.select(
+                    F.col("query_id"),
+                    F.col("qvec").alias("__qq"),
+                    F.col("qscale").alias("__qs"),
+                )
+            )
+        )
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            dequantized_cosine(
+                F.col("qvec"), F.col("qscale"), F.col("__qq"), F.col("__qs")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
 
 
 def cosine_topk(

@@ -205,3 +205,38 @@ def test_simhash_udf_matches_jvm_reference(spark, docs):
     vec = {r.doc_id: list(r.fp) for r in
            hashed.select("doc_id", simhash_words_udf()("th").alias("fp")).collect()}
     assert jvm == vec
+
+
+def test_quantized_cosine_topk_recall(spark, emb):
+    """int8 max-abs quantization preserves cosine ordering: top-3 recall vs
+    full precision >= 0.9 on the synthetic embeddings."""
+    from guardian_for_apache_kafka_spark.operators.similarity import quantized_cosine_topk
+
+    q = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=3).collect()}
+    quant = {(r.query_id, r.vec_id) for r in quantized_cosine_topk(emb, q, k=3).collect()}
+    assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_quantize_embeddings_roundtrip_error(spark, emb):
+    """Reconstruction error bound: |x - qvec*qscale| <= qscale/2 per element."""
+    from guardian_for_apache_kafka_spark.operators.similarity import quantize_embeddings
+
+    sample = emb.limit(20)
+    joined = sample.join(quantize_embeddings(sample), "vec_id")
+    bad = joined.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.zip_with(
+                    F.col("qvec").cast("array<double>"),
+                    F.array_repeat(F.col("qscale").cast("double"), F.size("qvec")),
+                    lambda qv, sc: qv * sc,
+                ),
+                lambda x, r: (F.abs(x - r) > F.col("qscale") / 2 + 1e-9).cast("int"),
+            ),
+            F.lit(0),
+            lambda a, v: a + v,
+        ).alias("violations")
+    ).agg(F.sum("violations").alias("v")).collect()[0].v
+    assert bad == 0
