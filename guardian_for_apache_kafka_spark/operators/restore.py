@@ -95,9 +95,31 @@ def read_guardian_files(spark: SparkSession, paths: list[str] | str) -> DataFram
     )
 
 
-def read_backup_jsonl(spark: SparkSession, dest: str) -> DataFrame:
+def read_backup_jsonl(spark: SparkSession, dest: str, instances: bool = False) -> DataFrame:
     """Read the engine-native partitioned JSON-lines archive back to records,
-    keeping the ``slice`` partition column for pruning."""
+    keeping the ``slice`` partition column for pruning.
+
+    ``instances=True`` reads a multi-instance archive — per-instance roots
+    under ``dest`` (``dest/<instance>/slice=*``), the layout concurrent
+    backup instances write (streaming/pipeline.py concurrency note) — as a
+    union of per-root scans (partition discovery forbids non-``key=value``
+    intermediate directories under one basePath); slice pruning applies per
+    root. Root listing goes through the Hadoop FS API, so any supported
+    scheme (file://, s3a://, ...) works."""
+    if instances:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(dest)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        roots = sorted(
+            str(s.getPath()) for s in fs.listStatus(path)
+            if s.isDirectory() and not s.getPath().getName().startswith(("_", "."))
+        )
+        if not roots:
+            raise ValueError(f"no instance roots under {dest}")
+        out = read_backup_jsonl(spark, roots[0])
+        for r in roots[1:]:
+            out = out.unionByName(read_backup_jsonl(spark, r))
+        return out
     raw = spark.read.format("text").option("basePath", dest).load(f"{dest}/slice=*")
     rec = F.from_json(F.col("value"), RECORD_JSON_SCHEMA_DDL).alias("rec")
     return raw.select(rec, F.col("slice")).select(

@@ -345,5 +345,8 @@ def test_concurrent_backup_instances_share_archive(spark, records, tmp_path):
     q1.awaitTermination(120)
     q2.awaitTermination(120)
 
-    restored = read_backup_jsonl(spark, dest1).unionByName(read_backup_jsonl(spark, dest2))
+    restored = read_backup_jsonl(spark, str(tmp_path / "archive"), instances=True)
     assert rec_set(restored.drop("slice")) == rec_set(records)
+    # and per-instance reads see exactly their own subset
+    only1 = read_backup_jsonl(spark, dest1).select("topic").distinct()
+    assert {r.topic for r in only1.collect()} == g1
