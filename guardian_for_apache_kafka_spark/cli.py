@@ -143,6 +143,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--single-message-per-kafka-request", action="store_true",
                    help="idempotent single-in-flight producer mode")
     r.add_argument("--format", choices=["guardian", "json"], default="guardian")
+    r.add_argument("--instances", action="store_true",
+                   help="read per-instance roots under --source (concurrent-backup layout; json format)")
     r.add_argument("--target", default=None,
                    help="output parquet dir (or Kafka when bootstrap servers are given)")
 
@@ -248,6 +250,7 @@ def main(argv: list[str] | None = None) -> int:
             topics=set(args.kafka_topics) if args.kafka_topics else None,
             from_when=args.from_when,
             fmt=args.format,
+            instances=args.instances,
         )
         overrides = _parse_override_topics(args.override_topics)
         if bootstrap:

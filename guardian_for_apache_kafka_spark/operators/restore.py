@@ -133,14 +133,20 @@ def restore_batch(
     topics: set[str] | None = None,
     from_when: _dt.datetime | None = None,
     fmt: str = "guardian",
+    instances: bool = False,
 ) -> DataFrame:
     """Full restore read: prune slices (R3), parse (R4/R5), filter records (R6).
 
     fmt="guardian": reference-format array files; fmt="json": engine-native
     partitioned JSON-lines (pruning via the slice partition column predicate —
     Catalyst partition pruning, the scan never opens pruned directories).
+    ``instances=True`` (json only): per-instance roots under ``source``
+    (the concurrent-backup layout); the straddle lower bound still prunes —
+    it is conservative per instance since every instance shares the cutoff.
     """
     if fmt == "guardian":
+        if instances:
+            raise ValueError("instances=True requires fmt='json'")
         keys = list_backup_keys(source)
         if from_when is not None:
             keys = prune_keys_from_when(keys, from_when)
@@ -148,8 +154,8 @@ def restore_batch(
             return spark.createDataFrame([], schema="topic string")
         records = read_guardian_files(spark, [os.path.join(source, physical_name(k)) for k in keys])
     elif fmt == "json":
-        records = read_backup_jsonl(spark, source)
-        if from_when is not None:
+        records = read_backup_jsonl(spark, source, instances=instances)
+        if from_when is not None and not instances:
             # -1-slice straddle handled record-exact by the timestamp filter;
             # partition pruning needs only a lower bound on the slice value
             keys = prune_keys_from_when(list_backup_keys(source), from_when)
