@@ -177,3 +177,30 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     )
     exp = {int(r.lid): (None if pd.isna(r.v) else int(r.v)) for r in exp_pdf.itertuples()}
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=20),
+    right=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=20),
+    buckets=st.sampled_from([1, 3, 8]),
+)
+def test_salted_join_property(spark, left, right, buckets):
+    """Property: salted inner/left join == plain join for arbitrary key
+    layouts including duplicate rows and unmatched keys."""
+    from guardian_for_apache_kafka_spark.functions.skew import salted_join
+
+    ldf = spark.createDataFrame(
+        [(k, v) for k, v in left] or [(None, None)], "k INT, lv INT"
+    ).where("k IS NOT NULL" if not left else "1=1")
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in right] or [(None, None)], "k INT, rv INT"
+    ).where("k IS NOT NULL" if not right else "1=1")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(salted_join(ldf, rdf, "k", buckets)) == rows(ldf.join(rdf, "k"))
+    assert rows(salted_join(ldf, rdf, "k", buckets, how="left")) == rows(
+        ldf.join(rdf, "k", "left")
+    )
