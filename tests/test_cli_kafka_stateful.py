@@ -263,3 +263,46 @@ def test_boundary_mode_slice_closure(spark, tmp_path, records_parquet):
         last_per_topic[topic] = max(last_per_topic.get(topic, -1), idx)
     expected = {k: v for k, v in full.items() if k[1] != last_per_topic[k[0]]}
     assert got == expected and len(got) > 0
+
+
+def test_stream_compact_latest_on_rocksdb_state_store(spark, tmp_path, records_parquet):
+    """The continuous compaction operator is state-store-agnostic: running it
+    on RocksDB (SCALE.md's recommendation for huge key spaces) produces the
+    same changelog result as the default HDFS-backed store."""
+    from guardian_for_apache_kafka_spark.operators.compaction import compact_latest_by_key
+    from guardian_for_apache_kafka_spark.streaming.stateful import stream_compact_latest
+
+    src_dir = str(tmp_path / "src")
+    spark.read.parquet(records_parquet).orderBy("timestamp").coalesce(1).write.parquet(src_dir)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(src_dir)
+        q = (
+            stream_compact_latest(stream)
+            .writeStream.format("memory")
+            .queryName("compact_rocks")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.topic, r.partition, bytes(r.key)): (r.timestamp, r.offset)
+            for r in spark.sql("select * from compact_rocks").collect()
+        }
+        expected = {
+            (r.topic, r.partition, bytes(r.key)): (r.timestamp, r.offset)
+            for r in compact_latest_by_key(
+                spark.read.parquet(records_parquet).where(F.col("key").isNotNull())
+            ).collect()
+        }
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
