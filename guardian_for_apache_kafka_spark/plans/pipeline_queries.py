@@ -567,3 +567,23 @@ def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", F.round("__s", 4).alias("tfidf"))
         .orderBy("doc_id", F.col("tfidf").desc(), "token")
     )
+
+
+@query(
+    "d8_deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999998'
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "dedup"),
+)
+def d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable 10% sample (operators/sampling.py): membership =
+    md5(seed || doc_id) below the rate threshold, bit-identical across
+    engines — the oracle re-derives the exact same subset in DuckDB."""
+    from guardian_for_apache_kafka_spark.operators.sampling import deterministic_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(d, 0.1).select("doc_id", "lang", "source").orderBy("doc_id")

@@ -240,3 +240,25 @@ def test_quantize_embeddings_roundtrip_error(spark, emb):
         ).alias("violations")
     ).agg(F.sum("violations").alias("v")).collect()[0].v
     assert bad == 0
+
+
+def test_deterministic_split_disjoint_exhaustive_stable(spark, docs):
+    from guardian_for_apache_kafka_spark.operators.sampling import (
+        deterministic_sample,
+        split,
+    )
+
+    parts = split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    counts = {k: v.count() for k, v in parts.items()}
+    assert sum(counts.values()) == n  # exhaustive
+    ids = [set(r.doc_id for r in v.select("doc_id").collect()) for v in parts.values()]
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+    # content-stability: membership unchanged when the corpus shrinks
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    again = {r.doc_id for r in split(half, {"train": 0.8, "val": 0.1, "test": 0.1})["train"]
+             .select("doc_id").collect()}
+    assert again == {i for i in ids[0] if i % 2 == 0}
+    # rate is approximately honored
+    s = deterministic_sample(docs, 0.2).count()
+    assert abs(s / n - 0.2) < 0.08
