@@ -204,3 +204,42 @@ def test_prune_keys_straddle_invariants(offsets, cutoff):
     assert sum(1 for t in kept_times if t >= from_when) == len(times) - n_earlier_total
     # minimality: exactly one possibly-straddling earlier slice is kept
     assert sum(1 for t in kept_times if t < from_when) == min(1, n_earlier_total)
+
+
+def test_compact_archive_slices_preserves_records(spark, tmp_path):
+    """Small-file compaction: multi-batch archival leaves several files per
+    slice; compaction rewrites to 1 file/slice with an identical record set
+    and untouched slice layout."""
+    import glob
+
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+    from guardian_for_apache_kafka_spark.operators.maintenance import compact_archive_slices
+    from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    dest = str(tmp_path / "archive")
+    # three append passes -> >= 3 files per populated slice
+    for i in range(3):
+        chunk = records.where(F.col("offset") % 3 == i).repartition(2)
+        backup_batch(chunk, dest, ChronoUnitSlice("DAYS"), fmt="json")
+
+    before_set = {
+        (r.topic, r.partition, r.offset) for r in read_backup_jsonl(spark, dest).collect()
+    }
+    some_slice = glob.glob(f"{dest}/slice=*")[0]
+    assert len([f for f in os.listdir(some_slice) if not f.startswith(("_", "."))]) >= 3
+
+    compacted = compact_archive_slices(spark, dest, files_per_slice=1)
+    assert compacted
+    for d in glob.glob(f"{dest}/slice=*"):
+        files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+        assert len(files) == 1
+    after_set = {
+        (r.topic, r.partition, r.offset) for r in read_backup_jsonl(spark, dest).collect()
+    }
+    assert after_set == before_set
