@@ -148,6 +148,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--target", default=None,
                    help="output parquet dir (or Kafka when bootstrap servers are given)")
 
+    m = sub.add_parser("maintain", help="small-file compaction of a JSON-lines archive")
+    common(m)
+    m.add_argument("--dest", required=False, default=None, help="archive directory")
+    m.add_argument("--files-per-slice", type=int, default=1)
+    m.add_argument("--before", type=_parse_from_when, default=None,
+                   help="only compact slices strictly before this ISO-8601 time (closed slices)")
+
     c = sub.add_parser("compact", help="latest-per-key compaction of an archive")
     common(c)
     c.add_argument("--source", default=None, help="archive directory")
@@ -265,6 +272,19 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--target is required without Kafka bootstrap servers")
             out = restore_to_producer_records(records, overrides or None)
             out.write.mode("overwrite").parquet(args.target)
+        return 0
+
+    if args.command == "maintain":
+        from guardian_for_apache_kafka_spark.operators.maintenance import (
+            compact_archive_slices,
+        )
+
+        if not args.dest:
+            raise SystemExit("--dest is required for maintain")
+        keys = compact_archive_slices(
+            spark, args.dest, files_per_slice=args.files_per_slice, before=args.before
+        )
+        print(json.dumps({"compacted_slices": keys}))
         return 0
 
     if args.command == "compact":

@@ -306,3 +306,22 @@ def test_stream_compact_latest_on_rocksdb_state_store(spark, tmp_path, records_p
         assert got == expected
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_cli_maintain_compacts_archive(spark, records_parquet, tmp_path):
+    import glob
+    import os
+
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+
+    dest = str(tmp_path / "archive")
+    records = spark.read.parquet(records_parquet)
+    for i in range(3):
+        backup_batch(
+            records.where(F.col("offset") % 3 == i).repartition(2),
+            dest, ChronoUnitSlice("DAYS"), fmt="json",
+        )
+    assert cli_main(["maintain", "--dest", dest, "--files-per-slice", "1"]) == 0
+    for d in glob.glob(f"{dest}/slice=*"):
+        assert len([f for f in os.listdir(d) if not f.startswith(("_", "."))]) == 1
