@@ -325,3 +325,24 @@ def test_cli_maintain_compacts_archive(spark, records_parquet, tmp_path):
     assert cli_main(["maintain", "--dest", dest, "--files-per-slice", "1"]) == 0
     for d in glob.glob(f"{dest}/slice=*"):
         assert len([f for f in os.listdir(d) if not f.startswith(("_", "."))]) == 1
+
+
+def test_cli_restore_from_when_point_in_time(spark, records_parquet, tmp_path):
+    """CLI point-in-time restore: --from-when filters records exactly (>=
+    cutoff) regardless of slice straddle."""
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import write_guardian_format
+
+    src = spark.read.parquet(records_parquet)
+    archive = str(tmp_path / "archive")
+    restored = str(tmp_path / "restored")
+    write_guardian_format(src, archive, ChronoUnitSlice("DAYS"))
+
+    cutoff = "2024-01-05T00:00:00Z"
+    assert cli_main(["restore", "--source", archive, "--format", "guardian",
+                     "--from-when", cutoff, "--target", restored]) == 0
+    import datetime as dt
+
+    out = spark.read.parquet(restored)
+    expected = src.where(F.col("timestamp") >= F.lit(dt.datetime(2024, 1, 5)))
+    assert out.count() == expected.count() > 0
