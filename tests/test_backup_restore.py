@@ -243,3 +243,27 @@ def test_compact_archive_slices_preserves_records(spark, tmp_path):
         (r.topic, r.partition, r.offset) for r in read_backup_jsonl(spark, dest).collect()
     }
     assert after_set == before_set
+
+
+def test_restore_edge_cases_empty_and_future_cutoff(spark, tmp_path):
+    """Empty archive -> empty result; cutoff after all data -> only the
+    straddling last slice is scanned and the record filter empties it."""
+    import datetime as dt
+
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    empty_dir = str(tmp_path / "empty")
+    os.makedirs(empty_dir)
+    assert restore_batch(spark, empty_dir, fmt="guardian").count() == 0
+
+    records = normalize_events_to_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+    archive = str(tmp_path / "archive")
+    write_guardian_format(records, archive, ChronoUnitSlice("DAYS"))
+    future = dt.datetime(2030, 1, 1)
+    assert restore_batch(spark, archive, from_when=future, fmt="guardian").count() == 0
+    # sanity: no cutoff returns everything
+    assert restore_batch(spark, archive, fmt="guardian").count() == records.count()
