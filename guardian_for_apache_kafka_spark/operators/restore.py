@@ -69,6 +69,10 @@ def prune_keys_from_when(keys: list[str], from_when: _dt.datetime) -> list[str]:
     """
     if not keys:
         return []
+    if from_when.tzinfo is None:
+        # slice keys parse tz-aware (ISO offset); interpret naive cutoffs as
+        # UTC — the reference's epoch-millis-as-UTC convention
+        from_when = from_when.replace(tzinfo=_dt.timezone.utc)
     times = [key_to_datetime(k[len("slice=") :] if k.startswith("slice=") else k) for k in keys]
     idx = next((i for i, t in enumerate(times) if t >= from_when), None)
     if idx is None:
