@@ -827,3 +827,59 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
     return out
+
+
+@query(
+    "q27_sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("relational", "window_fn", "sessionization"),
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) as a batch query:
+    lag() flags session starts, a running sum numbers sessions, then a
+    per-session aggregate. This is the batch-equivalence oracle for the
+    streaming ``session_window`` pipeline (streaming/pipeline.py) — same
+    session boundaries, deterministic tie-break on (ts, event_id). At scale
+    the two windows share one hash-partition-by-user_id exchange, and the
+    final aggregate reuses it (no second shuffle)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
