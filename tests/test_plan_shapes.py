@@ -88,6 +88,17 @@ def test_g6_single_shuffle_for_latest_per_key(plans):
     assert "WindowGroupLimit" in p and "Partial" in p
 
 
+def test_q27_sessionization_single_hash_exchange(plans):
+    # lag-window, running-sum window, and the per-session aggregate must all
+    # sit on ONE hashpartitioning(user_id) exchange: partitioning by user_id
+    # already co-locates every (user_id, session_id) group, so a second hash
+    # exchange before the aggregate would be a pure regression at scale
+    p = plans("q27_sessionization")
+    tree = p.split("\n\n")[0]
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert tree.count("Window") == 2
+
+
 def test_d4_lsh_join_carries_ids_only(plans):
     # the LSH bucket self-join must not shuffle 64-long signatures; sig
     # columns re-attach after the distinct — check no exchange row wider
