@@ -883,3 +883,37 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "q28_string_agg",
+    oracle="""
+    SELECT n_name,
+           array_to_string(list_sort(array_agg(DISTINCT c_mktsegment)), ',') AS segments,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("relational", "agg", "collect"),
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/string aggregation: collect the distinct market segments per
+    nation into a sorted comma-joined string (Spark collect_set ->
+    sort_array -> array_join == DuckDB array_agg DISTINCT -> list_sort ->
+    array_to_string). collect_set keeps per-group state bounded by segment
+    cardinality (5 here), so it partial-aggregates map-side; nation is a
+    25-row dim and must broadcast, never shuffle customer."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
