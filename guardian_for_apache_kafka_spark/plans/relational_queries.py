@@ -917,3 +917,56 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "q29_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT n_name,
+               CAST(count(*) AS DOUBLE) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal,
+               floor(round(sum(c_acctbal), 2) / count(*) * 100) / 100 AS avg_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, measure, val FROM (
+        SELECT n_name, 'avg_acctbal' AS measure, avg_acctbal AS val FROM wide
+        UNION ALL
+        SELECT n_name, 'n_customers', n_customers FROM wide
+        UNION ALL
+        SELECT n_name, 'total_acctbal', total_acctbal FROM wide
+    )
+    ORDER BY n_name, measure
+    """,
+    tags=("relational", "unpivot", "agg"),
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long), the inverse of q26's pivot: three per-nation
+    measures melt into (n_name, measure, val) rows via ``stack``. stack is a
+    generator expression evaluated row-by-row in the same stage as the
+    aggregate output — no shuffle, no UNION-ALL triple-scan of the input
+    (which is what the portable oracle SQL has to do). The derived average
+    uses floor(x*100)/100 instead of round(): Spark rounds the shortest
+    decimal repr (HALF_UP) while DuckDB rounds the binary value, so exact
+    .xx5 quotients diverge under round() but floor() agrees bit-for-bit."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    wide = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("double").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            (
+                F.floor(F.round(F.sum("c_acctbal"), 2) / F.count("*") * 100) / 100
+            ).alias("avg_acctbal"),
+        )
+    )
+    return wide.select(
+        "n_name",
+        F.expr(
+            "stack(3, 'avg_acctbal', avg_acctbal, 'n_customers', n_customers,"
+            " 'total_acctbal', total_acctbal) AS (measure, val)"
+        ),
+    ).orderBy("n_name", "measure")
