@@ -99,6 +99,19 @@ def test_q27_sessionization_single_hash_exchange(plans):
     assert tree.count("Window") == 2
 
 
+def test_q29_unpivot_generates_without_extra_exchange(plans):
+    # the stack() melt must run as a Generate directly over the aggregate
+    # output: one hashpartitioning exchange for the groupBy, nation broadcast,
+    # and no extra shuffle between aggregate and Generate — a UNION-ALL style
+    # plan would triple-scan and re-shuffle the aggregated input
+    p = plans("q29_unpivot")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "Generate" in tree
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert tree.count("Union") == 0
+
+
 def test_d4_lsh_join_carries_ids_only(plans):
     # the LSH bucket self-join must not shuffle 64-long signatures; sig
     # columns re-attach after the distinct — check no exchange row wider
