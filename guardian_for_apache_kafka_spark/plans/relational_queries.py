@@ -970,3 +970,164 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'total_acctbal', total_acctbal) AS (measure, val)"
         ),
     ).orderBy("n_name", "measure")
+
+
+@query(
+    "q30_window_distribution",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("relational", "window", "distribution"),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution functions (ntile / percent_rank / cume_dist) —
+    the ranking family q10 doesn't cover. The ORDER BY key is made total
+    (acctbal DESC, custkey) so every row is its own peer group and both
+    engines compute identical doubles: pct_rank = (rank-1)/(n-1), cume =
+    rank/n. One hash exchange on c_mktsegment feeds a single in-partition
+    sort that all three functions share."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@query(
+    "q31_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.50) AS med_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           floor(quantile_cont(l_extendedprice, 0.50) * 100) / 100 AS med_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg", "percentile"),
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ordered-set aggregate): Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` both use the standard
+    lower + (upper-lower)*frac rule at rank p*(n-1). l_quantity is
+    integer-valued so quartiles are exact multiples of 0.25 (binary-exact
+    on both sides); the price median is truncated with floor(x*100)/100
+    instead of round() to dodge HALF_UP-vs-binary .xx5 divergence. At scale
+    this is a full sort per group — q24's t-digest is the 100 TB path; this
+    query is the exactness anchor it's tested against."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25D)").alias("p25_qty"),
+            F.expr("percentile(l_quantity, 0.50D)").alias("med_qty"),
+            F.expr("percentile(l_quantity, 0.75D)").alias("p75_qty"),
+            (F.floor(F.expr("percentile(l_extendedprice, 0.50D)") * 100) / 100).alias("med_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q32_exists_subquery",
+    oracle="""
+    SELECT n_name,
+           count(*) FILTER (WHERE EXISTS (
+               SELECT 1 FROM lineitem
+               WHERE l_suppkey = s_suppkey AND l_quantity >= 48)) AS with_heavy,
+           count(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM lineitem
+               WHERE l_suppkey = s_suppkey AND l_quantity >= 48)) AS without_heavy
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("relational", "subquery", "exists"),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS with an extra predicate, expressed in
+    the decorrelated form Catalyst itself would produce: distinct heavy
+    suppliers (partial-aggregated map-side before the shuffle) LEFT-joined
+    back, flag = match presence. supplier-per-nation counts make the result
+    small; nation broadcasts. Unlike q06 (uncorrelated IN/NOT IN on keys),
+    the subquery here carries its own filter and feeds both branches from
+    one scan."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = li.where(F.col("l_quantity") >= 48).select("l_suppkey").distinct()
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.when(F.col("l_suppkey").isNotNull(), 1)).alias("with_heavy"),
+            F.count(F.when(F.col("l_suppkey").isNull(), 1)).alias("without_heavy"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q33_value_window_frames",
+    oracle="""
+    SELECT user_id, n_events, first_et, last_et, second_et
+    FROM (
+        SELECT user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_events,
+               first_value(event_type) OVER w AS first_et,
+               last_value(event_type) OVER w AS last_et,
+               nth_value(event_type, 2) OVER w AS second_et,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("relational", "window", "frame"),
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions over an explicit unbounded frame: first / last
+    / nth event_type per user in event-time order (nth_value(_, 2) is NULL
+    for single-event users — renders as \\N on both sides). The row_number
+    filter collapses to one row per user; both windows share the same
+    (user_id | ts, event_id) sort so Spark evaluates them in a single
+    Window operator after one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.count("*").over(w).alias("n_events"),
+            F.first("event_type").over(w).alias("first_et"),
+            F.last("event_type").over(w).alias("last_et"),
+            F.nth_value("event_type", 2).over(w).alias("second_et"),
+            F.row_number().over(wo).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
