@@ -154,3 +154,37 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_q30_distribution_functions_share_one_window(plans):
+    # ntile/percent_rank/cume_dist share one (c_mktsegment | acctbal,custkey)
+    # sort: one hash exchange, ONE Window operator — three separate windows
+    # would re-sort the partition three times
+    p = plans("q30_window_distribution")
+    tree = p.split("\n\n")[0]
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert tree.count("Window") == 1
+
+
+def test_q32_exists_decorrelates_to_broadcast(plans):
+    # the EXISTS subquery must plan as a two-phase distinct (map-side partial
+    # before its shuffle) whose tiny result BROADCASTS back to supplier —
+    # shuffling supplier to meet lineitem would invert the size relationship
+    p = plans("q32_exists_subquery")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin LeftOuter" in tree
+    assert tree.count("SortMergeJoin") == 0
+    # heavy-supplier filter reaches the lineitem scan (any of the scans'
+    # PushedFilters blocks — supplier's own block comes first in the dump)
+    pushed = [s.split("]")[0] for s in p.split("PushedFilters:")[1:]]
+    assert any("l_quantity" in s for s in pushed)
+
+
+def test_q33_value_frames_share_one_window(plans):
+    # first/last/nth (unbounded frame) and row_number (running frame) share
+    # the same partition+order key, so Spark must evaluate all four in ONE
+    # Window operator over one exchange — no per-frame re-sort
+    p = plans("q33_value_window_frames")
+    tree = p.split("\n\n")[0]
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert tree.count("Window") == 1
