@@ -54,7 +54,12 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
         )
         self_rows = m.select(F.col("u").alias("src"), F.col("m").alias("dst"))
         out = small_nbrs.unionByName(self_rows)
-    return out.where(F.col("src") != F.col("dst")).distinct()
+    out = out.where(F.col("src") != F.col("dst"))
+    # min() is duplicate-insensitive, so the intermediate large-star output
+    # skips its dedup shuffle; only the small-star round (each loop
+    # iteration's terminal set) pays the distinct. Duplicate inflation does
+    # not compound across rounds — every round starts from a distinct set.
+    return out if large else out.distinct()
 
 
 def connected_components(
@@ -75,19 +80,28 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    prev_count = edges.count()
+    def _signature(df: DataFrame) -> tuple:
+        # order-invariant multiset signature in ONE aggregate pass:
+        # (count, xor of per-edge xxhash64). Equal signatures on distinct
+        # edge sets require xor of the symmetric difference's 64-bit hashes
+        # to cancel — vanishingly unlikely on non-adversarial ids, and far
+        # cheaper than the exceptAll set-difference join it replaces.
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("chk"),
+        ).first()
+        return (row["n"], row["chk"])
+
+    prev_sig = _signature(edges)
     for _ in range(max_rounds):
         after_large = _star_round(edges, large=True)
         after_small = _star_round(after_large, large=False).localCheckpoint()
-        # convergence = stable parent-pointer forest; compare counts first
-        # (one cheap aggregate) and run the exact set-difference only when
-        # counts agree — the common non-converged case skips the join
-        new_count = after_small.count()
-        if new_count == prev_count and after_small.exceptAll(edges).limit(1).count() == 0:
-            edges = after_small
-            break
-        prev_count = new_count
+        # convergence = stable parent-pointer forest (signature unchanged)
+        new_sig = _signature(after_small)
         edges = after_small
+        if new_sig == prev_sig:
+            break
+        prev_sig = new_sig
     comp = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(
         "component", F.col("node")
