@@ -41,6 +41,31 @@ def deterministic_sample(
     return df.where(sample_bucket(F.col(key_col), seed) < _threshold_hex(rate))
 
 
+def split_label(
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    seed: str = "guardian",
+) -> Column:
+    """Split-name column for disjoint, exhaustive, content-stable named
+    splits: one CASE chain over the md5 bucket, so a single scan labels
+    every record (the 100 TB shape — ``split()``'s per-split filters rescan
+    the input once per split)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = sample_bucket(F.col(key_col), seed)
+    names = list(weights)
+    expr = F.lit(names[-1])  # last split takes the tail
+    hi = 0.0
+    conds = []
+    for name in names[:-1]:
+        hi += weights[name]
+        conds.append((name, _threshold_hex(hi)))
+    for name, threshold in reversed(conds):
+        expr = F.when(bucket < threshold, name).otherwise(expr)
+    return expr
+
+
 def split(
     df: DataFrame,
     weights: dict[str, float],
@@ -49,20 +74,10 @@ def split(
 ) -> dict[str, DataFrame]:
     """Disjoint, exhaustive, content-stable named splits (e.g. {"train": .98,
     "val": .01, "test": .01}). Each record lands in exactly one split, and
-    stays there across runs and corpus versions."""
-    total = sum(weights.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"weights must sum to 1, got {total}")
-    bucket = sample_bucket(F.col(key_col), seed)
-    out: dict[str, DataFrame] = {}
-    lo = 0.0
-    names = list(weights)
-    for i, name in enumerate(names):
-        hi = lo + weights[name]
-        upper = "ffffffff~" if i == len(names) - 1 else _threshold_hex(hi)  # last takes the tail
-        out[name] = df.where((bucket >= _threshold_hex(lo)) & (bucket < upper))
-        lo = hi
-    return out
+    stays there across runs and corpus versions. Same bucket math as
+    ``split_label`` (which labels in one scan when you want one DataFrame)."""
+    label = split_label(weights, key_col, seed)
+    return {name: df.where(label == name) for name in weights}
 
 
 def stratified_sample(

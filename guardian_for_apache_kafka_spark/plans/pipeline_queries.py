@@ -587,3 +587,81 @@ def d8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return deterministic_sample(d, 0.1).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@query(
+    "p2_training_pipeline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split(text, ' ') AS tk,
+             length(text) AS tl,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, text,
+             round(
+               least(len(tk) / 50.0, 1.0) * 0.3
+               + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
+               + (alpha * 1.0 / greatest(tl, 1)) * 0.2
+               + least(len(list_intersect(list_distinct(tk),
+                   ['the','and','of','to','in','is','that','with'])) / 4.0, 1.0) * 0.2
+             , 4) AS quality
+      FROM t
+    ),
+    passed AS (SELECT * FROM scored WHERE quality >= 0.6),
+    kept AS (
+      SELECT min(doc_id) AS doc_id,
+             arg_min(lang, doc_id) AS lang,
+             arg_min(quality, doc_id) AS quality
+      FROM passed GROUP BY text
+    ),
+    labeled AS (
+      SELECT lang, quality,
+             CASE WHEN substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666665' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           min(quality) AS min_q, max(quality) AS max_q
+    FROM labeled
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+    tags=("pipeline", "text", "dedup", "sampling"),
+)
+def p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline in one plan: quality-filter
+    (operators/text.quality_score) -> exact keep-first dedup (min doc_id per
+    text, carried as a struct-min so no join-back) -> content-stable 80/10/10
+    split labels (operators/sampling.split_label, one scan) -> per
+    (lang, split) summary. min/max quality instead of avg keeps the result
+    order-independent and float-exact on both engines. One shuffle for the
+    dedup groupBy, one for the final aggregate; everything before the first
+    groupBy is a single codegen'd scan stage."""
+    from guardian_for_apache_kafka_spark.operators.sampling import split_label
+    from guardian_for_apache_kafka_spark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = quality_score(d).where(F.col("quality") >= 0.6)
+    kept = (
+        scored.groupBy("text")
+        .agg(F.min(F.struct("doc_id", "lang", "quality")).alias("k"))
+        .select("k.doc_id", "k.lang", "k.quality")
+    )
+    labeled = kept.withColumn(
+        "split", split_label({"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    return (
+        labeled.groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+        .orderBy("lang", "split")
+    )
