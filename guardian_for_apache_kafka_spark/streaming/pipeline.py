@@ -267,3 +267,47 @@ def stream_dedup_replays(records: DataFrame, watermark: str = "1 hour") -> DataF
     return records.withWatermark("timestamp", watermark).dropDuplicates(
         ["topic", "partition", "offset"]
     )
+
+
+def stream_audit_join(
+    source: DataFrame,
+    archived: DataFrame,
+    lag_bound: str = "1 hour",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Stream-stream archive-integrity join: match each live source record to
+    its archived copy by identity (topic, partition, offset) within
+    ``lag_bound`` of event time. ``inner`` emits confirmed-archived records;
+    ``left_outer`` additionally emits (source, NULL) once the watermark
+    passes a record with no archived twin — a continuous backup-loss
+    detector (no reference twin: Guardian has no audit path at all).
+
+    Both sides carry watermarks and the join condition bounds archived time
+    to [source - lag_bound, source + lag_bound], so Spark's state store
+    purges matched/expired rows instead of growing without bound — the
+    requirement for a 100 TB-scale continuous join."""
+    s = source.withWatermark("timestamp", lag_bound).alias("s")
+    a = (
+        archived.select(
+            F.col("topic").alias("a_topic"),
+            F.col("partition").alias("a_partition"),
+            F.col("offset").alias("a_offset"),
+            F.col("timestamp").alias("a_timestamp"),
+        )
+        .withWatermark("a_timestamp", lag_bound)
+        .alias("a")
+    )
+    cond = (
+        (F.col("s.topic") == F.col("a.a_topic"))
+        & (F.col("s.partition") == F.col("a.a_partition"))
+        & (F.col("s.offset") == F.col("a.a_offset"))
+        & (F.col("a.a_timestamp") >= F.col("s.timestamp") - F.expr(f"INTERVAL {lag_bound}"))
+        & (F.col("a.a_timestamp") <= F.col("s.timestamp") + F.expr(f"INTERVAL {lag_bound}"))
+    )
+    return s.join(a, cond, join_type).select(
+        "s.topic",
+        "s.partition",
+        "s.offset",
+        "s.timestamp",
+        F.col("a.a_timestamp").alias("archived_at"),
+    )

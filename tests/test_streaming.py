@@ -368,3 +368,46 @@ def test_stream_backup_gzip_roundtrip(spark, records, tmp_path):
     assert parts, "expected gzip part files"
     restored = read_backup_jsonl(spark, dest).drop("slice")
     assert rec_set(restored) == rec_set(records)
+
+
+def test_stream_audit_join_matches_batch(spark, records, tmp_path):
+    """Stream-stream integrity join: live source records inner-join their
+    archived twins on identity within the lag bound; records missing from
+    the archive never emit. Stream result == the batch equi-join."""
+    from guardian_for_apache_kafka_spark.streaming.pipeline import stream_audit_join
+
+    src = str(tmp_path / "src")
+    arc = str(tmp_path / "arc")
+    _stage_input(records, src)
+    # archive "lost" every record with offset % 50 == 0
+    archived = records.where(F.col("offset") % 50 != 0)
+    _stage_input(archived, arc)
+
+    q = (
+        stream_audit_join(
+            records_file_stream(spark, src),
+            records_file_stream(spark, arc),
+            lag_bound="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("audit_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.topic, r.partition, r.offset)
+        for r in spark.sql("select * from audit_join").collect()
+    }
+    expected = {
+        (r.topic, r.partition, r.offset) for r in archived.collect()
+    }
+    assert got == expected
+    lost = {(r.topic, r.partition, r.offset) for r in records.collect()} - expected
+    assert lost and not (lost & got)
+    # archived_at equals the source event time for every confirmed record
+    mism = spark.sql(
+        "select count(*) c from audit_join where archived_at != timestamp"
+    ).collect()[0].c
+    assert mism == 0
