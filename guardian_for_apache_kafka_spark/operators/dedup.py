@@ -35,9 +35,18 @@ from guardian_for_apache_kafka_spark.functions.columns import (
 )
 
 
+def content_digest(content_col: str = "text") -> F.Column:
+    """sha2-256 digest as the exact-identity key: grouping/partitioning on
+    the 64-hex digest instead of raw content keeps shuffle keys and sort
+    comparators fixed-width regardless of document size (collision odds
+    ~n^2/2^256 — zero in practice, unlike 64-bit hashes)."""
+    return F.sha2(F.col(content_col), 256)
+
+
 def dedup_exact(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per exact content value (one shuffle)."""
-    w = Window.partitionBy(content_col).orderBy(id_col)
+    """Keep the lowest-id row per exact content value (one shuffle, keyed by
+    digest so the sort never compares multi-KB texts)."""
+    w = Window.partitionBy(content_digest(content_col)).orderBy(id_col)
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 

@@ -31,12 +31,18 @@ from guardian_for_apache_kafka_spark.sources.tables import load_table
     tags=("dedup", "exact"),
 )
 def d1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dup census over documents."""
+    """Exact-dup census over documents. Distinct counting runs on the sha2
+    digest, not the raw text — the distinct's shuffle carries 64 hex chars
+    per row instead of whole documents (same answer: the digest is
+    content-identity)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import content_digest
+
     d = load_table(spark, sf_dir, "documents")
+    dig = content_digest("text")
     return d.agg(
         F.count("*").alias("docs"),
-        F.countDistinct("text").alias("uniq_texts"),
-        (F.count("*") - F.countDistinct("text")).alias("dup_docs"),
+        F.countDistinct(dig).alias("uniq_texts"),
+        (F.count("*") - F.countDistinct(dig)).alias("dup_docs"),
     )
 
 
@@ -52,10 +58,14 @@ def d1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "exact"),
 )
 def d2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup keep-first policy: lowest doc_id survives per text."""
+    """Exact dedup keep-first policy: lowest doc_id survives per text.
+    Grouped on the sha2 digest so the aggregate's shuffle carries
+    (digest, id, count) — the text column is pruned before the exchange."""
+    from guardian_for_apache_kafka_spark.operators.dedup import content_digest
+
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.groupBy("text")
+        d.groupBy(content_digest("text").alias("__dig"))
         .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("copies"))
         .select("kept_doc_id", "copies")
         .orderBy("kept_doc_id")
@@ -648,8 +658,10 @@ def p2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     scored = quality_score(d).where(F.col("quality") >= 0.6)
+    from guardian_for_apache_kafka_spark.operators.dedup import content_digest
+
     kept = (
-        scored.groupBy("text")
+        scored.groupBy(content_digest("text").alias("__dig"))
         .agg(F.min(F.struct("doc_id", "lang", "quality")).alias("k"))
         .select("k.doc_id", "k.lang", "k.quality")
     )

@@ -188,3 +188,15 @@ def test_q33_value_frames_share_one_window(plans):
     tree = p.split("\n\n")[0]
     assert p.count("Arguments: hashpartitioning") == 1
     assert tree.count("Window") == 1
+
+
+def test_p2_dedup_shuffle_carries_digest_not_text(plans):
+    # the exact-dedup groupBy keys on the sha2 digest: its exchange must not
+    # carry the text column (whole documents over the wire at 100 TB) — only
+    # the digest grouping expression and the min-struct aggregation buffer
+    p = plans("p2_training_pipeline")
+    import re
+    first_exchange = re.search(r"\(\d+\) Exchange\n(Input.*?)\n", p).group(1)
+    assert "text#" not in first_exchange
+    # both aggregates stay two-phase (partial before each exchange)
+    assert p.count("Arguments: hashpartitioning") == 2
