@@ -354,12 +354,33 @@ def t4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t5_language_id",
-    oracle=None,  # heuristic argmax over map entries; mechanics tested in tests/test_text.py
+    oracle="""
+    WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents),
+    langs(lang, sw) AS (VALUES
+        ('de', ['der','die','das','und','ist','von','mit','den']),
+        ('en', ['the','and','of','to','in','is','that','with']),
+        ('es', ['el','la','de','que','y','en','los','por']),
+        ('fr', ['le','la','les','et','de','des','est','dans']),
+        ('zh', ['的','是','在','了','和','有','我','不'])),
+    hits AS (
+        SELECT doc_id, lang, len(list_intersect(tk, sw)) AS v
+        FROM t CROSS JOIN langs
+    ),
+    best AS (
+        SELECT doc_id, min({'nv': -v, 'lang': lang}) AS b FROM hits GROUP BY doc_id
+    )
+    SELECT CASE WHEN -b.nv > 0 THEN b.lang ELSE 'und' END AS lang_pred, count(*) AS cnt
+    FROM best GROUP BY 1 ORDER BY 1
+    """,
     tags=("text", "langid"),
 )
 def t5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language ID (rows-only; the synthetic corpus text is
-    language-agnostic so accuracy-vs-label is not meaningful here)."""
+    """Stopword-hit language ID: argmax stopword hits per doc (ties break
+    lexicographically, 'und' when nothing matches), grouped prediction
+    counts. The oracle re-derives the argmax in DuckDB as a struct-min over
+    (-hits, lang) — identical tie-break order. (The synthetic corpus text is
+    language-agnostic so accuracy-vs-label is not meaningful here; the
+    oracle checks the *mechanics* exactly.)"""
     from guardian_for_apache_kafka_spark.operators.text import language_id
 
     d = load_table(spark, sf_dir, "documents")
