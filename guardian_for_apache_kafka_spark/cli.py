@@ -160,6 +160,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--source", default=None, help="archive directory")
     c.add_argument("--format", choices=["guardian", "json"], default="guardian")
     c.add_argument("--target", required=False, default=None, help="compacted parquet dir")
+
+    a = sub.add_parser("audit", help="report source records missing from an archive")
+    common(a)
+    a.add_argument("--records", default=None, help="source records parquet dir")
+    a.add_argument("--archive", default=None, help="archive directory to audit")
+    a.add_argument("--format", choices=["guardian", "json"], default="json")
+    a.add_argument("--instances", action="store_true",
+                   help="audit per-instance roots under --archive")
+    a.add_argument("--target", default=None,
+                   help="optional parquet dir for the missing records themselves")
     return p
 
 
@@ -297,6 +307,24 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--target is required for compact")
         compacted.write.mode("overwrite").parquet(args.target)
         return 0
+
+    if args.command == "audit":
+        from guardian_for_apache_kafka_spark.operators.restore import audit_archive
+
+        if not args.records or not args.archive:
+            raise SystemExit("--records and --archive are required for audit")
+        records = spark.read.schema(
+            "topic STRING, partition INT, offset BIGINT, key BINARY, value BINARY, "
+            "timestamp TIMESTAMP, timestamp_type INT"
+        ).parquet(args.records)
+        missing = audit_archive(
+            spark, records, args.archive, fmt=args.format, instances=args.instances
+        )
+        n_missing = missing.count()
+        print(json.dumps({"source_records": records.count(), "missing": n_missing}))
+        if args.target:
+            missing.write.mode("overwrite").parquet(args.target)
+        return 0 if n_missing == 0 else 3
 
     raise SystemExit(f"unknown command {args.command}")
 

@@ -176,6 +176,25 @@ def restore_batch(
     return records
 
 
+def audit_archive(
+    spark: SparkSession,
+    records: DataFrame,
+    source: str,
+    fmt: str = "json",
+    instances: bool = False,
+) -> DataFrame:
+    """Backup-integrity audit: records present at the source but missing from
+    the archive, matched on record identity (topic, partition, offset) via a
+    left-anti join. The archive side projects identity columns only, so the
+    join shuffles 3 narrow columns per side regardless of payload size. The
+    streaming twin is ``streaming.pipeline.stream_audit_join`` (no reference
+    twin — Guardian has no audit path at all)."""
+    archived = restore_batch(spark, source, fmt=fmt, instances=instances).select(
+        "topic", "partition", "offset"
+    )
+    return records.join(archived, ["topic", "partition", "offset"], "left_anti")
+
+
 def restore_to_producer_records(
     records: DataFrame, override_topics: dict[str, str] | None = None
 ) -> DataFrame:

@@ -346,3 +346,34 @@ def test_cli_restore_from_when_point_in_time(spark, records_parquet, tmp_path):
     out = spark.read.parquet(restored)
     expected = src.where(F.col("timestamp") >= F.lit(dt.datetime(2024, 1, 5)))
     assert out.count() == expected.count() > 0
+
+
+def test_cli_audit_detects_missing_records(spark, records_parquet, tmp_path):
+    """audit exits 0 on a complete archive, 3 with the missing count when
+    records were lost, and can dump the missing rows themselves."""
+    archive = str(tmp_path / "archive")
+    partial = str(tmp_path / "partial")
+    lost_out = str(tmp_path / "lost")
+
+    assert cli_main(["backup", "--source", records_parquet, "--dest", archive,
+                     "--chrono-unit-slice", "hours", "--format", "json"]) == 0
+    # complete archive: nothing missing
+    assert cli_main(["audit", "--records", records_parquet,
+                     "--archive", archive, "--format", "json"]) == 0
+
+    # drop some records from a copy of the archive source and re-archive
+    src = spark.read.parquet(records_parquet)
+    kept = src.where(F.col("offset") % 10 != 0)
+    kept_parquet = str(tmp_path / "kept.parquet")
+    kept.write.parquet(kept_parquet)
+    assert cli_main(["backup", "--source", kept_parquet, "--dest", partial,
+                     "--chrono-unit-slice", "hours", "--format", "json"]) == 0
+    assert cli_main(["audit", "--records", records_parquet, "--archive", partial,
+                     "--format", "json", "--target", lost_out]) == 3
+
+    lost = spark.read.parquet(lost_out)
+    expect = src.where(F.col("offset") % 10 == 0)
+    assert lost.count() == expect.count()
+    assert {(r.topic, r.partition, r.offset) for r in lost.collect()} == {
+        (r.topic, r.partition, r.offset) for r in expect.collect()
+    }
