@@ -40,6 +40,7 @@ HEADLINE = {
     "simhash": "d5_simhash_pairs",
     "asof_join": "q25_asof_join",
     "dedup_clusters": "d7_dedup_clusters",
+    "training_pipeline": "p2_training_pipeline",
 }
 
 N_RUNS = 3
