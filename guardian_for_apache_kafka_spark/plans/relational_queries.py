@@ -1131,3 +1131,32 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+@query(
+    "q34_posexplode_ordinality",
+    oracle="""
+    WITH tk AS (SELECT p_partkey, string_split(p_name, ' ') AS t FROM part),
+    pw AS (SELECT p_partkey, unnest(range(len(t))) AS pos, unnest(t) AS word FROM tk)
+    SELECT pos, word, count(*) AS cnt
+    FROM pw
+    GROUP BY pos, word
+    HAVING count(*) >= 3
+    ORDER BY pos, word
+    """,
+    tags=("relational", "generator", "array"),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional generator (explode WITH ORDINALITY): posexplode emits
+    (pos, word) per token so downstream logic can reason about token
+    position — q18's explode drops ordinality. The oracle zips DuckDB's
+    positional multi-unnest of range(len) with the token list. Generate
+    runs in the scan stage (no shuffle before the aggregate's exchange)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.posexplode(F.split("p_name", " ")).alias("pos", "word"))
+        .groupBy("pos", "word")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 3)
+        .orderBy("pos", "word")
+    )
