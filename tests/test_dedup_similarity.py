@@ -262,3 +262,40 @@ def test_deterministic_split_disjoint_exhaustive_stable(spark, docs):
     # rate is approximately honored
     s = deterministic_sample(docs, 0.2).count()
     assert abs(s / n - 0.2) < 0.08
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    raw=st.lists(st.floats(0.05, 1.0), min_size=2, max_size=5),
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+)
+def test_split_label_partition_property(spark, raw, ids):
+    """Property: split_label assigns every key exactly one split, agrees with
+    split()'s membership, and respects the cumulative-weight bucket order for
+    arbitrary weight vectors."""
+    from guardian_for_apache_kafka_spark.operators.sampling import (
+        sample_bucket,
+        split,
+        split_label,
+    )
+
+    total = sum(raw)
+    names = [f"s{i}" for i in range(len(raw))]
+    weights = {n: w / total for n, w in zip(names, raw)}
+    # float drift: force exact sum 1.0 on the last weight
+    weights[names[-1]] = 1.0 - sum(weights[n] for n in names[:-1])
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    labeled = df.select("doc_id", split_label(weights).alias("s"),
+                        sample_bucket(F.col("doc_id")).alias("b")).collect()
+    assert {r.doc_id for r in labeled} == set(ids)          # exhaustive
+    assert all(r.s in weights for r in labeled)             # valid labels only
+    # agreement with the per-split filter form
+    parts = split(df, weights)
+    for name, part in parts.items():
+        got = {r.doc_id for r in part.select("doc_id").collect()}
+        assert got == {r.doc_id for r in labeled if r.s == name}
+    # bucket-order consistency: a key's split index is monotone in its bucket
+    by_bucket = sorted(labeled, key=lambda r: r.b)
+    idx = [names.index(r.s) for r in by_bucket]
+    assert idx == sorted(idx)
