@@ -1160,3 +1160,38 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") >= 3)
         .orderBy("pos", "word")
     )
+
+
+@query(
+    "q35_bitwise_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT) AS band,
+           CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS xorv,
+           CAST(l_orderkey << 2 AS BIGINT) AS shl,
+           CAST(l_orderkey >> 1 AS BIGINT) AS shr,
+           CAST(l_orderkey | 4096 AS BIGINT) AS orv
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+    tags=("relational", "scalar", "bitwise"),
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar functions (& ^ | << >>) — the partitioner/bucketing
+    primitive family (hash banding, bit-packed flags). All JVM-codegen'd
+    expressions; DuckDB's xor() is Spark's ^ operator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("l_orderkey & 255").alias("band"),
+            F.expr("l_orderkey ^ l_partkey").alias("xorv"),
+            F.expr("shiftleft(l_orderkey, 2)").alias("shl"),
+            F.expr("shiftright(l_orderkey, 1)").alias("shr"),
+            F.expr("l_orderkey | 4096").alias("orv"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(50)
+    )
