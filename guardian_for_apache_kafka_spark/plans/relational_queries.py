@@ -1195,3 +1195,70 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber")
         .limit(50)
     )
+
+
+@query(
+    "q36_scalar_subquery_select",
+    oracle="""
+    SELECT c_custkey,
+           coalesce((SELECT max(o_totalprice) FROM orders
+                     WHERE o_custkey = c_custkey), 0.0) AS max_spend,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey = c_custkey) AS n_orders
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+    tags=("relational", "subquery", "scalar"),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list (q20 covers the
+    WHERE-clause form): per-customer max spend and order count. Catalyst
+    decorrelates both into ONE left-outer aggregate join (two subqueries on
+    the same correlation key merge); customers with no orders exercise the
+    NULL-fill path (coalesce vs count()=0). max/count are exact, so no
+    rounding is needed on either engine."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               coalesce((SELECT max(o_totalprice) FROM orders
+                         WHERE o_custkey = c_custkey), 0.0D) AS max_spend,
+               (SELECT count(*) FROM orders
+                WHERE o_custkey = c_custkey) AS n_orders
+        FROM customer ORDER BY c_custkey LIMIT 100
+        """
+    )
+
+
+@query(
+    "q37_lateral_topk_per_group",
+    oracle="""
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+    tags=("relational", "lateral", "topk"),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-2 orders per customer as a lateral
+    per-row table (the join-shaped dual of q10's window-rank top-2).
+    Customers without orders drop (inner lateral). Both engines plan the
+    decorrelated form — partition-limit per key, never a per-customer
+    rescan of orders."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )

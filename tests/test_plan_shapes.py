@@ -200,3 +200,13 @@ def test_p2_dedup_shuffle_carries_digest_not_text(plans):
     assert "text#" not in first_exchange
     # both aggregates stay two-phase (partial before each exchange)
     assert p.count("Arguments: hashpartitioning") == 2
+
+
+def test_q37_lateral_decorrelates_to_window_limit(plans):
+    # the LATERAL top-2 must decorrelate: partial WindowGroupLimit before the
+    # exchange (prunes to <=2 rows/custkey map-side), then a hash join back
+    # to customer — never a per-row rescan (nested-loop) of orders
+    p = plans("q37_lateral_topk_per_group")
+    tree = p.split("\n\n")[0]
+    assert tree.count("WindowGroupLimit") >= 2
+    assert "NestedLoop" not in tree and "CartesianProduct" not in tree
