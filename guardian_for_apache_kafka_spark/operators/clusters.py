@@ -62,15 +62,57 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     return out if large else out.distinct()
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for broadcast-sized edge sets: the same
+    size-gated escape hatch as a broadcast join (driver materializes only
+    what fits a fixed bound). Near-dup pair graphs are typically orders of
+    magnitude smaller than the corpus, so this is the common case; the star
+    loop remains the unbounded-scale path."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    spark = edges.sparkSession
+    schema = edges.schema
+    schema = type(schema)(
+        [
+            type(schema.fields[0])("node", schema.fields[0].dataType, True),
+            type(schema.fields[1])("component", schema.fields[1].dataType, True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 20,
+    small_graph_edges: int = 1 << 19,
 ) -> DataFrame:
     """Components of the undirected pair graph: returns (node, component) with
     component = min node id of the component. Nodes appearing in no edge are
-    not returned (callers union isolated nodes as their own component)."""
+    not returned (callers union isolated nodes as their own component).
+
+    Edge sets at or below ``small_graph_edges`` (default 512k ~ a few tens of
+    MB — broadcast-sized) resolve with a driver-side union-find in one
+    collect instead of O(log n) shuffle rounds; larger graphs run the
+    distributed alternating-star loop. Set ``small_graph_edges=0`` to force
+    the distributed path."""
     edges = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
@@ -93,6 +135,8 @@ def connected_components(
         return (row["n"], row["chk"])
 
     prev_sig = _signature(edges)
+    if prev_sig[0] <= small_graph_edges:
+        return _local_components(edges)
     for _ in range(max_rounds):
         after_large = _star_round(edges, large=True)
         after_small = _star_round(after_large, large=False).localCheckpoint()

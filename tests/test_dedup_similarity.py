@@ -183,8 +183,16 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges], "id_a BIGINT, id_b BIGINT"
     )
-    got = {r.node: r.component for r in connected_components(df).collect()}
-    assert got == expected
+    # small_graph_edges=0 forces the distributed star loop; the default takes
+    # the size-gated local union-find fast path — both must agree with the
+    # reference union-find
+    got_dist = {
+        r.node: r.component
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert got_dist == expected
+    got_local = {r.node: r.component for r in connected_components(df).collect()}
+    assert got_local == expected
 
 
 def test_simhash_udf_matches_jvm_reference(spark, docs):
