@@ -1262,3 +1262,75 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
         """
     )
+
+
+@query(
+    "q38_gap_fill_resample",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type IN ('click','purchase') GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                      max(date_trunc('hour', ts)) AS hi FROM events),
+    grid AS (
+        SELECT t.event_type, g.hr
+        FROM (SELECT DISTINCT event_type FROM hourly) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                    FROM bounds) g
+    ),
+    joined AS (
+        SELECT grid.event_type, grid.hr, hourly.cnt,
+               last_value(hourly.cnt IGNORE NULLS) OVER (
+                   PARTITION BY grid.event_type ORDER BY grid.hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM grid LEFT JOIN hourly
+          ON grid.event_type = hourly.event_type AND grid.hr = hourly.hr
+    )
+    SELECT event_type, hr, coalesce(cnt, 0) AS cnt, coalesce(filled, 0) AS filled
+    FROM joined ORDER BY event_type, hr LIMIT 200
+    """,
+    tags=("relational", "timeseries", "gapfill"),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: densify the hourly grid with sequence()+
+    explode (no holes when an hour has no events) and forward-fill gaps with
+    last(IGNORE NULLS) over an unbounded-preceding frame — the standard
+    gap-fill idiom monitoring/feature pipelines need. The grid is
+    (types x hours): tiny, so it broadcasts into the left join against the
+    aggregated side; the window's one exchange partitions by event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    grid = (
+        hourly.select("event_type").distinct()
+        .crossJoin(
+            bounds.select(
+                F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr")
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce(F.last("cnt", ignorenulls=True).over(w), F.lit(0)).alias("filled"),
+        )
+        .orderBy("event_type", "hr")
+        .limit(200)
+    )
