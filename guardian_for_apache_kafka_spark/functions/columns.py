@@ -147,20 +147,42 @@ def simhash_words_udf(words: int = 4, bits_per_word: int = 16):
     weights = (np.uint64(1) << (bit_idx % np.uint64(bits_per_word))).astype(np.int64)
     word_of_bit = (bit_idx // np.uint64(bits_per_word)).astype(np.int64)
 
+    # ~50 MB of transient bits matrix per segment-sum block (tokens x 64 x 8B)
+    _chunk_tokens = 100_000
+
     @pandas_udf("array<long>")
     def _fp(token_hashes: pd.Series) -> pd.Series:
-        out = []
-        for th in token_hashes:
-            if th is None or len(th) == 0:
-                out.append(None)
-                continue
-            x = np.asarray(th, dtype=np.int64).view(np.uint64)
+        out = [None] * len(token_hashes)
+        idxs: list[int] = []
+        arrs: list[np.ndarray] = []
+        for i, th in enumerate(token_hashes):
+            if th is not None and len(th) > 0:
+                idxs.append(i)
+                arrs.append(np.asarray(th, dtype=np.int64).view(np.uint64))
+        # one segment-summed matrix op per block of rows (np.add.reduceat over
+        # the concatenated token-hash vector) instead of a per-row Python loop
+        start = 0
+        while start < len(arrs):
+            end = start
+            tok = 0
+            while end < len(arrs) and (tok == 0 or tok + len(arrs[end]) <= _chunk_tokens):
+                tok += len(arrs[end])
+                end += 1
+            block = arrs[start:end]
+            x = np.concatenate(block)
+            offs = np.zeros(len(block), dtype=np.int64)
+            np.cumsum([len(a) for a in block[:-1]], out=offs[1:])
             bits = ((x[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
+            votes = np.add.reduceat(2 * bits - 1, offs, axis=0)  # rows x 64
             set_bits = (votes > 0).astype(np.int64)
-            wordvals = np.zeros(words, dtype=np.int64)
-            np.add.at(wordvals, word_of_bit, set_bits * weights)
-            out.append(wordvals)
+            wordvals = (
+                (set_bits * weights[None, :])
+                .reshape(len(block), words, bits_per_word)
+                .sum(axis=2)
+            )
+            for j, row in enumerate(wordvals):
+                out[idxs[start + j]] = row
+            start = end
         return pd.Series(out)
 
     return _fp
