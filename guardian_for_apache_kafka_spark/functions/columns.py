@@ -75,21 +75,50 @@ def minhash_signature_udf(num_hashes: int = 64, n: int = 3, seed: int = 0x6A09E6
     B = rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64)
     P = np.uint64(1099511628211)  # FNV-1a prime (odd)
 
+    # ~50 MB transient (num_hashes x shingles x 8B) per segment-min block
+    _chunk_tokens = 100_000
+
     @pandas_udf("array<long>")
     def _sig(token_hashes: pd.Series) -> pd.Series:
-        out = []
-        for th in token_hashes:
-            if th is None or len(th) < n:
-                out.append(None)
-                continue
-            x = np.asarray(th, dtype=np.int64).view(np.uint64)
-            w = np.lib.stride_tricks.sliding_window_view(x, n)
-            sh = w[:, 0].copy()
+        out = [None] * len(token_hashes)
+        idxs: list[int] = []
+        arrs: list[np.ndarray] = []
+        for i, th in enumerate(token_hashes):
+            if th is not None and len(th) >= n:
+                idxs.append(i)
+                arrs.append(np.asarray(th, dtype=np.int64).view(np.uint64))
+        # batch rows: one rolling-combine + universal-hash matrix + segmented
+        # min (np.minimum.reduceat) per block instead of a per-row loop
+        start = 0
+        while start < len(arrs):
+            end = start
+            tok = 0
+            while end < len(arrs) and (tok == 0 or tok + len(arrs[end]) <= _chunk_tokens):
+                tok += len(arrs[end])
+                end += 1
+            block = arrs[start:end]
+            lens = np.array([len(a) for a in block], dtype=np.int64)
+            x = np.concatenate(block)
+            # rolling polynomial over the concatenated vector; windows that
+            # straddle row boundaries are cut when compacting below
+            sh_full = x[: len(x) - n + 1].copy()
             for j in range(1, n):
-                sh = sh * P + w[:, j]
-            # (num_hashes x n_shingles) universal hashes, min per position
-            m = (A[:, None] * sh[None, :] + B[:, None]).min(axis=1)
-            out.append(m.view(np.int64))
+                sh_full = sh_full * P + x[j : len(x) - n + 1 + j]
+            tok_offs = np.zeros(len(block), dtype=np.int64)
+            np.cumsum(lens[:-1], out=tok_offs[1:])
+            n_sh = lens - n + 1
+            keep = np.concatenate(
+                [np.arange(o, o + s) for o, s in zip(tok_offs, n_sh)]
+            )
+            sh = sh_full[keep]
+            sh_offs = np.zeros(len(block), dtype=np.int64)
+            np.cumsum(n_sh[:-1], out=sh_offs[1:])
+            h = A[:, None] * sh[None, :] + B[:, None]
+            m = np.minimum.reduceat(h, sh_offs, axis=1)  # num_hashes x rows
+            sigs = m.T.view(np.int64)
+            for j in range(len(block)):
+                out[idxs[start + j]] = sigs[j]
+            start = end
         return pd.Series(out)
 
     return _sig

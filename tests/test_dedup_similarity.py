@@ -307,3 +307,42 @@ def test_split_label_partition_property(spark, raw, ids):
     by_bucket = sorted(labeled, key=lambda r: r.b)
     idx = [names.index(r.s) for r in by_bucket]
     assert idx == sorted(idx)
+
+
+def test_minhash_udf_matches_per_row_reference(spark, docs):
+    """The block-batched minhash_signature_udf must be bit-identical to a
+    straightforward per-row numpy reference (same coefficients, same rolling
+    polynomial shingle combine, same universal-hash min)."""
+    import numpy as np
+
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        minhash_signature_udf,
+        tokens_col,
+    )
+
+    num_hashes, n, seed = 64, 3, 0x6A09E667
+    rng = np.random.RandomState(seed)
+    A = (rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64)
+    P = np.uint64(1099511628211)
+
+    sample = docs.limit(100)
+    hashed = sample.select(
+        "doc_id", F.transform(tokens_col("text"), lambda t: F.xxhash64(t)).alias("th")
+    )
+    got = {
+        r.doc_id: (None if r.s is None else tuple(r.s))
+        for r in hashed.select("doc_id", minhash_signature_udf()("th").alias("s")).collect()
+    }
+    for r in hashed.collect():
+        th = r.th
+        if th is None or len(th) < n:
+            assert got[r.doc_id] is None
+            continue
+        x = np.asarray(th, dtype=np.int64).view(np.uint64)
+        w = np.lib.stride_tricks.sliding_window_view(x, n)
+        sh = w[:, 0].copy()
+        for j in range(1, n):
+            sh = sh * P + w[:, j]
+        m = (A[:, None] * sh[None, :] + B[:, None]).min(axis=1)
+        assert got[r.doc_id] == tuple(m.view(np.int64))
