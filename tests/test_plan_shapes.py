@@ -210,3 +210,14 @@ def test_q37_lateral_decorrelates_to_window_limit(plans):
     tree = p.split("\n\n")[0]
     assert tree.count("WindowGroupLimit") >= 2
     assert "NestedLoop" not in tree and "CartesianProduct" not in tree
+
+
+def test_q38_gap_fill_broadcasts_grid_and_limits(plans):
+    # the densified (types x hours) grid is tiny: the hourly aggregate must
+    # BROADCAST into the left join (never shuffle the grid), and the final
+    # ORDER BY ... LIMIT must plan as TakeOrderedAndProject, not a global sort
+    p = plans("q38_gap_fill_resample")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin LeftOuter" in tree
+    assert "TakeOrderedAndProject" in tree
+    assert "SortMergeJoin" not in tree
