@@ -1334,3 +1334,47 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "hr")
         .limit(200)
     )
+
+
+@query(
+    "q39_salted_skew_join",
+    oracle="""
+    WITH dim(event_type, weight) AS (VALUES
+        ('click', 1), ('view', 2), ('purchase', 10), ('signup', 5), ('logout', 3)),
+    j AS (
+        SELECT e.event_type,
+               CAST(floor(e."value" * 100) AS BIGINT) * d.weight AS wc
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(wc) AS BIGINT) AS weighted_cents
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "join", "skew"),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient equi-join (functions/skew.salted_join): events'
+    event_type is a pathological 5-value hot key, so the salted join spreads
+    each key across 16 reducers (deterministic row-hash salt, dim side
+    replicated per salt) — the manual fallback when AQE's skew split can't
+    apply (e.g. broadcast-ineligible dims, or pre-AQE engines). The oracle
+    is the plain unsalted join: same rows, same aggregate. The measure is
+    integer cents (floor(value*100) x integer weight) so the per-key sum is
+    order-independent — a float sum lands on different last bits per engine."""
+    from guardian_for_apache_kafka_spark.functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5), ("logout", 3)],
+        "event_type string, weight long",
+    )
+    j = salted_join(ev, dim, on="event_type", buckets=16)
+    return (
+        j.select(
+            "event_type",
+            (F.floor(F.col("value") * 100).cast("long") * F.col("weight")).alias("wc"),
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("wc").alias("weighted_cents"))
+        .orderBy("event_type")
+    )
