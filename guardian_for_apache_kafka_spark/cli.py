@@ -86,7 +86,11 @@ def _time_configuration(args: argparse.Namespace) -> TimeConfiguration:
     if args.period_from_first and args.chrono_unit_slice:
         raise SystemExit("--period-from-first and --chrono-unit-slice are mutually exclusive")
     if args.period_from_first:
-        return PeriodFromFirst(_parse_iso_duration_seconds(args.period_from_first))
+        # PeriodFromFirst.duration is a timedelta (period_micros calls
+        # .total_seconds()); a bare int crashes the non-dry-run path.
+        return PeriodFromFirst(
+            _dt.timedelta(seconds=_parse_iso_duration_seconds(args.period_from_first))
+        )
     unit = (args.chrono_unit_slice or "hours").upper()
     if unit not in _CHRONO_UNIT_SECONDS:
         raise SystemExit(

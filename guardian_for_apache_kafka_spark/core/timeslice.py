@@ -150,21 +150,24 @@ def calculate_key(slice_start: _dt.datetime, compression: str | None = None) -> 
 
 def key_to_datetime(key: str) -> _dt.datetime:
     """Parse a backup object key back to its slice-start time
-    (core/.../Utils.scala:8-26 keyToOffsetDateTime): strip the last ``.``-suffix,
-    attempt a parse, and recurse on failure — so fractional-second components
-    (which also contain ``.``) survive while ``.json``/``.gz`` extensions are
-    consumed."""
+    (core/.../Utils.scala:8-26 keyToOffsetDateTime): attempt a parse of the full
+    stem, and strip the last ``.``-suffix and retry on failure. The reference's
+    keys always carry a ``.json`` extension, but engine-native slice *directory*
+    names do not — parsing the full stem first means ``2024-01-01T00:00:00Z``
+    (extension-less) and ``...:45.123Z`` (fractional seconds, no extension) both
+    parse with their offset intact, while ``.json``/``.gz`` extensions are still
+    consumed one at a time."""
     stem = key.rsplit("/", 1)[-1]
-    while "." in stem or stem:
-        dot = stem.rfind(".")
-        if dot < 0:
-            break
-        stem = stem[:dot]
+    while stem:
         try:
             # datetime.fromisoformat handles "Z" and omitted seconds (py>=3.11)
             return _dt.datetime.fromisoformat(stem)
         except ValueError:
-            continue
+            pass
+        dot = stem.rfind(".")
+        if dot < 0:
+            break
+        stem = stem[:dot]
     raise ValueError(f"not a slice key: {key!r}")
 
 

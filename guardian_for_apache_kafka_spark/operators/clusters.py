@@ -137,6 +137,7 @@ def connected_components(
     prev_sig = _signature(edges)
     if prev_sig[0] <= small_graph_edges:
         return _local_components(edges)
+    converged = False
     for _ in range(max_rounds):
         after_large = _star_round(edges, large=True)
         after_small = _star_round(after_large, large=False).localCheckpoint()
@@ -144,8 +145,18 @@ def connected_components(
         new_sig = _signature(after_small)
         edges = after_small
         if new_sig == prev_sig:
+            converged = True
             break
         prev_sig = new_sig
+    if not converged:
+        # An unconverged forest yields component ids that are not the
+        # component minimum — silent under-collapse downstream. The theory
+        # bound is O(log^2 n) rounds; hitting max_rounds means the caller's
+        # bound is too small for this graph, not a soft degradation.
+        raise RuntimeError(
+            f"connected_components did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (alternating-star needs O(log^2 n) rounds)"
+        )
     comp = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(
         "component", F.col("node")

@@ -39,17 +39,28 @@ def compact_archive_slices(
     ``before`` (closed slices) are touched when given. Returns compacted keys.
 
     Local-FS directory swap here; an object-store deployment swaps via
-    manifest/rename-prefix instead — the rewrite plan (read slice ->
-    coalesce -> write staged -> swap) is identical.
+    manifest/rename-prefix instead — the rewrite plan (read slices ->
+    repartition by slice -> write staged -> swap) is identical.
+
+    Scale shape: all eligible slices of one compression flavor are rewritten in
+    ONE Spark job (union of slice scans, ``repartition`` on the slice value,
+    ``partitionBy`` write) — a day of 1-minute micro-batches is one job, not
+    1440 sequential ones. Gzip slices are rewritten gzip (codec detected from
+    the existing part-file suffixes) so maintenance never silently changes the
+    archive's compression.
     """
     import urllib.parse as _url
 
-    compacted = []
+    from pyspark.sql import functions as F
+
+    # 1. Driver-side scan: find eligible slices, grouped by compression flavor.
+    groups: dict[str | None, list[tuple[str, str, str]]] = {}  # codec -> (physical, key, dir)
     for physical in sorted(os.listdir(dest)):
         if not physical.startswith("slice="):
             continue  # guardian-format single files are already one object
         # on-disk partition dirs are URL-encoded; keys are logical
-        key = "slice=" + _url.unquote(physical[len("slice=") :])
+        value = _url.unquote(physical[len("slice=") :])
+        key = "slice=" + value
         if before is not None and _slice_time(key) >= before:
             continue
         slice_dir = os.path.join(dest, physical)
@@ -58,15 +69,35 @@ def compact_archive_slices(
         data_files = [f for f in os.listdir(slice_dir) if not f.startswith(("_", "."))]
         if len(data_files) < max(min_files, files_per_slice + 1):
             continue
-        staged = os.path.join(dest, f"_compacting_{physical}")
-        (
-            spark.read.format("text").load(slice_dir)
-            .coalesce(files_per_slice)
-            .write.mode("overwrite").format("text").save(staged)
-        )
-        old = os.path.join(dest, f"_old_{physical}")
-        os.rename(slice_dir, old)
-        os.rename(staged, slice_dir)
-        shutil.rmtree(old)
-        compacted.append(key)
-    return compacted
+        codec = "gzip" if any(f.endswith(".gz") for f in data_files) else None
+        groups.setdefault(codec, []).append((physical, value, slice_dir))
+
+    # 2. One job per compression flavor: union the slice scans, co-locate each
+    #    slice's rows, write the whole staged tree with partitionBy.
+    compacted: list[str] = []
+    for codec, slices in groups.items():
+        df = None
+        for _physical, value, slice_dir in slices:
+            part = spark.read.format("text").load(slice_dir).withColumn("slice", F.lit(value))
+            df = part if df is None else df.unionByName(part)
+        if files_per_slice <= 1:
+            df = df.repartition("slice")
+        else:
+            df = df.repartition(F.col("slice"), F.pmod(F.xxhash64("value"), F.lit(files_per_slice)))
+        staged_root = os.path.join(dest, "_compacting")
+        writer = df.write.mode("overwrite").format("text").partitionBy("slice")
+        if codec:
+            writer = writer.option("compression", codec)
+        writer.save(staged_root)
+        # 3. Per-slice atomic-ish swap out of the staged tree.
+        for physical, value, slice_dir in slices:
+            staged = os.path.join(staged_root, physical)
+            if not os.path.isdir(staged):  # encoding mismatch safety net
+                continue
+            old = os.path.join(dest, f"_old_{physical}")
+            os.rename(slice_dir, old)
+            os.rename(staged, slice_dir)
+            shutil.rmtree(old)
+            compacted.append("slice=" + value)
+        shutil.rmtree(staged_root, ignore_errors=True)
+    return sorted(compacted)

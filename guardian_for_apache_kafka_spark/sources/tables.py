@@ -47,6 +47,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _TABLE_CACHE.get(key)
     if df is not None:
         return df
+    if name == "events":
+        # The harness may hand us a vanilla session that lacks the engine
+        # factory's confs (session.py); without this, reading the nanosecond
+        # parquet timestamp throws PARQUET_TYPE_ILLEGAL before our ns->µs
+        # conversion can run. Runtime-settable; guarded for future Sparks
+        # that drop the legacy knob (they read nanos natively).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))

@@ -267,3 +267,38 @@ def test_restore_edge_cases_empty_and_future_cutoff(spark, tmp_path):
     assert restore_batch(spark, archive, from_when=future, fmt="guardian").count() == 0
     # sanity: no cutoff returns everything
     assert restore_batch(spark, archive, fmt="guardian").count() == records.count()
+
+
+def test_compact_archive_slices_preserves_gzip(spark, tmp_path):
+    """Compaction of a gzip archive must rewrite gzip (codec detected from the
+    part-file suffixes), not silently decompress it."""
+    import glob
+
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+    from guardian_for_apache_kafka_spark.operators.maintenance import compact_archive_slices
+    from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    dest = str(tmp_path / "gz_archive")
+    for i in range(3):
+        chunk = records.where(F.col("offset") % 3 == i).repartition(2)
+        backup_batch(chunk, dest, ChronoUnitSlice("DAYS"), compression="gzip", fmt="json")
+
+    before_set = {
+        (r.topic, r.partition, r.offset) for r in read_backup_jsonl(spark, dest).collect()
+    }
+    compacted = compact_archive_slices(spark, dest, files_per_slice=1)
+    assert compacted
+    for d in glob.glob(f"{dest}/slice=*"):
+        files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+        assert len(files) == 1
+        assert files[0].endswith(".gz"), files
+    after_set = {
+        (r.topic, r.partition, r.offset) for r in read_backup_jsonl(spark, dest).collect()
+    }
+    assert after_set == before_set

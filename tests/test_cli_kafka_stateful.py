@@ -377,3 +377,15 @@ def test_cli_audit_detects_missing_records(spark, records_parquet, tmp_path):
     assert {(r.topic, r.partition, r.offset) for r in lost.collect()} == {
         (r.topic, r.partition, r.offset) for r in expect.collect()
     }
+
+
+def test_cli_backup_period_from_first_non_dry_run(spark, records_parquet, tmp_path):
+    """--period-from-first must construct a timedelta-backed PeriodFromFirst;
+    regression for the int-seconds crash that only --dry-run dodged."""
+    archive = str(tmp_path / "pff_archive")
+    assert cli_main(["backup", "--source", records_parquet, "--dest", archive,
+                     "--period-from-first", "PT15M", "--format", "json"]) == 0
+    from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
+
+    restored = read_backup_jsonl(spark, archive)
+    assert restored.count() == spark.read.parquet(records_parquet).count()

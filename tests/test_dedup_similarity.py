@@ -346,3 +346,15 @@ def test_minhash_udf_matches_per_row_reference(spark, docs):
             sh = sh * P + w[:, j]
         m = (A[:, None] * sh[None, :] + B[:, None]).min(axis=1)
         assert got[r.doc_id] == tuple(m.view(np.int64))
+
+
+def test_connected_components_raises_on_unconverged(spark):
+    """Exhausting max_rounds without a stable forest must raise, not silently
+    return non-minimum component ids (which under-collapse dedup clusters)."""
+    from guardian_for_apache_kafka_spark.operators.clusters import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a: long, id_b: long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, small_graph_edges=0, max_rounds=1)

@@ -91,3 +91,17 @@ def test_chrono_unit_anchor_truncates(ts):
     a = anchor_for(cfg, ts)
     assert a <= ts and a % (3600 * 1_000_000) == 0
     assert anchor_for(PeriodFromFirst(dt.timedelta(minutes=5)), ts) == ts
+
+
+def test_key_to_datetime_extensionless_directory_names():
+    """Engine-native slice *directory* names carry no .json extension; they must
+    parse with offset (and fraction) intact — regression for the pre-parse
+    suffix-strip that broke from_when pruning and maintenance."""
+    bare = key_to_datetime("2024-01-01T00:00:00Z")
+    assert bare == dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    assert bare.tzinfo is not None
+    frac = key_to_datetime("2024-01-01T00:00:45.123Z")
+    assert frac == dt.datetime(2024, 1, 1, 0, 0, 45, 123000, tzinfo=dt.timezone.utc)
+    assert frac.tzinfo is not None
+    # extension-ful keys (with a path prefix) still strip down correctly
+    assert key_to_datetime("a/b/2024-01-01T00:00:45.123Z.json.gz") == frac
