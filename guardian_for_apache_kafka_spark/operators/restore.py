@@ -37,13 +37,28 @@ from guardian_for_apache_kafka_spark.core.timeslice import key_to_datetime
 from guardian_for_apache_kafka_spark.operators.backup import logical_name, physical_name
 
 
-def list_backup_keys(dest: str) -> list[str]:
+def _list_names(dest: str, spark: SparkSession | None) -> list[str]:
+    """Child entry names of ``dest``. With a session, listing goes through the
+    Hadoop FS API — the storage-API listing the reference does for S4
+    (restore-s3/.../RestoreClient.scala:33-43 ``S3.listBucket``) — so any
+    supported scheme (file://, s3a://, gs://, ...) works; without one, plain
+    ``os.listdir`` for bare local paths."""
+    if spark is None:
+        return os.listdir(dest)
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return [str(s.getPath().getName()) for s in fs.listStatus(path)]
+
+
+def list_backup_keys(dest: str, spark: SparkSession | None = None) -> list[str]:
     """R2: logical slice keys sorted by their parsed time. Decodes both on-disk
     escapings: guardian-format files use ``_`` for ``:`` (see
     backup.physical_name); Spark partition directories URL-encode
-    (``slice=2024-01-01T00%3A00%3A00Z``)."""
+    (``slice=2024-01-01T00%3A00%3A00Z``). Pass ``spark`` to list through the
+    Hadoop FS API (object-store URIs)."""
     names = []
-    for n in os.listdir(dest):
+    for n in _list_names(dest, spark):
         if n.startswith("_") or n.startswith("."):
             continue
         if n.startswith("slice="):
@@ -151,7 +166,7 @@ def restore_batch(
     if fmt == "guardian":
         if instances:
             raise ValueError("instances=True requires fmt='json'")
-        keys = list_backup_keys(source)
+        keys = list_backup_keys(source, spark)
         if from_when is not None:
             keys = prune_keys_from_when(keys, from_when)
         if not keys:
@@ -162,7 +177,7 @@ def restore_batch(
         if from_when is not None and not instances:
             # -1-slice straddle handled record-exact by the timestamp filter;
             # partition pruning needs only a lower bound on the slice value
-            keys = prune_keys_from_when(list_backup_keys(source), from_when)
+            keys = prune_keys_from_when(list_backup_keys(source, spark), from_when)
             if keys:
                 lo = key_to_datetime(keys[0][len("slice=") :])
                 records = records.where(F.col("slice") >= F.lit(lo))

@@ -302,3 +302,35 @@ def test_compact_archive_slices_preserves_gzip(spark, tmp_path):
         (r.topic, r.partition, r.offset) for r in read_backup_jsonl(spark, dest).collect()
     }
     assert after_set == before_set
+
+
+def test_guardian_restore_from_file_uri(spark, tmp_path):
+    """S4 via the storage API: guardian-format listing + restore must work on a
+    Hadoop-FS URI (file:// here; same code path an s3a:// or gs:// root takes),
+    not just bare local paths."""
+    import datetime as dt
+
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.restore import (
+        list_backup_keys,
+        restore_batch,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).where(F.col("offset") < 300)
+    dest = str(tmp_path / "uri_archive")
+    keys = write_guardian_format(records, dest, ChronoUnitSlice("HOURS"))
+    uri = f"file://{dest}"
+
+    assert list_backup_keys(uri, spark) == keys
+    restored = restore_batch(spark, uri, fmt="guardian")
+    assert restored.count() == records.count()
+
+    # from_when pruning works through the URI listing too
+    cutoff = dt.datetime(2100, 1, 1, tzinfo=dt.timezone.utc)
+    straddle = restore_batch(spark, uri, fmt="guardian", from_when=cutoff)
+    assert straddle.count() == 0
