@@ -128,8 +128,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--commit-timeout-buffer-window", default="PT10S",
                    help="accepted for parity; commit timing is checkpoint-managed")
     b.add_argument("--compression", choices=["gzip"], default=None)
-    b.add_argument("--compression-level", type=int, default=None,
-                   help="accepted for parity; Hadoop gzip codec level is cluster conf")
+    b.add_argument("--compression-level", type=int, default=None, choices=range(1, 10),
+                   metavar="1-9", help="gzip level: exact for guardian format, "
+                   "nearest codec class (fast/default/best) for json/parquet")
     b.add_argument("--format", choices=["guardian", "json", "parquet"], default="guardian",
                    help="guardian = reference byte-format array files; json = partitioned "
                         "JSON-lines; parquet = columnar archival")
@@ -254,9 +255,15 @@ def main(argv: list[str] | None = None) -> int:
 
                 records = records.where(F.col("topic").isin(args.kafka_topics))
             if args.format == "guardian":
-                write_guardian_format(records, args.dest, tc, compression=compression)
+                write_guardian_format(
+                    records, args.dest, tc, compression=compression,
+                    compression_level=args.compression_level,
+                )
             else:
-                backup_batch(records, args.dest, tc, compression=compression, fmt=args.format)
+                backup_batch(
+                    records, args.dest, tc, compression=compression, fmt=args.format,
+                    compression_level=args.compression_level,
+                )
         return 0
 
     if args.command == "restore":

@@ -89,6 +89,22 @@ def _slice_dir_col(slice_: Column, config: TimeConfiguration) -> Column:
     return F.date_format(slice_, slice_dir_pattern(config))
 
 
+def _apply_hadoop_gzip_level(records: DataFrame, level: int | None) -> None:
+    """Best-effort mapping of a reference-style gzip level (1-9,
+    configs/Compression.scala:5) onto the Hadoop codec knob. Hadoop's zlib
+    wrapper exposes level *classes*, not the full 1-9 range
+    (``zlib.compress.level``: BEST_SPEED / DEFAULT_COMPRESSION /
+    BEST_COMPRESSION), so the int is bucketed to the nearest class; the
+    guardian-format writer (Python zlib) honors the exact level."""
+    if level is None:
+        return
+    if not 1 <= level <= 9:
+        raise ValueError(f"gzip level must be 1-9, got {level}")
+    cls = "BEST_SPEED" if level <= 3 else ("BEST_COMPRESSION" if level >= 7 else "DEFAULT_COMPRESSION")
+    spark = records.sparkSession
+    spark.sparkContext._jsc.hadoopConfiguration().set("zlib.compress.level", cls)
+
+
 def backup_batch(
     records: DataFrame,
     dest: str,
@@ -96,12 +112,15 @@ def backup_batch(
     compression: str | None = None,
     fmt: str = "json",
     anchor_us: int | None = None,
+    compression_level: int | None = None,
 ) -> None:
     """Engine-native archival: one partition directory per slice
     (``slice=<ISO>/part-*.json[.gz]``), JSON-lines in the reference's wire
     format (Base64 key/value, epoch-millis timestamp) or Parquet for the
     columnar archival north star. Scales: every slice writes in parallel,
     writes commit atomically via the output committer."""
+    if compression:
+        _apply_hadoop_gzip_level(records, compression_level)
     sliced = with_slice(records, config, anchor_us)
     if fmt == "json":
         out = sliced.select(
@@ -128,11 +147,14 @@ def write_guardian_format(
     compression: str | None = None,
     interrupted: bool = False,
     anchor_us: int | None = None,
+    compression_level: int | None = None,
 ) -> list[str]:
     """Byte-exact reference format: per slice, one file named
     ``calculate_key(slice_start)`` containing a JSON array of wire records in
     (topic, partition, offset) order; the final file gets ``null]`` instead of
     ``]`` when ``interrupted`` (terminateSource semantics). Returns written keys.
+    ``compression_level`` (1-9) reaches the gzip codec exactly
+    (reference Compression(type, level), configs/Compression.scala:5).
 
     Distribution: rows are hash-distributed by slice and sorted within
     partitions, so each executor streams out its slices sequentially without
@@ -156,7 +178,10 @@ def write_guardian_format(
         .sortWithinPartitions("slice", "topic", "partition", "offset")
     )
 
+    if compression_level is not None and not 1 <= compression_level <= 9:
+        raise ValueError(f"gzip level must be 1-9, got {compression_level}")
     comp = compression
+    comp_level = compression_level if compression_level is not None else 6  # zlib default
     interrupted_local = interrupted
     last_slice_bc = last_slice
 
@@ -178,7 +203,11 @@ def write_guardian_format(
                 finish(False)
                 cur_key = key
                 path = os.path.join(dest, physical_name(key))
-                fh = _gzip.open(path, "wb") if comp == "gzip" else open(path, "wb")
+                fh = (
+                    _gzip.open(path, "wb", compresslevel=comp_level)
+                    if comp == "gzip"
+                    else open(path, "wb")
+                )
                 fh.write(b"[")
                 first = True
             if not first:

@@ -334,3 +334,38 @@ def test_guardian_restore_from_file_uri(spark, tmp_path):
     cutoff = dt.datetime(2100, 1, 1, tzinfo=dt.timezone.utc)
     straddle = restore_batch(spark, uri, fmt="guardian", from_when=cutoff)
     assert straddle.count() == 0
+
+
+def test_gzip_compression_level_reaches_codec(spark, tmp_path):
+    """Reference Compression(type, level) parity: the level must reach the
+    codec — a level-9 archive of the same slice is smaller than level-1, and
+    both restore to the identical record set."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+
+    def archive_size(level):
+        dest = str(tmp_path / f"lvl{level}")
+        keys = write_guardian_format(
+            records, dest, ChronoUnitSlice("DAYS"),
+            compression="gzip", compression_level=level,
+        )
+        assert keys and all(k.endswith(".json.gz") for k in keys)
+        return dest, sum(
+            os.path.getsize(os.path.join(dest, f)) for f in os.listdir(dest)
+        )
+
+    d1, size_fast = archive_size(1)
+    d9, size_best = archive_size(9)
+    assert size_best < size_fast
+    a = {(r.topic, r.partition, r.offset) for r in restore_batch(spark, d1).collect()}
+    b = {(r.topic, r.partition, r.offset) for r in restore_batch(spark, d9).collect()}
+    assert a == b == {
+        (r.topic, r.partition, r.offset) for r in records.collect()
+    }
