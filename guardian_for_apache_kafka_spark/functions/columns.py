@@ -257,3 +257,108 @@ def rolling_fingerprint(tokens: Column, mod: int = 1_000_000_007) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % mod,
     )
+
+
+def hyperplane_buckets_expr(vec_col: str, planes: int = 16, tables: int = 1) -> Column:
+    """Random-hyperplane LSH buckets as a pure-JVM expression: element t is the
+    ``planes``-bit sign pattern of projections onto pseudo-random hyperplanes
+    u(d, p, t) in {-1, +1}, derived from xxhash64(dim, plane, table) parity —
+    no stored model. Reference/parity twin of :func:`hyperplane_buckets_udf`
+    (interpreted HOF fold, planes x dim arithmetic per row — the UDF is the
+    hot path, same relationship as :func:`minhash_signature` to its UDF)."""
+    v = F.col(vec_col).cast("array<double>")
+
+    def plane_bit(p, tbl):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda x, d: x
+                * F.when(F.xxhash64(d, p, tbl) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (proj > 0).cast("long")
+
+    def bucket(tbl):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc * 2 + plane_bit(p, tbl),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(tables - 1)), bucket)
+
+
+def hyperplane_signs(spark, dim: int, planes: int = 16, tables: int = 1):
+    """The (tables, planes, dim) ±1 hyperplane sign tensor, computed with the
+    SAME JVM xxhash64 parity expression the reference column uses — one tiny
+    Spark job (dim*planes*tables rows, driver-collected), so the Arrow UDF is
+    bit-compatible with :func:`hyperplane_buckets_expr` by construction."""
+    import numpy as np
+
+    rows = (
+        spark.range(dim * planes * tables)
+        .select(
+            (F.col("id") % dim).cast("int").alias("d"),
+            (F.expr(f"id div {dim}") % planes).cast("int").alias("p"),
+            F.expr(f"id div {dim * planes}").cast("int").alias("t"),
+        )
+        .select(
+            "d", "p", "t",
+            F.when(F.xxhash64("d", "p", "t") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
+        )
+        .collect()
+    )
+    signs = np.empty((tables, planes, dim), dtype=np.float64)
+    for r in rows:
+        signs[r["t"], r["p"], r["d"]] = r["s"]
+    return signs
+
+
+def hyperplane_buckets_udf(signs):
+    """Arrow-vectorized hyperplane-LSH buckets (``array<long>``, one bucket per
+    table) from a ±1 sign tensor (tables, planes, dim) — see
+    :func:`hyperplane_signs`.
+
+    Bit-identical to :func:`hyperplane_buckets_expr`: the projection is summed
+    with ``np.cumsum`` along the dimension axis (sequential left-to-right
+    additions, the same rounding order as the JVM fold), vectors shorter than
+    ``dim`` are zero-padded (adding 0.0 is exact), and the bucket packs sign
+    bits high-to-low. Null/empty vectors yield NULL. Replaces planes x dim
+    interpreted HOF arithmetic per row with one matrix op per batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    tables, planes, dim = signs.shape
+    flat = signs.reshape(tables * planes, dim)  # (P, dim)
+    weights = (1 << np.arange(planes - 1, -1, -1, dtype=np.int64))  # high -> low
+
+    _chunk_rows = 2048  # ~ rows x P x dim x 8B transient per block
+
+    @pandas_udf("array<long>")
+    def _bk(vecs: pd.Series) -> pd.Series:
+        out = [None] * len(vecs)
+        idxs: list[int] = []
+        arrs: list = []
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) > 0:
+                if len(v) > dim:
+                    raise ValueError(f"vector dim {len(v)} exceeds sign tensor dim {dim}")
+                idxs.append(i)
+                arrs.append(v)
+        for start in range(0, len(arrs), _chunk_rows):
+            block = arrs[start : start + _chunk_rows]
+            m = np.zeros((len(block), dim), dtype=np.float64)
+            for j, v in enumerate(block):
+                m[j, : len(v)] = v
+            # (rows, P, dim) products; cumsum = the JVM fold's rounding order
+            proj = np.cumsum(m[:, None, :] * flat[None, :, :], axis=2)[:, :, -1]
+            bits = (proj > 0).astype(np.int64).reshape(len(block), tables, planes)
+            buckets = (bits * weights[None, None, :]).sum(axis=2)  # (rows, tables)
+            for j, row in enumerate(buckets):
+                out[idxs[start + j]] = row
+        return pd.Series(out)
+
+    return _bk

@@ -262,47 +262,38 @@ def embedding_near_dup_pairs(
     (dimension, plane, table) — no stored model); ``tables`` independent hash
     tables OR-amplify recall (a pair is a candidate if it collides in ANY
     table). Exact cosine verifies within buckets. Recall ≈
-    1-(1-p^planes)^tables with p = 1 - angle/pi."""
-    from guardian_for_apache_kafka_spark.functions.columns import cosine_similarity
+    1-(1-p^planes)^tables with p = 1 - angle/pi.
 
-    v = F.col(vec_col).cast("array<double>")
+    The sign pattern is computed by the Arrow-batched
+    :func:`~guardian_for_apache_kafka_spark.functions.columns.hyperplane_buckets_udf`
+    (one matrix op per batch; bit-identical to the pure-JVM
+    ``hyperplane_buckets_expr`` twin, parity-tested) — the interpreted-HOF fix
+    already applied to minhash/simhash. The sign tensor is derived once
+    driver-side (dim x planes x tables, a few KB) and shipped in the UDF
+    closure."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        cosine_similarity,
+        hyperplane_buckets_udf,
+        hyperplane_signs,
+    )
 
-    def plane_bit(p, tbl):
-        # projection onto hyperplane (p, tbl): sum_d v[d] * u(d, p, tbl), u in {-1, +1}
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                lambda x, d: x
-                * F.when(F.xxhash64(d, p, tbl) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    dim_row = emb.agg(F.max(F.size(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"] or 0)
+    if dim == 0:
+        empty = emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
         )
-        return (proj > 0).cast("long")
+        return empty
+    bk_udf = hyperplane_buckets_udf(hyperplane_signs(emb.sparkSession, dim, planes, tables))
 
-    def bucket(tbl):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(planes - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, p: acc * 2 + plane_bit(p, tbl),
-        )
-
-    # persisted: the bucket expression is planes x dim interpreted fold
-    # arithmetic — evaluate once, then both join sides and the vector
-    # re-attachments read the materialized frame
+    # persisted: evaluate the buckets once, then both join sides and the
+    # vector re-attachments read the materialized frame
     b = (
         emb.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(tables - 1)),
-                    lambda tbl: F.struct(tbl.alias("tbl"), bucket(tbl).alias("bk")),
-                )
-            ).alias("__b"),
+            F.posexplode(bk_udf(F.col(vec_col).cast("array<double>"))).alias("tbl", "bk"),
         )
-        .select("__id", "__v", "__b.tbl", "__b.bk")
         .persist()
     )
     l = b.select(F.col("__id").alias("id_a"), "tbl", "bk")

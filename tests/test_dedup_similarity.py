@@ -358,3 +358,27 @@ def test_connected_components_raises_on_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, small_graph_edges=0, max_rounds=1)
+
+
+def test_hyperplane_bucket_udf_matches_jvm_expr(spark):
+    """The Arrow-batched hyperplane buckets must be bit-identical to the
+    pure-JVM fold expression (same xxhash64-parity signs, same left-to-right
+    summation rounding) — the guard that lets the hot path stay vectorized."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        hyperplane_buckets_expr,
+        hyperplane_buckets_udf,
+        hyperplane_signs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes, tables = 16, 3
+    dim = emb.agg(F.max(F.size("embedding"))).first()[0]
+    udf = hyperplane_buckets_udf(hyperplane_signs(spark, dim, planes, tables))
+    both = emb.select(
+        "vec_id",
+        hyperplane_buckets_expr("embedding", planes, tables).alias("jvm"),
+        udf(F.col("embedding").cast("array<double>")).alias("arrow"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert list(r.jvm) == list(r.arrow), r.vec_id
