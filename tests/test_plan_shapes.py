@@ -221,3 +221,37 @@ def test_q38_gap_fill_broadcasts_grid_and_limits(plans):
     assert "BroadcastHashJoin LeftOuter" in tree
     assert "TakeOrderedAndProject" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_q39_salted_join_spreads_hot_keys(spark, sf_dir):
+    """With broadcast and AQE disabled (the regime salting exists for —
+    broadcast-ineligible build sides, pre-AQE engines), the salted join's
+    exchanges must hash-partition on (event_type, __salt): each hot key
+    spreads over `buckets` reducer keys instead of landing on one reducer.
+    The build side replicates via explode."""
+    import re
+
+    from guardian_for_apache_kafka_spark.plans import all_queries
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            all_queries()["q39_salted_skew_join"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    # both join-input exchanges carry the salt in the partitioning key
+    salted_exchanges = re.findall(r"hashpartitioning\([^)]*__salt[^)]*\)", plan)
+    assert len(salted_exchanges) >= 2, plan
+    # the dimension side is replicated buckets-fold via explode
+    assert "explode(" in plan, plan
+    # and the probe side's salt is deterministic (xxhash64, not rand)
+    assert "xxhash64" in plan, plan
