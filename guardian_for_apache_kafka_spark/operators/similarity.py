@@ -232,3 +232,32 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Majority-label kNN classification over an embedding corpus: each query
+    takes the modal label of its exact cosine top-k (ties -> smaller label).
+    Returns (query_id, pred_label, votes).
+
+    Scale shape: the neighbor set is |Q| x k rows — broadcast it against the
+    corpus's (id, label) projection (the corpus side never shuffles); the vote
+    count groups |Q| x k rows, a driver-trivial aggregate."""
+    nn = cosine_topk(corpus, queries, k, id_col, vec_col, query_id_col)
+    labels = corpus.select(F.col(id_col).alias("vec_id"), F.col(label_col).alias("__lbl"))
+    votes = labels.join(F.broadcast(nn.select("query_id", "vec_id")), "vec_id")
+    counts = votes.groupBy("query_id", "__lbl").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("__lbl"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("query_id", F.col("__lbl").alias("pred_label"), "votes")
+        .orderBy("query_id")
+    )

@@ -99,3 +99,85 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (shift-resistant exact
     dup detection cheaper than storing full text)."""
     return df.withColumn("fingerprint", rolling_fingerprint(tokens_col(text_col)))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals: distinct-token ratio,
+    top-token share (most frequent token's fraction), duplicate-bigram ratio.
+
+    Scale shape: every signal is a per-row column expression — one scan, ZERO
+    shuffles (repetition filtering is embarrassingly parallel; an explode +
+    groupBy(doc_id, token) formulation would shuffle the whole corpus). The
+    top-token count comes from a single sorted-run scan: sort the token array,
+    then fold a (prev, run, max) struct over it."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    run_scan = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("mx")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("mx"),
+        ),
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(bigrams)
+    return df.withColumns(
+        {
+            "n_tokens": n,
+            "distinct_ratio": F.round(F.size(F.array_distinct(toks)) / n.cast("double"), 4),
+            "top_share": F.round(run_scan["mx"] / n.cast("double"), 4),
+            "dup_bigram_ratio": F.round(
+                F.when(
+                    n_bg > 0,
+                    1.0 - F.size(F.array_distinct(bigrams)) / n_bg.cast("double"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        }
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 90,
+    min_distinct_ratio: float = 0.35,
+    max_stop_ratio: float = 0.12,
+    stopwords: tuple[str, ...] = ("the", "a"),
+) -> DataFrame:
+    """C4/Gopher-style composite keep/drop filter with per-rule reason flags
+    (too_short / too_long / low_diversity / stopword_heavy; ``kept`` = passes
+    all). Thresholds are data-calibrated defaults; every flag is a per-row
+    column expression — one scan, no shuffle, no UDF."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n.cast("double")
+    stops = F.array([F.lit(s) for s in stopwords])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t))) / n.cast("double")
+    )
+    flags = {
+        "too_short": n < min_tokens,
+        "too_long": n > max_tokens,
+        "low_diversity": distinct_ratio < min_distinct_ratio,
+        "stopword_heavy": stop_ratio > max_stop_ratio,
+    }
+    out = df.withColumns({k: v.cast("boolean") for k, v in flags.items()})
+    kept = ~flags["too_short"] & ~flags["too_long"] & ~flags["low_diversity"] & ~flags["stopword_heavy"]
+    return out.withColumn("kept", kept)

@@ -18,8 +18,11 @@ _TAIL = [
     "q14_string_functions",
     "q15_date_functions",
     "q16_math_functions",
+    "q18_array_functions",
     "q19_conditional_null",
+    "q28_string_agg",
     "q29_unpivot",
+    "q32_exists_subquery",
     "q34_posexplode_ordinality",
     "q35_bitwise_functions",
     "q36_scalar_subquery_select",

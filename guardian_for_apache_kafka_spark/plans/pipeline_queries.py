@@ -707,3 +707,131 @@ def p2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+@query(
+    "t7_repetition_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s AS (
+      SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+             list_aggregate(list_transform(list_distinct(tk),
+                 d -> len(list_filter(tk, x -> x = d))), 'max') AS mx,
+             CASE WHEN len(tk) >= 2
+                  THEN list_transform(range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])
+                  ELSE [] END AS bg
+      FROM t)
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           round(nd * 1.0 / n, 4) AS distinct_ratio,
+           round(mx * 1.0 / n, 4) AS top_share,
+           round(CASE WHEN len(bg) > 0
+                      THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+                      ELSE 0.0 END, 4) AS dup_bigram_ratio
+    FROM s ORDER BY doc_id LIMIT 200
+    """,
+    tags=("text", "repetition", "quality"),
+)
+def t7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style repetition filter):
+    distinct-token ratio, top-token share, duplicate-bigram ratio — all
+    per-row column expressions, zero shuffles (operators/text.py
+    repetition_stats; the oracle recomputes the top-token count by per-token
+    counting rather than the engine's sorted-run scan)."""
+    from guardian_for_apache_kafka_spark.operators.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        repetition_stats(d)
+        .select("doc_id", "n_tokens", "distinct_ratio", "top_share", "dup_bigram_ratio")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "t8_quality_filter_report",
+    oracle="""
+    WITH s AS (
+      SELECT source, len(string_split(text, ' ')) AS n,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS dr,
+             len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+               / len(string_split(text, ' ')) AS sr
+      FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n >= 25 AND n <= 90 AND dr >= 0.35 AND sr <= 0.12
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN n < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+           CAST(sum(CASE WHEN n > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+           CAST(sum(CASE WHEN dr < 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+           CAST(sum(CASE WHEN sr > 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_heavy
+    FROM s GROUP BY source ORDER BY source
+    """,
+    tags=("text", "quality", "filter"),
+)
+def t8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite quality filter, reported per source with
+    per-rule drop reasons. The filter itself (operators/text.py
+    quality_filter) is one scan of per-row expressions; this report adds a
+    single per-source aggregate (map-side partial -> tiny shuffle)."""
+    from guardian_for_apache_kafka_spark.operators.text import quality_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    qf = quality_filter(d)
+    return (
+        qf.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(F.col("too_short").cast("long")).alias("n_too_short"),
+            F.sum(F.col("too_long").cast("long")).alias("n_too_long"),
+            F.sum(F.col("low_diversity").cast("long")).alias("n_low_diversity"),
+            F.sum(F.col("stopword_heavy").cast("long")).alias("n_stopword_heavy"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "s3_knn_classify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_duck_cosine('c.embedding', 'q.qv')} AS cosine
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    ),
+    nn AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= 10),
+    votes AS (
+        SELECT n.query_id, e.label, count(*) AS votes
+        FROM nn n JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT query_id, label, votes,
+               row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS r
+        FROM votes
+    )
+    SELECT query_id, label AS pred_label, votes FROM best WHERE r = 1
+    ORDER BY query_id
+    """,
+    tags=("similarity", "knn", "classify"),
+)
+def s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-label kNN classification (k=10 exact cosine neighbors, modal
+    label, ties to the smaller label) for query vectors vec_id < 8 —
+    operators/similarity.py knn_classify; the dot-product fold matches the
+    oracle's association order bit-for-bit (same proof as s1)."""
+    from guardian_for_apache_kafka_spark.operators.similarity import knn_classify
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    return knn_classify(e, q, k=10)

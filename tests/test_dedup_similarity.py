@@ -382,3 +382,28 @@ def test_hyperplane_bucket_udf_matches_jvm_expr(spark):
     assert len(both) > 0
     for r in both:
         assert list(r.jvm) == list(r.arrow), r.vec_id
+
+
+def test_knn_classify_majority_and_tie_break(spark):
+    """Hand-built geometry: queries near a label cluster pick that label;
+    exact vote ties resolve to the smaller label."""
+    from guardian_for_apache_kafka_spark.operators.similarity import knn_classify
+
+    # corpus: ids 10..15; two clusters on orthogonal axes
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0), (11, [0.9, 0.1], 0), (12, [0.8, 0.2], 0),
+            (13, [0.0, 1.0], 1), (14, [0.1, 0.9], 1), (15, [0.2, 0.8], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (101, [0.05, 1.0])], "query_id long, embedding array<double>"
+    )
+    rows = {r.query_id: r for r in knn_classify(corpus, q, k=3).collect()}
+    assert rows[100].pred_label == 0 and rows[100].votes == 3
+    assert rows[101].pred_label == 1 and rows[101].votes == 3
+    # k=6 -> 3 votes each -> tie -> smaller label wins
+    rows6 = {r.query_id: r for r in knn_classify(corpus, q, k=6).collect()}
+    assert rows6[100].pred_label == 0 and rows6[100].votes == 3
+    assert rows6[101].pred_label == 0 and rows6[101].votes == 3

@@ -124,3 +124,41 @@ def test_audio_features_and_resize_plumbing(spark, sf_dir):
     assert len(rr) == 50
     assert all(r.width == 128 and r.height == 128 and r.format == "png" for r in rr)
     assert all(len(bytes(r.content)) >= 32 for r in rr)
+
+
+def test_repetition_stats_first_principles(spark):
+    from guardian_for_apache_kafka_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # top 'a' x3, bigrams: [a a, a a, a b] -> dup ratio 1/3
+            (2, "x"),                # single token: no bigrams
+            (3, "p q p q"),          # bigrams [p q, q p, p q] -> dup 1/3; top share 0.5
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].distinct_ratio == 0.5
+    assert rows[1].top_share == 0.75
+    assert rows[1].dup_bigram_ratio == round(1 - 2 / 3, 4)
+    assert rows[2].n_tokens == 1 and rows[2].dup_bigram_ratio == 0.0
+    assert rows[2].top_share == 1.0
+    assert rows[3].top_share == 0.5
+    assert rows[3].dup_bigram_ratio == round(1 - 2 / 3, 4)
+
+
+def test_quality_filter_reasons_independent(spark):
+    from guardian_for_apache_kafka_spark.operators.text import quality_filter
+
+    short_spam = "the " * 9 + "the"          # 10 tokens, 1 distinct, all stopwords
+    good = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short_spam.strip()), (2, good)], "doc_id int, text string"
+    )
+    rows = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert rows[1].too_short and rows[1].low_diversity and rows[1].stopword_heavy
+    assert not rows[1].kept
+    assert rows[2].kept and not any(
+        [rows[2].too_short, rows[2].too_long, rows[2].low_diversity, rows[2].stopword_heavy]
+    )
