@@ -57,19 +57,16 @@ def _shingled(df: DataFrame, id_col: str, content_col: str, n: int) -> DataFrame
     ).where(F.size("__shingles") > 0)
 
 
-def ngram_jaccard_pairs(
+def _common_shingle_counts(
     df: DataFrame,
-    n: int = 3,
-    threshold: float = 0.5,
-    id_col: str = "doc_id",
-    content_col: str = "text",
-    max_bucket: int | None = None,
+    n: int,
+    id_col: str,
+    content_col: str,
+    max_bucket: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs from an inverted index.
-
-    |A∩B| comes from the per-shingle join; |A∪B| = |A|+|B|-|A∩B|. Returns
-    (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    """
+    """Shared inverted-index core for the exact set-overlap measures: returns
+    (id_a, id_b, __common, __na, __nb) for every candidate pair with at least
+    one shared shingle, id_a < id_b."""
     # persisted: the shingle arrays feed sizes + both inverted-index join
     # sides — without the barrier the (expensive, string-building) shingle
     # expression re-runs once per branch
@@ -99,10 +96,25 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    return common.join(na, "id_a").join(nb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from an inverted index.
+
+    |A∩B| comes from the per-shingle join; |A∪B| = |A|+|B|-|A∩B|. Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    pairs = _common_shingle_counts(df, n, id_col, content_col, max_bucket)
     return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
+        pairs.select(
             "id_a",
             "id_b",
             (
@@ -111,6 +123,33 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact n-gram *containment* pairs: |A∩B| / min(|A|,|B|) — the
+    asymmetric-length near-dup case (a short document wholly contained in a
+    longer one) that symmetric Jaccard dilutes toward zero. Same
+    inverted-index plan as :func:`ngram_jaccard_pairs` (one extra column in
+    the final projection, no extra shuffle). Returns
+    (id_a, id_b, containment), id_a < id_b, containment >= threshold."""
+    pairs = _common_shingle_counts(df, n, id_col, content_col, max_bucket)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (F.col("__common") / F.least(F.col("__na"), F.col("__nb"))).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= threshold)
     )
 
 

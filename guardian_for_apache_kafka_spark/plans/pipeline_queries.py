@@ -835,3 +835,41 @@ def s3(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
     return knn_classify(e, q, k=10)
+
+
+@query(
+    "d9_ngram_containment_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, round(c * 1.0 / least(na, nb), 4) AS containment
+    FROM common
+    WHERE c * 1.0 / least(na, nb) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "containment"),
+)
+def d9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram containment pairs (|A∩B| / min(|A|,|B|) >= .8): catches
+    short-in-long near-dups that symmetric Jaccard dilutes. Same inverted
+    index as d3, one projection change (operators/dedup.py
+    ngram_containment_pairs)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_containment_pairs(d, n=3, threshold=0.8)
+        .select("id_a", "id_b", F.round("containment", 4).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )

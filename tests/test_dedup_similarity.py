@@ -407,3 +407,23 @@ def test_knn_classify_majority_and_tie_break(spark):
     rows6 = {r.query_id: r for r in knn_classify(corpus, q, k=6).collect()}
     assert rows6[100].pred_label == 0 and rows6[100].votes == 3
     assert rows6[101].pred_label == 0 and rows6[101].votes == 3
+
+
+def test_containment_catches_short_in_long_that_jaccard_misses(spark):
+    """A 12-token prefix embedded in a 60-token document: containment = 1.0,
+    Jaccard ~ 0.17 — the asymmetric near-dup class d9 exists for."""
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = " ".join(f"w{i}" for i in range(12))
+    long = short + " " + " ".join(f"x{i}" for i in range(48))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, " ".join(f"z{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    cont = {(r.id_a, r.id_b): r.containment for r in ngram_containment_pairs(df, threshold=0.8).collect()}
+    jac = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert cont == {(1, 2): 1.0}
+    assert (1, 2) not in jac
