@@ -12,6 +12,7 @@ so the conversion is lossless.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,7 +33,11 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed by the live session OBJECT (weakly): an id()-keyed cache can hand a
+# DataFrame bound to a dead JVM to a new session that reuses the address.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,8 +48,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     overhead per query at bench scale, and a real listing cost against object
     stores at 100 TB); reusing the immutable DataFrame handle matches what a
     catalog/temp-view deployment gets for free."""
-    key = (id(spark), sf_dir, name)
-    df = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
     if df is not None:
         return df
     if name == "events":
@@ -60,7 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

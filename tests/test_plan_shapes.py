@@ -255,3 +255,24 @@ def test_q39_salted_join_spreads_hot_keys(spark, sf_dir):
     assert "explode(" in plan, plan
     # and the probe side's salt is deterministic (xxhash64, not rand)
     assert "xxhash64" in plan, plan
+
+
+def test_t7_repetition_stats_zero_shuffle(plans):
+    """The repetition report is per-row expressions + top-k: the only allowed
+    exchange is none at all — an explode+groupBy formulation would shuffle the
+    whole corpus for a per-document signal."""
+    plan = plans("t7_repetition_stats")
+    assert "Exchange" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+
+
+def test_s3_knn_votes_broadcast_corpus_never_shuffles(plans):
+    """kNN classify: the |Q| x k neighbor set must broadcast into the label
+    join; the corpus label projection must not hash-exchange on vec_id."""
+    import re
+
+    plan = plans("s3_knn_classify")
+    assert "BroadcastExchange" in plan, plan
+    # no shuffle keyed on the corpus id column
+    assert not re.search(r"Exchange hashpartitioning\(vec_id", plan), plan
