@@ -369,3 +369,30 @@ def test_gzip_compression_level_reaches_codec(spark, tmp_path):
     assert a == b == {
         (r.topic, r.partition, r.offset) for r in records.collect()
     }
+
+
+def test_json_restore_from_when_on_period_from_first_archive(spark, tmp_path):
+    """End-to-end regression for the fraction-stripped key parse: a
+    PeriodFromFirst JSON archive has millisecond slice directory names;
+    from_when pruning + record filtering must work (previously raised
+    TypeError comparing naive/aware datetimes)."""
+    import datetime as dt
+
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import PeriodFromFirst
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+    from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).where(F.col("offset") < 400)
+    dest = str(tmp_path / "pff_json")
+    backup_batch(records, dest, PeriodFromFirst(dt.timedelta(minutes=30)), fmt="json")
+
+    lo, hi = records.agg(F.min("timestamp"), F.max("timestamp")).first()
+    cutoff = (lo + (hi - lo) / 2).replace(tzinfo=dt.timezone.utc)
+    got = restore_batch(spark, dest, fmt="json", from_when=cutoff)
+    want = records.where(F.col("timestamp") >= F.lit(cutoff))
+    assert got.count() == want.count() > 0
+

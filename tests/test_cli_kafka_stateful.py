@@ -1,6 +1,7 @@
 """CLI round-trips, Kafka builder plumbing, and the applyInPandasWithState
 PeriodFromFirst operator (batch/stream equivalence)."""
 
+import os
 import subprocess
 import sys
 
@@ -389,3 +390,18 @@ def test_cli_backup_period_from_first_non_dry_run(spark, records_parquet, tmp_pa
 
     restored = read_backup_jsonl(spark, archive)
     assert restored.count() == spark.read.parquet(records_parquet).count()
+
+
+def test_cli_maintain_before_compacts_closed_slices(spark, records_parquet, tmp_path):
+    """maintain --before on an engine JSON archive (bare ISO directory names)
+    — previously crashed in key parsing before any compaction ran."""
+    import glob
+
+    archive = str(tmp_path / "m_archive")
+    for _ in range(2):
+        assert cli_main(["backup", "--source", records_parquet, "--dest", archive,
+                         "--chrono-unit-slice", "days", "--format", "json"]) == 0
+    assert cli_main(["maintain", "--dest", archive, "--before", "2100-01-01T00:00:00Z"]) == 0
+    for d in glob.glob(f"{archive}/slice=*"):
+        files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+        assert len(files) == 1
