@@ -411,3 +411,34 @@ def test_stream_audit_join_matches_batch(spark, records, tmp_path):
         "select count(*) c from audit_join where archived_at != timestamp"
     ).collect()[0].c
     assert mism == 0
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """The per-document quality/repetition operators are stateless column
+    expressions, so they apply unchanged to a streaming source: a file-stream
+    pass over the documents table must produce the identical keep/drop
+    decisions as the batch pass (continuous ingest filtering — score documents
+    as they arrive, no reprocessing)."""
+    from guardian_for_apache_kafka_spark.operators.text import quality_filter
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+
+    batch = {
+        (r.doc_id, r.kept) for r in quality_filter(docs).select("doc_id", "kept").collect()
+    }
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        quality_filter(stream)
+        .select("doc_id", "kept")
+        .writeStream.format("memory")
+        .queryName("qf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.kept) for r in spark.sql("SELECT * FROM qf_stream").collect()}
+    assert got == batch and len(got) > 0
