@@ -1378,3 +1378,40 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("wc").alias("weighted_cents"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q40_hopping_window",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) AS us, "value" FROM events
+    ),
+    hopped AS (
+        SELECT event_type, "value",
+               unnest(range(us // 300000000 - 1, us // 300000000 + 1)) AS widx
+        FROM e
+    )
+    SELECT to_timestamp(widx * 300) AS w_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum("value"), 2) AS sum_value
+    FROM hopped
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("relational", "window", "hopping"),
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate: 10-minute windows every 5 minutes,
+    per event type — each event lands in width/slide = 2 overlapping windows.
+    Spark's ``window(ts, width, slide)`` generates the window copies inline
+    before the aggregate (no self-join); the oracle derives the same window
+    starts arithmetically (start = slide-aligned grid in (ts - width, ts])."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value")
+        .orderBy("w_start", "event_type")
+    )
