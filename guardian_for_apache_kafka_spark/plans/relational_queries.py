@@ -1415,3 +1415,52 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value")
         .orderBy("w_start", "event_type")
     )
+
+
+@query(
+    "q41_session_window_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, "value",
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, "value",
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS s_start,
+           CAST(to_timestamp(epoch_us(max(ts)) / 1000000.0 + 1800) AS TIMESTAMP) AS s_end,
+           count(*) AS cnt,
+           round(sum("value"), 2) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, s_start
+    """,
+    tags=("relational", "session_window", "native"),
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (30-minute gap) as a batch aggregate —
+    the built-in operator q27's manual islands-and-gaps formulation emulates.
+    Session end = last event + gap (Spark's semantics; the oracle recomputes
+    it from max(ts))."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw.alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("user_id", "s_start")
+    )
