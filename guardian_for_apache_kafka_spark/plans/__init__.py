@@ -14,6 +14,9 @@ from guardian_for_apache_kafka_spark.plans import pipeline_queries  # noqa: F401
 # analysis, the composite pipeline) lands inside the checked window.
 _TAIL = [
     # oracled but redundant scalar/simple surface
+    "q09_distinct_count",
+    "q12_topk",
+    "q26_pivot",
     "q13_set_ops",
     "q14_string_functions",
     "q15_date_functions",

@@ -1391,7 +1391,7 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(range(us // 300000000 - 1, us // 300000000 + 1)) AS widx
         FROM e
     )
-    SELECT to_timestamp(widx * 300) AS w_start,
+    SELECT CAST(to_timestamp(widx * 300) AS TIMESTAMP) AS w_start,
            event_type,
            count(*) AS cnt,
            round(sum("value"), 2) AS sum_value
