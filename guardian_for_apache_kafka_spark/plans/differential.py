@@ -38,6 +38,8 @@ def _render(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc)
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, _dt.date):
         return v.isoformat()
@@ -53,6 +55,23 @@ def _canon(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]
     cols = [columns[i] for i in order]
     rendered = sorted("|".join(_render(r[i]) for i in order) for r in rows)
     return cols, rendered
+
+
+def _tz_kinds(columns: list[str], rows: list[tuple]) -> dict[str, str]:
+    """Per-column timestamp flavor: 'tz' (aware) or 'naive'.
+
+    The external gate's schema check distinguishes TIMESTAMP from TIMESTAMP
+    WITH TIME ZONE; rendering alone would normalize that away (the q40 oracle
+    regression), so the in-repo gate must flag the dtype difference too.
+    """
+    kinds: dict[str, str] = {}
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, _dt.datetime) and columns[i] not in kinds:
+                kinds[columns[i]] = "tz" if v.tzinfo is not None else "naive"
+        if len(kinds) == len(columns):
+            break
+    return kinds
 
 
 @dataclass
@@ -84,6 +103,10 @@ def run_one(spark: SparkSession, sf_dir: str, name: str, con=None) -> DiffResult
     dc, dr = _canon(duck_cols, duck_rows)
     if sc != dc:
         return DiffResult(name, False, f"column mismatch: spark={sc} duckdb={dc}")
+    stz = _tz_kinds(spark_cols, spark_rows)
+    dtz = _tz_kinds(duck_cols, duck_rows)
+    if stz != dtz:
+        return DiffResult(name, False, f"timestamp dtype mismatch: spark={stz} duckdb={dtz}")
     if len(sr) != len(dr):
         return DiffResult(name, False, f"row count: spark={len(sr)} duckdb={len(dr)}")
     for i, (a, b) in enumerate(zip(sr, dr)):

@@ -204,3 +204,28 @@ def test_salted_join_property(spark, left, right, buckets):
     assert rows(salted_join(ldf, rdf, "k", buckets, how="left")) == rows(
         ldf.join(rdf, "k", "left")
     )
+
+
+def test_tz_typed_oracle_fails_inrepo_gate(spark, sf_dir):
+    """A TIMESTAMPTZ oracle column must FAIL the in-repo differential check
+    even when its rendered UTC values agree with Spark's naive TIMESTAMP —
+    mirrors the driver's schema check (the q40 regression the renderer
+    previously normalized away)."""
+    from guardian_for_apache_kafka_spark.plans.differential import run_one
+    from guardian_for_apache_kafka_spark.plans.registry import REGISTRY, EngineQuery
+
+    def builder(spark, sf_dir):
+        return spark.sql("SELECT CAST('1970-01-01 00:05:00' AS TIMESTAMP_NTZ) AS w_start, 1 AS n")
+
+    bad = "SELECT to_timestamp(300) AS w_start, 1 AS n"  # TIMESTAMPTZ in DuckDB
+    good = "SELECT CAST(to_timestamp(300) AS TIMESTAMP) AS w_start, 1 AS n"
+    name = "_tz_probe"
+    REGISTRY[name] = EngineQuery(name=name, builder=builder, oracle=bad)
+    try:
+        res = run_one(spark, sf_dir, name)
+        assert not res.ok and "dtype" in res.detail, res.detail
+        REGISTRY[name] = EngineQuery(name=name, builder=builder, oracle=good)
+        res = run_one(spark, sf_dir, name)
+        assert res.ok, res.detail
+    finally:
+        del REGISTRY[name]
