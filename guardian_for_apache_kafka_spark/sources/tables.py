@@ -53,14 +53,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = per_session.get(key)
     if df is not None:
         return df
-    if name == "events":
-        # The harness may hand us a vanilla session that lacks the engine
-        # factory's confs (session.py); without this, reading the nanosecond
-        # parquet timestamp throws PARQUET_TYPE_ILLEGAL before our ns->µs
-        # conversion can run. Runtime-settable; guarded for future Sparks
-        # that drop the legacy knob (they read nanos natively).
+    # The harness may hand us a vanilla session that lacks the engine
+    # factory's confs (session.py). Both knobs are runtime-settable SQL confs;
+    # guarded for Sparks that drop them.
+    # - nanosAsLong: historical testdata generations stored events.ts as
+    #   timestamp[ns]; without the knob the read throws PARQUET_TYPE_ILLEGAL
+    #   before our ns->µs conversion can run.
+    # - inferTimestampNTZ=false: current testdata stores naive timestamp[us]
+    #   (isAdjustedToUTC=false), which Spark 3.4+ otherwise infers as
+    #   TIMESTAMP_NTZ — a type DuckDB's naive TIMESTAMP oracle matches but
+    #   half the LTZ-only time functions (unix_millis, window, ...) reject.
+    #   Reading as plain TIMESTAMP under the UTC session keeps values
+    #   byte-identical to the oracle AND keeps filter pushdown on the native
+    #   column (a post-read cast would block parquet predicate pushdown).
+    for conf_kv in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
         try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set(*conf_kv)
         except Exception:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
