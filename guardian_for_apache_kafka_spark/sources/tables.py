@@ -66,9 +66,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #   Reading as plain TIMESTAMP under the UTC session keeps values
     #   byte-identical to the oracle AND keeps filter pushdown on the native
     #   column (a post-read cast would block parquet predicate pushdown).
+    # - session.timeZone=UTC: with NTZ inference off, naive timestamp[us]
+    #   columns load as TIMESTAMP_LTZ, so rendering/derivations (date_trunc,
+    #   hour, casts) happen in the session zone; only UTC matches the naive
+    #   DuckDB oracle. session.py's factory pins it; pin here too so a vanilla
+    #   harness session gets the same semantics.
+    # - nanosAsLong scope: TESTDATA confines ns timestamps to events.ts (the
+    #   only column the loader re-normalizes below). A ns column appearing in
+    #   another table would load as bigint rather than fail loudly — accepted,
+    #   since the schema contract is fixed by the driver's generator.
     for conf_kv in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
     ):
         try:
             spark.conf.set(*conf_kv)
