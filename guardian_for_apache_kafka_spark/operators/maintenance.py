@@ -7,19 +7,26 @@ overhead per file at read time). ``compact_archive_slices`` rewrites slice
 directories into a bounded file count, preserving the record set and the
 ``slice=`` partition layout so restore-side pruning is untouched.
 
-Safety: the rewrite stages into ``<dest>/_compacting_<slice>`` then swaps
-directories, so a crash leaves either the old or the new directory intact,
-never a mix. Do not run concurrently with an active writer on the same
-slices (compact closed slices only — pass ``before`` to bound).
+All filesystem access goes through the Hadoop FS API (the storage-API listing
+the reference does, restore-s3/.../RestoreClient.scala:33-43), so the same
+code maintains ``file://``, ``hdfs://``, ``s3a://``, ``gs://`` archive roots
+— matching ``restore.list_backup_keys``.
+
+Safety: the rewrite stages into ``<dest>/_compacting`` then swaps each slice
+directory via two renames, so a crash leaves either the old or the new
+directory intact, never a mix. Rename is atomic on file/HDFS/ABFS; on S3A it
+is a server-side copy (O(data), still all-or-nothing per directory listing
+epoch) — acceptable for an offline maintenance job. Do not run concurrently
+with an active writer on the same slices (compact closed slices only — pass
+``before`` to bound).
 """
 
 from __future__ import annotations
 
 import datetime as _dt
-import os
-import shutil
 
 from pyspark.sql import SparkSession
+
 
 def _slice_time(key: str) -> _dt.datetime:
     from guardian_for_apache_kafka_spark.core.timeslice import key_to_datetime
@@ -38,9 +45,9 @@ def compact_archive_slices(
     files down to ``files_per_slice`` files each. Only slices strictly before
     ``before`` (closed slices) are touched when given. Returns compacted keys.
 
-    Local-FS directory swap here; an object-store deployment swaps via
-    manifest/rename-prefix instead — the rewrite plan (read slices ->
-    repartition by slice -> write staged -> swap) is identical.
+    ``dest`` may be a bare local path or any Hadoop-FS URI (``file://``,
+    ``s3a://``, ...) — listing, staging, and the swap all go through the
+    destination's FileSystem.
 
     Scale shape: all eligible slices of one compression flavor are rewritten in
     ONE Spark job (union of slice scans, ``repartition`` on the slice value,
@@ -53,9 +60,16 @@ def compact_archive_slices(
 
     from pyspark.sql import functions as F
 
-    # 1. Driver-side scan: find eligible slices, grouped by compression flavor.
-    groups: dict[str | None, list[tuple[str, str, str]]] = {}  # codec -> (physical, key, dir)
-    for physical in sorted(os.listdir(dest)):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(dest)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    # 1. Driver-side listing (bounded: one status per slice + per data file):
+    #    find eligible slices, grouped by compression flavor.
+    groups: dict[str | None, list[tuple[str, str, object]]] = {}  # codec -> (physical, value, path)
+    for status in sorted(fs.listStatus(root), key=lambda s: str(s.getPath().getName())):
+        physical = str(status.getPath().getName())
         if not physical.startswith("slice="):
             continue  # guardian-format single files are already one object
         # on-disk partition dirs are URL-encoded; keys are logical
@@ -63,41 +77,53 @@ def compact_archive_slices(
         key = "slice=" + value
         if before is not None and _slice_time(key) >= before:
             continue
-        slice_dir = os.path.join(dest, physical)
-        if not os.path.isdir(slice_dir):
+        if not status.isDirectory():
             continue
-        data_files = [f for f in os.listdir(slice_dir) if not f.startswith(("_", "."))]
+        slice_path = status.getPath()
+        data_files = [
+            str(f.getPath().getName())
+            for f in fs.listStatus(slice_path)
+            if not str(f.getPath().getName()).startswith(("_", "."))
+        ]
         if len(data_files) < max(min_files, files_per_slice + 1):
             continue
         codec = "gzip" if any(f.endswith(".gz") for f in data_files) else None
-        groups.setdefault(codec, []).append((physical, value, slice_dir))
+        groups.setdefault(codec, []).append((physical, value, slice_path))
 
     # 2. One job per compression flavor: union the slice scans, co-locate each
     #    slice's rows, write the whole staged tree with partitionBy.
     compacted: list[str] = []
     for codec, slices in groups.items():
         df = None
-        for _physical, value, slice_dir in slices:
-            part = spark.read.format("text").load(slice_dir).withColumn("slice", F.lit(value))
+        for _physical, value, slice_path in slices:
+            part = (
+                spark.read.format("text")
+                .load(str(slice_path))
+                .withColumn("slice", F.lit(value))
+            )
             df = part if df is None else df.unionByName(part)
         if files_per_slice <= 1:
             df = df.repartition("slice")
         else:
             df = df.repartition(F.col("slice"), F.pmod(F.xxhash64("value"), F.lit(files_per_slice)))
-        staged_root = os.path.join(dest, "_compacting")
+        staged_root = hpath(root, "_compacting")
         writer = df.write.mode("overwrite").format("text").partitionBy("slice")
         if codec:
             writer = writer.option("compression", codec)
-        writer.save(staged_root)
-        # 3. Per-slice atomic-ish swap out of the staged tree.
-        for physical, value, slice_dir in slices:
-            staged = os.path.join(staged_root, physical)
-            if not os.path.isdir(staged):  # encoding mismatch safety net
+        writer.save(str(staged_root))
+        # 3. Per-slice swap out of the staged tree (two renames; crash leaves
+        #    either _old_<slice> or the new directory, never a mix).
+        for physical, value, slice_path in slices:
+            staged = hpath(staged_root, physical)
+            if not fs.exists(staged):  # encoding mismatch safety net
                 continue
-            old = os.path.join(dest, f"_old_{physical}")
-            os.rename(slice_dir, old)
-            os.rename(staged, slice_dir)
-            shutil.rmtree(old)
+            old = hpath(root, f"_old_{physical}")
+            if not fs.rename(slice_path, old):
+                raise IOError(f"compaction swap failed renaming {slice_path} aside")
+            if not fs.rename(staged, slice_path):
+                fs.rename(old, slice_path)  # roll back; archive unchanged
+                raise IOError(f"compaction swap failed installing staged {staged}")
+            fs.delete(old, True)
             compacted.append("slice=" + value)
-        shutil.rmtree(staged_root, ignore_errors=True)
+        fs.delete(staged_root, True)
     return sorted(compacted)

@@ -396,3 +396,38 @@ def test_json_restore_from_when_on_period_from_first_archive(spark, tmp_path):
     want = records.where(F.col("timestamp") >= F.lit(cutoff))
     assert got.count() == want.count() > 0
 
+
+def test_compact_archive_slices_via_file_uri(spark, tmp_path):
+    """Maintenance via the storage API: compaction must work on a Hadoop-FS
+    URI root (file:// here; same code path an s3a:// or gs:// root takes) —
+    listing, staged rewrite, and the rename swap all through the
+    destination's FileSystem, like list_backup_keys."""
+    import glob
+
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.maintenance import compact_archive_slices
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+    from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    dest = str(tmp_path / "uri_maint")
+    for i in range(3):
+        chunk = records.where(F.col("offset") % 3 == i).repartition(2)
+        backup_batch(chunk, dest, ChronoUnitSlice("DAYS"), fmt="json")
+
+    before_set = {
+        (r.topic, r.partition, r.offset) for r in read_backup_jsonl(spark, dest).collect()
+    }
+    compacted = compact_archive_slices(spark, f"file://{dest}", files_per_slice=1)
+    assert compacted
+    for d in glob.glob(f"{dest}/slice=*"):
+        files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+        assert len(files) == 1
+    after_set = {
+        (r.topic, r.partition, r.offset) for r in read_backup_jsonl(spark, dest).collect()
+    }
+    assert after_set == before_set
