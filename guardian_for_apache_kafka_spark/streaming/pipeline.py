@@ -79,6 +79,25 @@ def _load_or_store_anchor(checkpoint: str, batch_df: DataFrame) -> int | None:
     return int(row["a"])
 
 
+def _instance_scoped(dest: str, checkpoint: str, instance_id: str | None) -> tuple[str, str]:
+    """Resolve the per-instance sink/checkpoint roots for the shared-archive
+    multi-writer layout (the reference's concurrent-instances deployment,
+    backup-s3/src/test/.../RealS3BackupClientTest.scala concurrent specs):
+    each instance owns ``<dest>/<instance_id>`` + ``<checkpoint>/<instance_id>``
+    and ``restore_batch(..., instances=True)`` unions the instance roots."""
+    if instance_id is None:
+        return dest, checkpoint
+    if (
+        not instance_id
+        or "/" in instance_id
+        or instance_id.startswith(("_", ".", "slice="))
+    ):
+        # "_"/"." roots are skipped by the instance-union listing; a
+        # "slice=" root would be mistaken for a slice partition directory
+        raise ValueError(f"invalid instance_id: {instance_id!r}")
+    return f"{dest.rstrip('/')}/{instance_id}", f"{checkpoint.rstrip('/')}/{instance_id}"
+
+
 def stream_backup(
     records: DataFrame,
     dest: str,
@@ -86,6 +105,7 @@ def stream_backup(
     config: TimeConfiguration | None = None,
     compression: str | None = None,
     available_now: bool = True,
+    instance_id: str | None = None,
 ) -> StreamingQuery:
     """Native streaming archival: slice assignment as a stateless column, then
     the partitioned streaming text sink (JSON-lines wire format). Exactly-once
@@ -95,8 +115,11 @@ def stream_backup(
     Concurrency note: one query per destination root — the native file sink
     owns its ``_spark_metadata``, and even plain concurrent batch appends
     race in ``_temporary`` staging with the default committer. Multiple
-    backup instances (the reference's concurrent-instances deployment) take
-    per-instance roots under the shared archive; restore unions the roots."""
+    backup instances (the reference's concurrent-instances deployment) pass
+    a shared archive/checkpoint root plus a distinct ``instance_id``: the
+    query then owns ``<dest>/<instance_id>``, and
+    ``restore_batch(..., instances=True)`` reads the union of the roots."""
+    dest, checkpoint = _instance_scoped(dest, checkpoint, instance_id)
     config = config or ChronoUnitSlice("HOURS")
     if isinstance(config, PeriodFromFirst):
         raise ValueError("use stream_backup_foreach_batch for PeriodFromFirst (anchored) mode")
@@ -126,6 +149,7 @@ def stream_backup_foreach_batch(
     checkpoint: str,
     config: TimeConfiguration,
     available_now: bool = True,
+    instance_id: str | None = None,
 ) -> StreamingQuery:
     """foreachBatch archival supporting PeriodFromFirst: batch 0 captures and
     persists the anchor; every batch then appends partitioned JSON-lines with
@@ -133,7 +157,9 @@ def stream_backup_foreach_batch(
     are idempotent per slice-directory because replayed batches rewrite the
     same records (offsets are part of the wire format; restore dedups exact
     replays via dropDuplicates on (topic, partition, offset) if the sink ever
-    double-commits)."""
+    double-commits). ``instance_id`` scopes the sink/checkpoint roots for the
+    shared-archive multi-writer layout exactly as in ``stream_backup``."""
+    dest, checkpoint = _instance_scoped(dest, checkpoint, instance_id)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         anchor = None

@@ -328,28 +328,34 @@ def test_concurrent_backup_instances_share_archive(spark, records, tmp_path):
 
     Deployment rule (stream_backup docstring): one sink root per instance —
     Spark's native file sink owns its _spark_metadata, and concurrent batch
-    appends to one directory race in _temporary staging. Per-instance roots
-    under one archive are the engine's shared-bucket layout; restore unions
-    the roots."""
+    appends to one directory race in _temporary staging. instance_id is the
+    formal API for that layout: both writers share the archive and checkpoint
+    roots, each owning <root>/<instance_id>; restore unions the roots."""
+    import pytest
+
     topics = [r.topic for r in records.select("topic").distinct().collect()]
     half = len(topics) // 2
     g1, g2 = set(topics[:half]), set(topics[half:])
     src1, src2 = str(tmp_path / "in1"), str(tmp_path / "in2")
-    dest1 = str(tmp_path / "archive" / "instance1")
-    dest2 = str(tmp_path / "archive" / "instance2")
+    archive, ckpt = str(tmp_path / "archive"), str(tmp_path / "ckpt")
     records.where(F.col("topic").isin(g1)).write.parquet(src1)
     records.where(F.col("topic").isin(g2)).write.parquet(src2)
 
-    q1 = stream_backup(records_file_stream(spark, src1), dest1, str(tmp_path / "c1"))
-    q2 = stream_backup(records_file_stream(spark, src2), dest2, str(tmp_path / "c2"))
+    q1 = stream_backup(records_file_stream(spark, src1), archive, ckpt, instance_id="instance1")
+    q2 = stream_backup(records_file_stream(spark, src2), archive, ckpt, instance_id="instance2")
     q1.awaitTermination(120)
     q2.awaitTermination(120)
 
-    restored = read_backup_jsonl(spark, str(tmp_path / "archive"), instances=True)
+    restored = read_backup_jsonl(spark, archive, instances=True)
     assert rec_set(restored.drop("slice")) == rec_set(records)
     # and per-instance reads see exactly their own subset
-    only1 = read_backup_jsonl(spark, dest1).select("topic").distinct()
+    only1 = read_backup_jsonl(spark, archive + "/instance1").select("topic").distinct()
     assert {r.topic for r in only1.collect()} == g1
+
+    # ids that would collide with slice dirs or the union listing are rejected
+    for bad in ("", "a/b", "_tmp", ".hidden", "slice=x"):
+        with pytest.raises(ValueError):
+            stream_backup(records_file_stream(spark, src1), archive, ckpt, instance_id=bad)
 
 
 def test_stream_backup_gzip_roundtrip(spark, records, tmp_path):
