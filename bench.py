@@ -40,6 +40,9 @@ HEADLINE = {
     "tumbling_window": "g2_time_slice_hourly",
     "semi_anti": "q06_semi_anti_join",
     "json_extract": "q17_json_extraction",
+    # round-2 additions, with stock twins where plain SQL expresses them
+    "hopping_window": "q40_hopping_window",
+    "quality_filter": "t8_quality_filter_report",
     # engine-specific headline ops beyond the stock baseline
     "minhash_lsh": "d4_minhash_lsh_dedup",
     "cosine_topk": "s1_cosine_topk",
@@ -47,6 +50,8 @@ HEADLINE = {
     "asof_join": "q25_asof_join",
     "dedup_clusters": "d7_dedup_clusters",
     "training_pipeline": "p2_training_pipeline",
+    "knn_classify": "s3_knn_classify",
+    "containment_pairs": "d9_ngram_containment_pairs",
 }
 
 N_RUNS = 3

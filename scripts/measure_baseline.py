@@ -92,6 +92,31 @@ QUERIES = {
         SELECT CAST(get_json_object(props, '$.k') AS INT) AS k, count(*) AS cnt
         FROM events GROUP BY 1 ORDER BY 1
     """,
+    "hopping_window": """
+        SELECT window(ts, '10 minutes', '5 minutes').start AS w_start, event_type,
+               count(*) AS cnt, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY window(ts, '10 minutes', '5 minutes'), event_type
+        ORDER BY w_start, event_type
+    """,
+    "quality_filter": """
+        WITH s AS (
+            SELECT source,
+                   size(split(text, ' ')) AS n,
+                   size(array_distinct(split(text, ' '))) * 1.0
+                     / size(split(text, ' ')) AS dr,
+                   size(filter(split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+                     / size(split(text, ' ')) AS sr
+            FROM documents)
+        SELECT source, count(*) AS n_docs,
+               sum(CASE WHEN n >= 25 AND n <= 90 AND dr >= 0.35 AND sr <= 0.12
+                        THEN 1 ELSE 0 END) AS n_kept,
+               sum(CASE WHEN n < 25 THEN 1 ELSE 0 END) AS n_too_short,
+               sum(CASE WHEN n > 90 THEN 1 ELSE 0 END) AS n_too_long,
+               sum(CASE WHEN dr < 0.35 THEN 1 ELSE 0 END) AS n_low_diversity,
+               sum(CASE WHEN sr > 0.12 THEN 1 ELSE 0 END) AS n_stopword_heavy
+        FROM s GROUP BY source ORDER BY source
+    """,
 }
 
 N_RUNS = 3
