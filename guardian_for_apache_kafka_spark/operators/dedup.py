@@ -248,6 +248,62 @@ def dedup_minhash_lsh(
     return df.join(doomed, id_col, "left_anti")
 
 
+def minhash_verified_dedup(
+    df: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Two-stage near-dedup: MinHash-LSH candidate generation, EXACT n-gram
+    Jaccard verification on the candidates, keep-first drop policy — the
+    production shape (candidates cheap and recall-oriented, the exact measure
+    decides).
+
+    Statistical contract (what makes this exactly checkable): a pair with
+    true Jaccard j collides in some band with p = 1-(1-j^r)^b (r =
+    num_hashes/bands). Verification then filters by exact Jaccard, so the
+    output equals the exact all-pairs result unless LSH *misses* a true
+    pair — probability (1-j^r)^b per pair, e.g. <= 4e-8 at j >= 0.9 with the
+    r=4, b=16 default. With the deterministic xxhash64 hash family the
+    outcome is also reproducible run-to-run: recall failures are code
+    regressions, not flakes.
+
+    Scale shape: the candidate join carries ids only; exact verification
+    joins the (small) candidate set against per-doc distinct hashed-shingle
+    arrays (8-byte elements), never all pairs and never raw text."""
+    cand = minhash_lsh_candidates(df, n, num_hashes, bands, id_col, content_col).select(
+        "id_a", "id_b"
+    )
+    # hashed shingle sets: xxhash64 keeps set cardinalities (collisions
+    # ~n^2/2^64) while shrinking shuffle/array payload to 8 bytes/shingle
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            ngram_shingles(tokens_col(content_col), n), lambda c: F.xxhash64(c)
+        ).alias("__sh"),
+    ).where(F.size("__sh") > 0)
+    sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+    sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("__sa", "__sb"))
+                / F.size(F.array_union("__sa", "__sb"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    doomed = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(doomed, id_col, "left_anti")
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,

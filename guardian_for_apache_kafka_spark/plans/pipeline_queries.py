@@ -113,17 +113,47 @@ def d3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d4_minhash_lsh_dedup",
-    oracle=None,  # xxhash64 family has no DuckDB twin; validated vs exact jaccard in tests
-    tags=("dedup", "minhash", "lsh"),
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    doomed AS (
+        SELECT DISTINCT id_b FROM common WHERE c * 1.0 / (na + nb - c) >= 0.7
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM doomed)
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "statistical-oracle"),
 )
 def d4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dedup survivors (rows-only check; recall/precision vs
-    exact Jaccard asserted in tests/test_dedup.py)."""
-    from guardian_for_apache_kafka_spark.operators.dedup import dedup_minhash_lsh
+    """MinHash-LSH near-dedup survivors, exact-verified: LSH proposes
+    candidates, exact n-gram Jaccard (on the candidates only) decides.
+
+    Tolerance contract vs the oracle: the oracle is the EXACT all-pairs
+    Jaccard dedup; the engine matches it unless LSH misses a true pair —
+    per-pair probability (1-j^4)^16 (<= 4e-8 at the dataset's observed
+    near-dup Jaccard >= 0.9, operators/dedup.minhash_verified_dedup
+    docstring). xxhash64 is deterministic, so the check is reproducible:
+    a mismatch means a recall/code regression, not sampling noise. The
+    estimator-only variant (est_jaccard, no verification join) remains
+    available as operators/dedup.dedup_minhash_lsh and is
+    recall/precision-tested in tests/test_dedup_similarity.py."""
+    from guardian_for_apache_kafka_spark.operators.dedup import minhash_verified_dedup
 
     d = load_table(spark, sf_dir, "documents")
     return (
-        dedup_minhash_lsh(d, threshold=0.7)
+        minhash_verified_dedup(d, threshold=0.7)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
