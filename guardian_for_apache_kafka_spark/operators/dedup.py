@@ -33,6 +33,7 @@ from guardian_for_apache_kafka_spark.functions.columns import (
     simhash_words_udf,
     tokens_col,
 )
+from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
 
 
 def content_digest(content_col: str = "text") -> F.Column:
@@ -51,6 +52,7 @@ def dedup_exact(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 
 
 def _shingled(df: DataFrame, id_col: str, content_col: str, n: int) -> DataFrame:
+    df = spread_narrow_scan(df)
     return df.select(
         F.col(id_col).alias("__id"),
         ngram_shingles(tokens_col(content_col), n).alias("__shingles"),
@@ -153,6 +155,33 @@ def ngram_containment_pairs(
     )
 
 
+def _band_pairs(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """Banded-LSH candidate generation over a materialized signature frame
+    (columns ``__id``, ``__sig``): explode (band, band-hash) keys, self-join
+    on them carrying ids ONLY (signatures would multiply the shuffle by
+    bands x), distinct pairs with id_a < id_b."""
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(F.slice("__sig", bi * r + 1, r), F.lit(42)).alias("bh"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__id", "__b.band", "__b.bh")
+    left = banded.select(F.col("__id").alias("id_a"), "band", "bh")
+    right = banded.select(F.col("__id").alias("id_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     n: int = 3,
@@ -176,7 +205,7 @@ def minhash_lsh_candidates(
     # signature happen vectorized in Arrow batches, and the UDF output is a
     # physically materialized column — banding slices a concrete array rather
     # than re-evaluating a giant HOF expression per band.
-    hashed = df.select(
+    hashed = spread_narrow_scan(df).select(
         F.col(id_col).alias("__id"),
         F.transform(tokens_col(content_col), lambda t: F.xxhash64(t)).alias("__th"),
     )
@@ -189,29 +218,7 @@ def minhash_lsh_candidates(
     # magnitude smaller than the corpus, spills to disk if not. Long-lived
     # sessions can reclaim with spark.catalog.clearCache().
     sig = sig.persist()
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.hash(F.slice("__sig", bi * r + 1, r), F.lit(42)).alias("bh"),
-                ),
-            )
-        ).alias("__b"),
-    ).select("__id", "__b.band", "__b.bh")
-    # Bucket join carries ids only — signatures (num_hashes longs each) would
-    # multiply the shuffle by 16x; they're re-attached to the (much smaller)
-    # distinct candidate set below.
-    l = banded.select(F.col("__id").alias("id_a"), "band", "bh")
-    rt = banded.select(F.col("__id").alias("id_b"), "band", "bh")
-    pairs = (
-        l.join(rt, ["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = _band_pairs(sig, bands, r)
     sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
     sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
     agree = F.aggregate(
@@ -271,22 +278,40 @@ def minhash_verified_dedup(
     outcome is also reproducible run-to-run: recall failures are code
     regressions, not flakes.
 
-    Scale shape: the candidate join carries ids only; exact verification
-    joins the (small) candidate set against per-doc distinct hashed-shingle
-    arrays (8-byte elements), never all pairs and never raw text."""
-    cand = minhash_lsh_candidates(df, n, num_hashes, bands, id_col, content_col).select(
-        "id_a", "id_b"
+    Scale shape: ONE corpus pass computes both the LSH signature and the
+    exact shingle-hash set (n-gram over per-token xxhash64s — identical set
+    cardinalities to word-string shingles modulo 64-bit collisions, so
+    identical Jaccard) into one persisted feature frame; the candidate join
+    carries ids only; exact verification joins the (small) candidate set
+    against the per-doc shingle arrays (8-byte elements), never all pairs
+    and never raw text."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    th = F.transform(tokens_col(content_col), lambda t: F.xxhash64(t))
+    shingle_hashes = F.when(
+        F.size("__th") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__th") - n),
+                lambda i: F.xxhash64(F.slice("__th", i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    feat = (
+        spread_narrow_scan(df)
+        .select(F.col(id_col).alias("__id"), th.alias("__th"))
+        .select(
+            "__id",
+            minhash_signature_udf(num_hashes, n)("__th").alias("__sig"),
+            shingle_hashes.alias("__sh"),
+        )
+        .where(F.col("__sig").isNotNull())
+        .persist()
     )
-    # hashed shingle sets: xxhash64 keeps set cardinalities (collisions
-    # ~n^2/2^64) while shrinking shuffle/array payload to 8 bytes/shingle
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(
-            ngram_shingles(tokens_col(content_col), n), lambda c: F.xxhash64(c)
-        ).alias("__sh"),
-    ).where(F.size("__sh") > 0)
-    sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
-    sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
+    cand = _band_pairs(feat, bands, r)
+    sa = feat.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+    sb = feat.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -313,7 +338,7 @@ def simhash_pairs(
     """SimHash near-dup candidates: 64-bit fingerprint as 4 16-bit words,
     bucket by each word (pigeonhole: any pair with hamming <= 3 agrees exactly
     on at least one word), verify hamming on collisions."""
-    hashed = df.select(
+    hashed = spread_narrow_scan(df).select(
         F.col(id_col).alias("__id"),
         F.transform(tokens_col(content_col), lambda t: F.xxhash64(t)).alias("__th"),
     )
@@ -384,7 +409,7 @@ def embedding_near_dup_pairs(
     # persisted: evaluate the buckets once, then both join sides and the
     # vector re-attachments read the materialized frame
     b = (
-        emb.select(
+        spread_narrow_scan(emb).select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
             F.posexplode(bk_udf(F.col(vec_col).cast("array<double>"))).alias("tbl", "bk"),

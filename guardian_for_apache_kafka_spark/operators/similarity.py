@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from guardian_for_apache_kafka_spark.functions.columns import cosine_similarity
+from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
 
 
 def quantize_embeddings(
@@ -61,7 +62,7 @@ def quantized_cosine_topk(
     cosine_topk but the scanned corpus payload is 4x smaller. Recall vs the
     full-precision exact top-k is asserted in tests (max-abs int8 keeps
     cosine ordering nearly intact for unit-ish embeddings)."""
-    qc = quantize_embeddings(corpus, id_col, vec_col)
+    qc = quantize_embeddings(spread_narrow_scan(corpus), id_col, vec_col)
     qq = quantize_embeddings(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
         "query_id",
@@ -107,7 +108,11 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    # the corpus side carries the per-row scoring work (|Q| cosines per
+    # vector) — spread a narrow scan so it parallelizes
+    c = spread_narrow_scan(corpus).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
@@ -204,7 +209,9 @@ def ivf_topk(
         )
 
     c_assigned = nearest(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")),
+        spread_narrow_scan(corpus).select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
+        ),
         "vec_id",
         "__cv",
         1,
