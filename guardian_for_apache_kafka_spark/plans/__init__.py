@@ -31,12 +31,14 @@ _TAIL = [
     "q36_scalar_subquery_select",
     "q01_scan_filter_project",  # demoted r4: scan+filter+project is implicit
     # in every other checked query; frees the slot for the now-oracled d4
+    "q30_window_distribution",  # demoted r4: ntile/percent_rank/cume_dist
+    # overlaps q10 ranking + q31 percentiles; frees the slot for the
+    # now-oracled m1 (mapInPandas decode path)
     # rows-only (oracle=None): weakest check, go last
     "q24_approx_aggregates",
     "d5_simhash_pairs",
     "d6_embedding_near_dup",
     "s2_ivf_topk",
-    "m1_multimodal_features",
     "p1_backup_restore_roundtrip",
 ]
 

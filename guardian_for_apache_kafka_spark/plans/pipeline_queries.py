@@ -429,14 +429,38 @@ def t5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_HEXB = (
+    "(strpos('0123456789abcdef', substr(dig,{i},1))-1)*16"
+    " + strpos('0123456789abcdef', substr(dig,{j},1))-1"
+)
+
+
 @query(
     "m1_multimodal_features",
-    oracle=None,  # decode is stubbed (no codec libs); plumbing checked rows-only + tests
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS dig,
+               octet_length(CAST(text AS BLOB)) AS size_bytes
+        FROM documents
+    )
+    SELECT doc_id, 'image' AS media_type, CAST(size_bytes AS BIGINT) AS size_bytes,
+           CAST(64 + ({_HEXB.format(i=1, j=2)}) % 192 AS INT) AS width,
+           CAST(64 + ({_HEXB.format(i=3, j=4)}) % 192 AS INT) AS height,
+           CAST(1 + ({_HEXB.format(i=5, j=6)}) % 4 AS INT) AS n_channels
+    FROM h ORDER BY doc_id LIMIT 200
+    """,
     tags=("multimodal",),
 )
 def m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column plumbing: wrap document text bytes as fake blobs,
-    decode features partition-parallel via mapInPandas (stubbed codec)."""
+    decode features partition-parallel via mapInPandas (stubbed codec).
+
+    Oracled despite the stub: the deterministic fake decode derives
+    width/height/channels from sha256(content) bytes
+    (operators/multimodal._decode_bytes_stub), and DuckDB recomputes the
+    same digest arithmetic in SQL — so the driver row exactly checks the
+    whole Arrow/mapInPandas decode path (batch iteration, schema contract,
+    binary round-trip), everything short of the codec call itself."""
     from guardian_for_apache_kafka_spark.operators.multimodal import (
         attach_media,
         extract_image_features,
