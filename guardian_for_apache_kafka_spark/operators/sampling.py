@@ -85,5 +85,34 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum sampling (``sampleBy``): balanced subsets across e.g.
     languages or sources. Seeded but not content-stable — use
-    deterministic_sample when membership must survive corpus changes."""
+    deterministic_stratified_sample when membership must survive corpus
+    changes."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: str = "guardian",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Content-stable per-stratum sampling — the corpus-rebalancing shape
+    (downsample over-represented languages/sources) with membership that
+    survives corpus growth, unlike seeded ``sampleBy``.
+
+    A row is kept iff md5(seed || key) < threshold(fractions[stratum]); the
+    per-stratum threshold comes from one CASE chain, so the whole rebalance
+    is a single scan with zero shuffles. Strata absent from ``fractions``
+    take ``default_rate``. Rate 1.0 maps to threshold "g" (above every hex
+    bucket) so full-keep strata keep every row exactly. md5 is bit-identical
+    across engines, so the exact subset is oracle-checkable (query d10)."""
+
+    def threshold(rate: float) -> str:
+        return "g" if rate >= 1.0 else _threshold_hex(rate)
+
+    expr = F.lit(threshold(default_rate))
+    for name, rate in sorted(fractions.items()):
+        expr = F.when(F.col(strata_col) == name, F.lit(threshold(rate))).otherwise(expr)
+    return df.where(sample_bucket(F.col(key_col), seed) < expr)

@@ -34,6 +34,8 @@ _TAIL = [
     "q30_window_distribution",  # demoted r4: ntile/percent_rank/cume_dist
     # overlaps q10 ranking + q31 percentiles; frees the slot for the
     # now-oracled m1 (mapInPandas decode path)
+    "d10_stratified_rebalance",  # new r4, oracled; parked in the tail so the
+    # proven 50-entry driver window stays byte-stable this round
     # tail remainder: q24/s2/p1 carry bounded-assertion or predictive oracles
     # (checked by the in-repo harness at every sf); d5/d6 are the only
     # rows-only entries left (simhash/hyperplane buckets have no DuckDB twin)

@@ -720,6 +720,41 @@ def d8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d10_stratified_rebalance",
+    oracle="""
+    SELECT doc_id, lang,
+           count(*) OVER (PARTITION BY lang) AS n_lang_kept
+    FROM documents
+    WHERE substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang WHEN 'en' THEN '547ae147' ELSE 'g' END
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "stratified", "rebalance"),
+)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing by content-stable stratified downsampling: the
+    over-represented stratum (en, ~3x the other langs in the test corpus)
+    keeps a 33% content-stable subset, every other stratum keeps everything —
+    one scan, one CASE chain, zero shuffles for the filter itself
+    (operators/sampling.deterministic_stratified_sample). The oracle
+    re-derives the exact kept set from the same md5 arithmetic; the window
+    count column proves the per-stratum sizes without a second query."""
+    from guardian_for_apache_kafka_spark.operators.sampling import (
+        deterministic_stratified_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = deterministic_stratified_sample(
+        d, "lang", {"en": 0.33}, key_col="doc_id", seed="strat"
+    )
+    w = Window.partitionBy("lang")
+    return (
+        kept.select("doc_id", "lang", F.count("*").over(w).alias("n_lang_kept"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "p2_training_pipeline",
     oracle="""
     WITH t AS (

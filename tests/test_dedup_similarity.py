@@ -427,3 +427,31 @@ def test_containment_catches_short_in_long_that_jaccard_misses(spark):
     jac = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
     assert cont == {(1, 2): 1.0}
     assert (1, 2) not in jac
+
+
+def test_deterministic_stratified_sample_stable_and_rebalancing(spark, docs):
+    """Stratified rebalance: downsampled stratum honors its rate, full-keep
+    strata keep EVERY row (rate-1.0 threshold sits above all hex buckets),
+    and membership is content-stable under corpus shrinkage."""
+    from guardian_for_apache_kafka_spark.operators.sampling import (
+        deterministic_stratified_sample,
+    )
+
+    kept = deterministic_stratified_sample(docs, "lang", {"en": 0.33}, seed="strat")
+    by_lang_all = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    by_lang_kept = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in by_lang_all.items():
+        if lang == "en":
+            assert abs(by_lang_kept.get(lang, 0) / n - 0.33) < 0.15
+        else:
+            assert by_lang_kept.get(lang, 0) == n  # full-keep strata intact
+    # content-stability: membership is per-key, immune to corpus changes
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    again = {
+        r.doc_id
+        for r in deterministic_stratified_sample(half, "lang", {"en": 0.33}, seed="strat")
+        .select("doc_id")
+        .collect()
+    }
+    assert again == {i for i in ids if i % 2 == 0}
