@@ -137,6 +137,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--streaming", action="store_true",
                    help="run as a Structured Streaming query (availableNow) with a checkpoint")
     b.add_argument("--checkpoint", default=None, help="checkpoint dir for --streaming")
+    b.add_argument("--instance-id", default=None,
+                   help="shared-archive multi-writer: this instance owns "
+                        "<dest>/<id> and <checkpoint>/<id>; restore with --instances")
 
     r = sub.add_parser("restore", help="read archived slices and produce records")
     common(r)
@@ -215,9 +218,14 @@ def main(argv: list[str] | None = None) -> int:
             if not args.checkpoint:
                 raise SystemExit("--checkpoint is required for Kafka-sourced backup")
             if isinstance(tc, PeriodFromFirst):
-                q = stream_backup_foreach_batch(records, args.dest, args.checkpoint, tc)
+                q = stream_backup_foreach_batch(
+                    records, args.dest, args.checkpoint, tc, instance_id=args.instance_id
+                )
             else:
-                q = stream_backup(records, args.dest, args.checkpoint, tc, compression)
+                q = stream_backup(
+                    records, args.dest, args.checkpoint, tc, compression,
+                    instance_id=args.instance_id,
+                )
             q.awaitTermination()
         elif args.streaming:
             from guardian_for_apache_kafka_spark.streaming.pipeline import (
@@ -234,9 +242,14 @@ def main(argv: list[str] | None = None) -> int:
 
                 records = records.where(F.col("topic").isin(args.kafka_topics))
             if isinstance(tc, PeriodFromFirst):
-                q = stream_backup_foreach_batch(records, args.dest, args.checkpoint, tc)
+                q = stream_backup_foreach_batch(
+                    records, args.dest, args.checkpoint, tc, instance_id=args.instance_id
+                )
             else:
-                q = stream_backup(records, args.dest, args.checkpoint, tc, compression)
+                q = stream_backup(
+                    records, args.dest, args.checkpoint, tc, compression,
+                    instance_id=args.instance_id,
+                )
             q.awaitTermination()
         else:
             from guardian_for_apache_kafka_spark.operators.backup import (
