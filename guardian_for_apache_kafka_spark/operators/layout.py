@@ -17,6 +17,10 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
     repartition when the scan has fewer partitions than the session's shuffle
     parallelism. The extra exchange moves the raw rows once — far cheaper
     than serializing the expensive expression work."""
+    if df.isStreaming:
+        # no static partition count to probe; micro-batch sizing is the
+        # trigger's job and .rdd is illegal on a streaming frame
+        return df
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

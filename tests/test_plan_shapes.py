@@ -276,3 +276,23 @@ def test_s3_knn_votes_broadcast_corpus_never_shuffles(plans):
     assert "BroadcastExchange" in plan, plan
     # no shuffle keyed on the corpus id column
     assert not re.search(r"Exchange hashpartitioning\(vec_id", plan), plan
+
+
+def test_spread_narrow_scan_contract(spark, tmp_path):
+    """spread_narrow_scan widens a 1-partition scan to the session's shuffle
+    parallelism, leaves an already-wide frame untouched (no gratuitous
+    exchange), and passes streaming frames through (no .rdd probe)."""
+    from guardian_for_apache_kafka_spark.core.model import RECORD_SCHEMA
+    from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert spread_narrow_scan(narrow).rdd.getNumPartitions() == target
+
+    wide = spark.range(0, 1000).repartition(target)
+    assert spread_narrow_scan(wide) is wide  # no-op, not merely same count
+
+    src = str(tmp_path / "stream_src")
+    spark.range(0, 10).write.parquet(src)
+    stream = spark.readStream.schema("id LONG").parquet(src)
+    assert spread_narrow_scan(stream) is stream
