@@ -455,3 +455,30 @@ def test_deterministic_stratified_sample_stable_and_rebalancing(spark, docs):
         .collect()
     }
     assert again == {i for i in ids if i % 2 == 0}
+
+
+def test_minhash_verified_dedup_sandwich_vs_exact(docs):
+    """Deterministic sandwich for the two-stage verified dedup: exact
+    verification makes precision exact (every dropped id has a true partner
+    at >= threshold), and LSH can only MISS candidates, never invent them —
+    so exact-dedup survivors are a subset of verified survivors. On the test
+    corpus (clean Jaccard gap, miss prob <= 4e-8 per true pair) the two are
+    equal — which is what the d4 driver oracle asserts."""
+    from guardian_for_apache_kafka_spark.operators.dedup import minhash_verified_dedup
+
+    threshold = 0.7
+    exact_doomed = {
+        r.id_b for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    exact_survivors = all_ids - exact_doomed
+
+    verified_survivors = {
+        r.doc_id for r in minhash_verified_dedup(docs, threshold=threshold).collect()
+    }
+    # precision exact: nothing dropped without a true >= threshold partner
+    assert (all_ids - verified_survivors) <= exact_doomed
+    # LSH misses only: exact survivors always survive the verified path
+    assert exact_survivors <= verified_survivors
+    # and on this corpus the bound makes them equal
+    assert verified_survivors == exact_survivors
