@@ -33,29 +33,25 @@ def test_entry_contract(spark):
 
 
 def test_q24_approx_tracks_exact(spark, sf_dir):
-    """HLL++ distinct within its configured 2% rsd (allow 3 sigma), t-digest
-    median within 5% of the exact median."""
+    """q24 computes the sketches AND their exact twins in-query and emits
+    bound verdicts (the bounded-assertion oracle contract): every group must
+    report both bounds held, with exact row counts anchoring the groups."""
     from pyspark.sql import functions as F
 
     from guardian_for_apache_kafka_spark.plans import all_queries
     from guardian_for_apache_kafka_spark.sources.tables import load_table
 
-    approx = {r.l_returnflag: r for r in all_queries()["q24_approx_aggregates"](spark, sf_dir).collect()}
+    rows = all_queries()["q24_approx_aggregates"](spark, sf_dir).collect()
     li = load_table(spark, sf_dir, "lineitem")
-    exact = {
-        r.l_returnflag: r
-        for r in li.groupBy("l_returnflag")
-        .agg(
-            F.count_distinct("l_partkey").alias("parts"),
-            F.expr("percentile(l_extendedprice, 0.5D)").alias("med_price"),
-        )
-        .collect()
+    exact_n = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
     }
-    assert set(approx) == set(exact)
-    for flag, a in approx.items():
-        e = exact[flag]
-        assert abs(a.approx_parts - e.parts) <= max(1, 0.06 * e.parts)
-        assert abs(a.approx_med_price - e.med_price) <= 0.05 * e.med_price
+    assert {r.l_returnflag for r in rows} == set(exact_n)
+    for r in rows:
+        assert r.ndv_within_5pct, f"HLL++ out of band for {r.l_returnflag}"
+        assert r.median_within_2pct, f"approx_percentile out of band for {r.l_returnflag}"
+        assert r.n == exact_n[r.l_returnflag]
 
 
 def test_salted_join_equals_unsalted(spark, sf_dir):
