@@ -52,6 +52,7 @@ HEADLINE = {
     "training_pipeline": "p2_training_pipeline",
     "knn_classify": "s3_knn_classify",
     "containment_pairs": "d9_ngram_containment_pairs",
+    "repetition_stats": "t7_repetition_stats",
 }
 
 N_RUNS = 3
