@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
+
 #: Typed metadata carried next to every blob.
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -67,7 +69,10 @@ def _decode_bytes_stub(content: bytes) -> tuple[int, int, int]:
 
 def extract_image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract over binary content, partition-parallel via
-    ``mapInPandas`` (one Arrow batch of blobs at a time; nothing is collected)."""
+    ``mapInPandas`` (one Arrow batch of blobs at a time; nothing is collected).
+    The input is spread first so a narrow scan cannot serialize the decode
+    onto a single Arrow task (operators/layout.py)."""
+    media = spread_narrow_scan(media)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,6 +107,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     (sample_rate, n_samples, duration). Decode STUBBED (deterministic fake
     from the digest; a real deployment replaces it with soundfile/ffprobe —
     the Arrow batch contract is identical)."""
+    media = spread_narrow_scan(media)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,6 +142,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     swaps the inner function for PIL ``Image.resize`` — batch shape, schema,
     and memory posture (one Arrow batch of blobs in flight per task) are the
     deployment-real parts."""
+    media = spread_narrow_scan(media)
 
     def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
