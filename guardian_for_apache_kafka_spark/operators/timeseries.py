@@ -1,0 +1,81 @@
+"""Time-series similarity over event streams (EDBT'19 "Time Series
+Similarity Search for Streaming Data in Distributed Systems" problem shape,
+re-expressed relationally).
+
+The engine's unit of similarity is an *activity profile*: a dense, fixed-
+dimension integer vector per entity (here: events per hour-of-day). Fixed
+dimensionality makes all-pairs scoring a bounded equi-join on the bucket
+index, and INTEGER sums make the Pearson correlation bit-deterministic
+across engines: numerator and variance terms are exact int64 arithmetic,
+and the final double expression (one multiply, one sqrt, one divide on
+identical integers) is IEEE-correctly-rounded everywhere — which is what
+lets the q42 oracle hash-match instead of tolerance-match.
+
+Scale shape: profiles are |entities| x buckets rows (tiny vs the event
+log); the pair join runs on an explicitly bounded entity set (broadcast) —
+for unbounded corpora, feed the profile vectors to the similarity/LSH
+machinery (operators/similarity.py) instead of all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def activity_profile(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    buckets: int = 24,
+) -> DataFrame:
+    """Dense hour-of-day activity profile: (id, bucket, cnt) with every
+    bucket present (zero-filled) — correlation needs aligned dense vectors,
+    and a sparse join would silently drop anti-correlated zero buckets."""
+    ids = events.select(F.col(id_col).alias("__id")).distinct()
+    grid = ids.crossJoin(
+        events.sparkSession.range(buckets).select(F.col("id").cast("int").alias("__b"))
+    )
+    counts = events.select(
+        F.col(id_col).alias("__id"), F.hour(ts_col).cast("int").alias("__b")
+    ).groupBy("__id", "__b").agg(F.count("*").alias("__c"))
+    return grid.join(counts, ["__id", "__b"], "left").select(
+        "__id", "__b", F.coalesce("__c", F.lit(0)).alias("__c")
+    )
+
+
+def correlated_pairs(
+    profiles: DataFrame,
+    min_corr: float = 0.2,
+    buckets: int = 24,
+) -> DataFrame:
+    """All-pairs Pearson correlation over dense integer profiles.
+
+    Per pair: n*Sxy - Sx*Sy and the two variance terms are EXACT int64; the
+    only floating-point ops are the final multiply/sqrt/divide, identical on
+    both engines. Constant profiles (zero variance) are excluded — their
+    correlation is undefined. Callers bound the entity set; the join is
+    |ids|^2 * buckets rows of 3 ints, broadcast-friendly."""
+    a = profiles.select(
+        F.col("__id").alias("id_a"), "__b", F.col("__c").alias("__ca")
+    )
+    b = profiles.select(
+        F.col("__id").alias("id_b"), "__b", F.col("__c").alias("__cb")
+    )
+    joined = a.join(b, "__b").where(F.col("id_a") < F.col("id_b"))
+    sums = joined.groupBy("id_a", "id_b").agg(
+        F.sum(F.col("__ca") * F.col("__cb")).alias("sxy"),
+        F.sum("__ca").alias("sx"),
+        F.sum("__cb").alias("sy"),
+        F.sum(F.col("__ca") * F.col("__ca")).alias("sxx"),
+        F.sum(F.col("__cb") * F.col("__cb")).alias("syy"),
+    )
+    n = F.lit(buckets)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        sums.where((d1 > 0) & (d2 > 0))
+        .select("id_a", "id_b", (num / F.sqrt(d1 * d2)).alias("corr"))
+        .where(F.col("corr") >= min_corr)
+    )

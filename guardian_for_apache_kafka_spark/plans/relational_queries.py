@@ -1484,3 +1484,57 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "s_start")
     )
+
+
+@query(
+    "q42_activity_correlation",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+    grid AS (SELECT user_id, CAST(r.range AS INT) AS b FROM ids CROSS JOIN range(24) r),
+    counts AS (
+        SELECT user_id, CAST(hour(ts) AS INT) AS b, count(*) AS c
+        FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ),
+    prof AS (
+        SELECT g.user_id, g.b, COALESCE(c.c, 0) AS c
+        FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.b = c.b
+    ),
+    sums AS (
+        SELECT a.user_id AS id_a, b2.user_id AS id_b,
+               sum(a.c * b2.c) AS sxy, sum(a.c) AS sx, sum(b2.c) AS sy,
+               sum(a.c * a.c) AS sxx, sum(b2.c * b2.c) AS syy
+        FROM prof a JOIN prof b2 ON a.b = b2.b AND a.user_id < b2.user_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(24*sxy - sx*sy AS DOUBLE)
+                 / sqrt(CAST(24*sxx - sx*sx AS DOUBLE) * CAST(24*syy - sy*sy AS DOUBLE)),
+                 4) AS corr
+    FROM sums
+    WHERE (24*sxx - sx*sx) > 0 AND (24*syy - sy*sy) > 0
+      AND CAST(24*sxy - sx*sy AS DOUBLE)
+          / sqrt(CAST(24*sxx - sx*sx AS DOUBLE) * CAST(24*syy - sy*sy AS DOUBLE)) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+    tags=("relational", "timeseries", "correlation"),
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (EDBT'19 problem shape): user pairs
+    whose hour-of-day activity profiles correlate at >= 0.2, over a bounded
+    entity set. Pearson is computed from exact int64 sums (numerator and
+    variance terms are integers); the only float ops are one multiply, one
+    sqrt, one divide on identical integers — IEEE-deterministic on both
+    engines, so the oracle hash-matches without a tolerance
+    (operators/timeseries.py)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        activity_profile,
+        correlated_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    prof = activity_profile(ev, "user_id", "ts", buckets=24)
+    return (
+        correlated_pairs(prof, min_corr=0.2, buckets=24)
+        .select("id_a", "id_b", F.round("corr", 4).alias("corr"))
+        .orderBy("id_a", "id_b")
+    )

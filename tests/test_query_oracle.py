@@ -225,3 +225,35 @@ def test_tz_typed_oracle_fails_inrepo_gate(spark, sf_dir):
         assert res.ok, res.detail
     finally:
         del REGISTRY[name]
+
+
+def test_activity_correlation_first_principles(spark, sf_dir):
+    """correlated_pairs must agree with numpy's Pearson on the same dense
+    profiles (rounded to tolerance), be symmetric-free (id_a < id_b), and
+    exclude zero-variance profiles."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        activity_profile,
+        correlated_pairs,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    prof = activity_profile(ev, "user_id", "ts", buckets=24)
+    vecs = {}
+    for r in prof.collect():
+        vecs.setdefault(r["__id"], [0] * 24)[r["__b"]] = r["__c"]
+    pairs = correlated_pairs(prof, min_corr=-1.1, buckets=24).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    by_pair = {(r.id_a, r.id_b): r.corr for r in pairs}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            va, vb = np.array(vecs[a], float), np.array(vecs[b], float)
+            if va.std() == 0 or vb.std() == 0:
+                assert (a, b) not in by_pair  # zero-variance excluded
+                continue
+            expected = float(np.corrcoef(va, vb)[0, 1])
+            assert abs(by_pair[(a, b)] - expected) < 1e-9, (a, b)
