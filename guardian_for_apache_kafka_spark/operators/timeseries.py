@@ -44,6 +44,24 @@ def activity_profile(
     )
 
 
+def profile_vectors(profiles: DataFrame, id_out: str = "vec_id") -> DataFrame:
+    """Collapse a dense (id, bucket, cnt) profile into an ordered array
+    column — the bridge from bounded all-pairs correlation to the ANN
+    machinery for unbounded entity sets: feed the result to
+    ``similarity.cosine_topk`` / ``ivf_topk`` or
+    ``dedup.embedding_near_dup_pairs`` (cosine of mean-centered profiles is
+    Pearson, so near-neighbor search over these vectors IS correlation
+    search at scale)."""
+    return (
+        profiles.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__b", "__c"))).alias("__p"))
+        .select(
+            F.col("__id").alias(id_out),
+            F.transform("__p", lambda s: s["__c"].cast("double")).alias("embedding"),
+        )
+    )
+
+
 def correlated_pairs(
     profiles: DataFrame,
     min_corr: float = 0.2,

@@ -257,3 +257,24 @@ def test_activity_correlation_first_principles(spark, sf_dir):
                 continue
             expected = float(np.corrcoef(va, vb)[0, 1])
             assert abs(by_pair[(a, b)] - expected) < 1e-9, (a, b)
+
+
+def test_profile_vectors_feed_ann(spark, sf_dir):
+    """The profile->vector bridge must produce arrays the ANN operators
+    accept, in bucket order, one row per entity."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.similarity import cosine_topk
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        activity_profile,
+        profile_vectors,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    vecs = profile_vectors(activity_profile(ev, "user_id", "ts"))
+    assert vecs.count() == ev.select("user_id").distinct().count()
+    assert dict(vecs.dtypes)["embedding"] == "array<double>"
+    q = vecs.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = cosine_topk(vecs, q, k=2)
+    assert top.count() == 3 * 2
