@@ -299,3 +299,21 @@ def test_spread_narrow_scan_contract(spark, tmp_path):
     spark.range(0, 10).write.parquet(src)
     stream = spark.readStream.schema("id LONG").parquet(src)
     assert spread_narrow_scan(stream) is stream
+
+
+def test_d10_stratified_rebalance_single_scan_no_udf(plans):
+    """The rebalance filter is one scan of pure JVM expressions (md5 CASE
+    chain); the only shuffles are the per-stratum window count + final sort."""
+    plan = plans("d10_stratified_rebalance")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    assert "Python" not in plan, plan  # no UDF in the membership math
+
+
+def test_q42_activity_correlation_broadcast_pair_join(plans):
+    """The bounded profile pair join must broadcast (no sort-merge join of
+    the profile frames) and the 24-bucket grid must be a broadcast range,
+    so the event log is scanned, aggregated, and never pair-shuffled."""
+    plan = plans("q42_activity_correlation")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
