@@ -114,6 +114,20 @@ def read_guardian_files(spark: SparkSession, paths: list[str] | str) -> DataFram
     )
 
 
+def instance_roots(spark: SparkSession, dest: str) -> list[str]:
+    """Per-instance archive roots under a shared destination (the
+    concurrent-backup layout, streaming/pipeline.stream_backup
+    ``instance_id``): every child directory not hidden by the ``_``/``.``
+    convention. Hadoop-FS listing, so any supported scheme works."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sorted(
+        str(s.getPath()) for s in fs.listStatus(path)
+        if s.isDirectory() and not s.getPath().getName().startswith(("_", "."))
+    )
+
+
 def read_backup_jsonl(spark: SparkSession, dest: str, instances: bool = False) -> DataFrame:
     """Read the engine-native partitioned JSON-lines archive back to records,
     keeping the ``slice`` partition column for pruning.
@@ -126,13 +140,7 @@ def read_backup_jsonl(spark: SparkSession, dest: str, instances: bool = False) -
     root. Root listing goes through the Hadoop FS API, so any supported
     scheme (file://, s3a://, ...) works."""
     if instances:
-        jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(dest)
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        roots = sorted(
-            str(s.getPath()) for s in fs.listStatus(path)
-            if s.isDirectory() and not s.getPath().getName().startswith(("_", "."))
-        )
+        roots = instance_roots(spark, dest)
         if not roots:
             raise ValueError(f"no instance roots under {dest}")
         out = read_backup_jsonl(spark, roots[0])
@@ -174,13 +182,20 @@ def restore_batch(
         records = read_guardian_files(spark, [os.path.join(source, physical_name(k)) for k in keys])
     elif fmt == "json":
         records = read_backup_jsonl(spark, source, instances=instances)
-        if from_when is not None and not instances:
+        if from_when is not None:
             # -1-slice straddle handled record-exact by the timestamp filter;
-            # partition pruning needs only a lower bound on the slice value
-            keys = prune_keys_from_when(list_backup_keys(source, spark), from_when)
-            if keys:
-                lo = key_to_datetime(keys[0][len("slice=") :])
-                records = records.where(F.col("slice") >= F.lit(lo))
+            # partition pruning needs only a lower bound on the slice value.
+            # Multi-instance archives take the min of the per-root straddle
+            # bounds — conservative (every root shares the cutoff) but still
+            # prunes every slice older than the earliest straddler.
+            roots = instance_roots(spark, source) if instances else [source]
+            bounds = []
+            for root in roots:
+                keys = prune_keys_from_when(list_backup_keys(root, spark), from_when)
+                if keys:
+                    bounds.append(key_to_datetime(keys[0][len("slice=") :]))
+            if bounds:
+                records = records.where(F.col("slice") >= F.lit(min(bounds)))
         records = records.drop("slice")
     else:
         raise ValueError(f"unsupported restore format: {fmt}")

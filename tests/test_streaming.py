@@ -448,3 +448,31 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.doc_id, r.kept) for r in spark.sql("SELECT * FROM qf_stream").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_multi_instance_restore_from_when_prunes_and_filters(spark, records, tmp_path):
+    """from_when over a shared multi-writer archive: per-root straddle bounds
+    prune slices while the record filter stays exact — the result equals the
+    plain timestamp filter over the full union."""
+    import datetime as dt
+
+    from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+
+    archive, ckpt = str(tmp_path / "arch"), str(tmp_path / "ck")
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    records.where(F.col("offset") % 2 == 0).write.parquet(src1)
+    records.where(F.col("offset") % 2 == 1).write.parquet(src2)
+    q1 = stream_backup(records_file_stream(spark, src1), archive, ckpt, instance_id="a")
+    q2 = stream_backup(records_file_stream(spark, src2), archive, ckpt, instance_id="b")
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    mid = records.selectExpr("percentile(cast(timestamp as double), 0.5) p").first().p
+    cutoff = dt.datetime.utcfromtimestamp(mid)
+    got = restore_batch(spark, archive, fmt="json", instances=True, from_when=cutoff)
+    expected = records.where(F.col("timestamp") >= F.lit(cutoff))
+    assert got.count() == expected.count()
+    assert rec_set(got) == rec_set(expected)
+    # a cutoff after all data leaves only straddler slices to scan, zero rows
+    future = dt.datetime(2100, 1, 1)
+    assert restore_batch(spark, archive, fmt="json", instances=True, from_when=future).count() == 0
