@@ -156,6 +156,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--target", default=None,
                    help="output parquet dir (or Kafka when bootstrap servers are given)")
 
+    de = sub.add_parser("describe", help="per-slice archive inventory (files, bytes, records)")
+    common(de)
+    de.add_argument("--dest", required=False, default=None, help="archive directory")
+
     m = sub.add_parser("maintain", help="small-file compaction of a JSON-lines archive")
     common(m)
     m.add_argument("--dest", required=False, default=None, help="archive directory")
@@ -306,6 +310,15 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--target is required without Kafka bootstrap servers")
             out = restore_to_producer_records(records, overrides or None)
             out.write.mode("overwrite").parquet(args.target)
+        return 0
+
+    if args.command == "describe":
+        from guardian_for_apache_kafka_spark.operators.maintenance import describe_archive
+
+        if not args.dest:
+            raise SystemExit("--dest is required for describe")
+        for row in describe_archive(spark, args.dest).collect():
+            print(json.dumps(row.asDict()))
         return 0
 
     if args.command == "maintain":

@@ -34,6 +34,52 @@ def _slice_time(key: str) -> _dt.datetime:
     return key_to_datetime(key[len("slice=") :] if key.startswith("slice=") else key)
 
 
+def describe_archive(spark: SparkSession, dest: str) -> "DataFrame":
+    """Per-slice inventory of a JSON-lines archive: file count and bytes from
+    FileSystem metadata (no data read), record count from ONE scan grouped by
+    the slice partition column. The small-files pressure this surfaces is
+    exactly what ``compact_archive_slices`` fixes — run describe, compact,
+    describe again.
+
+    Driver-side work is bounded by slice count (one listStatus per slice);
+    record counting is a partition-pruned columnar count, executor-side."""
+    import urllib.parse as _url
+
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(dest)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    rows = []
+    for status in fs.listStatus(root):
+        physical = str(status.getPath().getName())
+        if not physical.startswith("slice=") or not status.isDirectory():
+            continue
+        files = [
+            f for f in fs.listStatus(status.getPath())
+            if not str(f.getPath().getName()).startswith(("_", "."))
+        ]
+        rows.append(
+            (
+                _url.unquote(physical[len("slice=") :]),
+                len(files),
+                sum(f.getLen() for f in files),
+            )
+        )
+    meta = spark.createDataFrame(rows, "slice string, n_files int, bytes long")
+    from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
+
+    counts = (
+        read_backup_jsonl(spark, dest)
+        .groupBy(F.date_format("slice", "yyyy-MM-dd'T'HH:mm:ssXXX").alias("slice"))
+        .agg(F.count("*").alias("n_records"))
+    )
+    return meta.join(counts, "slice", "left").select(
+        "slice", "n_files", "bytes", F.coalesce("n_records", F.lit(0)).alias("n_records")
+    ).orderBy("slice")
+
+
 def compact_archive_slices(
     spark: SparkSession,
     dest: str,

@@ -431,3 +431,34 @@ def test_compact_archive_slices_via_file_uri(spark, tmp_path):
         (r.topic, r.partition, r.offset) for r in read_backup_jsonl(spark, dest).collect()
     }
     assert after_set == before_set
+
+def test_describe_archive_inventory(spark, tmp_path):
+    """describe: per-slice file/byte/record inventory reconciles with the
+    archive contents, before and after compaction."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+    from guardian_for_apache_kafka_spark.operators.maintenance import (
+        compact_archive_slices,
+        describe_archive,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    dest = str(tmp_path / "arch")
+    for i in range(2):
+        chunk = records.where(F.col("offset") % 2 == i).repartition(2)
+        backup_batch(chunk, dest, ChronoUnitSlice("DAYS"), fmt="json")
+
+    before = describe_archive(spark, dest).collect()
+    assert sum(r.n_records for r in before) == records.count()
+    assert all(r.n_files >= 2 and r.bytes > 0 for r in before)
+
+    compact_archive_slices(spark, dest, files_per_slice=1)
+    after = {r.slice: r for r in describe_archive(spark, dest).collect()}
+    assert {r.slice for r in before} == set(after)
+    for r in before:
+        assert after[r.slice].n_files == 1
+        assert after[r.slice].n_records == r.n_records
