@@ -335,16 +335,30 @@ def simhash_pairs(
     id_col: str = "doc_id",
     content_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit fingerprint as 4 16-bit words,
-    bucket by each word (pigeonhole: any pair with hamming <= 3 agrees exactly
-    on at least one word), verify hamming on collisions."""
+    """SimHash near-dup candidates with GUARANTEED recall at the requested
+    radius: the fingerprint is split into ``max_hamming + 1`` equal-width
+    blocks (generalized pigeonhole — a pair within hamming distance k
+    differs in at most k blocks, so at least one of k+1 blocks matches
+    exactly), pairs bucket by (block index, block value), and the exact
+    hamming distance verifies each collision. Fingerprint width =
+    blocks * floor(64 / blocks) bits (e.g. 64 at k=3, 63 at k=6) — both
+    sides of every comparison use the same split, so the distance is
+    well-defined.
+
+    Tighter radii use fewer, wider blocks (larger bucket space, fewer
+    accidental collisions); looser radii trade candidate volume for the
+    recall guarantee — the standard simhash dedup trade."""
+    words = max_hamming + 1
+    bits_per_word = 64 // words
+    if bits_per_word < 4:
+        raise ValueError(f"max_hamming={max_hamming} leaves <4-bit blocks; use minhash instead")
     hashed = spread_narrow_scan(df).select(
         F.col(id_col).alias("__id"),
         F.transform(tokens_col(content_col), lambda t: F.xxhash64(t)).alias("__th"),
     )
     # materialized + persisted: feeds both join sides and both re-attachments
     fp = (
-        hashed.select("__id", simhash_words_udf()("__th").alias("__fp"))
+        hashed.select("__id", simhash_words_udf(words, bits_per_word)("__th").alias("__fp"))
         .where(F.col("__fp").isNotNull())
         .persist()
     )

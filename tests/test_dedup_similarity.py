@@ -482,3 +482,45 @@ def test_minhash_verified_dedup_sandwich_vs_exact(docs):
     assert exact_survivors <= verified_survivors
     # and on this corpus the bound makes them equal
     assert verified_survivors == exact_survivors
+
+
+def test_simhash_pigeonhole_recall_guarantee(spark, docs):
+    """Every pair the banded bucketing misses would violate the pigeonhole
+    guarantee: brute-force the fingerprints for a sample and assert every
+    pair within the radius appears in simhash_pairs' output."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        simhash_words_udf,
+        tokens_col,
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import simhash_pairs
+
+    k = 6
+    words, bpw = k + 1, 64 // (k + 1)
+    sample = docs.where(F.col("doc_id") < 200)
+    fps = {
+        r["__id"]: r["__fp"]
+        for r in sample.select(
+            F.col("doc_id").alias("__id"),
+            simhash_words_udf(words, bpw)(
+                F.transform(tokens_col("text"), lambda t: F.xxhash64(t))
+            ).alias("__fp"),
+        ).collect()
+        if r["__fp"] is not None
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    expected = {
+        (a, b)
+        for i, a in enumerate(sorted(fps))
+        for b in sorted(fps)[i + 1 :]
+        if ham(fps[a], fps[b]) <= k
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(sample, max_hamming=k).collect()
+    }
+    assert got == expected  # recall 1 within the radius, precision exact
