@@ -462,3 +462,41 @@ def test_describe_archive_inventory(spark, tmp_path):
     for r in before:
         assert after[r.slice].n_files == 1
         assert after[r.slice].n_records == r.n_records
+
+def test_compact_streaming_archive_with_sink_metadata(spark, tmp_path):
+    """Compaction over an archive written by the STREAMING sink: the
+    _spark_metadata log at the root references pre-compaction files, but the
+    engine's read path lists slice directories directly, so the compacted
+    archive must restore the identical record set."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.operators.maintenance import compact_archive_slices
+    from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        records_file_stream,
+        stream_backup,
+    )
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).where(F.col("offset") < 400)
+    src, dest, ckpt = str(tmp_path / "in"), str(tmp_path / "arch"), str(tmp_path / "ck")
+    records.repartition(4).write.parquet(src)
+    q = stream_backup(
+        records_file_stream(spark, src, max_files_per_trigger=1), dest, ckpt
+    )
+    q.awaitTermination(120)
+    assert os.path.isdir(os.path.join(dest, "_spark_metadata"))
+
+    before = {
+        (r.topic, r.partition, r.offset)
+        for r in read_backup_jsonl(spark, dest).collect()
+    }
+    compacted = compact_archive_slices(spark, dest, files_per_slice=1, min_files=2)
+    after = {
+        (r.topic, r.partition, r.offset)
+        for r in read_backup_jsonl(spark, dest).collect()
+    }
+    assert after == before
+    # the sink metadata dir survives untouched (compaction never rewrites it)
+    assert os.path.isdir(os.path.join(dest, "_spark_metadata"))
