@@ -173,6 +173,17 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--format", choices=["guardian", "json"], default="guardian")
     c.add_argument("--target", required=False, default=None, help="compacted parquet dir")
 
+    pr = sub.add_parser("prepare", help="training-data pipeline: quality filter -> "
+                        "near-dedup -> content-stable splits")
+    common(pr)
+    pr.add_argument("--documents", default=None,
+                    help="input parquet with (doc_id, text, ...) columns")
+    pr.add_argument("--output", default=None, help="output parquet dir, partitioned by split")
+    pr.add_argument("--minhash-threshold", type=float, default=0.7,
+                    help="exact-verified near-dup Jaccard drop threshold")
+    pr.add_argument("--splits", default="train:0.98,val:0.01,test:0.01",
+                    help="name:weight pairs summing to 1")
+
     a = sub.add_parser("audit", help="report source records missing from an archive")
     common(a)
     a.add_argument("--records", default=None, help="source records parquet dir")
@@ -310,6 +321,30 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("--target is required without Kafka bootstrap servers")
             out = restore_to_producer_records(records, overrides or None)
             out.write.mode("overwrite").parquet(args.target)
+        return 0
+
+    if args.command == "prepare":
+        from guardian_for_apache_kafka_spark.operators.dedup import minhash_verified_dedup
+        from guardian_for_apache_kafka_spark.operators.sampling import split_label
+        from guardian_for_apache_kafka_spark.operators.text import quality_filter
+
+        if not args.documents or not args.output:
+            raise SystemExit("--documents and --output are required for prepare")
+        weights = {}
+        for part in args.splits.split(","):
+            name, w = part.split(":")
+            weights[name] = float(w)
+        docs = spark.read.parquet(args.documents)
+        n_in = docs.count()
+        kept = quality_filter(docs).where("kept").drop(
+            "kept", "too_short", "too_long", "low_diversity", "stopword_heavy"
+        )
+        deduped = minhash_verified_dedup(kept, threshold=args.minhash_threshold)
+        out = deduped.withColumn("split", split_label(weights))
+        out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({"docs_in": n_in, "docs_out": n_out,
+                          "splits": sorted(weights)}))
         return 0
 
     if args.command == "describe":

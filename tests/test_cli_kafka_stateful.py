@@ -405,3 +405,35 @@ def test_cli_maintain_before_compacts_closed_slices(spark, records_parquet, tmp_
     for d in glob.glob(f"{archive}/slice=*"):
         files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
         assert len(files) == 1
+
+
+def test_cli_prepare_training_data(spark, tmp_path):
+    """prepare: quality filter -> verified near-dedup -> content-stable
+    splits, written parquet partitioned by split; splits are disjoint,
+    exhaustive over the surviving docs, and the summary line reconciles."""
+    import json as _json
+
+    docs_src = str(tmp_path / "docs")
+    out = str(tmp_path / "prepared")
+    load_table(spark, "/root/testdata/sf0.001", "documents").write.parquet(docs_src)
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main([
+            "prepare", "--documents", docs_src, "--output", out,
+            "--splits", "train:0.8,val:0.1,test:0.1",
+        ])
+    assert rc == 0
+    summary = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    prepared = spark.read.parquet(out)
+    assert summary["docs_out"] == prepared.count()
+    assert summary["docs_out"] <= summary["docs_in"]
+    assert set(summary["splits"]) == {"train", "val", "test"}
+    by_split = {r.split: r.n for r in prepared.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by_split.values()) == summary["docs_out"]
+    assert by_split.get("train", 0) > by_split.get("val", 0)
+    # no duplicate doc ids survive across splits
+    assert prepared.select("doc_id").distinct().count() == summary["docs_out"]
