@@ -9,9 +9,9 @@ record materialization:
 - minhash-LSH:  signature -> bands -> bucket equi-join -> candidate pairs;
                 Jaccard estimated from signature agreement. The scale path:
                 candidate generation never compares non-colliding pairs.
-- simhash:      64-bit fingerprints, near-dup = hamming distance <= k, bucketed
-                by the 4-split of the fingerprint (each half-band collides for
-                any pair within distance 3 by pigeonhole when split into 4).
+- simhash:      fingerprints bucketed by a (k+1)-way block split of the
+                fingerprint — generalized pigeonhole guarantees any pair
+                within hamming distance k collides on some block.
 - embedding:    cosine near-dup over embedding vectors (see similarity.py for
                 the ANN machinery it shares).
 
@@ -362,9 +362,9 @@ def simhash_pairs(
         .where(F.col("__fp").isNotNull())
         .persist()
     )
-    quarters = fp.select("__id", F.posexplode("__fp").alias("q", "qv"))
-    l = quarters.select(F.col("__id").alias("id_a"), "q", "qv")
-    rt = quarters.select(F.col("__id").alias("id_b"), "q", "qv")
+    blocks = fp.select("__id", F.posexplode("__fp").alias("q", "qv"))
+    l = blocks.select(F.col("__id").alias("id_a"), "q", "qv")
+    rt = blocks.select(F.col("__id").alias("id_b"), "q", "qv")
     pairs = (
         l.join(rt, ["q", "qv"])
         .where(F.col("id_a") < F.col("id_b"))
