@@ -37,7 +37,10 @@ def activity_profile(
         events.sparkSession.range(buckets).select(F.col("id").cast("int").alias("__b"))
     )
     counts = events.select(
-        F.col(id_col).alias("__id"), F.hour(ts_col).cast("int").alias("__b")
+        F.col(id_col).alias("__id"),
+        # pmod keeps every event inside the grid for any bucket count
+        # (buckets=24 is the identity on hour-of-day)
+        F.pmod(F.hour(ts_col), F.lit(buckets)).cast("int").alias("__b"),
     ).groupBy("__id", "__b").agg(F.count("*").alias("__c"))
     return grid.join(counts, ["__id", "__b"], "left").select(
         "__id", "__b", F.coalesce("__c", F.lit(0)).alias("__c")
