@@ -165,12 +165,17 @@ def d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash"),
 )
 def d5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash candidates within hamming distance 6 of each other (rows-only;
-    correspondence with jaccard near-dups asserted in tests)."""
+    """SimHash near-dup pairs at the standard 64-bit dedup radius k=3
+    (Manku-Jain-Sarma, WWW'07): four 16-bit blocks give guaranteed recall by
+    pigeonhole with a 65k bucket space — the sweet spot the generalized
+    operator reduces to at its default. Rows-only (the fingerprint's
+    xxhash64 family has no DuckDB twin); recall within the radius is
+    brute-force-verified in tests, correspondence with jaccard near-dups
+    asserted in tests."""
     from guardian_for_apache_kafka_spark.operators.dedup import simhash_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=6).orderBy("id_a", "id_b")
+    return simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
 @query(
