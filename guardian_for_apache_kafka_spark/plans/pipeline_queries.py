@@ -508,6 +508,50 @@ def m1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m2_audio_features",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS dig,
+               octet_length(CAST(text AS BLOB)) AS size_bytes
+        FROM documents
+    )
+    SELECT doc_id, CAST(size_bytes AS BIGINT) AS size_bytes,
+           CAST(CASE ({_HEXB.format(i=7, j=8)}) % 4
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+           CAST(({_HEXB.format(i=9, j=10)}) * 65536
+                + ({_HEXB.format(i=11, j=12)}) * 256
+                + ({_HEXB.format(i=13, j=14)}) AS BIGINT) AS n_samples
+    FROM h ORDER BY doc_id LIMIT 200
+    """,
+    tags=("multimodal", "audio"),
+)
+def m2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of m1: the mapInPandas decode path for audio metadata
+    (sample rate from digest byte 3, sample count from bytes 4-6 big-endian),
+    exactly recomputed by DuckDB digest arithmetic — the whole Arrow batch
+    contract is hash-checked; only the codec call itself is stubbed.
+    duration_s is excluded from the checked projection (it is
+    n_samples/sample_rate, a float division both engines would render
+    identically, but the two integer factors already pin it)."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        extract_audio_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(d, "blob", "audio", "wav")
+    return (
+        extract_audio_features(media)
+        .select("doc_id", "size_bytes", "sample_rate", "n_samples")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
     "p1_backup_restore_roundtrip",
     oracle="""
     SELECT event_type AS topic,
