@@ -36,6 +36,7 @@ from guardian_for_apache_kafka_spark.operators.restore import (
     read_guardian_files,
     restore_batch,
     restore_to_producer_records,
+    scan_corrupt_files,
 )
 from guardian_for_apache_kafka_spark.operators.sampling import (
     deterministic_sample,
@@ -108,6 +109,7 @@ __all__ = [
     "resize_images",
     "restore_batch",
     "restore_to_producer_records",
+    "scan_corrupt_files",
     "simhash_pairs",
     "split",
     "split_label",

@@ -154,6 +154,42 @@ def read_backup_jsonl(spark: SparkSession, dest: str, instances: bool = False) -
     )
 
 
+def scan_corrupt_files(spark: SparkSession, source: str) -> DataFrame:
+    """Parse-integrity check for a guardian-format archive: files whose JSON
+    array parse yields ZERO records despite non-trivial content.
+
+    Documented divergence this guards: the reference's streaming parser
+    (jawn AsyncParser, RestoreClientInterface.scala:104-120) THROWS on a
+    corrupt object and aborts the restore; ``from_json`` returns null, so
+    the engine's restore silently skips an unparseable file. Run this before
+    (or after) a restore to fail loudly instead: each returned row is a file
+    the reference would have rejected. Executor-side parse, one row per
+    file — nothing but (path, bytes, parsed count) reaches the driver."""
+    keys = list_backup_keys(source, spark)
+    if not keys:
+        return spark.createDataFrame([], "path string, bytes long, parsed_records long")
+    paths = [os.path.join(source, physical_name(k)) for k in keys]
+    raw = spark.read.text(paths, wholetext=True).select(
+        F.input_file_name().alias("path"),
+        F.length("value").cast("long").alias("bytes"),
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.from_json(F.col("value"), f"array<struct<{RECORD_JSON_SCHEMA_DDL}>>"),
+                    lambda r: r.isNotNull(),
+                )
+            ),
+            F.lit(-1),
+        ).cast("long").alias("parsed_records"),
+    )
+    # from_json yields NULL for an unparseable array (coalesced to -1 here);
+    # "[]"/"[null]" parse to 0 — an empty slice is legitimate, a parse
+    # failure with real bytes is not
+    return raw.where(
+        (F.col("parsed_records") <= 0) & (F.col("bytes") > F.lit(8))
+    ).select("path", "bytes", F.greatest("parsed_records", F.lit(0)).alias("parsed_records"))
+
+
 def restore_batch(
     spark: SparkSession,
     source: str,

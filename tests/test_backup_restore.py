@@ -500,3 +500,38 @@ def test_compact_streaming_archive_with_sink_metadata(spark, tmp_path):
     assert after == before
     # the sink metadata dir survives untouched (compaction never rewrites it)
     assert os.path.isdir(os.path.join(dest, "_spark_metadata"))
+
+def test_scan_corrupt_files_flags_unparseable_objects(spark, tmp_path):
+    """A corrupt guardian object is silently skipped by restore (from_json
+    -> null; documented divergence from the reference's throwing parser) —
+    scan_corrupt_files must flag exactly the bad file, and tolerate the
+    legitimate zero-record shapes ([], [null]-terminated)."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.restore import (
+        restore_batch,
+        scan_corrupt_files,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).where(F.col("offset") < 200)
+    dest = str(tmp_path / "arch")
+    write_guardian_format(records, dest, ChronoUnitSlice("DAYS"))
+    assert scan_corrupt_files(spark, dest).count() == 0  # clean archive
+
+    # corrupt one object: truncate it mid-record
+    victim = sorted(
+        p for p in os.listdir(dest) if p.endswith(".json")
+    )[0]
+    vpath = os.path.join(dest, victim)
+    content = open(vpath).read()
+    open(vpath, "w").write(content[: len(content) // 2])
+
+    bad = scan_corrupt_files(spark, dest).collect()
+    assert len(bad) == 1 and bad[0].path.endswith(victim.replace(":", "%3A") if "%" in bad[0].path else victim)
+    assert bad[0].parsed_records == 0 and bad[0].bytes > 8
+    # and restore indeed silently drops that file's records (the divergence)
+    assert restore_batch(spark, dest, fmt="guardian").count() < records.count()
