@@ -149,8 +149,17 @@ def read_backup_jsonl(spark: SparkSession, dest: str, instances: bool = False) -
         return out
     raw = spark.read.format("text").option("basePath", dest).load(f"{dest}/slice=*")
     rec = F.from_json(F.col("value"), RECORD_JSON_SCHEMA_DDL).alias("rec")
-    return raw.select(rec, F.col("slice")).select(
-        *parsed_json_to_record_cols(F.col("rec")), F.to_timestamp("slice").alias("slice")
+    return (
+        raw.select(rec, F.col("slice"))
+        # a corrupt line parses (PERMISSIVE struct mode) to all-null fields;
+        # topic is non-null in every legitimate record and the JSON-lines
+        # format has no null sentinel, so topic-null = corruption — dropped
+        # here (same rule as stream_restore), and the loss stays loud via
+        # audit_archive, which reports the record as missing vs the source
+        .where(F.col("rec.topic").isNotNull())
+        .select(
+            *parsed_json_to_record_cols(F.col("rec")), F.to_timestamp("slice").alias("slice")
+        )
     )
 
 

@@ -535,3 +535,39 @@ def test_scan_corrupt_files_flags_unparseable_objects(spark, tmp_path):
     assert bad[0].parsed_records == 0 and bad[0].bytes > 8
     # and restore indeed silently drops that file's records (the divergence)
     assert restore_batch(spark, dest, fmt="guardian").count() < records.count()
+
+def test_jsonl_corrupt_line_dropped_and_audit_catches_loss(spark, tmp_path):
+    """A corrupt JSON-line must not surface as an all-null record row; the
+    loss it represents stays loud through audit_archive (record missing vs
+    the source)."""
+    import glob
+
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+    from guardian_for_apache_kafka_spark.operators.restore import (
+        audit_archive,
+        read_backup_jsonl,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).where(F.col("offset") < 100)
+    dest = str(tmp_path / "arch")
+    backup_batch(records, dest, ChronoUnitSlice("DAYS"), fmt="json")
+
+    # corrupt ONE line in one part file (replace, keeping local-FS CRC valid
+    # by removing the sidecar the original Hadoop write left behind)
+    part = glob.glob(f"{dest}/slice=*/part-*.txt")[0]
+    lines = open(part).read().splitlines()
+    lines[0] = "{corrupt not json"
+    open(part, "w").write("\n".join(lines) + "\n")
+    for crc in glob.glob(os.path.join(os.path.dirname(part), ".*.crc")):
+        os.remove(crc)
+
+    out = read_backup_jsonl(spark, dest)
+    assert out.where(F.col("topic").isNull()).count() == 0  # no garbage rows
+    assert out.count() == records.count() - 1               # the line is gone
+    missing = audit_archive(spark, records, dest, fmt="json")
+    assert missing.count() == 1                             # and loudly so
