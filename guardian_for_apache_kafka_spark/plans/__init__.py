@@ -38,6 +38,7 @@ _TAIL = [
     # proven 50-entry driver window stays byte-stable this round
     "q42_activity_correlation",  # new r4, oracled; parked for the same reason
     "m2_audio_features",  # new r4, oracled; parked for the same reason
+    "q43_temporal_validity_intervals",  # new r4, oracled; parked likewise
     # tail remainder: q24/s2/p1 carry bounded-assertion or predictive oracles
     # (checked by the in-repo harness at every sf); d5/d6 are the only
     # rows-only entries left (simhash/hyperplane buckets have no DuckDB twin)

@@ -1538,3 +1538,38 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("corr", 4).alias("corr"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q43_temporal_validity_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(lead(ts) OVER w AS TIMESTAMP) AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, event_id
+    """,
+    tags=("relational", "temporal", "scd2"),
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal versioning (SCD-2 shape): each per-user event becomes a
+    validity interval [valid_from, valid_to) closed by the next event, the
+    open-ended latest row flagged current — the standard
+    effective-dated-dimension construction, one window over one hash
+    exchange. The pattern a key-latest compaction (g6) collapses is here
+    preserved as queryable history instead."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
