@@ -20,6 +20,26 @@ def tokens_col(text: str | Column = "text", sep: str = " ") -> Column:
     return F.split(c, sep)
 
 
+def portable_hash64(c: Column) -> Column:
+    """Dialect-portable 64-bit hash: the first 16 hex chars of md5, read as a
+    big-endian unsigned 64-bit value and wrapped to a signed long (two's
+    complement). Bit-identical to DuckDB's
+    ``CAST('0x' || substring(md5(x), 1, 16) AS UBIGINT)`` — the hash primitive
+    oracled queries use when xxhash64 (Spark-only) would make differential
+    checking impossible. Pure JVM expressions (md5 / conv / decimal), stays in
+    whole-stage codegen; ~2x the cost of xxhash64, so non-oracled hot paths
+    keep xxhash64."""
+    u = F.conv(F.substring(F.md5(c), 1, 16), 16, 10).cast("decimal(20,0)")
+    return (
+        F.when(
+            u >= F.lit("9223372036854775808").cast("decimal(20,0)"),
+            u - F.lit("18446744073709551616").cast("decimal(21,0)"),
+        )
+        .otherwise(u)
+        .cast("long")
+    )
+
+
 def ngram_shingles(tokens: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token array; empty when the document
     has fewer than n tokens (guards Spark's sign-inferring ``sequence``)."""
@@ -291,13 +311,25 @@ def hyperplane_buckets_expr(vec_col: str, planes: int = 16, tables: int = 1) -> 
     return F.transform(F.sequence(F.lit(0), F.lit(tables - 1)), bucket)
 
 
-def hyperplane_signs(spark, dim: int, planes: int = 16, tables: int = 1):
+def hyperplane_signs(spark, dim: int, planes: int = 16, tables: int = 1, sign_hash: str = "xxhash64"):
     """The (tables, planes, dim) ±1 hyperplane sign tensor, computed with the
-    SAME JVM xxhash64 parity expression the reference column uses — one tiny
-    Spark job (dim*planes*tables rows, driver-collected), so the Arrow UDF is
-    bit-compatible with :func:`hyperplane_buckets_expr` by construction."""
+    SAME JVM parity expression the reference column uses — one tiny Spark job
+    (dim*planes*tables rows, driver-collected), so the Arrow UDF is
+    bit-compatible with :func:`hyperplane_buckets_expr` by construction.
+
+    ``sign_hash="xxhash64"`` (default): parity of ``xxhash64(d, p, t)``.
+    ``sign_hash="md5"``: parity of :func:`portable_hash64` over the string
+    ``"d:p:t"`` — reproducible in DuckDB
+    (``CAST('0x'||substr(md5(concat(d,':',p,':',t)),1,16) AS UBIGINT) & 1``),
+    which lets the d6 oracle recompute the exact same hyperplanes."""
     import numpy as np
 
+    if sign_hash == "xxhash64":
+        parity = F.xxhash64("d", "p", "t") % 2 == 0
+    elif sign_hash == "md5":
+        parity = portable_hash64(F.concat_ws(":", "d", "p", "t")).bitwiseAND(F.lit(1)) == 0
+    else:
+        raise ValueError(f"sign_hash must be 'xxhash64' or 'md5', got {sign_hash!r}")
     rows = (
         spark.range(dim * planes * tables)
         .select(
@@ -307,7 +339,7 @@ def hyperplane_signs(spark, dim: int, planes: int = 16, tables: int = 1):
         )
         .select(
             "d", "p", "t",
-            F.when(F.xxhash64("d", "p", "t") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
+            F.when(parity, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
         )
         .collect()
     )

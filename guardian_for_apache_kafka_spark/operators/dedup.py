@@ -30,6 +30,7 @@ from guardian_for_apache_kafka_spark.functions.columns import (
     hamming_distance64,
     minhash_signature_udf,
     ngram_shingles,
+    portable_hash64,
     simhash_words_udf,
     tokens_col,
 )
@@ -334,6 +335,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     content_col: str = "text",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup candidates with GUARANTEED recall at the requested
     radius: the fingerprint is split into ``max_hamming + 1`` equal-width
@@ -347,14 +349,27 @@ def simhash_pairs(
 
     Tighter radii use fewer, wider blocks (larger bucket space, fewer
     accidental collisions); looser radii trade candidate volume for the
-    recall guarantee — the standard simhash dedup trade."""
+    recall guarantee — the standard simhash dedup trade.
+
+    ``token_hash`` selects the per-token hash primitive: ``"xxhash64"``
+    (default, fastest) or ``"md5"``
+    (:func:`~guardian_for_apache_kafka_spark.functions.columns.portable_hash64`,
+    bit-reproducible in DuckDB so the whole fingerprint+hamming pipeline can
+    be differentially oracled — the d5 registry entry uses it). Everything
+    downstream of the token-hash array is hash-agnostic."""
     words = max_hamming + 1
     bits_per_word = 64 // words
     if bits_per_word < 4:
         raise ValueError(f"max_hamming={max_hamming} leaves <4-bit blocks; use minhash instead")
+    if token_hash == "xxhash64":
+        tok_hash = F.xxhash64
+    elif token_hash == "md5":
+        tok_hash = portable_hash64
+    else:
+        raise ValueError(f"token_hash must be 'xxhash64' or 'md5', got {token_hash!r}")
     hashed = spread_narrow_scan(df).select(
         F.col(id_col).alias("__id"),
-        F.transform(tokens_col(content_col), lambda t: F.xxhash64(t)).alias("__th"),
+        F.transform(tokens_col(content_col), lambda t: tok_hash(t)).alias("__th"),
     )
     # materialized + persisted: feeds both join sides and both re-attachments
     fp = (
@@ -388,6 +403,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     planes: int = 16,
     tables: int = 1,
+    sign_hash: str = "xxhash64",
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH.
 
@@ -418,7 +434,9 @@ def embedding_near_dup_pairs(
             [], "id_a long, id_b long, cosine double"
         )
         return empty
-    bk_udf = hyperplane_buckets_udf(hyperplane_signs(emb.sparkSession, dim, planes, tables))
+    bk_udf = hyperplane_buckets_udf(
+        hyperplane_signs(emb.sparkSession, dim, planes, tables, sign_hash=sign_hash)
+    )
 
     # persisted: evaluate the buckets once, then both join sides and the
     # vector re-attachments read the materialized frame

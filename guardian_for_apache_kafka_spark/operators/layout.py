@@ -14,14 +14,30 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
     scoring would run on one core while the rest idle (measured 2.4 s ->
     0.2 s on the sf0.1 documents shingle scan). At cluster scale many input
     files make parallelism natural, in which case this is a no-op: we only
-    repartition when the scan has fewer partitions than the session's shuffle
-    parallelism. The extra exchange moves the raw rows once — far cheaper
-    than serializing the expensive expression work."""
+    repartition when the scan reads fewer FILES than the session's shuffle
+    parallelism. The file count comes from ``df.inputFiles()`` — an
+    analysis-time metadata listing, so probing never builds the physical
+    plan or an RDD DAG (the previous ``df.rdd.getNumPartitions()`` probe
+    forced a plan-to-RDD conversion per operator call). The extra exchange
+    moves the raw rows once — far cheaper than serializing the expensive
+    expression work.
+    """
     if df.isStreaming:
-        # no static partition count to probe; micro-batch sizing is the
-        # trigger's job and .rdd is illegal on a streaming frame
+        # no static file listing to probe; micro-batch sizing is the
+        # trigger's job
         return df
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    try:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # AQE-managed deployments may set a non-numeric value (e.g. "auto")
+        target = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        # exotic plans (pure in-memory relations on some builds) — leave the
+        # layout alone rather than guess
+        return df
+    if n_files < target:
         return df.repartition(target)
     return df

@@ -13,11 +13,18 @@ code maintains ``file://``, ``hdfs://``, ``s3a://``, ``gs://`` archive roots
 — matching ``restore.list_backup_keys``.
 
 Safety: the rewrite stages into ``<dest>/_compacting`` then swaps each slice
-directory via two renames, so a crash leaves either the old or the new
-directory intact, never a mix. Rename is atomic on file/HDFS/ABFS; on S3A it
-is a server-side copy (O(data), still all-or-nothing per directory listing
-epoch) — acceptable for an offline maintenance job. Do not run concurrently
-with an active writer on the same slices (compact closed slices only — pass
+directory via two renames. The swap is never a MIX of old and new records,
+but there is a crash window between the two renames where the slice's data
+exists only under ``_old_<slice>`` — a name the ``_`` convention hides from
+readers, so the slice is unavailable (not lost) until recovery. Each run
+therefore begins by reconciling leftovers: a ``_old_<slice>`` whose slice
+directory is missing is renamed back (completing the interrupted rollback),
+one whose slice directory exists is deleted (the install had completed; the
+leftover is the already-replaced copy), and a stale ``_compacting`` staging
+tree is removed. Rename is atomic on file/HDFS/ABFS; on S3A it is a
+server-side copy (O(data), still all-or-nothing per directory listing epoch)
+— acceptable for an offline maintenance job. Do not run concurrently with an
+active writer on the same slices (compact closed slices only — pass
 ``before`` to bound).
 """
 
@@ -34,18 +41,48 @@ def _slice_time(key: str) -> _dt.datetime:
     return key_to_datetime(key[len("slice=") :] if key.startswith("slice=") else key)
 
 
-def describe_archive(spark: SparkSession, dest: str) -> "DataFrame":
+def describe_archive(spark: SparkSession, dest: str, instances: bool = False) -> "DataFrame":
     """Per-slice inventory of a JSON-lines archive: file count and bytes from
     FileSystem metadata (no data read), record count from ONE scan grouped by
     the slice partition column. The small-files pressure this surfaces is
     exactly what ``compact_archive_slices`` fixes — run describe, compact,
     describe again.
 
+    The metadata/record join is on the slice TIMESTAMP (directory value
+    parsed with ``key_to_datetime`` vs the archive's ``slice`` column), not a
+    reformatted string — second- and millisecond-granularity slice layouts
+    (``PeriodFromFirst`` writes millisecond directory names) reconcile
+    exactly, and two sub-second slices in one second can't collide.
+
+    ``instances=True`` describes a multi-writer archive (per-instance roots,
+    the layout ``stream_backup(instance_id=...)`` writes) — one row per
+    (instance, slice), with an ``instance`` column prepended. A single-root
+    describe on such an archive raises with that hint instead of silently
+    reporting nothing.
+
     Driver-side work is bounded by slice count (one listStatus per slice);
     record counting is a partition-pruned columnar count, executor-side."""
     import urllib.parse as _url
 
     from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.restore import (
+        instance_roots,
+        read_backup_jsonl,
+    )
+
+    if instances:
+        roots = instance_roots(spark, dest)
+        if not roots:
+            raise ValueError(f"no instance roots under {dest}")
+        out = None
+        for r in roots:
+            name = r.rstrip("/").rsplit("/", 1)[-1]
+            part = describe_archive(spark, r).withColumn("instance", F.lit(name))
+            out = part if out is None else out.unionByName(part)
+        return out.select("instance", "slice", "n_files", "bytes", "n_records").orderBy(
+            "instance", "slice"
+        )
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
@@ -60,22 +97,25 @@ def describe_archive(spark: SparkSession, dest: str) -> "DataFrame":
             f for f in fs.listStatus(status.getPath())
             if not str(f.getPath().getName()).startswith(("_", "."))
         ]
-        rows.append(
-            (
-                _url.unquote(physical[len("slice=") :]),
-                len(files),
-                sum(f.getLen() for f in files),
+        value = _url.unquote(physical[len("slice=") :])
+        rows.append((value, _slice_time(value), len(files), sum(f.getLen() for f in files)))
+    if not rows:
+        hint = instance_roots(spark, dest)
+        if hint:
+            raise ValueError(
+                f"no slice= directories directly under {dest}, but child roots "
+                f"{[h.rsplit('/', 1)[-1] for h in hint]} exist — a multi-writer "
+                "(instance-id) archive; call describe_archive(..., instances=True)"
             )
-        )
-    meta = spark.createDataFrame(rows, "slice string, n_files int, bytes long")
-    from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
-
+    meta = spark.createDataFrame(
+        rows, "slice string, __slice_ts timestamp, n_files int, bytes long"
+    )
     counts = (
         read_backup_jsonl(spark, dest)
-        .groupBy(F.date_format("slice", "yyyy-MM-dd'T'HH:mm:ssXXX").alias("slice"))
+        .groupBy(F.col("slice").alias("__slice_ts"))
         .agg(F.count("*").alias("n_records"))
     )
-    return meta.join(counts, "slice", "left").select(
+    return meta.join(counts, "__slice_ts", "left").select(
         "slice", "n_files", "bytes", F.coalesce("n_records", F.lit(0)).alias("n_records")
     ).orderBy("slice")
 
@@ -110,6 +150,25 @@ def compact_archive_slices(
     hpath = jvm.org.apache.hadoop.fs.Path
     root = hpath(dest)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    # 0. Reconcile leftovers from an interrupted previous run (see module
+    #    docstring): finish interrupted rollbacks, drop superseded copies and
+    #    stale staging, so this run's renames never collide with debris.
+    for status in fs.listStatus(root):
+        name = str(status.getPath().getName())
+        if name == "_compacting":
+            fs.delete(status.getPath(), True)
+        elif name.startswith("_old_slice="):
+            original = hpath(root, name[len("_old_") :])
+            if fs.exists(original):
+                # crash after install, before cleanup: the new directory is
+                # complete; the leftover is the replaced copy
+                fs.delete(status.getPath(), True)
+            elif not fs.rename(status.getPath(), original):
+                raise IOError(
+                    f"cannot restore interrupted-compaction leftover {name}; "
+                    "resolve manually before compacting"
+                )
 
     # 1. Driver-side listing (bounded: one status per slice + per data file):
     #    find eligible slices, grouped by compression flavor.

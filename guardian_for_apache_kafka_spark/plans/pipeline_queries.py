@@ -1,9 +1,11 @@
 """North-star training-data-pipeline queries (SURVEY.md §7 M5): dedup,
 similarity search, text analysis, multimodal plumbing, plus a pipeline
 round-trip. SQL-expressible ops carry DuckDB oracles (fold arithmetic written
-with the same association order on both sides so doubles match bit-exactly);
-hash-based ops (minhash/simhash/LSH — xxhash64 has no DuckDB twin) are
-rows-only here and validated against exact metrics in tests/."""
+with the same association order on both sides so doubles match bit-exactly).
+Hash-based ops are oracled by swapping the hash primitive to the
+dialect-portable md5-derived 64-bit hash (functions/columns.portable_hash64)
+and recomputing the whole pipeline in DuckDB (d5 simhash, d6 hyperplane LSH);
+the xxhash64 defaults stay the hot path and are metric-tested in tests/."""
 
 from __future__ import annotations
 
@@ -161,39 +163,59 @@ def d4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d5_simhash_pairs",
-    oracle=None,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+        SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 16) AS UBIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, bb.b AS b,
+               sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+        GROUP BY 1, 2
+    ),
+    words AS (
+        SELECT doc_id, b // 16 AS w,
+               sum(CASE WHEN vote > 0 THEN 1 << (b % 16) ELSE 0 END) AS wv
+        FROM votes GROUP BY 1, 2
+    ),
+    fp AS (SELECT doc_id, list(wv ORDER BY w) AS f FROM words GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(CAST(a.f[1] AS UBIGINT), CAST(b.f[1] AS UBIGINT)))
+                  + bit_count(xor(CAST(a.f[2] AS UBIGINT), CAST(b.f[2] AS UBIGINT)))
+                  + bit_count(xor(CAST(a.f[3] AS UBIGINT), CAST(b.f[3] AS UBIGINT)))
+                  + bit_count(xor(CAST(a.f[4] AS UBIGINT), CAST(b.f[4] AS UBIGINT)))
+                 AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """,
     tags=("dedup", "simhash"),
 )
 def d5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at the standard 64-bit dedup radius k=3
     (Manku-Jain-Sarma, WWW'07): four 16-bit blocks give guaranteed recall by
     pigeonhole with a 65k bucket space — the sweet spot the generalized
-    operator reduces to at its default. Rows-only (the fingerprint's
-    xxhash64 family has no DuckDB twin); recall within the radius is
-    brute-force-verified in tests, correspondence with jaccard near-dups
-    asserted in tests."""
+    operator reduces to at its default.
+
+    The oracle recomputes the ENTIRE pipeline in DuckDB — per-token 64-bit
+    hash, signed bit votes, 4x16-bit word fingerprint, exact all-pairs
+    hamming via bit_count(xor) — over the dialect-portable md5 token hash
+    (functions/columns.portable_hash64, bit-identical to DuckDB's
+    '0x'||substr(md5,1,16) UBIGINT cast). Because the (k+1)-block pigeonhole
+    split guarantees recall at radius k and exact hamming verifies every
+    candidate, the engine's output IS the exact all-pairs answer — the match
+    is deterministic, not statistical. The xxhash64 default stays the hot
+    path; only the hash primitive differs here."""
     from guardian_for_apache_kafka_spark.operators.dedup import simhash_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
-
-
-@query(
-    "d6_embedding_near_dup",
-    oracle=None,
-    tags=("dedup", "embedding"),
-)
-def d6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets (rows-only;
-    exactness of the cosine column itself is oracle-checked in s1)."""
-    from guardian_for_apache_kafka_spark.operators.dedup import embedding_near_dup_pairs
-
-    e = load_table(spark, sf_dir, "embeddings")
-    return (
-        embedding_near_dup_pairs(e, threshold=0.3, planes=8, tables=8)
-        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
-        .orderBy("id_a", "id_b")
-    )
+    return simhash_pairs(d, max_hamming=3, token_hash="md5").orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -212,6 +234,76 @@ def _duck_cosine(a: str, b: str) -> str:
     na = _DOT.format(a=a, b=a)
     nb = _DOT.format(a=b, b=b)
     return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+@query(
+    "d6_embedding_near_dup",
+    oracle=f"""
+    WITH sg AS (
+        SELECT t.t, p.p,
+               list(CASE WHEN (CAST('0x' || substring(
+                        md5(concat(dd.d, ':', p.p, ':', t.t)), 1, 16) AS UBIGINT) & 1) = 0
+                         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+                    ORDER BY dd.d) AS s
+        FROM (SELECT unnest(range((SELECT max(len(embedding)) FROM embeddings))) AS d) dd
+        CROSS JOIN (SELECT unnest(range(8)) AS p) p
+        CROSS JOIN (SELECT unnest(range(8)) AS t) t
+        GROUP BY 1, 2
+    ),
+    proj AS (
+        SELECT e.vec_id, sg.t, sg.p,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list_zip(e.embedding, sg.s),
+                                  z -> CAST(z[1] AS DOUBLE) * z[2])),
+                   (acc, x) -> acc + x) AS pr
+        FROM embeddings e CROSS JOIN sg
+    ),
+    bk AS (
+        SELECT vec_id, t, sum(CASE WHEN pr > 0 THEN 1 << (7 - p) ELSE 0 END) AS bucket
+        FROM proj GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    ver AS (
+        SELECT id_a, id_b, {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+    )
+    SELECT id_a, id_b, round(cosine, 4) AS cosine
+    FROM ver WHERE cosine >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def d6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets, exact
+    cosine verified within buckets.
+
+    The oracle is a full DETERMINISTIC twin of the pipeline, not an all-pairs
+    upper bound: it re-derives the identical ±1 hyperplane sign tensor from
+    the dialect-portable md5 parity (sign_hash="md5",
+    functions/columns.hyperplane_signs), recomputes each vector's 8-bit
+    bucket per table with the same left-fold rounding order the Arrow UDF
+    uses (np.cumsum == JVM fold == DuckDB list_reduce), regenerates the
+    candidate set by the same (table, bucket) self-join, and verifies with
+    the same left-fold cosine — so bucketing, candidate generation,
+    deduplication, verification, and thresholding are all differentially
+    attested bit-for-bit. Recall at a given cosine (an LSH design parameter,
+    (1-(1-(1-theta/pi)^planes)^tables) is property-tested against
+    brute-force in tests/test_dedup_similarity.py rather than oracled — at
+    this corpus's pair spectrum (max cosine ~0.5-0.7) no hashing scheme
+    could make an all-pairs oracle deterministic."""
+    from guardian_for_apache_kafka_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dup_pairs(e, threshold=0.3, planes=8, tables=8, sign_hash="md5")
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(

@@ -571,3 +571,88 @@ def test_jsonl_corrupt_line_dropped_and_audit_catches_loss(spark, tmp_path):
     assert out.count() == records.count() - 1               # the line is gone
     missing = audit_archive(spark, records, dest, fmt="json")
     assert missing.count() == 1                             # and loudly so
+
+
+def test_describe_archive_millisecond_slices(spark, tmp_path):
+    """ADVICE r4: PeriodFromFirst archives carry millisecond slice directory
+    names; describe_archive's metadata/record join must reconcile them (the
+    old seconds-only string join reported n_records=0 for every slice)."""
+    from guardian_for_apache_kafka_spark.operators.maintenance import describe_archive
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).where(F.col("offset") < 200)
+    anchor = records.agg(F.min(F.unix_micros("timestamp"))).first()[0]
+    # a non-whole-second anchor forces .SSS directory names
+    anchor += 123_000
+    dest = str(tmp_path / "ms_arch")
+    backup_batch(records, dest, PeriodFromFirst(dt.timedelta(hours=6)), fmt="json", anchor_us=anchor)
+    rows = describe_archive(spark, dest).collect()
+    assert rows
+    assert any("." in r.slice for r in rows), [r.slice for r in rows]  # ms names
+    assert sum(r.n_records for r in rows) == records.count()
+    assert all(r.n_records > 0 for r in rows)
+
+
+def test_describe_archive_instances(spark, tmp_path):
+    """Multi-writer (instance-id) archive: single-root describe raises with a
+    hint; instances=True reconciles every (instance, slice) pair."""
+    from guardian_for_apache_kafka_spark.operators.maintenance import describe_archive
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).where(F.col("offset") < 200)
+    dest = str(tmp_path / "multi")
+    backup_batch(records.where(F.col("offset") % 2 == 0), f"{dest}/i0", ChronoUnitSlice("DAYS"), fmt="json")
+    backup_batch(records.where(F.col("offset") % 2 == 1), f"{dest}/i1", ChronoUnitSlice("DAYS"), fmt="json")
+
+    with pytest.raises(ValueError, match="instances=True"):
+        describe_archive(spark, dest)
+    rows = describe_archive(spark, dest, instances=True).collect()
+    assert {r.instance for r in rows} == {"i0", "i1"}
+    assert sum(r.n_records for r in rows) == records.count()
+    assert all(r.n_records > 0 for r in rows)
+
+
+def test_compact_recovers_interrupted_swap(spark, tmp_path):
+    """Crash-window debris (module docstring): a slice left under _old_<slice>
+    (rename-aside happened, install did not) is renamed back on the next run;
+    a stale _compacting staging tree and a superseded _old_ copy next to a
+    live slice are both removed. Record set is exactly preserved throughout."""
+    import glob
+    import shutil
+
+    from guardian_for_apache_kafka_spark.operators.maintenance import compact_archive_slices
+    from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
+
+    records = normalize_events_to_records(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    dest = str(tmp_path / "crashy")
+    for i in range(3):
+        chunk = records.where(F.col("offset") % 3 == i).repartition(2)
+        backup_batch(chunk, dest, ChronoUnitSlice("DAYS"), fmt="json")
+    before_set = {
+        (r.topic, r.partition, r.offset) for r in read_backup_jsonl(spark, dest).collect()
+    }
+    slices = sorted(glob.glob(f"{dest}/slice=*"))
+    assert len(slices) >= 2
+    # crash between the two renames: slice 0 exists only as _old_
+    victim = slices[0]
+    victim_name = os.path.basename(victim)
+    os.rename(victim, f"{dest}/_old_{victim_name}")
+    # crash after install: slice 1 has a superseded _old_ copy next to it
+    survivor_name = os.path.basename(slices[1])
+    shutil.copytree(slices[1], f"{dest}/_old_{survivor_name}")
+    # stale staging tree
+    os.makedirs(f"{dest}/_compacting/{victim_name}", exist_ok=True)
+
+    compacted = compact_archive_slices(spark, dest, files_per_slice=1)
+    assert compacted  # recovery happened AND compaction proceeded
+    assert os.path.isdir(victim)                       # rollback completed
+    assert not glob.glob(f"{dest}/_old_*")             # debris gone
+    assert not os.path.exists(f"{dest}/_compacting")
+    after_set = {
+        (r.topic, r.partition, r.offset) for r in read_backup_jsonl(spark, dest).collect()
+    }
+    assert after_set == before_set
