@@ -46,14 +46,29 @@ from guardian_for_apache_kafka_spark.core.timeslice import (
 )
 
 
+_HOCON_DURATION_UNITS = {
+    "s": 1, "second": 1, "seconds": 1,
+    "m": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+}
+
+
 def _parse_iso_duration_seconds(text: str) -> int:
-    """PT15M / PT1H / plain seconds -> seconds (subset of ISO-8601 durations,
-    matching the FiniteDuration flag values the reference accepts)."""
+    """PT15M / PT1H / plain seconds / HOCON-style ``1 hour`` -> seconds.
+
+    The flag grammar matches the FiniteDuration values the reference CLI
+    accepts; the ``<n> <unit>`` form matches its config-file/env defaults
+    (core-backup/src/main/resources/reference.conf:44 ``duration = 1 hour``)
+    so the same value works in every layer of the precedence chain."""
     t = text.strip().upper()
     if t.isdigit():
         return int(t)
+    parts = text.strip().lower().split()
+    if len(parts) == 2 and parts[0].isdigit() and parts[1] in _HOCON_DURATION_UNITS:
+        return int(parts[0]) * _HOCON_DURATION_UNITS[parts[1]]
     if not t.startswith("PT"):
-        raise argparse.ArgumentTypeError(f"expected PT<n>H/M/S or seconds, got {text!r}")
+        raise argparse.ArgumentTypeError(f"expected PT<n>H/M/S, '<n> <unit>' or seconds, got {text!r}")
     total, num = 0, ""
     for ch in t[2:]:
         if ch.isdigit():
@@ -99,6 +114,152 @@ def _time_configuration(args: argparse.Namespace) -> TimeConfiguration:
     return ChronoUnitSlice(unit)
 
 
+# ---------------------------------------------------------------------------
+# config-file / environment fallback
+#
+# Precedence mirrors the reference (cli-backup/.../Main.scala:75-79: a fully
+# specified flag set wins, otherwise PureConfig loads reference.conf whose
+# every key carries a ${?ENV_VAR} override — i.e. flags > env > config file >
+# built-in defaults). Env names are the reference's own
+# (core-backup/src/main/resources/reference.conf:37-47,
+# core-restore/.../reference.conf:12-15, core/.../reference.conf:6-9,
+# core-s3/.../reference.conf:51): BACKUP_KAFKA_GROUP_ID,
+# BACKUP_TIME_CONFIGURATION_{TYPE,CHRONO_UNIT,DURATION},
+# BACKUP_COMMIT_TIMEOUT_BUFFER, RESTORE_FROM_WHEN, RESTORE_OVERRIDE_TOPICS,
+# KAFKA_CLUSTER_TOPICS, KAFKA_CLUSTER_BOOTSTRAP_SERVERS,
+# S3_CONFIG_DATA_BUCKET. The config file (--config or $GUARDIAN_CONFIG) is
+# JSON or TOML shaped like the reference's HOCON: top-level sections
+# ``kafka-cluster`` / ``s3`` / ``backup`` / ``restore`` / one per subcommand,
+# kebab-case keys.
+# ---------------------------------------------------------------------------
+
+# arg -> (env var, parse kind). List-valued env vars are comma-separated.
+_ENV_FALLBACKS: dict[str, tuple[str, str]] = {
+    "kafka_topics": ("KAFKA_CLUSTER_TOPICS", "list"),
+    "kafka_bootstrap_servers": ("KAFKA_CLUSTER_BOOTSTRAP_SERVERS", "list"),
+    "s3_data_bucket": ("S3_CONFIG_DATA_BUCKET", "str"),
+    "kafka_group_id": ("BACKUP_KAFKA_GROUP_ID", "str"),
+    "commit_timeout_buffer_window": ("BACKUP_COMMIT_TIMEOUT_BUFFER", "str"),
+    "from_when": ("RESTORE_FROM_WHEN", "datetime"),
+    "override_topics": ("RESTORE_OVERRIDE_TOPICS", "pairs"),
+}
+
+# args resolvable from shared config-file sections (section, kebab-key)
+_SHARED_FILE_KEYS: dict[str, tuple[str, str]] = {
+    "kafka_topics": ("kafka-cluster", "topics"),
+    "kafka_bootstrap_servers": ("kafka-cluster", "bootstrap-servers"),
+    "s3_data_bucket": ("s3", "data-bucket"),
+}
+
+# hard defaults applied AFTER the precedence chain (argparse defaults stay
+# None so an env/file value is distinguishable from "not given")
+_POST_DEFAULTS: dict[str, dict[str, object]] = {
+    "backup": {"commit_timeout_buffer_window": "PT10S", "format": "guardian"},
+    "restore": {"format": "guardian"},
+    "compact": {"format": "guardian"},
+    "audit": {"format": "json"},
+    "maintain": {"files_per_slice": 1},
+    "prepare": {"minhash_threshold": 0.7, "splits": "train:0.98,val:0.01,test:0.01"},
+}
+
+
+def _load_config_file(path: str) -> dict:
+    import os
+
+    if not os.path.exists(path):
+        raise SystemExit(f"config file not found: {path}")
+    text = open(path, "rb").read()
+    if path.endswith(".toml"):
+        import tomllib
+
+        return tomllib.loads(text.decode())
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        import tomllib
+
+        try:
+            return tomllib.loads(text.decode())
+        except tomllib.TOMLDecodeError:
+            raise SystemExit(f"config file {path} is neither valid JSON nor TOML")
+
+
+def _coerce(kind: str, value: object) -> object:
+    if kind == "list":
+        if isinstance(value, str):
+            return [v.strip() for v in value.split(",") if v.strip()]
+        return list(value)
+    if kind == "datetime":
+        return _parse_from_when(value) if isinstance(value, str) else value
+    if kind == "pairs":
+        if isinstance(value, dict):
+            return [f"{k}:{v}" for k, v in value.items()]
+        if isinstance(value, str):
+            return [v.strip() for v in value.split(",") if v.strip()]
+        return list(value)
+    return value
+
+
+def apply_config_fallbacks(args: argparse.Namespace, env=None) -> argparse.Namespace:
+    """Fill unset args from env vars, then a config file, then hard defaults.
+
+    An argparse value of ``None``/``[]``/``False`` counts as "not given on the
+    command line" (flags only ever add information, mirroring the reference's
+    flags-or-config validation)."""
+    import os
+
+    env = os.environ if env is None else env
+
+    def unset(name: str) -> bool:
+        return getattr(args, name, None) in (None, [], False)
+
+    # 1. reference env vars
+    for arg, (var, kind) in _ENV_FALLBACKS.items():
+        if hasattr(args, arg) and unset(arg) and env.get(var):
+            setattr(args, arg, _coerce(kind, env[var]))
+    if (
+        hasattr(args, "period_from_first")
+        and unset("period_from_first")
+        and unset("chrono_unit_slice")
+    ):
+        tc_type = env.get("BACKUP_TIME_CONFIGURATION_TYPE")
+        if tc_type == "period-from-first":
+            dur = env.get("BACKUP_TIME_CONFIGURATION_DURATION", "1 hour")
+            args.period_from_first = str(_parse_iso_duration_seconds(dur))
+        elif tc_type == "chrono-unit-slice" or env.get("BACKUP_TIME_CONFIGURATION_CHRONO_UNIT"):
+            args.chrono_unit_slice = env.get("BACKUP_TIME_CONFIGURATION_CHRONO_UNIT", "hours")
+
+    # 2. config file (flag > $GUARDIAN_CONFIG)
+    path = getattr(args, "config", None) or env.get("GUARDIAN_CONFIG")
+    if path:
+        cfg = _load_config_file(path)
+        section = cfg.get(args.command, {})
+        for arg in vars(args):
+            if not unset(arg) or arg in ("command", "config"):
+                continue
+            key = arg.replace("_", "-")
+            if key in section:
+                kind = _ENV_FALLBACKS.get(arg, ("", "str"))[1]
+                setattr(args, arg, _coerce(kind, section[key]))
+            elif arg in _SHARED_FILE_KEYS:
+                shared, skey = _SHARED_FILE_KEYS[arg]
+                if skey in cfg.get(shared, {}):
+                    setattr(args, arg, _coerce("list" if arg != "s3_data_bucket" else "str",
+                                               cfg[shared][skey]))
+        tc = section.get("time-configuration")
+        if tc and unset("period_from_first") and unset("chrono_unit_slice"):
+            if tc.get("type") == "period-from-first":
+                args.period_from_first = str(_parse_iso_duration_seconds(tc.get("duration", "1 hour")))
+            else:
+                args.chrono_unit_slice = tc.get("chrono-unit", "hours")
+
+    # 3. hard defaults
+    for arg, default in _POST_DEFAULTS.get(args.command, {}).items():
+        if hasattr(args, arg) and unset(arg):
+            setattr(args, arg, default)
+    return args
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="guardian-spark", description=__doc__.split("\n")[0])
     sub = p.add_subparsers(dest="command", required=True)
@@ -113,6 +274,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--master", default=None, help="Spark master (default local[$SPARK_GRAFT_CPUS])")
         sp.add_argument("--dry-run", action="store_true",
                         help="Print the resolved plan config as JSON and exit without starting Spark")
+        sp.add_argument("--config", default=None, metavar="FILE",
+                        help="JSON/TOML config file supplying unset values "
+                             "(also $GUARDIAN_CONFIG); flags > env > file")
 
     b = sub.add_parser("backup", help="archive records into time-sliced objects")
     common(b)
@@ -125,13 +289,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PeriodFromFirst slice duration")
     b.add_argument("--chrono-unit-slice", default=None, metavar="hours",
                    help="ChronoUnitSlice calendar unit (default: hours)")
-    b.add_argument("--commit-timeout-buffer-window", default="PT10S",
+    b.add_argument("--commit-timeout-buffer-window", default=None,
                    help="accepted for parity; commit timing is checkpoint-managed")
     b.add_argument("--compression", choices=["gzip"], default=None)
     b.add_argument("--compression-level", type=int, default=None, choices=range(1, 10),
                    metavar="1-9", help="gzip level: exact for guardian format, "
                    "nearest codec class (fast/default/best) for json/parquet")
-    b.add_argument("--format", choices=["guardian", "json", "parquet"], default="guardian",
+    b.add_argument("--format", choices=["guardian", "json", "parquet"], default=None,
                    help="guardian = reference byte-format array files; json = partitioned "
                         "JSON-lines; parquet = columnar archival")
     b.add_argument("--streaming", action="store_true",
@@ -150,7 +314,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Restore a topic under a different name (repeatable)")
     r.add_argument("--single-message-per-kafka-request", action="store_true",
                    help="idempotent single-in-flight producer mode")
-    r.add_argument("--format", choices=["guardian", "json"], default="guardian")
+    r.add_argument("--format", choices=["guardian", "json"], default=None)
     r.add_argument("--instances", action="store_true",
                    help="read per-instance roots under --source (concurrent-backup layout; json format)")
     r.add_argument("--target", default=None,
@@ -163,14 +327,14 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("maintain", help="small-file compaction of a JSON-lines archive")
     common(m)
     m.add_argument("--dest", required=False, default=None, help="archive directory")
-    m.add_argument("--files-per-slice", type=int, default=1)
+    m.add_argument("--files-per-slice", type=int, default=None)
     m.add_argument("--before", type=_parse_from_when, default=None,
                    help="only compact slices strictly before this ISO-8601 time (closed slices)")
 
     c = sub.add_parser("compact", help="latest-per-key compaction of an archive")
     common(c)
     c.add_argument("--source", default=None, help="archive directory")
-    c.add_argument("--format", choices=["guardian", "json"], default="guardian")
+    c.add_argument("--format", choices=["guardian", "json"], default=None)
     c.add_argument("--target", required=False, default=None, help="compacted parquet dir")
 
     pr = sub.add_parser("prepare", help="training-data pipeline: quality filter -> "
@@ -179,16 +343,16 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--documents", default=None,
                     help="input parquet with (doc_id, text, ...) columns")
     pr.add_argument("--output", default=None, help="output parquet dir, partitioned by split")
-    pr.add_argument("--minhash-threshold", type=float, default=0.7,
+    pr.add_argument("--minhash-threshold", type=float, default=None,
                     help="exact-verified near-dup Jaccard drop threshold")
-    pr.add_argument("--splits", default="train:0.98,val:0.01,test:0.01",
+    pr.add_argument("--splits", default=None,
                     help="name:weight pairs summing to 1")
 
     a = sub.add_parser("audit", help="report source records missing from an archive")
     common(a)
     a.add_argument("--records", default=None, help="source records parquet dir")
     a.add_argument("--archive", default=None, help="archive directory to audit")
-    a.add_argument("--format", choices=["guardian", "json"], default="json")
+    a.add_argument("--format", choices=["guardian", "json"], default=None)
     a.add_argument("--instances", action="store_true",
                    help="audit per-instance roots under --archive")
     a.add_argument("--target", default=None,
@@ -199,6 +363,7 @@ def build_parser() -> argparse.ArgumentParser:
 def _resolved_config(args: argparse.Namespace) -> dict:
     cfg = {k: v for k, v in vars(args).items() if v not in (None, [], False)}
     cfg.pop("dry_run", None)
+    cfg.pop("config", None)
     if args.command == "backup":
         tc = _time_configuration(args)
         cfg["time_configuration"] = repr(tc)
@@ -208,7 +373,7 @@ def _resolved_config(args: argparse.Namespace) -> dict:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    args = apply_config_fallbacks(build_parser().parse_args(argv))
     cfg = _resolved_config(args)
     if args.dry_run:
         print(json.dumps(cfg, default=str))

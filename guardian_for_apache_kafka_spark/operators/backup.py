@@ -140,6 +140,40 @@ def backup_batch(
     writer.save(dest)
 
 
+def _open_slice_output(dest: str, name: str):
+    """Executor-side byte stream for one guardian-format object.
+
+    A bare local path uses plain ``open``. Any ``scheme://`` destination goes
+    through ``pyarrow.fs.FileSystem.from_uri`` — the Arrow-native equivalent
+    of the Hadoop FS dispatch the listing/maintenance side uses (executors
+    have no py4j bridge to the JVM Hadoop FS, so the driver-side API can't
+    serve per-partition writers): ``file://`` exercises the same code path in
+    tests, ``s3://``/``gs://``/``hdfs://`` reach object stores. Hadoop-style
+    scheme aliases (s3a, gs) are mapped to their Arrow names. Compression is
+    explicitly disabled — pyarrow would otherwise auto-gzip on the ``.gz``
+    suffix, double-compressing the framed stream."""
+    if "://" not in dest:
+        return open(os.path.join(dest, name), "wb")
+    from pyarrow import fs as pafs
+
+    scheme, rest = dest.split("://", 1)
+    scheme = {"s3a": "s3", "s3n": "s3", "gs": "gcs"}.get(scheme, scheme)
+    filesystem, base = pafs.FileSystem.from_uri(f"{scheme}://{rest}")
+    return filesystem.open_output_stream(f"{base.rstrip('/')}/{name}", compression=None)
+
+
+def _ensure_dest_dir(dest: str) -> None:
+    if "://" not in dest:
+        os.makedirs(dest, exist_ok=True)
+        return
+    from pyarrow import fs as pafs
+
+    scheme, rest = dest.split("://", 1)
+    scheme = {"s3a": "s3", "s3n": "s3", "gs": "gcs"}.get(scheme, scheme)
+    filesystem, base = pafs.FileSystem.from_uri(f"{scheme}://{rest}")
+    filesystem.create_dir(base, recursive=True)
+
+
 def write_guardian_format(
     records: DataFrame,
     dest: str,
@@ -159,10 +193,13 @@ def write_guardian_format(
     Distribution: rows are hash-distributed by slice and sorted within
     partitions, so each executor streams out its slices sequentially without
     materializing a slice in memory... except for the gzip/array framing which
-    is per-file streaming anyway. Local-FS paths here; an object-store variant
-    plugs in at ``_open``.
+    is per-file streaming anyway. ``dest`` may be a bare local path or any
+    ``scheme://`` URI ``pyarrow.fs`` can dial (file, s3/s3a, gs, hdfs) — see
+    :func:`_open_slice_output`. Gzip members are framed with ``mtime=0``
+    (deterministic bytes, matching the JVM GZIPOutputStream the reference
+    writes through — BackupClient.scala:248-285).
     """
-    os.makedirs(dest, exist_ok=True)
+    _ensure_dest_dir(dest)
     sliced = with_slice(records, config, anchor_us)
     last_slice_row = sliced.agg(F.max("slice").alias("m")).collect()[0]
     last_slice = last_slice_row["m"]
@@ -188,25 +225,29 @@ def write_guardian_format(
     def write_partition(rows) -> None:
         cur_key = None
         fh = None
+        raw = None
         first = True
 
         def finish(terminate_interrupted: bool) -> None:
-            nonlocal fh
+            nonlocal fh, raw
             if fh is not None:
                 fh.write(b",null]" if terminate_interrupted else b"]")
                 fh.close()
+                if raw is not None and raw is not fh:
+                    raw.close()  # GzipFile.close() leaves the byte stream open
                 fh = None
+                raw = None
 
         for row in rows:
             key = calculate_key(row["slice"], comp)
             if key != cur_key:
                 finish(False)
                 cur_key = key
-                path = os.path.join(dest, physical_name(key))
+                raw = _open_slice_output(dest, physical_name(key))
                 fh = (
-                    _gzip.open(path, "wb", compresslevel=comp_level)
+                    _gzip.GzipFile(fileobj=raw, mode="wb", compresslevel=comp_level, mtime=0)
                     if comp == "gzip"
-                    else open(path, "wb")
+                    else raw
                 )
                 fh.write(b"[")
                 first = True

@@ -1,0 +1,129 @@
+"""CLI config-file/env fallback layer (VERDICT r4 gap 2): flags > env >
+config file > built-in defaults, mirroring the reference's precedence
+(cli-backup/.../Main.scala:75-79 flag-set-or-PureConfig;
+core-backup/src/main/resources/reference.conf:37-47 ${?ENV} overrides).
+No Spark needed: resolution happens before any session starts."""
+
+import json
+
+import pytest
+
+from guardian_for_apache_kafka_spark.cli import (
+    _resolved_config,
+    apply_config_fallbacks,
+    build_parser,
+)
+
+
+def _resolve(argv, env=None):
+    return _resolved_config(apply_config_fallbacks(build_parser().parse_args(argv), env=env or {}))
+
+
+def test_env_fallback_matches_flag_equivalent_backup():
+    by_flags = _resolve([
+        "backup", "--source", "in", "--dest", "out",
+        "--period-from-first", "PT15M",
+        "--kafka-topics", "a", "--kafka-topics", "b",
+        "--kafka-group-id", "g1",
+    ])
+    by_env = _resolve(
+        ["backup", "--source", "in", "--dest", "out"],
+        env={
+            "BACKUP_TIME_CONFIGURATION_TYPE": "period-from-first",
+            "BACKUP_TIME_CONFIGURATION_DURATION": "15 minutes",  # HOCON form
+            "KAFKA_CLUSTER_TOPICS": "a,b",
+            "BACKUP_KAFKA_GROUP_ID": "g1",
+        },
+    )
+    # the same PeriodFromFirst regardless of how the duration was spelled
+    assert by_env["time_configuration"] == by_flags["time_configuration"]
+    assert by_env["kafka_topics"] == by_flags["kafka_topics"]
+    assert by_env["kafka_group_id"] == by_flags["kafka_group_id"]
+
+
+def test_env_fallback_matches_flag_equivalent_restore():
+    by_flags = _resolve([
+        "restore", "--source", "arch", "--target", "out",
+        "--from-when", "2024-01-15T00:00:00Z",
+        "--override-topics", "click:tap", "--override-topics", "view:seen",
+    ])
+    by_env = _resolve(
+        ["restore", "--source", "arch", "--target", "out"],
+        env={
+            "RESTORE_FROM_WHEN": "2024-01-15T00:00:00Z",
+            "RESTORE_OVERRIDE_TOPICS": "click:tap,view:seen",
+        },
+    )
+    assert by_env["from_when"] == by_flags["from_when"]
+    assert by_env["override_topics"] == by_flags["override_topics"] == {
+        "click": "tap", "view": "seen"
+    }
+
+
+@pytest.mark.parametrize("fmt", ["json", "toml"])
+def test_config_file_matches_flag_equivalent(tmp_path, fmt):
+    if fmt == "json":
+        path = tmp_path / "guardian.json"
+        path.write_text(json.dumps({
+            "kafka-cluster": {"topics": ["a", "b"]},
+            "backup": {
+                "time-configuration": {"type": "chrono-unit-slice", "chrono-unit": "days"},
+                "compression": "gzip",
+                "compression-level": 9,
+            },
+        }))
+    else:
+        path = tmp_path / "guardian.toml"
+        path.write_text(
+            '[kafka-cluster]\ntopics = ["a", "b"]\n'
+            '[backup]\ncompression = "gzip"\ncompression-level = 9\n'
+            '[backup.time-configuration]\ntype = "chrono-unit-slice"\nchrono-unit = "days"\n'
+        )
+    by_flags = _resolve([
+        "backup", "--source", "in", "--dest", "out", "--chrono-unit-slice", "days",
+        "--kafka-topics", "a", "--kafka-topics", "b",
+        "--compression", "gzip", "--compression-level", "9",
+    ])
+    by_file = _resolve(
+        ["backup", "--source", "in", "--dest", "out", "--config", str(path)])
+    for k in ("time_configuration", "kafka_topics", "compression", "compression_level"):
+        assert by_file[k] == by_flags[k], k
+
+
+def test_guardian_config_env_var_points_at_file(tmp_path):
+    path = tmp_path / "g.json"
+    path.write_text(json.dumps({"restore": {"from-when": "2024-02-01T00:00:00Z"}}))
+    cfg = _resolve(["restore", "--source", "arch", "--target", "out"],
+                   env={"GUARDIAN_CONFIG": str(path)})
+    assert "2024-02-01" in str(cfg["from_when"])
+
+
+def test_precedence_flags_beat_env_beat_file(tmp_path):
+    path = tmp_path / "g.json"
+    path.write_text(json.dumps({
+        "backup": {"kafka-group-id": "from-file"},
+        "kafka-cluster": {"topics": ["file-topic"]},
+    }))
+    env = {
+        "BACKUP_KAFKA_GROUP_ID": "from-env",
+        "GUARDIAN_CONFIG": str(path),
+    }
+    flag_wins = _resolve(
+        ["backup", "--source", "in", "--dest", "out", "--kafka-group-id", "from-flag"], env=env)
+    assert flag_wins["kafka_group_id"] == "from-flag"
+    env_wins = _resolve(["backup", "--source", "in", "--dest", "out"], env=env)
+    assert env_wins["kafka_group_id"] == "from-env"
+    # keys with no env var fall through to the file
+    assert env_wins["kafka_topics"] == ["file-topic"]
+    file_wins = _resolve(["backup", "--source", "in", "--dest", "out"],
+                         env={"GUARDIAN_CONFIG": str(path)})
+    assert file_wins["kafka_group_id"] == "from-file"
+
+
+def test_built_in_defaults_without_env_or_file():
+    cfg = _resolve(["backup", "--source", "in", "--dest", "out"])
+    assert cfg["format"] == "guardian"
+    assert cfg["commit_timeout_buffer_window"] == "PT10S"
+    assert "ChronoUnitSlice" in cfg["time_configuration"]  # hours default
+    audit = _resolve(["audit", "--records", "r", "--archive", "a"])
+    assert audit["format"] == "json"
