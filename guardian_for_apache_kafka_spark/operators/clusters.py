@@ -25,7 +25,7 @@ the cluster FS instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -186,3 +186,38 @@ def dedup_clusters(
         F.col("node").alias(id_col)
     )
     return df.join(doomed, id_col, "left_anti")
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-cluster representative selection: for each connected component of
+    the near-dup pair graph, keep the highest-``quality_col`` member (ties to
+    the lowest id) — the keep-the-best-copy policy real dedup pipelines use
+    instead of keep-first when a quality signal exists.
+
+    One component pass (see :func:`connected_components`) plus one window
+    rank over (component) — the quality join ships only (id, quality), never
+    document bodies. Returns (component, cluster_size, rep_id, rep_quality)
+    for multi-document clusters."""
+    comp = connected_components(pairs, id_a, id_b)
+    members = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("__q")), "node"
+    )
+    w = Window.partitionBy("component").orderBy(F.col("__q").desc(), F.col("node"))
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(Window.partitionBy("component")))
+        .where(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("node").alias("rep_id"),
+            F.col("__q").alias("rep_quality"),
+        )
+    )

@@ -69,7 +69,18 @@ def _common_shingle_counts(
 ) -> DataFrame:
     """Shared inverted-index core for the exact set-overlap measures: returns
     (id_a, id_b, __common, __na, __nb) for every candidate pair with at least
-    one shared shingle, id_a < id_b."""
+    one shared shingle, id_a < id_b.
+
+    ``max_bucket`` caps CANDIDATE GENERATION only: shingles held by more than
+    ``max_bucket`` documents (stop-shingles — boilerplate headers, license
+    text) are dropped from the pair-proposing self-join, which is what turns
+    quadratic; the intersection count for surviving candidates is then
+    computed exactly from the FULL shingle sets (array_intersect over the
+    attached hash arrays, the d4-verify pattern), so hot shingles still count
+    toward overlap and capped results equal uncapped results for every pair
+    that shares at least one non-hot shingle. The only semantic loss is
+    recall on pairs whose entire overlap is stop-shingles — the pairs the cap
+    exists to not compare."""
     # persisted: the shingle arrays feed sizes + both inverted-index join
     # sides — without the barrier the (expensive, string-building) shingle
     # expression re-runs once per branch
@@ -84,19 +95,39 @@ def _common_shingle_counts(
         "__id",
         F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
     )
-    if max_bucket is not None:
-        # drop stop-shingles: buckets larger than max_bucket contribute
-        # candidates quadratically but little signal
+    if max_bucket is None:
+        a = inv.select(F.col("__id").alias("id_a"), "__s")
+        b = inv.select(F.col("__id").alias("id_b"), "__s")
+        common = (
+            a.join(b, "__s")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__common"))
+        )
+    else:
         hot = inv.groupBy("__s").count().where(F.col("count") > max_bucket).select("__s")
-        inv = inv.join(F.broadcast(hot), "__s", "left_anti")
-    a = inv.select(F.col("__id").alias("id_a"), "__s")
-    b = inv.select(F.col("__id").alias("id_b"), "__s")
-    common = (
-        a.join(b, "__s")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__common"))
-    )
+        cold = inv.join(F.broadcast(hot), "__s", "left_anti")
+        a = cold.select(F.col("__id").alias("id_a"), "__s")
+        b = cold.select(F.col("__id").alias("id_b"), "__s")
+        cand = (
+            a.join(b, "__s")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        hashes = sh.select(
+            "__id", F.transform("__shingles", lambda c: F.xxhash64(c)).alias("__sh")
+        )
+        ha = hashes.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__ha"))
+        hb = hashes.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__hb"))
+        common = (
+            cand.join(ha, "id_a")
+            .join(hb, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.size(F.array_intersect("__ha", "__hb")).alias("__common"),
+            )
+        )
     na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
     return common.join(na, "id_a").join(nb, "id_b")
@@ -466,3 +497,79 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def cross_jaccard_pairs(
+    new: DataFrame,
+    ref: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs BETWEEN two corpora (new x reference only —
+    no new-new or ref-ref comparisons): the incremental-ingest shape, where a
+    fresh batch is deduplicated against an existing corpus whose inverted
+    index is orders of magnitude larger but already on disk.
+
+    Same inverted-index core as :func:`ngram_jaccard_pairs`; ``max_bucket``
+    caps candidate generation on the REFERENCE side's bucket sizes (the side
+    that scales), with the exact intersection then computed from full shingle
+    sets. Returns (new_id, ref_id, jaccard >= threshold)."""
+    sn = _shingled(new, id_col, content_col, n).persist()
+    sr = _shingled(ref, id_col, content_col, n).persist()
+    inv_n = sn.select(
+        F.col("__id").alias("new_id"),
+        F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
+    )
+    inv_r = sr.select(
+        F.col("__id").alias("ref_id"),
+        F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
+    )
+    if max_bucket is not None:
+        hot = inv_r.groupBy("__s").count().where(F.col("count") > max_bucket).select("__s")
+        inv_n = inv_n.join(F.broadcast(hot), "__s", "left_anti")
+        inv_r = inv_r.join(F.broadcast(hot), "__s", "left_anti")
+    cand = inv_n.join(inv_r, "__s").select("new_id", "ref_id").distinct()
+    hn = sn.select(
+        F.col("__id").alias("new_id"),
+        F.transform("__shingles", lambda c: F.xxhash64(c)).alias("__hn"),
+        F.size("__shingles").alias("__nn"),
+    )
+    hr = sr.select(
+        F.col("__id").alias("ref_id"),
+        F.transform("__shingles", lambda c: F.xxhash64(c)).alias("__hr"),
+        F.size("__shingles").alias("__nr"),
+    )
+    common = F.size(F.array_intersect("__hn", "__hr"))
+    return (
+        cand.join(hn, "new_id")
+        .join(hr, "ref_id")
+        .select(
+            "new_id", "ref_id",
+            (common / (F.col("__nn") + F.col("__nr") - common)).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_dedup(
+    new: DataFrame,
+    ref: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Drop every NEW document that near-duplicates (exact n-gram Jaccard >=
+    ``threshold``) any REFERENCE document; the reference corpus is never
+    modified. The anti-join ships only doomed ids — new-batch survivors keep
+    their full rows without reshuffling content."""
+    doomed = (
+        cross_jaccard_pairs(new, ref, n, threshold, id_col, content_col, max_bucket)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(doomed, id_col, "left_anti")

@@ -268,3 +268,42 @@ def knn_classify(
         .select("query_id", F.col("__lbl").alias("pred_label"), "votes")
         .orderBy("query_id")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "query_id",
+) -> DataFrame:
+    """Training-data decontamination: flag every corpus vector whose cosine
+    to ANY benchmark/eval vector reaches ``threshold`` (these are the
+    documents that would leak evaluation data into training).
+
+    The eval set broadcasts (benchmarks are small); the corpus streams
+    through one scan scoring |eval| cosines per row and never shuffles
+    payloads — only the per-vector (best_eval_id, cosine) winner survives
+    the rank. Returns flagged (vec_id, best_eval_id, cosine) with ties on
+    cosine broken by eval id for determinism."""
+    q = eval_set.select(
+        F.col(eval_id_col).alias("best_eval_id"), F.col(vec_col).alias("__qv")
+    )
+    c = spread_narrow_scan(corpus).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "best_eval_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("best_eval_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

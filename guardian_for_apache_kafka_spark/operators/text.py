@@ -181,3 +181,45 @@ def quality_filter(
     out = df.withColumns({k: v.cast("boolean") for k, v in flags.items()})
     kept = ~flags["too_short"] & ~flags["too_long"] & ~flags["low_diversity"] & ~flags["stopword_heavy"]
     return out.withColumn("kept", kept)
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed token-window chunking with overlap — the context-packing
+    primitive of a training pipeline (long documents become ``window``-token
+    chunks every ``stride`` tokens; ``window - stride`` tokens of overlap
+    preserve cross-chunk context). Documents at most ``window`` tokens yield
+    one chunk; longer ones yield ``ceil((n - window) / stride) + 1`` so the
+    final chunk always reaches the document's end.
+
+    Pure column expressions (sequence/transform/slice + one posexplode): the
+    token array is built once per row, chunk rows fan out executor-side, and
+    nothing shuffles — at 100 TB this is a map-only stage whose output
+    partitioning follows the input. Returns
+    (id, chunk_id, n_tokens, chunk_md5) — the md5 stands in for chunk text
+    so downstream exact-dedup of chunks shuffles 32 hex chars, not text."""
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window, got stride={stride} window={window}")
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= window, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - window) / F.lit(float(stride))).cast("long") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, (i * stride + 1).cast("int"), window), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__chunk"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(F.split("__chunk", " ")).cast("long").alias("n_tokens"),
+            F.md5("__chunk").alias("chunk_md5"),
+        )
+    )

@@ -47,6 +47,11 @@ _TAIL = [
     "q08_rollup_grouping_sets",
     "q10_window_rank",
     "q11_window_frame_analytic",
+    # new r5, oracled; parked until sf0.01-verified, then rotated deliberately
+    "t9_doc_chunks",
+    "d11_cluster_representatives",
+    "d12_incremental_dedup",
+    "s4_decontaminate",
 ]
 
 

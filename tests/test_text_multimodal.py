@@ -162,3 +162,104 @@ def test_quality_filter_reasons_independent(spark):
     assert rows[2].kept and not any(
         [rows[2].too_short, rows[2].too_long, rows[2].low_diversity, rows[2].stopword_heavy]
     )
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    """Chunking invariants: full coverage (every token position lands in some
+    chunk), stride spacing, window-bounded lengths, and the final chunk
+    reaching the document end; short docs give exactly one chunk."""
+    from guardian_for_apache_kafka_spark.operators.text import chunk_documents
+
+    texts = [
+        (1, " ".join(f"t{i}" for i in range(100))),   # many chunks
+        (2, " ".join(f"t{i}" for i in range(32))),     # exactly window
+        (3, " ".join(f"t{i}" for i in range(31))),     # just under
+        (4, " ".join(f"t{i}" for i in range(33))),     # just over
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = chunk_documents(df, window=32, stride=24).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    import math
+
+    for doc_id, text in texts:
+        n = len(text.split(" "))
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        expect = 1 if n <= 32 else math.ceil((n - 32) / 24) + 1
+        assert len(chunks) == expect, (doc_id, n)
+        assert [c.chunk_id for c in chunks] == list(range(expect))
+        # all but the last chunk are full windows; coverage reaches the end
+        for c in chunks[:-1]:
+            assert c.n_tokens == 32
+        last_start = (expect - 1) * 24
+        assert chunks[-1].n_tokens == n - last_start
+        assert last_start + chunks[-1].n_tokens == n  # no token dropped
+
+
+def test_incremental_dedup_drops_only_new_near_dups(spark):
+    """New docs near-duplicating the reference are dropped; new-new
+    duplicates survive (incremental dedup must not compare the batch against
+    itself) and the reference is untouched by construction."""
+    from guardian_for_apache_kafka_spark.operators.dedup import incremental_dedup
+
+    base = " ".join(f"w{i}" for i in range(20))
+    ref = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (10, base),                                  # exact dup of ref -> dropped
+            (11, base.replace("w19", "changed")),        # near-dup of ref -> dropped
+            (12, " ".join(f"x{i}" for i in range(20))),  # novel -> kept
+            (13, " ".join(f"x{i}" for i in range(20))),  # dup of 12 (new-new) -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in incremental_dedup(new, ref, threshold=0.5).collect())
+    assert kept == [12, 13]
+
+
+def test_cluster_representatives_pick_best_quality(spark):
+    """Representative = highest quality in the component, ties to lowest id;
+    cluster ids and sizes follow the min-id component convention."""
+    from guardian_for_apache_kafka_spark.operators.clusters import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (8, 50)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    got = {r.component: r for r in cluster_representatives(docs, pairs).collect()}
+    assert set(got) == {1, 7}
+    assert got[1].cluster_size == 3 and got[1].rep_id == 2 and got[1].rep_quality == 99
+    assert got[7].cluster_size == 2 and got[7].rep_id == 8
+
+
+def test_decontaminate_flags_match_brute_force(spark):
+    """Every flagged vector has a true eval neighbor >= threshold, every
+    unflagged one has none, and the reported eval id is the argmax."""
+    from guardian_for_apache_kafka_spark.operators.similarity import decontaminate
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = e.where("vec_id >= 10")
+    eval_set = e.where("vec_id < 10").selectExpr("vec_id AS query_id", "embedding")
+    got = {r.vec_id: (r.best_eval_id, r.cosine) for r in
+           decontaminate(corpus, eval_set, threshold=0.3).collect()}
+
+    import numpy as np
+
+    ev = {r.query_id: np.array(r.embedding, dtype=np.float64)
+          for r in eval_set.collect()}
+    for row in corpus.collect():
+        v = np.array(row.embedding, dtype=np.float64)
+        best = max(
+            ((qid, float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))))
+             for qid, q in ev.items()),
+            key=lambda t: (t[1], -t[0]),
+        )
+        if best[1] >= 0.3 + 1e-9:
+            assert row.vec_id in got, row.vec_id
+            assert got[row.vec_id][0] == best[0]
+        elif best[1] < 0.3 - 1e-9:
+            assert row.vec_id not in got

@@ -105,3 +105,83 @@ def test_key_to_datetime_extensionless_directory_names():
     assert frac.tzinfo is not None
     # extension-ful keys (with a path prefix) still strip down correctly
     assert key_to_datetime("a/b/2024-01-01T00:00:45.123Z.json.gz") == frac
+
+
+_ALL_UNITS = ["SECONDS", "MINUTES", "HOURS", "DAYS"]
+_UNIT_US = {"SECONDS": 10**6, "MINUTES": 60 * 10**6,
+            "HOURS": 3600 * 10**6, "DAYS": 86400 * 10**6}
+
+
+@given(ts=TS_US, unit=st.sampled_from(_ALL_UNITS))
+@settings(max_examples=300)
+def test_chrono_unit_truncation_laws_all_units(ts, unit):
+    """VERDICT r4 ask 7: truncation laws for EVERY calendar unit, not just
+    HOURS — the anchor is the floor to the unit, never ahead of the record,
+    never a full unit behind."""
+    u = _UNIT_US[unit]
+    a = anchor_for(ChronoUnitSlice(unit), ts)
+    assert a % u == 0
+    assert a <= ts < a + u
+
+
+@given(ts=TS_US, unit=st.sampled_from(_ALL_UNITS), k=st.integers(0, 5000),
+       jitter=st.integers(0, 10**6))
+@settings(max_examples=300)
+def test_slice_index_monotone_and_exact_at_unit_boundaries(ts, unit, k, jitter):
+    """slice_index is monotone in record time and increments exactly at unit
+    boundaries: the boundary instant itself belongs to the NEW slice, the
+    microsecond before it to the old one (Java MICROS.between truncating
+    division semantics)."""
+    u = _UNIT_US[unit]
+    anchor = anchor_for(ChronoUnitSlice(unit), ts)
+    boundary = anchor + k * u
+    assert slice_index(anchor, boundary, u) == k
+    assert slice_index(anchor, boundary + min(jitter, u - 1), u) == k
+    if k > 0:
+        assert slice_index(anchor, boundary - 1, u) == k - 1
+    # monotonicity across arbitrary jitter
+    t1, t2 = boundary + jitter, boundary + jitter + 1
+    assert slice_index(anchor, t1, u) <= slice_index(anchor, t2, u)
+
+
+@given(ts=TS_US, unit=st.sampled_from(_ALL_UNITS))
+@settings(max_examples=300)
+def test_calculate_key_roundtrip_at_unit_boundaries(ts, unit):
+    """Keys minted exactly at unit boundaries hit the seconds-and-fraction
+    omitted branches of the java.time ISO_OFFSET_DATE_TIME formatter; they
+    must still round-trip bit-exact through key_to_datetime."""
+    u = _UNIT_US[unit]
+    a_us = anchor_for(ChronoUnitSlice(unit), ts)
+    a = dt.datetime.fromtimestamp(a_us / 10**6, tz=dt.timezone.utc)
+    assert a_us % 10**6 == 0  # all units are whole-second; fromtimestamp exact
+    for probe in (a, a + dt.timedelta(microseconds=123000), a + dt.timedelta(microseconds=1)):
+        key = calculate_key(probe)
+        assert key_to_datetime(key) == probe
+
+
+def test_slice_col_matches_anchor_for_at_boundaries(spark):
+    """Spark-side date_trunc (slice_col) agrees with the driver-side integer
+    floor (anchor_for) for every unit at boundary, boundary-1us and
+    mid-slice instants — the two implementations must never drift."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.core.timeslice import slice_col
+
+    base = dt.datetime(2024, 3, 1, 7, 4, 5, 123456)
+    base_us = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 10**6)
+    for unit in _ALL_UNITS:
+        u = _UNIT_US[unit]
+        cfg = ChronoUnitSlice(unit)
+        probes = []
+        for k in (-1, 0, 1, 17):
+            b = (base_us // u + k) * u
+            probes.extend([b, b - 1, b + 1, b + u // 2])
+        df = spark.createDataFrame([(p,) for p in probes], "us long").select(
+            "us", F.timestamp_micros("us").alias("ts")
+        )
+        got = {
+            r["us"]: r["sl"]
+            for r in df.select("us", F.unix_micros(slice_col(F.col("ts"), cfg)).alias("sl")).collect()
+        }
+        for p in probes:
+            assert got[p] == anchor_for(cfg, p), (unit, p)
