@@ -13,6 +13,7 @@ from guardian_for_apache_kafka_spark.operators.dedup import (
     minhash_verified_dedup,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_pairs,
 )
 from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
@@ -48,6 +49,7 @@ from guardian_for_apache_kafka_spark.operators.sampling import (
 from guardian_for_apache_kafka_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
+    kmeans_assign,
     knn_classify,
     quantize_embeddings,
     quantized_cosine_topk,
@@ -90,6 +92,7 @@ __all__ = [
     "frame_sample_plan",
     "instance_roots",
     "ivf_topk",
+    "kmeans_assign",
     "knn_classify",
     "language_id",
     "list_backup_keys",
@@ -110,6 +113,7 @@ __all__ = [
     "restore_batch",
     "restore_to_producer_records",
     "scan_corrupt_files",
+    "semantic_dedup",
     "simhash_pairs",
     "split",
     "split_label",

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from guardian_for_apache_kafka_spark.functions.columns import (
+    cosine_similarity,
     hamming_distance64,
     minhash_signature_udf,
     ngram_shingles,
@@ -573,3 +574,53 @@ def incremental_dedup(
         .distinct()
     )
     return new.join(doomed, id_col, "left_anti")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    nlist: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means the embedding corpus
+    (``similarity.kmeans_assign`` — deterministic seed + Lloyd refinement),
+    then within each cluster drop every vector whose exact cosine to a
+    LOWER-id cluster-mate reaches ``threshold``. Returns surviving
+    (vec_id, cluster) rows.
+
+    This is the cluster-pruned scale path for embedding dedup (Abbas et al.,
+    "SemDeDup", arXiv:2303.09540): the quadratic pair scan runs per cluster,
+    so total candidate work is sum(|cluster|^2) instead of |corpus|^2 — pick
+    ``nlist`` ~ sqrt(corpus/target_cluster_size) to bound it. Complements
+    ``embedding_near_dup_pairs`` (hyperplane-LSH buckets, d6): LSH bounds by
+    hash collision, SemDeDup by cluster geometry and catches lower-cosine
+    semantic redundancy that LSH recall decays on.
+
+    Scale shape: the only payload shuffle is ONE hash exchange of (id, vec)
+    on cluster id for the self-join; assignment itself is broadcast-centroid
+    corpus passes (see ``kmeans_assign``). Pair cosines are computed from the
+    raw vectors with the shared fold arithmetic, so the threshold decision is
+    bit-identical across engines regardless of centroid float drift."""
+    from guardian_for_apache_kafka_spark.operators.similarity import kmeans_assign
+
+    assigned = kmeans_assign(emb, nlist, iterations, id_col, vec_col).select(
+        "vec_id", "cluster"
+    )
+    vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+    av = assigned.join(vecs, "vec_id").repartition("cluster")
+    left = av.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    right = av.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    doomed = (
+        left.join(right, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(doomed, "vec_id", "left_anti")

@@ -38,6 +38,13 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
         # exotic plans (pure in-memory relations on some builds) — leave the
         # layout alone rather than guess
         return df
+    if n_files == 0:
+        # not file-backed (driver-created / derived in-memory frame): the file
+        # listing says nothing, so fall back to the RDD partition probe. This
+        # path never runs for the parquet-scanning operator hot paths, so the
+        # per-call plan-to-RDD conversion cost stays off the data path.
+        n_parts = df.rdd.getNumPartitions()
+        return df.repartition(target) if n_parts < target else df
     if n_files < target:
         return df.repartition(target)
     return df

@@ -241,6 +241,51 @@ def ivf_topk(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    nlist: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means cluster assignment over an embedding corpus:
+    seed centroids are the per-position means of the ``id % nlist`` groups
+    (iteration zero), refined by ``iterations`` Lloyd steps (``_centroids``),
+    then every vector takes its argmax-cosine centroid (ties -> smaller cid).
+
+    Returns (vec_id, cluster, cosine, csize) where ``csize`` is the final
+    cluster's population — the health signal for downstream cluster-pruned
+    work (SemDeDup-style dedup, IVF probe sizing).
+
+    Scale shape: each Lloyd step is one corpus pass against a BROADCAST
+    centroid frame plus a per-position partial aggregate — the corpus never
+    shuffles its payload; only (cid, pos, partial-sum) rows move. The final
+    assignment is the same broadcast pattern; ``csize`` groups nlist rows.
+    Determinism contract: every argmax margin is orders of magnitude above
+    cross-engine float drift — asserted per scale factor in
+    tests/test_dedup_similarity.py (s5 margin budget, d4-style)."""
+    cents = _centroids(corpus, nlist, id_col, vec_col, iterations)
+    scored = (
+        spread_narrow_scan(corpus)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            cosine_similarity(F.col("__v"), F.col("centroid")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), "cosine")
+    )
+    return assigned.withColumn(
+        "csize", F.count("*").over(Window.partitionBy("cluster")).cast("long")
+    )
+
+
 def knn_classify(
     corpus: DataFrame,
     queries: DataFrame,

@@ -52,6 +52,8 @@ _TAIL = [
     "d11_cluster_representatives",
     "d12_incremental_dedup",
     "s4_decontaminate",
+    "s5_kmeans_assign",
+    "d13_semantic_dedup",
 ]
 
 

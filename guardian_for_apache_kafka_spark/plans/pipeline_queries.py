@@ -1325,3 +1325,119 @@ def s4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "best_eval_id", F.round("cosine", 4).alias("cosine"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5: clustering, semantic dedup, sequence packing, mixture, PII
+# ---------------------------------------------------------------------------
+
+
+def _duck_kmeans_with(nlist: int = 8, iterations: int = 2) -> tuple[str, str]:
+    """DuckDB WITH-clause replicating operators/similarity.kmeans_assign
+    exactly: seed centroids = per-position means of the id-mod-nlist groups,
+    ``iterations`` Lloyd steps (assign argmax-cosine / tie smaller cid,
+    re-mean, empty clusters keep previous centroid), one final assignment
+    pass. Returns (with_clause, final_cte_name); ``afin`` carries
+    (vec_id, v, cid, c). Shared by s5 and d13 so both oracles derive the
+    identical clustering. Mean/cosine arithmetic mirrors the Spark side
+    (avg of per-element double casts; the shared _duck_cosine fold), and the
+    argmax margins it depends on are budget-asserted in
+    tests/test_dedup_similarity.py."""
+    dims = "(SELECT unnest(range((SELECT max(len(embedding)) FROM embeddings))) AS pos)"
+
+    def mean_sql(src: str) -> str:
+        return (
+            "SELECT cid, list(m ORDER BY pos) AS cent FROM ("
+            "SELECT s.cid, p.pos, avg(CAST(s.v[p.pos + 1] AS DOUBLE)) AS m "
+            f"FROM {src} s, {dims} p GROUP BY 1, 2) t GROUP BY cid"
+        )
+
+    parts = [
+        "ev AS (SELECT vec_id, embedding AS v FROM embeddings)",
+        f"c0 AS ({mean_sql(f'(SELECT vec_id % {nlist} AS cid, v FROM ev)')})",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"s{i} AS (SELECT ev.vec_id, ev.v, c.cid, "
+            f"{_duck_cosine('ev.v', 'c.cent')} AS c FROM ev CROSS JOIN {prev} c)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, v, cid, c FROM (SELECT vec_id, v, cid, c, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn "
+            f"FROM s{i}) t WHERE rn = 1)"
+        )
+        parts.append(f"r{i} AS ({mean_sql(f'(SELECT cid, v FROM a{i})')})")
+        parts.append(
+            f"c{i} AS (SELECT cid, cent FROM r{i} UNION ALL SELECT cid, cent "
+            f"FROM {prev} WHERE cid NOT IN (SELECT cid FROM r{i}))"
+        )
+    fi = iterations + 1
+    parts.append(
+        f"s{fi} AS (SELECT ev.vec_id, ev.v, c.cid, "
+        f"{_duck_cosine('ev.v', 'c.cent')} AS c FROM ev CROSS JOIN c{iterations} c)"
+    )
+    parts.append(
+        "afin AS (SELECT vec_id, v, cid, c FROM (SELECT vec_id, v, cid, c, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn "
+        f"FROM s{fi}) t WHERE rn = 1)"
+    )
+    return "WITH " + ",\n".join(parts), "afin"
+
+
+_KMEANS_WITH, _KMEANS_FINAL = _duck_kmeans_with(nlist=8, iterations=2)
+
+
+@query(
+    "s5_kmeans_assign",
+    oracle=f"""
+    {_KMEANS_WITH}
+    SELECT vec_id, cid AS cluster, round(c, 4) AS cosine,
+           CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS csize
+    FROM {_KMEANS_FINAL}
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "clustering", "kmeans"),
+)
+def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means assignment (8 clusters, 2 Lloyd steps) over the
+    embedding corpus — the clustering primitive under IVF (s2) and SemDeDup
+    (d13), differentially attested on its own. The oracle re-runs the exact
+    iteration-by-iteration Lloyd schedule in SQL; argmax margins >= 1.4e-5 at
+    every pass/SF (asserted in tests) dwarf cross-engine avg() drift."""
+    from guardian_for_apache_kafka_spark.operators.similarity import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_assign(e, nlist=8, iterations=2)
+        .select("vec_id", "cluster", F.round("cosine", 4).alias("cosine"), "csize")
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "d13_semantic_dedup",
+    oracle=f"""
+    {_KMEANS_WITH}
+    , doomed AS (
+        SELECT DISTINCT b.vec_id
+        FROM {_KMEANS_FINAL} a JOIN {_KMEANS_FINAL} b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_duck_cosine('a.v', 'b.v')} >= 0.3
+    )
+    SELECT vec_id, cid AS cluster FROM {_KMEANS_FINAL}
+    WHERE vec_id NOT IN (SELECT vec_id FROM doomed)
+    ORDER BY vec_id
+    """,
+    tags=("dedup", "semantic", "kmeans", "embedding"),
+)
+def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup survivors: k-means clusters (s5's exact
+    schedule), then within-cluster exact-cosine pruning at 0.3 keeping the
+    lowest id. The threshold decision is bit-identical across engines (raw
+    vectors, shared fold); only cluster membership depends on centroid
+    arithmetic, covered by the s5 margin budget."""
+    from guardian_for_apache_kafka_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.3, nlist=8, iterations=2).orderBy("vec_id")

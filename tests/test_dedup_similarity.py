@@ -613,3 +613,80 @@ def test_d4_oracle_corpus_miss_budget(spark, sf):
     assert budget < 1e-4, (
         f"{sf}: expected-miss budget {budget:.2e} breaks d4 oracle determinism"
     )
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_s5_kmeans_margin_budget(sf):
+    """s5/d13 oracle determinism contract (d4-style corpus assertion): the
+    bit-exact hash match is sound only while every k-means argmax decision has
+    a margin far above cross-engine float drift (avg() summation order differs
+    between Spark and DuckDB at ~1e-15 relative; cosine-to-centroid absorbs
+    that at <=1e-12). Assert the minimum top1-top2 cosine margin across EVERY
+    assignment pass stays above 1e-9 at both driver-checked scale factors, so
+    a data change that creates a knife-edge assignment fails here instead of
+    as a mysterious s5/d13 hash mismatch."""
+    import duckdb
+
+    from guardian_for_apache_kafka_spark.plans.pipeline_queries import _duck_kmeans_with
+
+    with_clause, _ = _duck_kmeans_with(nlist=8, iterations=2)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        for i in (1, 2, 3):  # two Lloyd passes + the final assignment pass
+            margin = con.execute(
+                with_clause
+                + f"""
+                SELECT min(m) FROM (
+                  SELECT vec_id,
+                         max(CASE WHEN rn = 1 THEN c END)
+                         - max(CASE WHEN rn = 2 THEN c END) AS m
+                  FROM (SELECT vec_id, c, row_number() OVER (
+                            PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+                        FROM s{i}) t
+                  GROUP BY vec_id) u
+                """
+            ).fetchone()[0]
+            assert margin > 1e-9, f"{sf} pass {i}: margin {margin:.2e} too small"
+    finally:
+        con.close()
+
+
+def test_kmeans_assign_partitions_and_determinism(spark, emb):
+    """kmeans_assign: total partition of the corpus (every id exactly once),
+    csize consistent with the assignment, repeat run identical (deterministic
+    seed + schedule, no RNG)."""
+    from guardian_for_apache_kafka_spark.operators.similarity import kmeans_assign
+
+    a = kmeans_assign(emb, nlist=8, iterations=2)
+    rows = a.collect()
+    assert len(rows) == emb.count()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cid, members in by_cluster.items():
+        assert all(m.csize == len(members) for m in members)
+    again = {(r.vec_id, r.cluster) for r in kmeans_assign(emb, nlist=8, iterations=2).collect()}
+    assert again == {(r.vec_id, r.cluster) for r in rows}
+
+
+def test_semantic_dedup_drops_planted_twin_keeps_lowest_id(spark, emb):
+    """A planted near-identical copy of an existing vector (cosine ~1) must be
+    dropped while the lower-id original survives; survivors are a subset of
+    the corpus ids."""
+    from guardian_for_apache_kafka_spark.operators.dedup import semantic_dedup
+
+    base_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    twin = (
+        emb.where(F.col("vec_id") == 3)
+        .withColumn("vec_id", F.lit(900001).cast("long"))
+        .withColumn("embedding", F.transform("embedding", lambda x: x * F.lit(1.000001)))
+    )
+    survivors = semantic_dedup(emb.unionByName(twin), threshold=0.3)
+    ids = {r.vec_id for r in survivors.collect()}
+    assert 900001 not in ids  # the twin dooms to its lower-id original
+    assert 3 in ids or 3 not in {r.vec_id for r in semantic_dedup(emb, 0.3).collect()}
+    assert ids <= base_ids | {900001}
