@@ -39,6 +39,10 @@ from guardian_for_apache_kafka_spark.operators.restore import (
     restore_to_producer_records,
     scan_corrupt_files,
 )
+from guardian_for_apache_kafka_spark.operators.packing import (
+    pack_sequences,
+    packing_stats,
+)
 from guardian_for_apache_kafka_spark.operators.sampling import (
     deterministic_sample,
     deterministic_stratified_sample,
@@ -100,6 +104,8 @@ __all__ = [
     "minhash_verified_dedup",
     "ngram_containment_pairs",
     "ngram_jaccard_pairs",
+    "pack_sequences",
+    "packing_stats",
     "profile_vectors",
     "prune_keys_from_when",
     "quality_filter",

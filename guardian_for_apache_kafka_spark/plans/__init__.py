@@ -54,6 +54,7 @@ _TAIL = [
     "s4_decontaminate",
     "s5_kmeans_assign",
     "d13_semantic_dedup",
+    "p3_sequence_packing",
 ]
 
 

@@ -1441,3 +1441,37 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(e, threshold=0.3, nlist=8, iterations=2).orderBy("vec_id")
+
+
+@query(
+    "p3_sequence_packing",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT source, doc_id, n, rn, CAST(0 AS BIGINT) AS seq, n AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n, d.rn,
+             CASE WHEN w.fill + d.n > 128 THEN w.seq + 1 ELSE w.seq END,
+             CASE WHEN w.fill + d.n > 128 THEN d.n ELSE w.fill + d.n END
+      FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+    )
+    SELECT source, doc_id, n AS n_tokens, seq AS seq_id, fill - n AS seq_offset
+    FROM walk ORDER BY source, doc_id
+    """,
+    tags=("pipeline", "packing", "pandas-udf"),
+)
+def p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing of documents per source (budget
+    128, whitespace tokens). The Arrow-batched per-group walk and the
+    oracle's recursive CTE implement the identical streaming rule, so the
+    assignment matches row-for-row — integer arithmetic, no float
+    tolerance needed."""
+    from guardian_for_apache_kafka_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=128).orderBy("source", "doc_id")

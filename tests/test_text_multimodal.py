@@ -263,3 +263,49 @@ def test_decontaminate_flags_match_brute_force(spark):
             assert got[row.vec_id][0] == best[0]
         elif best[1] < 0.3 - 1e-9:
             assert row.vec_id not in got
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    """pack_sequences: every sequence's fill <= budget unless it is a single
+    over-budget document; seq_ids are dense per group; offsets reconstruct
+    the fill exactly; a repeat run is identical (deterministic walk)."""
+    from guardian_for_apache_kafka_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    rows = [
+        ("a", 0, "w " * 50), ("a", 1, "w " * 60), ("a", 2, "w " * 10),
+        ("a", 3, "w " * 200),          # over budget: alone in its sequence
+        ("a", 4, "w " * 30),
+        ("b", 10, "w " * 100), ("b", 11, "w " * 100),
+    ]
+    df = spark.createDataFrame(
+        [(s, i, t.strip()) for s, i, t in rows], "source string, doc_id long, text string"
+    )
+    packed = pack_sequences(df, budget=100)
+    got = {(r.source, r.doc_id): (r.n_tokens, r.seq_id, r.seq_offset)
+           for r in packed.collect()}
+    assert got[("a", 0)] == (50, 0, 0)
+    assert got[("a", 1)] == (60, 1, 0)      # 50+60 > 100 -> new sequence
+    assert got[("a", 2)] == (10, 1, 60)
+    assert got[("a", 3)] == (200, 2, 0)     # over-budget doc sits alone
+    assert got[("a", 4)] == (30, 3, 0)      # and closes its sequence
+    assert got[("b", 10)] == (100, 0, 0)
+    assert got[("b", 11)] == (100, 1, 0)
+
+    fills = {}
+    for (src, _), (n, seq, off) in got.items():
+        assert off + n <= 100 or (off == 0 and n > 100)
+        fills.setdefault((src, seq), 0)
+        fills[(src, seq)] += n
+    seqs_a = sorted(seq for (src, seq) in fills if src == "a")
+    assert seqs_a == list(range(len(seqs_a)))  # dense numbering
+
+    stats = {r.source: r for r in packing_stats(packed, budget=100).collect()}
+    assert stats["a"].n_seqs == 4 and stats["a"].n_docs == 5
+    assert stats["b"].utilization == 1.0
+
+    again = {(r.source, r.doc_id): (r.n_tokens, r.seq_id, r.seq_offset)
+             for r in pack_sequences(df, budget=100).collect()}
+    assert again == got
