@@ -116,3 +116,64 @@ def deterministic_stratified_sample(
     for name, rate in sorted(fractions.items()):
         expr = F.when(F.col(strata_col) == name, F.lit(threshold(rate))).otherwise(expr)
     return df.where(sample_bucket(F.col(key_col), seed) < expr)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    target: int,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-rebalanced corpus mixture (alpha = 0.5): per-group keep
+    quotas proportional to sqrt(group size), normalized to ``target`` total
+    rows, with content-stable membership (lowest md5(seed || key) rows win).
+
+    This is the standard multilingual/multi-source training-mixture move
+    (sampling probability ~ n_g^alpha): sqrt scaling keeps every group
+    represented while shrinking dominant groups' share. Quotas floor to
+    integers and cap at the group size, so the kept total is <= ``target``.
+
+    Determinism contract: the quota denominator is a LEFT FOLD of
+    sqrt(n_g) in group-name order — the same association order the oracle's
+    ``list_reduce`` uses — so quota doubles are bit-identical across engines
+    (sqrt and the fold are IEEE-exact on identical inputs); membership is
+    md5-rank, already dialect-portable (d8).
+
+    Scale shape: group counts are one tiny aggregate; quotas broadcast back;
+    membership ranks ONE window per group over the md5 key — a single hash
+    exchange on the group column. Returns the kept rows with their group and
+    a ``q_group`` quota column for audit."""
+    cnt = df.groupBy(F.col(group_col).alias("__g")).agg(F.count("*").alias("__n"))
+    denom = cnt.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__g"), F.sqrt(F.col("__n").cast("double")).alias("__s")))
+                ),
+                lambda s: s["__s"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__d")
+    )
+    quota = cnt.crossJoin(F.broadcast(denom)).select(
+        "__g",
+        F.least(
+            F.col("__n"),
+            F.floor(
+                F.lit(float(target)) * F.sqrt(F.col("__n").cast("double")) / F.col("__d")
+            ).cast("long"),
+        ).alias("q_group"),
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), F.col(key_col)
+    )
+    ranked = df.withColumn("__rn", F.row_number().over(rank_w))
+    return (
+        ranked.join(F.broadcast(quota), ranked[group_col] == quota["__g"])
+        .where(F.col("__rn") <= F.col("q_group"))
+        .drop("__g", "__rn")
+    )

@@ -223,3 +223,52 @@ def chunk_documents(
             F.md5("__chunk").alias("chunk_md5"),
         )
     )
+
+
+# PII patterns chosen for dialect portability: plain character classes,
+# bounded repetition, ASCII word boundaries — identical semantics under
+# Java regex (Spark) and RE2 (DuckDB/Go), no lookaround or backreferences,
+# so the t10 oracle can re-run the exact same scrub.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,2}-\d{3}-\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+# redaction applies in this fixed order; counts are taken on the ORIGINAL
+# text so they are order-independent
+_PII_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_counts(text: Column | str = "text") -> list[Column]:
+    """Per-kind PII match counts on the raw text (one column per kind, named
+    ``n_<kind>``). Pure JVM regex expressions — no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[k]), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{k}")
+        for k in _PII_ORDER
+    ]
+
+
+def redact_pii(text: Column | str = "text") -> Column:
+    """Replace every PII match with a typed tag (``<EMAIL>``, ``<PHONE>``,
+    ``<IP>``) in the fixed ``_PII_ORDER``. Returns the scrubbed string
+    column; chain of global regexp_replace, streams through codegen."""
+    tags = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
+    c = F.col(text) if isinstance(text, str) else text
+    for k in _PII_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[k], tags[k])
+    return c
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrub pass over a document frame: returns (id, n_email, n_phone,
+    n_ipv4, redacted) — counts from the raw text, text with every match
+    replaced by its typed tag. One scan, zero shuffles, all codegen."""
+    return df.select(
+        F.col(id_col),
+        *pii_counts(text_col),
+        redact_pii(text_col).alias("redacted"),
+    )

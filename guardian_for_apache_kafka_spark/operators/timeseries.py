@@ -19,7 +19,7 @@ machinery (operators/similarity.py) instead of all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,4 +99,64 @@ def correlated_pairs(
         sums.where((d1 > 0) & (d2 > 0))
         .select("id_a", "id_b", (num / F.sqrt(d1 * d2)).alias("corr"))
         .where(F.col("corr") >= min_corr)
+    )
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value deviates
+    from the mean of the ``lookback`` PRECEDING events (per key, time order,
+    current row excluded — no self-contamination) by ``z_threshold`` sample
+    standard deviations. Returns (key, id, ts, value, z).
+
+    Only rows with a FULL lookback window are scored (count = lookback), so
+    every z is computed from the same-size sample and the statistic is
+    well-defined from the first emitted row.
+
+    Determinism (q42's integer-sums discipline): values are scaled to int64
+    (``scale`` = 100 for cent-precision inputs) and the window computes
+    integer sum / sum-of-squares; the z expression
+    ``(n*x - sx) * sqrt((n-1) / (n * (n*sxx - sx^2)))`` then performs a
+    handful of IEEE-exact double ops on identical integers — bit-identical
+    across engines, no tolerance needed at the threshold.
+
+    Scale shape: ONE hash exchange on the key column, one sort within
+    partitions, one pass — the window never buffers more than ``lookback``
+    rows per key. Skewed keys split by time range upstream if a single key
+    dominates (the frame only needs contiguity within each split + lookback
+    rows of overlap)."""
+    x = F.round(F.col(value_col) * scale).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count("__x").over(w)
+    sx = F.sum("__x").over(w)
+    sxx = F.sum(F.col("__x") * F.col("__x")).over(w)
+    scored = (
+        events.withColumn("__x", x)
+        .withColumn("__n", n)
+        .withColumn("__sx", sx)
+        .withColumn("__sxx", sxx)
+        .where(F.col("__n") == lookback)
+    )
+    num = F.col("__n") * F.col("__x") - F.col("__sx")
+    var_term = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    z = num.cast("double") * F.sqrt(
+        (F.col("__n") - 1).cast("double") / (F.col("__n") * var_term).cast("double")
+    )
+    return (
+        scored.where(var_term > 0)
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) >= z_threshold)
+        .select(key_col, id_col, ts_col, value_col, "z")
     )

@@ -55,6 +55,9 @@ _TAIL = [
     "s5_kmeans_assign",
     "d13_semantic_dedup",
     "p3_sequence_packing",
+    "q44_rolling_zscore_anomaly",
+    "p4_temperature_mixture",
+    "t10_pii_scrub",
 ]
 
 

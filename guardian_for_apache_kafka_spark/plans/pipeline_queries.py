@@ -1475,3 +1475,117 @@ def p3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d, budget=128).orderBy("source", "doc_id")
+
+
+@query(
+    "p4_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1),
+    den AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(sqrt(CAST(n AS DOUBLE)) ORDER BY g)),
+               (acc, x) -> acc + x) AS d
+      FROM c
+    ),
+    quota AS (
+      SELECT g, least(n, CAST(floor(300.0 * sqrt(CAST(n AS DOUBLE))
+                                    / (SELECT d FROM den)) AS BIGINT)) AS q_group
+      FROM c
+    ),
+    ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.source, q.q_group
+    FROM ranked r JOIN quota q ON r.lang = q.g
+    WHERE r.rn <= q.q_group
+    ORDER BY r.doc_id
+    """,
+    tags=("pipeline", "mixture", "sampling"),
+)
+def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced (alpha=0.5) language mixture, 300-row target:
+    per-lang quotas ~ sqrt(n_lang) with content-stable md5-rank membership.
+    The quota denominator is the same left fold of sqrt(n) in lang order on
+    both sides, so quotas match bit-exactly; membership is d8's md5 rank
+    (operators/sampling.temperature_mixture)."""
+    from guardian_for_apache_kafka_spark.operators.sampling import temperature_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        temperature_mixture(d, target=300, group_col="lang")
+        .select("doc_id", "lang", "source", "q_group")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "t10_pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                     ELSE '' END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(s, '\\+\\d{1,2}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(s, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(s,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+\\d{1,2}-\\d{3}-\\d{4}', '<PHONE>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS redacted_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+    tags=("text", "pii", "regex"),
+)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub differential attestation: the corpus is synthetic word-salad
+    with no organic PII, so the query plants deterministic contact strings
+    (email on ids % 3, phone on % 4, IPv4 on % 5) and then runs the real
+    operator (operators/text.scrub_pii) over the augmented text. Counts come
+    from the raw text, the md5 proves the redacted bytes match exactly; the
+    patterns are Java/RE2-portable by construction (text.PII_PATTERNS)."""
+    from guardian_for_apache_kafka_spark.operators.text import scrub_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" call +1-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" host 10."), (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        scrub_pii(aug)
+        .select("doc_id", "n_email", "n_phone", "n_ipv4", F.md5("redacted").alias("redacted_md5"))
+        .orderBy("doc_id")
+    )

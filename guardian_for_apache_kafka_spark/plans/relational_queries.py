@@ -1573,3 +1573,50 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+@query(
+    "q44_rolling_zscore_anomaly",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, event_id, ts, "value",
+             CAST(round("value" * 100) AS BIGINT) AS xi
+      FROM events
+    ),
+    wnd AS (
+      SELECT event_type, event_id, ts, "value", xi,
+             count(xi) OVER w AS n, sum(xi) OVER w AS sx,
+             sum(xi * xi) OVER w AS sxx
+      FROM x
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id, ts, "value", round(z, 4) AS z
+    FROM (
+      SELECT *, CAST(n * xi - sx AS DOUBLE)
+                * sqrt(CAST(n - 1 AS DOUBLE)
+                       / CAST(n * (n * sxx - sx * sx) AS DOUBLE)) AS z
+      FROM wnd WHERE n = 20 AND (n * sxx - sx * sx) > 0
+    ) t
+    WHERE abs(z) >= 3.0
+    ORDER BY event_type, event_id
+    """,
+    tags=("relational", "timeseries", "anomaly", "window-frame"),
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per event type: events deviating
+    >= 3 sample stddevs from the mean of the 20 preceding events (current
+    row excluded). Integer-sums discipline (q42): the window aggregates
+    int64 cents, the z expression is a few IEEE-exact double ops on
+    identical integers — the >= 3.0 decision is bit-identical across
+    engines, so no tolerance contract is needed
+    (operators/timeseries.rolling_zscore_anomalies)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_zscore_anomalies(ev, lookback=20, z_threshold=3.0)
+    return out.select(
+        "event_type", "event_id", "ts", "value", F.round("z", 4).alias("z")
+    ).orderBy("event_type", "event_id")

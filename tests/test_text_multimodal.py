@@ -309,3 +309,83 @@ def test_pack_sequences_greedy_invariants(spark):
     again = {(r.source, r.doc_id): (r.n_tokens, r.seq_id, r.seq_offset)
              for r in pack_sequences(df, budget=100).collect()}
     assert again == got
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """scrub_pii: every planted email/phone/IP is tagged, counts match the
+    plants, PII-free text passes through byte-identical."""
+    from guardian_for_apache_kafka_spark.operators.text import scrub_pii
+
+    rows = [
+        (0, "mail me at alice.smith+x@sub.example.org thanks"),
+        (1, "call +1-555-0199 or +44-555-0200 now"),
+        (2, "server at 192.168.1.7 and 10.0.0.255"),
+        (3, "mixed bob@ex.co +1-555-1234 1.2.3.4"),
+        (4, "nothing sensitive here 12345 not.an.ip"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (got[0].n_email, got[0].n_phone, got[0].n_ipv4) == (1, 0, 0)
+    assert "<EMAIL>" in got[0].redacted and "alice" not in got[0].redacted
+    assert (got[1].n_phone, got[1].n_email) == (2, 0)
+    assert got[1].redacted.count("<PHONE>") == 2
+    assert (got[2].n_ipv4, got[2].n_email) == (2, 0)
+    assert got[2].redacted.count("<IP>") == 2
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ipv4) == (1, 1, 1)
+    assert (got[4].n_email, got[4].n_phone, got[4].n_ipv4) == (0, 0, 0)
+    assert got[4].redacted == rows[4][1]
+
+
+def test_temperature_mixture_quotas_and_stability(spark):
+    """temperature_mixture: kept total <= target, per-group kept <= group
+    size, sqrt scaling keeps a LARGER share of small groups, membership is
+    repeat-stable and content-stable (ids independent of row order)."""
+    from guardian_for_apache_kafka_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mixture(df, target=200, group_col="lang").collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(kept) <= 200
+    assert len(by["big"]) <= 900 and len(by["small"]) <= 100
+    # sqrt scaling: big keeps a smaller FRACTION than small
+    assert len(by["big"]) / 900 < len(by["small"]) / 100
+    again = temperature_mixture(df.orderBy(F.rand(7)), target=200, group_col="lang").collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in kept}
+
+
+def test_rolling_zscore_first_principles(spark):
+    """rolling_zscore_anomalies vs a direct numpy computation: same flagged
+    ids and z values; rows without a full lookback window never score."""
+    import datetime as dt
+
+    import numpy as np
+
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0 + (i % 5) * 0.25 for i in range(40)]
+    vals[30] = 99.99  # planted spike
+    rows = [(i, base + dt.timedelta(minutes=i), "k", vals[i]) for i in range(40)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    got = {r.event_id: r.z for r in rolling_zscore_anomalies(df, lookback=20, z_threshold=3.0).collect()}
+
+    xs = np.round(np.array(vals) * 100).astype(np.int64)
+    expect = {}
+    for i in range(20, 40):
+        w = xs[i - 20 : i]
+        n, sx, sxx = 20, int(w.sum()), int((w * w).sum())
+        var_term = n * sxx - sx * sx
+        if var_term <= 0:
+            continue
+        z = float((n * xs[i] - sx) * np.sqrt((n - 1) / (n * var_term)))
+        if abs(z) >= 3.0:
+            expect[i] = z
+    assert set(got) == set(expect)
+    for i, z in expect.items():
+        assert abs(got[i] - z) < 1e-9
+    assert all(i >= 20 for i in got)
