@@ -624,3 +624,59 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(doomed, "vec_id", "left_anti")
+
+
+def ngram_contamination_report(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    eval_content_col: str = "text",
+) -> DataFrame:
+    """GPT-3-style n-gram decontamination check: for every corpus document
+    that shares at least one word n-gram with ANY eval/benchmark document,
+    report (id, n_shared) where n_shared counts the DISTINCT shared n-grams.
+    Complements the embedding-space check (similarity.decontaminate): n-gram
+    overlap catches verbatim leakage that embedding cosine can blur, and
+    vice versa.
+
+    Scale shape: the eval side's distinct n-gram set BROADCASTS (benchmark
+    suites are MBs), so the corpus side joins map-side with ZERO shuffle of
+    the exploded (id, gram) stream; the per-doc count is a partial-agg
+    groupBy on the id. Grams are joined as strings — with a broadcast there
+    is no exchange to shrink, so hashing would only trade string equality
+    for hash computation. For a huge eval side (shuffle join), pre-hash both
+    sides with xxhash64 to cut the exchanged payload 6x."""
+    ce = corpus.select(
+        F.col(id_col),
+        F.explode(ngram_shingles(tokens_col(content_col), n)).alias("__g"),
+    )
+    ee = (
+        eval_set.select(
+            F.explode(ngram_shingles(tokens_col(eval_content_col), n)).alias("__g")
+        )
+        .distinct()
+    )
+    return (
+        ce.join(F.broadcast(ee), "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    eval_content_col: str = "text",
+) -> DataFrame:
+    """Drop every corpus document flagged by ``ngram_contamination_report``
+    (any shared word n-gram with the eval set). The anti-join ships only
+    flagged ids; survivors keep their rows unshuffled."""
+    flagged = ngram_contamination_report(
+        corpus, eval_set, n, id_col, content_col, eval_content_col
+    ).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")

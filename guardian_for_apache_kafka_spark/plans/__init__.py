@@ -58,6 +58,7 @@ _TAIL = [
     "q44_rolling_zscore_anomaly",
     "p4_temperature_mixture",
     "t10_pii_scrub",
+    "d14_ngram_decontaminate",
 ]
 
 

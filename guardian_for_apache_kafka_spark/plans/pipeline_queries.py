@@ -1589,3 +1589,44 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_email", "n_phone", "n_ipv4", F.md5("redacted").alias("redacted_md5"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "d14_ngram_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(len(tk) - 3),
+             i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS gram
+      FROM toks WHERE len(tk) >= 4
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM g JOIN ev USING (gram)
+    WHERE g.doc_id >= 10
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    tags=("dedup", "decontamination", "ngram"),
+)
+def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim n-gram decontamination report: corpus documents (id >= 10)
+    sharing any word 4-gram with the eval set (id < 10), with the count of
+    distinct shared grams. 4-grams are aggressive for this small-vocabulary
+    synthetic corpus (real pipelines use 8-13-gram windows — the operator
+    default is 8); the oracle joins the identical raw gram strings. The
+    embedding-space counterpart is s4 (operators/similarity.decontaminate);
+    this catches the verbatim leakage cosine can blur
+    (operators/dedup.ngram_contamination_report)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        ngram_contamination_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 10)
+    eval_set = d.where(F.col("doc_id") < 10)
+    return (
+        ngram_contamination_report(corpus, eval_set, n=4)
+        .select("doc_id", F.col("n_shared").cast("long"))
+        .orderBy("doc_id")
+    )

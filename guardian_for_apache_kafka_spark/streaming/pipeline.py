@@ -299,6 +299,26 @@ def stream_dedup_replays(records: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def stream_dedup_content(records: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Content-based streaming dedup: drop records whose VALUE digest was
+    already seen within the watermark horizon — the streaming twin of the
+    batch exact-dedup family (d1/d2: sha2 digest as content identity).
+
+    Uses ``dropDuplicatesWithinWatermark`` (not ``dropDuplicates``): state
+    for a digest is EVICTED once the watermark passes its event time, so
+    state size is bounded by the horizon's record volume, not the stream's
+    lifetime — the difference between a dedup that survives a 100 TB/day
+    stream and one whose state store grows forever. Trade-off (documented
+    Spark semantics): a replay arriving later than the watermark horizon is
+    re-emitted; pick the horizon to cover the producer's max replay lag."""
+    return (
+        records.withColumn("__digest", F.sha2(F.col("value"), 256))
+        .withWatermark("timestamp", watermark)
+        .dropDuplicatesWithinWatermark(["__digest"])
+        .drop("__digest")
+    )
+
+
 def stream_audit_join(
     source: DataFrame,
     archived: DataFrame,

@@ -690,3 +690,31 @@ def test_semantic_dedup_drops_planted_twin_keeps_lowest_id(spark, emb):
     assert 900001 not in ids  # the twin dooms to its lower-id original
     assert 3 in ids or 3 not in {r.vec_id for r in semantic_dedup(emb, 0.3).collect()}
     assert ids <= base_ids | {900001}
+
+
+def test_ngram_decontaminate_drops_flagged_only(spark):
+    """ngram_contamination_report flags exactly the docs sharing an n-gram
+    with the eval set; ngram_decontaminate drops them and nothing else."""
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        ngram_contamination_report,
+        ngram_decontaminate,
+    )
+
+    eval_set = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "leak: the secret benchmark answer is forty two exactly end"),
+            (2, "benchmark answer is forty but reordered the secret"),  # shares 8-gram? no
+            (3, "completely unrelated words about cats and dogs playing"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r.doc_id: r.n_shared for r in
+           ngram_contamination_report(corpus, eval_set, n=8).collect()}
+    assert 1 in rep and rep[1] >= 1
+    assert 2 not in rep and 3 not in rep
+    kept = {r.doc_id for r in ngram_decontaminate(corpus, eval_set, n=8).collect()}
+    assert kept == {2, 3}

@@ -476,3 +476,30 @@ def test_multi_instance_restore_from_when_prunes_and_filters(spark, records, tmp
     # a cutoff after all data leaves only straddler slices to scan, zero rows
     future = dt.datetime(2100, 1, 1)
     assert restore_batch(spark, archive, fmt="json", instances=True, from_when=future).count() == 0
+
+
+def test_stream_dedup_content_within_watermark(spark, records, tmp_path):
+    """Content dedup drops same-VALUE records regardless of offset identity:
+    replaying every record under fresh offsets leaves one survivor per
+    distinct value, and the surviving value set equals the batch distinct
+    set. dropDuplicatesWithinWatermark keys state on the digest and evicts
+    on watermark passage (bounded state), unlike stream_dedup_replays which
+    keys on (topic, partition, offset) identity."""
+    from guardian_for_apache_kafka_spark.streaming.pipeline import stream_dedup_content
+
+    src = str(tmp_path / "in")
+    replay = records.withColumn("offset", F.col("offset") + 10_000_000)
+    _stage_input(records.unionByName(replay), src)
+    q = (
+        stream_dedup_content(records_file_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("content_deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select value from content_deduped").collect()
+    batch_vals = {bytes(r.value) for r in records.select("value").distinct().collect()}
+    assert {bytes(r.value) for r in got} == batch_vals
+    assert len(got) == len(batch_vals)  # exactly one survivor per value
