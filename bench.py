@@ -53,6 +53,11 @@ HEADLINE = {
     "knn_classify": "s3_knn_classify",
     "containment_pairs": "d9_ngram_containment_pairs",
     "repetition_stats": "t7_repetition_stats",
+    # round-5 additions
+    "zscore_anomaly": "q44_rolling_zscore_anomaly",
+    "semantic_dedup": "d13_semantic_dedup",
+    "sequence_packing": "p3_sequence_packing",
+    "ngram_decontaminate": "d14_ngram_decontaminate",
 }
 
 N_RUNS = 3

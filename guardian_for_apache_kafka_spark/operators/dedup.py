@@ -598,26 +598,41 @@ def semantic_dedup(
     hash collision, SemDeDup by cluster geometry and catches lower-cosine
     semantic redundancy that LSH recall decays on.
 
-    Scale shape: the only payload shuffle is ONE hash exchange of (id, vec)
-    on cluster id for the self-join; assignment itself is broadcast-centroid
-    corpus passes (see ``kmeans_assign``). Pair cosines are computed from the
-    raw vectors with the shared fold arithmetic, so the threshold decision is
+    Scale shape: assignment is literal-centroid projection work (see
+    ``kmeans_assign`` — no corpus shuffle); the pair scan shuffles (id, vec)
+    once, keyed on (cluster, block): a plain cluster equi-join would cap
+    parallelism at nlist partitions, so the left side buckets ids into
+    ``blocks`` stable sub-blocks and the right side replicates into every
+    block — each unordered pair meets exactly once (at the left element's
+    block), parallelism becomes nlist x blocks, and the result is
+    block-count-independent. Pair cosines are computed from the raw vectors
+    with the shared fold arithmetic, so the threshold decision is
     bit-identical across engines regardless of centroid float drift."""
     from guardian_for_apache_kafka_spark.operators.similarity import kmeans_assign
 
-    assigned = kmeans_assign(emb, nlist, iterations, id_col, vec_col).select(
-        "vec_id", "cluster"
+    blocks = 8
+    # persisted: the assignment feeds BOTH self-join sides and the final
+    # anti-join — without the barrier the assignment pass re-executes once
+    # per consumer. The frame is (id, cluster): sub-linear in corpus
+    # payload, safe to cache at any scale.
+    assigned = (
+        kmeans_assign(emb, nlist, iterations, id_col, vec_col)
+        .select("vec_id", "cluster")
+        .persist()
     )
     vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
-    av = assigned.join(vecs, "vec_id").repartition("cluster")
+    av = assigned.join(vecs, "vec_id")
     left = av.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("__v").alias("__va")
+        "cluster",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(blocks)).cast("int").alias("__b"),
+        F.col("vec_id").alias("id_a"),
+        F.col("__v").alias("__va"),
     )
     right = av.select(
         "cluster", F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb")
-    )
+    ).withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))))
     doomed = (
-        left.join(right, "cluster")
+        left.join(right, ["cluster", "__b"])
         .where(F.col("id_a") < F.col("id_b"))
         .where(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
         .select(F.col("id_b").alias("vec_id"))

@@ -145,37 +145,73 @@ def _mean_vectors(assigned: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _argmax_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Struct (cos, negcid) of the argmax-cosine centroid for ``vec`` against
+    LITERAL centroid arrays: ``sort_array desc`` on (cosine, -cid) structs
+    picks max cosine with ties to the SMALLER cid — the same ordering the
+    window-rank formulation used. Zero joins, zero shuffles; the whole
+    assignment is one codegen'd projection."""
+    entries = [
+        F.struct(
+            cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in c])).alias("cos"),
+            F.lit(-cid).alias("negcid"),
+        )
+        for cid, c in cents
+    ]
+    return F.sort_array(F.array(*entries), asc=False)[0]
+
+
+def _centroid_rows(
+    corpus: DataFrame, nlist: int, id_col: str, vec_col: str, kmeans_iterations: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd schedule with driver-collected centroids: seed =
+    per-position means of the id-mod-nlist groups, then ``kmeans_iterations``
+    steps of (assign to argmax-cosine LITERAL centroids, re-mean); empty
+    clusters keep their previous centroid. Returns sorted (cid, vector).
+
+    The driver round-trip is nlist x dim doubles per iteration — a bounded
+    scalar-sized collect (the d7/anchor discipline), and what makes each
+    Lloyd pass ONE corpus scan feeding a partial-agg mean: no broadcast
+    exchange, no crossJoin, no per-vector window. Plan size grows with
+    nlist x dim literals; beyond ~1k centroids switch the assignment to the
+    broadcast-join form (``ivf_topk``'s ``nearest``) — coarse clustering for
+    SemDeDup/IVF lives comfortably below that."""
+
+    def mean_rows(assigned: DataFrame) -> dict[int, list[float]]:
+        return {
+            r["cid"]: list(r["centroid"])
+            for r in _mean_vectors(assigned, vec_col).collect()
+        }
+
+    # the per-row fold cosines are the CPU cost — parallelize a narrow scan
+    # before every Lloyd pass rather than fold on one core (layout.py)
+    corpus = spread_narrow_scan(corpus)
+    seed = corpus.select(
+        (F.col(id_col) % nlist).alias("cid"), F.col(vec_col).alias(vec_col)
+    )
+    cur = mean_rows(seed)
+    for _ in range(kmeans_iterations):
+        best = _argmax_centroid(F.col(vec_col), sorted(cur.items()))
+        assigned = corpus.select(
+            (-best["negcid"]).cast("long").alias("cid"), F.col(vec_col)
+        )
+        refined = mean_rows(assigned)
+        merged = dict(cur)  # empty clusters keep their previous centroid
+        merged.update(refined)
+        cur = merged
+    return sorted(cur.items())
+
+
 def _centroids(
     corpus: DataFrame, nlist: int, id_col: str, vec_col: str, kmeans_iterations: int = 2
 ) -> DataFrame:
-    """Coarse centroids: deterministic seed (mean of id-mod-nlist groups, a
-    k-means iteration zero) refined by ``kmeans_iterations`` Lloyd steps —
-    assign-to-nearest (broadcast centroids, one corpus pass) then re-mean.
-    Each step is bounded DataFrame work; empty clusters keep their previous
-    centroid. Iterations persist the small centroid frame, never the corpus."""
-    seed = corpus.select(
-        (F.col(id_col) % nlist).alias("cid"), F.col(vec_col).alias("__v")
+    """Coarse centroids as a (cid, centroid) frame — the broadcast-join side
+    for IVF probing. Computation happens in ``_centroid_rows`` (driver-
+    collected Lloyd schedule); this wrapper only re-frames the result."""
+    rows = _centroid_rows(corpus, nlist, id_col, vec_col, kmeans_iterations)
+    return corpus.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in rows], "cid long, centroid array<double>"
     )
-    cents = _mean_vectors(seed.withColumnRenamed("__v", vec_col), vec_col).persist()
-    for _ in range(kmeans_iterations):
-        scored = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).crossJoin(
-            F.broadcast(cents)
-        ).select(
-            "__id", "__v", "cid",
-            cosine_similarity(F.col("__v"), F.col("centroid")).alias("__cs"),
-        )
-        w = Window.partitionBy("__id").orderBy(F.col("__cs").desc(), F.col("cid"))
-        assigned = (
-            scored.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") == 1)
-            .select("cid", F.col("__v").alias(vec_col))
-        )
-        refined = _mean_vectors(assigned, vec_col)
-        # empty clusters fall back to their previous centroid (anti-join keeps
-        # the centroid count stable so probe math stays meaningful)
-        kept = cents.join(refined.select("cid"), "cid", "left_anti")
-        cents = refined.unionByName(kept).persist()
-    return cents
 
 
 def ivf_topk(
@@ -257,29 +293,25 @@ def kmeans_assign(
     cluster's population — the health signal for downstream cluster-pruned
     work (SemDeDup-style dedup, IVF probe sizing).
 
-    Scale shape: each Lloyd step is one corpus pass against a BROADCAST
-    centroid frame plus a per-position partial aggregate — the corpus never
-    shuffles its payload; only (cid, pos, partial-sum) rows move. The final
-    assignment is the same broadcast pattern; ``csize`` groups nlist rows.
+    Scale shape: each Lloyd step is ONE corpus scan — assignment against
+    LITERAL centroid arrays (no broadcast exchange, no crossJoin, no
+    per-vector window) feeding a per-position partial-agg mean; the corpus
+    payload never shuffles. The final assignment is a pure projection;
+    only ``csize`` adds one exchange of (id, cluster) rows. The per-
+    iteration driver round-trip is nlist x dim doubles (bounded-scalar
+    collect discipline; see ``_centroid_rows`` for the large-nlist note).
     Determinism contract: every argmax margin is orders of magnitude above
     cross-engine float drift — asserted per scale factor in
     tests/test_dedup_similarity.py (s5 margin budget, d4-style)."""
-    cents = _centroids(corpus, nlist, id_col, vec_col, iterations)
-    scored = (
-        spread_narrow_scan(corpus)
-        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cid",
-            cosine_similarity(F.col("__v"), F.col("centroid")).alias("cosine"),
-        )
+    rows = _centroid_rows(corpus, nlist, id_col, vec_col, iterations)
+    sel = spread_narrow_scan(corpus).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cid"))
-    assigned = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"), "cosine")
+    best = _argmax_centroid(F.col("__v"), rows)
+    assigned = sel.select("vec_id", best.alias("__b")).select(
+        "vec_id",
+        (-F.col("__b.negcid")).cast("long").alias("cluster"),
+        F.col("__b.cos").alias("cosine"),
     )
     return assigned.withColumn(
         "csize", F.count("*").over(Window.partitionBy("cluster")).cast("long")

@@ -130,23 +130,27 @@ def rolling_zscore_anomalies(
 
     Scale shape: ONE hash exchange on the key column, one sort within
     partitions, one pass — the window never buffers more than ``lookback``
-    rows per key. Skewed keys split by time range upstream if a single key
-    dominates (the frame only needs contiguity within each split + lookback
-    rows of overlap)."""
+    rows per key, and the input projects down to (key, id, ts, value) BEFORE
+    the exchange so unrelated payload columns never ride the shuffle.
+    Skewed keys split by time range upstream if a single key dominates (the
+    frame only needs contiguity within each split + lookback rows of
+    overlap)."""
     x = F.round(F.col(value_col) * scale).cast("long")
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col, id_col)
         .rowsBetween(-lookback, -1)
     )
-    n = F.count("__x").over(w)
-    sx = F.sum("__x").over(w)
-    sxx = F.sum(F.col("__x") * F.col("__x")).over(w)
+    # __x2 is pre-projected so all three aggregates see plain column inputs
+    # and fuse into ONE Window operator (an expression input would force an
+    # intermediate Project and split the window evaluation in two)
     scored = (
-        events.withColumn("__x", x)
-        .withColumn("__n", n)
-        .withColumn("__sx", sx)
-        .withColumn("__sxx", sxx)
+        events.select(key_col, id_col, ts_col, value_col)
+        .withColumn("__x", x)
+        .withColumn("__x2", F.col("__x") * F.col("__x"))
+        .withColumn("__n", F.count("__x").over(w))
+        .withColumn("__sx", F.sum("__x").over(w))
+        .withColumn("__sxx", F.sum("__x2").over(w))
         .where(F.col("__n") == lookback)
     )
     num = F.col("__n") * F.col("__x") - F.col("__sx")

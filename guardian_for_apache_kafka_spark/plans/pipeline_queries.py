@@ -1404,7 +1404,10 @@ def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding corpus — the clustering primitive under IVF (s2) and SemDeDup
     (d13), differentially attested on its own. The oracle re-runs the exact
     iteration-by-iteration Lloyd schedule in SQL; argmax margins >= 1.4e-5 at
-    every pass/SF (asserted in tests) dwarf cross-engine avg() drift."""
+    every pass/SF (asserted in tests) dwarf cross-engine avg() drift.
+    Note: Lloyd refinement executes at plan-BUILD time (bounded nlist x dim
+    driver collects, see similarity._centroid_rows), so bench timings cover
+    the assignment pass, not centroid training."""
     from guardian_for_apache_kafka_spark.operators.similarity import kmeans_assign
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -40,6 +40,14 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing estimates cost by SHUFFLE BYTES; the engine's
+        # CPU-dense stages (fold cosines / signature verifies over packed
+        # arrays) carry 100x the cost-per-byte of plain columns, and the
+        # default 1 MiB floor collapses them to a few tasks (measured 2x on
+        # the SemDeDup pair scan). A 64 KiB floor keeps such stages at the
+        # session's parallelism; genuinely large stages never coalesce near
+        # the floor, so the 100 TB path is unaffected.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

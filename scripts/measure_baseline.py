@@ -117,6 +117,33 @@ QUERIES = {
                sum(CASE WHEN sr > 0.12 THEN 1 ELSE 0 END) AS n_stopword_heavy
         FROM s GROUP BY source ORDER BY source
     """,
+    "zscore_anomaly": """
+        WITH x AS (
+          SELECT event_type, event_id, ts, value,
+                 CAST(round(value * 100) AS BIGINT) AS xi
+          FROM events
+        ),
+        w AS (
+          SELECT event_type, event_id, ts, value, xi,
+                 count(xi) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS n,
+                 sum(xi)  OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sx,
+                 sum(xi * xi) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sxx
+          FROM x
+        )
+        SELECT event_type, event_id, ts, value,
+               round(CAST(n * xi - sx AS DOUBLE)
+                     * sqrt(CAST(n - 1 AS DOUBLE)
+                            / CAST(n * (n * sxx - sx * sx) AS DOUBLE)), 4) AS z
+        FROM w
+        WHERE n = 20 AND n * sxx - sx * sx > 0
+          AND abs(CAST(n * xi - sx AS DOUBLE)
+                  * sqrt(CAST(n - 1 AS DOUBLE)
+                         / CAST(n * (n * sxx - sx * sx) AS DOUBLE))) >= 3.0
+        ORDER BY event_type, event_id
+    """,
 }
 
 N_RUNS = 3
