@@ -164,3 +164,59 @@ def rolling_zscore_anomalies(
         .where(F.abs(F.col("z")) >= z_threshold)
         .select(key_col, id_col, ts_col, value_col, "z")
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, the earliest *qualified* timestamp of
+    each step, where step i qualifies only if some qualified step i-1 happened
+    STRICTLY BEFORE it (order = (ts, id), ties resolved by id). Returns
+    (key, steps_completed, step1_ts..stepN_ts) for keys that reached step 1.
+
+    Semantics: the textbook "earliest qualified event" funnel — a step-2
+    event before the first step-1 event does not count, and the chain is
+    evaluated left to right, so ``steps_completed`` is monotone in prefix
+    order. Every comparison is on exact timestamps/ids — no floats anywhere,
+    so the oracle matches without tolerance.
+
+    Scale shape: ONE hash exchange on the key (all N stacked window passes
+    share the same partitioning/ordering spec), then one partial-agg groupBy
+    on the same key — no self-joins, no per-step scans of the event log. The
+    running state per window pass is a single min timestamp."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = events.select(key_col, ts_col, type_col, id_col).withColumn(
+        "__q0", F.when(F.col(type_col) == steps[0], F.col(ts_col))
+    )
+    for i, s in enumerate(steps[1:], 1):
+        prev_first = F.min(f"__q{i - 1}").over(w)
+        df = df.withColumn(
+            f"__q{i}",
+            F.when((F.col(type_col) == s) & prev_first.isNotNull(), F.col(ts_col)),
+        )
+    agg = df.groupBy(key_col).agg(
+        *[F.min(f"__q{i}").alias(f"step{i + 1}_ts") for i in range(len(steps))]
+    )
+    completed = F.lit(0)
+    for i in range(len(steps)):
+        completed = F.when(
+            F.col(f"step{i + 1}_ts").isNotNull(), F.lit(i + 1)
+        ).otherwise(completed)
+    return (
+        agg.withColumn("steps_completed", completed.cast("int"))
+        .where(F.col("step1_ts").isNotNull())
+        .select(
+            key_col,
+            "steps_completed",
+            *[f"step{i + 1}_ts" for i in range(len(steps))],
+        )
+    )

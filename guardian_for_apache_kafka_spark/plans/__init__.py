@@ -59,6 +59,7 @@ _TAIL = [
     "p4_temperature_mixture",
     "t10_pii_scrub",
     "d14_ngram_decontaminate",
+    "q45_funnel_steps",
 ]
 
 

@@ -1620,3 +1620,52 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "event_id", "ts", "value", F.round("z", 4).alias("z")
     ).orderBy("event_type", "event_id")
+
+
+@query(
+    "q45_funnel_steps",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, event_type, event_id FROM events),
+    w1 AS (
+      SELECT *, CASE WHEN event_type = 'view' THEN ts END AS q0 FROM e
+    ),
+    w2 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                      AND min(q0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+                     THEN ts END AS q1
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                      AND min(q1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+                     THEN ts END AS q2
+      FROM w2
+    ),
+    agg AS (
+      SELECT user_id, min(q0) AS step1_ts, min(q1) AS step2_ts, min(q2) AS step3_ts
+      FROM w3 GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(CASE WHEN step3_ts IS NOT NULL THEN 3
+                     WHEN step2_ts IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS steps_completed,
+           step1_ts, step2_ts, step3_ts
+    FROM agg
+    WHERE step1_ts IS NOT NULL
+    ORDER BY user_id
+    """,
+    tags=("relational", "funnel", "sessionization", "window-frame"),
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel per user: earliest QUALIFIED
+    step timestamps (each step needs a strictly-earlier qualified previous
+    step; ties broken by event_id) and the furthest step reached. Stacked
+    same-spec window passes share one exchange; pure timestamp/int
+    comparisons so the oracle hash-matches without tolerance
+    (operators/timeseries.funnel_steps)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"]).orderBy("user_id")

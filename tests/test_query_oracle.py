@@ -278,3 +278,36 @@ def test_profile_vectors_feed_ann(spark, sf_dir):
     q = vecs.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
     top = cosine_topk(vecs, q, k=2)
     assert top.count() == 3 * 2
+
+
+def test_funnel_steps_first_principles(spark):
+    """funnel_steps on a hand-built event log: out-of-order steps don't
+    count, ties break by event_id, steps_completed is the furthest QUALIFIED
+    prefix, keys without step 1 are absent."""
+    import datetime as dt
+
+    from guardian_for_apache_kafka_spark.operators.timeseries import funnel_steps
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: full funnel in order
+        (1, t(1), 1, "view"), (2, t(2), 1, "click"), (3, t(3), 1, "purchase"),
+        # u2: click BEFORE any view -> never qualifies; later click does
+        (4, t(1), 2, "click"), (5, t(2), 2, "view"), (6, t(3), 2, "click"),
+        # u3: purchase before qualified click -> stuck at step 2
+        (7, t(1), 3, "view"), (8, t(2), 3, "purchase"), (9, t(3), 3, "click"),
+        # u4: no view at all -> absent from output
+        (10, t(1), 4, "click"), (11, t(2), 4, "purchase"),
+        # u5: same-ts view+click: click id > view id counts (strictly-before
+        # is by (ts, id) order)
+        (12, t(5), 5, "view"), (13, t(5), 5, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r.user_id: r for r in funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert got[1].steps_completed == 3
+    assert got[2].steps_completed == 2 and got[2].step2_ts == t(3)
+    assert got[3].steps_completed == 2  # purchase at t2 precedes qualified click
+    assert 4 not in got
+    assert got[5].steps_completed == 2  # same-ts click after view by id order
