@@ -212,3 +212,75 @@ def stream_compact_latest(records: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+ZSCORE_OUTPUT_SCHEMA = (
+    "event_type STRING, event_id BIGINT, ts TIMESTAMP, value DOUBLE, z DOUBLE"
+)
+ZSCORE_STATE_SCHEMA = "xs ARRAY<BIGINT>"
+
+
+def stream_zscore_anomalies(
+    events: DataFrame,
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Streaming twin of ``timeseries.rolling_zscore_anomalies``: per-key
+    rolling z-score over the last ``lookback`` values, with the ring buffer
+    of scaled int64 values as the ONLY state (bounded: lookback longs per
+    key, checkpoint-persisted across restarts).
+
+    Arithmetic mirrors the batch operator exactly — int64 cents (HALF-UP
+    rounding, matching Spark's ``round``), integer window sums, then
+    ``(n*x - sx) * sqrt((n-1)/(n*var))`` in IEEE doubles — so on a finite
+    replay whose micro-batches arrive in (ts, id) order the emissions equal
+    the batch result row-for-row (asserted in test_streaming). Within each
+    micro-batch rows are sorted by (ts, id); cross-batch order is the
+    stream's arrival order, the standard streaming-analytics contract (an
+    out-of-order record scores against the window as of its arrival)."""
+    import math
+
+    import numpy as np
+
+    def score(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            v = pdf["value"].to_numpy()
+            xs = np.where(
+                v >= 0, np.floor(v * scale + 0.5), np.ceil(v * scale - 0.5)
+            ).astype("int64")
+            keep, zs = [], []
+            for i, x in enumerate(xs):
+                if len(buf) >= lookback:
+                    w = buf[-lookback:]
+                    n = lookback
+                    sx = sum(w)
+                    sxx = sum(y * y for y in w)
+                    var = n * sxx - sx * sx
+                    if var > 0:
+                        z = (n * int(x) - sx) * math.sqrt((n - 1) / (n * var))
+                        if abs(z) >= z_threshold:
+                            keep.append(i)
+                            zs.append(z)
+                buf.append(int(x))
+                del buf[:-lookback]
+            out = pdf.iloc[keep][["event_type", "event_id", "ts", "value"]].copy()
+            out["z"] = zs
+            yield out
+        state.update((buf[-lookback:],))
+
+    return events.select("event_type", "event_id", "ts", "value").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        score,
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -503,3 +503,43 @@ def test_stream_dedup_content_within_watermark(spark, records, tmp_path):
     batch_vals = {bytes(r.value) for r in records.select("value").distinct().collect()}
     assert {bytes(r.value) for r in got} == batch_vals
     assert len(got) == len(batch_vals)  # exactly one survivor per value
+
+
+def test_stream_zscore_equals_batch(spark, tmp_path):
+    """Streaming rolling z-score on an in-order finite replay == the batch
+    operator (same flagged ids, bit-identical z), including state carry
+    ACROSS micro-batches (input staged as multiple ordered files)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+    from guardian_for_apache_kafka_spark.streaming.stateful import (
+        stream_zscore_anomalies,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "in")
+    # two ordered files -> two or more micro-batches in arrival order
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    first = ordered.limit(n // 2)
+    rest = ordered.subtract(first)
+    first.coalesce(1).write.parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream_zscore_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName("zstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r.z for r in spark.sql("select * from zstream").collect()}
+    want = {r.event_id: r.z for r in rolling_zscore_anomalies(ev).collect()}
+    assert set(got) == set(want)
+    for k, z in want.items():
+        assert got[k] == z  # bit-identical arithmetic
