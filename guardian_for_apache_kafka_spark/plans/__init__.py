@@ -60,6 +60,8 @@ _TAIL = [
     "t10_pii_scrub",
     "d14_ngram_decontaminate",
     "q45_funnel_steps",
+    "t11_token_df_scores",
+    "m3_multimodal_fusion",
 ]
 
 

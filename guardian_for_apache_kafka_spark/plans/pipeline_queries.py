@@ -1633,3 +1633,110 @@ def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_shared").cast("long"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "t11_token_df_scores",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1)
+    SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+           round(CAST(sum(df) AS DOUBLE) / count(*), 4) AS mean_df
+    FROM dt JOIN dfreq USING (tok)
+    GROUP BY dt.doc_id
+    ORDER BY dt.doc_id
+    """,
+    tags=("text", "quality", "corpus-stats"),
+)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token document-frequency (corpus-statistics
+    commonness proxy). Integer df sums, one exact double division —
+    engine-deterministic (operators/text.token_df_scores)."""
+    from guardian_for_apache_kafka_spark.operators.text import token_df_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        token_df_scores(d)
+        .select("doc_id", "n_distinct", F.round("mean_df", 4).alias("mean_df"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "m3_multimodal_fusion",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS dig,
+               octet_length(CAST(text AS BLOB)) AS size_bytes,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(size_bytes AS BIGINT) AS size_bytes,
+               CAST(64 + ({_HEXB.format(i=1, j=2)}) % 192 AS INT) AS width,
+               CAST(64 + ({_HEXB.format(i=3, j=4)}) % 192 AS INT) AS height
+        FROM h
+    ),
+    ev AS (
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               sqrt({_DOT.format(a='embedding', b='embedding')}) AS norm
+        FROM embeddings
+    )
+    SELECT f.doc_id, f.n_tokens, f.size_bytes, f.width, f.height,
+           e.dim, round(e.norm, 4) AS emb_norm
+    FROM feat f JOIN ev e ON f.doc_id = e.vec_id
+    ORDER BY f.doc_id
+    """,
+    tags=("multimodal", "pipeline", "fusion"),
+)
+def m3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal training-record fusion: one row per document joining text
+    stats (token count), decoded image features (m1's mapInPandas path), and
+    embedding metadata (dimension + L2 norm via the shared fold) — the
+    assemble-the-training-example step of a multimodal pipeline. Joins are
+    id-equi joins; the only Python is the Arrow decode batch; the norm fold
+    matches the oracle's list_reduce association exactly."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        extract_image_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    media = attach_media(
+        d.withColumn("blob", F.col("text").cast("binary")), "blob", "image", "png"
+    )
+    feats = extract_image_features(media).select(
+        "doc_id", "size_bytes", "width", "height"
+    )
+    text_stats = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+            lambda p, q: p * q,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    emb_meta = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.size("embedding").alias("dim"),
+        F.sqrt(dot).alias("emb_norm"),
+    )
+    return (
+        text_stats.join(feats, "doc_id")
+        .join(emb_meta, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "size_bytes", "width", "height", "dim",
+            F.round("emb_norm", 4).alias("emb_norm"),
+        )
+        .orderBy("doc_id")
+    )
