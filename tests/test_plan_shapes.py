@@ -317,3 +317,62 @@ def test_q42_activity_correlation_broadcast_pair_join(plans):
     plan = plans("q42_activity_correlation")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q44_zscore_single_window_single_exchange(plans):
+    """Rolling z-score: all three frame aggregates fuse into ONE Window
+    operator over ONE hash exchange on the key; the scan reads only the four
+    needed event columns (props/user_id never ride the shuffle)."""
+    p = plans("q44_rolling_zscore_anomaly")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Window") == 1, p
+    assert p.count("hashpartitioning(event_type") == 1, p
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_q45_funnel_one_exchange_no_join(plans):
+    """Funnel: stacked same-spec windows + the per-user aggregate reuse ONE
+    hash partitioning on user_id; no self-joins, no extra exchanges beyond
+    the final presentation sort."""
+    p = plans("q45_funnel_steps")
+    tree = p.split("\n\n")[0]
+    assert p.count("hashpartitioning(user_id") == 1, p
+    assert "Join" not in tree, p
+
+
+def test_d14_decontaminate_broadcasts_eval_grams(plans):
+    """N-gram decontamination: the eval gram set must broadcast — the
+    exploded corpus gram stream joins map-side with no shuffle keyed on the
+    gram."""
+    import re
+
+    p = plans("d14_ngram_decontaminate")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, p
+    assert not re.search(r"Exchange hashpartitioning\(__g", tree), p
+
+
+def test_t10_t11_no_python_udf(plans):
+    """PII scrub and df-scoring are pure JVM expression pipelines."""
+    for name in ("t10_pii_scrub", "t11_token_df_scores"):
+        assert "Python" not in plans(name).split("\n\n")[0], name
+
+
+def test_p4_mixture_single_window_rank(plans):
+    """Temperature mixture: membership is one ranking window per group plus
+    broadcast quota join — the corpus never hash-exchanges twice."""
+    p = plans("p4_temperature_mixture")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange hashpartitioning(lang") <= 1, p
+    assert "BroadcastHashJoin" in tree, p
+
+
+def test_d13_semantic_dedup_no_corpus_shuffle_in_assignment(plans):
+    """SemDeDup: cluster assignment is literal-centroid projection work —
+    the only hash exchanges are the pair join keys and id-side joins; no
+    crossJoin (BroadcastNestedLoopJoin) anywhere."""
+    p = plans("d13_semantic_dedup")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree, p
+    assert "CartesianProduct" not in tree, p
