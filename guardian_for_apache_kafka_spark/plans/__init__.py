@@ -62,6 +62,7 @@ _TAIL = [
     "q45_funnel_steps",
     "t11_token_df_scores",
     "m3_multimodal_fusion",
+    "p5_shard_export",
 ]
 
 

@@ -1740,3 +1740,69 @@ def m3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "p5_shard_export",
+    oracle="""
+    WITH RECURSIVE labeled AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666665' THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY (CASE WHEN substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666665' THEN 'val'
+                  ELSE 'test' END) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT split, doc_id, n, rn, CAST(0 AS BIGINT) AS seq, n AS fill
+      FROM labeled WHERE rn = 1
+      UNION ALL
+      SELECT d.split, d.doc_id, d.n, d.rn,
+             CASE WHEN w.fill + d.n > 128 THEN w.seq + 1 ELSE w.seq END,
+             CASE WHEN w.fill + d.n > 128 THEN d.n ELSE w.fill + d.n END
+      FROM walk w JOIN labeled d ON d.split = w.split AND d.rn = w.rn + 1
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs,
+           CAST(sum(n) AS BIGINT) AS tokens
+    FROM walk GROUP BY split ORDER BY split
+    """,
+    tags=("pipeline", "packing", "sampling", "export"),
+)
+def p5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export round-trip: content-stable 80/10/10 split ->
+    greedy 128-token sequence packing per split -> parquet shards written
+    partitioned by split -> READ BACK and aggregate per-split doc/sequence/
+    token totals from the files on disk. The oracle predicts the same
+    totals from the documents table alone (split CASE + recursive-CTE
+    packing), so lost/duplicated rows anywhere in the
+    pack -> write -> read chain fail the hash match. Idempotent fixed
+    destination per sf_dir (p1's skip-if-populated discipline)."""
+    from guardian_for_apache_kafka_spark.operators.packing import pack_sequences
+    from guardian_for_apache_kafka_spark.operators.sampling import split_label
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "split", split_label({"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    packed = pack_sequences(d, budget=128, group_col="split")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"guardian_shards_{digest}")
+    if not (os.path.isdir(dest) and os.listdir(dest)):
+        packed.write.partitionBy("split").parquet(dest)
+    back = spark.read.parquet(dest)
+    return (
+        back.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("split")
+    )
