@@ -264,26 +264,6 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
 
 
-def cosine_similarity_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Fixed-dimension cosine, bit-identical to :func:`cosine_similarity`:
-    the fold ``((0+p0)+p1)+...`` unrolls to the same left-to-right IEEE add
-    sequence over ``getItem`` terms, so results (and oracle hashes) are
-    unchanged — but the expression is plain arithmetic that stays inside
-    whole-stage codegen, where the higher-order fold is interpreted per row
-    (~100x slower in CPU-bound pair scans). Use when the embedding dimension
-    is known (probe ``F.size`` on one row at plan build); vectors shorter
-    than ``dim`` yield NULL, mirroring the fold's NULL on length mismatch."""
-    ad = a.cast("array<double>")
-    bd = b.cast("array<double>")
-
-    def dot(x: Column, y: Column) -> Column:
-        e: Column = F.lit(0.0)
-        for i in range(dim):
-            e = e + x.getItem(i) * y.getItem(i)
-        return e
-
-    return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
-
 def rolling_fingerprint(tokens: Column, mod: int = 1_000_000_007) -> Column:
     """Order-sensitive polynomial rolling hash over tokens:
     fold (acc*31 + code(token)) % mod with code = length*17 + ascii(first char).
@@ -414,3 +394,5 @@ def hyperplane_buckets_udf(signs):
         return pd.Series(out)
 
     return _bk
+
+

@@ -598,23 +598,23 @@ def semantic_dedup(
     hash collision, SemDeDup by cluster geometry and catches lower-cosine
     semantic redundancy that LSH recall decays on.
 
-    Scale shape: assignment is literal-centroid projection work (see
-    ``kmeans_assign`` — no corpus shuffle); the pair scan shuffles (id, vec)
-    once, keyed on (cluster, block): a plain cluster equi-join would cap
-    parallelism at nlist partitions, so the left side buckets ids into
-    ``blocks`` stable sub-blocks and the right side replicates into every
-    block — each unordered pair meets exactly once (at the left element's
-    block), parallelism becomes nlist x blocks, and the result is
-    block-count-independent. Pair cosines are computed from the raw vectors
-    with the shared fold arithmetic, so the threshold decision is
-    bit-identical across engines regardless of centroid float drift."""
+    Scale shape: assignment is vectorized projection work (see
+    ``kmeans_assign`` — no corpus shuffle); the pair scan is ONE
+    ``applyInPandas`` over the cluster groups — each cluster's vectors
+    cross the Arrow boundary once (O(corpus) transfer, never O(pairs)) and
+    the within-cluster pairwise cosines are a single numpy matmul, with
+    the n^2 term bounded per cluster (pick nlist ~ sqrt(corpus /
+    target_cluster_size); chunk the matmul for outlier clusters). The
+    threshold decision is protected by an asserted corpus margin (no pair
+    within 1e-9 of the threshold — tests/test_dedup_similarity), so
+    numpy-vs-fold drift (~1e-15) cannot flip it vs the fold-based oracle."""
+    import numpy as np
+    import pandas as pd
+
     from guardian_for_apache_kafka_spark.operators.similarity import kmeans_assign
 
-    blocks = 8
-    # persisted: the assignment feeds BOTH self-join sides and the final
-    # anti-join — without the barrier the assignment pass re-executes once
-    # per consumer. The frame is (id, cluster): sub-linear in corpus
-    # payload, safe to cache at any scale.
+    # persisted: the assignment feeds the pair scan and the final anti-join.
+    # The frame is (id, cluster): sub-linear in corpus payload.
     assigned = (
         kmeans_assign(emb, nlist, iterations, id_col, vec_col)
         .select("vec_id", "cluster")
@@ -622,22 +622,18 @@ def semantic_dedup(
     )
     vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
     av = assigned.join(vecs, "vec_id")
-    left = av.select(
-        "cluster",
-        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(blocks)).cast("int").alias("__b"),
-        F.col("vec_id").alias("id_a"),
-        F.col("__v").alias("__va"),
-    )
-    right = av.select(
-        "cluster", F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb")
-    ).withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))))
-    doomed = (
-        left.join(right, ["cluster", "__b"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
+
+    def doom(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        # doomed: any LOWER-id cluster-mate at >= threshold (strict upper
+        # triangle, column j doomed by any row i < j)
+        hit = np.triu(S >= threshold, k=1).any(axis=0)
+        return pdf.loc[hit, ["vec_id"]]
+
+    doomed = av.groupBy("cluster").applyInPandas(doom, "vec_id long")
     return assigned.join(doomed, "vec_id", "left_anti")
 
 

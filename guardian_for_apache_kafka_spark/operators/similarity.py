@@ -14,6 +14,7 @@ in the scoring loop.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -145,20 +146,30 @@ def _mean_vectors(assigned: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
-def _argmax_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """Struct (cos, negcid) of the argmax-cosine centroid for ``vec`` against
-    LITERAL centroid arrays: ``sort_array desc`` on (cosine, -cid) structs
-    picks max cosine with ties to the SMALLER cid — the same ordering the
-    window-rank formulation used. Zero joins, zero shuffles; the whole
-    assignment is one codegen'd projection."""
-    entries = [
-        F.struct(
-            cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in c])).alias("cos"),
-            F.lit(-cid).alias("negcid"),
-        )
-        for cid, c in cents
-    ]
-    return F.sort_array(F.array(*entries), asc=False)[0]
+def _assign_cluster_udf(cents: list[tuple[int, list[float]]]):
+    """Arrow-vectorized argmax-cosine cluster assignment against the (small)
+    centroid matrix shipped in the UDF closure: one numpy matmul per batch —
+    no joins, no shuffles, no per-centroid interpreted folds (the fold
+    formulation cost ~300us x nlist per ROW). ``argmax`` takes the FIRST
+    maximum, and centroids are ordered by cid, so exact ties break to the
+    smaller cid like the window-rank formulation; numpy's reordered sums
+    drift ~1e-15 from the fold — absorbed by the asserted argmax margin
+    budget (tests/test_dedup_similarity.py)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("long")
+    def assign(vs: pd.Series) -> pd.Series:
+        V = np.array(vs.tolist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.Series(cids[(Vn @ Cn.T).argmax(axis=1)])
+
+    return assign
 
 
 def _centroid_rows(
@@ -166,16 +177,17 @@ def _centroid_rows(
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd schedule with driver-collected centroids: seed =
     per-position means of the id-mod-nlist groups, then ``kmeans_iterations``
-    steps of (assign to argmax-cosine LITERAL centroids, re-mean); empty
-    clusters keep their previous centroid. Returns sorted (cid, vector).
+    steps of (assign to argmax-cosine centroids via the vectorized closure
+    UDF, re-mean); empty clusters keep their previous centroid. Returns
+    sorted (cid, vector).
 
     The driver round-trip is nlist x dim doubles per iteration — a bounded
     scalar-sized collect (the d7/anchor discipline), and what makes each
-    Lloyd pass ONE corpus scan feeding a partial-agg mean: no broadcast
-    exchange, no crossJoin, no per-vector window. Plan size grows with
-    nlist x dim literals; beyond ~1k centroids switch the assignment to the
-    broadcast-join form (``ivf_topk``'s ``nearest``) — coarse clustering for
-    SemDeDup/IVF lives comfortably below that."""
+    Lloyd pass ONE corpus scan (numpy matmul per Arrow batch) feeding a
+    partial-agg mean: no broadcast exchange, no crossJoin, no per-vector
+    window. The closure matrix is nlist x dim doubles — keep it MBs-small
+    (coarse clustering); for fine-grained codebooks shard the centroid set
+    and take a second argmax over the per-shard winners."""
 
     def mean_rows(assigned: DataFrame) -> dict[int, list[float]]:
         return {
@@ -191,9 +203,9 @@ def _centroid_rows(
     )
     cur = mean_rows(seed)
     for _ in range(kmeans_iterations):
-        best = _argmax_centroid(F.col(vec_col), sorted(cur.items()))
+        assign = _assign_cluster_udf(sorted(cur.items()))
         assigned = corpus.select(
-            (-best["negcid"]).cast("long").alias("cid"), F.col(vec_col)
+            assign(F.col(vec_col)).alias("cid"), F.col(vec_col)
         )
         refined = mean_rows(assigned)
         merged = dict(cur)  # empty clusters keep their previous centroid
@@ -304,14 +316,21 @@ def kmeans_assign(
     cross-engine float drift — asserted per scale factor in
     tests/test_dedup_similarity.py (s5 margin budget, d4-style)."""
     rows = _centroid_rows(corpus, nlist, id_col, vec_col, iterations)
+    assign = _assign_cluster_udf(rows)
     sel = spread_narrow_scan(corpus).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
     )
-    best = _argmax_centroid(F.col("__v"), rows)
-    assigned = sel.select("vec_id", best.alias("__b")).select(
+    assigned = sel.select("vec_id", "__v", assign(F.col("__v")).alias("cluster"))
+    # the reported cosine is the ORACLE-EXACT fold against the chosen
+    # centroid only (one fold per row, not nlist): margins guarantee the
+    # choice matches the oracle's, so the scored value does too
+    cents = corpus.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in rows], "cluster long, __cent array<double>"
+    )
+    assigned = assigned.join(F.broadcast(cents), "cluster").select(
         "vec_id",
-        (-F.col("__b.negcid")).cast("long").alias("cluster"),
-        F.col("__b.cos").alias("cosine"),
+        "cluster",
+        cosine_similarity(F.col("__v"), F.col("__cent")).alias("cosine"),
     )
     return assigned.withColumn(
         "csize", F.count("*").over(Window.partitionBy("cluster")).cast("long")

@@ -718,3 +718,35 @@ def test_ngram_decontaminate_drops_flagged_only(spark):
     assert 2 not in rep and 3 not in rep
     kept = {r.doc_id for r in ngram_decontaminate(corpus, eval_set, n=8).collect()}
     assert kept == {2, 3}
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_d13_pair_threshold_margin_budget(sf):
+    """d13's pair scan runs numpy cosines (~1e-15 drift vs the oracle's
+    fold); the >= 0.3 decision is sound only while no within-cluster pair
+    sits near the threshold. Assert min |cos - 0.3| > 1e-9 over every
+    within-cluster pair at the driver-checked scale factors (observed
+    7.8e-5 / 2.4e-4; 1.5e-6 at sf0.1)."""
+    import duckdb
+
+    from guardian_for_apache_kafka_spark.plans.pipeline_queries import (
+        _duck_cosine,
+        _duck_kmeans_with,
+    )
+
+    with_clause, fin = _duck_kmeans_with(nlist=8, iterations=2)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        m = con.execute(
+            with_clause
+            + f"""
+            SELECT min(abs({_duck_cosine('a.v', 'b.v')} - 0.3))
+            FROM {fin} a JOIN {fin} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            """
+        ).fetchone()[0]
+        assert m > 1e-9, f"{sf}: pair-threshold margin {m:.2e} too small"
+    finally:
+        con.close()
