@@ -4,6 +4,7 @@ language ID, fingerprinting. All built-in column expressions over the
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -299,3 +300,36 @@ def token_df_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             (F.sum("__df").cast("double") / F.count("*")).alias("mean_df"),
         )
     )
+
+
+def normalize_text_udf():
+    """Arrow-vectorized Unicode NFC normalization (``unicodedata.normalize``
+    per batch). Spark has no NFC builtin; NFC is the standard first step of
+    canonicalization-before-dedup (composed vs decomposed accents must not
+    defeat exact-hash dedup). DuckDB's ``nfc_normalize`` is the oracle twin —
+    both implement Unicode normalization, so results match byte-for-byte."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+    return nfc
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Canonicalize text for dedup/fingerprinting: Unicode NFC, lowercase,
+    strip control characters, collapse runs of whitespace, trim. Adds
+    ``out_col`` next to the original (never destructive — downstream ops
+    choose which form to hash). One scan; the only Python is the NFC batch
+    map, the rest is codegen regex/lower."""
+    nfc = normalize_text_udf()
+    c = nfc(F.col(text_col))
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return df.withColumn(out_col, F.trim(c))

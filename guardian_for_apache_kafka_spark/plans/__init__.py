@@ -63,6 +63,7 @@ _TAIL = [
     "t11_token_df_scores",
     "m3_multimodal_fusion",
     "p5_shard_export",
+    "t12_normalize_text",
 ]
 
 

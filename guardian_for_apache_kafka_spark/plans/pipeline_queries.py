@@ -1806,3 +1806,49 @@ def p5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "t12_normalize_text",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || '  TAIL' || chr(9) || 'e' || chr(769)
+                  || CASE WHEN doc_id % 2 = 0 THEN '  X ' ELSE chr(10) || 'y' END AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(
+               lower(nfc_normalize(s)),
+               '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_md5,
+           CAST(length(trim(regexp_replace(regexp_replace(
+               lower(nfc_normalize(s)),
+               '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM aug ORDER BY doc_id
+    """,
+    tags=("text", "normalization", "pandas-udf"),
+)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-before-dedup: NFC (Arrow unicodedata batch map — the
+    oracle runs DuckDB's nfc_normalize), lowercase, control-char strip,
+    whitespace collapse, trim. The synthetic corpus is ASCII-only, so the
+    query plants a decomposed-accent + tab/newline + case tail on every row
+    to exercise each normalization step; md5 attests the normalized bytes
+    (operators/text.normalize_text)."""
+    from guardian_for_apache_kafka_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("  TAIL\té"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("  X ")).otherwise(F.lit("\ny")),
+        ).alias("text"),
+    )
+    out = normalize_text(aug)
+    return out.select(
+        "doc_id",
+        F.md5("norm_text").alias("norm_md5"),
+        F.length("norm_text").cast("long").alias("norm_len"),
+    ).orderBy("doc_id")

@@ -389,3 +389,18 @@ def test_rolling_zscore_first_principles(spark):
     for i, z in expect.items():
         assert abs(got[i] - z) < 1e-9
     assert all(i >= 20 for i in got)
+
+
+def test_normalize_text_canonicalizes_for_dedup(spark):
+    """normalize_text: NFC composes decomposed accents (so exact-dedup
+    hashing can't be defeated by encoding), case folds, strips control
+    chars, collapses whitespace; already-canonical text is unchanged."""
+    from guardian_for_apache_kafka_spark.operators.text import normalize_text
+
+    decomposed = "café  BAR\tbaz\n"     # e + combining acute
+    composed = "café bar baz"
+    rows = [(1, decomposed), (2, composed), (3, "plain text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+    assert got[1] == got[2] == "café bar baz"
+    assert got[3] == "plain text"
