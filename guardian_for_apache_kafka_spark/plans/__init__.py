@@ -7,11 +7,13 @@ from guardian_for_apache_kafka_spark.plans import pipeline_queries  # noqa: F401
 
 # The external correctness harness checks the first 50 registered queries.
 # Registration order is therefore a statement of verification priority, not
-# just import order. Round-5 rotation: the 9 entries that had never received
-# a driver row (d5, d6, d10, m2, p1, q24, q42, q43, s2 — VERDICT r4 §missing)
-# move into the checked window; 9 veterans with multi-round driver-green
-# history (q02–q08, q10, q11 — green in r1–r4) park in the tail, where the
-# in-repo differential harness still checks them at every sf.
+# just import order. Round-5 rotation: every entry that has never received a
+# driver row moves into the checked window — the 9 from VERDICT r4 §missing
+# (d5, d6, d10, m2, p1, q24, q42, q43, s2) plus the 16 new round-5 queries
+# (t9–t12, d11–d14, s4, s5, p3–p5, q44, q45, m3), all sf0.01-verified by the
+# in-repo differential harness (92/92 green) before promotion. Veterans with
+# multi-round driver-green history park in the tail, where the in-repo
+# harness still checks them at every sf.
 _TAIL = [
     # oracled but redundant scalar/simple surface
     "q09_distinct_count",
@@ -47,23 +49,26 @@ _TAIL = [
     "q08_rollup_grouping_sets",
     "q10_window_rank",
     "q11_window_frame_analytic",
-    # new r5, oracled; parked until sf0.01-verified, then rotated deliberately
-    "t9_doc_chunks",
-    "d11_cluster_representatives",
-    "d12_incremental_dedup",
-    "s4_decontaminate",
-    "s5_kmeans_assign",
-    "d13_semantic_dedup",
-    "p3_sequence_packing",
-    "q44_rolling_zscore_anomaly",
-    "p4_temperature_mixture",
-    "t10_pii_scrub",
-    "d14_ngram_decontaminate",
-    "q45_funnel_steps",
-    "t11_token_df_scores",
-    "m3_multimodal_fusion",
-    "p5_shard_export",
-    "t12_normalize_text",
+    # demoted r5 (all driver-green in r4) to admit the 16 new round-5 queries
+    # now that the in-repo harness verified them at sf0.01; the operator
+    # shapes they attest stay covered in the head (q24 approx aggregates,
+    # q39 salted join, q42/q43 temporal analytics, t4–t8 text ops):
+    "q17_json_extraction",
+    "q20_correlated_subquery",
+    "q21_cte_multiblock",
+    "q22_documents_tokens",
+    "q23_statistical_aggregates",
+    "q25_asof_join",
+    "q27_sessionization",
+    "q31_percentiles",
+    "q33_value_window_frames",
+    "q37_lateral_topk_per_group",
+    "q38_gap_fill_resample",
+    "q40_hopping_window",
+    "q41_session_window_native",
+    "t1_token_stats",
+    "t2_lang_token_summary",
+    "t3_quality_scores",
 ]
 
 
