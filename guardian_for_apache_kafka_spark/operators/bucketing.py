@@ -1,0 +1,105 @@
+"""Bucketed co-located joins — the zero-shuffle fact-to-fact join path.
+
+At 100 TB the largest shuffle in a relational pipeline is usually the
+fact-to-fact join (orders x lineitem, events x events): both sides are far
+past any broadcast threshold, so a plain equi-join exchanges BOTH full
+tables every time it runs. Bucketing moves that shuffle to WRITE time,
+once: each side is hash-partitioned into the same bucket count on the join
+key and sorted within buckets, so every subsequent join plans as a
+SortMergeJoin with ZERO Exchange on either side. The write cost is one
+shuffle, amortized over every join that follows — the standard warehouse
+layout for repeatedly-joined fact tables. (A within-partition Sort remains
+per side: since SPARK-28632 the scan only exposes the bucket-sort ordering
+under ``spark.sql.legacy.bucketedTableScan.outputOrdering``; that sort is
+memory-local and exchange-free, noise next to the eliminated shuffle.)
+
+Reference parity note: the reference engine has no relational join layer at
+all (guardian's dataflow is per-topic linear; see SURVEY.md §2.2) — this
+module is part of the engine's extension surface for warehouse-style
+workloads, expressed through Spark's native bucketed-table support
+(``DataFrameWriter.bucketBy`` + catalog tables) rather than any hand-rolled
+partitioner.
+
+Local-harness note: bucket counts here default small (8) to fit the test
+scale; at 100 TB you size buckets so each holds O(100 MB-1 GB) per file
+(e.g. 4096 buckets for a 1 TB fact table) and both sides MUST agree on
+count and key, or Spark falls back to shuffling the mismatched side.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _sanitize(s: str) -> str:
+    return re.sub(r"\W+", "_", s).strip("_")
+
+
+def bucketed_location(sf_dir: str, table: str) -> str:
+    """Deterministic external-table location for a bucketed copy of a test
+    table, outside the repo tree (bucketed writes must go through the
+    catalog, but an explicit path keeps the warehouse dir out of play)."""
+    return os.path.join(
+        tempfile.gettempdir(), "guardian_spark_bucketed", _sanitize(sf_dir), table
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    buckets: int = 8,
+    path: str | None = None,
+    sort: bool = True,
+) -> DataFrame:
+    """Write ``df`` as a bucketed (and bucket-sorted) catalog table and
+    return the re-read frame. This is the ONE shuffle the layout ever pays
+    on this key; joins between tables bucketed to the same (key-type,
+    count) then plan with no Exchange on either side."""
+    spark = df.sparkSession
+    # one write task per bucket -> exactly one file per bucket (a fragmented
+    # bucket costs an open-per-file at every scan). At 100 TB this
+    # repartition IS the one write-time shuffle the layout pays.
+    df = df.repartition(buckets, F.col(key))
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+    return spark.table(table_name)
+
+
+def colocated_join(
+    left: DataFrame, right: DataFrame, lkey: str, rkey: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables. The merge hint pins SortMergeJoin (a
+    broadcast would also work at test scale but is not the plan being
+    exercised); with both sides bucketed on the join key at equal counts
+    the planner emits no Exchange — asserted by the q46 plan-shape test."""
+    return left.hint("merge").join(right, left[lkey] == right[rkey], how)
+
+
+def bucketed_pair(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    lkey: str,
+    rkey: str,
+    sf_dir: str,
+    names: tuple[str, str],
+    buckets: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize a co-bucketed pair for ``sf_dir`` (idempotent overwrite;
+    external locations under the system temp dir, names suffixed with the
+    sf tag so concurrent scales never collide)."""
+    tag = _sanitize(sf_dir)
+    lname, rname = (f"{names[0]}_{tag}", f"{names[1]}_{tag}")
+    lb = write_bucketed(left, lname, lkey, buckets, bucketed_location(sf_dir, names[0]))
+    rb = write_bucketed(right, rname, rkey, buckets, bucketed_location(sf_dir, names[1]))
+    return lb, rb

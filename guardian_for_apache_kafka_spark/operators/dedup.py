@@ -691,3 +691,117 @@ def ngram_decontaminate(
         corpus, eval_set, n, id_col, content_col, eval_content_col
     ).select(id_col)
     return corpus.join(flagged, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered decontamination (the huge-blocklist path)
+# ---------------------------------------------------------------------------
+
+#: SQL text for the i-th double-hashed bloom probe position of column
+#: ``{col}`` in an ``{m}``-bit filter (Kirsch-Mitzenmacher: h1 + i*h2).
+#: ONE source of truth used verbatim by BOTH the build side and the probe
+#: side, so insertion and membership positions agree by construction.
+_BLOOM_POS_SQL = (
+    "pmod(pmod(xxhash64({col}), {m})"
+    " + {i} * pmod(xxhash64({col}, 'guardian-bloom'), {m}), {m})"
+)  # each term reduced mod m first: ANSI mode would overflow h1 + i*h2 raw
+
+
+def _bloom_probe_sql(col: str, k: int, m_bits: int, filter_col: str) -> str:
+    """Conjunction testing all ``k`` probe bits in ``filter_col`` (an
+    array<bigint> of m_bits/64 words). Pure JVM expressions — stays inside
+    whole-stage codegen."""
+    tests = []
+    for i in range(k):
+        pos = _BLOOM_POS_SQL.format(col=col, i=i, m=m_bits)
+        tests.append(
+            f"(element_at({filter_col}, CAST(({pos}) DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(({pos}) % 64 AS INT))) != 0"
+        )
+    return " AND ".join(tests)
+
+
+def build_gram_bloom(
+    eval_set: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    content_col: str = "text",
+) -> list[int]:
+    """One distributed pass over the eval/blocklist side -> an ``m_bits``-bit
+    bloom filter returned as ``m_bits/64`` int64 words. The aggregation is
+    (explode probe positions -> groupBy word -> bit_or), i.e. at most
+    ``m_bits/64`` rows ever reach the driver regardless of blocklist size.
+
+    Sizing: false-positive rate ~ (1 - e^(-k*n_grams/m))^k; the prefilter's
+    FPs only cost wasted exact-join work, never correctness, so m is a
+    throughput knob (64 KiB default ~= 1%% FP at ~5e4 grams)."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    grams = (
+        eval_set.select(
+            F.explode(ngram_shingles(tokens_col(content_col), n)).alias("__g")
+        ).distinct()
+    )
+    pos_exprs = [
+        _BLOOM_POS_SQL.format(col="__g", i=i, m=m_bits) for i in range(k)
+    ]
+    words = (
+        grams.selectExpr(f"explode(array({', '.join(pos_exprs)})) AS __p")
+        .selectExpr(
+            "CAST(__p DIV 64 AS INT) AS w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT)) AS m",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    return arr
+
+
+def bloom_contamination_report(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    eval_content_col: str = "text",
+) -> DataFrame:
+    """``ngram_contamination_report`` for blocklists too big to broadcast as
+    strings: a bloom filter over the eval side's n-grams (built in one
+    distributed pass, a few KiB) prefilters the corpus gram stream
+    MAP-SIDE, so only bloom-hits enter the exact confirm join — the shuffle
+    carries the candidate slice, not the full exploded corpus. The result
+    is EXACT (bloom false positives die in the confirm join; false
+    negatives are impossible for inserted elements), so d15's oracle is the
+    same exact SQL join as d14's.
+
+    At 100 TB: the d14 shape (broadcast the gram strings) stops working
+    once the blocklist outgrows the broadcast budget; this shape keeps a
+    constant-size broadcast (the filter words) and turns the decontamination
+    join's dominant cost — exchanging every corpus gram — into an exchange
+    of the ~FP+true-hit slice. The same operator serves URL/domain
+    blocklist filtering with ``n=1`` over a url column."""
+    filter_words = build_gram_bloom(eval_set, n, m_bits, k, eval_content_col)
+    ce = corpus.select(
+        F.col(id_col),
+        F.explode(ngram_shingles(tokens_col(content_col), n)).alias("__g"),
+    ).withColumn("__bloom", F.lit(filter_words).cast("array<long>"))
+    candidates = ce.where(F.expr(_bloom_probe_sql("__g", k, m_bits, "__bloom"))).drop(
+        "__bloom"
+    )
+    ee = (
+        eval_set.select(
+            F.explode(ngram_shingles(tokens_col(eval_content_col), n)).alias("__g")
+        ).distinct()
+    )
+    return (
+        candidates.join(ee, "__g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )

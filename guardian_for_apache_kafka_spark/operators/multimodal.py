@@ -164,6 +164,53 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     return media.mapInPandas(transform, RESIZED_DDL)
 
 
+VIDEO_FRAMES_DDL = (
+    "doc_id BIGINT, frame_index INT, fps INT, brightness INT, contrast INT, keyframe BOOLEAN"
+)
+
+
+def extract_video_frames(
+    media: DataFrame, every_n: int = 10, max_frames: int = 4
+) -> DataFrame:
+    """Video frame sampling + per-frame feature extraction, one decode pass
+    per video (``mapInPandas`` emits ``max_frames`` rows per input blob, so a
+    100 TB corpus opens each container exactly once; cross-video parallelism
+    comes from the input partitioning, intra-video fan-out is free row
+    emission). For per-frame parallelism on very long videos use
+    ``frame_sample_plan`` + a per-frame decode instead.
+
+    The codec is STUBBED like the image/audio twins: per-frame features are
+    derived from sha256(sha256hex(content) + ":" + frame_index), so the whole
+    Arrow batch contract — blob round-trip, row fan-out, schema — is exactly
+    recomputable by digest arithmetic (the m4 oracle). A real deployment
+    swaps the inner loop for ffmpeg frame extraction."""
+    media = spread_narrow_scan(media)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                vid_dig = hashlib.sha256(content).hexdigest()
+                fps = (12, 24, 25, 30)[int(vid_dig[6:8], 16) % 4]
+                for k in range(max_frames):
+                    idx = k * every_n
+                    fh = hashlib.sha256(f"{vid_dig}:{idx}".encode()).digest()
+                    rows.append(
+                        {
+                            "doc_id": row["doc_id"],
+                            "frame_index": idx,
+                            "fps": fps,
+                            "brightness": fh[0],
+                            "contrast": fh[1],
+                            "keyframe": fh[2] % 8 == 0,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, VIDEO_FRAMES_DDL)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
     """Plan video frame sampling: one output row per (doc_id, frame_index) —
     the explode happens BEFORE decode so frame extraction parallelizes across

@@ -190,6 +190,7 @@ def chunk_documents(
     stride: int = 24,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fixed token-window chunking with overlap — the context-packing
     primitive of a training pipeline (long documents become ``window``-token
@@ -216,13 +217,52 @@ def chunk_documents(
         lambda i: F.array_join(F.slice(toks, (i * stride + 1).cast("int"), window), " "),
     )
     return (
-        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__chunk"))
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.posexplode(chunks).alias("chunk_id", "__chunk"),
+        )
         .select(
             id_col,
+            *carry,
             F.col("chunk_id").cast("long").alias("chunk_id"),
             F.size(F.split("__chunk", " ")).cast("long").alias("n_tokens"),
             F.md5("__chunk").alias("chunk_md5"),
         )
+    )
+
+
+def boilerplate_chunks(
+    df: DataFrame,
+    window: int = 3,
+    min_docs: int = 3,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate inventory: non-overlapping ``window``-token chunk hashes
+    that recur across at least ``min_docs`` distinct documents — the
+    paragraph-hash boilerplate-removal primitive of CCNet-style corpus
+    cleaning, adapted to chunk granularity (this corpus has no newlines; on
+    real data pass paragraph splits and a larger window). ``group_col``
+    scopes recurrence to a domain/source; ``None`` means corpus-global.
+
+    Returns (group_col?, chunk_md5, n_docs). Scale posture: chunking is
+    map-only (see ``chunk_documents``); the distinct-count is the standard
+    two-phase pair of exchanges keyed on (md5, id) then (md5) — fixed-width
+    keys with map-side partials, never chunk text.
+    Joining the result back to drop boilerplate spans is a broadcast join in
+    practice (the inventory is tiny relative to the corpus: only recurring
+    hashes survive the HAVING)."""
+    keys = [group_col] if group_col else []
+    chunks = chunk_documents(
+        df, window=window, stride=window, id_col=id_col, text_col=text_col,
+        carry=tuple(keys),
+    )
+    return (
+        chunks.groupBy(*keys, "chunk_md5")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
     )
 
 

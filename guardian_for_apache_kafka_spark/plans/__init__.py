@@ -69,6 +69,13 @@ _TAIL = [
     "t1_token_stats",
     "t2_lang_token_summary",
     "t3_quality_scores",
+    # demoted r5 (driver-green r4) to admit the four round-5b queries (m4,
+    # t13, d15, q46) after sf0.01 verification; their shapes stay covered by
+    # t7/t8 (text expressions) and d2 (exact dedup):
+    "t4_fingerprint",
+    "t5_language_id",
+    "t6_tfidf_top_terms",
+    "d1_dedup_exact_stats",
 ]
 
 

@@ -1852,3 +1852,138 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("norm_text").alias("norm_md5"),
         F.length("norm_text").cast("long").alias("norm_len"),
     ).orderBy("doc_id")
+
+
+def _hexb(col: str, byte_idx: int) -> str:
+    """DuckDB SQL extracting byte ``byte_idx`` (0-based) of a lowercase hex
+    digest column as an integer (the m1/m2 digest-arithmetic trick for any
+    column name)."""
+    i = 2 * byte_idx + 1
+    return (
+        f"(strpos('0123456789abcdef', substr({col},{i},1))-1)*16"
+        f" + strpos('0123456789abcdef', substr({col},{i + 1},1))-1"
+    )
+
+
+@query(
+    "m4_video_frames",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS dig FROM documents
+    ), f AS (
+        SELECT doc_id, dig, CAST(10 * g AS INT) AS frame_index,
+               sha256(dig || ':' || CAST(10 * g AS VARCHAR)) AS fdig
+        FROM h, generate_series(0, 3) s(g)
+    )
+    SELECT doc_id, frame_index,
+           CAST(CASE ({_hexb('dig', 3)}) % 4
+                WHEN 0 THEN 12 WHEN 1 THEN 24 WHEN 2 THEN 25 ELSE 30 END AS INT) AS fps,
+           CAST({_hexb('fdig', 0)} AS INT) AS brightness,
+           CAST({_hexb('fdig', 1)} AS INT) AS contrast,
+           ({_hexb('fdig', 2)}) % 8 = 0 AS keyframe
+    FROM f ORDER BY doc_id, frame_index LIMIT 800
+    """,
+    tags=("multimodal", "video"),
+)
+def m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video completes the m1/m2 modality trio: frame sampling + per-frame
+    feature extraction in ONE decode pass per video (mapInPandas emits
+    max_frames rows per blob — a 100 TB corpus opens each container once).
+    Per-frame features derive from sha256(sha256hex(content) + ':' + index),
+    recomputed exactly by DuckDB digest arithmetic, so the driver row checks
+    the whole Arrow fan-out contract; only the codec call is stubbed
+    (operators/multimodal.extract_video_frames)."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        extract_video_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(d, "blob", "video", "mp4")
+    return (
+        extract_video_frames(media, every_n=10, max_frames=4)
+        .orderBy("doc_id", "frame_index")
+        .limit(800)
+    )
+
+
+@query(
+    "t13_boilerplate_chunks",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    spans AS (
+        SELECT doc_id, tk,
+               unnest(range(CASE WHEN len(tk) <= 3 THEN 1
+                                 ELSE CAST(ceil((len(tk) - 3) / 3.0) AS BIGINT) + 1
+                            END)) AS chunk_id
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(tk, chunk_id * 3 + 1, chunk_id * 3 + 3), ' ')) AS chunk_md5
+        FROM spans
+    )
+    SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 3
+    ORDER BY chunk_md5
+    """,
+    tags=("text", "boilerplate", "dedup"),
+)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate inventory: non-overlapping 3-token chunk
+    hashes recurring in >= 3 distinct documents (paragraph-hash boilerplate
+    removal adapted to chunk granularity — this corpus has no newlines; a
+    real deployment passes paragraph splits and a larger window). Chunking
+    is map-only; the ONE shuffle carries 32-hex-char md5s with map-side
+    partial distinct-count; the surviving inventory is broadcast-size for
+    the removal join (operators/text.boilerplate_chunks)."""
+    from guardian_for_apache_kafka_spark.operators.text import boilerplate_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        boilerplate_chunks(d, window=3, min_docs=3)
+        .select("chunk_md5", F.col("n_docs").cast("long").alias("n_docs"))
+        .orderBy("chunk_md5")
+    )
+
+
+@query(
+    "d15_bloom_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(len(tk) - 2),
+             i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS gram
+      FROM toks WHERE len(tk) >= 3
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM g JOIN ev USING (gram)
+    WHERE g.doc_id >= 20
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    tags=("dedup", "decontamination", "bloom"),
+)
+def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d14's decontamination for blocklists too big to broadcast as strings:
+    a 64 KiB bloom filter over the eval side's 3-grams (built in one
+    distributed pass, <= 1024 rows to the driver) prefilters the corpus
+    gram stream map-side before an exact confirm join — the shuffle carries
+    only bloom hits. Result is EXACT (FPs die in the confirm join, FNs are
+    impossible), so the oracle is the same exact join SQL
+    (operators/dedup.bloom_contamination_report)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        bloom_contamination_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 20)
+    eval_set = d.where(F.col("doc_id") < 20)
+    return (
+        bloom_contamination_report(corpus, eval_set, n=3)
+        .select("doc_id", F.col("n_shared").cast("long").alias("n_shared"))
+        .orderBy("doc_id")
+    )

@@ -1669,3 +1669,46 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel_steps(ev, ["view", "click", "purchase"]).orderBy("user_id")
+
+
+@query(
+    "q46_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("relational", "join", "bucketing"),
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-shuffle fact-to-fact join path: orders and lineitem are
+    first materialized as co-bucketed catalog tables (8 buckets on the
+    orderkey, bucket-sorted, one file per bucket — the ONE write-time
+    shuffle the layout ever pays), then joined as a SortMergeJoin with NO
+    Exchange on either side (plan-shape-tested; only the memory-local
+    within-partition Sort remains, see operators/bucketing.py). At 100 TB this is the standard
+    warehouse layout for repeatedly-joined fact tables: the per-query
+    shuffle of both full tables disappears entirely
+    (operators/bucketing.py)."""
+    from guardian_for_apache_kafka_spark.operators.bucketing import (
+        bucketed_pair,
+        colocated_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ob, lb = bucketed_pair(
+        spark, o, li, "o_orderkey", "l_orderkey", sf_dir,
+        ("g_bkt_orders", "g_bkt_lineitem"),
+    )
+    j = colocated_join(ob, lb, "o_orderkey", "l_orderkey")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -376,3 +376,59 @@ def test_d13_semantic_dedup_no_corpus_shuffle_in_assignment(plans):
     tree = p.split("\n\n")[0]
     assert "BroadcastNestedLoopJoin" not in tree, p
     assert "CartesianProduct" not in tree, p
+
+
+def test_q46_bucketed_join_no_exchange(plans):
+    """Co-bucketed fact-to-fact join: the SortMergeJoin must see NO Exchange
+    on either input — the only exchanges are the post-join aggregate and the
+    presentation sort. This is the assertion that the write-time bucket
+    layout, not a per-query shuffle, co-locates the join at 100 TB."""
+    p = plans("q46_bucketed_colocated_join")
+    tree = p.split("\n\n")[0]
+    assert "SortMergeJoin" in tree, p
+    join_subtree = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_subtree, p
+    assert tree.count("Exchange") == 2, p  # groupBy agg + final orderBy only
+
+
+def test_m4_video_frames_arrow_fanout(plans):
+    """Video frame extraction: one MapInPandas (Arrow) stage; the only
+    exchange below it is the deliberate round-robin spread of the narrow
+    scan (operators/layout.py) — blobs never HASH-shuffle (no key exchange),
+    and the per-frame fan-out happens inside the Arrow stage."""
+    p = plans("m4_video_frames")
+    tree = p.split("\n\n")[0]
+    assert "MapInPandas" in tree, p
+    assert "hashpartitioning" not in p, p
+
+
+def test_t13_boilerplate_single_md5_shuffle(plans):
+    """Boilerplate inventory: chunking is map-only; the only exchanges are
+    the two-phase distinct-count pair keyed on chunk_md5 (+doc_id in phase
+    one) — fixed-width keys, never chunk text — plus the presentation
+    sort. No joins anywhere."""
+    p = plans("t13_boilerplate_chunks")
+    tree = p.split("\n\n")[0]
+    assert 1 <= p.count("hashpartitioning(chunk_md5") <= 2, p
+    assert "Join" not in tree, p
+    # chunk text must not ride any exchange: both partial-agg outputs are
+    # (md5, id) / (md5, count) projections
+    assert "__chunk" not in p.split("Exchange")[1], p
+
+
+def test_d15_bloom_prefilter_before_exchange(plans):
+    """Bloom decontamination: the probe predicate (element_at & shiftleft
+    over the literal filter words) must run MAP-SIDE as a pure JVM Filter
+    directly over the exploded gram stream — before any join/exchange — so
+    only bloom hits ever leave the scan stage. The confirm join's strategy
+    is Catalyst's to pick (broadcast at test scale, shuffle when the
+    blocklist outgrows the budget)."""
+    import re
+
+    p = plans("d15_bloom_decontaminate")
+    tree = p.split("\n\n")[0]
+    assert "Join" in tree, p
+    assert "Python" not in tree, p  # probe is codegen'd, not a UDF
+    # a Filter node whose condition computes the bloom probe
+    filter_blocks = re.split(r"\(\d+\) Filter", p)[1:]
+    assert any("shiftleft" in b.split("\n\n")[0] for b in filter_blocks), p
