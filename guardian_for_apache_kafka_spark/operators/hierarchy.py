@@ -1,0 +1,89 @@
+"""Hierarchy / iterative-closure operators.
+
+Spark has no recursive CTE, and the naive translation — a driver loop doing
+one self-join per LEVEL (frontier BFS) — is the classic scale trap: a
+depth-1000 supply-chain or org hierarchy means 1000 shuffles. The
+scale-correct formulation is POINTER DOUBLING: each round every node learns
+its 2^i-th ancestor, so convergence takes ceil(log2(depth)) rounds — the
+same O(log) round discipline as the alternating-star connected components
+in operators/clusters.py (Kiveris et al., SoCC'14).
+
+Each round is one self-equi-join on the ancestor key + a localCheckpoint to
+cut lineage (without it the plan doubles per round and Catalyst analysis
+goes quadratic). Convergence is a bounded scalar aggregate per round
+(count of unconverged rows) — a driver-side scalar, never record data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_hash32(c: F.Column) -> F.Column:
+    """Dialect-portable non-negative 32-bit hash: first 8 hex chars of md5.
+    Fits a signed BIGINT in every engine, so modulo arithmetic agrees
+    between Spark and DuckDB with no two's-complement gymnastics (the
+    64-bit variant needs sign wrapping — functions/columns.portable_hash64)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def synthetic_parent(node: F.Column) -> F.Column:
+    """Deterministic synthetic forest over positive integer ids:
+    parent(n) = n - 1 - (h32(n) mod n) — a uniform jump strictly below n,
+    so the graph is acyclic with root 0 and expected depth O(log n) with
+    no closed form (the point: depth must actually be COMPUTED)."""
+    return node - 1 - md5_hash32(node.cast("string")) % node
+
+
+def ancestor_depths(
+    edges: DataFrame,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    root: int = 0,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Depth of every node in a forest of (child, parent) edges, by pointer
+    doubling. Returns (node, depth) with depth = #edges to ``root``.
+
+    State per node: (anc, depth) = "my 2^i-th ancestor, and how many edges
+    I walked to reach it" (anc == root means converged; depth is final).
+    One round: every unconverged node joins its ancestor's state and
+    composes — anc' = anc.anc, depth' = depth + anc.depth. After r rounds
+    each node knows its 2^r-th ancestor, so rounds = ceil(log2(max depth)).
+
+    At 100 TB: rounds are log-bounded; each is ONE hash exchange on the
+    ancestor key; state is 3 longs/node; the convergence probe is a scalar
+    count. ``max_iter`` guards corrupt (cyclic) input — raising beats
+    silently wrong depths."""
+    state = edges.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(parent_col).cast("long").alias("anc"),
+        F.lit(1).cast("long").alias("depth"),
+    ).localCheckpoint()
+    root_lit = F.lit(root).cast("long")
+    for _ in range(max_iter):
+        if state.where(F.col("anc") != root_lit).isEmpty():
+            return state.select("node", "depth")
+        t = state.select(
+            F.col("node").alias("__tn"),
+            F.col("anc").alias("__ta"),
+            F.col("depth").alias("__td"),
+        )
+        state = (
+            state.join(t, state["anc"] == t["__tn"], "left")
+            .select(
+                "node",
+                F.when(F.col("anc") == root_lit, F.col("anc"))
+                .otherwise(F.coalesce("__ta", root_lit))
+                .alias("anc"),
+                F.when(F.col("anc") == root_lit, F.col("depth"))
+                .otherwise(F.col("depth") + F.coalesce("__td", F.lit(0)))
+                .alias("depth"),
+            )
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"ancestor_depths did not converge in {max_iter} rounds — "
+        "cycle in the parent edges or depth > 2^max_iter"
+    )

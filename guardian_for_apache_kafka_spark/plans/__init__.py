@@ -76,6 +76,9 @@ _TAIL = [
     "t5_language_id",
     "t6_tfidf_top_terms",
     "d1_dedup_exact_stats",
+    # demoted r5 (driver-green r4) to admit q47 pointer-doubling hierarchy
+    # depths; the inverted-index shape stays covered by d9 in the head:
+    "d3_ngram_jaccard_pairs",
 ]
 
 

@@ -1987,3 +1987,44 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_shared").cast("long").alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q47_hierarchy_depths",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS node,
+             c_custkey - 1 - CAST(
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+               % CAST(c_custkey AS UBIGINT) AS BIGINT) AS parent
+      FROM customer WHERE c_custkey >= 1
+    ),
+    up AS (
+      SELECT node AS start, parent AS cur, CAST(1 AS BIGINT) AS depth FROM e
+      UNION ALL
+      SELECT u.start, e2.parent, u.depth + 1
+      FROM up u JOIN e e2 ON u.cur = e2.node
+    )
+    SELECT start AS node, depth FROM up WHERE cur = 0 ORDER BY node
+    """,
+    tags=("iterative", "hierarchy", "graph"),
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-hierarchy depth without recursive CTEs: a synthetic forest
+    over customer ids (parent = portable-hash jump strictly below the id —
+    acyclic, no closed-form depth) resolved by POINTER DOUBLING:
+    ceil(log2(depth)) self-joins instead of one join per level, each round
+    one hash exchange + localCheckpoint to cut lineage. DuckDB walks the
+    same forest with a real recursive CTE, so every per-node depth is
+    differentially attested (operators/hierarchy.ancestor_depths)."""
+    from guardian_for_apache_kafka_spark.operators.hierarchy import (
+        ancestor_depths,
+        synthetic_parent,
+    )
+
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") >= 1)
+    edges = c.select(
+        F.col("c_custkey").alias("node"),
+        synthetic_parent(F.col("c_custkey")).alias("parent"),
+    )
+    return ancestor_depths(edges).orderBy("node")

@@ -750,3 +750,58 @@ def test_d13_pair_threshold_margin_budget(sf):
         assert m > 1e-9, f"{sf}: pair-threshold margin {m:.2e} too small"
     finally:
         con.close()
+
+
+def test_bloom_prefilter_exact_at_any_fp_rate(spark, sf_dir):
+    """The bloom prefilter must never change the answer, only the work: a
+    deliberately saturated 64-bit filter (false-positive rate ~1) yields
+    the SAME report as the broadcast-exact path — FPs widen the candidate
+    slice, the confirm join restores exactness; FNs are impossible."""
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        bloom_contamination_report,
+        ngram_contamination_report,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus, ev = d.where("doc_id >= 20"), d.where("doc_id < 20")
+    tiny = bloom_contamination_report(corpus, ev, n=3, m_bits=64, k=2)
+    exact = ngram_contamination_report(corpus, ev, n=3)
+    assert sorted(map(tuple, tiny.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_gram_bloom_build_is_bounded(spark, sf_dir):
+    """The filter build returns exactly m/64 words no matter the corpus —
+    the driver-side footprint is constant."""
+    from guardian_for_apache_kafka_spark.operators.dedup import build_gram_bloom
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").where("doc_id < 20")
+    words = build_gram_bloom(d, n=3, m_bits=1 << 12, k=3)
+    assert len(words) == (1 << 12) // 64
+    assert any(w != 0 for w in words)
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_gram_bloom(d, m_bits=100)
+
+
+def test_bucketed_write_round_trip(spark, sf_dir):
+    """Bucketed materialization loses and duplicates nothing, and the
+    re-read frame carries the bucket spec (join plans exchange-free —
+    asserted separately in test_plan_shapes)."""
+    from guardian_for_apache_kafka_spark.operators.bucketing import (
+        bucketed_location,
+        write_bucketed,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    ob = write_bucketed(
+        o, "g_test_bkt_orders", "o_orderkey", 4,
+        bucketed_location(sf_dir, "test_orders"),
+    )
+    assert ob.count() == o.count()
+    a = sorted(r.o_orderkey for r in o.select("o_orderkey").collect())
+    b = sorted(r.o_orderkey for r in ob.select("o_orderkey").collect())
+    assert a == b

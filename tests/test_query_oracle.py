@@ -311,3 +311,28 @@ def test_funnel_steps_first_principles(spark):
     assert got[3].steps_completed == 2  # purchase at t2 precedes qualified click
     assert 4 not in got
     assert got[5].steps_completed == 2  # same-ts click after view by id order
+
+
+def test_pointer_doubling_exact_depths_on_path_graph(spark):
+    """Worst case for doubling (a single path 1<-2<-...<-N): depths must be
+    exact and converge in ceil(log2(N)) rounds, not N rounds — max_iter=8
+    would fail a per-level BFS at N=64 but passes doubling."""
+    from guardian_for_apache_kafka_spark.operators.hierarchy import ancestor_depths
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, n + 1)], "node long, parent long"
+    )
+    out = {r.node: r.depth for r in ancestor_depths(edges, max_iter=8).collect()}
+    assert out == {i: i for i in range(1, n + 1)}
+
+
+def test_pointer_doubling_cycle_raises(spark):
+    """A cycle must raise, never return silently wrong depths."""
+    import pytest
+
+    from guardian_for_apache_kafka_spark.operators.hierarchy import ancestor_depths
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
+    with pytest.raises(RuntimeError, match="converge"):
+        ancestor_depths(edges, max_iter=6)
