@@ -58,6 +58,11 @@ HEADLINE = {
     "semantic_dedup": "d13_semantic_dedup",
     "sequence_packing": "p3_sequence_packing",
     "ngram_decontaminate": "d14_ngram_decontaminate",
+    # round-5b additions
+    "bloom_decontaminate": "d15_bloom_decontaminate",
+    "boilerplate_chunks": "t13_boilerplate_chunks",
+    "hierarchy_depths": "q47_hierarchy_depths",
+    "video_frames": "m4_video_frames",
 }
 
 N_RUNS = 3

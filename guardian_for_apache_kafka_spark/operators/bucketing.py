@@ -103,3 +103,12 @@ def bucketed_pair(
     lb = write_bucketed(left, lname, lkey, buckets, bucketed_location(sf_dir, names[0]))
     rb = write_bucketed(right, rname, rkey, buckets, bucketed_location(sf_dir, names[1]))
     return lb, rb
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed catalog tables by name on their bucket key.
+    With matching bucket counts this plans shuffle-free (no Exchange on
+    either side); see `colocated_join` for the DataFrame-handle variant."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -659,7 +659,7 @@ def ngram_contamination_report(
     is no exchange to shrink, so hashing would only trade string equality
     for hash computation. For a huge eval side (shuffle join), pre-hash both
     sides with xxhash64 to cut the exchanged payload 6x."""
-    ce = corpus.select(
+    ce = spread_narrow_scan(corpus).select(
         F.col(id_col),
         F.explode(ngram_shingles(tokens_col(content_col), n)).alias("__g"),
     )
@@ -707,13 +707,16 @@ _BLOOM_POS_SQL = (
 )  # each term reduced mod m first: ANSI mode would overflow h1 + i*h2 raw
 
 
-def _bloom_probe_sql(col: str, k: int, m_bits: int, filter_col: str) -> str:
+def _bloom_probe_sql(p1: str, p2: str, k: int, m_bits: int, filter_col: str) -> str:
     """Conjunction testing all ``k`` probe bits in ``filter_col`` (an
-    array<bigint> of m_bits/64 words). Pure JVM expressions — stays inside
-    whole-stage codegen."""
+    array<bigint> of m_bits/64 words), over PRE-HOISTED reduced hashes
+    ``p1``/``p2`` (columns holding pmod(xxhash64(gram), m)) so each gram is
+    hashed twice total, not 2*2*k times. Position arithmetic per probe is
+    then integer-only: pos_i = pmod(p1 + i*p2, m). Pure JVM expressions —
+    stays inside whole-stage codegen."""
     tests = []
     for i in range(k):
-        pos = _BLOOM_POS_SQL.format(col=col, i=i, m=m_bits)
+        pos = f"pmod({p1} + {i} * {p2}, {m_bits})"
         tests.append(
             f"(element_at({filter_col}, CAST(({pos}) DIV 64 AS INT) + 1)"
             f" & shiftleft(CAST(1 AS BIGINT), CAST(({pos}) % 64 AS INT))) != 0"
@@ -788,13 +791,19 @@ def bloom_contamination_report(
     of the ~FP+true-hit slice. The same operator serves URL/domain
     blocklist filtering with ``n=1`` over a url column."""
     filter_words = build_gram_bloom(eval_set, n, m_bits, k, eval_content_col)
-    ce = corpus.select(
+    ce = spread_narrow_scan(corpus).select(
         F.col(id_col),
         F.explode(ngram_shingles(tokens_col(content_col), n)).alias("__g"),
     ).withColumn("__bloom", F.lit(filter_words).cast("array<long>"))
-    candidates = ce.where(F.expr(_bloom_probe_sql("__g", k, m_bits, "__bloom"))).drop(
-        "__bloom"
+    ce = ce.withColumns(
+        {
+            "__p1": F.expr(f"pmod(xxhash64(__g), {m_bits})"),
+            "__p2": F.expr(f"pmod(xxhash64(__g, 'guardian-bloom'), {m_bits})"),
+        }
     )
+    candidates = ce.where(
+        F.expr(_bloom_probe_sql("__p1", "__p2", k, m_bits, "__bloom"))
+    ).drop("__bloom", "__p1", "__p2")
     ee = (
         eval_set.select(
             F.explode(ngram_shingles(tokens_col(eval_content_col), n)).alias("__g")

@@ -79,6 +79,11 @@ _TAIL = [
     # demoted r5 (driver-green r4) to admit q47 pointer-doubling hierarchy
     # depths; the inverted-index shape stays covered by d9 in the head:
     "d3_ngram_jaccard_pairs",
+    # demoted r5 (driver-green r4) to admit q48 mergeable-sketch rollup and
+    # q49 partition-pruned scan; exact dedup stays attested by g6/p2, and
+    # sampling by d10 in the head:
+    "d2_dedup_exact_keepers",
+    "d8_deterministic_sample",
 ]
 
 

@@ -1712,3 +1712,93 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q48_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           true AS distinct_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "approx", "sketch", "statistical-oracle"),
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketches — the pre-aggregation pattern q24's one-shot
+    HLL++ can't express: per-(event_type, day) DataSketches HLL sketches
+    (what a 100 TB pipeline materializes incrementally, one partition per
+    ingest day) are UNIONED into per-type totals without touching raw data
+    again. Distinct counts don't add across days (users repeat); sketch
+    union handles the overlap in constant memory. Bounded-assertion oracle
+    (q24 pattern): the query computes the rolled-up estimate AND the exact
+    distinct side by side and emits the 5% verdict; day counts stay exact
+    so rows anchor to the data."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("__sk"))
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("__ndv")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            (F.abs(F.col("__est") - F.col("__ndv")) / F.col("__ndv") <= 0.05).alias(
+                "distinct_within_5pct"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q49_partition_pruned_scan",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum("value"), 2) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "layout", "partition-pruning"),
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning — the other half of the 100 TB scan story next to
+    q01's predicate pushdown: events are laid out hive-partitioned by day
+    (the write a real pipeline does once at ingest; idempotent fixed
+    destination per sf_dir), and the date-band query must read ONLY the five
+    matching day=... directories — PartitionFilters in the scan node, file
+    listing pruned catalog-side, zero data files from other days opened
+    (plan-shape-tested). The oracle recomputes from the unpartitioned
+    table."""
+    import hashlib
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"guardian_part_events_{digest}")
+    if not (os.path.isdir(dest) and os.listdir(dest)):
+        ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(
+            dest
+        )
+    back = spark.read.parquet(dest)
+    return (
+        back.where(F.col("day").between("2024-01-05", "2024-01-09"))
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day")
+    )

@@ -126,7 +126,7 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Co-bucketed tables joined on the bucket key must plan with zero
     Exchange nodes — the scan delivers the hash distribution (and, with
     sortBy, the sort order)."""
-    from guardian_for_apache_kafka_spark.sources.bucketing import bucketed_join, write_bucketed
+    from guardian_for_apache_kafka_spark.operators.bucketing import bucketed_join, write_bucketed
     from guardian_for_apache_kafka_spark.sources.tables import load_table
 
     # managed tables land in the session's spark-warehouse dir (static conf);
@@ -432,3 +432,27 @@ def test_d15_bloom_prefilter_before_exchange(plans):
     # a Filter node whose condition computes the bloom probe
     filter_blocks = re.split(r"\(\d+\) Filter", p)[1:]
     assert any("shiftleft" in b.split("\n\n")[0] for b in filter_blocks), p
+
+
+def test_q48_sketch_rollup_mergeable_pipeline(plans):
+    """Mergeable-sketch rollup: per-day sketches built then UNIONED — both
+    HLL stages present, partial aggregation before each exchange (the
+    pre-aggregation pattern that lets a 100 TB pipeline materialize daily
+    sketches and never rescan raw data for the monthly rollup)."""
+    p = plans("q48_sketch_rollup")
+    assert "hll_sketch_agg" in p, p
+    assert "hll_union_agg" in p, p
+    tree = p.split("\n\n")[0]
+    assert "ObjectHashAggregate" in tree, p
+
+
+def test_q49_partition_pruning_reaches_scan(plans):
+    """The date band must prune at the PARTITION level: PartitionFilters on
+    day bounds in the scan node, and no post-scan Filter at all — rows from
+    other days are never even read."""
+    p = plans("q49_partition_pruned_scan")
+    assert "PartitionFilters: [" in p, p
+    pf = p.split("PartitionFilters: [")[1].split("]")[0]
+    assert "day" in pf and ">=" in pf and "<=" in pf, p
+    tree = p.split("\n\n")[0]
+    assert "Filter" not in tree, p
