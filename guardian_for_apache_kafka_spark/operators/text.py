@@ -254,7 +254,11 @@ def boilerplate_chunks(
     Joining the result back to drop boilerplate spans is a broadcast join in
     practice (the inventory is tiny relative to the corpus: only recurring
     hashes survive the HAVING)."""
+    from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
+
     keys = [group_col] if group_col else []
+    df = spread_narrow_scan(df)  # the md5-per-chunk stage is CPU-dense; a
+    # narrow single-file scan would serialize it onto a few tasks
     chunks = chunk_documents(
         df, window=window, stride=window, id_col=id_col, text_col=text_col,
         carry=tuple(keys),

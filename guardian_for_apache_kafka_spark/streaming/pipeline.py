@@ -319,6 +319,26 @@ def stream_dedup_content(records: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def stream_enrich(
+    records: DataFrame,
+    dim: DataFrame,
+    on: str = "topic",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach a dimension table (topic
+    config, user attributes, domain metadata) to a live record stream.
+    Stateless by construction — the static side is re-planned per
+    micro-batch (picking up dimension updates between batches) and
+    BROADCAST, so the stream side never shuffles and no join state
+    accumulates; this is the right shape for dimension enrichment at any
+    stream volume, vs. a stream-stream join whose state store must be
+    watermark-bounded (see ``stream_audit_join``).
+
+    ``left`` keeps records with no dimension row (nulls flag unknown keys
+    for a downstream quarantine filter); ``inner`` drops them."""
+    return records.join(F.broadcast(dim), on, how)
+
+
 def stream_audit_join(
     source: DataFrame,
     archived: DataFrame,

@@ -543,3 +543,32 @@ def test_stream_zscore_equals_batch(spark, tmp_path):
     assert set(got) == set(want)
     for k, z in want.items():
         assert got[k] == z  # bit-identical arithmetic
+
+
+def test_stream_enrich_equals_batch_join(spark, records, tmp_path):
+    """Stream-static enrichment on a replayed finite stream == the batch
+    broadcast join, including left-null rows for unknown dimension keys."""
+    from guardian_for_apache_kafka_spark.streaming.pipeline import stream_enrich
+
+    src = str(tmp_path / "in")
+    _stage_input(records, src)
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("purchase", "transactional")],
+        "topic string, category string",
+    )
+    q = (
+        stream_enrich(records_file_stream(spark, src), dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select topic, category, count(*) c from enriched group by 1, 2")
+    batch = records.join(F.broadcast(dim), "topic", "left").groupBy(
+        "topic", "category"
+    ).count()
+    g = {(r.topic, r.category): r.c for r in got.collect()}
+    b = {(r.topic, r.category): r["count"] for r in batch.collect()}
+    assert g == b and any(k[1] is None for k in g)
