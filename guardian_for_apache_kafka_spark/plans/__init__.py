@@ -84,6 +84,9 @@ _TAIL = [
     # sampling by d10 in the head:
     "d2_dedup_exact_keepers",
     "d8_deterministic_sample",
+    # demoted r5 (driver-green r1-r4, trivial CASE rename) to admit q50
+    # single-pass table profiling:
+    "g5_topic_rename",
 ]
 
 

@@ -1802,3 +1802,63 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q50_table_profile",
+    oracle="""
+    SELECT 'l_discount' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(l_discount) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+           round(min(l_discount), 2) AS min_v, round(max(l_discount), 2) AS max_v,
+           round(avg(l_discount), 2) AS avg_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
+           round(avg(l_extendedprice), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+           count(DISTINCT l_quantity),
+           round(min(l_quantity), 2), round(max(l_quantity), 2),
+           round(avg(l_quantity), 2)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*), count(*) - count(l_tax), count(DISTINCT l_tax),
+           round(min(l_tax), 2), round(max(l_tax), 2), round(avg(l_tax), 2)
+    FROM lineitem
+    ORDER BY col_name
+    """,
+    tags=("relational", "profiling", "data-quality"),
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling — the ingest data-quality primitive
+    (row count, null count, exact distinct, min/max/mean per column) for
+    every profiled column in ONE aggregate over ONE scan, then a stack()
+    melt to rows. The naive per-column loop re-scans the table once per
+    column — at 100 TB that is the difference between one pass and N. The
+    oracle recomputes each column's stats independently (4 scans — DuckDB's
+    cost, not ours) and UNION ALLs them."""
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(c).alias(f"{c}__n_distinct"),
+            F.round(F.min(c), 2).alias(f"{c}__min_v"),
+            F.round(F.max(c), 2).alias(f"{c}__max_v"),
+            F.round(F.avg(c), 2).alias(f"{c}__avg_v"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct, {c}__min_v, {c}__max_v, {c}__avg_v"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n, n_null, n_distinct, min_v, max_v, avg_v)"
+    ).orderBy("col_name")

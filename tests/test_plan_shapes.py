@@ -456,3 +456,14 @@ def test_q49_partition_pruning_reaches_scan(plans):
     assert "day" in pf and ">=" in pf and "<=" in pf, p
     tree = p.split("\n\n")[0]
     assert "Filter" not in tree, p
+
+
+def test_q50_profile_is_single_scan(plans):
+    """Profiling all columns must be ONE aggregate over ONE scan (plus the
+    count-distinct Expand), never a per-column rescan: exactly one parquet
+    Scan node in the plan."""
+    p = plans("q50_table_profile")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, p
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
