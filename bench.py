@@ -63,6 +63,8 @@ HEADLINE = {
     "boilerplate_chunks": "t13_boilerplate_chunks",
     "hierarchy_depths": "q47_hierarchy_depths",
     "video_frames": "m4_video_frames",
+    "table_profile": "q50_table_profile",
+    "cross_entropy": "t14_unigram_cross_entropy",
 }
 
 N_RUNS = 3

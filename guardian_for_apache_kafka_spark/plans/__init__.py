@@ -87,6 +87,9 @@ _TAIL = [
     # demoted r5 (driver-green r1-r4, trivial CASE rename) to admit q50
     # single-pass table profiling:
     "g5_topic_rename",
+    # demoted r5 (driver-green r1-r4, trivial timestamp filter) to admit t14
+    # unigram cross-entropy scoring:
+    "g4_fromwhen_filter",
 ]
 
 

@@ -2028,3 +2028,31 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_parent(F.col("c_custkey")).alias("parent"),
     )
     return ancestor_depths(edges).orderBy("node")
+
+
+@query(
+    "t14_unigram_cross_entropy",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c) AS s FROM freq)
+    SELECT doc_id, round(-avg(ln(c / s)), 2) AS cross_entropy
+    FROM tok JOIN freq USING (t), tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document (the perplexity-filter shape):
+    model = one vocabulary-sized aggregate that broadcasts; scoring = map-
+    side join on the exploded token stream + per-doc partial agg. Doubles
+    round to 2dp for cross-engine determinism
+    (operators/text.unigram_cross_entropy)."""
+    from guardian_for_apache_kafka_spark.operators.text import unigram_cross_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        unigram_cross_entropy(d)
+        .select("doc_id", F.round("cross_entropy", 2).alias("cross_entropy"))
+        .orderBy("doc_id")
+    )

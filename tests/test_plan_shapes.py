@@ -467,3 +467,14 @@ def test_q50_profile_is_single_scan(plans):
     assert tree.count("Scan parquet") == 1, p
     read_schema = p.split("ReadSchema:")[1].split("\n")[0]
     assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_t14_cross_entropy_model_broadcasts(plans):
+    """LM scoring: the unigram model (vocabulary-sized) must BROADCAST onto
+    the exploded token stream — the only hash exchanges are the model build
+    (token key) and the per-doc average (id key); the corpus token stream
+    itself never hash-shuffles for the scoring join."""
+    p = plans("t14_unigram_cross_entropy")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, p
+    assert "SortMergeJoin" not in tree, p
