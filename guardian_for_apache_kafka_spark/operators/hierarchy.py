@@ -44,7 +44,10 @@ def ancestor_depths(
     max_iter: int = 64,
 ) -> DataFrame:
     """Depth of every node in a forest of (child, parent) edges, by pointer
-    doubling. Returns (node, depth) with depth = #edges to ``root``.
+    doubling. Returns (node, depth) with depth = #edges to that node's tree
+    root — a parent equal to ``root`` OR any parent id with no edge row of
+    its own terminates the walk (multi-tree forests and dangling parent
+    ids are both valid input; tested in test_pointer_doubling_forest_semantics).
 
     State per node: (anc, depth) = "my 2^i-th ancestor, and how many edges
     I walked to reach it" (anc == root means converged; depth is final).

@@ -336,3 +336,24 @@ def test_pointer_doubling_cycle_raises(spark):
     edges = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
     with pytest.raises(RuntimeError, match="converge"):
         ancestor_depths(edges, max_iter=6)
+
+
+def test_pointer_doubling_forest_semantics(spark):
+    """A multi-tree forest with a dangling parent id: depth counts edges to
+    the nearest ancestor with no edge row (that tree's root) — verified
+    against a driver-side reference walk."""
+    from guardian_for_apache_kafka_spark.operators.hierarchy import ancestor_depths
+
+    edges = {10: 0, 11: 10, 12: 11, 20: 99, 21: 20, 22: 21, 23: 22}
+    # 99 has no edge row: it is the root of the second tree
+    df = spark.createDataFrame(list(edges.items()), "node long, parent long")
+
+    def ref_depth(n):
+        d = 0
+        while n in edges:
+            n = edges[n]
+            d += 1
+        return d
+
+    got = {r.node: r.depth for r in ancestor_depths(df).collect()}
+    assert got == {n: ref_depth(n) for n in edges}
