@@ -348,6 +348,14 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--splits", default=None,
                     help="name:weight pairs summing to 1")
 
+    pf = sub.add_parser("profile", help="single-pass per-column stats of a parquet table")
+    common(pf)
+    pf.add_argument("--input", default=None, help="parquet dir to profile")
+    pf.add_argument("--columns", default=None,
+                    help="comma-separated columns (default: all numeric)")
+    pf.add_argument("--approx", action="store_true",
+                    help="use approx_count_distinct (no Expand; for very hot tables)")
+
     a = sub.add_parser("audit", help="report source records missing from an archive")
     common(a)
     a.add_argument("--records", default=None, help="source records parquet dir")
@@ -510,6 +518,17 @@ def main(argv: list[str] | None = None) -> int:
         n_out = spark.read.parquet(args.output).count()
         print(json.dumps({"docs_in": n_in, "docs_out": n_out,
                           "splits": sorted(weights)}))
+        return 0
+
+    if args.command == "profile":
+        from guardian_for_apache_kafka_spark.operators.profiling import profile_table
+
+        if not args.input:
+            raise SystemExit("--input is required for profile")
+        cols = args.columns.split(",") if args.columns else None
+        df = spark.read.parquet(args.input)
+        for row in profile_table(df, cols, exact_distinct=not args.approx).collect():
+            print(json.dumps(row.asDict()))
         return 0
 
     if args.command == "describe":

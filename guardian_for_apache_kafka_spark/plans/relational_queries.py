@@ -1841,24 +1841,7 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     column — at 100 TB that is the difference between one pass and N. The
     oracle recomputes each column's stats independently (4 scans — DuckDB's
     cost, not ours) and UNION ALLs them."""
-    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
-    li = load_table(spark, sf_dir, "lineitem").select(*cols)
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count("*").alias(f"{c}__n"),
-            (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
-            F.count_distinct(c).alias(f"{c}__n_distinct"),
-            F.round(F.min(c), 2).alias(f"{c}__min_v"),
-            F.round(F.max(c), 2).alias(f"{c}__max_v"),
-            F.round(F.avg(c), 2).alias(f"{c}__avg_v"),
-        ]
-    wide = li.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct, {c}__min_v, {c}__max_v, {c}__avg_v"
-        for c in cols
-    )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack}) AS "
-        "(col_name, n, n_null, n_distinct, min_v, max_v, avg_v)"
-    ).orderBy("col_name")
+    from guardian_for_apache_kafka_spark.operators.profiling import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"])

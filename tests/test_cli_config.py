@@ -127,3 +127,18 @@ def test_built_in_defaults_without_env_or_file():
     assert "ChronoUnitSlice" in cfg["time_configuration"]  # hours default
     audit = _resolve(["audit", "--records", "r", "--archive", "a"])
     assert audit["format"] == "json"
+
+
+def test_cli_profile_verb(capsys):
+    import json as _json
+
+    from guardian_for_apache_kafka_spark.cli import main
+
+    rc = main([
+        "profile", "--input", "/root/testdata/sf0.001/lineitem.parquet",
+        "--columns", "l_quantity,l_discount",
+    ])
+    assert rc == 0
+    rows = [_json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert [r["col_name"] for r in rows] == ["l_discount", "l_quantity"]
+    assert all(r["n"] > 0 and r["n_null"] == 0 for r in rows)
