@@ -357,3 +357,31 @@ def test_pointer_doubling_forest_semantics(spark):
 
     got = {r.node: r.depth for r in ancestor_depths(df).collect()}
     assert got == {n: ref_depth(n) for n in edges}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=120),
+    window=st.integers(min_value=1, max_value=40),
+    stride_frac=st.integers(min_value=1, max_value=40),
+)
+def test_chunk_documents_coverage_property(spark, n_tokens, window, stride_frac):
+    """Property over arbitrary (doc length, window, stride<=window): chunk
+    ids are dense from 0, every chunk is non-empty and at most window
+    tokens, the FINAL chunk always reaches the document's end, and with
+    stride == window the chunks partition the token sequence exactly."""
+    from guardian_for_apache_kafka_spark.operators.text import chunk_documents
+
+    stride = min(stride_frac, window)
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, window=window, stride=stride).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    assert all(1 <= r.n_tokens <= window for r in rows)
+    last = rows[-1]
+    assert last.chunk_id * stride + last.n_tokens == n_tokens
+    if stride == window:
+        assert sum(r.n_tokens for r in rows) == n_tokens
