@@ -90,6 +90,9 @@ _TAIL = [
     # demoted r5 (driver-green r1-r4, trivial timestamp filter) to admit t14
     # unigram cross-entropy scoring:
     "g4_fromwhen_filter",
+    # demoted r5 (driver-green r4; the mapInPandas decode contract stays
+    # attested by m2/m4 in the head) to admit q51 retention cohorts:
+    "m1_multimodal_features",
 ]
 
 

@@ -1845,3 +1845,47 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return profile_table(li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"])
+
+
+@query(
+    "q51_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS active_week
+      FROM events
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(datediff('week', f.cohort_week, a.active_week) AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("relational", "cohort", "retention"),
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort analysis — the classic product-analytics rollup:
+    users bucketed by first-activity week, then distinct-active counts per
+    (cohort, week-offset). Two aggregates over one scan lineage: the
+    first-activity frame is user-count-sized and BROADCASTS onto the
+    distinct (user, week) activity set, so the big side shuffles only for
+    its own distinct — no fact-to-fact exchange. week_offset arithmetic is
+    integer week-diff, bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.to_date("ts")).cast("date")
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
