@@ -1,0 +1,68 @@
+"""MERGE INTO / CDC-upsert semantics on plain parquet frames.
+
+Spark SQL only ships MERGE for table formats with transaction logs (Delta/
+Iceberg); the relational semantics themselves are a single FULL OUTER join
+on the key plus row-wise resolution — matched -> update, unmatched-source ->
+insert, matched + delete flag -> delete. This module implements exactly
+that, so a CDC batch can be applied to a snapshot without any table-format
+dependency. (The durability story — atomic swap of the rewritten snapshot —
+is the two-rename discipline operators/maintenance.py already uses.)
+
+At 100 TB: the join is key-equi and benefits from the bucketed layout in
+operators/bucketing.py (snapshot and CDC batch bucketed on the key join
+with zero exchange); CDC batches are typically small enough that Catalyst
+broadcasts them, making an apply a map-side pass over the snapshot.
+
+Semantics notes (the corner cases MERGE implementations disagree on):
+- a key appearing in ``updates`` but flagged deleted and absent from base
+  is a no-op (delete-of-missing does not insert);
+- ``updates`` must be key-unique — enforce upstream (e.g. latest-per-key
+  compaction, operators/compaction.py) exactly like Delta's
+  "multiple source rows matched" error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    update_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC batch to a snapshot: per key — update ``update_cols``
+    from ``updates`` when matched, insert unmatched update rows, drop base
+    rows whose update is flagged in ``delete_col`` (boolean). Returns the
+    new snapshot with base's schema."""
+    u_cols = set(updates.columns)
+    required = {key, *update_cols} | ({delete_col} if delete_col else set())
+    missing = required - u_cols
+    if missing:
+        raise ValueError(f"updates side lacks columns: {sorted(missing)}")
+    delete_flag = F.col(delete_col) if delete_col else F.lit(False)
+    u = updates.select(
+        F.col(key),
+        *[F.col(c).alias(f"__u_{c}") for c in update_cols],
+        delete_flag.alias("__u_delete"),
+    )
+    joined = base.withColumn("__in_base", F.lit(True)).join(
+        u.withColumn("__in_upd", F.lit(True)), key, "full_outer"
+    )
+    survived = joined.where(
+        ~F.coalesce("__u_delete", F.lit(False))  # matched deletes drop out
+        # delete-of-missing (upd-only + delete flag) is also excluded here
+    )
+    out_cols = []
+    for c in base.columns:
+        if c == key:
+            out_cols.append(F.col(key))
+        elif c in update_cols:
+            out_cols.append(F.coalesce(f"__u_{c}", c).alias(c))
+        else:
+            # insert rows have no base values: non-updated cols are NULL
+            out_cols.append(F.col(c))
+    return survived.select(*out_cols)

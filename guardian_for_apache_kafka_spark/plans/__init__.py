@@ -93,6 +93,9 @@ _TAIL = [
     # demoted r5 (driver-green r4; the mapInPandas decode contract stays
     # attested by m2/m4 in the head) to admit q51 retention cohorts:
     "m1_multimodal_features",
+    # demoted r5 (driver-green r4; inverted-index shape r4-attested via d3/d9
+    # history) to admit q52 CDC merge:
+    "d9_ngram_containment_pairs",
 ]
 
 

@@ -1889,3 +1889,67 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "q52_cdc_merge",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p,
+                      o_orderpriority AS pr FROM orders),
+    merged AS (
+      SELECT k, c,
+             CASE WHEN k % 7 = 0 AND k % 11 <> 3 THEN p + 1000 ELSE p END AS p,
+             pr
+      FROM o WHERE k % 3 <> 0 AND k % 11 <> 3
+      UNION ALL
+      SELECT k, c, p, pr FROM o WHERE k % 3 = 0
+    )
+    SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(p), 2) AS total_price
+    FROM merged GROUP BY pr ORDER BY pr
+    """,
+    tags=("relational", "merge", "cdc"),
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC-upsert without a table format: a deterministic CDC
+    batch (price updates on keys %7, deletes on keys %11=3, inserts of the
+    %3=0 key space) applied to the orders snapshot via ONE full-outer join
+    + row-wise resolution (operators/merge.merge_into — Delta-style
+    matched-update / unmatched-insert / flagged-delete semantics on plain
+    parquet). The oracle reconstructs the merged snapshot set-wise. At
+    100 TB the apply is a key-equi join: broadcast when the CDC batch is
+    small, zero-exchange when snapshot and batch share the q46 bucket
+    layout."""
+    from guardian_for_apache_kafka_spark.operators.merge import merge_into
+
+    k = F.col("o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    base = o.where(k % 3 != 0)
+    upd = o.where((k % 3 != 0) & (k % 7 == 0) & (k % 11 != 3)).select(
+        k,
+        F.col("o_custkey"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        F.col("o_orderpriority"),
+        F.lit(False).alias("deleted"),
+    )
+    dels = o.where((k % 3 != 0) & (k % 11 == 3)).select(
+        k, "o_custkey", "o_totalprice", "o_orderpriority", F.lit(True).alias("deleted")
+    )
+    ins = o.where(k % 3 == 0).select(
+        k, "o_custkey", "o_totalprice", "o_orderpriority", F.lit(False).alias("deleted")
+    )
+    updates = upd.unionByName(dels).unionByName(ins)
+    merged = merge_into(
+        base, updates, "o_orderkey",
+        ["o_custkey", "o_totalprice", "o_orderpriority"], "deleted",
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

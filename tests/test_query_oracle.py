@@ -385,3 +385,32 @@ def test_chunk_documents_coverage_property(spark, n_tokens, window, stride_frac)
     assert last.chunk_id * stride + last.n_tokens == n_tokens
     if stride == window:
         assert sum(r.n_tokens for r in rows) == n_tokens
+
+
+def test_merge_into_corner_semantics(spark):
+    """MERGE corner cases implementations disagree on: delete-of-missing is
+    a no-op (not an insert); inserted rows have NULL for non-updated base
+    columns; matched update replaces only update_cols; missing update
+    columns raise."""
+    import pytest
+
+    from guardian_for_apache_kafka_spark.operators.merge import merge_into
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y")], "k long, v double, tag string"
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, 99.0, False),   # matched update
+            (3, 30.0, False),   # insert
+            (4, 0.0, True),     # delete-of-missing -> no-op
+            (1, 0.0, True),     # matched delete
+        ],
+        "k long, v double, deleted boolean",
+    )
+    out = {r.k: r for r in merge_into(base, updates, "k", ["v"], "deleted").collect()}
+    assert set(out) == {2, 3}
+    assert out[2].v == 99.0 and out[2].tag == "y"
+    assert out[3].v == 30.0 and out[3].tag is None
+    with pytest.raises(ValueError, match="lacks columns"):
+        merge_into(base, updates.drop("v"), "k", ["v"], "deleted")
