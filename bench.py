@@ -65,6 +65,8 @@ HEADLINE = {
     "video_frames": "m4_video_frames",
     "table_profile": "q50_table_profile",
     "cross_entropy": "t14_unigram_cross_entropy",
+    "retention_cohorts": "q51_retention_cohorts",
+    "cdc_merge": "q52_cdc_merge",
 }
 
 N_RUNS = 3
