@@ -60,3 +60,48 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cluster_defaults(
+    total_cores: int = 4000,
+    executor_cores: int = 4,
+    executor_mem_gb: int = 28,
+) -> dict[str, str]:
+    """Recommended conf for a real multi-executor deployment of this engine
+    (the local-mode defaults above are the same *policies* at harness
+    scale). Returns a dict to pass as ``get_spark(extra_conf=...)`` or into
+    spark-submit --conf. Rationale per knob:
+
+    - shuffle.partitions ~ 2x total cores: AQE coalesces DOWN cheaply but
+      cannot split an undersized map stage; 2x leaves headroom for skewed
+      stage output without manual retuning per query.
+    - maxPartitionBytes 256m: at 100 TB a 128m default creates 800k scan
+      tasks; 256m halves scheduler pressure while staying within executor
+      memory for the engine's widest rows (documents text + embeddings).
+    - dynamicAllocation + shuffle tracking: the engine's pipelines
+      alternate CPU-dense (signature, decode) and IO stages; fixed-size
+      fleets idle half the time.
+    - files.openCostInBytes 16m: archives produce many small slice files;
+      a higher open cost packs them into fewer tasks (same effect the
+      maintain/compact verb achieves on disk).
+    - Arrow batch 2k: bounds Pandas-UDF batch memory for blob/embedding
+      columns (multimodal decode, minhash signatures).
+    - no autoBroadcastJoinThreshold bump: 32m is deliberate — at cluster
+      scale a too-large broadcast OOMs the driver first; bucketing
+      (operators/bucketing.py) is the right tool past that.
+    """
+    return {
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.files.openCostInBytes": str(16 * 1024 * 1024),
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.memoryOverhead": f"{max(2, executor_mem_gb // 10)}g",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(total_cores // executor_cores),
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }

@@ -142,3 +142,16 @@ def test_cli_profile_verb(capsys):
     rows = [_json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
     assert [r["col_name"] for r in rows] == ["l_discount", "l_quantity"]
     assert all(r["n"] > 0 and r["n_null"] == 0 for r in rows)
+
+
+def test_cluster_defaults_consistency():
+    """The cluster conf helper scales with its inputs and never fights the
+    engine's own session policies (UTC, AQE, skew join)."""
+    from guardian_for_apache_kafka_spark.session import cluster_defaults
+
+    d = cluster_defaults(total_cores=800, executor_cores=8, executor_mem_gb=40)
+    assert d["spark.sql.shuffle.partitions"] == "1600"
+    assert d["spark.dynamicAllocation.maxExecutors"] == "100"
+    assert d["spark.executor.memoryOverhead"] == "4g"
+    assert d["spark.sql.session.timeZone"] == "UTC"
+    assert d["spark.sql.adaptive.enabled"] == "true"
