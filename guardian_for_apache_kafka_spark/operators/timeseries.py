@@ -220,3 +220,51 @@ def funnel_steps(
             *[f"step{i + 1}_ts" for i in range(len(steps))],
         )
     )
+
+
+def sliding_pattern_topk(
+    events: DataFrame,
+    pattern: list[float],
+    k: int = 20,
+    key_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Subsequence pattern search (the EDBT'19 streaming-similarity shape):
+    slide a |pattern|-length window over each key's time-ordered value
+    series and return the k closest windows by squared Euclidean distance.
+
+    Distance arithmetic is INTEGER CENTS end to end (values and pattern
+    scaled x100 to BIGINT before the squared-difference fold), so scores
+    are bit-identical across engines — the q53 oracle recomputes them
+    exactly in DuckDB; no float summation order can flip a ranking.
+
+    Scale shape: ONE hash exchange on the key + per-partition sort (the
+    same single-window discipline as q44's z-score); window frames hold
+    |pattern| rows of state; top-k is TakeOrderedAndProject (per-partition
+    heap, k rows to the driver), never a global sort. The pattern ships as
+    a literal — nothing broadcasts, nothing self-joins."""
+    L = len(pattern)
+    ts_col, id_col = order_cols
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(L - 1), Window.currentRow)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    pat = F.array(*[F.lit(int(round(p * 100))).cast("long") for p in pattern])
+    win = F.collect_list(cents).over(w)
+    scored = (
+        events.select(key_col, ts_col, id_col, win.alias("__w"))
+        .where(F.size("__w") == L)
+        .select(
+            key_col,
+            F.col(id_col).alias("window_end_id"),
+            F.aggregate(
+                F.zip_with(F.col("__w"), pat, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    return scored.orderBy("dist", key_col, "window_end_id").limit(k)

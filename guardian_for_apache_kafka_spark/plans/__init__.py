@@ -96,6 +96,9 @@ _TAIL = [
     # demoted r5 (driver-green r4; inverted-index shape r4-attested via d3/d9
     # history) to admit q52 CDC merge:
     "d9_ngram_containment_pairs",
+    # demoted r5 (driver-green r4; the composite filter is embedded in p2's
+    # checked pipeline) to admit q53 pattern search:
+    "t8_quality_filter_report",
 ]
 
 

@@ -2056,3 +2056,45 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round("cross_entropy", 2).alias("cross_entropy"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q53_pattern_search",
+    oracle="""
+    WITH pat AS (
+      SELECT CAST([100, 200, 300, 400, 500, 400, 300, 200] AS BIGINT[]) AS p
+    ),
+    s AS (
+      SELECT event_type, event_id,
+             list(CAST(round("value" * 100) AS BIGINT)) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, event_id AS window_end_id,
+             CAST(list_aggregate(
+                 list_transform(range(8), i -> (w[i+1] - p[i+1]) * (w[i+1] - p[i+1])),
+                 'sum') AS BIGINT) AS dist
+      FROM s, pat WHERE len(w) = 8
+    )
+    SELECT event_type, window_end_id, dist
+    FROM d ORDER BY dist, event_type, window_end_id LIMIT 20
+    """,
+    tags=("timeseries", "similarity", "pattern"),
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence search (EDBT'19 streaming-similarity shape):
+    top-20 sliding windows closest to an 8-point query pattern, squared
+    Euclidean over INTEGER CENTS so every distance — and therefore the
+    ranking — is bit-identical across engines. One hash exchange per key,
+    |pattern| rows of frame state, TakeOrderedAndProject top-k
+    (operators/timeseries.sliding_pattern_topk)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        sliding_pattern_topk,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_pattern_topk(
+        ev, [1.0, 2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0], k=20
+    )
