@@ -99,6 +99,9 @@ _TAIL = [
     # demoted r5 (driver-green r4; the composite filter is embedded in p2's
     # checked pipeline) to admit q53 pattern search:
     "t8_quality_filter_report",
+    # demoted r5 (driver-green r4; per-row fold expressions stay attested by
+    # the checked t13/t14 text paths) to admit q54 sequence similarity:
+    "t7_repetition_stats",
 ]
 
 

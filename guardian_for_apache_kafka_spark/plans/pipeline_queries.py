@@ -2098,3 +2098,52 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_pattern_topk(
         ev, [1.0, 2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0], k=20
     )
+
+
+@query(
+    "q54_sequence_similarity",
+    oracle="""
+    WITH sigs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS sig
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, sig,
+           CAST(levenshtein(sig, 'vcvpvcs') AS BIGINT) AS edit_dist
+    FROM sigs
+    ORDER BY edit_dist, user_id LIMIT 25
+    """,
+    tags=("timeseries", "sequence", "similarity"),
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence similarity (the REPOSE/trajectory-top-k shape on
+    event data): each user's session signature = the time-ordered string of
+    event-type initials; rank users by edit distance to a query journey
+    ('view click view purchase ...'). Levenshtein is a built-in with
+    identical unit-cost semantics in Spark and DuckDB, so distances — and
+    the ranking — are exact. One hash exchange on user_id (sort-agg builds
+    the signature), then TakeOrderedAndProject top-k; signatures are
+    |events/user| chars, never joined pairwise — query-vs-corpus is linear,
+    the all-pairs variant would LSH-bucket first (the d4/d5 machinery)."""
+    ev = load_table(spark, sf_dir, "events")
+    sigs = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("c")).alias("__s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("__s")), lambda s: s["c"]), ""
+            ).alias("sig")
+        )
+    )
+    return (
+        sigs.select(
+            "user_id",
+            "sig",
+            F.levenshtein("sig", F.lit("vcvpvcs")).cast("long").alias("edit_dist"),
+        )
+        .orderBy("edit_dist", "user_id")
+        .limit(25)
+    )
