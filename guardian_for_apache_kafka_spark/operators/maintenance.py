@@ -100,6 +100,20 @@ def describe_archive(spark: SparkSession, dest: str, instances: bool = False) ->
         value = _url.unquote(physical[len("slice=") :])
         rows.append((value, _slice_time(value), len(files), sum(f.getLen() for f in files)))
     if not rows:
+        gfiles = []
+        for status in fs.listStatus(root):
+            name = str(status.getPath().getName())
+            if not status.isFile() or name.startswith(("_", ".")):
+                continue
+            from guardian_for_apache_kafka_spark.operators.backup import logical_name
+
+            try:
+                _slice_time(logical_name(name))  # ':' stored as '_' on disk
+            except Exception:
+                continue
+            gfiles.append((logical_name(name), str(status.getPath()), status.getLen()))
+        if gfiles:
+            return _describe_guardian_files(spark, gfiles)
         hint = instance_roots(spark, dest)
         if hint:
             raise ValueError(
@@ -107,6 +121,10 @@ def describe_archive(spark: SparkSession, dest: str, instances: bool = False) ->
                 f"{[h.rsplit('/', 1)[-1] for h in hint]} exist — a multi-writer "
                 "(instance-id) archive; call describe_archive(..., instances=True)"
             )
+        raise ValueError(
+            f"{dest} has neither slice= directories (JSON-lines layout) nor "
+            "time-keyed guardian objects — not an archive this engine wrote"
+        )
     meta = spark.createDataFrame(
         rows, "slice string, __slice_ts timestamp, n_files int, bytes long"
     )
@@ -118,6 +136,45 @@ def describe_archive(spark: SparkSession, dest: str, instances: bool = False) ->
     return meta.join(counts, "__slice_ts", "left").select(
         "slice", "n_files", "bytes", F.coalesce("n_records", F.lit(0)).alias("n_records")
     ).orderBy("slice")
+
+
+def _describe_guardian_files(spark: SparkSession, gfiles) -> "DataFrame":
+    """Inventory branch for the reference's own layout (flat time-keyed JSON
+    array objects, possibly .gz): one row per object key, record counts from
+    ONE whole-file parse pass grouped by file — the describe verb works on
+    archives written by EITHER the engine-native JSON-lines writer or the
+    byte-exact guardian-format writer (caught by the round-5 CLI smoke:
+    this case previously returned silently empty)."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.core.model import RECORD_JSON_SCHEMA_DDL
+
+    meta = spark.createDataFrame(
+        [(name, 1, size) for name, _, size in gfiles],
+        "slice string, n_files int, bytes long",
+    )
+    raw = spark.read.text([path for _, path, _ in gfiles], wholetext=True)
+    counts = (
+        raw.select(
+            F.translate(
+                F.element_at(F.split(F.input_file_name(), "/"), -1), "_", ":"
+            ).alias("slice"),  # physical '_' -> logical ':' (backup.logical_name)
+            F.explode(
+                F.from_json("value", f"array<struct<{RECORD_JSON_SCHEMA_DDL}>>")
+            ).alias("rec"),
+        )
+        .where(F.col("rec").isNotNull())
+        .groupBy("slice")
+        .agg(F.count("*").alias("n_records"))
+    )
+    return (
+        meta.join(counts, "slice", "left")
+        .select(
+            "slice", "n_files", "bytes",
+            F.coalesce("n_records", F.lit(0)).alias("n_records"),
+        )
+        .orderBy("slice")
+    )
 
 
 def compact_archive_slices(

@@ -44,9 +44,11 @@ def profile_table(
             F.count("*").alias(f"{c}__n"),
             (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
             ndv(c).alias(f"{c}__n_distinct"),
-            F.round(F.min(c), 2).alias(f"{c}__min_v"),
-            F.round(F.max(c), 2).alias(f"{c}__max_v"),
-            F.round(F.avg(c), 2).alias(f"{c}__avg_v"),
+            # doubles throughout: stack() requires homogeneous types across
+            # rows, and profiled columns mix INT/BIGINT/DOUBLE
+            F.round(F.min(c).cast("double"), 2).alias(f"{c}__min_v"),
+            F.round(F.max(c).cast("double"), 2).alias(f"{c}__max_v"),
+            F.round(F.avg(c).cast("double"), 2).alias(f"{c}__avg_v"),
         ]
     wide = df.select(*cols).agg(*aggs)
     stack = ", ".join(

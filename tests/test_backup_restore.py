@@ -688,3 +688,36 @@ def test_write_guardian_format_via_file_uri(spark, tmp_path):
         }
         want = {(r.topic, r.partition, r.offset) for r in records.collect()}
         assert got == want
+
+
+def test_describe_archive_guardian_format(spark, sf_dir, tmp_path):
+    """describe works on the byte-exact guardian-format layout too (flat
+    time-keyed JSON-array objects): one row per object, record counts from
+    the whole-file parse. Previously this layout returned silently empty
+    (caught by the round-5 CLI smoke)."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.maintenance import describe_archive
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").where("event_id < 120")
+    records = normalize_events_to_records(ev)
+    dest = str(tmp_path / "garchive")
+    write_guardian_format(records, dest, ChronoUnitSlice("HOURS"))
+    rows = describe_archive(spark, dest).collect()
+    assert rows and all(r.n_files == 1 and r.bytes > 0 for r in rows)
+    assert sum(r.n_records for r in rows) == records.count()
+    assert all(r.slice.endswith(".json") for r in rows)
+
+
+def test_describe_archive_not_an_archive_raises(spark, tmp_path):
+    import pytest
+
+    from guardian_for_apache_kafka_spark.operators.maintenance import describe_archive
+
+    d = tmp_path / "junk"
+    d.mkdir()
+    (d / "data.txt").write_text("nope")
+    with pytest.raises(ValueError, match="neither"):
+        describe_archive(spark, str(d))

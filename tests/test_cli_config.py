@@ -155,3 +155,16 @@ def test_cluster_defaults_consistency():
     assert d["spark.executor.memoryOverhead"] == "4g"
     assert d["spark.sql.session.timeZone"] == "UTC"
     assert d["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_profile_mixed_column_types(spark, sf_dir):
+    """Profiling must handle INT/BIGINT/DOUBLE columns in one stack() —
+    caught by the CLI smoke: min/max/avg normalize to DOUBLE."""
+    from guardian_for_apache_kafka_spark.operators.profiling import profile_table
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = {r.col_name: r for r in profile_table(
+        li, ["l_linenumber", "l_orderkey", "l_quantity"]).collect()}
+    assert set(rows) == {"l_linenumber", "l_orderkey", "l_quantity"}
+    assert all(isinstance(r.min_v, float) for r in rows.values())
