@@ -100,13 +100,13 @@ def describe_archive(spark: SparkSession, dest: str, instances: bool = False) ->
         value = _url.unquote(physical[len("slice=") :])
         rows.append((value, _slice_time(value), len(files), sum(f.getLen() for f in files)))
     if not rows:
+        from guardian_for_apache_kafka_spark.operators.backup import logical_name
+
         gfiles = []
         for status in fs.listStatus(root):
             name = str(status.getPath().getName())
             if not status.isFile() or name.startswith(("_", ".")):
                 continue
-            from guardian_for_apache_kafka_spark.operators.backup import logical_name
-
             try:
                 _slice_time(logical_name(name))  # ':' stored as '_' on disk
             except Exception:
