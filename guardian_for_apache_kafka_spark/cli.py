@@ -184,6 +184,19 @@ def _load_config_file(path: str) -> dict:
             raise SystemExit(f"config file {path} is neither valid JSON nor TOML")
 
 
+#: type coercion for config-file keys whose flag twin has a parsing type=
+#: but which have no env-var fallback entry (the flag path parses these with
+#: argparse type=; the file path must match or downstream comparisons crash)
+_CONFIG_KINDS = {
+    "before": "datetime",
+    "from_when": "datetime",
+    "minhash_threshold": "float",
+    "compression_level": "int",
+    "files_per_slice": "int",
+    "max_offsets_per_trigger": "int",
+}
+
+
 def _coerce(kind: str, value: object) -> object:
     if kind == "list":
         if isinstance(value, str):
@@ -191,6 +204,10 @@ def _coerce(kind: str, value: object) -> object:
         return list(value)
     if kind == "datetime":
         return _parse_from_when(value) if isinstance(value, str) else value
+    if kind == "int":
+        return int(value)
+    if kind == "float":
+        return float(value)
     if kind == "pairs":
         if isinstance(value, dict):
             return [f"{k}:{v}" for k, v in value.items()]
@@ -211,7 +228,10 @@ def apply_config_fallbacks(args: argparse.Namespace, env=None) -> argparse.Names
     env = os.environ if env is None else env
 
     def unset(name: str) -> bool:
-        return getattr(args, name, None) in (None, [], False)
+        # identity check for False: 0/0.0 are == False but ARE explicit
+        # values (e.g. --minhash-threshold 0.0 must not fall back)
+        v = getattr(args, name, None)
+        return v is None or v == [] or v is False
 
     # 1. reference env vars
     for arg, (var, kind) in _ENV_FALLBACKS.items():
@@ -239,7 +259,7 @@ def apply_config_fallbacks(args: argparse.Namespace, env=None) -> argparse.Names
                 continue
             key = arg.replace("_", "-")
             if key in section:
-                kind = _ENV_FALLBACKS.get(arg, ("", "str"))[1]
+                kind = _ENV_FALLBACKS.get(arg, ("", _CONFIG_KINDS.get(arg, "str")))[1]
                 setattr(args, arg, _coerce(kind, section[key]))
             elif arg in _SHARED_FILE_KEYS:
                 shared, skey = _SHARED_FILE_KEYS[arg]
@@ -369,7 +389,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _resolved_config(args: argparse.Namespace) -> dict:
-    cfg = {k: v for k, v in vars(args).items() if v not in (None, [], False)}
+    cfg = {
+        k: v for k, v in vars(args).items()
+        if not (v is None or v == [] or v is False)
+    }
     cfg.pop("dry_run", None)
     cfg.pop("config", None)
     if args.command == "backup":

@@ -65,8 +65,11 @@ def ancestor_depths(
         F.lit(1).cast("long").alias("depth"),
     ).localCheckpoint()
     root_lit = F.lit(root).cast("long")
+    def converged() -> bool:
+        return state.where(F.col("anc") != root_lit).isEmpty()
+
     for _ in range(max_iter):
-        if state.where(F.col("anc") != root_lit).isEmpty():
+        if converged():
             return state.select("node", "depth")
         t = state.select(
             F.col("node").alias("__tn"),
@@ -86,7 +89,12 @@ def ancestor_depths(
             )
             .localCheckpoint()
         )
+    # convergence reached DURING the max_iter-th join must still return
+    # (check-then-join would otherwise raise one round early on a depth
+    # needing exactly max_iter doublings)
+    if converged():
+        return state.select("node", "depth")
     raise RuntimeError(
         f"ancestor_depths did not converge in {max_iter} rounds — "
-        "cycle in the parent edges or depth > 2^max_iter"
+        "cycle in the parent edges, or depth exceeds 2^max_iter"
     )

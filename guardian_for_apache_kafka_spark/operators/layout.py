@@ -47,4 +47,10 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
         return df.repartition(target) if n_parts < target else df
     if n_files < target:
         return df.repartition(target)
-    return df
+    # many files does NOT imply many partitions: Spark packs small files
+    # (openCostInBytes), so 64 tiny files can scan as 2-3 partitions and
+    # serialize the CPU-dense expression work. Probe the actual partition
+    # count for this ambiguous case (driver-side planning only, no job);
+    # genuinely large inputs have wide scans and return untouched.
+    n_parts = df.rdd.getNumPartitions()
+    return df.repartition(target) if n_parts < target else df

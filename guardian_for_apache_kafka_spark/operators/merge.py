@@ -56,12 +56,18 @@ def merge_into(
         ~F.coalesce("__u_delete", F.lit(False))  # matched deletes drop out
         # delete-of-missing (upd-only + delete flag) is also excluded here
     )
+    matched_or_insert = F.coalesce("__in_upd", F.lit(False))
     out_cols = []
     for c in base.columns:
         if c == key:
             out_cols.append(F.col(key))
         elif c in update_cols:
-            out_cols.append(F.coalesce(f"__u_{c}", c).alias(c))
+            # branch on the row marker, NOT coalesce of the value: an update
+            # row that explicitly sets NULL must clear the base value
+            # (Delta/Iceberg MERGE semantics), which coalesce would mask
+            out_cols.append(
+                F.when(matched_or_insert, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
+            )
         else:
             # insert rows have no base values: non-updated cols are NULL
             out_cols.append(F.col(c))

@@ -51,8 +51,13 @@ def pack_sequences(
     sub = docs.select(
         F.col(group_col).alias("__g"), F.col(id_col).alias("__id"), n.alias("__n")
     )
+    # derive the group/id field types from the INPUT schema — hardcoding
+    # "string"/"long" would reject an int group column or string id despite
+    # the generic group_col/id_col API
+    g_type = docs.schema[group_col].dataType.simpleString()
+    id_type = docs.schema[id_col].dataType.simpleString()
     schema = (
-        f"{group_col} string, {id_col} long, n_tokens long, "
+        f"{group_col} {g_type}, {id_col} {id_type}, n_tokens long, "
         "seq_id long, seq_offset long"
     )
 

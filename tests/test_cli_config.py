@@ -168,3 +168,32 @@ def test_profile_mixed_column_types(spark, sf_dir):
         li, ["l_linenumber", "l_orderkey", "l_quantity"]).collect()}
     assert set(rows) == {"l_linenumber", "l_orderkey", "l_quantity"}
     assert all(isinstance(r.min_v, float) for r in rows.values())
+
+
+def test_explicit_zero_flag_survives_fallbacks():
+    """--minhash-threshold 0.0 is an explicit value, not 'unset': the
+    fallback chain must NOT replace it with the 0.7 post-default
+    (0.0 == False in Python; the unset test needs identity, not ==)."""
+    from guardian_for_apache_kafka_spark.cli import apply_config_fallbacks, build_parser
+
+    args = build_parser().parse_args(
+        ["prepare", "--documents", "d", "--output", "o", "--minhash-threshold", "0.0"]
+    )
+    out = apply_config_fallbacks(args, env={})
+    assert out.minhash_threshold == 0.0
+
+
+def test_config_file_typed_coercion(tmp_path):
+    """Config-file values for args outside the env-fallback map must be
+    coerced like their flag twins: maintain's 'before' arrives as a
+    datetime, not a raw string."""
+    import datetime as dt
+    import json as _json
+
+    from guardian_for_apache_kafka_spark.cli import apply_config_fallbacks, build_parser
+
+    cfg = tmp_path / "g.json"
+    cfg.write_text(_json.dumps({"maintain": {"before": "2024-01-02T00:00:00Z"}}))
+    args = build_parser().parse_args(["maintain", "--dest", "x", "--config", str(cfg)])
+    out = apply_config_fallbacks(args, env={})
+    assert isinstance(out.before, dt.datetime) and out.before.year == 2024

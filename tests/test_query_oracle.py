@@ -315,15 +315,16 @@ def test_funnel_steps_first_principles(spark):
 
 def test_pointer_doubling_exact_depths_on_path_graph(spark):
     """Worst case for doubling (a single path 1<-2<-...<-N): depths must be
-    exact and converge in ceil(log2(N)) rounds, not N rounds — max_iter=8
-    would fail a per-level BFS at N=64 but passes doubling."""
+    exact and converge in EXACTLY ceil(log2(N)) rounds — max_iter=6 at N=64
+    pins the budget boundary (a per-level BFS would need 64; an off-by-one
+    in the convergence check would raise one round early)."""
     from guardian_for_apache_kafka_spark.operators.hierarchy import ancestor_depths
 
     n = 64
     edges = spark.createDataFrame(
         [(i, i - 1) for i in range(1, n + 1)], "node long, parent long"
     )
-    out = {r.node: r.depth for r in ancestor_depths(edges, max_iter=8).collect()}
+    out = {r.node: r.depth for r in ancestor_depths(edges, max_iter=6).collect()}
     assert out == {i: i for i in range(1, n + 1)}
 
 
@@ -414,3 +415,25 @@ def test_merge_into_corner_semantics(spark):
     assert out[3].v == 30.0 and out[3].tag is None
     with pytest.raises(ValueError, match="lacks columns"):
         merge_into(base, updates.drop("v"), "k", ["v"], "deleted")
+    # an update that explicitly sets NULL must CLEAR the base value
+    # (Delta/Iceberg UPDATE SET v = source.v semantics) — a coalesce-based
+    # resolution would silently keep 20.0
+    nulling = spark.createDataFrame([(2, None, False)], "k long, v double, deleted boolean")
+    cleared = {r.k: r for r in merge_into(base, nulling, "k", ["v"], "deleted").collect()}
+    assert cleared[2].v is None and cleared[2].tag == "y"
+    assert cleared[1].v == 10.0
+
+
+def test_pack_sequences_non_string_group(spark):
+    """The packing schema must follow the input types: an INT group column
+    and the declared generic API work together (previously hardcoded
+    'string'/'long' and crashed in Arrow casting)."""
+    from guardian_for_apache_kafka_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100, "a b c"), (1, 101, "d e"), (2, 200, "f g h i")],
+        "grp int, doc_id long, text string",
+    )
+    rows = pack_sequences(df, budget=4, group_col="grp").collect()
+    assert {r.grp for r in rows} == {1, 2}
+    assert all(isinstance(r.grp, int) for r in rows)
