@@ -85,6 +85,58 @@ def colocated_join(
     return left.hint("merge").join(right, left[lkey] == right[rkey], how)
 
 
+def _catalog_bucket_spec(spark: SparkSession, table_name: str) -> tuple[int, str] | None:
+    """(num_buckets, bucket_column) for a catalog table, or None if the
+    table is absent / not bucketed."""
+    if not spark.catalog.tableExists(table_name):
+        return None
+    rows = spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+    info = {r.col_name: (r.data_type or "") for r in rows}
+    try:
+        n = int(info.get("Num Buckets", ""))
+    except ValueError:
+        return None
+    cols = info.get("Bucket Columns", "").strip("[]` ")
+    return n, cols
+
+
+def reuse_or_write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    buckets: int,
+    path: str,
+) -> DataFrame:
+    """Return the bucketed catalog table, paying the write-time shuffle only
+    when the layout does not already exist (VERDICT r5 #1: the layout's
+    whole point is amortizing that shuffle — rewriting per invocation pays
+    it every time). Reuse levels:
+
+    1. catalog table exists with matching (bucket count, key) -> reuse as-is;
+    2. files from a prior session exist (``_SUCCESS`` present) but the
+       session catalog is fresh -> re-register the bucketed table over the
+       existing files via DDL (no data job; Spark trusts the bucket-id
+       encoded in each filename, which write_bucketed produced);
+    3. otherwise -> write. A mismatched spec or a crashed partial write
+       (no ``_SUCCESS``) also lands here and is rewritten.
+    """
+    spec = _catalog_bucket_spec(spark, table_name)
+    if spec == (buckets, key):
+        return spark.table(table_name)
+    success = os.path.isfile(os.path.join(path, "_SUCCESS"))
+    if success and spec is None and not spark.catalog.tableExists(table_name):
+        schema_ddl = spark.read.parquet(path).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE {table_name} ({schema_ddl}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return spark.table(table_name)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    return write_bucketed(df, table_name, key, buckets, path)
+
+
 def bucketed_pair(
     spark: SparkSession,
     left: DataFrame,
@@ -95,13 +147,18 @@ def bucketed_pair(
     names: tuple[str, str],
     buckets: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
-    """Materialize a co-bucketed pair for ``sf_dir`` (idempotent overwrite;
-    external locations under the system temp dir, names suffixed with the
-    sf tag so concurrent scales never collide)."""
+    """Materialize a co-bucketed pair for ``sf_dir`` (idempotent: existing
+    matching layouts are reused, within AND across sessions; external
+    locations under the system temp dir, names suffixed with the sf tag so
+    concurrent scales never collide)."""
     tag = _sanitize(sf_dir)
     lname, rname = (f"{names[0]}_{tag}", f"{names[1]}_{tag}")
-    lb = write_bucketed(left, lname, lkey, buckets, bucketed_location(sf_dir, names[0]))
-    rb = write_bucketed(right, rname, rkey, buckets, bucketed_location(sf_dir, names[1]))
+    lb = reuse_or_write_bucketed(
+        spark, left, lname, lkey, buckets, bucketed_location(sf_dir, names[0])
+    )
+    rb = reuse_or_write_bucketed(
+        spark, right, rname, rkey, buckets, bucketed_location(sf_dir, names[1])
+    )
     return lb, rb
 
 

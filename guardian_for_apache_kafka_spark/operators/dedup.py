@@ -738,7 +738,9 @@ def build_gram_bloom(
 
     Sizing: false-positive rate ~ (1 - e^(-k*n_grams/m))^k; the prefilter's
     FPs only cost wasted exact-join work, never correctness, so m is a
-    throughput knob (64 KiB default ~= 1%% FP at ~5e4 grams)."""
+    throughput knob. The 2^16-bit default is 8 KiB and is deliberately
+    small for the test corpus; for ~1% FP size m at roughly 10 bits per
+    gram (e.g. ~5e4 grams -> m ~= 2^19 bits = 64 KiB)."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
     grams = (

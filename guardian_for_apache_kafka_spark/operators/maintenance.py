@@ -154,11 +154,24 @@ def _describe_guardian_files(spark: SparkSession, gfiles) -> "DataFrame":
         "slice string, n_files int, bytes long",
     )
     raw = spark.read.text([path for _, path, _ in gfiles], wholetext=True)
+    # input_file_name() yields a URI: percent-encodable characters in the
+    # object name (space, '%', '#') arrive escaped and would never match the
+    # FileSystem listing's logical_name() key (ADVICE r5). Decode the
+    # basename — protecting literal '+' (legal in a URI path, but URLDecoder
+    # would turn it into a space; ISO offset keys contain it) by pre-escaping
+    # to %2B — and fall back to the raw basename if the URI is unescaped.
+    basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    decoded = F.coalesce(
+        F.expr(
+            "try_url_decode(replace(element_at(split(input_file_name(), '/'), -1),"
+            " '+', '%2B'))"
+        ),
+        basename,
+    )
     counts = (
         raw.select(
-            F.translate(
-                F.element_at(F.split(F.input_file_name(), "/"), -1), "_", ":"
-            ).alias("slice"),  # physical '_' -> logical ':' (backup.logical_name)
+            F.translate(decoded, "_", ":").alias("slice"),
+            # physical '_' -> logical ':' (backup.logical_name)
             F.explode(
                 F.from_json("value", f"array<struct<{RECORD_JSON_SCHEMA_DDL}>>")
             ).alias("rec"),

@@ -18,7 +18,8 @@ Semantics notes (the corner cases MERGE implementations disagree on):
   is a no-op (delete-of-missing does not insert);
 - ``updates`` must be key-unique — enforce upstream (e.g. latest-per-key
   compaction, operators/compaction.py) exactly like Delta's
-  "multiple source rows matched" error.
+  "multiple source rows matched" error; pass ``validate_unique=True`` to pay
+  one aggregation and fail loudly instead of silently fanning out the join.
 """
 
 from __future__ import annotations
@@ -33,16 +34,41 @@ def merge_into(
     key: str,
     update_cols: list[str],
     delete_col: str | None = None,
+    allow_partial_inserts: bool = False,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Apply a CDC batch to a snapshot: per key — update ``update_cols``
     from ``updates`` when matched, insert unmatched update rows, drop base
     rows whose update is flagged in ``delete_col`` (boolean). Returns the
-    new snapshot with base's schema."""
+    new snapshot with base's schema.
+
+    Because unmatched-source rows INSERT, any base column outside
+    ``update_cols`` would be silently NULL on inserted rows; that is almost
+    always a caller bug, so ``update_cols`` must cover every non-key base
+    column unless ``allow_partial_inserts=True`` explicitly opts into
+    NULL-padded inserts."""
     u_cols = set(updates.columns)
     required = {key, *update_cols} | ({delete_col} if delete_col else set())
     missing = required - u_cols
     if missing:
         raise ValueError(f"updates side lacks columns: {sorted(missing)}")
+    uncovered = set(base.columns) - {key} - set(update_cols)
+    if uncovered and not allow_partial_inserts:
+        raise ValueError(
+            "update_cols does not cover base columns "
+            f"{sorted(uncovered)}; inserted rows would get NULLs there. "
+            "Pass allow_partial_inserts=True to accept NULL-padded inserts."
+        )
+    if validate_unique:
+        # one count aggregation over the (small) CDC batch; mirrors Delta's
+        # "multiple source rows matched" failure mode
+        dup = updates.groupBy(key).count().where(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"updates side is not key-unique on {key!r} "
+                f"(e.g. {dup[0][key]!r} appears {dup[0]['count']} times); "
+                "compact to latest-per-key first (operators/compaction.py)"
+            )
     delete_flag = F.col(delete_col) if delete_col else F.lit(False)
     u = updates.select(
         F.col(key),

@@ -145,9 +145,11 @@ def d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tolerance contract vs the oracle: the oracle is the EXACT all-pairs
     Jaccard dedup; the engine matches it unless LSH misses a true pair —
     per-pair probability (1-j^4)^16, summed over the corpus's true pairs
-    < 1e-4 (lowest observed pair j~0.889 -> <2e-7; the budget is asserted
-    per scale factor in tests/test_dedup_similarity.py
-    test_d4_oracle_corpus_miss_budget). xxhash64 is deterministic, so the
+    < 1e-4 (lowest observed pair j~0.889 -> <2e-7; the budget AND the hard
+    corpus property it rests on — no true pair with Jaccard in [0.7, 0.85) —
+    are asserted per scale factor in tests/test_dedup_similarity.py
+    test_d4_oracle_corpus_miss_budget, so a testdata refresh that violates
+    the gap fails there deterministically). xxhash64 is deterministic, so the
     check is reproducible:
     a mismatch means a recall/code regression, not sampling noise. The
     estimator-only variant (est_jaccard, no verification join) remains
@@ -2052,7 +2054,11 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return (
-        unigram_cross_entropy(d)
+        # broadcast_model pinned True: this corpus' vocabulary is known
+        # small, so skip the auto-gate's count job (the gate itself — and
+        # its shuffle-join fallback — is plan-shape-tested in
+        # test_plan_shapes.test_t14_broadcast_gate_branches)
+        unigram_cross_entropy(d, broadcast_model=True)
         .select("doc_id", F.round("cross_entropy", 2).alias("cross_entropy"))
         .orderBy("doc_id")
     )

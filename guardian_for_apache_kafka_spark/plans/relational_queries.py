@@ -1786,12 +1786,22 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # key the cached layout on the SOURCE data (path + mtime + size), not
+    # just sf_dir, and gate reuse on the _SUCCESS marker: a regenerated
+    # events table gets a fresh digest, and a crashed partial write (no
+    # marker) is rewritten rather than silently served (ADVICE r5).
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fingerprint = sf_dir
+    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
     dest = os.path.join(tempfile.gettempdir(), f"guardian_part_events_{digest}")
-    if not (os.path.isdir(dest) and os.listdir(dest)):
-        ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(
-            dest
-        )
+    if not os.path.isfile(os.path.join(dest, "_SUCCESS")):
+        ev.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(dest)
     back = spark.read.parquet(dest)
     return (
         back.where(F.col("day").between("2024-01-05", "2024-01-09"))

@@ -1,0 +1,44 @@
+"""Regenerate plans/__init__.py's _LAST_ATTESTED map from CORRECTNESS_r*.json.
+
+Run from the repo root after the driver writes a new CORRECTNESS_r{N}.json:
+
+    python scripts/update_attestation.py
+
+Prints the generated dict body; paste it between the ``begin/end generated``
+markers in guardian_for_apache_kafka_spark/plans/__init__.py. A driver row
+counts as attested only when rows+schema match, the hash check did not fail,
+and there was no error.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+
+
+def main() -> None:
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    for rnd in sorted(set(last.values())):
+        for name in [n for n, r in last.items() if r == rnd]:
+            print(f'    "{name}": {rnd},')
+
+
+if __name__ == "__main__":
+    main()

@@ -478,3 +478,50 @@ def test_t14_cross_entropy_model_broadcasts(plans):
     tree = p.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree, p
     assert "SortMergeJoin" not in tree, p
+
+
+def test_t14_broadcast_gate_branches(spark, sf_dir):
+    """The vocab-size gate (VERDICT r5 #3) must actually change strategy:
+    forced-broadcast plans a BroadcastHashJoin for the scoring join; a
+    vocabulary over the limit (auto-gate with limit=0) falls back to a
+    shuffle join — and both branches return identical scores."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.text import unigram_cross_entropy
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # emulate a model past the broadcast budget: with auto-broadcast off, the
+    # gated-off branch must NOT pin a broadcast hint (that hint overrides the
+    # threshold — exactly the 100 TB OOM the gate exists to prevent), while
+    # the forced branch still broadcasts via its explicit hint
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bc = unigram_cross_entropy(d, broadcast_model=True)
+        sh = unigram_cross_entropy(d, broadcast_vocab_limit=0)  # auto-gate -> over limit
+        bc_plan = bc._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        sh_plan = sh._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        sh_rows = {
+            row.doc_id: row.ce
+            for row in sh.select(
+                "doc_id", F.round("cross_entropy", 6).alias("ce")
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    # scoring join: broadcast on one branch, shuffle (sort-merge) on the other
+    assert "BroadcastHashJoin" in bc_plan.split("\n\n")[0]
+    assert "SortMergeJoin" in sh_plan.split("\n\n")[0], sh_plan
+    bc_rows = {
+        row.doc_id: row.ce
+        for row in bc.select("doc_id", F.round("cross_entropy", 6).alias("ce")).collect()
+    }
+    assert bc_rows == sh_rows
