@@ -67,9 +67,47 @@ HEADLINE = {
     "cross_entropy": "t14_unigram_cross_entropy",
     "retention_cohorts": "q51_retention_cohorts",
     "cdc_merge": "q52_cdc_merge",
+    # round-6: the post-layout co-located join (the bucket write itself is
+    # paid once in the warm-up via bucketed_pair's reuse guard, mirroring the
+    # amortized 100 TB cost model); its stock twin re-shuffles both sides
+    "bucketed_colocated_join": "q46_bucketed_colocated_join",
 }
 
 N_RUNS = 3
+
+
+def full_sweep() -> None:
+    """``bench.py --full``: ONE timed execution of EVERY registered query —
+    the regression net for the ~70 queries outside the headline set (q46's
+    previously-unmeasured write cost is the existence proof, VERDICT r5 #8).
+    Not run by the external driver (that contract is the headline line);
+    run once per round and record the line in SCALE.md."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("guardian-bench-full")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name, builder in all_queries().items():
+        t0 = time.perf_counter()
+        try:
+            builder(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:
+            print(f"bench --full: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "full_registry_wall",
+                "value": round(time.perf_counter() - t_all, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "runs": 1,
+                "failed": sorted(k for k, v in timings.items() if v < 0),
+            }
+        )
+    )
 
 
 def main() -> None:
@@ -165,4 +203,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--full" in sys.argv[1:]:
+        full_sweep()
+    else:
+        main()

@@ -10,10 +10,18 @@ from guardian_for_apache_kafka_spark.streaming.listener import (
     run_with_restarts,
 )
 from guardian_for_apache_kafka_spark.streaming.pipeline import (
+    cohort_rollup,
+    init_cdc_snapshot,
+    read_cdc_snapshot,
     records_file_stream,
+    stream_audit_join,
     stream_backup,
     stream_backup_foreach_batch,
+    stream_cdc_apply,
+    stream_cohort_activity,
+    stream_dedup_content,
     stream_dedup_replays,
+    stream_enrich,
     stream_restore,
     stream_session_stats,
     stream_slice_counts,
@@ -38,7 +46,15 @@ __all__ = [
     "stream_backup",
     "stream_backup_foreach_batch",
     "stream_compact_latest",
+    "stream_audit_join",
+    "stream_cdc_apply",
+    "stream_cohort_activity",
+    "cohort_rollup",
+    "init_cdc_snapshot",
+    "read_cdc_snapshot",
+    "stream_dedup_content",
     "stream_dedup_replays",
+    "stream_enrich",
     "stream_session_stats",
     "stream_slice_counts",
     "stream_sliding_counts",

@@ -339,6 +339,147 @@ def stream_enrich(
     return records.join(F.broadcast(dim), on, how)
 
 
+def stream_cohort_activity(
+    events: DataFrame,
+    dest: str,
+    checkpoint: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the q51 retention-cohort rollup: accumulate the
+    DISTINCT (user, active_week) pair set incrementally via ``foreachBatch``
+    appends; ``cohort_rollup`` then derives firsts + retention from the
+    accumulated pairs at read time.
+
+    Why pairs, not cohort counts: count_distinct does not decompose across
+    micro-batches, but the distinct PAIR SET is a trivially mergeable
+    accumulator — per batch, append the batch's distinct pairs; duplicates
+    across batches (or from a crash-replayed batch) are harmless because the
+    rollup re-distincts. That makes the sink idempotent under foreachBatch's
+    at-least-once contract with no rewrite, no read-modify-write, and no
+    state store. At 100 TB the pair set is bounded by users x weeks — orders
+    of magnitude smaller than the event stream it summarizes."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        week = F.date_trunc("week", F.to_date(ts_col)).cast("date")
+        (
+            batch_df.select(F.col(user_col).alias("user_id"), week.alias("active_week"))
+            .distinct()
+            .write.mode("append")
+            .parquet(dest)
+        )
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cohort_rollup(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """Batch rollup over the accumulated (user, active_week) pair set —
+    identical output contract to q51 (cohort_week, week_offset, n_active).
+    The firsts frame is user-count-sized and broadcasts, exactly like the
+    batch plan; the only shuffle on the pair set is its own distinct."""
+    pairs = spark.read.parquet(pairs_dir).distinct()
+    firsts = pairs.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
+    return (
+        pairs.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def init_cdc_snapshot(base: DataFrame, snapshot_dir: str) -> None:
+    """Seed a versioned CDC snapshot archive: the base table becomes
+    version 0 (``<snapshot_dir>/v=0``). See ``stream_cdc_apply``."""
+    base.write.mode("overwrite").parquet(os.path.join(snapshot_dir, "v=0"))
+
+
+def read_cdc_snapshot(spark: SparkSession, snapshot_dir: str, below: int | None = None) -> DataFrame:
+    """Read the current snapshot: the highest COMPLETE version directory
+    (``_SUCCESS`` present — a crashed half-written version is skipped, the
+    prior version stays current). ``below`` bounds the search (used by the
+    apply loop to read batch N's input as the newest version < N+1, so a
+    REPLAYED batch re-reads the same input it saw the first time)."""
+    versions = []
+    for name in os.listdir(snapshot_dir):
+        if not name.startswith("v="):
+            continue
+        v = int(name[2:])
+        if below is not None and v >= below:
+            continue
+        if os.path.isfile(os.path.join(snapshot_dir, name, "_SUCCESS")):
+            versions.append(v)
+    if not versions:
+        raise ValueError(f"no complete snapshot version under {snapshot_dir}")
+    return spark.read.parquet(os.path.join(snapshot_dir, f"v={max(versions)}"))
+
+
+def stream_cdc_apply(
+    updates: DataFrame,
+    snapshot_dir: str,
+    checkpoint: str,
+    key: str,
+    update_cols: list[str],
+    delete_col: str = "deleted",
+    order_cols: tuple[str, ...] = ("timestamp",),
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of q52: apply a CDC update stream to a snapshot via
+    ``foreachBatch`` + ``operators.merge.merge_into`` (the same Delta-style
+    matched-update / unmatched-insert / flagged-delete semantics as batch).
+
+    Restart discipline — versioned snapshots keyed on the BATCH ID: batch N
+    reads the newest complete version < N+1 and overwrites ``v=<N+1>``.
+    Because foreachBatch replays a failed batch with the SAME id and data,
+    the replay reads the same input version and rewrites the same output
+    version — deterministic, idempotent, no rename protocol needed (an
+    incomplete ``v=`` dir lacks ``_SUCCESS`` and is never read). Within a
+    batch, updates compact to latest-per-key on ``order_cols`` first
+    (merge_into requires a key-unique source, like Delta).
+
+    At 100 TB: each apply is one key-equi join (broadcast when the batch is
+    small, bucket-colocated when snapshot and stream share the q46 layout);
+    old versions double as time-travel points — prune with retention policy."""
+    from pyspark.sql.window import Window
+
+    from guardian_for_apache_kafka_spark.operators.merge import merge_into
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if latest.isEmpty():
+            return
+        base = read_cdc_snapshot(spark, snapshot_dir, below=batch_id + 1)
+        merged = merge_into(base, latest, key, update_cols, delete_col)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, f"v={batch_id + 1}")
+        )
+
+    writer = updates.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_audit_join(
     source: DataFrame,
     archived: DataFrame,

@@ -144,6 +144,16 @@ QUERIES = {
                          / CAST(n * (n * sxx - sx * sx) AS DOUBLE))) >= 3.0
         ORDER BY event_type, event_id
     """,
+    # the stock twin of q46: the SAME fact-to-fact aggregate join, over the
+    # unbucketed views — pays the both-sides shuffle that the engine's
+    # write-once bucket layout eliminates; the ratio is the layout's payoff
+    "bucketed_colocated_join": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
 }
 
 N_RUNS = 3

@@ -197,3 +197,76 @@ def test_config_file_typed_coercion(tmp_path):
     args = build_parser().parse_args(["maintain", "--dest", "x", "--config", str(cfg)])
     out = apply_config_fallbacks(args, env={})
     assert isinstance(out.before, dt.datetime) and out.before.year == 2024
+
+
+def test_cli_e2e_file_uri_config_env_roundtrip(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """VERDICT r5 #7 — the first thing a real operator hits: drive
+    backup -> describe -> compact -> restore through cli.main against a
+    ``file://`` URI (the pyarrow-FS guardian-format writer path), with the
+    destination/format coming from a config file discovered via
+    $GUARDIAN_CONFIG and the topic filter from a reference env var.
+    The restore must round-trip the filtered source byte-exactly."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.cli import main
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    records = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src = str(tmp_path / "records")
+    records.write.parquet(src)
+    dest_uri = f"file://{tmp_path}/archive"  # object-store-style URI
+
+    cfg = tmp_path / "guardian.json"
+    cfg.write_text(_json.dumps({
+        "backup": {
+            "source": src,
+            "dest": dest_uri,
+            "format": "guardian",
+            "time-configuration": {"type": "chrono-unit-slice", "chrono-unit": "hours"},
+        },
+        "describe": {"dest": dest_uri},
+        "compact": {"source": dest_uri, "target": str(tmp_path / "compacted")},
+        "restore": {"source": dest_uri, "target": str(tmp_path / "restored")},
+    }))
+    monkeypatch.setenv("GUARDIAN_CONFIG", str(cfg))
+    # reference env var layer: restrict the backup to two topics — proves
+    # env and file compose in one real run (precedence unit tests above)
+    monkeypatch.setenv("KAFKA_CLUSTER_TOPICS", "click,view")
+
+    want = records.where(F.col("topic").isin("click", "view"))
+    n_want = want.count()
+    assert 0 < n_want < records.count()  # the env filter actually bites
+
+    assert main(["backup"]) == 0
+    capsys.readouterr()
+    assert main(["describe"]) == 0
+    lines = [_json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert sum(r["n_records"] for r in lines) == n_want
+    assert all(r["n_files"] == 1 for r in lines)
+
+    monkeypatch.delenv("KAFKA_CLUSTER_TOPICS")  # restore/compact: all archived topics
+    assert main(["compact"]) == 0
+    compacted = spark.read.parquet(str(tmp_path / "compacted"))
+    latest = {
+        (r.topic, bytes(r.key)) for r in
+        want.orderBy("timestamp").groupBy("topic", "key").agg(F.max("offset")).collect()
+    }
+    assert compacted.count() == len(latest)
+
+    assert main(["restore"]) == 0
+    restored = spark.read.parquet(str(tmp_path / "restored"))
+    got = {
+        (r.topic, bytes(r.key), bytes(r.value), r.timestamp)
+        for r in restored.collect()
+    }
+    src_set = {
+        (r.topic, bytes(r.key), bytes(r.value), r.timestamp)
+        for r in want.collect()
+    }
+    assert got == src_set  # byte-identical round-trip through the file:// URI

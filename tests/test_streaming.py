@@ -545,6 +545,100 @@ def test_stream_zscore_equals_batch(spark, tmp_path):
         assert got[k] == z  # bit-identical arithmetic
 
 
+def test_stream_cohorts_equal_batch_q51(spark, tmp_path):
+    """Streaming cohort accumulation (foreachBatch distinct-pair appends)
+    rolled up == the q51 batch rollup, across multiple micro-batches — and a
+    simulated replayed batch (duplicate pair appends) changes nothing,
+    which is the idempotency claim the sink's design rests on."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        cohort_rollup,
+        stream_cohort_activity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "in")
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    first = ordered.limit(n // 2)
+    rest = ordered.subtract(first)
+    first.coalesce(1).write.parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    dest, ckpt = str(tmp_path / "pairs"), str(tmp_path / "ck")
+    q = stream_cohort_activity(stream, dest, ckpt)
+    q.awaitTermination(120)
+
+    want = [tuple(r) for r in all_queries()["q51_retention_cohorts"](spark, sf).collect()]
+    got = [tuple(r) for r in cohort_rollup(spark, dest).collect()]
+    assert got == want
+    # replayed-batch simulation: append a duplicate slice of the pair set
+    spark.read.parquet(dest).limit(20).write.mode("append").parquet(dest)
+    assert [tuple(r) for r in cohort_rollup(spark, dest).collect()] == want
+
+
+def test_stream_cdc_apply_equals_sequential_merge_and_resumes(spark, tmp_path):
+    """Streaming CDC apply == batch merge_into applied batch-by-batch:
+    within-batch latest-per-key compaction, delete flags, inserts; then a
+    RESTART from the same checkpoint applies only the new batch on top of
+    the current snapshot version (versioned-snapshot idempotency)."""
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        init_cdc_snapshot,
+        read_cdc_snapshot,
+        stream_cdc_apply,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, 30.0, "z")],
+        "k long, v double, tag string",
+    )
+    snap = str(tmp_path / "snap")
+    init_cdc_snapshot(base, snap)
+
+    schema = "k long, v double, tag string, deleted boolean, ts timestamp"
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    b1 = [
+        (2, 99.0, "y2", False, t(0)),
+        (4, 40.0, "w", False, t(1)),
+        (2, 98.0, "y3", False, t(2)),  # later per-key event wins in-batch
+        (1, 0.0, None, True, t(3)),    # matched delete
+    ]
+    b2 = [(3, 33.0, "z2", False, t(4)), (5, 50.0, "u", False, t(5))]
+    src = str(tmp_path / "upd")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_cdc_apply(
+            stream, snap, str(tmp_path / "ck"), "k", ["v", "tag"], "deleted", ("ts",)
+        )
+        q.awaitTermination(120)
+
+    run()
+    rows = {r.k: (r.v, r.tag) for r in read_cdc_snapshot(spark, snap).collect()}
+    assert rows == {2: (98.0, "y3"), 3: (33.0, "z2"), 4: (40.0, "w"), 5: (50.0, "u")}
+
+    # restart: a third CDC file arrives; the resumed query (same checkpoint)
+    # processes ONLY it, on top of the latest snapshot version
+    b3 = [(4, 0.0, None, True, t(6))]
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+    rows = {r.k: (r.v, r.tag) for r in read_cdc_snapshot(spark, snap).collect()}
+    assert rows == {2: (98.0, "y3"), 3: (33.0, "z2"), 5: (50.0, "u")}
+    # versions: v=0 seed + one per applied batch (2 first run + 1 resumed)
+    versions = sorted(
+        int(d[2:]) for d in os.listdir(snap) if d.startswith("v=")
+    )
+    assert versions == [0, 1, 2, 3]
+
+
 def test_stream_enrich_equals_batch_join(spark, records, tmp_path):
     """Stream-static enrichment on a replayed finite stream == the batch
     broadcast join, including left-null rows for unknown dimension keys."""
