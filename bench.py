@@ -71,6 +71,11 @@ HEADLINE = {
     # paid once in the warm-up via bucketed_pair's reuse guard, mirroring the
     # amortized 100 TB cost model); its stock twin re-shuffles both sides
     "bucketed_colocated_join": "q46_bucketed_colocated_join",
+    # round-6 operator families
+    "heavy_hitters": "q56_heavy_hitters",
+    "bigram_entropy": "t15_bigram_cross_entropy",
+    "ivm_rollup": "q55_incremental_agg_maintenance",
+    "mmr_diverse_topk": "s6_mmr_diverse_topk",
 }
 
 N_RUNS = 3

@@ -403,3 +403,91 @@ def decontaminate(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 8,
+    pool: int = 24,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k retrieval: greedily select
+    k results balancing relevance to the query against redundancy with the
+    already-selected set — score(c) = lam*rel(c) - (1-lam)*max_{s in S}
+    sim(c, s), the standard diversity re-ranker for RAG/retrieval dedup
+    (a plain cosine top-k returns near-duplicate neighbors; MMR spends the
+    k slots on coverage).
+
+    Determinism: relevance and pairwise similarities are rounded to
+    INTEGER MICROS (round(cos * 1e6) as BIGINT) and lambda is the rational
+    lam_num/lam_den, so every greedy comparison is exact integer
+    arithmetic — the oracle replays the identical selection in a recursive
+    CTE; ties break on the smaller id.
+
+    Scale shape: stage 1 is the distributed exact top-``pool`` scan
+    (cosine_topk: corpus never shuffles, queries broadcast); stages 2-3
+    operate on the POOL ONLY — pool^2 pairwise sims via broadcast self-join
+    and one Arrow applyInPandas group for the greedy walk (executor-side;
+    Python touches pool-sized state, never corpus rows). Returns
+    (rank, vec_id, rel_micro)."""
+    cands = cosine_topk(corpus, query, k=pool, id_col=id_col, vec_col=vec_col,
+                        query_id_col=query_id_col)
+    rel = cands.select(
+        F.col("vec_id"),
+        F.round(F.col("cosine") * 1_000_000).cast("long").alias("rel"),
+    )
+    ids = rel.select(F.col("vec_id").alias("__id"))
+    cv = corpus.join(
+        F.broadcast(ids), corpus[id_col] == ids["__id"], "inner"
+    ).select(F.col("__id"), F.col(vec_col).alias("__v"))
+    a = cv.select(F.col("__id").alias("ia"), F.col("__v").alias("__va"))
+    b = cv.select(F.col("__id").alias("ib"), F.col("__v").alias("__vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")) * 1_000_000)
+            .cast("long")
+            .alias("sim"),
+        )
+    )
+    combined = rel.withColumnRenamed("vec_id", "ia").join(
+        F.broadcast(pairs), "ia", "left"  # pool^2 rows — never a shuffle join
+    )
+
+    def select_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rels = {int(r.ia): int(r.rel) for r in pdf.drop_duplicates("ia").itertuples()}
+        sims = {
+            (int(r.ia), int(r.ib)): int(r.sim)
+            for r in pdf.dropna(subset=["ib"]).itertuples()
+        }
+        selected: list[int] = []
+        avail = set(rels)
+        for _ in range(min(k, len(rels))):
+            best = None
+            for c in sorted(avail):
+                ms = max((sims.get((c, s), 0) for s in selected), default=0)
+                score = lam_num * rels[c] - (lam_den - lam_num) * ms
+                if best is None or score > best[0]:
+                    best = (score, c)
+            selected.append(best[1])
+            avail.discard(best[1])
+        return pd.DataFrame(
+            {
+                "rank": range(1, len(selected) + 1),
+                "vec_id": selected,
+                "rel": [rels[s] for s in selected],
+            }
+        )
+
+    return (
+        combined.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(select_fn, "rank long, vec_id long, rel long")
+    )

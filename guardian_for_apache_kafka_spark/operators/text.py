@@ -453,3 +453,153 @@ def unigram_cross_entropy(
     )
     scored = toks.join(F.broadcast(model) if broadcast_model else model, "__t")
     return scored.groupBy(id_col).agg((-F.avg("__logp")).alias("cross_entropy"))
+
+
+def bigram_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool | None = None,
+    broadcast_vocab_limit: int = 2_000_000,
+) -> DataFrame:
+    """Per-document cross-entropy against an in-corpus BIGRAM language model
+    with add-one smoothing — one order up from t14's unigram scorer and much
+    closer to the KenLM-style perplexity filters real pipelines run:
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1,.) + V), V = distinct continuation
+    types. Documents with fewer than two tokens yield no bigrams and are
+    absent from the output (same contract as the oracle).
+
+    Scale shape: the model is ONE aggregate over the bigram stream (the
+    left-context totals c(w1,.) re-aggregate the MODEL, never the corpus);
+    V is a scalar that broadcasts. A bigram vocabulary grows far faster
+    than a unigram one, so the t14 broadcast gate matters more here: the
+    model broadcasts only at or below ``broadcast_vocab_limit`` rows,
+    falling back to a (w1, w2)-keyed shuffle join above it."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = df.select(F.col(id_col), F.explode(pairs).alias("__b")).select(
+        id_col, F.col("__b.w1").alias("__w1"), F.col("__b.w2").alias("__w2")
+    )
+    c12 = bg.groupBy("__w1", "__w2").agg(F.count("*").alias("__c12"))
+    c1 = c12.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
+    v = bg.agg(F.count_distinct("__w2").alias("__v"))
+    if broadcast_model is None:
+        probe = c12.limit(broadcast_vocab_limit + 1).count()
+        broadcast_model = probe <= broadcast_vocab_limit
+    model = (
+        c12.join(c1, "__w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "__w1",
+            "__w2",
+            F.log(
+                (F.col("__c12") + 1).cast("double")
+                / (F.col("__c1") + F.col("__v")).cast("double")
+            ).alias("__logp"),
+        )
+    )
+    scored = bg.join(
+        F.broadcast(model) if broadcast_model else model, ["__w1", "__w2"]
+    )
+    return scored.groupBy(id_col).agg((-F.avg("__logp")).alias("cross_entropy"))
+
+
+def vocab_growth_stats(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group vocabulary statistics (the Heaps-law corpus diagnostics a
+    training-data pipeline tracks per source/domain): total tokens, distinct
+    types, type-token ratio, hapax legomena (types seen once) and hapax
+    ratio. High hapax ratio flags OCR noise / boilerplate IDs; abnormal TTR
+    flags templated or degenerate sources.
+
+    Determinism: counts are int64; each ratio is ONE IEEE division of exact
+    integers (t11's mean_df discipline) — engine-exact, no tolerance. Scale
+    shape: two-phase — (group, token) partial counts, then a group-keyed
+    re-aggregation of the type table; the corpus shuffles once on fixed-width
+    (group, token) keys."""
+    toks = df.select(F.col(group_col), F.explode(tokens_col(text_col)).alias("__t"))
+    per_type = toks.groupBy(group_col, "__t").agg(F.count("*").alias("__c"))
+    return per_type.groupBy(group_col).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        (F.count("*").cast("double") / F.sum("__c")).alias("type_token_ratio"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        (
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("hapax_ratio"),
+    )
+
+
+def token_heavy_hitters(
+    df: DataFrame,
+    threshold_frac: float = 0.005,
+    text_col: str = "text",
+    summary_size: int | None = None,
+) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with frequency >= threshold_frac
+    of all tokens) computed with a Misra-Gries candidate pass — the
+    mergeable-summary pattern that makes heavy hitters feasible when the
+    full (token, count) table is too big to materialize cheaply.
+
+    Two stages:
+    1. candidates: each partition folds its token stream through a
+       Misra-Gries summary capped at ``summary_size`` counters
+       (``mapInPandas``, Arrow-batched). MG guarantees any token with
+       global count > n/summary_size survives in at least one partition's
+       summary, so with summary_size = ceil(2/threshold_frac) the candidate
+       union is a guaranteed SUPERSET of the true heavy set — recall 1 by
+       construction, whatever the partitioning.
+    2. exact confirm: the tiny candidate set broadcasts back onto the token
+       stream as a map-side semi-join filter; only candidate tokens reach
+       the exact count shuffle, and the final filter applies the exact
+       threshold. Output is therefore EXACT (hash-oracle-able) while the
+       corpus-wide shuffle carries only candidate tokens — the d15
+       prefilter-then-confirm shape applied to frequency.
+
+    At 100 TB: the per-partition summaries are KB-sized regardless of data
+    volume; the confirm shuffle is bounded by candidates x partitions."""
+    import pandas as pd  # noqa: F811 (Arrow batch iterator)
+
+    if summary_size is None:
+        summary_size = int(2.0 / threshold_frac) + 1
+    toks = df.select(F.explode(tokens_col(text_col)).alias("__t"))
+
+    def mg_partition(batches):
+        # Mergeable-summaries formulation (Agarwal et al., PODS'12): each
+        # Arrow batch contributes an EXACT value_counts (vectorized, C
+        # speed — no per-row Python); merging then trimming to the cap by
+        # subtracting the (cap+1)-th largest count and dropping non-positive
+        # counters is the MG merge, preserving the additive n/(cap+1)
+        # undercount bound. Python touches summary-sized dicts, never rows.
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["__t"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > summary_size:
+                cut = sorted(counters.values(), reverse=True)[summary_size]
+                counters = {k: v - cut for k, v in counters.items() if v > cut}
+        if counters:
+            yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg_partition, "token string").distinct()
+    total = toks.agg(F.count("*").alias("__total"))
+    return (
+        toks.join(F.broadcast(candidates), toks["__t"] == candidates["token"], "left_semi")
+        .groupBy("__t")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.col("__total") * F.lit(threshold_frac))
+        .select(F.col("__t").alias("token"), F.col("cnt").cast("long").alias("cnt"))
+    )

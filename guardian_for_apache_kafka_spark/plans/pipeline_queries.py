@@ -2153,3 +2153,161 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("edit_dist", "user_id")
         .limit(25)
     )
+
+
+@query(
+    "t15_bigram_cross_entropy",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+      FROM toks WHERE len(tk) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+    v AS (SELECT count(DISTINCT w2) AS v FROM bg)
+    SELECT doc_id,
+           round(-avg(ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))), 2)
+             AS cross_entropy
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy with add-one smoothing — one Markov order up
+    from t14, the closer stand-in for KenLM perplexity filtering. The model
+    is one aggregate over the bigram stream (left-context totals re-
+    aggregate the MODEL, not the corpus; V broadcasts as a scalar); scoring
+    joins the stream to the model — broadcast here (pinned: this corpus'
+    bigram vocabulary is known small), shuffle-join above the t14 gate.
+    Docs under two tokens have no bigrams and are absent, matching the
+    oracle (operators/text.bigram_cross_entropy)."""
+    from guardian_for_apache_kafka_spark.operators.text import bigram_cross_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bigram_cross_entropy(d, broadcast_model=True)
+        .select("doc_id", F.round("cross_entropy", 2).alias("cross_entropy"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "t16_vocab_growth",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+    tt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS type_token_ratio,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS hapax_ratio
+    FROM tt GROUP BY source ORDER BY source
+    """,
+    tags=("text", "statistics", "corpus"),
+)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary diagnostics (Heaps-law shape): token/type
+    totals, type-token ratio, hapax legomena count/ratio — the corpus-slice
+    health metrics a pipeline tracks per domain (high hapax = OCR noise or
+    ID-heavy text; abnormal TTR = templated content). Each ratio is ONE
+    IEEE division of exact int64 aggregates (t11's determinism discipline).
+    One corpus shuffle on (source, token), then a group-keyed re-agg of the
+    vocabulary-sized type table (operators/text.vocab_growth_stats)."""
+    from guardian_for_apache_kafka_spark.operators.text import vocab_growth_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_growth_stats(d).orderBy("source")
+
+
+@query(
+    "q56_heavy_hitters",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    tot AS (SELECT count(*) AS total FROM tok)
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok, tot
+    GROUP BY t, total
+    HAVING count(*) >= total * 0.002
+    ORDER BY cnt DESC, token
+    """,
+    tags=("text", "sketch", "frequency"),
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (tokens at >= 0.2% of all tokens), EXACT output
+    via a Misra-Gries candidate pass: per-partition mergeable summaries
+    (KB-sized whatever the volume, recall-1 superset by the n/(cap+1)
+    undercount bound) broadcast back as a map-side prefilter, so the exact
+    count shuffle carries ONLY candidate tokens — the d15
+    prefilter-then-confirm shape applied to frequency. The oracle is the
+    plain exact GROUP BY/HAVING, so the hash match proves the sketch path
+    loses nothing (operators/text.token_heavy_hitters)."""
+    from guardian_for_apache_kafka_spark.operators.text import token_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_heavy_hitters(d, threshold_frac=0.002).orderBy(
+        F.desc("cnt"), "token"
+    )
+
+
+@query(
+    "s6_mmr_diverse_topk",
+    oracle=f"""
+    WITH RECURSIVE q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT c.vec_id AS id,
+             CAST(round({_duck_cosine('c.embedding', 'q.qv')} * 1000000) AS BIGINT) AS rel
+      FROM embeddings c, q WHERE c.vec_id <> 0
+      ORDER BY {_duck_cosine('c.embedding', 'q.qv')} DESC, c.vec_id
+      LIMIT 24
+    ),
+    p AS (
+      SELECT a.id AS ia, b.id AS ib,
+             CAST(round({_duck_cosine('ea.embedding', 'eb.embedding')} * 1000000) AS BIGINT) AS sim
+      FROM cand a JOIN cand b ON a.id <> b.id
+      JOIN embeddings ea ON ea.vec_id = a.id
+      JOIN embeddings eb ON eb.vec_id = b.id
+    ),
+    sel AS (
+      SELECT 0 AS step, CAST([] AS BIGINT[]) AS ids
+      UNION ALL
+      SELECT step + 1,
+             list_append(ids, (
+               SELECT c.id FROM cand c
+               WHERE NOT list_contains(sel.ids, c.id)
+               ORDER BY 7 * c.rel - 3 * coalesce((
+                   SELECT max(p.sim) FROM p
+                   WHERE p.ia = c.id AND list_contains(sel.ids, p.ib)), 0) DESC, c.id
+               LIMIT 1))
+      FROM sel WHERE step < 8
+    ),
+    final AS (SELECT ids FROM sel WHERE step = 8)
+    SELECT CAST(r AS BIGINT) AS rank, ids[r] AS vec_id,
+           (SELECT rel FROM cand WHERE id = ids[r]) AS rel
+    FROM final, range(1, 9) t(r)
+    ORDER BY rank
+    """,
+    tags=("similarity", "retrieval", "diversity"),
+)
+def s6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-8 for query vec_id=0 over a
+    24-candidate exact pool (lambda = 7/10): the diversity re-ranker that
+    stops a cosine top-k from spending its slots on near-duplicates.
+    Relevance/pairwise sims round to integer micros so the greedy walk is
+    exact integer arithmetic — the oracle replays the SAME selection in a
+    DuckDB recursive CTE, making every greedy step differentially attested.
+    Corpus work is the distributed top-pool scan (corpus never shuffles);
+    the pool^2 pair sims and the walk touch pool-sized state only
+    (operators/similarity.mmr_topk)."""
+    from guardian_for_apache_kafka_spark.operators.similarity import mmr_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_topk(e, q, k=8, pool=24).orderBy("rank")

@@ -1963,3 +1963,144 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q55_incremental_agg_maintenance",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderpriority AS pr FROM orders),
+    merged AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 AND k % 11 <> 3 THEN cents + 100000 ELSE cents END AS cents,
+             pr
+      FROM o WHERE k % 3 <> 0 AND k % 11 <> 3
+      UNION ALL
+      SELECT k, cents, pr FROM o WHERE k % 3 = 0
+    )
+    SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           round(sum(cents) / 100.0, 2) AS total_price
+    FROM merged GROUP BY pr ORDER BY pr
+    """,
+    tags=("relational", "ivm", "cdc"),
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-priority (count, sum) rollup
+    is updated from the q52 CDC batch as old_agg (+) delta_agg — the delta
+    aggregates ONLY the change rows (Debezium-style before/after images;
+    update = delete+insert, so group-changing updates work), and the
+    combine is a full-outer join between the group-count-sized view and the
+    batch-sized delta. The snapshot is NEVER re-aggregated — the oracle
+    recomputes from scratch, so the hash match proves the delta rule. Sums
+    are integer cents end to end: old + delta is bit-identical to the
+    recomputation, no float summation-order drift
+    (operators/ivm.cdc_agg_delta / apply_agg_delta)."""
+    from guardian_for_apache_kafka_spark.operators.ivm import (
+        apply_agg_delta,
+        cdc_agg_delta,
+    )
+
+    k = F.col("o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    base = o.where(k % 3 != 0)
+    old_agg = base.groupBy("pr").agg(
+        F.count("*").cast("long").alias("n"), F.sum("cents").alias("s")
+    )
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    upd = base.where((k % 7 == 0) & (k % 11 != 3)).select(
+        F.col("pr").alias("before_g"),
+        F.col("cents").alias("before_v"),
+        F.col("pr").alias("after_g"),
+        (F.col("cents") + 100000).alias("after_v"),
+    )
+    dels = base.where(k % 11 == 3).select(
+        F.col("pr").alias("before_g"),
+        F.col("cents").alias("before_v"),
+        null_s.alias("after_g"),
+        null_l.alias("after_v"),
+    )
+    ins = o.where(k % 3 == 0).select(
+        null_s.alias("before_g"),
+        null_l.alias("before_v"),
+        F.col("pr").alias("after_g"),
+        F.col("cents").alias("after_v"),
+    )
+    cdc = upd.unionByName(dels).unionByName(ins)
+    new_agg = apply_agg_delta(old_agg, cdc_agg_delta(cdc, "pr"), "pr", "n", "s")
+    return new_agg.select(
+        F.col("pr").alias("o_orderpriority"),
+        F.col("n"),
+        F.round(F.col("s") / 100.0, 2).alias("total_price"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "q57_snapshot_time_travel",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderpriority AS pr FROM orders),
+    log AS (
+      SELECT k, cents, pr, 0 AS v, false AS del FROM o WHERE k % 3 <> 0
+      UNION ALL
+      SELECT k, cents + 100000, pr, 1, false FROM o
+      WHERE k % 3 <> 0 AND k % 7 = 0 AND k % 11 <> 3
+      UNION ALL
+      SELECT k, cents, pr, 2, true FROM o WHERE k % 3 <> 0 AND k % 11 = 3
+    ),
+    latest AS (
+      SELECT k, cents, pr, del,
+             row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+      FROM log WHERE v <= 2
+    )
+    SELECT k AS o_orderkey, pr AS o_orderpriority,
+           round(cents / 100.0, 2) AS price
+    FROM latest WHERE rn = 1 AND NOT del
+    ORDER BY o_orderkey
+    """,
+    tags=("relational", "cdc", "time-travel"),
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction over a CDC log (time travel without a
+    table format): the q52 change stream is versioned (updates v=1, deletes
+    v=2, inserts v=3) and the snapshot is reconstructed AS OF v=2 — updates
+    and deletes applied, inserts not yet visible. One latest-per-key window
+    over one key exchange (the g6 discipline), version predicate pruning
+    the log before the shuffle; integer cents keep prices engine-exact
+    (operators/merge.snapshot_asof). Complements q52 (latest merge) and the
+    streaming versioned snapshots (coarse per-batch points)."""
+    from guardian_for_apache_kafka_spark.operators.merge import snapshot_asof
+
+    k = F.col("o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    base = o.where(k % 3 != 0)
+    upd = base.where((k % 7 == 0) & (k % 11 != 3)).select(
+        k,
+        (F.col("cents") + 100000).alias("cents"),
+        F.col("pr"),
+        F.lit(1).alias("v"),
+        F.lit(False).alias("deleted"),
+    )
+    dels = base.where(k % 11 == 3).select(
+        k, "cents", "pr", F.lit(2).alias("v"), F.lit(True).alias("deleted")
+    )
+    ins = o.where(k % 3 == 0).select(
+        k, "cents", "pr", F.lit(3).alias("v"), F.lit(False).alias("deleted")
+    )
+    log = upd.unionByName(dels).unionByName(ins)
+    snap = snapshot_asof(base, log, "o_orderkey", "v", 2)
+    return snap.select(
+        "o_orderkey",
+        F.col("pr").alias("o_orderpriority"),
+        F.round(F.col("cents") / 100.0, 2).alias("price"),
+    ).orderBy("o_orderkey")

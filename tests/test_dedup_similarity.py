@@ -877,3 +877,37 @@ def test_bucketed_pair_idempotent(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "SortMergeJoin" in tree and "Exchange" not in tree, plan
     assert ob.count() == o.count() and lb.count() == li.count()
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """MMR semantics on a constructed geometry: the two most relevant
+    candidates are near-duplicates of each other; plain top-2 returns both,
+    MMR must swap the redundant twin for the diverse third vector."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        cosine_topk,
+        mmr_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # query
+        (1, [0.99, 0.14, 0.0]),     # most relevant
+        (2, [0.99, 0.141, 0.001]),  # near-dup of 1, second most relevant
+        (3, [0.8, -0.6, 0.0]),      # diverse, third most relevant
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plain = [r.vec_id for r in cosine_topk(e, q, k=2).orderBy("rnk").collect()]
+    assert plain == [1, 2]  # the redundant pair
+    # lambda = 1/2: relevance and redundancy weighted equally — the near-dup
+    # twin (sim to the selected ~1.0) scores below the diverse third vector
+    mmr = [
+        r.vec_id
+        for r in mmr_topk(e, q, k=2, pool=3, lam_num=5).orderBy("rank").collect()
+    ]
+    assert mmr == [1, 3]  # diversity displaces the near-dup
+    # rank-1 is always the raw argmax (empty selected set => pure relevance)
+    assert mmr[0] == plain[0]

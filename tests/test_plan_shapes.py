@@ -480,6 +480,68 @@ def test_t14_cross_entropy_model_broadcasts(plans):
     assert "SortMergeJoin" not in tree, p
 
 
+def test_t15_bigram_model_broadcasts(plans):
+    """Bigram-LM scoring: the model joins onto the bigram stream via
+    broadcast (the pinned branch); the stream itself never hash-shuffles
+    for the scoring join."""
+    p = plans("t15_bigram_cross_entropy")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, p
+    assert "SortMergeJoin" not in tree, p
+
+
+def test_q55_ivm_never_rebuilds_snapshot(plans):
+    """IVM: the new rollup must come from old_agg FULL OUTER delta_agg —
+    two aggregates joined — with the merged snapshot never materialized:
+    no join below either aggregate, and the only exchanges are the two
+    group-keyed agg shuffles plus the presentation sort."""
+    p = plans("q55_incremental_agg_maintenance")
+    tree = p.split("\n\n")[0]
+    assert "FullOuter" in tree, p
+    join_inputs = tree.split("FullOuter")[1]
+    assert "Join" not in join_inputs, p  # aggregates only below the combine
+    assert tree.count("Exchange") == 3, p
+
+
+def test_q56_sketch_prefilter_before_count_shuffle(plans):
+    """Heavy hitters: the Misra-Gries candidate pass is an Arrow
+    MapInPandas stage, and the exact count aggregates a LeftSemi-broadcast-
+    prefiltered token stream — only candidate tokens reach the count
+    exchange (d15's prefilter-then-confirm shape)."""
+    p = plans("q56_heavy_hitters")
+    tree = p.split("\n\n")[0]
+    assert "MapInPandas" in tree, p
+    assert "LeftSemi BuildRight" in tree, p
+    # the semi prefilter must sit BELOW the exact-count aggregate pair
+    agg_subtree = tree.split("LeftSemi")[0]
+    assert "HashAggregate" in agg_subtree, p
+
+
+def test_q57_single_window_exchange(plans):
+    """Time travel: one latest-per-key window over ONE key exchange (plus
+    the presentation sort) — the g6 latest-per-key discipline; the version
+    predicate prunes the log before the shuffle."""
+    p = plans("q57_snapshot_time_travel")
+    assert p.count("Arguments: hashpartitioning") == 1, p
+    # two WindowGroupLimit nodes = the Partial (map-side, before the
+    # exchange) and Final prune to 1 row/key — the g6 discipline
+    assert p.split("\n\n")[0].count("WindowGroupLimit") == 2, p
+
+
+def test_s6_mmr_corpus_never_shuffles(plans):
+    """MMR: the corpus-scale work is the broadcast-query top-pool scan; the
+    pool-sized stages (pair sims, greedy walk) run on broadcasts + ONE
+    Arrow group — the corpus itself never hash-shuffles (the only key
+    exchange feeds the pool-sized applyInPandas group)."""
+    p = plans("s6_mmr_diverse_topk")
+    tree = p.split("\n\n")[0]
+    assert "FlatMapGroupsInPandas" in tree or "ApplyInPandas" in tree, p
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, p
+    # hash exchanges: the rnk window for the pool + the single-group walk
+    # (+1 for the final orderBy range exchange is not hashpartitioning)
+    assert p.count("Arguments: hashpartitioning") <= 2, p
+
+
 def test_t14_broadcast_gate_branches(spark, sf_dir):
     """The vocab-size gate (VERDICT r5 #3) must actually change strategy:
     forced-broadcast plans a BroadcastHashJoin for the scoring join; a

@@ -459,3 +459,64 @@ def test_pack_sequences_non_string_group(spark):
     rows = pack_sequences(df, budget=4, group_col="grp").collect()
     assert {r.grp for r in rows} == {1, 2}
     assert all(isinstance(r.grp, int) for r in rows)
+
+
+def test_ivm_group_changing_update(spark):
+    """update = delete(before)+insert(after): a row moving BETWEEN groups
+    must decrement its old group and increment the new one; a group whose
+    count reaches zero disappears; inserts create new groups."""
+    from guardian_for_apache_kafka_spark.operators.ivm import (
+        apply_agg_delta,
+        cdc_agg_delta,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "g string, v long"
+    )
+    old = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"), F.sum("v").alias("s")
+    )
+    cdc = spark.createDataFrame(
+        [
+            ("a", 10, "c", 11),   # group-changing update a -> c
+            ("b", 5, None, None), # delete empties group b
+            (None, None, "d", 7), # insert creates group d
+        ],
+        "before_g string, before_v long, after_g string, after_v long",
+    )
+    got = {
+        r.g: (r.n, r.s)
+        for r in apply_agg_delta(old, cdc_agg_delta(cdc), "g", "n", "s").collect()
+    }
+    # recompute from scratch on the post-change data
+    assert got == {"a": (1, 20), "c": (1, 11), "d": (1, 7)}
+
+
+def test_snapshot_asof_versions_and_reinsert(spark):
+    """Time travel visibility: as-of each version, including a key deleted
+    then re-inserted later (delete hides it at v2, the v3 re-insert brings
+    it back with the new value)."""
+    from guardian_for_apache_kafka_spark.operators.merge import snapshot_asof
+
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    log = spark.createDataFrame(
+        [
+            (1, 11, 1, False),  # v1: update k=1
+            (2, 0, 2, True),    # v2: delete k=2
+            (2, 22, 3, False),  # v3: re-insert k=2
+            (3, 30, 3, False),  # v3: insert k=3
+        ],
+        "k long, v long, ver long, deleted boolean",
+    )
+
+    def snap(version):
+        return {
+            r.k: r.v
+            for r in snapshot_asof(base, log, "k", "ver", version).collect()
+        }
+
+    assert snap(0) == {1: 10, 2: 20}
+    assert snap(1) == {1: 11, 2: 20}
+    assert snap(2) == {1: 11}
+    assert snap(3) == {1: 11, 2: 22, 3: 30}

@@ -404,3 +404,57 @@ def test_normalize_text_canonicalizes_for_dedup(spark):
     got = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
     assert got[1] == got[2] == "café bar baz"
     assert got[3] == "plain text"
+
+
+def test_heavy_hitters_recall_under_adversarial_partitioning(spark):
+    """The Misra-Gries candidate pass must have recall 1 whatever the
+    partitioning: a heavy token spread thinly across partitions (never
+    locally dominant) still reaches the exact confirm, and the output
+    equals the exact GROUP BY result. A tiny summary cap stresses the
+    trim path."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.text import token_heavy_hitters
+
+    # 64 partitions; 'needle' appears twice per partition (never a local
+    # majority against 50 distinct fillers per partition), globally 128/3328
+    # = 3.8% >= 1% threshold
+    rows = []
+    for p in range(64):
+        fillers = " ".join(f"f{p}_{i}" for i in range(50))
+        rows.append((p, f"needle {fillers} needle"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(64, "doc_id")
+    got = {
+        (r.token, r.cnt)
+        for r in token_heavy_hitters(df, threshold_frac=0.01, summary_size=8).collect()
+    }
+    exact = {
+        (r.token, r.cnt)
+        for r in df.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(
+            df.select(F.explode(F.split("text", " ")).alias("t"))
+            .agg(F.count("*").alias("tot"))
+        )
+        .where(F.col("cnt") >= F.col("tot") * 0.01)
+        .select(F.col("t").alias("token"), F.col("cnt").cast("long").alias("cnt"))
+        .collect()
+    }
+    assert got == exact and ("needle", 128) in got
+
+
+def test_bigram_cross_entropy_short_docs_excluded(spark):
+    """Docs with < 2 tokens produce no bigrams and must be absent; scores
+    are identical between the broadcast and shuffle-join branches."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.text import bigram_cross_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "solo"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    bc = {r.doc_id: round(r.cross_entropy, 9) for r in bigram_cross_entropy(df, broadcast_model=True).collect()}
+    sh = {r.doc_id: round(r.cross_entropy, 9) for r in bigram_cross_entropy(df, broadcast_model=False).collect()}
+    assert set(bc) == {1, 3} and bc == sh
