@@ -228,14 +228,19 @@ def chunk_documents(
     final chunk always reaches the document's end.
 
     Pure column expressions (sequence/transform/slice + one posexplode): the
-    token array is built once per row, chunk rows fan out executor-side, and
-    nothing shuffles — at 100 TB this is a map-only stage whose output
-    partitioning follows the input. Returns
+    token array is HOISTED into a column once per row (a free tokens_col()
+    reference inside the transform lambda would re-split the text per chunk
+    index — Catalyst does not CSE it; the t15 lesson), chunk rows fan out
+    executor-side, and nothing shuffles — at 100 TB this is a map-only
+    stage whose output partitioning follows the input. Returns
     (id, chunk_id, n_tokens, chunk_md5) — the md5 stands in for chunk text
     so downstream exact-dedup of chunks shuffles 32 hex chars, not text."""
     if not 0 < stride <= window:
         raise ValueError(f"need 0 < stride <= window, got stride={stride} window={window}")
-    toks = tokens_col(text_col)
+    hoisted = df.select(
+        F.col(id_col), *[F.col(c) for c in carry], tokens_col(text_col).alias("__tk")
+    )
+    toks = F.col("__tk")
     n = F.size(toks)
     n_chunks = F.when(n <= window, F.lit(1).cast("long")).otherwise(
         F.ceil((n - window) / F.lit(float(stride))).cast("long") + 1
@@ -245,7 +250,7 @@ def chunk_documents(
         lambda i: F.array_join(F.slice(toks, (i * stride + 1).cast("int"), window), " "),
     )
     return (
-        df.select(
+        hoisted.select(
             F.col(id_col),
             *[F.col(c) for c in carry],
             F.posexplode(chunks).alias("chunk_id", "__chunk"),
@@ -475,7 +480,16 @@ def bigram_cross_entropy(
     than a unigram one, so the t14 broadcast gate matters more here: the
     model broadcasts only at or below ``broadcast_vocab_limit`` rows,
     falling back to a (w1, w2)-keyed shuffle join above it."""
-    toks = tokens_col(text_col)
+    # hoist the token array into a column FIRST: referencing tokens_col()
+    # directly inside the transform lambda re-evaluates split() per bigram
+    # INDEX (Catalyst does not CSE it), turning construction O(n^2) per
+    # document — measured 4x end-to-end on this query (the repetition_stats
+    # lesson). A spread_narrow_scan here measured NET-NEGATIVE at this
+    # corpus size (the round-robin exchange of text costs more than the
+    # parallelism saves, and the bigram stream is consumed twice); at
+    # 100 TB the scan has real input splits and needs no spread.
+    hoisted = df.select(F.col(id_col), tokens_col(text_col).alias("__tk"))
+    toks = F.col("__tk")
     n = F.size(toks)
     pairs = F.when(
         n >= 2,
@@ -487,7 +501,7 @@ def bigram_cross_entropy(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = df.select(F.col(id_col), F.explode(pairs).alias("__b")).select(
+    bg = hoisted.select(F.col(id_col), F.explode(pairs).alias("__b")).select(
         id_col, F.col("__b.w1").alias("__w1"), F.col("__b.w2").alias("__w2")
     )
     c12 = bg.groupBy("__w1", "__w2").agg(F.count("*").alias("__c12"))
