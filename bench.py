@@ -76,6 +76,7 @@ HEADLINE = {
     "bigram_entropy": "t15_bigram_cross_entropy",
     "ivm_rollup": "q55_incremental_agg_maintenance",
     "mmr_diverse_topk": "s6_mmr_diverse_topk",
+    "quantile_rollup": "q58_histogram_quantile_rollup",
 }
 
 N_RUNS = 3

@@ -2104,3 +2104,58 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr").alias("o_orderpriority"),
         F.round(F.col("cents") / 100.0, 2).alias("price"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q58_histogram_quantile_rollup",
+    oracle="""
+    WITH e AS (SELECT event_type, CAST(round("value" * 100) AS BIGINT) AS cents,
+                      CAST(ts AS DATE) AS day FROM events),
+    daily AS (
+      SELECT event_type, day, CAST(floor(cents / 1000.0) AS BIGINT) AS bin,
+             count(*) AS c
+      FROM e GROUP BY 1, 2, 3
+    ),
+    rolled AS (SELECT event_type, bin, sum(c) AS c FROM daily GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS total
+      FROM rolled
+    ),
+    est AS (
+      SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+             CAST(min(CASE WHEN cum >= ceil(0.5 * total) THEN bin END) * 1000 AS BIGINT) AS p50_cents,
+             CAST(min(CASE WHEN cum >= ceil(0.95 * total) THEN bin END) * 1000 AS BIGINT) AS p95_cents
+      FROM cum GROUP BY 1
+    ),
+    ex AS (
+      SELECT event_type,
+             quantile_cont(round(cents), 0.5) AS e50,
+             quantile_cont(round(cents), 0.95) AS e95
+      FROM e GROUP BY 1
+    )
+    SELECT est.event_type, n,
+           p50_cents, (e50 >= p50_cents AND e50 <= p50_cents + 1000) AS p50_within_bin,
+           p95_cents, (e95 >= p95_cents AND e95 <= p95_cents + 1000) AS p95_within_bin
+    FROM est JOIN ex USING (event_type)
+    ORDER BY event_type
+    """,
+    tags=("relational", "sketch", "quantile", "statistical-oracle"),
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile rollup — q48's pre-aggregation pattern
+    for QUANTILES: per-(type, day) sparse integer-cents histograms sum-merge
+    into per-type totals without rescanning raw data; p50/p95 estimates are
+    the first bin edge reaching ceil(q*n) cumulative count — error <= one
+    bin width by construction, and the estimate is a deterministic integer
+    function of the bins, so the WHOLE sketch path is hash-oracled (not
+    just bound-asserted like t-digest). The within-bin verdicts against the
+    exact interpolated percentile are computed in-query, q24-style
+    (operators/profiling.histogram_quantile_rollup)."""
+    from guardian_for_apache_kafka_spark.operators.profiling import (
+        histogram_quantile_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantile_rollup(ev).orderBy("event_type")

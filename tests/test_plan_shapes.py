@@ -587,3 +587,14 @@ def test_t14_broadcast_gate_branches(spark, sf_dir):
         for row in bc.select("doc_id", F.round("cross_entropy", 6).alias("ce")).collect()
     }
     assert bc_rows == sh_rows
+
+
+def test_q58_merge_reaggregates_bins_not_raw(plans):
+    """Histogram quantile rollup: exactly TWO raw scans — the daily
+    histogram build and the exact-percentile verdict pass (which a
+    production rollup skips); the merge and the quantile walk operate on
+    the bin table (window over bin order), never raw rows."""
+    p = plans("q58_histogram_quantile_rollup")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, p
+    assert "Window" in tree, p

@@ -520,3 +520,98 @@ def test_snapshot_asof_versions_and_reinsert(spark):
     assert snap(1) == {1: 11, 2: 20}
     assert snap(2) == {1: 11}
     assert snap(3) == {1: 11, 2: 22, 3: 30}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    base=st.dictionaries(st.integers(0, 20), st.tuples(st.sampled_from("abc"), st.integers(0, 100)), min_size=1, max_size=15),
+    data=st.data(),
+)
+def test_ivm_property_matches_recompute(spark, base, data):
+    """Property: old_agg (+) cdc_agg_delta == from-scratch aggregation of the
+    post-change state, for arbitrary consistent CDC batches (updates with
+    group moves, deletes, inserts)."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.ivm import (
+        apply_agg_delta,
+        cdc_agg_delta,
+    )
+
+    keys = sorted(base)
+    touched = data.draw(st.sets(st.sampled_from(keys), max_size=len(keys)))
+    ops = []
+    state = dict(base)
+    for k in sorted(touched):
+        op = data.draw(st.sampled_from(["update", "delete"]))
+        g0, v0 = base[k]
+        if op == "delete":
+            ops.append((g0, v0, None, None))
+            del state[k]
+        else:
+            g1 = data.draw(st.sampled_from("abcd"))
+            v1 = data.draw(st.integers(0, 100))
+            ops.append((g0, v0, g1, v1))
+            state[k] = (g1, v1)
+    inserts = data.draw(
+        st.dictionaries(st.integers(100, 110), st.tuples(st.sampled_from("abcd"), st.integers(0, 100)), max_size=5)
+    )
+    for k, (g, v) in inserts.items():
+        ops.append((None, None, g, v))
+        state[k] = (g, v)
+
+    base_df = spark.createDataFrame(
+        [(k, g, v) for k, (g, v) in base.items()], "k long, g string, v long"
+    )
+    old = base_df.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"), F.sum("v").alias("s")
+    )
+    if not ops:
+        ops = [(None, None, None, None)]  # no-op batch; delta legs both empty
+    cdc = spark.createDataFrame(
+        ops, "before_g string, before_v long, after_g string, after_v long"
+    )
+    got = {
+        r.g: (r.n, r.s)
+        for r in apply_agg_delta(old, cdc_agg_delta(cdc), "g", "n", "s").collect()
+    }
+    want = {}
+    for g, v in state.values():
+        n, s = want.get(g, (0, 0))
+        want[g] = (n + 1, s + v)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    base=st.dictionaries(st.integers(0, 10), st.integers(0, 100), min_size=1, max_size=8),
+    log=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 100), st.booleans()),
+        max_size=12,
+    ),
+)
+def test_snapshot_asof_property_matches_replay(spark, base, log):
+    """Property: snapshot_asof at every version == a sequential Python
+    replay of the log (one op per version, deletes included)."""
+    from guardian_for_apache_kafka_spark.operators.merge import snapshot_asof
+
+    base_df = spark.createDataFrame(list(base.items()), "k long, v long")
+    log_rows = [
+        (k, v, i + 1, deleted) for i, (k, v, deleted) in enumerate(log)
+    ]
+    log_df = spark.createDataFrame(
+        log_rows or [(0, 0, 99, False)], "k long, v long, ver long, deleted boolean"
+    )
+    state = dict(base)
+    # check version 0 plus each applied prefix
+    for upto in range(len(log_rows) + 1):
+        if upto > 0:
+            k, v, _, deleted = log_rows[upto - 1]
+            if deleted:
+                state.pop(k, None)
+            else:
+                state[k] = v
+        got = {
+            r.k: r.v for r in snapshot_asof(base_df, log_df, "k", "ver", upto).collect()
+        }
+        assert got == state, f"asof v={upto}"
