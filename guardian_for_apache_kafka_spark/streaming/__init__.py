@@ -22,6 +22,7 @@ from guardian_for_apache_kafka_spark.streaming.pipeline import (
     stream_dedup_content,
     stream_dedup_replays,
     stream_enrich,
+    stream_ivm_apply,
     stream_restore,
     stream_session_stats,
     stream_slice_counts,
@@ -55,6 +56,7 @@ __all__ = [
     "stream_dedup_content",
     "stream_dedup_replays",
     "stream_enrich",
+    "stream_ivm_apply",
     "stream_session_stats",
     "stream_slice_counts",
     "stream_sliding_counts",

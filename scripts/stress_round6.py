@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Round-6 adversarial scaling stress (SCALE.md): replicate sf0.1 inputs 10x
+with per-replica perturbation and time the new operator families.
+
+Usage: python scripts/stress_round6.py  (env: SPARK_GRAFT_SF_DIR, default sf0.1)
+Prints one line per measurement; record the numbers in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from guardian_for_apache_kafka_spark.session import get_spark  # noqa: E402
+from guardian_for_apache_kafka_spark.sources.tables import load_table  # noqa: E402
+
+
+def timed(label, df):
+    df.collect()
+    t0 = time.perf_counter()
+    n = len(df.collect())
+    print(f"{label:44s} {time.perf_counter() - t0:7.2f} s  ({n} rows)")
+
+
+def main() -> None:
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("guardian-stress-r6")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf, "documents")
+    reps = spark.range(10).select(F.col("id").alias("__rep"))
+    # 10x docs; each replica gets a distinct token suffix so vocabulary
+    # grows 10x too (adversarial for summaries and LM models)
+    docs10 = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * 10 + F.col("__rep")).alias("doc_id"),
+            F.concat_ws(
+                " ", F.col("text"), F.concat(F.lit("rep"), F.col("__rep"))
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .repartition(64)
+        .localCheckpoint()  # freeze: stress the operator, not the generator
+    )
+    n_docs = docs10.count()
+    print(f"stress corpus: {n_docs} docs")
+
+    from guardian_for_apache_kafka_spark.operators.text import (
+        bigram_cross_entropy,
+        token_heavy_hitters,
+        vocab_growth_stats,
+    )
+
+    timed("heavy_hitters 10x (0.2% threshold)", token_heavy_hitters(docs10, 0.002))
+    timed("bigram_cross_entropy 10x", bigram_cross_entropy(docs10, broadcast_model=True))
+    timed("vocab_growth 10x", vocab_growth_stats(docs10))
+
+    # IVM at 10k groups: synthetic group = orderkey % 10000
+    from guardian_for_apache_kafka_spark.operators.ivm import (
+        apply_agg_delta,
+        cdc_agg_delta,
+    )
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 10000).cast("string").alias("g"),
+    )
+    old = o.groupBy("g").agg(F.count("*").cast("long").alias("n"), F.sum("cents").alias("s"))
+    cdc = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("g").alias("before_g"),
+        F.col("cents").alias("before_v"),
+        ((F.col("o_orderkey") + 1) % 10000).cast("string").alias("after_g"),
+        (F.col("cents") + 1).alias("after_v"),
+    )
+    timed("ivm 10k groups, 50k-row group-moving CDC",
+          apply_agg_delta(old, cdc_agg_delta(cdc), "g", "n", "s"))
+
+    # MMR with a 256-candidate pool (65k pair sims through one Arrow group)
+    from guardian_for_apache_kafka_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("mmr pool=256 k=32", mmr_topk(emb, q, k=32, pool=256))
+
+    # histogram rollup at 10x events and 100x finer bins
+    from guardian_for_apache_kafka_spark.operators.profiling import (
+        histogram_quantile_rollup,
+    )
+
+    ev = load_table(spark, sf, "events")
+    ev10 = (
+        ev.crossJoin(reps)
+        .select(
+            "event_type",
+            (F.col("value") + F.col("__rep") / 10.0).alias("value"),
+            "ts",
+        )
+        .repartition(64)
+        .localCheckpoint()
+    )
+    print(f"stress events: {ev10.count()} rows")
+    timed("hist quantile rollup 10x events, width=10c",
+          histogram_quantile_rollup(ev10, bin_width_cents=10))
+
+
+if __name__ == "__main__":
+    main()

@@ -666,3 +666,53 @@ def test_stream_enrich_equals_batch_join(spark, records, tmp_path):
     g = {(r.topic, r.category): r.c for r in got.collect()}
     b = {(r.topic, r.category): r["count"] for r in batch.collect()}
     assert g == b and any(k[1] is None for k in g)
+
+
+def test_stream_ivm_equals_recompute_and_resumes(spark, tmp_path):
+    """Streaming incremental view maintenance: after each CDC batch the
+    maintained (group, n, sum) view equals a from-scratch aggregation of
+    the evolved snapshot — across micro-batches and across a restart that
+    appends a third batch (group-moves, deletes, inserts included)."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        init_cdc_snapshot,
+        read_cdc_snapshot,
+        stream_ivm_apply,
+    )
+
+    base = {1: ("a", 10), 2: ("a", 20), 3: ("b", 5)}
+    base_df = spark.createDataFrame(
+        [(k, g, v) for k, (g, v) in base.items()], "k long, g string, v long"
+    )
+    view = str(tmp_path / "view")
+    init_cdc_snapshot(
+        base_df.groupBy("g").agg(
+            F.count("*").cast("long").alias("n"), F.sum("v").alias("s")
+        ),
+        view,
+    )
+
+    schema = "before_g string, before_v long, after_g string, after_v long"
+    b1 = [("a", 10, "c", 11), ("b", 5, None, None)]   # move 1 a->c, delete 3
+    b2 = [(None, None, "d", 7), ("a", 20, "a", 25)]   # insert, in-group update
+    src = str(tmp_path / "cdc")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_ivm_apply(stream, view, str(tmp_path / "ck"), "g")
+        q.awaitTermination(120)
+
+    run()
+    got = {r.g: (r.n, r.s) for r in read_cdc_snapshot(spark, view).collect()}
+    assert got == {"a": (1, 25), "c": (1, 11), "d": (1, 7)}
+
+    b3 = [("c", 11, None, None), (None, None, "b", 9)]  # delete c, revive b
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {r.g: (r.n, r.s) for r in read_cdc_snapshot(spark, view).collect()}
+    assert got == {"a": (1, 25), "d": (1, 7), "b": (1, 9)}
