@@ -77,6 +77,7 @@ HEADLINE = {
     "ivm_rollup": "q55_incremental_agg_maintenance",
     "mmr_diverse_topk": "s6_mmr_diverse_topk",
     "quantile_rollup": "q58_histogram_quantile_rollup",
+    "pagerank": "q59_pagerank_fixed_point",
 }
 
 N_RUNS = 3

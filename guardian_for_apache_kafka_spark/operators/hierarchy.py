@@ -98,3 +98,62 @@ def ancestor_depths(
         f"ancestor_depths did not converge in {max_iter} rounds — "
         "cycle in the parent edges, or depth exceeds 2^max_iter"
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer fixed-point PageRank over an edge list — the power-iteration
+    family next to pointer doubling (q47) and alternating-star CC: a fixed
+    number of synchronous rounds, each ONE hash exchange (edges join ranks
+    on src, aggregate contributions on dst) + localCheckpoint to cut
+    lineage.
+
+    Determinism discipline: ranks are integer MICROS. Each round,
+    share(u) = (p(u) * damping_pct) DIV (100 * outdeg(u)) is an exact
+    integer per edge source, and summing int64 contributions is
+    order-independent — so the result is bit-identical across engines and
+    an oracle can replay the same rounds in unrolled SQL (float PageRank
+    sums would drift with Spark's nondeterministic reduce order). Dangling
+    mass is dropped (documented; same rule in the oracle). Nodes =
+    src ∪ dst; base rank (1 - d) = (100 - damping_pct) * 10_000 micros.
+
+    At 100 TB: iterations are fixed (power iteration converges
+    geometrically; 3-10 rounds is the production norm for ranking
+    features); state is (node, rank) longs; the edge list shuffles once
+    per round on src then once on dst — co-bucketing edges by src
+    (operators/bucketing.py) removes the first exchange entirely."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(src_col).agg(F.count("*").alias("__deg"))
+    base = (100 - damping_pct) * 10_000
+    ranks = nodes.withColumn("rank", F.lit(1_000_000).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges[src_col] == ranks["node"])
+            .join(outdeg, src_col)
+            .select(
+                F.col(dst_col).alias("node"),
+                F.expr(f"(rank * {damping_pct}) DIV (100 * __deg)").alias("__share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__share").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base).cast("long") + F.coalesce(F.col("__in"), F.lit(0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -2159,3 +2159,72 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return histogram_quantile_rollup(ev).orderBy("event_type")
+
+
+def _duck_h32(expr: str) -> str:
+    """DuckDB twin of operators/hierarchy.md5_hash32 (8-hex md5 prefix)."""
+    return f"CAST(CAST('0x' || substring(md5({expr}), 1, 8) AS UBIGINT) AS BIGINT)"
+
+
+def _duck_pagerank_round(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.node,
+             CAST(150000 + coalesce(sum((r.rank * 85) // (100 * d.deg)), 0) AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN {prev} r ON e.src = r.node
+      LEFT JOIN deg d ON e.src = d.src
+      GROUP BY n.node
+    )"""
+
+
+@query(
+    "q59_pagerank_fixed_point",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey >= 1),
+    e AS (
+      SELECT k AS src,
+             k - 1 - ({_duck_h32("CAST(k AS VARCHAR)")} % k) AS dst FROM c
+      UNION ALL
+      SELECT k,
+             k - 1 - ({_duck_h32("CAST(k AS VARCHAR) || '#2'")} % k) FROM c
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+    {_duck_pagerank_round("r0", "r1")},
+    {_duck_pagerank_round("r1", "r2")},
+    {_duck_pagerank_round("r2", "r3")}
+    SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 25
+    """,
+    tags=("iterative", "graph", "pagerank"),
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank, 3 synchronous rounds over a
+    deterministic synthetic graph (two md5-jump out-edges per customer id —
+    the q47 forest generator doubled). Per-edge shares are exact integer
+    DIVs of micro-ranks and contribution sums are int64 — order-independent,
+    so every round is bit-identical across engines and the oracle replays
+    the rounds as unrolled SQL (float PageRank would drift with reduce
+    order). One exchange per round + localCheckpoint; top-25 by final rank
+    (operators/hierarchy.pagerank_fixed_point)."""
+    from guardian_for_apache_kafka_spark.operators.hierarchy import (
+        md5_hash32,
+        pagerank_fixed_point,
+        synthetic_parent,
+    )
+
+    k = F.col("k")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") >= 1)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    e1 = c.select(k.alias("src"), synthetic_parent(k).alias("dst"))
+    e2 = c.select(
+        k.alias("src"),
+        (k - 1 - md5_hash32(F.concat(k.cast("string"), F.lit("#2"))) % k).alias("dst"),
+    )
+    ranks = pagerank_fixed_point(e1.unionByName(e2), iterations=3)
+    return ranks.orderBy(F.desc("rank"), "node").limit(25)

@@ -615,3 +615,37 @@ def test_snapshot_asof_property_matches_replay(spark, base, log):
             r.k: r.v for r in snapshot_asof(base_df, log_df, "k", "ver", upto).collect()
         }
         assert got == state, f"asof v={upto}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=20
+    ),
+    iters=st.integers(1, 3),
+)
+def test_pagerank_property_matches_python_replay(spark, edges, iters):
+    """Property: distributed integer fixed-point PageRank == a sequential
+    Python replay on arbitrary small multigraphs (self-loops, parallel
+    edges, dangling nodes)."""
+    from guardian_for_apache_kafka_spark.operators.hierarchy import (
+        pagerank_fixed_point,
+    )
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    got = {
+        r.node: r.rank for r in pagerank_fixed_point(df, iterations=iters).collect()
+    }
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        incoming = {n: 0 for n in nodes}
+        for a, b in edges:
+            incoming[b] += (rank[a] * 85) // (100 * deg[a])
+        rank = {n: 150_000 + incoming[n] for n in nodes}
+    assert got == rank
