@@ -78,6 +78,7 @@ HEADLINE = {
     "mmr_diverse_topk": "s6_mmr_diverse_topk",
     "quantile_rollup": "q58_histogram_quantile_rollup",
     "pagerank": "q59_pagerank_fixed_point",
+    "rolling_distinct": "q60_rolling_distinct_sketch",
 }
 
 N_RUNS = 3

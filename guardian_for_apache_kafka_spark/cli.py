@@ -356,6 +356,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--source", default=None, help="archive directory")
     c.add_argument("--format", choices=["guardian", "json"], default=None)
     c.add_argument("--target", required=False, default=None, help="compacted parquet dir")
+    c.add_argument("--as-of", type=_parse_from_when, default=None, metavar="ISO_TIME",
+                   help="point-in-time compaction: only records with timestamp <= AS_OF "
+                        "participate, yielding the latest-per-key snapshot AS OF that "
+                        "time (the batch twin of operators/merge.snapshot_asof)")
 
     pr = sub.add_parser("prepare", help="training-data pipeline: quality filter -> "
                         "near-dedup -> content-stable splits")
@@ -581,6 +585,10 @@ def main(argv: list[str] | None = None) -> int:
         from guardian_for_apache_kafka_spark.operators.restore import restore_batch
 
         records = restore_batch(spark, args.source, fmt=args.format)
+        if args.as_of is not None:
+            from pyspark.sql import functions as F
+
+            records = records.where(F.col("timestamp") <= F.lit(args.as_of))
         compacted = compact_latest_by_key(records)
         if not args.target:
             raise SystemExit("--target is required for compact")

@@ -2228,3 +2228,34 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_fixed_point(e1.unionByName(e2), iterations=3)
     return ranks.orderBy(F.desc("rank"), "node").limit(25)
+
+
+@query(
+    "q60_rolling_distinct_sketch",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT event_type, day FROM d)
+    SELECT dy.event_type, dy.day,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_exact,
+           true AS within_5pct
+    FROM days dy JOIN d ON d.event_type = dy.event_type
+                       AND d.day BETWEEN dy.day - 6 AND dy.day
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("relational", "sketch", "window", "statistical-oracle"),
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per event type from per-day HLL
+    sketches unioned over a calendar RANGE frame — q48's mergeable-sketch
+    pattern made SLIDING (each day's trailing window is a sketch merge,
+    never an N-day rescan; a missing day shrinks the window instead of
+    extending it to older rows). Bounded-assertion oracle, q24/q48
+    pattern: the query computes the estimate AND the exact windowed
+    distinct side by side and emits the 5% verdict; exact counts anchor
+    the rows (operators/timeseries.rolling_distinct_sketch)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        rolling_distinct_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_distinct_sketch(ev).orderBy("event_type", "day")

@@ -270,3 +270,52 @@ def test_cli_e2e_file_uri_config_env_roundtrip(spark, sf_dir, tmp_path, capsys, 
         for r in want.collect()
     }
     assert got == src_set  # byte-identical round-trip through the file:// URI
+
+
+def test_cli_compact_as_of_point_in_time(spark, sf_dir, tmp_path, monkeypatch):
+    """compact --as-of yields the latest-per-key snapshot AS OF the given
+    time: later updates to the same key are invisible, keys whose first
+    record is after the cutoff are absent."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.cli import main
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    monkeypatch.delenv("GUARDIAN_CONFIG", raising=False)
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    records = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src = str(tmp_path / "records")
+    records.write.parquet(src)
+    dest = str(tmp_path / "arch")
+    assert main(["backup", "--source", src, "--dest", dest,
+                 "--chrono-unit-slice", "hours"]) == 0
+
+    cutoff = records.selectExpr("percentile(unix_micros(timestamp), 0.5D) p").collect()[0].p
+    import datetime as dtm
+    asof = dtm.datetime.fromtimestamp(int(cutoff) / 1e6, dtm.timezone.utc)
+    target = str(tmp_path / "compacted")
+    assert main(["compact", "--source", dest, "--target", target,
+                 "--as-of", asof.strftime("%Y-%m-%dT%H:%M:%SZ")]) == 0
+
+    got = spark.read.parquet(target)
+    bounded = records.where(
+        F.col("timestamp") <= F.lit(asof.replace(tzinfo=None))
+    )
+    # latest = greater (timestamp, offset), matching compact_latest_by_key
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("topic", "partition", "key").orderBy(
+        F.col("timestamp").desc(), F.col("offset").desc()
+    )
+    want = {
+        (r.topic, bytes(r.key)): (r.offset, r.timestamp)
+        for r in bounded.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .collect()
+    }
+    got_keys = {(r.topic, bytes(r.key)): (r.offset, r.timestamp) for r in got.collect()}
+    assert got_keys == want
+    assert 0 < got.count() < bounded.count()
