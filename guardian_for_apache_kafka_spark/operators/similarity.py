@@ -491,3 +491,45 @@ def mmr_topk(
         .groupBy("__g")
         .applyInPandas(select_fn, "rank long, vec_id long, rel long")
     )
+
+
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    probe_k: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage ANN: the int8-quantized corpus (4x smaller resident
+    payload) proposes ``probe_k`` candidates per query; full-precision
+    cosine re-ranks ONLY the candidate set down to ``k`` — the standard
+    memory/recall trade at 100 TB, where the full-precision vectors stay
+    on disk and are fetched for probe_k rows per query, not scanned.
+    Returns (query_id, vec_id, cosine, rnk) with exact full-precision
+    scores; recall vs the exact top-k is governed by probe_k/k headroom
+    (asserted in-query by the s7 registry entry)."""
+    probe = quantized_cosine_topk(
+        corpus, queries, k=probe_k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "vec_id")
+    full = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    rer = (
+        probe.join(full, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

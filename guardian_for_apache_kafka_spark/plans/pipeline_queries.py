@@ -2311,3 +2311,44 @@ def s6(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return mmr_topk(e, q, k=8, pool=24).orderBy("rank")
+
+
+@query(
+    "s7_quantized_rerank",
+    oracle="""
+    SELECT vec_id AS query_id, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+    """,
+    tags=("similarity", "ann", "quantization", "statistical-oracle"),
+)
+def s7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized ANN with in-query recall attestation (the s2
+    pattern): the int8 probe proposes 4x the final k, full-precision cosine
+    re-ranks, and the query compares the reranked top-3 against the exact
+    brute-force top-3 per query — emitting the recall verdict the oracle
+    asserts. This is the resident-memory story for 100 TB ANN: probe the
+    4x-smaller quantized corpus, touch full precision for probe_k rows per
+    query (operators/similarity.quantized_rerank_topk)."""
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        cosine_topk,
+        quantized_rerank_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rer = quantized_rerank_topk(e, q, k=3, probe_k=12).select(
+        "query_id", F.col("vec_id").alias("__rv")
+    )
+    exact = cosine_topk(e, q, k=3).select("query_id", F.col("vec_id").alias("__ev"))
+    hits = (
+        exact.join(rer, ["query_id"])
+        .where(F.col("__ev") == F.col("__rv"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    return (
+        hits.select("query_id", (F.col("__hits") == 3).alias("recall_ok"))
+        .orderBy("query_id")
+    )

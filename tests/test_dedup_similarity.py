@@ -911,3 +911,23 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert mmr == [1, 3]  # diversity displaces the near-dup
     # rank-1 is always the raw argmax (empty selected set => pure relevance)
     assert mmr[0] == plain[0]
+
+
+def test_quantized_rerank_scores_are_full_precision(spark, emb):
+    """Two-stage rerank: final scores must be FULL-precision cosines (equal
+    to the exact path's scores for shared ids), and with generous probe
+    headroom the reranked top-k equals the exact top-k."""
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        quantized_rerank_topk,
+    )
+
+    rer = {(r.query_id, r.vec_id): r.cosine
+           for r in quantized_rerank_topk(emb, q, k=3, probe_k=24).collect()}
+    exact = {(r.query_id, r.vec_id): r.cosine
+             for r in cosine_topk(emb, q, k=3).collect()}
+    assert set(rer) == set(exact)          # recall 1 at this headroom
+    for key in rer:
+        assert rer[key] == exact[key]      # bit-identical full-precision scores
