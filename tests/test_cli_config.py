@@ -319,3 +319,35 @@ def test_cli_compact_as_of_point_in_time(spark, sf_dir, tmp_path, monkeypatch):
     got_keys = {(r.topic, bytes(r.key)): (r.offset, r.timestamp) for r in got.collect()}
     assert got_keys == want
     assert 0 < got.count() < bounded.count()
+
+
+def test_cli_forget_verb(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """The forget CLI verb erases the given raw keys and reports the
+    rewritten slices."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.cli import main
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    monkeypatch.delenv("GUARDIAN_CONFIG", raising=False)
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    records = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src = str(tmp_path / "records")
+    records.write.parquet(src)
+    dest = str(tmp_path / "arch")
+    assert main(["backup", "--source", src, "--dest", dest, "--format", "json",
+                 "--chrono-unit-slice", "days"]) == 0
+    raw_key = bytes(records.select("key").first().key).decode()
+    capsys.readouterr()
+    assert main(["forget", "--dest", dest, "--key", raw_key]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["forgotten_keys"] == 1 and out["rewritten_slices"]
+    assert main(["restore", "--source", dest, "--format", "json",
+                 "--target", str(tmp_path / "restored")]) == 0
+    restored = spark.read.parquet(str(tmp_path / "restored"))
+    assert restored.where(F.col("key") == raw_key.encode()).count() == 0
