@@ -40,13 +40,31 @@ def _sanitize(s: str) -> str:
     return re.sub(r"\W+", "_", s).strip("_")
 
 
-def bucketed_location(sf_dir: str, table: str) -> str:
+def source_fingerprint(paths: list[str]) -> str:
+    """Cheap content fingerprint for cached-layout keys: (path, mtime_ns,
+    size) per source file. Keying a cached/bucketed copy on this — not just
+    the directory name — means a REGENERATED source gets a fresh layout
+    instead of silently serving stale data (the q49 staleness rule)."""
+    import hashlib
+
+    parts = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            parts.append(f"{p}|{st.st_mtime_ns}|{st.st_size}")
+        except OSError:
+            parts.append(p)
+    return hashlib.md5("||".join(parts).encode()).hexdigest()[:10]
+
+
+def bucketed_location(sf_dir: str, table: str, fingerprint: str | None = None) -> str:
     """Deterministic external-table location for a bucketed copy of a test
     table, outside the repo tree (bucketed writes must go through the
-    catalog, but an explicit path keeps the warehouse dir out of play)."""
-    return os.path.join(
-        tempfile.gettempdir(), "guardian_spark_bucketed", _sanitize(sf_dir), table
-    )
+    catalog, but an explicit path keeps the warehouse dir out of play).
+    ``fingerprint`` (see :func:`source_fingerprint`) keys the location on
+    the source DATA so refreshed sources never reuse a stale layout."""
+    tag = _sanitize(sf_dir) + (f"_{fingerprint}" if fingerprint else "")
+    return os.path.join(tempfile.gettempdir(), "guardian_spark_bucketed", tag, table)
 
 
 def write_bucketed(
@@ -146,18 +164,24 @@ def bucketed_pair(
     sf_dir: str,
     names: tuple[str, str],
     buckets: int = 8,
+    fingerprint: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize a co-bucketed pair for ``sf_dir`` (idempotent: existing
     matching layouts are reused, within AND across sessions; external
     locations under the system temp dir, names suffixed with the sf tag so
-    concurrent scales never collide)."""
-    tag = _sanitize(sf_dir)
+    concurrent scales never collide). Pass ``fingerprint``
+    (:func:`source_fingerprint` of the source files) so a REGENERATED
+    source gets a fresh table name + location instead of silently reusing
+    the stale layout."""
+    tag = _sanitize(sf_dir) + (f"_{fingerprint}" if fingerprint else "")
     lname, rname = (f"{names[0]}_{tag}", f"{names[1]}_{tag}")
     lb = reuse_or_write_bucketed(
-        spark, left, lname, lkey, buckets, bucketed_location(sf_dir, names[0])
+        spark, left, lname, lkey, buckets,
+        bucketed_location(sf_dir, names[0], fingerprint),
     )
     rb = reuse_or_write_bucketed(
-        spark, right, rname, rkey, buckets, bucketed_location(sf_dir, names[1])
+        spark, right, rname, rkey, buckets,
+        bucketed_location(sf_dir, names[1], fingerprint),
     )
     return lb, rb
 

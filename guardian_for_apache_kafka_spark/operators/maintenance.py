@@ -373,6 +373,32 @@ def forget_keys(
                     "resolve manually before forgetting"
                 )
 
+    # layout validation BEFORE the scan: erasure over an unsupported layout
+    # must fail loudly, never report success having parsed nothing (a GDPR
+    # request answered with a silent no-op is the worst failure mode here).
+    slice_dirs = [
+        s.getPath()
+        for s in fs.listStatus(root)
+        if str(s.getPath().getName()).startswith("slice=") and s.isDirectory()
+    ]
+    if not slice_dirs:
+        raise ValueError(
+            f"{dest} has no slice= directories — forget_keys supports the "
+            "JSON-lines archive layout only (guardian-format single-file "
+            "archives: restore, filter, re-write via write_guardian_format; "
+            "parquet archives: rewrite via a filtered read)"
+        )
+    data_files = [
+        str(f.getPath().getName())
+        for f in fs.listStatus(slice_dirs[0])
+        if not str(f.getPath().getName()).startswith(("_", "."))
+    ]
+    if any(f.endswith(".parquet") for f in data_files):
+        raise ValueError(
+            f"{dest} is a parquet archive — forget_keys parses JSON-lines; "
+            "erase parquet archives with a filtered rewrite instead"
+        )
+
     raw = spark.read.format("text").option("basePath", dest).load(f"{dest}/slice=*")
     key_of = F.get_json_object("value", "$.key")
     affected = sorted(

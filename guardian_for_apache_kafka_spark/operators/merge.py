@@ -107,6 +107,7 @@ def snapshot_asof(
     version_col: str,
     version,
     delete_col: str = "deleted",
+    validate: bool = False,
 ) -> DataFrame:
     """Time travel over a CDC log without a table format: reconstruct the
     snapshot as of ``version`` (inclusive) from the base table plus the
@@ -120,8 +121,32 @@ def snapshot_asof(
     partition-pruning filter (q49). Complements ``merge_into`` (which
     materializes the latest snapshot) and streaming's versioned
     ``stream_cdc_apply`` snapshots (which persist coarse per-batch
-    versions; this reconstructs ANY point between them)."""
+    versions; this reconstructs ANY point between them).
+
+    Determinism contract: log versions must be >= 1 (version 0 is the base
+    row's slot) and UNIQUE per key — two ops for one key at the same
+    version have no defined winner, and the window's shuffle order would
+    pick one arbitrarily. ``validate=True`` pays one aggregation over the
+    (pruned) log to enforce both and fail loudly instead (the merge_into
+    validate_unique discipline)."""
     from pyspark.sql.window import Window
+
+    if validate:
+        pruned = updates.where(F.col(version_col) <= version)
+        bad = (
+            pruned.groupBy(key, version_col)
+            .count()
+            .where((F.col("count") > 1) | (F.col(version_col) <= 0))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            r = bad[0]
+            raise ValueError(
+                f"CDC log violates the version contract at key={r[key]!r} "
+                f"version={r[version_col]!r} (count={r['count']}): versions "
+                "must be >= 1 and unique per key"
+            )
 
     value_cols = [c for c in base.columns if c != key]
     b = base.select(

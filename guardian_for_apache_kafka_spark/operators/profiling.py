@@ -74,14 +74,19 @@ def histogram_quantile_rollup(
     integer-cents value (the artifact a 100 TB pipeline materializes per
     ingest day) SUM-merge into per-group totals without touching raw data
     again; each quantile estimate is the lower edge of the first bin whose
-    cumulative count reaches ceil(q * n). Estimation error is bounded by
-    one bin width BY CONSTRUCTION, and the estimate is a deterministic
-    integer function of the merged bins — exactly reproducible by an
-    oracle, unlike t-digest/KLL internals.
+    cumulative count reaches ceil(q * n). The estimate's bin contains the
+    ceil(q*n)-th ORDER STATISTIC by construction, and it is a
+    deterministic integer function of the merged bins — exactly
+    reproducible by an oracle, unlike t-digest/KLL internals.
 
     For attestation the result also carries a ``pXX_within_bin`` verdict
-    against the exact interpolated percentile (one extra raw-data pass the
-    production rollup would skip). Scale shape: the daily histogram is one
+    against the exact INTERPOLATED percentile (one extra raw-data pass the
+    production rollup would skip). Note the verdict is a data property,
+    not a construction guarantee: interpolation sits between two adjacent
+    order statistics, and on a sparse tail those can span more than one
+    bin (e.g. n=2 values 0 and 100 put the interpolated median 5 bins
+    above the order statistic's bin) — on such data the verdict
+    legitimately reads false and the bin width should be widened. Scale shape: the daily histogram is one
     two-phase aggregate; the merge re-aggregates the BIN TABLE (groups x
     populated bins, tiny); the quantile walk is a window over the bin
     table ordered by bin."""

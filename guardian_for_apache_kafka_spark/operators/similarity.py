@@ -431,37 +431,49 @@ def mmr_topk(
 
     Scale shape: stage 1 is the distributed exact top-``pool`` scan
     (cosine_topk: corpus never shuffles, queries broadcast); stages 2-3
-    operate on the POOL ONLY — pool^2 pairwise sims via broadcast self-join
-    and one Arrow applyInPandas group for the greedy walk (executor-side;
-    Python touches pool-sized state, never corpus rows). Returns
-    (rank, vec_id, rel_micro)."""
+    operate on the POOLS ONLY — per-query pool^2 pairwise sims via
+    broadcast joins and one Arrow applyInPandas group PER QUERY for the
+    greedy walk (executor-side; Python touches pool-sized state, never
+    corpus rows; query ids must be integral). Returns
+    (query_id, rank, vec_id, rel_micro) — selections are fully independent
+    per query."""
     cands = cosine_topk(corpus, query, k=pool, id_col=id_col, vec_col=vec_col,
                         query_id_col=query_id_col)
     rel = cands.select(
+        F.col("query_id"),
         F.col("vec_id"),
         F.round(F.col("cosine") * 1_000_000).cast("long").alias("rel"),
     )
-    ids = rel.select(F.col("vec_id").alias("__id"))
+    ids = rel.select(F.col("vec_id").alias("__id")).distinct()
     cv = corpus.join(
         F.broadcast(ids), corpus[id_col] == ids["__id"], "inner"
     ).select(F.col("__id"), F.col(vec_col).alias("__v"))
-    a = cv.select(F.col("__id").alias("ia"), F.col("__v").alias("__va"))
-    b = cv.select(F.col("__id").alias("ib"), F.col("__v").alias("__vb"))
+    ra = rel.select("query_id", F.col("vec_id").alias("ia"))
+    rb = rel.select("query_id", F.col("vec_id").alias("ib"))
     pairs = (
-        a.crossJoin(F.broadcast(b))
+        ra.join(F.broadcast(rb), "query_id")  # per-query pool^2 candidate pairs
         .where(F.col("ia") != F.col("ib"))
+        .join(
+            F.broadcast(cv.select(F.col("__id").alias("ia"), F.col("__v").alias("__va"))),
+            "ia",
+        )
+        .join(
+            F.broadcast(cv.select(F.col("__id").alias("ib"), F.col("__v").alias("__vb"))),
+            "ib",
+        )
         .select(
-            "ia", "ib",
+            "query_id", "ia", "ib",
             F.round(cosine_similarity(F.col("__va"), F.col("__vb")) * 1_000_000)
             .cast("long")
             .alias("sim"),
         )
     )
     combined = rel.withColumnRenamed("vec_id", "ia").join(
-        F.broadcast(pairs), "ia", "left"  # pool^2 rows — never a shuffle join
+        F.broadcast(pairs), ["query_id", "ia"], "left"  # pool^2/query — never a shuffle join
     )
 
     def select_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
         rels = {int(r.ia): int(r.rel) for r in pdf.drop_duplicates("ia").itertuples()}
         sims = {
             (int(r.ia), int(r.ib)): int(r.sim)
@@ -480,16 +492,15 @@ def mmr_topk(
             avail.discard(best[1])
         return pd.DataFrame(
             {
+                "query_id": [qid] * len(selected),
                 "rank": range(1, len(selected) + 1),
                 "vec_id": selected,
                 "rel": [rels[s] for s in selected],
             }
         )
 
-    return (
-        combined.withColumn("__g", F.lit(1))
-        .groupBy("__g")
-        .applyInPandas(select_fn, "rank long, vec_id long, rel long")
+    return combined.groupBy("query_id").applyInPandas(
+        select_fn, "query_id long, rank long, vec_id long, rel long"
     )
 
 

@@ -2310,7 +2310,7 @@ def s6(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return mmr_topk(e, q, k=8, pool=24).orderBy("rank")
+    return mmr_topk(e, q, k=8, pool=24).select("rank", "vec_id", "rel").orderBy("rank")
 
 
 @query(

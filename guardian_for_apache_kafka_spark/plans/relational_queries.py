@@ -1695,13 +1695,21 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guardian_for_apache_kafka_spark.operators.bucketing import (
         bucketed_pair,
         colocated_join,
+        source_fingerprint,
     )
+
+    import os
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # layout reuse keyed on source mtime/size too (the q49 staleness rule):
+    # a regenerated testdata dir gets a fresh layout, never stale buckets
+    fp = source_fingerprint(
+        [os.path.join(sf_dir, "orders.parquet"), os.path.join(sf_dir, "lineitem.parquet")]
+    )
     ob, lb = bucketed_pair(
         spark, o, li, "o_orderkey", "l_orderkey", sf_dir,
-        ("g_bkt_orders", "g_bkt_lineitem"),
+        ("g_bkt_orders", "g_bkt_lineitem"), fingerprint=fp,
     )
     j = colocated_join(ob, lb, "o_orderkey", "l_orderkey")
     return (

@@ -433,6 +433,7 @@ def stream_cdc_apply(
     delete_col: str = "deleted",
     order_cols: tuple[str, ...] = ("timestamp",),
     available_now: bool = True,
+    allow_partial_inserts: bool = False,
 ) -> StreamingQuery:
     """Streaming twin of q52: apply a CDC update stream to a snapshot via
     ``foreachBatch`` + ``operators.merge.merge_into`` (the same Delta-style
@@ -467,7 +468,13 @@ def stream_cdc_apply(
         if latest.isEmpty():
             return
         base = read_cdc_snapshot(spark, snapshot_dir, below=batch_id + 1)
-        merged = merge_into(base, latest, key, update_cols, delete_col)
+        # allow_partial_inserts passes through: a snapshot with base columns
+        # the CDC stream never carries must opt in explicitly rather than
+        # kill the stream inside foreachBatch (merge_into's validation)
+        merged = merge_into(
+            base, latest, key, update_cols, delete_col,
+            allow_partial_inserts=allow_partial_inserts,
+        )
         merged.write.mode("overwrite").parquet(
             os.path.join(snapshot_dir, f"v={batch_id + 1}")
         )

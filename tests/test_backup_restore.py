@@ -749,18 +749,20 @@ def test_forget_keys_erases_only_target_keys_byte_exact(spark, records, tmp_path
             for f in glob.glob(f"{d}/part-*")
             for ln in open(f, encoding="utf-8").read().splitlines()
         }
+    import urllib.parse as _url
+
     affected_expect = sorted(
-        os.path.basename(d)
-        for d, lines in lines_before.items()
-        for _ in [0]
-        if any(f'"key":"{b}"' in ln or f'"key": "{b}"' in ln for b in b64 for ln in lines)
+        _url.unquote(base[len("slice="):])
+        for base, lines in lines_before.items()
+        if any(f'"key":"{b}"' in ln for b in b64 for ln in lines)
     )
 
     affected = forget_keys(spark, dest, target)
     assert affected, "expected at least one rewritten slice"
-    assert sorted("slice=" + a.replace(":", "%3A") for a in affected) == sorted(
-        affected_expect
-    ) or len(affected) == len(affected_expect)
+    # exact logical-slice set: the physical dir names URL-decode to the
+    # values forget_keys reports (a naming mismatch must FAIL, not shortcut
+    # to a length comparison)
+    assert sorted(affected) == affected_expect
 
     back = read_backup_jsonl(spark, dest)
     keys_left = {bytes(r.key) for r in back.select("key").where(F.col("key").isNotNull()).collect()}
@@ -793,8 +795,9 @@ def test_forget_keys_erases_only_target_keys_byte_exact(spark, records, tmp_path
 
 
 def test_forget_keys_gzip_and_empty_slice(spark, records, tmp_path):
-    """Erasure on a gzip archive rewrites gzip; forgetting EVERY key in a
-    slice leaves an empty slice directory (data gone, layout intact)."""
+    """Erasure on a gzip archive rewrites gzip; a slice whose every record
+    matched a forgotten key is DELETED outright (an empty slice= dir would
+    break partition discovery), and untouched slices' keys all survive."""
     import glob
 
     from guardian_for_apache_kafka_spark.operators.backup import backup_batch
@@ -806,12 +809,11 @@ def test_forget_keys_gzip_and_empty_slice(spark, records, tmp_path):
     slices = sorted(glob.glob(f"{dest}/slice=*"))
     assert len(slices) > 2
     victim = slices[0]
-    victim_keys = {
+    all_keys = {
         bytes(r.key)
         for r in read_backup_jsonl(spark, dest)
         .where(F.col("key").isNotNull())
         .collect()
-        if True
     }
     # forget every key that appears in the first slice
     import base64 as _b
@@ -834,9 +836,27 @@ def test_forget_keys_gzip_and_empty_slice(spark, records, tmp_path):
         files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
         assert all(f.endswith(".gz") for f in files)
     # a slice whose every record matched is DELETED (an empty slice= dir
-    # would break partition discovery); survivors remain readable
+    # would break partition discovery); every key OUTSIDE the forgotten set
+    # survives exactly
     back = read_backup_jsonl(spark, dest)
     left = {bytes(r.key) for r in back.where(F.col("key").isNotNull()).collect()}
-    assert not (first_slice_keys & left)
-    assert left <= victim_keys
+    assert left == all_keys - first_slice_keys
     assert not os.path.isdir(victim)
+
+
+def test_forget_keys_rejects_unsupported_layouts(spark, records, tmp_path):
+    """A GDPR erasure against a layout forget_keys cannot parse must FAIL
+    LOUDLY, never report success having matched nothing: parquet archives
+    and guardian-format (no slice= dirs) archives both raise."""
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+    from guardian_for_apache_kafka_spark.operators.maintenance import forget_keys
+
+    pq = str(tmp_path / "parquet_archive")
+    backup_batch(records, pq, ChronoUnitSlice("DAYS"), fmt="parquet")
+    with pytest.raises(ValueError, match="parquet archive"):
+        forget_keys(spark, pq, [b"x"])
+
+    empty = str(tmp_path / "not_an_archive")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no slice= directories"):
+        forget_keys(spark, empty, [b"x"])

@@ -913,6 +913,30 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert mmr[0] == plain[0]
 
 
+def test_mmr_multi_query_selections_independent(spark, emb):
+    """A multi-row query set must produce per-query selections identical to
+    running each query alone — pools and greedy walks never bleed across
+    queries."""
+    from guardian_for_apache_kafka_spark.operators.similarity import mmr_topk
+
+    both = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    multi = {
+        (r.query_id, r.rank): (r.vec_id, r.rel)
+        for r in mmr_topk(emb, both, k=4, pool=8).collect()
+    }
+    for qid in (0, 1):
+        solo_q = emb.where(F.col("vec_id") == qid).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        solo = {
+            (r.query_id, r.rank): (r.vec_id, r.rel)
+            for r in mmr_topk(emb, solo_q, k=4, pool=8).collect()
+        }
+        assert solo == {k: v for k, v in multi.items() if k[0] == qid}
+
+
 def test_quantized_rerank_scores_are_full_precision(spark, emb):
     """Two-stage rerank: final scores must be FULL-precision cosines (equal
     to the exact path's scores for shared ids), and with generous probe

@@ -649,3 +649,29 @@ def test_pagerank_property_matches_python_replay(spark, edges, iters):
             incoming[b] += (rank[a] * 85) // (100 * deg[a])
         rank = {n: 150_000 + incoming[n] for n in nodes}
     assert got == rank
+
+
+def test_snapshot_asof_validate_rejects_version_collisions(spark):
+    """validate=True: duplicate (key, version) pairs and version <= 0 (the
+    base row's slot) fail loudly instead of returning an arbitrary winner."""
+    import pytest
+
+    from guardian_for_apache_kafka_spark.operators.merge import snapshot_asof
+
+    base = spark.createDataFrame([(1, 10)], "k long, v long")
+    dup = spark.createDataFrame(
+        [(1, 5, 2, False), (1, 7, 2, False)],
+        "k long, v long, ver long, deleted boolean",
+    )
+    with pytest.raises(ValueError, match="version contract"):
+        snapshot_asof(base, dup, "k", "ver", 5, validate=True)
+    zero = spark.createDataFrame(
+        [(1, 5, 0, False)], "k long, v long, ver long, deleted boolean"
+    )
+    with pytest.raises(ValueError, match="version contract"):
+        snapshot_asof(base, zero, "k", "ver", 5, validate=True)
+    # clean log passes under validation
+    ok = spark.createDataFrame(
+        [(1, 5, 1, False)], "k long, v long, ver long, deleted boolean"
+    )
+    assert {r.v for r in snapshot_asof(base, ok, "k", "ver", 1, validate=True).collect()} == {5}
