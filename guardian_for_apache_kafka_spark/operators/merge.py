@@ -168,3 +168,50 @@ def snapshot_asof(
         .where((F.col("__rn") == 1) & ~F.col("__del"))
         .select(key, *value_cols)
     )
+
+
+def scd2_from_log(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version_col: str,
+    delete_col: str = "deleted",
+) -> DataFrame:
+    """Build the full SCD Type-2 history table from a CDC log — the third
+    leg of the CDC family next to ``merge_into`` (latest snapshot) and
+    ``snapshot_asof`` (one point in time): every non-deleted state of every
+    key becomes a row with its validity interval [valid_from, valid_to) in
+    version space; the current state has valid_to NULL; a delete closes the
+    previous interval without opening one.
+
+    ONE latest-per-key-ordering window (lead over the version within each
+    key — the same single key exchange as g6/q57); base rows enter at
+    version 0. Same version contract as snapshot_asof: log versions >= 1,
+    unique per key."""
+    from pyspark.sql.window import Window
+
+    value_cols = [c for c in base.columns if c != key]
+    b = base.select(
+        F.col(key),
+        *[F.col(c) for c in value_cols],
+        F.lit(0).cast("long").alias("__v"),
+        F.lit(False).alias("__del"),
+    )
+    u = updates.select(
+        F.col(key),
+        *[F.col(c) for c in value_cols],
+        F.col(version_col).cast("long").alias("__v"),
+        F.coalesce(F.col(delete_col), F.lit(False)).alias("__del"),
+    )
+    w = Window.partitionBy(key).orderBy("__v")
+    return (
+        b.unionByName(u)
+        .withColumn("__next", F.lead("__v").over(w))
+        .where(~F.col("__del"))
+        .select(
+            key,
+            *value_cols,
+            F.col("__v").alias("valid_from"),
+            F.col("__next").alias("valid_to"),
+        )
+    )

@@ -2267,3 +2267,71 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_distinct_sketch(ev).orderBy("event_type", "day")
+
+
+@query(
+    "q61_scd2_history",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderpriority AS pr FROM orders),
+    log AS (
+      SELECT k, cents, pr, 0 AS v, false AS del FROM o WHERE k % 3 <> 0
+      UNION ALL
+      SELECT k, cents + 100000, pr, 1, false FROM o
+      WHERE k % 3 <> 0 AND k % 7 = 0 AND k % 11 <> 3
+      UNION ALL
+      SELECT k, cents, pr, 2, true FROM o WHERE k % 3 <> 0 AND k % 11 = 3
+      UNION ALL
+      SELECT k, cents, pr, 3, false FROM o WHERE k % 3 = 0
+    ),
+    hist AS (
+      SELECT k, cents, pr, del, v AS valid_from,
+             lead(v) OVER (PARTITION BY k ORDER BY v) AS valid_to
+      FROM log
+    )
+    SELECT k AS o_orderkey, round(cents / 100.0, 2) AS price,
+           pr AS o_orderpriority,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(valid_to AS BIGINT) AS valid_to
+    FROM hist WHERE NOT del
+    ORDER BY o_orderkey, valid_from
+    """,
+    tags=("relational", "cdc", "scd2"),
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history from the q52/q57 CDC log: every non-deleted state
+    of every order becomes a validity-interval row ([valid_from, valid_to)
+    in version space, current = NULL valid_to; deletes close intervals
+    without opening one). One lead() window over one key exchange — the
+    CDC family's third leg (q52 latest merge, q57 point-in-time, q61 full
+    history), integer-cents deterministic
+    (operators/merge.scd2_from_log)."""
+    from guardian_for_apache_kafka_spark.operators.merge import scd2_from_log
+
+    k = F.col("o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    base = o.where(k % 3 != 0)
+    upd = base.where((k % 7 == 0) & (k % 11 != 3)).select(
+        k, (F.col("cents") + 100000).alias("cents"), "pr",
+        F.lit(1).alias("v"), F.lit(False).alias("deleted"),
+    )
+    dels = base.where(k % 11 == 3).select(
+        k, "cents", "pr", F.lit(2).alias("v"), F.lit(True).alias("deleted")
+    )
+    ins = o.where(k % 3 == 0).select(
+        k, "cents", "pr", F.lit(3).alias("v"), F.lit(False).alias("deleted")
+    )
+    log = upd.unionByName(dels).unionByName(ins)
+    hist = scd2_from_log(base, log, "o_orderkey", "v")
+    return hist.select(
+        "o_orderkey",
+        F.round(F.col("cents") / 100.0, 2).alias("price"),
+        F.col("pr").alias("o_orderpriority"),
+        "valid_from",
+        "valid_to",
+    ).orderBy("o_orderkey", "valid_from")

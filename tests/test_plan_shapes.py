@@ -598,3 +598,10 @@ def test_q58_merge_reaggregates_bins_not_raw(plans):
     tree = p.split("\n\n")[0]
     assert tree.count("Scan parquet") == 2, p
     assert "Window" in tree, p
+
+
+def test_q61_single_key_exchange(plans):
+    """SCD-2 history: ONE lead() window over ONE key exchange (plus the
+    presentation sort) — the whole history table costs a single shuffle."""
+    p = plans("q61_scd2_history")
+    assert p.count("Arguments: hashpartitioning") == 1, p

@@ -675,3 +675,34 @@ def test_snapshot_asof_validate_rejects_version_collisions(spark):
         [(1, 5, 1, False)], "k long, v long, ver long, deleted boolean"
     )
     assert {r.v for r in snapshot_asof(base, ok, "k", "ver", 1, validate=True).collect()} == {5}
+
+
+def test_scd2_corner_semantics(spark):
+    """SCD-2 history corners: update chains produce adjacent intervals,
+    delete closes without opening, re-insert after delete opens a new
+    interval, current rows carry NULL valid_to, never-touched keys have one
+    open interval from version 0."""
+    from guardian_for_apache_kafka_spark.operators.merge import scd2_from_log
+
+    base = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    log = spark.createDataFrame(
+        [
+            (1, 11, 1, False),  # update
+            (1, 12, 4, False),  # later update
+            (2, 0, 2, True),    # delete
+            (2, 22, 5, False),  # re-insert
+        ],
+        "k long, v long, ver long, deleted boolean",
+    )
+    rows = {
+        (r.k, r.valid_from): (r.v, r.valid_to)
+        for r in scd2_from_log(base, log, "k", "ver").collect()
+    }
+    assert rows == {
+        (1, 0): (10, 1),
+        (1, 1): (11, 4),
+        (1, 4): (12, None),
+        (2, 0): (20, 2),   # closed by the delete at v2
+        (2, 5): (22, None),
+        (3, 0): (30, None),
+    }
