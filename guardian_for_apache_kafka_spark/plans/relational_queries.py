@@ -2335,3 +2335,42 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "valid_to",
     ).orderBy("o_orderkey", "valid_from")
+
+
+@query(
+    "q62_runtime_filtered_join",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+    tags=("relational", "join", "runtime-filter"),
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim-side filter on a fact-to-fact join — the shape where
+    Spark's RUNTIME BLOOM FILTER earns its keep at 100 TB: the filtered
+    orders side builds a bloom_filter_agg subquery at execution time and
+    the planner injects ``might_contain(...)`` into the lineitem SCAN
+    filter, so non-matching fact rows die at the scan instead of riding
+    the shuffle (row-level runtime pruning; complements q49's
+    partition-level and q01's predicate pushdown). At local test scale the
+    small filtered side broadcasts instead and the filter is moot — the
+    plan-shape test (test_q62_runtime_bloom_filter_injected) forces the
+    at-scale conditions and asserts the injection; this entry attests the
+    RESULT is identical either way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -605,3 +605,39 @@ def test_q61_single_key_exchange(plans):
     presentation sort) — the whole history table costs a single shuffle."""
     p = plans("q61_scd2_history")
     assert p.count("Arguments: hashpartitioning") == 1, p
+
+
+def test_q62_runtime_bloom_filter_injected(spark, sf_dir):
+    """Under at-scale conditions (both sides too big to broadcast, fact
+    scan over the application threshold) the optimizer must inject a
+    runtime bloom filter: ``bloom_filter_agg`` on the filtered orders side
+    and ``might_contain(Subquery ...)`` in the lineitem scan's Filter — the
+    row-level runtime pruning q62 relies on at 100 TB."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = all_queries()["q62_runtime_filtered_join"](spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev["spark.sql.autoBroadcastJoinThreshold"])
+        spark.conf.set("spark.sql.adaptive.enabled", prev["spark.sql.adaptive.enabled"])
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
+    assert "bloom_filter_agg" in p, p
+    assert "might_contain" in p, p
