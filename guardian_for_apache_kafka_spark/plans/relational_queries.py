@@ -1768,6 +1768,32 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partitioned_events_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-partitioned events layout q49/q63 scan: written once per
+    source state (cached layout keyed on path + mtime + size and gated on
+    the _SUCCESS marker — a regenerated events table gets a fresh digest,
+    and a crashed partial write is rewritten rather than silently served;
+    ADVICE r5)."""
+    import hashlib
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fingerprint = sf_dir
+    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"guardian_part_events_{digest}")
+    if not os.path.isfile(os.path.join(dest, "_SUCCESS")):
+        ev.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(dest)
+    return spark.read.parquet(dest)
+
+
 @query(
     "q49_partition_pruned_scan",
     oracle="""
@@ -1789,28 +1815,7 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing pruned catalog-side, zero data files from other days opened
     (plan-shape-tested). The oracle recomputes from the unpartitioned
     table."""
-    import hashlib
-    import os
-    import tempfile
-
-    ev = load_table(spark, sf_dir, "events")
-    # key the cached layout on the SOURCE data (path + mtime + size), not
-    # just sf_dir, and gate reuse on the _SUCCESS marker: a regenerated
-    # events table gets a fresh digest, and a crashed partial write (no
-    # marker) is rewritten rather than silently served (ADVICE r5).
-    src = os.path.join(sf_dir, "events.parquet")
-    try:
-        st = os.stat(src)
-        fingerprint = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
-    except OSError:
-        fingerprint = sf_dir
-    digest = hashlib.md5(fingerprint.encode()).hexdigest()[:12]
-    dest = os.path.join(tempfile.gettempdir(), f"guardian_part_events_{digest}")
-    if not os.path.isfile(os.path.join(dest, "_SUCCESS")):
-        ev.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
-            "day"
-        ).parquet(dest)
-    back = spark.read.parquet(dest)
+    back = _partitioned_events_copy(spark, sf_dir)
     return (
         back.where(F.col("day").between("2024-01-05", "2024-01-09"))
         .groupBy("day")
@@ -2373,4 +2378,48 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q63_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT day FROM (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1
+      ) WHERE c % 3 = 0
+    )
+    SELECT e.day, CAST(count(*) AS BIGINT) AS n,
+           round(sum("value"), 2) AS total_value
+    FROM (SELECT CAST(ts AS DATE) AS day, "value" FROM events) e
+    JOIN dim USING (day)
+    GROUP BY e.day ORDER BY e.day
+    """,
+    tags=("relational", "layout", "dynamic-partition-pruning"),
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning over the q49 day-partitioned layout: the
+    dim side selects days by a predicate on an AGGREGATE (per-day count
+    mod 3) — a value no static rule can transfer to the fact's partition
+    column (a filter that is a pure function of the join key would be
+    inferred through the equi-join and prune statically; measured — the
+    md5-flag variant did exactly that). Only runtime DPP can prune here:
+    the dim's surviving day set broadcasts into the fact scan's
+    PartitionFilters as a dynamicpruningexpression (plan-asserted, with
+    the static filters checked clean). The fourth rung of the pruning
+    ladder: q01 static pushdown, q49 static partition pruning, q62
+    row-level runtime bloom, q63 partition-level runtime pruning."""
+    back = _partitioned_events_copy(spark, sf_dir)
+    dim = (
+        back.groupBy("day")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") % 3 == 0)
+        .select("day")
+        .hint("broadcast")
+    )
+    return (
+        back.join(dim, "day")
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("day")
     )

@@ -641,3 +641,14 @@ def test_q62_runtime_bloom_filter_injected(spark, sf_dir):
         )
     assert "bloom_filter_agg" in p, p
     assert "might_contain" in p, p
+
+
+def test_q63_dynamic_partition_pruning_fires(plans):
+    """The opaque dim filter cannot transfer statically, so the fact scan
+    must carry a dynamicpruningexpression in its PartitionFilters — runtime
+    partition-level pruning (and the static filters must NOT contain the
+    hash predicate, which would mean the test dim wasn't opaque)."""
+    p = plans("q63_dynamic_partition_pruning")
+    assert "dynamicpruningexpression" in p, p
+    fact_filters = p.split("PartitionFilters:")[1].split("]")[0]
+    assert "md5" not in fact_filters and "conv" not in fact_filters, p
