@@ -7,6 +7,14 @@ BackupClientInterface.scala:188-205 ``sourceWithFirstRecord`` +
 :551-563 window-index math), configured by PeriodFromFirst
 (core-backup/.../configs/TimeConfiguration.scala:9-14).
 
+API note: Spark 4's newer ``transformWithStateInPandas`` (value/list/map
+state, timers) would be the forward path for these operators, but its
+state-server protocol requires ``google.protobuf``, which is not importable
+in this environment (verified: the TWS driver worker crashes on
+``cannot import name 'descriptor' from 'google.protobuf'``) — so the
+stateful surface stays on ``applyInPandasWithState``, which is
+protobuf-free and fully supported.
+
 Spark-first realization: ``applyInPandasWithState`` keyed by topic. The group
 state holds one long — the anchor (first-seen event time in µs); every batch
 annotates its records with ``slice_idx = (ts_us - anchor_us) div period_us``
@@ -282,5 +290,74 @@ def stream_zscore_anomalies(
         outputStructType=ZSCORE_OUTPUT_SCHEMA,
         stateStructType=ZSCORE_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id LONG, n_seen LONG, steps_completed INT, "
+    "step1_us LONG, step2_us LONG, step3_us LONG"
+)
+FUNNEL_STATE_SCHEMA = "s1 LONG, s2 LONG, s3 LONG, n LONG"
+
+
+def stream_funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming twin of ``timeseries.funnel_steps`` (q45): a per-user
+    funnel state machine — state is just the three earliest QUALIFIED step
+    times in µs plus an event counter (4 longs/user, checkpoint-persisted).
+    A step qualifies only with a strictly-earlier qualified previous step,
+    exactly the batch rule; on a finite replay arriving in (ts, event_id)
+    order the latest emission per user equals the batch operator's row
+    (asserted in test_streaming). Emits the user's current funnel row
+    every batch the user appears in (Update-style; ``n_seen`` is the
+    monotone pick-latest key for consumers).
+
+    This is the state-machine shape ``transformWithStateInPandas`` targets;
+    see the module docstring for why it stays on applyInPandasWithState
+    here."""
+
+    def advance(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        s1, s2, s3, n = state.get if state.exists else (None, None, None, 0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+            for r in pdf.itertuples():
+                n += 1
+                t = int(r.ts_us)
+                if r.event_type == steps[0]:
+                    s1 = t if s1 is None else min(s1, t)
+                elif r.event_type == steps[1]:
+                    if s1 is not None and t > s1 and (s2 is None or t < s2):
+                        s2 = t
+                elif r.event_type == steps[2]:
+                    if s2 is not None and t > s2 and (s3 is None or t < s3):
+                        s3 = t
+        state.update((s1, s2, s3, n))
+        done = 3 if s3 is not None else (2 if s2 is not None else (1 if s1 is not None else 0))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "steps_completed": [done],
+                "step1_us": [s1],
+                "step2_us": [s2],
+                "step3_us": [s3],
+            }
+        )
+
+    prepared = events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf="NoTimeout",
     )

@@ -716,3 +716,74 @@ def test_stream_ivm_equals_recompute_and_resumes(spark, tmp_path):
     run()
     got = {r.g: (r.n, r.s) for r in read_cdc_snapshot(spark, view).collect()}
     assert got == {"a": (1, 25), "d": (1, 7), "b": (1, 9)}
+
+
+def test_stream_funnel_equals_batch_q45(spark, tmp_path):
+    """Streaming per-user funnel state machine on an in-order finite replay
+    == the q45 batch operator: same steps_completed and same earliest
+    qualified step times for every user, across micro-batches and a
+    checkpointed RESTART (state = 4 longs per user)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import funnel_steps
+    from guardian_for_apache_kafka_spark.streaming.stateful import stream_funnel_steps
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    first = ordered.limit(n // 2)
+    rest = ordered.subtract(first)
+    src, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    first.coalesce(1).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream_funnel_steps(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    # restart with the second half arriving — state carries across
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    latest = (
+        spark.read.parquet(out)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id").orderBy(F.desc("n_seen"))
+            ),
+        )
+        .where("rn = 1")
+    )
+    got = {
+        r.user_id: (r.steps_completed, r.step1_us, r.step2_us, r.step3_us)
+        for r in latest.collect()
+    }
+
+    def us(t):
+        return None if t is None else int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+
+    want = {
+        r.user_id: (r.steps_completed, us(r.step1_ts), us(r.step2_ts), us(r.step3_ts))
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    # batch emits only users with step1; the stream emits every user seen
+    assert set(want) <= set(got)
+    for u, w in want.items():
+        assert got[u] == w, u
+    for u in set(got) - set(want):
+        assert got[u][0] == 0  # step-1-less users: 0 steps completed
