@@ -315,7 +315,7 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--compression-level", type=int, default=None, choices=range(1, 10),
                    metavar="1-9", help="gzip level: exact for guardian format, "
                    "nearest codec class (fast/default/best) for json/parquet")
-    b.add_argument("--format", choices=["guardian", "json", "parquet"], default=None,
+    b.add_argument("--format", choices=["guardian", "json", "parquet", "orc"], default=None,
                    help="guardian = reference byte-format array files; json = partitioned "
                         "JSON-lines; parquet = columnar archival")
     b.add_argument("--streaming", action="store_true",

@@ -130,9 +130,12 @@ def backup_batch(
         writer = out.write.partitionBy("slice").mode("append").format("text")
         if compression:
             writer = writer.option("compression", compression)
-    elif fmt == "parquet":
+    elif fmt in ("parquet", "orc"):
+        # columnar archival north star: parquet default, ORC as the
+        # alternative columnar container (both Spark-native; ORC's zlib
+        # default applies when no compression is forced)
         out = sliced.withColumn("slice", _slice_dir_col(F.col("slice"), config))
-        writer = out.write.partitionBy("slice").mode("append").format("parquet")
+        writer = out.write.partitionBy("slice").mode("append").format(fmt)
         if compression:
             writer = writer.option("compression", compression)
     else:

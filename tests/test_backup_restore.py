@@ -860,3 +860,20 @@ def test_forget_keys_rejects_unsupported_layouts(spark, records, tmp_path):
     os.makedirs(empty)
     with pytest.raises(ValueError, match="no slice= directories"):
         forget_keys(spark, empty, [b"x"])
+
+
+def test_backup_orc_round_trip(spark, records, tmp_path):
+    """ORC archival (the second Spark-native columnar container): the
+    slice-partitioned ORC archive round-trips the record set exactly and
+    keeps the slice layout for pruning."""
+    import glob
+
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+
+    dest = str(tmp_path / "orc_archive")
+    backup_batch(records, dest, ChronoUnitSlice("HOURS"), fmt="orc")
+    assert glob.glob(f"{dest}/slice=*/*.orc")
+    back = spark.read.orc(dest)
+    assert as_set(back.drop("slice")) == as_set(records)
+    # slice partition column survives for pruning
+    assert back.select("slice").distinct().count() > 1

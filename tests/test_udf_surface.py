@@ -98,3 +98,34 @@ def test_table_function_via_array_udf_explode(spark):
         "doc_id", F.explode(ngram_shingles(tokens_col("text"), 2)).alias("s")
     )
     assert {tuple(r) for r in via_udf.collect()} == {tuple(r) for r in via_builtin.collect()}
+
+
+def test_native_python_udtf_expected_slices(spark):
+    """Real Python UDTF (Spark 4 @udtf API, not the array-UDF+explode
+    shape): enumerate the expected hourly archive slice keys between two
+    bounds — the missing-slice detection helper — verified against the
+    pure-JVM sequence() expression. UDTFs are API-surface coverage; hot
+    paths keep the JVM/Arrow formulations."""
+    import datetime as dt
+
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="slice_start timestamp")
+    class ExpectedSlices:
+        def eval(self, start: dt.datetime, end: dt.datetime):
+            cur = start.replace(minute=0, second=0, microsecond=0)
+            while cur <= end:
+                yield (cur,)
+                cur += dt.timedelta(hours=1)
+
+    s = dt.datetime(2024, 1, 1, 3, 30)
+    e = dt.datetime(2024, 1, 1, 9, 10)
+    got = [r.slice_start for r in ExpectedSlices(lit(s), lit(e)).collect()]
+    want = [
+        r.t
+        for r in spark.sql(
+            "SELECT explode(sequence(timestamp'2024-01-01 03:00:00', "
+            "timestamp'2024-01-01 09:00:00', interval 1 hour)) AS t"
+        ).collect()
+    ]
+    assert got == want and len(got) == 7
