@@ -351,3 +351,44 @@ def test_cli_forget_verb(spark, sf_dir, tmp_path, capsys, monkeypatch):
                  "--target", str(tmp_path / "restored")]) == 0
     restored = spark.read.parquet(str(tmp_path / "restored"))
     assert restored.where(F.col("key") == raw_key.encode()).count() == 0
+
+
+def test_cli_check_verb_reports_corruption(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """check: clean archive -> exit 0 with slice inventory; a corrupted
+    object -> exit 4 with the file listed (the reference would abort the
+    restore; check makes the damage visible first)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.cli import main
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    monkeypatch.delenv("GUARDIAN_CONFIG", raising=False)
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 120)
+    records = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src = str(tmp_path / "records")
+    records.write.parquet(src)
+    dest = str(tmp_path / "arch")
+    assert main(["backup", "--source", src, "--dest", dest,
+                 "--chrono-unit-slice", "days"]) == 0
+    capsys.readouterr()
+    assert main(["check", "--dest", dest]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["corrupt_files"] == [] and rep["n_records"] == records.count()
+
+    # corrupt one object in place
+    import os
+
+    victim = next(
+        os.path.join(dest, f) for f in sorted(os.listdir(dest)) if f.endswith(".json")
+    )
+    with open(victim, "w", encoding="utf-8") as fh:
+        fh.write('{"broken": true, "not": "an array"' * 3)
+    assert main(["check", "--dest", dest]) == 4
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert len(rep["corrupt_files"]) == 1
+    assert rep["corrupt_files"][0]["parsed_records"] == 0
