@@ -334,7 +334,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Restore a topic under a different name (repeatable)")
     r.add_argument("--single-message-per-kafka-request", action="store_true",
                    help="idempotent single-in-flight producer mode")
-    r.add_argument("--format", choices=["guardian", "json"], default=None)
+    r.add_argument("--format", choices=["guardian", "json", "parquet", "orc"], default=None)
     r.add_argument("--instances", action="store_true",
                    help="read per-instance roots under --source (concurrent-backup layout; json format)")
     r.add_argument("--target", default=None,

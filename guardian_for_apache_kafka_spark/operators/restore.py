@@ -242,6 +242,19 @@ def restore_batch(
             if bounds:
                 records = records.where(F.col("slice") >= F.lit(min(bounds)))
         records = records.drop("slice")
+    elif fmt in ("parquet", "orc"):
+        # columnar archives (backup_batch fmt="parquet"/"orc"): the slice
+        # partition column prunes directories exactly like the JSON-lines
+        # path — same straddle rule, expressed on the slice string value
+        if instances:
+            raise ValueError("instances=True requires fmt='json'")
+        records = getattr(spark.read, fmt)(source)
+        if from_when is not None:
+            keys = prune_keys_from_when(list_backup_keys(source, spark), from_when)
+            if keys:
+                bound = key_to_datetime(keys[0][len("slice="):])
+                records = records.where(F.col("slice") >= F.lit(bound))
+        records = records.drop("slice")
     else:
         raise ValueError(f"unsupported restore format: {fmt}")
     if topics is not None:

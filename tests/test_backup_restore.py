@@ -877,3 +877,31 @@ def test_backup_orc_round_trip(spark, records, tmp_path):
     assert as_set(back.drop("slice")) == as_set(records)
     # slice partition column survives for pruning
     assert back.select("slice").distinct().count() > 1
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_restore_columnar_formats_with_from_when(spark, records, tmp_path, fmt):
+    """Columnar archives restore through the same record-exact from_when /
+    topic filters as the other layouts, with slice-level pruning on the
+    partition column."""
+    from guardian_for_apache_kafka_spark.operators.backup import backup_batch
+    from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+
+    dest = str(tmp_path / f"{fmt}_archive")
+    backup_batch(records, dest, ChronoUnitSlice("HOURS"), fmt=fmt)
+
+    full = restore_batch(spark, dest, fmt=fmt)
+    assert as_set(full) == as_set(records)
+
+    cut_row = records.selectExpr(
+        "percentile(unix_micros(timestamp), 0.5D) AS p"
+    ).collect()[0]
+    cut = dt.datetime.fromtimestamp(int(cut_row.p) / 1e6, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    part = restore_batch(spark, dest, fmt=fmt, from_when=cut, topics={"click"})
+    want = records.where(
+        (F.col("timestamp") >= F.lit(cut)) & (F.col("topic") == "click")
+    )
+    assert as_set(part) == as_set(want)
+    assert part.count() > 0
