@@ -354,7 +354,7 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact", help="latest-per-key compaction of an archive")
     common(c)
     c.add_argument("--source", default=None, help="archive directory")
-    c.add_argument("--format", choices=["guardian", "json"], default=None)
+    c.add_argument("--format", choices=["guardian", "json", "parquet", "orc"], default=None)
     c.add_argument("--target", required=False, default=None, help="compacted parquet dir")
     c.add_argument("--as-of", type=_parse_from_when, default=None, metavar="ISO_TIME",
                    help="point-in-time compaction: only records with timestamp <= AS_OF "

@@ -2352,3 +2352,35 @@ def s7(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.select("query_id", (F.col("__hits") == 3).alias("recall_ok"))
         .orderBy("query_id")
     )
+
+
+@query(
+    "p6_training_order",
+    oracle="""
+    SELECT CAST(row_number() OVER (
+             ORDER BY md5('ord1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS BIGINT) AS position,
+           doc_id
+    FROM documents
+    ORDER BY position
+    """,
+    tags=("pipeline", "training", "shuffle-order"),
+)
+def p6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order — the seeded shuffle every
+    training run needs reproducibly: position = rank of md5(seed || id)
+    (content-stable, like the d8/p4 membership rule: the same document
+    gets the same neighborhood across reruns and engines; changing the
+    seed reshuffles). One total sort on a 32-hex key; at 100 TB you write
+    the ordering once as the shard layout (p5 export) rather than sorting
+    per epoch — range partitioning on the same key gives the
+    shard-parallel equivalent."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.concat(F.lit("ord1:"), F.col("doc_id").cast("string"))), F.col("doc_id"))
+    return (
+        d.select(
+            (F.row_number().over(w) - 1).cast("long").alias("position"),
+            "doc_id",
+        )
+        .orderBy("position")
+    )
