@@ -317,7 +317,8 @@ def build_parser() -> argparse.ArgumentParser:
                    "nearest codec class (fast/default/best) for json/parquet")
     b.add_argument("--format", choices=["guardian", "json", "parquet", "orc"], default=None,
                    help="guardian = reference byte-format array files; json = partitioned "
-                        "JSON-lines; parquet = columnar archival")
+                        "JSON-lines; parquet/orc = columnar archival (gzip maps to "
+                        "orc's zlib)")
     b.add_argument("--streaming", action="store_true",
                    help="run as a Structured Streaming query (availableNow) with a checkpoint")
     b.add_argument("--checkpoint", default=None, help="checkpoint dir for --streaming")
@@ -334,7 +335,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Restore a topic under a different name (repeatable)")
     r.add_argument("--single-message-per-kafka-request", action="store_true",
                    help="idempotent single-in-flight producer mode")
-    r.add_argument("--format", choices=["guardian", "json", "parquet", "orc"], default=None)
+    r.add_argument("--format", choices=["guardian", "json", "parquet", "orc"], default=None,
+                   help="archive layout to read (matches the backup --format)")
     r.add_argument("--instances", action="store_true",
                    help="read per-instance roots under --source (concurrent-backup layout; json format)")
     r.add_argument("--target", default=None,
@@ -619,12 +621,16 @@ def main(argv: list[str] | None = None) -> int:
 
         if not args.dest:
             raise SystemExit("--dest is required for check")
-        corrupt = (
-            [r.asDict() for r in scan_corrupt_files(spark, args.dest).collect()]
-            if (args.format or "guardian") == "guardian"
-            else []  # JSON-lines corruption surfaces as per-line nulls; the
-            # describe counts below expose short slices instead
-        )
+        if (args.format or "guardian") == "guardian":
+            corrupt = [r.asDict() for r in scan_corrupt_files(spark, args.dest).collect()]
+        else:
+            from guardian_for_apache_kafka_spark.operators.restore import (
+                scan_corrupt_jsonl,
+            )
+
+            # per-line parse check: restore silently DROPS unparseable
+            # JSON-lines (PERMISSIVE mode); check makes them loud instead
+            corrupt = [r.asDict() for r in scan_corrupt_jsonl(spark, args.dest).collect()]
         slices = [r.asDict() for r in describe_archive(spark, args.dest).collect()]
         print(json.dumps({
             "n_slices": len(slices),

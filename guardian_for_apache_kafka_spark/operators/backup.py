@@ -132,12 +132,15 @@ def backup_batch(
             writer = writer.option("compression", compression)
     elif fmt in ("parquet", "orc"):
         # columnar archival north star: parquet default, ORC as the
-        # alternative columnar container (both Spark-native; ORC's zlib
-        # default applies when no compression is forced)
+        # alternative columnar container (both Spark-native). The engine's
+        # one compression flavor is gzip (the reference's, CompressionType
+        # .scala:7-9); ORC has no gzip codec, so the request maps to zlib —
+        # the same DEFLATE stream in ORC's framing.
         out = sliced.withColumn("slice", _slice_dir_col(F.col("slice"), config))
         writer = out.write.partitionBy("slice").mode("append").format(fmt)
         if compression:
-            writer = writer.option("compression", compression)
+            codec = "zlib" if (fmt == "orc" and compression == "gzip") else compression
+            writer = writer.option("compression", codec)
     else:
         raise ValueError(f"unsupported backup format: {fmt}")
     writer.save(dest)

@@ -199,6 +199,32 @@ def scan_corrupt_files(spark: SparkSession, source: str) -> DataFrame:
     ).select("path", "bytes", F.greatest("parsed_records", F.lit(0)).alias("parsed_records"))
 
 
+def scan_corrupt_jsonl(spark: SparkSession, dest: str) -> DataFrame:
+    """JSON-lines twin of ``scan_corrupt_files``: per-line parse check over
+    a ``slice=`` archive — a line whose record parse yields a NULL topic is
+    corrupt (topic is non-null in every legitimate record and the wire
+    format has no null sentinel; same rule read_backup_jsonl uses to DROP
+    such lines silently at restore). Returns one row per damaged file
+    (path, n_lines, corrupt_lines) so the loss is loud BEFORE a restore
+    silently skips it. Executor-side; only damaged-file rows reach the
+    driver."""
+    raw = spark.read.format("text").option("basePath", dest).load(f"{dest}/slice=*")
+    rec = F.from_json(F.col("value"), RECORD_JSON_SCHEMA_DDL)
+    per_file = (
+        raw.select(
+            F.input_file_name().alias("path"),
+            rec["topic"].isNull().cast("int").alias("__bad"),
+        )
+        .groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("__bad").cast("long").alias("corrupt_lines"),
+        )
+        .where(F.col("corrupt_lines") > 0)
+    )
+    return per_file
+
+
 def restore_batch(
     spark: SparkSession,
     source: str,

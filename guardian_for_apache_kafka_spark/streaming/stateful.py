@@ -298,7 +298,9 @@ FUNNEL_OUTPUT_SCHEMA = (
     "user_id LONG, n_seen LONG, steps_completed INT, "
     "step1_us LONG, step2_us LONG, step3_us LONG"
 )
-FUNNEL_STATE_SCHEMA = "s1 LONG, s2 LONG, s3 LONG, n LONG"
+FUNNEL_STATE_SCHEMA = (
+    "s1 LONG, i1 LONG, s2 LONG, i2 LONG, s3 LONG, i3 LONG, n LONG"
+)
 
 
 def stream_funnel_steps(
@@ -306,14 +308,16 @@ def stream_funnel_steps(
     steps: tuple[str, str, str] = ("view", "click", "purchase"),
 ) -> DataFrame:
     """Streaming twin of ``timeseries.funnel_steps`` (q45): a per-user
-    funnel state machine — state is just the three earliest QUALIFIED step
-    times in µs plus an event counter (4 longs/user, checkpoint-persisted).
-    A step qualifies only with a strictly-earlier qualified previous step,
-    exactly the batch rule; on a finite replay arriving in (ts, event_id)
-    order the latest emission per user equals the batch operator's row
-    (asserted in test_streaming). Emits the user's current funnel row
-    every batch the user appears in (Update-style; ``n_seen`` is the
-    monotone pick-latest key for consumers).
+    funnel state machine — state is the first QUALIFIED (ts_us, event_id)
+    per step plus an event counter (7 longs/user, checkpoint-persisted).
+    A step qualifies only with a strictly-earlier qualified previous step
+    in (ts, event_id) LEX order — exactly the batch rule (q45 orders rows
+    by (ts, id), so a same-timestamp chain with ascending event ids DOES
+    qualify; a plain ts > comparison would diverge on ties). On a finite
+    replay arriving in (ts, event_id) order the latest emission per user
+    equals the batch operator's row (asserted in test_streaming). Emits
+    the user's current funnel row every batch the user appears in
+    (Update-style; ``n_seen`` is the monotone pick-latest key).
 
     This is the state-machine shape ``transformWithStateInPandas`` targets;
     see the module docstring for why it stays on applyInPandasWithState
@@ -322,23 +326,28 @@ def stream_funnel_steps(
     def advance(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
     ) -> Iterator[pd.DataFrame]:
-        s1, s2, s3, n = state.get if state.exists else (None, None, None, 0)
+        if state.exists:
+            s1, i1, s2, i2, s3, i3, n = state.get
+        else:
+            s1 = i1 = s2 = i2 = s3 = i3 = None
+            n = 0
         for pdf in pdfs:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
             for r in pdf.itertuples():
                 n += 1
-                t = int(r.ts_us)
+                t, e = int(r.ts_us), int(r.event_id)
                 if r.event_type == steps[0]:
-                    s1 = t if s1 is None else min(s1, t)
+                    if s1 is None or (t, e) < (s1, i1):
+                        s1, i1 = t, e
                 elif r.event_type == steps[1]:
-                    if s1 is not None and t > s1 and (s2 is None or t < s2):
-                        s2 = t
+                    if s1 is not None and (t, e) > (s1, i1) and s2 is None:
+                        s2, i2 = t, e
                 elif r.event_type == steps[2]:
-                    if s2 is not None and t > s2 and (s3 is None or t < s3):
-                        s3 = t
-        state.update((s1, s2, s3, n))
+                    if s2 is not None and (t, e) > (s2, i2) and s3 is None:
+                        s3, i3 = t, e
+        state.update((s1, i1, s2, i2, s3, i3, n))
         done = 3 if s3 is not None else (2 if s2 is not None else (1 if s1 is not None else 0))
         yield pd.DataFrame(
             {

@@ -392,3 +392,44 @@ def test_cli_check_verb_reports_corruption(spark, sf_dir, tmp_path, capsys, monk
     rep = _json.loads(capsys.readouterr().out.strip())
     assert len(rep["corrupt_files"]) == 1
     assert rep["corrupt_files"][0]["parsed_records"] == 0
+
+
+def test_cli_check_json_archive_corruption(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """check --format json detects per-line damage the restore path would
+    silently drop: clean archive exits 0; a garbage line flips it to 4."""
+    import glob
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.cli import main
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    monkeypatch.delenv("GUARDIAN_CONFIG", raising=False)
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 120)
+    records = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src = str(tmp_path / "records")
+    records.write.parquet(src)
+    dest = str(tmp_path / "arch")
+    assert main(["backup", "--source", src, "--dest", dest, "--format", "json",
+                 "--chrono-unit-slice", "days"]) == 0
+    capsys.readouterr()
+    assert main(["check", "--dest", dest, "--format", "json"]) == 0
+    assert _json.loads(capsys.readouterr().out.strip())["corrupt_files"] == []
+
+    # a damaged object arrives as a new part file (appending in place would
+    # only trip the local FS's CRC sidecar, a different failure)
+    slice_dir = os.path.dirname(glob.glob(f"{dest}/slice=*/part-*")[0])
+    with open(os.path.join(slice_dir, "part-junk.txt"), "w", encoding="utf-8") as fh:
+        fh.write("this is not json\n")
+    # the long-lived test session caches file listings; a fresh CLI session
+    # (the real deployment) lists anew
+    spark.catalog.refreshByPath(dest)
+    assert main(["check", "--dest", dest, "--format", "json"]) == 4
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert len(rep["corrupt_files"]) == 1
+    assert rep["corrupt_files"][0]["corrupt_lines"] == 1

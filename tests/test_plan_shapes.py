@@ -615,13 +615,13 @@ def test_q62_runtime_bloom_filter_injected(spark, sf_dir):
     row-level runtime pruning q62 relies on at 100 TB."""
     from guardian_for_apache_kafka_spark.plans import all_queries
 
-    prev = {
-        k: spark.conf.get(k)
-        for k in (
-            "spark.sql.autoBroadcastJoinThreshold",
-            "spark.sql.adaptive.enabled",
-        )
-    }
+    knobs = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    prev = {k: spark.conf.get(k) for k in knobs}
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
@@ -633,12 +633,8 @@ def test_q62_runtime_bloom_filter_injected(spark, sf_dir):
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev["spark.sql.autoBroadcastJoinThreshold"])
-        spark.conf.set("spark.sql.adaptive.enabled", prev["spark.sql.adaptive.enabled"])
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            "10GB",
-        )
+        for k in knobs:
+            spark.conf.set(k, prev[k])
     assert "bloom_filter_agg" in p, p
     assert "might_contain" in p, p
 
@@ -650,5 +646,18 @@ def test_q63_dynamic_partition_pruning_fires(plans):
     hash predicate, which would mean the test dim wasn't opaque)."""
     p = plans("q63_dynamic_partition_pruning")
     assert "dynamicpruningexpression" in p, p
-    fact_filters = p.split("PartitionFilters:")[1].split("]")[0]
-    assert "md5" not in fact_filters and "conv" not in fact_filters, p
+    # inspect the PartitionFilters block that CARRIES the dpp expression
+    # (the fact scan); its static part must be bare isnotnull — any other
+    # static predicate would mean the dim filter transferred and DPP is no
+    # longer doing the pruning
+    fact_filters = next(
+        blk.split("]")[0]
+        for blk in p.split("PartitionFilters:")[1:]
+        if "dynamicpruningexpression" in blk.split("]")[0]
+    )
+    static = [
+        f.strip()
+        for f in fact_filters.strip(" [").split(",")
+        if "dynamicpruning" not in f
+    ]
+    assert all(f.startswith("isnotnull") for f in static if f), fact_filters

@@ -7,6 +7,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from guardian_for_apache_kafka_spark.core import normalize_events_to_records
 from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice, PeriodFromFirst
@@ -763,8 +764,7 @@ def test_stream_funnel_equals_batch_q45(spark, tmp_path):
         .withColumn(
             "rn",
             F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"]).Window
-                .partitionBy("user_id").orderBy(F.desc("n_seen"))
+                Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
             ),
         )
         .where("rn = 1")
