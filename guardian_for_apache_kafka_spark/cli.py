@@ -404,7 +404,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(a)
     a.add_argument("--records", default=None, help="source records parquet dir")
     a.add_argument("--archive", default=None, help="archive directory to audit")
-    a.add_argument("--format", choices=["guardian", "json"], default=None)
+    a.add_argument("--format", choices=["guardian", "json", "parquet", "orc"], default=None,
+                   help="archive layout to audit (matches the backup --format)")
     a.add_argument("--instances", action="store_true",
                    help="audit per-instance roots under --archive")
     a.add_argument("--target", default=None,

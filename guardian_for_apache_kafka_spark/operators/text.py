@@ -588,6 +588,14 @@ def token_heavy_hitters(
 
     if summary_size is None:
         summary_size = int(2.0 / threshold_frac) + 1
+    if summary_size * threshold_frac < 1.0:
+        # the recall guarantee needs threshold count > n/(cap+1), i.e.
+        # cap >= 1/frac; a smaller cap can silently MISS heavy hitters —
+        # refuse rather than return an unsound candidate set
+        raise ValueError(
+            f"summary_size={summary_size} cannot guarantee recall at "
+            f"threshold_frac={threshold_frac}; need >= {int(1 / threshold_frac) + 1}"
+        )
     toks = df.select(F.explode(tokens_col(text_col)).alias("__t"))
 
     def mg_partition(batches):

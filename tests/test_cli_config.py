@@ -433,3 +433,42 @@ def test_cli_check_json_archive_corruption(spark, sf_dir, tmp_path, capsys, monk
     rep = _json.loads(capsys.readouterr().out.strip())
     assert len(rep["corrupt_files"]) == 1
     assert rep["corrupt_files"][0]["corrupt_lines"] == 1
+
+
+@pytest.mark.parametrize("fmt", ["json", "parquet"])
+def test_cli_audit_matrix_detects_slice_loss(spark, sf_dir, tmp_path, capsys, monkeypatch, fmt):
+    """audit across archive formats: complete archive -> exit 0 / missing 0;
+    after deleting one slice directory -> exit 3 and the missing count
+    equals the lost slice's records."""
+    import glob
+    import json as _json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.cli import main
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    monkeypatch.delenv("GUARDIAN_CONFIG", raising=False)
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    records = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src = str(tmp_path / "records")
+    records.write.parquet(src)
+    dest = str(tmp_path / "arch")
+    assert main(["backup", "--source", src, "--dest", dest, "--format", fmt,
+                 "--chrono-unit-slice", "hours"]) == 0
+    capsys.readouterr()
+    assert main(["audit", "--records", src, "--archive", dest, "--format", fmt]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["missing"] == 0
+
+    victim = sorted(glob.glob(f"{dest}/slice=*"))[0]
+    lost = spark.read.format("parquet" if fmt == "parquet" else "text").load(victim).count()
+    shutil.rmtree(victim)
+    spark.catalog.refreshByPath(dest)
+    assert main(["audit", "--records", src, "--archive", dest, "--format", fmt]) == 3
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["missing"] == lost > 0

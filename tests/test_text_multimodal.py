@@ -417,16 +417,18 @@ def test_heavy_hitters_recall_under_adversarial_partitioning(spark):
     from guardian_for_apache_kafka_spark.operators.text import token_heavy_hitters
 
     # 64 partitions; 'needle' appears twice per partition (never a local
-    # majority against 50 distinct fillers per partition), globally 128/3328
-    # = 3.8% >= 1% threshold
+    # majority against 150 DISTINCT fillers per partition — more than the
+    # summary cap, so every partition trims repeatedly), globally 128/9728
+    # = 1.3% >= the 1% threshold, inside the n/(cap+1) recall bound the
+    # operator enforces (cap=100 >= 1/frac)
     rows = []
     for p in range(64):
-        fillers = " ".join(f"f{p}_{i}" for i in range(50))
+        fillers = " ".join(f"f{p}_{i}" for i in range(150))
         rows.append((p, f"needle {fillers} needle"))
     df = spark.createDataFrame(rows, "doc_id long, text string").repartition(64, "doc_id")
     got = {
         (r.token, r.cnt)
-        for r in token_heavy_hitters(df, threshold_frac=0.01, summary_size=8).collect()
+        for r in token_heavy_hitters(df, threshold_frac=0.01, summary_size=100).collect()
     }
     exact = {
         (r.token, r.cnt)
@@ -458,3 +460,39 @@ def test_bigram_cross_entropy_short_docs_excluded(spark):
     bc = {r.doc_id: round(r.cross_entropy, 9) for r in bigram_cross_entropy(df, broadcast_model=True).collect()}
     sh = {r.doc_id: round(r.cross_entropy, 9) for r in bigram_cross_entropy(df, broadcast_model=False).collect()}
     assert set(bc) == {1, 3} and bc == sh
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "hot"]),
+                 min_size=1, max_size=12),
+        min_size=1, max_size=25,
+    ),
+    frac=st.sampled_from([0.05, 0.1, 0.2]),
+)
+def test_heavy_hitters_property_equals_exact(spark, docs, frac):
+    """Property: the Misra-Gries candidate + exact-confirm pipeline equals
+    the plain exact GROUP BY/HAVING on arbitrary small corpora and
+    thresholds. The smallest cap the recall bound allows stresses the trim
+    path (a smaller one is refused — see the operator guard)."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.text import token_heavy_hitters
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    cap = int(1 / frac) + 1
+    got = {
+        (r.token, r.cnt)
+        for r in token_heavy_hitters(df, threshold_frac=frac, summary_size=cap).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(t for toks in docs for t in toks)
+    total = sum(counts.values())
+    want = {(t, c) for t, c in counts.items() if c >= total * frac}
+    assert got == want
