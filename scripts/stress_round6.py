@@ -114,4 +114,70 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("STRESS_EXTRA"):
+        pass  # extra() invoked by the block appended below
+    else:
+        main()
+
+
+def extra() -> None:
+    """Round-6b additions: PageRank at 10x nodes, SCD-2 over a 10x log,
+    rolling sketch distinct at 10x events."""
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("guardian-stress-r6b")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from guardian_for_apache_kafka_spark.operators.hierarchy import (
+        md5_hash32,
+        pagerank_fixed_point,
+        synthetic_parent,
+    )
+
+    n_nodes = 150_000
+    c = spark.range(1, n_nodes + 1).select(F.col("id").alias("k"))
+    k = F.col("k")
+    e1 = c.select(k.alias("src"), synthetic_parent(k).alias("dst"))
+    e2 = c.select(
+        k.alias("src"),
+        (k - 1 - md5_hash32(F.concat(k.cast("string"), F.lit("#2"))) % k).alias("dst"),
+    )
+    edges = e1.unionByName(e2).localCheckpoint()
+    timed(f"pagerank 3 rounds @ {n_nodes} nodes/300k edges",
+          pagerank_fixed_point(edges, iterations=3))
+
+    from guardian_for_apache_kafka_spark.operators.merge import scd2_from_log
+
+    base = spark.range(1, 100_001).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    log = (
+        spark.range(1, 500_001)
+        .select(
+            (F.col("id") % 100_000 + 1).alias("k"),
+            (F.col("id") % 997).alias("v"),
+            (F.floor(F.col("id") / 100_000) + 1).cast("long").alias("ver"),
+            (F.col("id") % 13 == 0).alias("deleted"),
+        )
+        .localCheckpoint()
+    )
+    timed("scd2 history @ 100k keys / 500k log rows",
+          scd2_from_log(base, log, "k", "ver"))
+
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        rolling_distinct_sketch,
+    )
+
+    ev = load_table(spark, sf, "events")
+    reps = spark.range(10).select(F.col("id").alias("__rep"))
+    ev10 = (
+        ev.crossJoin(reps)
+        .select("event_type", (F.col("user_id") * 10 + F.col("__rep")).alias("user_id"), "ts")
+        .repartition(64)
+        .localCheckpoint()
+    )
+    timed("rolling 7d sketch distinct @ 1M events/15k users",
+          rolling_distinct_sketch(ev10))
+
+
+if __name__ == "__main__" and os.environ.get("STRESS_EXTRA"):
+    extra()
