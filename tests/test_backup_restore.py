@@ -905,3 +905,51 @@ def test_restore_columnar_formats_with_from_when(spark, records, tmp_path, fmt):
     )
     assert as_set(part) == as_set(want)
     assert part.count() > 0
+
+
+def test_guardian_python_datasource(spark, records, tmp_path):
+    """spark.read.format('guardian') — the Spark-4 Python DataSource over
+    reference-format archives: full parity with the JVM restore path,
+    planning-time fromWhen slice pruning (partition count shrinks), and
+    topic filter pushdown consumed inside the reader."""
+    from guardian_for_apache_kafka_spark.operators.backup import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        GuardianReader,
+        register_guardian_datasource,
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    dest = str(tmp_path / "arch")
+    write_guardian_format(records, dest, ChronoUnitSlice("HOURS"), compression="gzip")
+    register_guardian_datasource(spark)
+
+    via_ds = spark.read.format("guardian").load(dest)
+    assert as_set(via_ds) == as_set(restore_batch(spark, dest, fmt="guardian"))
+
+    # planning-time pruning: fromWhen cuts the partition (object) count
+    reader_all = GuardianReader({"path": dest})
+    cut = records.selectExpr("percentile(unix_micros(timestamp), 0.5D) p").collect()[0]
+    asof = dt.datetime.fromtimestamp(int(cut.p) / 1e6, dt.timezone.utc)
+    reader_cut = GuardianReader({"path": dest, "fromwhen": asof.isoformat()})
+    assert 0 < len(reader_cut.partitions()) < len(reader_all.partitions())
+
+    # record-exact fromWhen behavior matches restore_batch (the straddle
+    # slice is included; Spark applies the residual timestamp filter)
+    via_cut = (
+        spark.read.format("guardian")
+        .option("fromWhen", asof.isoformat())
+        .load(dest)
+        .where(F.col("timestamp") >= F.lit(asof.replace(tzinfo=None)))
+    )
+    want = restore_batch(spark, dest, fmt="guardian", from_when=asof)
+    assert as_set(via_cut) == as_set(want)
+
+    # pushdown unit contract: topic EqualTo consumed, others returned
+    r = GuardianReader({"path": dest})
+    leftover = list(r.pushFilters([EqualTo(("topic",), "click"), GreaterThan(("offset",), 5)]))
+    assert r.topics == {"click"} and len(leftover) == 1
+    # and the engine-level behavior: filtered read equals filtered restore
+    clicks = spark.read.format("guardian").load(dest).where("topic = 'click'")
+    want_clicks = restore_batch(spark, dest, fmt="guardian", topics={"click"})
+    assert as_set(clicks) == as_set(want_clicks)
