@@ -35,6 +35,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -163,6 +164,9 @@ class GuardianDataSource(DataSource):
     def reader(self, schema: StructType) -> GuardianReader:
         return GuardianReader(self.options)
 
+    def streamReader(self, schema: StructType) -> "GuardianStreamReader":
+        return GuardianStreamReader(self.options)
+
 
 def register_guardian_datasource(spark) -> None:
     """Register the format for the session (idempotent) and enable the
@@ -170,3 +174,54 @@ def register_guardian_datasource(spark) -> None:
     default in Spark 4.1; runtime-settable)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GuardianDataSource)
+
+
+class GuardianStreamReader(DataSourceStreamReader):
+    """Streaming half: ``spark.readStream.format("guardian")`` — a
+    micro-batch source over the archive's time-sorted object list. The
+    offset is simply "objects consumed": the key list is sorted by slice
+    time and new slices always sort after consumed ones, so each
+    micro-batch reads exactly the objects that appeared since the last
+    committed offset (one input partition per object). This gives
+    guardian-format archives the streaming restore the JSON-lines layout
+    gets from the file source (``streaming/pipeline.stream_restore``);
+    pace with the trigger interval.
+
+    Contract: objects are treated as immutable once listed — stream CLOSED
+    slices (a ChronoUnitSlice still being appended to would be read once,
+    short; stay behind the active slice, exactly like compaction's
+    ``before`` discipline)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("guardian datasource requires a path")
+
+    def _keys(self) -> list[str]:
+        from guardian_for_apache_kafka_spark.operators.restore import list_backup_keys
+
+        return list_backup_keys(self.path)
+
+    def initialOffset(self) -> dict:
+        return {"consumed": 0}
+
+    def latestOffset(self) -> dict:
+        # monotone by construction: keys only ever append in time order
+        return {"consumed": len(self._keys())}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[GuardianObjectPartition]:
+        import os
+
+        from guardian_for_apache_kafka_spark.operators.backup import physical_name
+
+        keys = self._keys()[start["consumed"]:end["consumed"]]
+        return [
+            GuardianObjectPartition(os.path.join(self.path, physical_name(k)))
+            for k in keys
+        ]
+
+    def read(self, partition: GuardianObjectPartition) -> Iterator[tuple]:
+        return GuardianReader({"path": self.path}).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the checkpoint's offset log

@@ -953,3 +953,59 @@ def test_guardian_python_datasource(spark, records, tmp_path):
     clicks = spark.read.format("guardian").load(dest).where("topic = 'click'")
     want_clicks = restore_batch(spark, dest, fmt="guardian", topics={"click"})
     assert as_set(clicks) == as_set(want_clicks)
+
+
+def test_guardian_streaming_datasource(spark, records, tmp_path):
+    """readStream.format('guardian'): a finite replay over the archive's
+    object list equals the batch restore, and a RESTART from the same
+    checkpoint reads ONLY objects that appeared since (offset = consumed
+    object count; new slices sort after consumed ones)."""
+    from guardian_for_apache_kafka_spark.operators.backup import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        register_guardian_datasource,
+    )
+
+    dest = str(tmp_path / "arch")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    # split on an HOUR boundary so the second write creates strictly NEW
+    # slice objects (a rewrite of an existing slice is out of the streaming
+    # source's immutable-object contract)
+    cut_hour = records.selectExpr(
+        "percentile(unix_micros(date_trunc('hour', timestamp)), 0.5D) AS p"
+    ).collect()[0].p
+    cut = dt.datetime.fromtimestamp(int(cut_hour) / 1e6, dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    first = records.where(F.col("timestamp") < F.lit(cut))
+    second = records.where(F.col("timestamp") >= F.lit(cut))
+    assert first.count() > 0 and second.count() > 0
+    write_guardian_format(first, dest, ChronoUnitSlice("HOURS"))
+    register_guardian_datasource(spark)
+
+    def run():
+        stream = spark.readStream.format("guardian").load(dest)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    got1 = as_set(spark.read.parquet(out))
+    assert got1 == as_set(restore_batch(spark, dest, fmt="guardian"))
+
+    # new slices arrive; the resumed stream reads only them (records from
+    # already-consumed objects would double-count in the append sink)
+    write_guardian_format(second, dest, ChronoUnitSlice("HOURS"))
+    run()
+    got2 = as_set(spark.read.parquet(out))
+    assert got2 == as_set(restore_batch(spark, dest, fmt="guardian"))
+    assert len(got2) > len(got1)
