@@ -44,6 +44,19 @@ def _list_names(dest: str, spark: SparkSession | None) -> list[str]:
     supported scheme (file://, s3a://, gs://, ...) works; without one, plain
     ``os.listdir`` for bare local paths."""
     if spark is None:
+        if "://" in dest:
+            # sessionless planning contexts (the Python DataSource) still
+            # reach object stores: pyarrow FS, the same dispatch the
+            # guardian writer's executor side uses (operators/backup.py)
+            from pyarrow.fs import FileSystem
+
+            fs, inner = FileSystem.from_uri(dest)
+            from pyarrow.fs import FileSelector
+
+            return [
+                info.base_name
+                for info in fs.get_file_info(FileSelector(inner, recursive=False))
+            ]
         return os.listdir(dest)
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(dest)

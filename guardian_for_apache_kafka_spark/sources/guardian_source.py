@@ -42,27 +42,12 @@ from pyspark.sql.datasource import (
     InputPartition,
     IsNotNull,
 )
-from pyspark.sql.types import (
-    BinaryType,
-    IntegerType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
+from pyspark.sql.types import StructType
 
-RECORD_STRUCT = StructType(
-    [
-        StructField("topic", StringType()),
-        StructField("partition", IntegerType()),
-        StructField("offset", LongType()),
-        StructField("key", BinaryType()),
-        StructField("value", BinaryType()),
-        StructField("timestamp", TimestampType()),
-        StructField("timestamp_type", IntegerType()),
-    ]
-)
+from guardian_for_apache_kafka_spark.core.model import RECORD_SCHEMA
+
+#: single source of truth for the record shape (incl. nullability)
+RECORD_STRUCT = RECORD_SCHEMA
 
 
 class GuardianObjectPartition(InputPartition):
@@ -95,11 +80,16 @@ class GuardianReader(DataSourceReader):
         self.require_key = False
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        def narrow(values: set) -> None:
+            # filters arrive as a CONJUNCTION: successive topic predicates
+            # INTERSECT (overwriting would wrongly widen consumed filters)
+            self.topics = values if self.topics is None else (self.topics & values)
+
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("topic",):
-                self.topics = {f.value}
+                narrow({f.value})
             elif isinstance(f, In) and f.attribute == ("topic",):
-                self.topics = set(f.values)
+                narrow(set(f.value))  # the In dataclass field is `value`
             elif isinstance(f, IsNotNull) and f.attribute == ("key",):
                 self.require_key = True
             else:
@@ -129,7 +119,13 @@ class GuardianReader(DataSourceReader):
         blob = _open_bytes(partition.path)
         if partition.path.endswith(".gz"):
             blob = _gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
-        records = json.loads(blob.decode("utf-8"))
+        try:
+            records = json.loads(blob.decode("utf-8"))
+        except ValueError:
+            # truncated object without the null] sentinel: the JVM restore
+            # path silently skips it (from_json -> null), so the DataSource
+            # matches; run scan_corrupt_files / the check verb for loudness
+            return
         for rec in records:
             if rec is None:
                 continue  # the null] interruption sentinel (SURVEY §1.2)
@@ -196,14 +192,28 @@ class GuardianStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("guardian datasource requires a path")
+        self.from_when = options.get("fromwhen")
+        self._listed: list[str] = []
 
     def _keys(self) -> list[str]:
         from guardian_for_apache_kafka_spark.operators.restore import list_backup_keys
 
-        return list_backup_keys(self.path)
+        self._listed = list_backup_keys(self.path)
+        return self._listed
 
     def initialOffset(self) -> dict:
-        return {"consumed": 0}
+        # fromWhen = start behind the R3-pruned prefix instead of slice 0
+        # (same semantics as the batch reader's planning-time pruning)
+        if not self.from_when:
+            return {"consumed": 0}
+        from guardian_for_apache_kafka_spark.operators.restore import (
+            prune_keys_from_when,
+        )
+
+        keys = self._keys()
+        cut = _dt.datetime.fromisoformat(self.from_when.replace("Z", "+00:00"))
+        kept = prune_keys_from_when(keys, cut)
+        return {"consumed": len(keys) - len(kept)}
 
     def latestOffset(self) -> dict:
         # monotone by construction: keys only ever append in time order
@@ -214,7 +224,10 @@ class GuardianStreamReader(DataSourceStreamReader):
 
         from guardian_for_apache_kafka_spark.operators.backup import physical_name
 
-        keys = self._keys()[start["consumed"]:end["consumed"]]
+        # reuse the listing latestOffset() just took for this batch; relist
+        # only if this end outruns it (e.g. replay after restart)
+        keys = self._listed if len(self._listed) >= end["consumed"] else self._keys()
+        keys = keys[start["consumed"]:end["consumed"]]
         return [
             GuardianObjectPartition(os.path.join(self.path, physical_name(k)))
             for k in keys

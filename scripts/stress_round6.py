@@ -113,11 +113,7 @@ def main() -> None:
           histogram_quantile_rollup(ev10, bin_width_cents=10))
 
 
-if __name__ == "__main__":
-    if os.environ.get("STRESS_EXTRA"):
-        pass  # extra() invoked by the block appended below
-    else:
-        main()
+
 
 
 def extra() -> None:
@@ -179,5 +175,5 @@ def extra() -> None:
           rolling_distinct_sketch(ev10))
 
 
-if __name__ == "__main__" and os.environ.get("STRESS_EXTRA"):
-    extra()
+if __name__ == "__main__":
+    extra() if os.environ.get("STRESS_EXTRA") else main()

@@ -976,8 +976,10 @@ def test_guardian_streaming_datasource(spark, records, tmp_path):
         "percentile(unix_micros(date_trunc('hour', timestamp)), 0.5D) AS p"
     ).collect()[0].p
     cut = dt.datetime.fromtimestamp(int(cut_hour) / 1e6, dt.timezone.utc).replace(
-        tzinfo=None
-    )
+        tzinfo=None, minute=0, second=0, microsecond=0
+    )  # floor to the hour: an even row count interpolates the median
+    # between two hour values, and a mid-hour cut would break the
+    # immutable-slice premise the second write relies on
     first = records.where(F.col("timestamp") < F.lit(cut))
     second = records.where(F.col("timestamp") >= F.lit(cut))
     assert first.count() > 0 and second.count() > 0
@@ -1009,3 +1011,41 @@ def test_guardian_streaming_datasource(spark, records, tmp_path):
     got2 = as_set(spark.read.parquet(out))
     assert got2 == as_set(restore_batch(spark, dest, fmt="guardian"))
     assert len(got2) > len(got1)
+
+
+def test_guardian_datasource_filter_conjunction_and_corrupt_skip(spark, records, tmp_path):
+    """pushFilters conjunction semantics: successive topic predicates
+    INTERSECT (In uses the dataclass's `value` field); a truncated object
+    (no null] sentinel) is silently skipped — matching the JVM restore
+    path — while check/scan stays the loudness channel."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    from guardian_for_apache_kafka_spark.operators.backup import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        GuardianReader,
+        register_guardian_datasource,
+    )
+
+    r = GuardianReader({"path": "x"})
+    leftover = list(
+        r.pushFilters([In(("topic",), ("a", "b")), In(("topic",), ("b", "c"))])
+    )
+    assert r.topics == {"b"} and leftover == []
+    r2 = GuardianReader({"path": "x"})
+    list(r2.pushFilters([In(("topic",), ("a", "b")), EqualTo(("topic",), "c")]))
+    assert r2.topics == set()  # contradictory conjunction -> empty result
+
+    dest = str(tmp_path / "arch")
+    write_guardian_format(records, dest, ChronoUnitSlice("HOURS"))
+    register_guardian_datasource(spark)
+    # truncate one object mid-array (crash without sentinel)
+    victim = next(
+        os.path.join(dest, f) for f in sorted(os.listdir(dest)) if f.endswith(".json")
+    )
+    blob = open(victim, encoding="utf-8").read()
+    open(victim, "w", encoding="utf-8").write(blob[: len(blob) // 2].rstrip(",]"))
+    via_ds = spark.read.format("guardian").load(dest)
+    want = restore_batch(spark, dest, fmt="guardian")
+    assert as_set(via_ds) == as_set(want)  # both paths skip the damaged object
+    assert via_ds.count() < records.count()
