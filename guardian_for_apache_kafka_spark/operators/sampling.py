@@ -177,3 +177,54 @@ def temperature_mixture(
         .where(F.col("__rn") <= F.col("q_group"))
         .drop("__g", "__rn")
     )
+
+
+def leakage_free_split_label(
+    df: DataFrame,
+    weights: dict[str, float],
+    train_split: str = "train",
+    threshold: float = 0.7,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    seed: str = "guardian",
+) -> DataFrame:
+    """Content-stable splits WITHOUT eval leakage: after the md5 split
+    assignment, any held-out document whose near-duplicate (n-gram Jaccard
+    >= ``threshold``) landed in ``train_split`` is REASSIGNED to train —
+    the standard guard against evaluating on memorized near-copies
+    (train/test contamination), applied at split time rather than as an
+    after-the-fact filter.
+
+    Scale shape: the base labels are one scan (split_label's CASE chain);
+    the leak set comes from the SAME inverted-index candidate machinery as
+    d3/d4 (``ngram_jaccard_pairs``: id-only shuffles, hot-bucket caps), and
+    only held-out ids with a train partner join back (semi-join on the id).
+    Reassignment is to-train only, so train never shrinks and the held-out
+    sets stay near-dup-disjoint from train by construction; returns the
+    frame with a ``split`` column."""
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    labeled = df.withColumn("split", split_label(weights, key_col, seed))
+    pairs = ngram_jaccard_pairs(df, threshold=threshold, id_col=key_col,
+                                content_col=content_col)
+    edges = pairs.select(F.col("id_a").alias("__x"), F.col("id_b").alias("__y")).unionByName(
+        pairs.select(F.col("id_b").alias("__x"), F.col("id_a").alias("__y"))
+    )
+    assign = labeled.select(F.col(key_col).alias("__x"), F.col("split").alias("__sx"))
+    train_ids = assign.where(F.col("__sx") == train_split).select("__x")
+    # held-out ids with at least one >= threshold partner in train
+    leaking = (
+        edges.join(train_ids.withColumnRenamed("__x", "__y"), "__y", "left_semi")
+        .select("__x")
+        .distinct()
+    )
+    return labeled.join(
+        leaking.withColumnRenamed("__x", key_col).withColumn("__leak", F.lit(True)),
+        key_col,
+        "left",
+    ).select(
+        *[c for c in labeled.columns if c != "split"],
+        F.when(F.coalesce(F.col("__leak"), F.lit(False)), F.lit(train_split))
+        .otherwise(F.col("split"))
+        .alias("split"),
+    )

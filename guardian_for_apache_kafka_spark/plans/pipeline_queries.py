@@ -2384,3 +2384,64 @@ def p6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+@query(
+    "p7_leakage_free_split",
+    oracle="""
+    WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(tk) - 2),
+                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+      FROM tk0 WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS c
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (SELECT ia, ib FROM common WHERE c * 1.0 / (na + nb - c) >= 0.7),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666665' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    train AS (SELECT doc_id FROM base WHERE split = 'train'),
+    leak AS (
+      SELECT DISTINCT e.x FROM (
+        SELECT ia AS x, ib AS y FROM pairs
+        UNION ALL SELECT ib AS x, ia AS y FROM pairs
+      ) e JOIN train t ON e.y = t.doc_id
+    )
+    SELECT CASE WHEN l.x IS NOT NULL THEN 'train' ELSE b.split END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM base b LEFT JOIN leak l ON b.doc_id = l.x
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("pipeline", "split", "decontamination"),
+)
+def p7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test: after the content-stable md5 split
+    (80/10/10), any held-out document with a near-duplicate (3-gram
+    Jaccard >= 0.7) in train is REASSIGNED to train — eval sets stay
+    near-dup-disjoint from train by construction (the train/test
+    contamination guard applied at split time). The oracle replays the
+    split thresholds and the exact all-pairs Jaccard in SQL
+    (operators/sampling.leakage_free_split_label)."""
+    from guardian_for_apache_kafka_spark.operators.sampling import (
+        leakage_free_split_label,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = leakage_free_split_label(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split")
+    )

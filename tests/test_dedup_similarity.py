@@ -955,3 +955,37 @@ def test_quantized_rerank_scores_are_full_precision(spark, emb):
     assert set(rer) == set(exact)          # recall 1 at this headroom
     for key in rer:
         assert rer[key] == exact[key]      # bit-identical full-precision scores
+
+
+def test_leakage_free_split_invariants(spark, docs):
+    """After reassignment: (1) NO held-out doc has a >= threshold partner
+    in train; (2) reassignment only ever moves docs INTO train (held-out
+    members are a subset of the base assignment's); (3) splits stay
+    disjoint and exhaustive."""
+    from guardian_for_apache_kafka_spark.operators.sampling import (
+        leakage_free_split_label,
+        split_label,
+    )
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_free_split_label(docs, weights, threshold=0.7)
+    rows = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    base = {
+        r.doc_id: r.split
+        for r in docs.withColumn("split", split_label(weights))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert set(rows) == set(base)  # exhaustive, one label per doc
+    moved = {d for d in rows if rows[d] != base[d]}
+    assert all(rows[d] == "train" for d in moved)  # into train only
+
+    train = {d for d, s in rows.items() if s == "train"}
+    held = {d for d, s in rows.items() if s != "train"}
+    pairs = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    for a, b in pairs:
+        assert not (a in train and b in held), (a, b)
+        assert not (b in train and a in held), (a, b)
+    assert moved, "corpus contains planted near-dups; some reassignment expected"
