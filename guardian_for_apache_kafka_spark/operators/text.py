@@ -625,3 +625,43 @@ def token_heavy_hitters(
         .where(F.col("cnt") >= F.col("__total") * F.lit(threshold_frac))
         .select(F.col("__t").alias("token"), F.col("cnt").cast("long").alias("cnt"))
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution (bits per
+    char) — the compressibility proxy classic quality filters use:
+    near-zero flags degenerate repetition, ~4.x is typical English, high
+    values flag random/binary-ish noise. Complements the token-level
+    signals (t7 repetition, t14/t15 LM scores) with a tokenizer-free one.
+
+    Zero-shuffle per-row computation (the repetition_stats discipline):
+    sort the char array, fold a (prev, run, sum_clogc) accumulator over the
+    sorted runs — H = log2(n) - sum(c_i*log2(c_i))/n in one pass, no
+    explode/groupBy of corpus characters. Rounded to 4dp: the only
+    engine-order difference vs an oracle is the run-sum association,
+    ~1e-13 relative."""
+    chars = F.split(F.col(text_col), "")
+    n = F.size(chars)
+    scan = F.aggregate(
+        F.array_sort(chars),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0.0).alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda a, c: F.struct(
+            c.alias("prev"),
+            F.when(c == a["prev"], a["run"] + 1).otherwise(F.lit(1.0)).alias("run"),
+            F.when(
+                c == a["prev"], a["acc"]
+            ).otherwise(
+                a["acc"]
+                + F.when(a["run"] > 0, a["run"] * F.log2(a["run"])).otherwise(F.lit(0.0))
+            ).alias("acc"),
+        ),
+        lambda a: a["acc"] + F.when(a["run"] > 0, a["run"] * F.log2(a["run"])).otherwise(F.lit(0.0)),
+    )
+    h = F.when(
+        n > 0, F.log2(n.cast("double")) - scan / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(F.col(id_col), F.round(h, 4).alias("char_entropy"))

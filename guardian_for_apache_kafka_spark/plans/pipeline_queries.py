@@ -2445,3 +2445,32 @@ def p7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split")
     )
+
+
+@query(
+    "t17_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i + 1 AS BIGINT), 1) AS ch
+      FROM documents, unnest(range(length(text))) AS t(i)
+      WHERE length(text) > 0
+    ),
+    cnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2)
+    SELECT doc_id,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS char_entropy
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (bits/char) —
+    the tokenizer-free compressibility proxy: degenerate repetition scores
+    near 0, typical English ~4.x, random noise high. ZERO shuffles: a
+    sorted-run fold over the char array per row (the t7 discipline; an
+    explode+groupBy of corpus characters would shuffle every byte). The
+    oracle recomputes per-char counts set-wise; 4dp rounding absorbs the
+    run-sum association difference (operators/text.char_entropy)."""
+    from guardian_for_apache_kafka_spark.operators.text import char_entropy
+
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return char_entropy(d).orderBy("doc_id")

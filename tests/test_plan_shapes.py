@@ -661,3 +661,12 @@ def test_q63_dynamic_partition_pruning_fires(plans):
         if "dynamicpruning" not in f
     ]
     assert all(f.startswith("isnotnull") for f in static if f), fact_filters
+
+
+def test_t17_entropy_zero_shuffle(plans):
+    """Char entropy is per-row fold arithmetic: the only exchange is the
+    presentation sort — corpus characters never shuffle."""
+    p = plans("t17_char_entropy")
+    tree = p.split("\n\n")[0]
+    assert "hashpartitioning" not in p, p
+    assert "Generate" not in tree, p  # no explode of characters
