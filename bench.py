@@ -79,6 +79,8 @@ HEADLINE = {
     "quantile_rollup": "q58_histogram_quantile_rollup",
     "pagerank": "q59_pagerank_fixed_point",
     "rolling_distinct": "q60_rolling_distinct_sketch",
+    "char_entropy": "t17_char_entropy",
+    "leakage_split": "p7_leakage_free_split",
 }
 
 N_RUNS = 3
