@@ -2423,3 +2423,62 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("day")
     )
+
+
+@query(
+    "q64_running_balance_with_resets",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CAST(round("value" * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_reset
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, event_id, ts, cents, is_reset,
+             sum(is_reset) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS seg
+      FROM ev
+    )
+    SELECT user_id, event_id,
+           round(sum(CASE WHEN is_reset = 0 THEN cents ELSE 0 END)
+                 OVER (PARTITION BY user_id, seg ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS balance
+    FROM grp
+    ORDER BY user_id, event_id
+    """,
+    tags=("relational", "window", "running-reset"),
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance with CONDITIONAL RESETS — the accumulate-until-event
+    idiom (credit balances cleared by payment, inventory zeroed by
+    stocktake, session byte counters): a running count of reset markers
+    derives a segment id, and the balance is a running sum WITHIN the
+    segment — two stacked windows on ONE (user) exchange (the q27
+    sessionization discipline: the segment window's (user, seg) partition
+    is a refinement of the user partition, so no second shuffle). Integer
+    cents keep every balance engine-exact."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_reset"),
+    )
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    seg = F.sum("is_reset").over(w_user)
+    with_seg = ev.withColumn("seg", seg)
+    w_seg = W.partitionBy("user_id", "seg").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    bal = F.sum(
+        F.when(F.col("is_reset") == 0, F.col("cents")).otherwise(F.lit(0))
+    ).over(w_seg)
+    return (
+        with_seg.select(
+            "user_id", "event_id", F.round(bal / 100.0, 2).alias("balance")
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -670,3 +670,12 @@ def test_t17_entropy_zero_shuffle(plans):
     tree = p.split("\n\n")[0]
     assert "hashpartitioning" not in p, p
     assert "Generate" not in tree, p  # no explode of characters
+
+
+def test_q64_stacked_windows_single_exchange(plans):
+    """The reset-segment window and the within-segment balance window must
+    share ONE user-keyed exchange: (user, seg) partitioning refines (user),
+    so the second window re-sorts locally instead of reshuffling."""
+    p = plans("q64_running_balance_with_resets")
+    assert p.count("Arguments: hashpartitioning") == 1, p
+    assert p.split("\n\n")[0].count("Window") == 2, p
