@@ -664,8 +664,10 @@ def test_q63_dynamic_partition_pruning_fires(plans):
 
 
 def test_t17_entropy_zero_shuffle(plans):
-    """Char entropy is per-row fold arithmetic: the only exchange is the
-    presentation sort — corpus characters never shuffle."""
+    """Char entropy is per-row fold arithmetic: no KEY exchange anywhere
+    (the only exchanges are the deliberate round-robin spread of the
+    narrow scan and the presentation sort) and no explode of corpus
+    characters."""
     p = plans("t17_char_entropy")
     tree = p.split("\n\n")[0]
     assert "hashpartitioning" not in p, p
