@@ -187,41 +187,50 @@ def leakage_free_split_label(
     key_col: str = "doc_id",
     content_col: str = "text",
     seed: str = "guardian",
+    n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Content-stable splits WITHOUT eval leakage: after the md5 split
-    assignment, any held-out document whose near-duplicate (n-gram Jaccard
-    >= ``threshold``) landed in ``train_split`` is REASSIGNED to train —
-    the standard guard against evaluating on memorized near-copies
-    (train/test contamination), applied at split time rather than as an
-    after-the-fact filter.
+    assignment, every near-duplicate CONNECTED COMPONENT (n-gram Jaccard
+    >= ``threshold`` edges) that contains a ``train_split`` member is
+    reassigned to train IN FULL — the guard against evaluating on
+    memorized near-copies, applied at split time.
 
-    Scale shape: the base labels are one scan (split_label's CASE chain);
-    the leak set comes from the SAME inverted-index candidate machinery as
-    d3/d4 (``ngram_jaccard_pairs``: id-only shuffles, hot-bucket caps), and
-    only held-out ids with a train partner join back (semi-join on the id).
-    Reassignment is to-train only, so train never shrinks and the held-out
-    sets stay near-dup-disjoint from train by construction; returns the
-    frame with a ``split`` column."""
+    Component-level (not single-pass edge-level) reassignment is what
+    makes the invariant hold BY CONSTRUCTION: a pairwise pass can CREATE
+    leaks on chains (A:train ~ B:val ~ C:test with A !~ C moves B to train
+    and leaves C exposed to its near-dup B); with components, every edge
+    lies inside a component and train-containing components move wholly,
+    so no train/held-out edge can survive. Components without a train
+    member keep their base labels (val~test cross-dups are a different,
+    out-of-scope concern).
+
+    Scale shape: base labels are one scan (split_label's CASE chain);
+    edges come from the d3/d4 inverted-index machinery
+    (``ngram_jaccard_pairs`` — id-only shuffles; pass ``max_bucket`` to
+    cap hot shingle buckets at scale); components via the O(log^2)
+    alternating-star CC (operators/clusters.py); only component members
+    join back. Returns the frame with a ``split`` column."""
+    from guardian_for_apache_kafka_spark.operators.clusters import connected_components
     from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
 
     labeled = df.withColumn("split", split_label(weights, key_col, seed))
-    pairs = ngram_jaccard_pairs(df, threshold=threshold, id_col=key_col,
-                                content_col=content_col)
-    edges = pairs.select(F.col("id_a").alias("__x"), F.col("id_b").alias("__y")).unionByName(
-        pairs.select(F.col("id_b").alias("__x"), F.col("id_a").alias("__y"))
+    pairs = ngram_jaccard_pairs(
+        df, n=n, threshold=threshold, id_col=key_col, content_col=content_col,
+        max_bucket=max_bucket,
     )
-    assign = labeled.select(F.col(key_col).alias("__x"), F.col("split").alias("__sx"))
-    train_ids = assign.where(F.col("__sx") == train_split).select("__x")
-    # held-out ids with at least one >= threshold partner in train
-    leaking = (
-        edges.join(train_ids.withColumnRenamed("__x", "__y"), "__y", "left_semi")
-        .select("__x")
-        .distinct()
+    comps = connected_components(pairs.select("id_a", "id_b"))  # (node, component)
+    train_nodes = labeled.where(F.col("split") == train_split).select(
+        F.col(key_col).alias("node")
     )
+    train_comps = (
+        comps.join(train_nodes, "node", "left_semi").select("component").distinct()
+    )
+    to_train = comps.join(train_comps, "component", "left_semi").select(
+        F.col("node").alias(key_col)
+    )  # comps is near-dup-involved docs only — Catalyst picks the strategy
     return labeled.join(
-        leaking.withColumnRenamed("__x", key_col).withColumn("__leak", F.lit(True)),
-        key_col,
-        "left",
+        to_train.withColumn("__leak", F.lit(True)), key_col, "left"
     ).select(
         *[c for c in labeled.columns if c != "split"],
         F.when(F.coalesce(F.col("__leak"), F.lit(False)), F.lit(train_split))

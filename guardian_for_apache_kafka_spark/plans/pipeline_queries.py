@@ -2389,7 +2389,7 @@ def p6(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "p7_leakage_free_split",
     oracle="""
-    WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    WITH RECURSIVE tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     shl AS (
       SELECT doc_id,
              list_distinct(list_transform(range(len(tk) - 2),
@@ -2403,6 +2403,13 @@ def p6(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3, 4
     ),
     pairs AS (SELECT ia, ib FROM common WHERE c * 1.0 / (na + nb - c) >= 0.7),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    comp AS (SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a),
     base AS (
       SELECT doc_id,
              CASE WHEN substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8)
@@ -2412,27 +2419,30 @@ def p6(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'test' END AS split
       FROM documents
     ),
-    train AS (SELECT doc_id FROM base WHERE split = 'train'),
-    leak AS (
-      SELECT DISTINCT e.x FROM (
-        SELECT ia AS x, ib AS y FROM pairs
-        UNION ALL SELECT ib AS x, ia AS y FROM pairs
-      ) e JOIN train t ON e.y = t.doc_id
+    train_comps AS (
+      SELECT DISTINCT c.component FROM comp c
+      JOIN base b ON c.node = b.doc_id WHERE b.split = 'train'
+    ),
+    moved AS (
+      SELECT node FROM comp WHERE component IN (SELECT component FROM train_comps)
     )
-    SELECT CASE WHEN l.x IS NOT NULL THEN 'train' ELSE b.split END AS split,
+    SELECT CASE WHEN b.doc_id IN (SELECT node FROM moved) THEN 'train'
+                ELSE b.split END AS split,
            CAST(count(*) AS BIGINT) AS n_docs
-    FROM base b LEFT JOIN leak l ON b.doc_id = l.x
+    FROM base b
     GROUP BY 1 ORDER BY 1
     """,
     tags=("pipeline", "split", "decontamination"),
 )
 def p7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free train/val/test: after the content-stable md5 split
-    (80/10/10), any held-out document with a near-duplicate (3-gram
-    Jaccard >= 0.7) in train is REASSIGNED to train — eval sets stay
-    near-dup-disjoint from train by construction (the train/test
-    contamination guard applied at split time). The oracle replays the
-    split thresholds and the exact all-pairs Jaccard in SQL
+    (80/10/10), every near-dup CONNECTED COMPONENT (3-gram Jaccard >= 0.7
+    edges) containing a train member is reassigned to train in full —
+    component-level, because a pairwise pass can CREATE leaks on chains
+    (A:train~B:val~C:test moves B and leaves C exposed). Eval sets stay
+    near-dup-disjoint from train by construction. The oracle replays the
+    split thresholds, exact all-pairs Jaccard, AND the components via a
+    recursive-CTE closure (the d7 pattern)
     (operators/sampling.leakage_free_split_label)."""
     from guardian_for_apache_kafka_spark.operators.sampling import (
         leakage_free_split_label,

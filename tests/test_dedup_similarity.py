@@ -989,3 +989,46 @@ def test_leakage_free_split_invariants(spark, docs):
         assert not (a in train and b in held), (a, b)
         assert not (b in train and a in held), (a, b)
     assert moved, "corpus contains planted near-dups; some reassignment expected"
+
+
+def test_leakage_free_split_closes_chains(spark):
+    """The chain case a pairwise pass gets WRONG: A(train) ~ B(val) ~
+    C(test) with A !~ C. Component-level reassignment must move BOTH B and
+    C to train — moving only B would leave C in test with its near-dup B
+    newly in train (a created leak)."""
+    from guardian_for_apache_kafka_spark.operators.sampling import (
+        leakage_free_split_label,
+        split_label,
+    )
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    base = {
+        r.doc_id: r.split
+        for r in spark.range(200)
+        .selectExpr("id AS doc_id")
+        .withColumn("split", split_label(weights))
+        .collect()
+    }
+    a_id = next(i for i in sorted(base) if base[i] == "train")
+    b_id = next(i for i in sorted(base) if base[i] == "val")
+    c_id = next(i for i in sorted(base) if base[i] == "test")
+    toks = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16 t17 t18 t19 t20"
+    words = toks.split()
+    A = " ".join(words)
+    B = " ".join(words[:-3] + ["x1", "x2", "x3"])        # J(A,B) ~ 0.71
+    C = " ".join(["y1", "y2", "y3"] + words[3:-3] + ["x1", "x2", "x3"])  # J(B,C) ~ 0.71, J(A,C) < 0.7
+    filler_id = next(
+        i for i in sorted(base) if i not in (a_id, b_id, c_id)
+    )
+    docs = spark.createDataFrame(
+        [(a_id, A), (b_id, B), (c_id, C), (filler_id, "z1 z2 z3 z4 z5 z6")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()}
+    assert (min(a_id, b_id), max(a_id, b_id)) in pairs
+    assert (min(b_id, c_id), max(b_id, c_id)) in pairs
+    assert (min(a_id, c_id), max(a_id, c_id)) not in pairs  # chain, not clique
+
+    out = {r.doc_id: r.split for r in leakage_free_split_label(docs, weights).collect()}
+    assert out[a_id] == out[b_id] == out[c_id] == "train"
+    assert out[filler_id] == base[filler_id]  # untouched component keeps base
