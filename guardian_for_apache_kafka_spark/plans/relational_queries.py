@@ -2482,3 +2482,78 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "q65_triangle_counts",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    pr AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,
+                      greatest(a.l_partkey, b.l_partkey) AS eb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT ea AS node FROM pr UNION ALL SELECT eb FROM pr
+      ) GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d, pr.ea) < (db.d, pr.eb) THEN pr.ea ELSE pr.eb END AS lo,
+             CASE WHEN (da.d, pr.ea) < (db.d, pr.eb) THEN pr.eb ELSE pr.ea END AS hi
+      FROM pr JOIN deg da ON da.node = pr.ea JOIN deg db ON db.node = pr.eb
+    ),
+    c AS (SELECT least(lo, hi) AS p, greatest(lo, hi) AS q FROM o),
+    tp AS (
+      SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+    ),
+    tri AS (
+      SELECT x, y, z FROM tp
+      WHERE EXISTS (SELECT 1 FROM c
+                    WHERE c.p = least(tp.y, tp.z) AND c.q = greatest(tp.y, tp.z))
+    ),
+    corners AS (
+      SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    ORDER BY n_triangles DESC, node LIMIT 20
+    """,
+    tags=("graph", "triangle", "join"),
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the high-quantity co-purchase graph
+    (parts sharing an order with l_quantity >= 40), top-20 by count — the
+    canonical non-iterative graph kernel beside CC (d7), depths (q47) and
+    PageRank (q59). DEGREE ORIENTATION makes it 100 TB-safe: edges point
+    from the (degree, id)-smaller endpoint, bounding every node's oriented
+    out-degree by O(sqrt(m)), so the two-path join's fan-out is O(m^1.5)
+    total with hub skew structurally removed (a celebrity node emits zero
+    two-paths) — the unoriented join explodes as C(deg_hub, 2) on exactly
+    the keys AQE can't split. The oracle replays orientation, two-paths,
+    and the closing-edge EXISTS set-wise (operators/graph.triangle_counts)."""
+    from guardian_for_apache_kafka_spark.operators.graph import triangle_counts
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(20)
+    )

@@ -706,3 +706,42 @@ def test_scd2_corner_semantics(spark):
         (2, 5): (22, None),
         (3, 0): (30, None),
     }
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant vertex and a disconnected edge: K4 has C(4,3)=4
+    triangles, every K4 corner sits in exactly 3 of them; the pendant and
+    the disconnected pair are in none (absent from the output). Input
+    deliberately dirty — duplicate rows, both edge directions, a self-loop
+    — to pin the canonicalization contract."""
+    from guardian_for_apache_kafka_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(b, a) for a, b in k4] + k4[:2]  # reversed + duplicates
+    edges += [(5, 1), (10, 11), (3, 3)]  # pendant, far edge, self-loop
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_hub_orientation_bound(spark):
+    """Star hub + one rim edge (the skew shape): exactly one triangle, and
+    the ORIENTATION must leave the hub with zero oriented out-edges (every
+    rim node has degree 1 or 2 < hub degree), so the two-path fan-out at
+    the hub is structurally zero — the property that makes the kernel safe
+    at 100 TB. Checked both semantically (counts) and structurally (the
+    oriented edge list has no row with lo = hub)."""
+    from guardian_for_apache_kafka_spark.operators.graph import (
+        orient_edges,
+        triangle_counts,
+    )
+
+    hub = 0
+    rim = list(range(1, 41))
+    edges = [(hub, r) for r in rim] + [(1, 2)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+    oriented = orient_edges(df).collect()
+    assert all(r.lo != hub for r in oriented)
+    assert len(oriented) == len(edges)
