@@ -215,3 +215,62 @@ def scd2_from_log(
             F.col("__next").alias("valid_to"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reconcile two snapshots of a keyed table: returns one row per
+    DIFFERING key — (key, change_type) with change_type in
+    'insert' (key only in ``new``), 'delete' (key only in ``old``),
+    'update' (both, but compared columns differ). Unchanged keys are not
+    returned (at scale they are almost the whole table).
+
+    This is the digest discipline: each side is reduced MAP-SIDE to
+    (key, md5 digest of the compared columns) before the join, so the
+    full-outer exchange carries a fixed 32-hex payload per row no matter
+    how wide the rows are — reconciling two 100 TB snapshots shuffles only
+    keys+digests, and with both sides bucketed on the key
+    (operators/bucketing.py) it runs with zero exchange. Digest rendering is
+    injective: every value is length-prefixed ('<len>:<value>') and NULL is
+    the bare token 'n', so no value — including separator characters or any
+    would-be NULL sentinel string — can collide with another row's encoding.
+
+    Collision honesty: md5 collisions would mask an update (never a
+    spurious one); at 2^-64+ probability per pair this is the standard
+    reconciliation trade (rsync/Delta checksums make it too).
+    """
+    cmp_cols = compare_cols or sorted(
+        (set(old.columns) & set(new.columns)) - {key}
+    )
+    missing = [c for c in cmp_cols if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"compare columns missing from a side: {missing}")
+
+    def digest(df: DataFrame, out: str) -> DataFrame:
+        parts = []
+        for c in cmp_cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("n")).otherwise(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s)
+                )
+            )
+        return df.select(F.col(key), F.md5(F.concat_ws("|", *parts)).alias(out))
+
+    o = digest(old, "__do").withColumn("__in_o", F.lit(True))
+    n = digest(new, "__dn").withColumn("__in_n", F.lit(True))
+    j = o.join(n, key, "full_outer")
+    return (
+        j.select(
+            F.col(key),
+            F.when(F.col("__in_o").isNull(), F.lit("insert"))
+            .when(F.col("__in_n").isNull(), F.lit("delete"))
+            .when(F.col("__do") != F.col("__dn"), F.lit("update"))
+            .alias("change_type"),
+        )
+        .where(F.col("change_type").isNotNull())
+    )

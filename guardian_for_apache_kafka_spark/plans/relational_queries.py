@@ -2557,3 +2557,72 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "node")
         .limit(20)
     )
+
+
+@query(
+    "q67_snapshot_diff",
+    oracle="""
+    WITH oldt AS (SELECT event_id, user_id, event_type, "value" FROM events),
+    newt AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN user_id % 10 = 0 THEN "value" + 1 ELSE "value" END AS value
+      FROM events WHERE user_id % 17 != 0
+      UNION ALL
+      SELECT event_id + 100000000, user_id, event_type, "value"
+      FROM events WHERE user_id % 23 = 0 AND user_id % 17 != 0
+    ),
+    d AS (
+      SELECT coalesce(o.event_id, n.event_id) AS event_id,
+             CASE WHEN o.event_id IS NULL THEN 'insert'
+                  WHEN n.event_id IS NULL THEN 'delete'
+                  WHEN o.user_id != n.user_id OR o.event_type != n.event_type
+                       OR o."value" != n."value" THEN 'update'
+             END AS change_type
+      FROM oldt o FULL OUTER JOIN newt n USING (event_id)
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           min(event_id) AS min_key, max(event_id) AS max_key
+    FROM d WHERE change_type IS NOT NULL
+    GROUP BY change_type ORDER BY change_type
+    """,
+    tags=("relational", "reconciliation", "digest"),
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation by content digest: diff two versions of the
+    events table (the second derived deterministically — user_id%17 rows
+    deleted, %10 values bumped, %23 re-keyed copies inserted) and count
+    inserts/updates/deletes with key ranges. The operator reduces each side
+    MAP-SIDE to (key, md5-of-row) so the full-outer exchange carries a
+    fixed 32-hex payload per row — two 100 TB snapshots reconcile by
+    shuffling keys+digests only (zero exchange once both sides are
+    key-bucketed). The oracle classifies by direct column comparison — a
+    digest false-negative would surface as a missing update row
+    (operators/merge.snapshot_diff)."""
+    from guardian_for_apache_kafka_spark.operators.merge import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    new = (
+        ev.where(F.col("user_id") % 17 != 0)
+        .withColumn(
+            "value",
+            F.when(F.col("user_id") % 10 == 0, F.col("value") + 1).otherwise(
+                F.col("value")
+            ),
+        )
+        .unionByName(
+            ev.where((F.col("user_id") % 23 == 0) & (F.col("user_id") % 17 != 0))
+            .withColumn("event_id", F.col("event_id") + 100000000)
+        )
+    )
+    return (
+        snapshot_diff(ev, new, "event_id")
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_key"),
+            F.max("event_id").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )

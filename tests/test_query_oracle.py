@@ -745,3 +745,44 @@ def test_triangle_counts_hub_orientation_bound(spark):
     oriented = orient_edges(df).collect()
     assert all(r.lo != hub for r in oriented)
     assert len(oriented) == len(edges)
+
+
+def test_snapshot_diff_classification_and_null_safety(spark):
+    """insert/delete/update classification on a toy pair, including the
+    digest null-traps: NULL vs the literal string 'NULL' must differ, and
+    a value moving between columns ('a',NULL)->(NULL,'a') must register as
+    an update (the concat_ws-drops-nulls bug shape)."""
+    from guardian_for_apache_kafka_spark.operators.merge import snapshot_diff
+
+    schema = "k long, a string, b string"
+    old = spark.createDataFrame(
+        [
+            (1, "x", "y"),        # unchanged
+            (2, "x", None),       # -> NULL literal trap
+            (3, "a", None),       # -> column-move trap
+            (4, "gone", "gone"),  # deleted
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "x", "y"),
+            (2, "x", "\x00NULL"),  # the sentinel itself as a real value
+            (3, None, "a"),
+            (5, "new", None),      # inserted
+        ],
+        schema,
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_compare_cols_validation(spark):
+    import pytest
+
+    from guardian_for_apache_kafka_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x")], "k long, a string")
+    new = spark.createDataFrame([(1, "x")], "k long, a string")
+    with pytest.raises(ValueError, match="missing"):
+        snapshot_diff(old, new, "k", compare_cols=["a", "zzz"])
