@@ -2626,3 +2626,38 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "q66_skyline_pareto",
+    oracle="""
+    SELECT p_partkey, round(p_retailprice, 2) AS price, p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+    tags=("relational", "skyline", "pareto"),
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts — cheapest-for-the-size trade-off
+    set (minimize p_retailprice, maximize p_size). The naive form is a
+    NOT-EXISTS self-theta-join (cartesian, O(n²) — the oracle runs exactly
+    that, affordable only at oracle scale); the operator is the TWO-PHASE
+    prune: a map-only vectorized local frontier per Arrow batch (zero
+    shuffle, expected O(log n) survivors each), then an exact one-task
+    finish over the survivors — correct because domination is transitive,
+    so local pruning is conservative and every true skyline row reaches
+    the finish (operators/skyline.skyline)."""
+    from guardian_for_apache_kafka_spark.operators.skyline import skyline
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    out = skyline(p, minimize=["p_retailprice"], maximize=["p_size"])
+    return out.select(
+        "p_partkey", F.round("p_retailprice", 2).alias("price"), "p_size"
+    ).orderBy("p_partkey")

@@ -786,3 +786,50 @@ def test_snapshot_diff_compare_cols_validation(spark):
     new = spark.createDataFrame([(1, "x")], "k long, a string")
     with pytest.raises(ValueError, match="missing"):
         snapshot_diff(old, new, "k", compare_cols=["a", "zzz"])
+
+
+def test_skyline_semantics_ties_and_duplicates(spark):
+    """2-D skyline with the tie corners: duplicate points (neither
+    dominates — both survive), a point equal on one dim and better on the
+    other (dominates), and conservativeness across many tiny partitions
+    (phase-1 prune must never drop a true skyline row)."""
+    from guardian_for_apache_kafka_spark.operators.skyline import skyline
+
+    rows = [
+        (1, 1.0, 10),  # skyline (cheapest)
+        (2, 1.0, 10),  # duplicate of 1 -> both survive
+        (3, 2.0, 10),  # dominated by 1 (same size, pricier)
+        (4, 2.0, 20),  # skyline (bigger)
+        (5, 3.0, 20),  # dominated by 4
+        (6, 3.0, 30),  # skyline
+        (7, 0.5, 5),   # skyline (cheapest of all)
+    ]
+    df = spark.createDataFrame(rows, "k long, price double, size int").repartition(6)
+    got = sorted(
+        r.k for r in skyline(df, minimize=["price"], maximize=["size"]).collect()
+    )
+    assert got == [1, 2, 4, 6, 7]
+
+
+def test_skyline_three_criteria_matches_bruteforce(spark):
+    """3-D frontier vs an exact driver-side brute force over a deterministic
+    100-point cloud (md5-derived coordinates)."""
+    import hashlib
+
+    from guardian_for_apache_kafka_spark.operators.skyline import skyline
+
+    def h(i, tag):
+        return int(hashlib.md5(f"{i}:{tag}".encode()).hexdigest()[:6], 16) % 50
+
+    pts = [(i, float(h(i, "a")), h(i, "b"), h(i, "c")) for i in range(100)]
+
+    def dominated(p, q):  # q dominates p? minimize a, maximize b and c
+        return (
+            q[1] <= p[1] and q[2] >= p[2] and q[3] >= p[3]
+            and (q[1] < p[1] or q[2] > p[2] or q[3] > p[3])
+        )
+
+    expect = sorted(p[0] for p in pts if not any(dominated(p, q) for q in pts))
+    df = spark.createDataFrame(pts, "k long, a double, b int, c int").repartition(8)
+    got = sorted(r.k for r in skyline(df, minimize=["a"], maximize=["b", "c"]).collect())
+    assert got == expect
