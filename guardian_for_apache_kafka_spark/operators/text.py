@@ -671,3 +671,81 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         n > 0, F.log2(n.cast("double")) - scan / n.cast("double")
     ).otherwise(F.lit(0.0))
     return df.select(F.col(id_col), F.round(h, 4).alias("char_entropy"))
+
+
+def bpe_merge_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 4,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn the first ``rounds`` byte-pair-encoding merges from a corpus —
+    distributed tokenizer training, the step every LLM data pipeline runs
+    before tokenization. Returns [(round, lhs, rhs, merged, pair_count)].
+
+    BPE's classic scale shape is preserved: the corpus collapses ONCE into
+    the (word, count) vocabulary table (one shuffle on the word — at 100 TB
+    the vocab is millions of rows, not billions of tokens), and every merge
+    round runs over that table: adjacent-pair counts weighted by word
+    frequency (one pair-keyed aggregation), an argmax (driver scalar,
+    bounded — ONE row), then a map-only greedy re-segmentation fold. Round
+    state is localCheckpointed (the hierarchy.py discipline) so plans stay
+    flat across rounds.
+
+    Determinism: ties on pair_count break by (lhs, rhs) ascending; counts
+    are int64 sums — engine-exact, so a SQL oracle can replay every round.
+    The greedy fold merges non-overlapping occurrences LEFT TO RIGHT within
+    each word ('aaa' + rule (a,a) -> [aa, a]), the reference BPE semantics;
+    symbols are identified by surface string (two merge paths reaching the
+    same string unify, as in standard BPE)."""
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("c"), F.split("word", "").alias("sy"))
+        .localCheckpoint()
+    )
+    rules: list[tuple[int, str, str, str, int]] = []
+    empty = F.expr("array()").cast("array<string>")
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            words.where(F.size("sy") >= 2)
+            .select(
+                F.col("c"),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sy) - 1), "
+                        "i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("c").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break  # every word is a single symbol — nothing left to merge
+        lhs, rhs, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merged = lhs + rhs
+        rules.append((rnd, lhs, rhs, merged, cnt))
+
+        def make_step(_l: str, _r: str, _m: str):
+            def step(acc, s):
+                last = F.get(acc, F.size(acc) - 1)
+                hit = (F.size(acc) > 0) & (last == F.lit(_l)) & (s == F.lit(_r))
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                        F.array(F.lit(_m)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s)))
+
+            return step
+
+        step = make_step(lhs, rhs, merged)
+
+        words = words.select(
+            "c", F.aggregate("sy", empty, step).alias("sy")
+        ).localCheckpoint()
+    return rules

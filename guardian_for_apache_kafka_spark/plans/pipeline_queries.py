@@ -2484,3 +2484,78 @@ def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     return char_entropy(d).orderBy("doc_id")
+
+
+def _duck_bpe_round(prev: str, n: int) -> str:
+    """One unrolled BPE round for the t18 oracle: pair counts from the
+    current segmentation, argmax with (cnt DESC, l, r) tie-break, then the
+    greedy left-to-right re-merge replayed as a recursive CTE that walks
+    every word's symbol list in lockstep (one recursion step = one symbol
+    position across ALL words; terminal rows have pos > len)."""
+    return f"""
+    p{n} AS (
+      SELECT sy[CAST(i + 1 AS BIGINT)] AS l, sy[CAST(i + 2 AS BIGINT)] AS r,
+             CAST(sum(c) AS BIGINT) AS cnt
+      FROM {prev}, unnest(range(len(sy) - 1)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    t{n} AS (SELECT l, r, cnt FROM p{n} ORDER BY cnt DESC, l, r LIMIT 1),
+    m{n} AS (
+      SELECT c, sy, 1 AS pos, CAST([] AS VARCHAR[]) AS out FROM {prev}
+      UNION ALL
+      SELECT c, sy,
+        CASE WHEN pos < len(sy) AND sy[pos] = (SELECT l FROM t{n})
+                  AND sy[pos+1] = (SELECT r FROM t{n})
+             THEN pos + 2 ELSE pos + 1 END,
+        CASE WHEN pos < len(sy) AND sy[pos] = (SELECT l FROM t{n})
+                  AND sy[pos+1] = (SELECT r FROM t{n})
+             THEN list_append(out, sy[pos] || sy[pos+1])
+             ELSE list_append(out, sy[pos]) END
+      FROM m{n} WHERE pos <= len(sy)
+    ),
+    s{n} AS (SELECT c, out AS sy FROM m{n} WHERE pos > len(sy))"""
+
+
+@query(
+    "t18_bpe_merges",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+      SELECT word, count(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word != '' GROUP BY 1
+    ),
+    s0 AS (
+      SELECT c, list_transform(range(length(word)),
+             i -> substr(word, CAST(i + 1 AS BIGINT), 1)) AS sy
+      FROM w
+    ),
+    {_duck_bpe_round('s0', 1)},
+    {_duck_bpe_round('s1', 2)},
+    {_duck_bpe_round('s2', 3)},
+    {_duck_bpe_round('s3', 4)}
+    SELECT 1 AS rnd, l AS lhs, r AS rhs, l || r AS merged, cnt FROM t1
+    UNION ALL SELECT 2, l, r, l || r, cnt FROM t2
+    UNION ALL SELECT 3, l, r, l || r, cnt FROM t3
+    UNION ALL SELECT 4, l, r, l || r, cnt FROM t4
+    ORDER BY rnd
+    """,
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training — the first 4 merge rules learned
+    from the documents corpus, with exact weighted pair counts. The corpus
+    collapses ONCE to the (word, count) vocabulary (the only token-volume
+    shuffle; at 100 TB the vocab is ~millions of rows vs billions of
+    tokens), then each round is a pair-keyed aggregation over the vocab, a
+    ONE-ROW driver argmax, and a map-only greedy re-segmentation fold —
+    localCheckpointed so plans stay flat. Counts are int64 and ties break
+    on (lhs, rhs), so the oracle replays all 4 rounds exactly: unrolled
+    CTEs for the counts/argmax and a recursive-CTE lockstep walk for the
+    greedy merge (operators/text.bpe_merge_rules)."""
+    from guardian_for_apache_kafka_spark.operators.text import bpe_merge_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = bpe_merge_rules(d, rounds=4)
+    return spark.createDataFrame(
+        rules, "rnd int, lhs string, rhs string, merged string, cnt long"
+    ).orderBy("rnd")

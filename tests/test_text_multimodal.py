@@ -496,3 +496,82 @@ def test_heavy_hitters_property_equals_exact(spark, docs, frac):
     total = sum(counts.values())
     want = {(t, c) for t, c in counts.items() if c >= total * frac}
     assert got == want
+
+
+def _ref_bpe(texts, rounds):
+    """Driver-side reference BPE (index-walk greedy merge, the textbook
+    formulation) — deliberately a DIFFERENT algorithm shape than the
+    operator's aggregate fold, so structural bugs in either can't cancel."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    segs = {w: list(w) for w in words}
+    rules = []
+    for rnd in range(1, rounds + 1):
+        pc = Counter()
+        for w, c in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((rnd, l, r, l + r, cnt))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return rules
+
+
+def test_bpe_greedy_overlap_and_tiebreak(spark):
+    """'aaaa' with rule (a,a) must merge non-overlapping left-to-right
+    ([aa, aa], never [a, aa, a] or cascade to [aaaa]); count ties must
+    break on (lhs, rhs) ascending."""
+    from guardian_for_apache_kafka_spark.operators.text import bpe_merge_rules
+
+    texts = ["aaaa aaaa", "bc bc"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_merge_rules(df, rounds=3)
+    assert got == _ref_bpe(texts, 3)
+    # round 1: (a,a) appears 3x per 'aaaa' word-occurrence = 6; (b,c) = 2
+    assert got[0] == (1, "a", "a", "aa", 6)
+    # round 2: after merging, each 'aaaa' is [aa, aa] -> pair (aa,aa) x2
+    # ties with (b,c) x2 -> (aa,aa) wins lexicographically
+    assert got[1] == (2, "aa", "aa", "aaaa", 2)
+
+
+def test_bpe_matches_reference_on_seeded_corpus(spark):
+    """5 rounds over a seeded 2-letter corpus (dense overlaps and ties)
+    must match the reference index-walk implementation exactly."""
+    import random
+
+    from guardian_for_apache_kafka_spark.operators.text import bpe_merge_rules
+
+    rng = random.Random(42)
+    texts = [
+        " ".join(
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    assert bpe_merge_rules(df, rounds=5) == _ref_bpe(texts, 5)
+
+
+def test_bpe_single_symbol_exhaustion(spark):
+    """A corpus whose words collapse to single symbols stops early instead
+    of raising (the empty-argmax branch)."""
+    from guardian_for_apache_kafka_spark.operators.text import bpe_merge_rules
+
+    df = spark.createDataFrame([("ab ab cd",)], "text string")
+    got = bpe_merge_rules(df, rounds=10)
+    # round1 merges (a,b) cnt=2; round2 merges (c,d) cnt=1; then no pairs
+    assert got == [(1, "a", "b", "ab", 2), (2, "c", "d", "cd", 1)]
