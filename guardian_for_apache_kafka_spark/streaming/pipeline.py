@@ -574,3 +574,65 @@ def stream_audit_join(
         "s.timestamp",
         F.col("a.a_timestamp").alias("archived_at"),
     )
+
+
+def stream_heavy_hitters(
+    docs: DataFrame,
+    dest: str,
+    checkpoint: str,
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the q56 heavy-hitters query: accumulate EXACT
+    per-batch token counts via ``foreachBatch``; ``heavy_hitters_rollup``
+    sums them and applies the frequency threshold at read time.
+
+    Per-batch token counts are the decomposable exact accumulator — counts
+    add across batches, and the global threshold (which does NOT decompose:
+    a token can be under 0.2% of every batch yet over 0.2% of the union)
+    is deferred to the rollup. Unlike the cohort pair set, counts are NOT
+    idempotent under replay, so each batch writes to its own
+    ``batch=<id>`` directory with overwrite — a crash-replayed batch
+    rewrites the same directory instead of double-counting (the
+    stream_cdc_apply versioning discipline). At 100 TB of stream history
+    the accumulated state is batches x batch-vocabulary, and compacting it
+    is one exact groupBy — the Misra-Gries candidate bound stays the
+    BATCH-side optimization (q56) where the full corpus is rescannable."""
+    import os as _os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("token")
+            )
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(_os.path.join(dest, f"batch={batch_id}"))
+        )
+
+    writer = docs.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def heavy_hitters_rollup(
+    spark: SparkSession, counts_dir: str, threshold_frac: float = 0.002
+) -> DataFrame:
+    """Batch finishing pass over accumulated per-batch token counts —
+    identical output contract to q56 (token, cnt). One token-keyed sum over
+    vocabulary-sized inputs; the corpus total is a broadcast scalar
+    subquery, not a driver collect."""
+    per_batch = spark.read.parquet(counts_dir)
+    totals = per_batch.groupBy("token").agg(F.sum("cnt").alias("cnt"))
+    grand = totals.agg(F.sum("cnt").alias("__total"))
+    return (
+        totals.crossJoin(F.broadcast(grand))
+        .where(F.col("cnt") >= F.col("__total") * threshold_frac)
+        .select("token", "cnt")
+        .orderBy(F.desc("cnt"), "token")
+    )

@@ -787,3 +787,55 @@ def test_stream_funnel_equals_batch_q45(spark, tmp_path):
         assert got[u] == w, u
     for u in set(got) - set(want):
         assert got[u][0] == 0  # step-1-less users: 0 steps completed
+
+
+def test_stream_heavy_hitters_equal_batch_q56(spark, tmp_path):
+    """Streaming per-batch exact token counts rolled up == the q56 batch
+    heavy-hitters output, across micro-batches that each see a DIFFERENT
+    token mix (the threshold must not be applied per batch) — then a
+    simulated crash-replay of one batch (rewriting its batch=<id> dir)
+    changes nothing, which is the overwrite-versioning idempotency claim."""
+    import os
+
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        heavy_hitters_rollup,
+        stream_heavy_hitters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    src = str(tmp_path / "in")
+    n = docs.count()
+    first = docs.orderBy("doc_id").limit(n // 2)
+    rest = docs.orderBy("doc_id").subtract(first)
+    first.coalesce(1).write.parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    dest, ckpt = str(tmp_path / "counts"), str(tmp_path / "ck")
+    q = stream_heavy_hitters(stream, dest, ckpt)
+    q.awaitTermination(120)
+
+    want = [tuple(r) for r in all_queries()["q56_heavy_hitters"](spark, sf).collect()]
+    got = [tuple(r) for r in heavy_hitters_rollup(spark, dest).collect()]
+    assert got == want
+    assert len(want) > 0
+
+    # crash-replay simulation: rewrite an existing batch dir with the same
+    # content (what a foreachBatch replay does) — rollup must be unchanged
+    batch_dirs = [d for d in os.listdir(dest) if d.startswith("batch=")]
+    assert len(batch_dirs) >= 2  # maxFilesPerTrigger=1 over 2 files
+    replay = spark.read.parquet(os.path.join(dest, batch_dirs[0]))
+    replay.write.mode("overwrite").parquet(os.path.join(dest, batch_dirs[0] + "_tmp"))
+    spark.read.parquet(os.path.join(dest, batch_dirs[0] + "_tmp")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest, batch_dirs[0]))
+    import shutil
+
+    shutil.rmtree(os.path.join(dest, batch_dirs[0] + "_tmp"))
+    assert [tuple(r) for r in heavy_hitters_rollup(spark, dest).collect()] == want
