@@ -81,6 +81,11 @@ HEADLINE = {
     "rolling_distinct": "q60_rolling_distinct_sketch",
     "char_entropy": "t17_char_entropy",
     "leakage_split": "p7_leakage_free_split",
+    # round-6b additions
+    "triangle_counts": "q65_triangle_counts",
+    "skyline": "q66_skyline_pareto",
+    "snapshot_diff": "q67_snapshot_diff",
+    "bpe_merges": "t18_bpe_merges",
 }
 
 N_RUNS = 3
