@@ -221,3 +221,66 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10, max_frames: int = 4) 
         "meta",
         F.explode(F.transform(idx, lambda i: i * every_n)).alias("frame_index"),
     )
+
+
+AUDIO_SEGMENTS_DDL = (
+    "doc_id BIGINT, seg_index INT, kind STRING, start_frame INT, n_frames INT"
+)
+
+
+def segment_audio(
+    media: DataFrame,
+    max_frames: int = 8,
+    silence_threshold: int = 64,
+) -> DataFrame:
+    """Voice-activity-style audio segmentation: ONE decode pass per blob
+    emits the run-length encoding of silent vs speech frames — (doc_id,
+    seg_index, kind, start_frame, n_frames) — the pre-chunking step of a
+    speech-training pipeline (only speech runs proceed to transcription).
+
+    The Arrow plumbing is real and the row-count contract is variable
+    (0..max_frames runs per blob, decided inside the batch); only the codec
+    is STUBBED: per-frame energy derives from sha256(hex_digest ':' index)
+    byte 0, and the frame count from the m2 stub's digest-derived
+    sample_rate/n_samples — all integer digest arithmetic a SQL oracle
+    replays exactly. A real deployment swaps the stub for RMS over decoded
+    PCM frames; batch shape, schema and the run-length fold are unchanged."""
+    media = spread_narrow_scan(media)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                db = hashlib.sha256(content).digest()
+                dig = hashlib.sha256(content).hexdigest()
+                sample_rate = (8000, 16000, 22050, 44100)[db[3] % 4]
+                n_samples = int.from_bytes(db[4:7], "big")
+                n_frames = min(-(-n_samples // sample_rate), max_frames)
+                energies = [
+                    hashlib.sha256(f"{dig}:{i}".encode()).digest()[0]
+                    for i in range(n_frames)
+                ]
+                seg_index = -1
+                prev: bool | None = None
+                for i, e in enumerate(energies):
+                    silent = e < silence_threshold
+                    if silent != prev:
+                        seg_index += 1
+                        rows.append(
+                            {
+                                "doc_id": row["doc_id"],
+                                "seg_index": seg_index,
+                                "kind": "silence" if silent else "speech",
+                                "start_frame": i,
+                                "n_frames": 1,
+                            }
+                        )
+                        prev = silent
+                    else:
+                        rows[-1]["n_frames"] += 1
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "seg_index", "kind", "start_frame", "n_frames",
+            ])
+
+    return media.mapInPandas(decode, AUDIO_SEGMENTS_DDL)

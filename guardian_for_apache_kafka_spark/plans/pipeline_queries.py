@@ -2559,3 +2559,64 @@ def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "rnd int, lhs string, rhs string, merged string, cnt long"
     ).orderBy("rnd")
+
+
+@query(
+    "m5_audio_segments",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS dig FROM documents),
+    p AS (
+      SELECT doc_id, dig,
+        CASE ({_hexb('dig', 3)}) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+        ({_hexb('dig', 4)}) * 65536 + ({_hexb('dig', 5)}) * 256
+             + ({_hexb('dig', 6)}) AS ns
+      FROM h
+    ),
+    fr AS (SELECT doc_id, dig, least((ns + sr - 1) // sr, 8) AS nf FROM p),
+    f AS (
+      SELECT doc_id, CAST(g AS INT) AS idx,
+             {_hexb("sha256(dig || ':' || CAST(g AS VARCHAR))", 0)} < 64 AS silent
+      FROM fr, generate_series(0, 7) s(g)
+      WHERE g < nf
+    ),
+    seg0 AS (
+      SELECT doc_id, idx, silent,
+             CASE WHEN lag(silent) OVER (PARTITION BY doc_id ORDER BY idx)
+                       IS DISTINCT FROM silent THEN 1 ELSE 0 END AS brk
+      FROM f
+    ),
+    seg1 AS (
+      SELECT doc_id, idx, silent,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) - 1 AS seg_index
+      FROM seg0
+    )
+    SELECT doc_id, CAST(seg_index AS INT) AS seg_index,
+           CASE WHEN silent THEN 'silence' ELSE 'speech' END AS kind,
+           CAST(min(idx) AS INT) AS start_frame,
+           CAST(count(*) AS INT) AS n_frames
+    FROM seg1 GROUP BY doc_id, seg_index, silent
+    ORDER BY doc_id, seg_index LIMIT 900
+    """,
+    tags=("multimodal", "audio", "segmentation"),
+)
+def m5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio VAD-style segmentation joins the modality family (m1 image,
+    m2 audio features, m3 resize, m4 video frames): one decode pass per
+    blob run-length-encodes silent vs speech frames — the pre-chunking
+    step before transcription in a speech pipeline. The Arrow fan-out emits
+    a VARIABLE number of rows per blob (decided inside the batch); per-frame
+    energies are digest arithmetic the oracle replays, with the run-length
+    fold replayed set-wise as a gaps-and-islands window
+    (operators/multimodal.segment_audio)."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        segment_audio,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(d, "blob", "audio", "wav")
+    return segment_audio(media).orderBy("doc_id", "seg_index").limit(900)

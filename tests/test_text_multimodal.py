@@ -575,3 +575,35 @@ def test_bpe_single_symbol_exhaustion(spark):
     got = bpe_merge_rules(df, rounds=10)
     # round1 merges (a,b) cnt=2; round2 merges (c,d) cnt=1; then no pairs
     assert got == [(1, "a", "b", "ab", 2), (2, "c", "d", "cd", 1)]
+
+
+def test_audio_segments_tile_and_alternate(spark, sf_dir):
+    """Per doc the segment runs must tile [0, total_frames) exactly
+    (start_frame/n_frames contiguous, no gaps or overlaps), alternate
+    kinds (a run-length encoding never has two adjacent equal kinds), and
+    agree with the m2 stub's frame count contract (<= 8 frames)."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        segment_audio,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    segs = segment_audio(attach_media(d, "blob", "audio", "wav")).collect()
+    by_doc: dict = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "no segments produced"
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r.seg_index)
+        assert [r.seg_index for r in rows] == list(range(len(rows)))
+        pos = 0
+        for i, r in enumerate(rows):
+            assert r.start_frame == pos, (doc, i)
+            assert r.n_frames >= 1
+            pos += r.n_frames
+            if i:
+                assert r.kind != rows[i - 1].kind
+        assert pos <= 8
