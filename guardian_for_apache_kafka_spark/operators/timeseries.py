@@ -317,3 +317,57 @@ def rolling_distinct_sketch(
         exact.cast("long").alias("n_exact"),
         (F.abs(est - exact) / exact <= 0.05).alias("within_5pct"),
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    grid_seconds: int = 600,
+) -> DataFrame:
+    """Interval-interval overlap join ([a_start, a_end] intersects
+    [b_start, b_end], closed ends) — the generalization of q7's
+    point-in-range join, and the classic case where the naive theta join
+    is a cartesian product no optimizer can save.
+
+    GRID BUCKETING makes it an equi-join: each interval explodes to the
+    epoch-time grid cells it spans, the join runs on the cell key, and the
+    residual overlap predicate filters within the cell. Duplicate pair
+    elimination is FREE (no distinct): a pair is kept only in the cell
+    containing greatest(a_start, b_start) — for overlapping intervals that
+    instant lies in both intervals, so exactly one joined cell row
+    survives; a distinct would re-shuffle every matched pair.
+
+    At 100 TB: fan-out per row = interval_len/grid_seconds + 1 cells, so
+    pick the grid near the median interval length (fan-out ~2 rows); cell
+    keys are dense integers and hot cells are ordinary AQE-visible skew.
+    Output: all columns of ``a`` then ``b`` plus ``overlap_seconds``
+    (exact int64). Column names must not collide between the sides."""
+    dup = set(a.columns) & set(b.columns)
+    if dup:
+        raise ValueError(f"column collision between sides: {sorted(dup)}")
+
+    def cells(df: DataFrame, start: str, end: str) -> DataFrame:
+        lo = (F.unix_timestamp(start) / grid_seconds).cast("long")
+        hi = (F.unix_timestamp(end) / grid_seconds).cast("long")
+        return df.withColumn("__cell", F.explode(F.sequence(lo, hi)))
+
+    ac, bc = cells(a, a_start, a_end), cells(b, b_start, b_end)
+    anchor = F.greatest(F.col(a_start), F.col(b_start))
+    return (
+        ac.join(bc, "__cell")
+        .where(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & ((F.unix_timestamp(anchor) / grid_seconds).cast("long") == F.col("__cell"))
+        )
+        .drop("__cell")
+        .withColumn(
+            "overlap_seconds",
+            F.unix_timestamp(F.least(F.col(a_end), F.col(b_end)))
+            - F.unix_timestamp(anchor),
+        )
+    )

@@ -2661,3 +2661,67 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "p_partkey", F.round("p_retailprice", 2).alias("price"), "p_size"
     ).orderBy("p_partkey")
+
+
+@query(
+    "q68_interval_overlap_join",
+    oracle="""
+    WITH a AS (
+      SELECT ts AS a_s,
+             ts + to_minutes(1 + abs(CAST(round("value" * 100) AS BIGINT)) % 10) AS a_e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT ts AS b_s,
+             ts + to_minutes(1 + abs(CAST(round("value" * 100) AS BIGINT)) % 10) AS b_e
+      FROM events WHERE event_type = 'error'
+    ),
+    j AS (
+      SELECT a_s, date_diff('second', greatest(a_s, b_s), least(a_e, b_e)) AS ov
+      FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+    )
+    SELECT CAST(a_s AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(ov) AS BIGINT) AS overlap_sec
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "interval-join", "grid"),
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join: purchase activity windows vs error
+    windows (each event spans a value-derived 1-10 minute interval),
+    counting overlapping pairs and total overlap seconds per day. The
+    oracle runs the naive theta join (cartesian — oracle-scale only); the
+    operator grid-buckets both sides into 10-minute epoch cells so the
+    join is an EQUI-join on dense integer cells, with pair dedup FREE by
+    the anchor-cell rule (a pair survives only in the cell containing
+    greatest(start) — inside both intervals, so exactly once, no
+    re-shuffling distinct). Exact int64 overlap seconds
+    (operators/timeseries.interval_overlap_join)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dur = 1 + F.abs(F.round(F.col("value") * 100).cast("long")) % 10
+
+    def side(event_type: str, p: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .withColumn("__dur", dur)
+            .select(
+                F.col("ts").alias(f"{p}_s"),
+                F.expr(f"timestampadd(MINUTE, __dur, ts)").alias(f"{p}_e"),
+            )
+        )
+
+    j = interval_overlap_join(
+        side("purchase", "a"), side("error", "b"), "a_s", "a_e", "b_s", "b_e"
+    )
+    return (
+        j.groupBy(F.to_date("a_s").alias("day"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("overlap_seconds").alias("overlap_sec"),
+        )
+        .orderBy("day")
+    )

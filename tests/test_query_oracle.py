@@ -833,3 +833,57 @@ def test_skyline_three_criteria_matches_bruteforce(spark):
     df = spark.createDataFrame(pts, "k long, a double, b int, c int").repartition(8)
     got = sorted(r.k for r in skyline(df, minimize=["a"], maximize=["b", "c"]).collect())
     assert got == expect
+
+
+def test_interval_overlap_join_exactness_and_dedup(spark):
+    """Grid-bucketed overlap join vs a driver-side brute force over
+    intervals engineered to span MULTIPLE grid cells (the anchor-cell
+    dedup must emit each overlapping pair exactly once), plus closed-end
+    touching intervals and disjoint ones."""
+    import datetime as dt
+
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        interval_overlap_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def t(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # grid = 600s = 10 min; intervals span up to 4 cells
+    a_rows = [(1, t(0), t(35)), (2, t(50), t(55)), (3, t(90), t(95))]
+    b_rows = [
+        (10, t(30), t(60)),   # overlaps a1 (5 min) and a2 (5 min)
+        (11, t(35), t(40)),   # touches a1 at exactly t35 (closed ends -> 0 s)
+        (12, t(70), t(80)),   # disjoint from all
+        (13, t(0), t(100)),   # spans everything -> overlaps all three
+    ]
+    a = spark.createDataFrame(a_rows, "a_id long, a_s timestamp, a_e timestamp")
+    b = spark.createDataFrame(b_rows, "b_id long, b_s timestamp, b_e timestamp")
+    got = {
+        (r.a_id, r.b_id): r.overlap_seconds
+        for r in interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e").collect()
+    }
+    expect = {}
+    for ai, as_, ae in a_rows:
+        for bi, bs, be in b_rows:
+            if as_ <= be and bs <= ae:
+                expect[(ai, bi)] = int(
+                    (min(ae, be) - max(as_, bs)).total_seconds()
+                )
+    assert got == expect
+    assert got[(1, 11)] == 0  # the touching pair, kept with zero overlap
+
+
+def test_interval_overlap_join_rejects_column_collision(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame([(1,)], "x long").withColumn("s", F.current_timestamp()).withColumn("e", F.current_timestamp())
+    with pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(a, a, "s", "e", "s", "e")
