@@ -54,3 +54,29 @@ def spread_narrow_scan(df: DataFrame) -> DataFrame:
     # genuinely large inputs have wide scans and return untouched.
     n_parts = df.rdd.getNumPartitions()
     return df.repartition(target) if n_parts < target else df
+
+
+def zorder_value(x, y, bits: int = 16):
+    """Z-order (Morton) key from two integer columns already normalized to
+    ``[0, 2^bits)``: bit i of x lands at position 2i, bit i of y at 2i+1,
+    so sorting by the key clusters rows that are close in BOTH dimensions —
+    the multi-dimensional data-clustering layout (Delta/Iceberg's OPTIMIZE
+    ZORDER) that makes min/max file skipping effective for predicates on
+    EITHER column, where lexicographic (x, y) sort helps only x.
+
+    Pure integer expression (map-only, codegen'd, no UDF); write-time use
+    is ``df.repartitionByRange(n, zkey).sortWithinPartitions(zkey)`` so
+    every output file owns a compact z-range = a small bounding box in
+    (x, y) space. Normalization from raw values should be exact integer
+    arithmetic — e.g. cents ``(v - min) * (2^bits - 1) DIV (max - min)`` —
+    so engines and oracles agree bit-for-bit (q69)."""
+    from pyspark.sql import functions as F
+
+    xl = x.cast("long")
+    yl = y.cast("long")
+    out = None
+    for i in range(bits):
+        tx = F.shiftleft(F.shiftright(xl, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(F.shiftright(yl, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        out = tx + ty if out is None else out + tx + ty
+    return out

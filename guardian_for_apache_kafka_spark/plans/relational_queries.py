@@ -2725,3 +2725,98 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def _duck_zbits(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB Morton interleave of two normalized BIGINT expressions —
+    the same bit arithmetic as operators/layout.zorder_value."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "q69_zorder_locality",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+             CAST(p_size AS BIGINT) AS sz
+      FROM part
+    ),
+    mm AS (
+      SELECT min(pc) AS lo_pc, max(pc) AS hi_pc,
+             min(sz) AS lo_sz, max(sz) AS hi_sz
+      FROM base
+    ),
+    norm AS (
+      SELECT ((pc - lo_pc) * 65535) // (hi_pc - lo_pc) AS nx,
+             ((sz - lo_sz) * 65535) // (hi_sz - lo_sz) AS ny
+      FROM base, mm
+    ),
+    keyed AS (
+      SELECT nx, ny, ({_duck_zbits('nx', 'ny')}) >> 28 AS zbucket,
+             nx >> 12 AS lexbucket
+      FROM norm
+    ),
+    z AS (
+      SELECT 'zorder' AS method, CAST(zbucket AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             max(nx) - min(nx) AS x_span, max(ny) - min(ny) AS y_span
+      FROM keyed GROUP BY zbucket
+    ),
+    lx AS (
+      SELECT 'lexicographic' AS method, CAST(lexbucket AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             max(nx) - min(nx) AS x_span, max(ny) - min(ny) AS y_span
+      FROM keyed GROUP BY lexbucket
+    )
+    SELECT * FROM z UNION ALL SELECT * FROM lx
+    ORDER BY method, bucket
+    """,
+    tags=("relational", "layout", "zorder"),
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs lexicographic clustering quality over parts (price x
+    size): normalize both dims to exact-integer [0, 65535], Morton-
+    interleave, and measure each 16-way bucket's bounding box (the top 4
+    z-bits = a 4x4 quadrant grid; the lexicographic comparator buckets by
+    the top 4 x-bits). Z buckets bound BOTH spans (~quarter range each);
+    lexicographic buckets have tiny x-spans and FULL y-spans — the reason
+    multi-dim min/max file skipping needs z-order. Everything is map-only
+    integer bit arithmetic + one small aggregate; bucket-by-value (not
+    ntile) keeps it windowless and scale-safe
+    (operators/layout.zorder_value)."""
+    from guardian_for_apache_kafka_spark.operators.layout import zorder_value
+
+    base = load_table(spark, sf_dir, "part").select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("pc"),
+        F.col("p_size").cast("long").alias("sz"),
+    )
+    mm = base.agg(
+        F.min("pc").alias("lo_pc"), F.max("pc").alias("hi_pc"),
+        F.min("sz").alias("lo_sz"), F.max("sz").alias("hi_sz"),
+    )
+    norm = base.crossJoin(F.broadcast(mm)).select(
+        F.expr("(pc - lo_pc) * 65535 DIV (hi_pc - lo_pc)").alias("nx"),
+        F.expr("(sz - lo_sz) * 65535 DIV (hi_sz - lo_sz)").alias("ny"),
+    )
+    keyed = norm.select(
+        "nx", "ny",
+        F.shiftright(zorder_value(F.col("nx"), F.col("ny")), 28).alias("zbucket"),
+        F.shiftright(F.col("nx"), 12).alias("lexbucket"),
+    )
+
+    def spans(bucket_col: str, method: str) -> DataFrame:
+        return keyed.groupBy(F.col(bucket_col).cast("int").alias("bucket")).agg(
+            F.count("*").alias("n"),
+            (F.max("nx") - F.min("nx")).alias("x_span"),
+            (F.max("ny") - F.min("ny")).alias("y_span"),
+        ).select(F.lit(method).alias("method"), "bucket", "n", "x_span", "y_span")
+
+    return (
+        spans("zbucket", "zorder")
+        .unionByName(spans("lexbucket", "lexicographic"))
+        .orderBy("method", "bucket")
+    )

@@ -887,3 +887,40 @@ def test_interval_overlap_join_rejects_column_collision(spark):
     a = spark.createDataFrame([(1,)], "x long").withColumn("s", F.current_timestamp()).withColumn("e", F.current_timestamp())
     with pytest.raises(ValueError, match="collision"):
         interval_overlap_join(a, a, "s", "e", "s", "e")
+
+
+def test_zorder_value_known_bits_and_locality(spark):
+    """Morton key spot-checks ((1,0)->1, (0,1)->2, (3,3)->15, max->2^32-1)
+    and the locality claim the layout rests on: over a deterministic point
+    cloud, every top-4-bit z-bucket's bounding box is at most a quarter of
+    the range in BOTH dimensions — while lexicographic x-buckets leave the
+    y-span unbounded."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.layout import zorder_value
+
+    pts = [(0, 0), (1, 0), (0, 1), (3, 3), (65535, 65535)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {tuple(r[:2]): r.z for r in df.select("x", "y", zorder_value(F.col("x"), F.col("y")).alias("z")).collect()}
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(3, 3)] == 15
+    assert got[(65535, 65535)] == 2**32 - 1
+
+    import hashlib
+
+    def h(i, tag):
+        return int(hashlib.md5(f"{i}:{tag}".encode()).hexdigest()[:8], 16) % 65536
+
+    cloud = [(h(i, "x"), h(i, "y")) for i in range(2000)]
+    cdf = spark.createDataFrame(cloud, "x long, y long")
+    spans = (
+        cdf.select("x", "y", F.shiftright(zorder_value(F.col("x"), F.col("y")), 28).alias("b"))
+        .groupBy("b")
+        .agg((F.max("x") - F.min("x")).alias("xs"), (F.max("y") - F.min("y")).alias("ys"))
+        .collect()
+    )
+    assert len(spans) == 16
+    for r in spans:
+        assert r.xs <= 16384 and r.ys <= 16384, (r.b, r.xs, r.ys)
