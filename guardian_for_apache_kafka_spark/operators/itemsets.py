@@ -1,0 +1,71 @@
+"""Frequent-itemset mining, level 2 (a-priori frequent pairs).
+
+Market-basket co-occurrence at scale is dominated by one number: the
+C(basket_size, 2) pair fan-out. Two guards make it tractable at 100 TB —
+both are the textbook a-priori discipline, not approximations of it:
+
+1. **Frequent-singleton pruning** (the a-priori property): a pair can only
+   be frequent if both items are, so baskets are semi-joined against the
+   frequent-item set BEFORE any pair is generated. On heavy-tailed
+   catalogs this removes most of every basket at map side (the frequent
+   set is small and broadcasts).
+2. **Basket cap**: a degenerate mega-basket (a crawler, a reseller
+   account) contributes C(n, 2) pairs from a single row; baskets above
+   ``max_basket`` surviving items are DROPPED — deterministic, declared,
+   and replayed identically by the oracle — rather than silently dominating
+   the shuffle (the d3 ``max_bucket`` stop-shingle discipline).
+
+The pair count shuffle then carries (item, item) int pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int,
+    min_pair_support: int,
+    max_basket: int = 50,
+) -> DataFrame:
+    """Frequent item pairs from (basket, item) rows (duplicates tolerated —
+    support counts DISTINCT baskets). Returns (item_a, item_b, support)
+    with item_a < item_b, for pairs co-occurring in >= ``min_pair_support``
+    baskets whose items each occur in >= ``min_item_support`` baskets."""
+    b = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    freq_items = (
+        b.groupBy("__i")
+        .agg(F.count("*").alias("__s"))
+        .where(F.col("__s") >= min_item_support)
+        .select("__i")
+    )
+    pruned = b.join(F.broadcast(freq_items), "__i")
+    kept = (
+        pruned.groupBy("__b")
+        .agg(F.collect_list("__i").alias("__items"))
+        .where(F.size("__items") <= max_basket)
+        # sort so pair orientation is content-determined, not shuffle-order
+        .select("__b", F.array_sort("__items").alias("__items"))
+    )
+    # pairs are generated INSIDE the sorted array (map-only; a per-item
+    # explode + self-join on the basket key would pay a second exchange) —
+    # item_a < item_b holds by the sort, and the sole shuffle is the final
+    # pair-keyed count
+    pairs = F.expr(
+        "flatten(transform(__items, (x, i) -> "
+        "transform(slice(__items, i + 2, size(__items)), "
+        "y -> struct(x AS item_a, y AS item_b))))"
+    )
+    return (
+        kept.select(F.explode(pairs).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_pair_support)
+    )

@@ -2820,3 +2820,44 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(spans("lexbucket", "lexicographic"))
         .orderBy("method", "bucket")
     )
+
+
+@query(
+    "q70_frequent_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    fi AS (SELECT it FROM b GROUP BY it HAVING count(*) >= 25),
+    pruned AS (SELECT bk, it FROM b JOIN fi USING (it)),
+    sized AS (
+      SELECT bk FROM pruned GROUP BY bk HAVING count(*) BETWEEN 2 AND 50
+    ),
+    pairs AS (
+      SELECT a.it AS item_a, a2.it AS item_b
+      FROM pruned a JOIN sized USING (bk)
+      JOIN pruned a2 ON a.bk = a2.bk AND a.it < a2.it
+    )
+    SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS support
+    FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY support DESC, item_a, item_b LIMIT 20
+    """,
+    tags=("itemsets", "apriori", "co-occurrence"),
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent pair mining over order baskets (top-20 part pairs
+    co-purchased in >= 2 orders, items individually in >= 25 orders). The
+    two 100 TB guards are the textbook discipline, not approximations:
+    frequent-singleton pruning semi-joins baskets against the broadcast
+    frequent set BEFORE any pair exists, and a declared 50-item basket cap
+    drops degenerate mega-baskets instead of letting one row emit C(n,2)
+    pairs. Pair generation happens INSIDE the sorted item array (map-only)
+    so the only shuffle carries (int, int) pairs. The oracle replays
+    pruning, cap, and pair counting set-wise
+    (operators/itemsets.frequent_pairs)."""
+    from guardian_for_apache_kafka_spark.operators.itemsets import frequent_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = frequent_pairs(
+        li, "l_orderkey", "l_partkey",
+        min_item_support=25, min_pair_support=2, max_basket=50,
+    )
+    return out.orderBy(F.desc("support"), "item_a", "item_b").limit(20)

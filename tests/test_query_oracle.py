@@ -924,3 +924,31 @@ def test_zorder_value_known_bits_and_locality(spark):
     assert len(spans) == 16
     for r in spans:
         assert r.xs <= 16384 and r.ys <= 16384, (r.b, r.xs, r.ys)
+
+
+def test_frequent_pairs_pruning_cap_and_duplicates(spark):
+    """A-priori semantics on a hand basket set: duplicate (basket, item)
+    rows count once; items below min_item_support never reach a pair even
+    when the pair itself would pass; a mega-basket over the cap contributes
+    NO pairs (declared drop, not truncation)."""
+    from guardian_for_apache_kafka_spark.operators.itemsets import frequent_pairs
+
+    rows = [
+        # pair (1,2) in baskets 10, 11, 12 -> support 3
+        (10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2), (12, 2),
+        # item 99 appears once only -> pruned, so (1,99) never counted
+        (10, 99),
+        # two mega-baskets sharing items 3..51 (so those items are frequent
+        # and survive pruning): both exceed the 10-item cap AFTER pruning
+        # and are dropped — incl. basket 13's copy of the (1, 2) pair
+        *[(13, i) for i in range(1, 52)],
+        *[(14, i) for i in range(3, 52)],
+    ]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    got = {
+        (r.item_a, r.item_b): r.support
+        for r in frequent_pairs(
+            df, "bk", "it", min_item_support=2, min_pair_support=2, max_basket=10
+        ).collect()
+    }
+    assert got == {(1, 2): 3}
