@@ -749,3 +749,64 @@ def bpe_merge_rules(
             "c", F.aggregate("sy", empty, step).alias("sy")
         ).localCheckpoint()
     return rules
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_pct: int = 120,
+    b_pct: int = 75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a query-term set —
+    the lexical-retrieval complement of the embedding ANN family
+    (similarity.py): idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*|D|/avgdl))
+    summed over matching terms. ``query_terms`` is a one-column ('term')
+    frame; k1/b arrive as integer percents so the float expression is
+    identical on every engine.
+
+    Scale shape: the token stream is semi-joined against the BROADCAST
+    query terms at map side — only matching tokens ever shuffle (queries
+    are a handful of terms; the corpus is the 100 TB side). Per-(doc,term)
+    tf is one aggregation; df/N/avgdl are term-count- and scalar-sized
+    aggregates that broadcast back. Per-term scores are converted to
+    integer MICROS before the per-doc sum, so addition order — which Spark
+    does not define across shuffle partitions — cannot move the result
+    (the q42/q59 integer-sum discipline). Returns (id, score_micros) for
+    documents matching >= 1 term."""
+    k1 = k1_pct / 100.0
+    b = b_pct / 100.0
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(text_col)).alias("term"),
+    ).where(F.col("term") != "")
+    dlen = (
+        df.select(
+            F.col(id_col),
+            F.size(F.filter(tokens_col(text_col), lambda t: t != "")).alias("dl"),
+        )
+    )
+    stats = dlen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    matched = toks.join(F.broadcast(query_terms), "term")
+    tf = matched.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "__ts",
+            F.col("__idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .withColumn("__tsm", F.round(F.col("__ts") * 1000000).cast("long"))
+    )
+    return scored.groupBy(id_col).agg(F.sum("__tsm").alias("score_micros"))

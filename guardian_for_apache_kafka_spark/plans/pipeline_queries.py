@@ -2620,3 +2620,69 @@ def m5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_media(d, "blob", "audio", "wav")
     return segment_audio(media).orderBy("doc_id", "seg_index").limit(900)
+
+
+@query(
+    "s8_bm25_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term != ''),
+    qterms AS (
+      SELECT term FROM (SELECT DISTINCT doc_id, term FROM tok2)
+      GROUP BY term ORDER BY count(*) DESC, term LIMIT 3
+    ),
+    dlen AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok2 JOIN qterms USING (term) GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               * 1000000) AS BIGINT) AS tsm
+      FROM tf JOIN dfreq USING (term) JOIN dlen ON tf.doc_id = dlen.doc_id, stats
+    )
+    SELECT doc_id, CAST(sum(tsm) AS BIGINT) AS score_micros
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micros DESC, doc_id LIMIT 15
+    """,
+    tags=("similarity", "retrieval", "bm25"),
+)
+def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (k1=1.2, b=0.75) against the corpus's
+    3 highest-document-frequency terms, top-15 documents — the
+    keyword-search complement of the embedding ANN family (s1/s2/s7). The
+    token stream is semi-joined against the BROADCAST query terms at map
+    side, so only matching tokens shuffle; df/avgdl/N are term- and
+    scalar-sized broadcast aggregates; per-term scores become integer
+    MICROS before the per-doc sum so Spark's undefined shuffle addition
+    order cannot move the result. The float term-score expression is
+    written with identical operation order in both engines
+    (operators/text.bm25_scores)."""
+    from guardian_for_apache_kafka_spark.operators.text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    tok2 = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    qterms = (
+        tok2.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("__df"))
+        .orderBy(F.desc("__df"), "term")
+        .limit(3)
+        .select("term")
+    )
+    return (
+        bm25_scores(d, qterms)
+        .orderBy(F.desc("score_micros"), "doc_id")
+        .limit(15)
+    )

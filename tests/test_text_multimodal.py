@@ -607,3 +607,44 @@ def test_audio_segments_tile_and_alternate(spark, sf_dir):
             if i:
                 assert r.kind != rows[i - 1].kind
         assert pos <= 8
+
+
+def test_bm25_matches_reference_implementation(spark):
+    """BM25 vs a driver-side textbook implementation on a hand corpus with
+    known tf/df/length spread — including a doc matching no query term
+    (absent from output) and repeated terms in one doc (tf > 1)."""
+    import math
+
+    from guardian_for_apache_kafka_spark.operators.text import bm25_scores
+
+    corpus = {
+        1: "apple banana apple",
+        2: "banana cherry",
+        3: "durian durian durian durian",
+        4: "apple banana cherry apple apple",
+    }
+    terms = ["apple", "cherry"]
+    df = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+    qt = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r.doc_id: r.score_micros for r in bm25_scores(df, qt).collect()}
+
+    k1, b = 1.2, 0.75
+    n_docs = len(corpus)
+    dl = {k: len(v.split()) for k, v in corpus.items()}
+    avgdl = sum(dl.values()) / n_docs
+    tf = {
+        (k, t): v.split().count(t)
+        for k, v in corpus.items()
+        for t in terms
+        if t in v.split()
+    }
+    dfreq = {t: sum(1 for k in corpus if (k, t) in tf) for t in terms}
+    expect = {}
+    for (k, t), f in tf.items():
+        idf = math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+        ts = idf * (f * (k1 + 1.0)) / (f + k1 * (1.0 - b + b * dl[k] / avgdl))
+        expect[k] = expect.get(k, 0) + round(ts * 1_000_000)
+    assert got == expect
+    assert 3 not in got  # durian-only doc matches nothing
