@@ -1,4 +1,4 @@
-"""Static graph analytics: triangle counting.
+"""Static graph analytics: triangle counting and label propagation.
 
 Complements the iterative graph family (alternating-star connected
 components in operators/clusters.py, pointer-doubling depths and integer
@@ -94,3 +94,60 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
         .unionByName(tri.select(F.col("z").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 3, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected edge list: every node starts as its own label; each round
+    every node adopts the most frequent label among its neighbors, ties
+    broken by SMALLEST label — the deterministic variant of
+    Raghavan et al. (2007), whose async random tie-breaks do not replay.
+    Returns (node, label) after ``rounds``. Input edges are symmetrized; a
+    node with no neighbors keeps its label. Known synchronous-LPA property
+    (Raghavan et al. §3): bipartite structures can OSCILLATE under
+    synchronous updates (a lone edge swaps labels every round) — callers
+    wanting a fixed point run an even round count or post-process with
+    connected components; the fixed deterministic schedule is what makes
+    the operator replayable by a SQL oracle.
+
+    Scale shape: fixed synchronous rounds (the q59 power-iteration
+    discipline — LPA converges in a handful of sweeps and production runs
+    cap them); each round is one join moving (neighbor, label) pairs plus
+    one (node, label) count — two hash exchanges of longs, state is one
+    label per node, localCheckpointed so plans stay flat. The argmax is an
+    aggregate (max of a (count, -label) struct), never a per-node window
+    sort."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        neigh = und.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        best = (
+            neigh.groupBy("node", "label")
+            .agg(F.count("*").alias("__c"))
+            .groupBy("node")
+            .agg(F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))).alias("__m"))
+            .select("node", (-F.col("__m.__nl")).alias("label"))
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("label", F.col("node")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -2861,3 +2861,79 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_item_support=25, min_pair_support=2, max_basket=50,
     )
     return out.orderBy(F.desc("support"), "item_a", "item_b").limit(20)
+
+
+def _duck_lpa_round(prev: str, n: int) -> str:
+    """One unrolled synchronous label-propagation round for the q71 oracle:
+    neighbor-label counts, per-node argmax (count DESC, label ASC), keep
+    own label when isolated."""
+    return f"""
+    c{n} AS (
+      SELECT e.a AS node, l.label, count(*) AS c
+      FROM e JOIN {prev} l ON e.b = l.node GROUP BY 1, 2
+    ),
+    b{n} AS (
+      SELECT node, label FROM c{n}
+      QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1
+    ),
+    l{n} AS (
+      SELECT n.node, coalesce(b{n}.label, n.node) AS label
+      FROM n LEFT JOIN b{n} USING (node)
+    )"""
+
+
+@query(
+    "q71_label_propagation",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    pr AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS ea,
+                      greatest(a.l_partkey, b.l_partkey) AS eb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT ea AS a, eb AS b FROM pr UNION SELECT eb, ea FROM pr),
+    n AS (SELECT DISTINCT a AS node FROM e),
+    l0 AS (SELECT node, node AS label FROM n),
+    {_duck_lpa_round('l0', 1)},
+    {_duck_lpa_round('l1', 2)},
+    {_duck_lpa_round('l2', 3)}
+    SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l3 GROUP BY label ORDER BY n_nodes DESC, label LIMIT 20
+    """,
+    tags=("graph", "community", "label-propagation", "iterative"),
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the q65
+    co-purchase graph, 3 rounds, top-20 communities by size. Deterministic
+    LPA: the adopted label is the neighbor argmax by (count DESC, label
+    ASC) — classic async LPA's random tie-breaks can't replay, this
+    variant is bit-stable so the oracle unrolls all 3 rounds as SQL with
+    the identical QUALIFY argmax. Two long-typed exchanges per round,
+    label-per-node state, localCheckpointed (the q59 fixed-round
+    discipline) (operators/graph.label_propagation)."""
+    from guardian_for_apache_kafka_spark.operators.graph import label_propagation
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    return (
+        label_propagation(edges, rounds=3)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "label")
+        .limit(20)
+    )

@@ -952,3 +952,57 @@ def test_frequent_pairs_pruning_cap_and_duplicates(spark):
         ).collect()
     }
     assert got == {(1, 2): 3}
+
+
+def test_label_propagation_two_cliques_and_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 synchronous rounds
+    every member of each clique carries its clique's minimum id (the
+    deterministic tie-break pulls labels downward), and the bridge does
+    not merge the communities; reversed/duplicate edges are tolerated. An
+    isolated PAIR exhibits the textbook synchronous-LPA oscillation (each
+    node adopts the other's label every round — after an odd round count
+    they are swapped), pinned here so the behavior is a documented
+    contract, not a surprise."""
+    from guardian_for_apache_kafka_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(x, y) for x in ids for y in ids if x < y]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10), (20, 21)]
+    edges += [(b, a) for a, b in edges[:3]]  # reversed duplicates
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+    assert got[20] == 21 and got[21] == 20  # odd-round bipartite swap
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """3 rounds over a seeded random graph vs a driver-side synchronous
+    replay with the same (count desc, label asc) argmax."""
+    import hashlib
+
+    from guardian_for_apache_kafka_spark.operators.graph import label_propagation
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+
+    edges = [(h(i) % 30, h(i + 1000) % 30) for i in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nb in adj.items():
+            counts: dict = {}
+            for m in nb:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    assert got == labels
