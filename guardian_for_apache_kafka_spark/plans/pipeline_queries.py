@@ -2686,3 +2686,44 @@ def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micros"), "doc_id")
         .limit(15)
     )
+
+
+@query(
+    "d16_edit_distance_pairs",
+    oracle="""
+    WITH n AS (SELECT DISTINCT c_name FROM customer),
+    p AS (
+      SELECT a.c_name AS s_a, b.c_name AS s_b
+      FROM n a JOIN n b
+        ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    u AS (SELECT s_a AS name FROM p UNION ALL SELECT s_b FROM p)
+    SELECT name, CAST(count(*) AS BIGINT) AS n_neighbors
+    FROM u GROUP BY name
+    ORDER BY n_neighbors DESC, name LIMIT 20
+    """,
+    tags=("dedup", "strings", "symdelete", "fuzzy-join"),
+)
+def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key resolution: the 20 customer names with the most
+    Levenshtein-distance-1 neighbors. The operator is the symmetric-delete
+    (SymSpell) join — deletion-neighborhood variants hashed to int64, ONE
+    equi-join shuffle carrying (hash, string), exact JVM levenshtein verify
+    on candidates only — while the oracle runs the naive O(n^2) theta join
+    (oracle-scale only; the operator never materializes the cross product).
+    At 100 TB the variant index scales linearly with distinct keys and the
+    hot-variant cap bounds degenerate buckets
+    (operators/strings.edit_distance_pairs)."""
+    from guardian_for_apache_kafka_spark.operators.strings import edit_distance_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = edit_distance_pairs(cust, "c_name")
+    u = pairs.select(F.col("s_a").alias("name")).unionAll(
+        pairs.select(F.col("s_b").alias("name"))
+    )
+    return (
+        u.groupBy("name")
+        .agg(F.count("*").alias("n_neighbors"))
+        .orderBy(F.desc("n_neighbors"), "name")
+        .limit(20)
+    )

@@ -1032,3 +1032,65 @@ def test_leakage_free_split_closes_chains(spark):
     out = {r.doc_id: r.split for r in leakage_free_split_label(docs, weights).collect()}
     assert out[a_id] == out[b_id] == out[c_id] == "train"
     assert out[filler_id] == base[filler_id]  # untouched component keeps base
+
+
+# ---------------------------------------------------------------------------
+# d16: symmetric-delete edit-distance join
+# ---------------------------------------------------------------------------
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """SymSpell candidate generation is complete for ED<=1: deletion (ab/abc),
+    insertion, substitution (axc/abc), and identical-after-dedup inputs all
+    resolve exactly as the naive pairwise levenshtein does."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.strings import edit_distance_pairs
+
+    vals = [
+        "abc", "abd", "ab", "abcd", "axc", "zzz", "zz", "a", "",
+        "hello", "hallo", "hell", "helo", "shello", "world",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {
+        (r.s_a, r.s_b) for r in edit_distance_pairs(df, "s").collect()
+    }
+
+    def ed(a: str, b: str) -> int:
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    want = {
+        tuple(sorted((a, b)))
+        for i, a in enumerate(vals)
+        for b in vals[i + 1 :]
+        if a != b and ed(a, b) <= 1
+    }
+    assert got == want
+
+
+def test_edit_distance_pairs_hot_bucket_cap_drops_recall_only(spark):
+    """max_bucket drops pairs that only meet in a hot variant; it never
+    invents pairs, and pairs that also share a cold variant survive."""
+    from guardian_for_apache_kafka_spark.operators.strings import edit_distance_pairs
+
+    # ten strings "Xa" all sharing hot variant "a" (delete X); plus a cold
+    # pair ("qq", "q") meeting only in low-frequency variants
+    vals = [c + "a" for c in "bcdefghijk"] + ["qq", "q"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    uncapped = {(r.s_a, r.s_b) for r in edit_distance_pairs(df, "s").collect()}
+    capped = {
+        (r.s_a, r.s_b)
+        for r in edit_distance_pairs(df, "s", max_bucket=3).collect()
+    }
+    assert capped <= uncapped
+    assert ("q", "qq") in capped
+    # the hot-variant clique ("ba","ca"), ... is gone under the cap
+    assert ("ba", "ca") in uncapped and ("ba", "ca") not in capped
