@@ -371,3 +371,39 @@ def interval_overlap_join(
             - F.unix_timestamp(anchor),
         )
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching ``[start, end]`` intervals per key into
+    maximal islands: ``(key, island_start, island_end, n_intervals)``.
+
+    The classic one-window plan: per key ordered by (start, end), an interval
+    opens a new island iff its start exceeds the running max of all previous
+    ends; the island id is the running count of such opens, and the final
+    shape is one groupBy over (key, island). Exactly ONE shuffle (the window
+    and the aggregate share the key partitioning — AQE reuses the exchange),
+    state per row is a single max, and skewed keys parallelize like any
+    window (a key's timeline must be ordered, so per-key order is inherent
+    to the semantics, same posture as q44's rolling window).
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = df.select(
+        F.col(key_col),
+        F.col(start_col),
+        F.col(end_col),
+        F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__island"),
+    )
+    return islands.groupBy(key_col, "__island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count("*").alias("n_intervals"),
+    ).drop("__island")

@@ -2937,3 +2937,79 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), "label")
         .limit(20)
     )
+
+
+@query(
+    "q72_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s,
+             ts + to_minutes(1 + abs(CAST(round("value" * 100) AS BIGINT)) % 30) AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) IS NULL OR s > max(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) THEN 1 ELSE 0 END AS opens
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id,
+             sum(opens) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island, s, e
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+             count(*) AS n_intervals
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT CAST(island_start AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(date_diff('second', island_start, island_end)) AS BIGINT)
+             AS covered_sec,
+           CAST(max(n_intervals) AS BIGINT) AS max_merged
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "intervals", "sessionization"),
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval coalescing: every event spans a value-derived
+    1-30 minute window; overlapping windows merge into maximal activity
+    islands (the interval-union/gap-split primitive under session
+    coverage, SLA uptime, and time-weighted dedup). ONE user-keyed
+    shuffle: the running-max-end window flags island opens, a running sum
+    numbers them, and the island groupBy reuses the same partitioning
+    (AQE exchange reuse). The oracle replays the identical window algebra
+    in DuckDB (operators/timeseries.coalesce_intervals)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(MINUTE, 1 + abs(cast(round(value * 100) as bigint)) % 30, ts)"
+        ).alias("e"),
+    )
+    merged = coalesce_intervals(iv, "user_id", "s", "e")
+    return (
+        merged.groupBy(F.to_date("island_start").alias("day"))
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum(
+                F.unix_timestamp("island_end") - F.unix_timestamp("island_start")
+            ).alias("covered_sec"),
+            F.max("n_intervals").alias("max_merged"),
+        )
+        .orderBy("day")
+    )

@@ -681,3 +681,27 @@ def test_q64_stacked_windows_single_exchange(plans):
     p = plans("q64_running_balance_with_resets")
     assert p.count("Arguments: hashpartitioning") == 1, p
     assert p.split("\n\n")[0].count("Window") == 2, p
+
+
+def test_q72_interval_coalesce_single_user_exchange(plans):
+    """Interval coalescing: the window pair (running max-end + island sum)
+    and the island groupBy must all ride ONE user_id hash exchange — a
+    second hashpartitioning(user_id) would mean the island groupBy
+    re-shuffles what the window already partitioned."""
+    plan = plans("q72_interval_coalesce")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_d16_join_key_is_variant_hash_not_text(plans):
+    """SymSpell join: the candidate equi-join's key must be the int64
+    variant hash (__h), never raw variant strings, and the exact
+    levenshtein verify must sit after the join (candidates only). The
+    join strategy is Catalyst's choice (broadcast at test scale, shuffled
+    hash at corpus scale) — only the key is contractual."""
+    import re
+
+    plan = plans("d16_edit_distance_pairs")
+    assert "xxhash64" in plan, plan
+    assert "levenshtein" in plan, plan
+    assert re.search(r"Left keys \[1\]: \[__h#\d+L\]", plan), plan
+    assert re.search(r"Right keys \[1\]: \[__h#\d+L\]", plan), plan

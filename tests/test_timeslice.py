@@ -185,3 +185,33 @@ def test_slice_col_matches_anchor_for_at_boundaries(spark):
         }
         for p in probes:
             assert got[p] == anchor_for(cfg, p), (unit, p)
+
+
+def test_coalesce_intervals_semantics(spark):
+    """Touching intervals (s == prev end) merge; gaps split; containment
+    collapses; counts are per-island."""
+    from datetime import datetime
+
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    T = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: [0,10] + [5,12] overlap; [12,20] touches -> one island
+        (1, T(0), T(10)), (1, T(5), T(12)), (1, T(12), T(20)),
+        # user 1: gap, then contained interval
+        (1, T(30), T(50)), (1, T(35), T(40)),
+        # user 2: single
+        (2, T(1), T(2)),
+    ]
+    df = spark.createDataFrame(rows, "k BIGINT, s TIMESTAMP, e TIMESTAMP")
+    got = {
+        (r.k, r.island_start, r.island_end, r.n_intervals)
+        for r in coalesce_intervals(df, "k", "s", "e").collect()
+    }
+    assert got == {
+        (1, T(0), T(20), 3),
+        (1, T(30), T(50), 2),
+        (2, T(1), T(2), 1),
+    }
