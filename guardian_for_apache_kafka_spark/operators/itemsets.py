@@ -69,3 +69,77 @@ def frequent_pairs(
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= min_pair_support)
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int,
+    min_pair_support: int,
+    max_basket: int = 50,
+) -> DataFrame:
+    """Directed association rules from level-2 itemsets: for every frequent
+    pair {a, b}, both rules a=>b and b=>a with
+
+    - ``support``   = distinct baskets containing both,
+    - ``confidence``= support / baskets(antecedent),
+    - ``lift``      = confidence / (baskets(consequent) / n_baskets).
+
+    Plan: :func:`frequent_pairs` (one pair-keyed shuffle) -> explode each
+    undirected pair into its two directions (map-only) -> two joins against
+    the BROADCAST frequent-item support table (already small by the
+    min-support filter) -> scalar n_baskets via a broadcast single-row
+    cross. Denominators use the RAW distinct-basket item supports (standard
+    a-priori bookkeeping), while pair supports inherit the declared
+    ``max_basket`` cap. Division order is fixed (support/sa, then /(sb/n))
+    so doubles replay bit-identically in the oracle."""
+    b = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    item_support = b.groupBy("__i").agg(F.count("*").alias("__s")).where(
+        F.col("__s") >= min_item_support
+    )
+    n_baskets = b.select(F.countDistinct("__b").alias("__n"))
+    pairs = frequent_pairs(
+        baskets, basket_col, item_col,
+        min_item_support=min_item_support,
+        min_pair_support=min_pair_support,
+        max_basket=max_basket,
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                ),
+            )
+        ).alias("r"),
+        "support",
+    ).select("r.antecedent", "r.consequent", "support")
+    sa = item_support.select(
+        F.col("__i").alias("antecedent"), F.col("__s").alias("__sa")
+    )
+    sb = item_support.select(
+        F.col("__i").alias("consequent"), F.col("__s").alias("__sb")
+    )
+    return (
+        directed.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            (F.col("support").cast("double") / F.col("__sa")).alias("confidence"),
+            (
+                (F.col("support").cast("double") / F.col("__sa"))
+                / (F.col("__sb").cast("double") / F.col("__n"))
+            ).alias("lift"),
+        )
+    )

@@ -3013,3 +3013,63 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q73_association_rules",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    isup AS (SELECT it, count(*) AS s FROM b GROUP BY it HAVING count(*) >= 25),
+    nb AS (SELECT count(DISTINCT bk) AS n FROM b),
+    pruned AS (SELECT bk, it FROM b JOIN isup USING (it)),
+    sized AS (SELECT bk FROM pruned GROUP BY bk HAVING count(*) BETWEEN 2 AND 50),
+    pairs AS (
+      SELECT a.it AS item_a, a2.it AS item_b, count(*) AS support
+      FROM pruned a JOIN sized USING (bk)
+      JOIN pruned a2 ON a.bk = a2.bk AND a.it < a2.it
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    directed AS (
+      SELECT item_a AS antecedent, item_b AS consequent, support FROM pairs
+      UNION ALL
+      SELECT item_b, item_a, support FROM pairs
+    )
+    SELECT antecedent, consequent, CAST(support AS BIGINT) AS support,
+           round(CAST(support AS DOUBLE) / sa.s, 2) AS confidence,
+           round((CAST(support AS DOUBLE) / sa.s)
+                 / (CAST(sb.s AS DOUBLE) / nb.n), 2) AS lift
+    FROM directed
+    JOIN isup sa ON sa.it = antecedent
+    JOIN isup sb ON sb.it = consequent
+    CROSS JOIN nb
+    ORDER BY round((CAST(support AS DOUBLE) / sa.s)
+                 / (CAST(sb.s AS DOUBLE) / nb.n), 2) DESC,
+             antecedent, consequent
+    LIMIT 20
+    """,
+    tags=("itemsets", "association-rules", "apriori"),
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules (confidence + lift) over the q70 basket
+    graph, top-20 by lift. Everything after the single pair-count shuffle
+    is map-side: direction fan-out is an in-row explode, both support
+    denominators come from the BROADCAST frequent-item table, and the
+    basket total joins as a broadcast scalar. Doubles divide in a fixed
+    order (support/sa, then /(sb/n)) so the oracle replays them
+    bit-identically (operators/itemsets.association_rules)."""
+    from guardian_for_apache_kafka_spark.operators.itemsets import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = association_rules(
+        li, "l_orderkey", "l_partkey",
+        min_item_support=25, min_pair_support=2, max_basket=50,
+    )
+    return (
+        rules.select(
+            "antecedent", "consequent", "support",
+            F.round("confidence", 2).alias("confidence"),
+            F.round("lift", 2).alias("lift"),
+        )
+        .orderBy(F.desc(F.round("lift", 2)), "antecedent", "consequent")
+        .limit(20)
+    )

@@ -1006,3 +1006,25 @@ def test_label_propagation_matches_python_replay(spark):
             new[n] = min(counts, key=lambda l: (-counts[l], l))
         labels = new
     assert got == labels
+
+
+def test_association_rules_hand_computed(spark):
+    """Rules on a 4-basket toy set match hand computation, including the
+    direction asymmetry of confidence and the shared lift."""
+    from guardian_for_apache_kafka_spark.operators.itemsets import association_rules
+
+    # baskets: {1:a,b} {2:a,b} {3:a} {4:b,c}
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "b"), (4, "c")]
+    df = spark.createDataFrame(rows, "bk BIGINT, it STRING")
+    got = {
+        (r.antecedent, r.consequent): (r.support, r.confidence, r.lift)
+        for r in association_rules(
+            df, "bk", "it", min_item_support=1, min_pair_support=1, max_basket=10
+        ).collect()
+    }
+    # supports: a=3, b=3, c=1, n=4; pair {a,b}=2, {b,c}=1
+    assert got[("a", "b")] == (2, 2 / 3, (2 / 3) / (3 / 4))
+    assert got[("b", "a")] == (2, 2 / 3, (2 / 3) / (3 / 4))
+    assert got[("b", "c")] == (1, 1 / 3, (1 / 3) / (1 / 4))
+    assert got[("c", "b")] == (1, 1 / 1, 1.0 / (3 / 4))
+    assert set(got) == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
