@@ -3073,3 +3073,64 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round("lift", 2)), "antecedent", "consequent")
         .limit(20)
     )
+
+
+@query(
+    "q74_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont("value", 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e."value", m.med,
+             abs(e."value" - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.adev > 3 * t.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(max(d.med), 2) AS median_value,
+           round(max(t.mad), 2) AS mad
+    FROM dev d JOIN mad t USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    tags=("relational", "robust-stats", "outliers"),
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: per
+    event_type, count rows whose |value - median| exceeds 3x the MAD —
+    the estimator that survives the contamination that wrecks
+    mean/stddev z-scores (q44's rolling z-score is the parametric twin).
+    Two grouped exact-percentile aggregates (each output is
+    event_type-sized, broadcast back onto the stream), so the corpus
+    itself is scanned twice and never shuffled by value. Both engines
+    use linear-interpolated exact medians."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.max("med"), 2).alias("median_value"),
+            F.round(F.max("mad"), 2).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
