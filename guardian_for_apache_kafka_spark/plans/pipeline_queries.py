@@ -2727,3 +2727,66 @@ def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_neighbors"), "name")
         .limit(20)
     )
+
+
+@query(
+    "t19_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+      SELECT lang, token, count(*) AS f
+      FROM tok WHERE token <> '' GROUP BY lang, token
+    ),
+    ranked AS (
+      SELECT lang, f,
+             row_number() OVER (PARTITION BY lang ORDER BY f DESC, token) AS r
+      FROM freq
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 2)
+             AS zipf_slope,
+           round(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 2)
+             AS fit_r2
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "zipf", "statistics"),
+)
+def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per language: the least-squares slope (and
+    r^2) of ln(frequency) on ln(rank) — the corpus-health diagnostic that
+    flags synthetic or boilerplate-heavy text (natural language sits near
+    slope -1; this corpus's flat 31-type vocabulary reads much shallower).
+    One explode + token-count shuffle, then a lang-keyed window rank and a
+    lang-sized regression aggregate; frequencies are exact BIGINTs and
+    both engines run the same interpolation-free regr_slope/regr_r2 over
+    identical (ln f, ln r) points, rounded 2dp."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("f"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), "token")
+    ranked = freq.select(
+        "lang", "f", F.row_number().over(w).alias("r")
+    )
+    return (
+        ranked.select(
+            "lang", "f",
+            F.log(F.col("f").cast("double")).alias("lf"),
+            F.log(F.col("r").cast("double")).alias("lr"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("f").alias("n_tokens"),
+            F.round(F.expr("regr_slope(lf, lr)"), 2).alias("zipf_slope"),
+            F.round(F.expr("regr_r2(lf, lr)"), 2).alias("fit_r2"),
+        )
+        .orderBy("lang")
+    )
