@@ -3134,3 +3134,54 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q75_last_touch_attribution",
+    oracle="""
+    WITH tl AS (
+      SELECT user_id, ts, event_id, event_type, "value",
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS channel
+      FROM events
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum("value"), 2) AS revenue
+    FROM tl WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "attribution", "window"),
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's value is credited
+    to the user's most recent PRECEDING non-purchase event type ('direct'
+    when the purchase opens the timeline). One user-keyed window with an
+    IGNORE NULLS last_value over the strictly-preceding frame — the
+    filter-after-window keeps the purchase rows only, so the single
+    exchange carries the raw timeline once and nothing self-joins
+    (the classic alternative, an as-of self-join, pays two exchanges and
+    a range probe). Deterministic via the (ts, event_id) order key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", channel.alias("channel"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
