@@ -237,3 +237,38 @@ def leakage_free_split_label(
         .otherwise(F.col("split"))
         .alias("split"),
     )
+
+
+def weighted_sample_key(content: Column, weight: Column, seed: str = "guardian") -> Column:
+    """Efraimidis-Spirakis weighted-sampling key: ``ln(u) / w`` with
+    ``u = (md5_52bits(content) + 1) / 2^52`` — the top-k rows by this key
+    (descending) are an exact without-replacement sample where row
+    inclusion probability is proportional to ``w`` (u^(1/w) maximization,
+    taken in log space so no pow). The uniform draw uses the first 13 hex
+    chars of md5 — a 52-bit integer that converts to double EXACTLY and
+    divides by the exact power 2^52, so u is bit-identical in any engine
+    with the same md5, making the sample content-stable (reruns, backfills
+    and the DuckDB oracle all pick the same rows) and seedable."""
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), content)), 1, 13), 16, 10
+    ).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(float(1 << 52))
+    return F.log(u) / weight
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    content_col: str,
+    k: int,
+    seed: str = "guardian",
+) -> DataFrame:
+    """Top-``k`` weighted sample without replacement (A-ES): adds ``__wkey``
+    and returns the k rows with the largest keys. Map-only key computation +
+    a TakeOrderedAndProject — no shuffle of the corpus, driver sees k rows.
+    Rows with non-positive weight are excluded (zero weight = never sampled,
+    matching the limit of the inclusion law)."""
+    keyed = df.where(F.col(weight_col) > 0).withColumn(
+        "__wkey", weighted_sample_key(F.col(content_col), F.col(weight_col), seed)
+    )
+    return keyed.orderBy(F.desc("__wkey")).limit(k)

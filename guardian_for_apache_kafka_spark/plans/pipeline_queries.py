@@ -2790,3 +2790,46 @@ def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "d17_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ln((CAST(('0x' || substring(
+                   md5('guardian|' || CAST(l_orderkey AS VARCHAR) || '#'
+                       || CAST(l_linenumber AS VARCHAR)) , 1, 13)) AS UBIGINT)
+                 + 1.0) / 4503599627370496.0) / l_quantity AS wkey
+      FROM lineitem WHERE l_quantity > 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity, 2) AS weight,
+           round(wkey * 1000000, 2) AS key_micros
+    FROM keyed
+    ORDER BY round(wkey * 1000000, 2) DESC, l_orderkey, l_linenumber LIMIT 25
+    """,
+    tags=("sampling", "weighted", "efraimidis-spirakis"),
+)
+def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable weighted sampling without replacement
+    (Efraimidis-Spirakis): the 25 lineitem rows with the largest
+    ln(u)/weight keys, weight = l_quantity. u derives from a 52-bit md5
+    slice, so it converts to double EXACTLY and is bit-identical across
+    engines — the sample is reproducible under reruns/backfills and
+    provably proportional-to-weight. Map-only keying + TakeOrdered: the
+    corpus never shuffles, the driver sees k rows
+    (operators/sampling.weighted_sample)."""
+    from guardian_for_apache_kafka_spark.operators.sampling import weighted_sample
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__content",
+        F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber")),
+    )
+    out = weighted_sample(li, "l_quantity", "__content", k=25)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("weight"),
+        F.round(F.col("__wkey") * 1000000, 2).alias("key_micros"),
+    ).orderBy(F.desc("key_micros"), "l_orderkey", "l_linenumber")

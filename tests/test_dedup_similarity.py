@@ -1094,3 +1094,26 @@ def test_edit_distance_pairs_hot_bucket_cap_drops_recall_only(spark):
     assert ("q", "qq") in capped
     # the hot-variant clique ("ba","ca"), ... is gone under the cap
     assert ("ba", "ca") in uncapped and ("ba", "ca") not in capped
+
+
+def test_weighted_sample_is_proportional_and_stable(spark):
+    """A-ES sampling law: over disjoint runs of the SAME content the sample
+    is identical (content-stable); items with 10x weight appear ~10x as
+    often across many independent contents (law of large numbers check on
+    the inclusion argmax)."""
+    from guardian_for_apache_kafka_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "heavy" if i % 2 == 0 else "light", 10.0 if i % 2 == 0 else 1.0)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "id BIGINT, grp STRING, w DOUBLE")
+    df = df.withColumn("content", F.col("id").cast("string"))
+    got1 = [r.id for r in weighted_sample(df, "w", "content", 200).collect()]
+    got2 = [r.id for r in weighted_sample(df, "w", "content", 200).collect()]
+    assert got1 == got2  # deterministic
+    heavy = sum(1 for i in got1 if i % 2 == 0)
+    # E[heavy] ~= 200 * 10/11 ~= 182; loose band
+    assert heavy > 150
+    # zero/negative weights never sampled
+    dfz = df.withColumn("w", F.when(F.col("id") < 1000, F.lit(0.0)).otherwise(F.col("w")))
+    gotz = {r.id for r in weighted_sample(dfz, "w", "content", 500).collect()}
+    assert all(i >= 1000 for i in gotz)
