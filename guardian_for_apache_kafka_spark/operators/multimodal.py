@@ -284,3 +284,39 @@ def segment_audio(
             ])
 
     return media.mapInPandas(decode, AUDIO_SEGMENTS_DDL)
+
+
+PHASH_DDL = "doc_id BIGINT, phash BIGINT"
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image blob: decode to
+    a tiny grayscale thumbnail, threshold each pixel against the mean, pack
+    the bits. Near-duplicate images (re-encodes, minor crops) collide or
+    land within small Hamming distance; bucketing by the hash (exact) or by
+    simhash-style pigeonhole blocks (operators/dedup.simhash_pairs machinery)
+    replaces any pairwise image comparison.
+
+    The decode is the container's STUB: the "thumbnail" is the 32 bytes of
+    sha256(content) and the mean-threshold bit-pack runs on those — so with
+    the fake codec, only byte-identical blobs collide (random content is
+    ~16 bits apart). A real deployment swaps the digest for an 8x8 PIL
+    thumbnail and keeps every line after it. Integer-exact thresholding
+    (32*pixel > total) so the oracle replays it with no float divide."""
+    media = spread_narrow_scan(media)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                px = hashlib.sha256(content).digest()  # STUB thumbnail
+                total = sum(px)
+                phash = 0
+                for k, b in enumerate(px):
+                    if 32 * b > total:
+                        phash |= 1 << k
+                rows.append({"doc_id": row["doc_id"], "phash": phash})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(hash_batch, PHASH_DDL)

@@ -2833,3 +2833,72 @@ def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity", 2).alias("weight"),
         F.round(F.col("__wkey") * 1000000, 2).alias("key_micros"),
     ).orderBy(F.desc("key_micros"), "l_orderkey", "l_linenumber")
+
+
+def _duck_phash_sql() -> str:
+    """DuckDB replay of the m6 stub aHash: 32 digest bytes as 'pixels',
+    integer mean threshold (32*b > total), bit-pack to BIGINT."""
+    bcols = ",\n             ".join(
+        f"({_HEXB.format(i=2 * k + 1, j=2 * k + 2)}) AS b{k}" for k in range(32)
+    )
+    total = " + ".join(f"b{k}" for k in range(32))
+    packed = " + ".join(
+        f"(CASE WHEN 32 * b{k} > total THEN {1 << k} ELSE 0 END)" for k in range(32)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    h AS (SELECT doc_id, sha256(text) AS dig FROM corpus),
+    px AS (
+      SELECT doc_id,
+             {bcols}
+      FROM h
+    ),
+    tot AS (SELECT *, {total} AS total FROM px),
+    ph AS (SELECT doc_id, CAST({packed} AS BIGINT) AS phash FROM tot)
+    SELECT phash, CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id
+    FROM ph GROUP BY phash HAVING count(*) >= 2
+    ORDER BY n_dups DESC, phash LIMIT 20
+    """
+
+
+@query(
+    "m6_phash_dedup",
+    oracle=_duck_phash_sql(),
+    tags=("multimodal", "dedup", "perceptual-hash"),
+)
+def m6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: aHash every blob partition-parallel
+    (mapInPandas, stub codec), bucket by the hash, report the top-20
+    duplicate groups with the keeper (min doc_id). The shuffle carries
+    (int64 hash, id) only — blobs never leave their scan partition. With
+    the stub codec only byte-identical blobs collide; with a real
+    thumbnail decoder the same plan catches re-encodes, and Hamming-near
+    buckets ride the d5 pigeonhole machinery. The oracle replays the
+    digest arithmetic byte-for-byte in SQL
+    (operators/multimodal.perceptual_hash)."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        perceptual_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # declared re-encode fixture: every 10th doc appears twice (same bytes,
+    # new id) so the hash buckets contain real duplicate groups to report
+    corpus = d.unionAll(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).withColumn("blob", F.col("text").cast("binary"))
+    ph = perceptual_hash(attach_media(corpus, "blob", "image", "png"))
+    return (
+        ph.groupBy("phash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_id"))
+        .where(F.col("n_dups") >= 2)
+        .orderBy(F.desc("n_dups"), "phash")
+        .limit(20)
+    )

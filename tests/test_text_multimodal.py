@@ -648,3 +648,32 @@ def test_bm25_matches_reference_implementation(spark):
         expect[k] = expect.get(k, 0) + round(ts * 1_000_000)
     assert got == expect
     assert 3 not in got  # durian-only doc matches nothing
+
+
+def test_perceptual_hash_identical_blobs_collide(spark):
+    """aHash: byte-identical blobs share a hash; the packed value matches a
+    pure-Python replay of the stub (digest bytes, integer mean threshold)."""
+    import hashlib
+
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        perceptual_hash,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id BIGINT, text STRING"
+    ).withColumn("blob", F.col("text").cast("binary"))
+    got = {
+        r.doc_id: r.phash
+        for r in perceptual_hash(attach_media(df, "blob", "image", "png")).collect()
+    }
+
+    def replay(s: str) -> int:
+        px = hashlib.sha256(s.encode()).digest()
+        total = sum(px)
+        return sum(1 << k for k, b in enumerate(px) if 32 * b > total)
+
+    assert got[1] == got[2] == replay("same")
+    assert got[3] == replay("other")
+    assert got[1] != got[3]
