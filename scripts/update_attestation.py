@@ -38,6 +38,11 @@ def main() -> None:
     for rnd in sorted(set(last.values())):
         for name in [n for n, r in last.items() if r == rnd]:
             print(f'    "{name}": {rnd},')
+    latest = max(last.values(), default=0)
+    print(
+        f"# also set: _VERY_STALE_ROUND = {max(1, latest - 3)}  "
+        f"(latest round {latest} - 3; guarantees no attestation ages past ~4 rounds)"
+    )
 
 
 if __name__ == "__main__":
