@@ -3185,3 +3185,80 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q76_time_to_convert",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_view
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, min(first_view) AS first_view,
+             min(ts) AS first_purchase
+      FROM fv
+      WHERE event_type = 'purchase' AND first_view IS NOT NULL
+        AND ts >= first_view
+      GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('day', first_view) AS DATE) AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(round(quantile_cont(
+             date_diff('second', first_view, first_purchase), 0.5)) AS BIGINT)
+             AS median_ttc_sec,
+           CAST(round(quantile_cont(
+             date_diff('second', first_view, first_purchase), 0.9)) AS BIGINT)
+             AS p90_ttc_sec
+    FROM conv GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "funnel", "conversion"),
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, seconds from the FIRST view to the first
+    purchase at-or-after it, summarized per first-view cohort day with
+    exact interpolated median and p90. One user-keyed exchange serves both
+    the first-view window and the per-user purchase min (same
+    partitioning); the cohort rollup is week-sized. The >= guard makes
+    'converted' mean view-then-purchase, not co-presence — q45's funnel
+    counts steps, this measures the latency between them."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    fv = ev.select(
+        "user_id", "ts", "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias(
+            "first_view"
+        ),
+    )
+    conv = (
+        fv.where(
+            (F.col("event_type") == "purchase")
+            & F.col("first_view").isNotNull()
+            & (F.col("ts") >= F.col("first_view"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("first_view").alias("first_view"),
+            F.min("ts").alias("first_purchase"),
+        )
+    )
+    ttc = F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+    return (
+        conv.select(
+            F.date_trunc("day", "first_view").cast("date").alias("cohort_day"),
+            ttc.alias("ttc"),
+        )
+        .groupBy("cohort_day")
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.expr("percentile(ttc, 0.5)")).cast("long").alias(
+                "median_ttc_sec"
+            ),
+            F.round(F.expr("percentile(ttc, 0.9)")).cast("long").alias(
+                "p90_ttc_sec"
+            ),
+        )
+        .orderBy("cohort_day")
+    )
