@@ -3262,3 +3262,62 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+@query(
+    "q77_week_over_week",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             count(*) AS n, sum("value") AS rev
+      FROM events GROUP BY 1, 2
+    )
+    SELECT c.day, c.event_type,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(p.n AS BIGINT) AS n_prev_week,
+           round((CAST(c.n AS DOUBLE) - p.n) * 100.0 / p.n, 2) AS n_pct_change,
+           round((c.rev - p.rev) * 100.0 / p.rev, 2) AS rev_pct_change
+    FROM daily c JOIN daily p
+      ON p.event_type = c.event_type AND p.day = c.day - 7
+    ORDER BY c.day, c.event_type
+    """,
+    tags=("relational", "timeseries", "period-over-period"),
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week deltas: daily (event_type, count, revenue) compared
+    against the same weekday one week earlier, as percent change. The
+    corpus collapses to a day x type aggregate FIRST (one shuffle,
+    ~150 rows), so the period self-join runs broadcast over aggregate-
+    sized data — the date-arithmetic equi-join also survives gaps in the
+    series, where a lag(7)-over-dense-days window would silently compare
+    the wrong rows. Division order fixed for bit-identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("rev"))
+    cur = daily
+    prev = daily.select(
+        F.col("event_type"),
+        F.date_add("day", 7).alias("day"),
+        F.col("n").alias("n_prev_week"),
+        F.col("rev").alias("rev_prev"),
+    )
+    return (
+        cur.join(F.broadcast(prev), ["event_type", "day"])
+        .select(
+            "day",
+            "event_type",
+            "n",
+            "n_prev_week",
+            F.round(
+                (F.col("n").cast("double") - F.col("n_prev_week"))
+                * 100.0
+                / F.col("n_prev_week"),
+                2,
+            ).alias("n_pct_change"),
+            F.round(
+                (F.col("rev") - F.col("rev_prev")) * 100.0 / F.col("rev_prev"), 2
+            ).alias("rev_pct_change"),
+        )
+        .orderBy("day", "event_type")
+    )
