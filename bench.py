@@ -86,6 +86,12 @@ HEADLINE = {
     "skyline": "q66_skyline_pareto",
     "snapshot_diff": "q67_snapshot_diff",
     "bpe_merges": "t18_bpe_merges",
+    # round-6c additions
+    "edit_distance_join": "d16_edit_distance_pairs",
+    "interval_coalesce": "q72_interval_coalesce",
+    "weighted_sample": "d17_weighted_sample",
+    "phash_dedup": "m6_phash_dedup",
+    "last_touch_attribution": "q75_last_touch_attribution",
 }
 
 N_RUNS = 3
