@@ -67,10 +67,12 @@ def edit_distance_pairs(
         inv = inv.join(F.broadcast(hot), "__h", "left_anti")
     a = inv.select(F.col("__s").alias("s_a"), "__h")
     b = inv.select(F.col("__s").alias("s_b"), "__h")
-    cand = (
-        a.join(b, "__h")
-        .where(F.col("s_a") < F.col("s_b"))
-        .select("s_a", "s_b")
-        .distinct()
+    # shuffled-hash beats sort-merge here: the int64 key needs no sort and
+    # the build side is variant-index-sized; the exact levenshtein verify
+    # runs BEFORE the pair distinct, so the distinct's exchange carries
+    # only true pairs (~4x fewer rows than candidates on digit-dense keys
+    # where the delete1-intersection admits ED-2 false positives)
+    cand = a.join(b.hint("shuffle_hash"), "__h").where(
+        (F.col("s_a") < F.col("s_b")) & (F.levenshtein("s_a", "s_b") <= 1)
     )
-    return cand.where(F.levenshtein("s_a", "s_b") <= 1)
+    return cand.select("s_a", "s_b").distinct()

@@ -2902,3 +2902,37 @@ def m6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_dups"), "phash")
         .limit(20)
     )
+
+
+@query(
+    "s9_cluster_cohesion",
+    oracle=f"""
+    {_KMEANS_WITH}
+    SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS csize,
+           round(avg(c), 4) AS mean_cosine, round(min(c), 4) AS min_cosine
+    FROM {_KMEANS_FINAL} GROUP BY cid ORDER BY cid
+    """,
+    tags=("similarity", "clustering", "quality"),
+)
+def s9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion report over the s5 k-means assignment: per cluster,
+    the population, mean cosine-to-centroid (cohesion) and min cosine (the
+    worst straggler) — the health check that sizes IVF probe lists and
+    flags clusters whose SemDeDup pair scan would be mis-scoped. Adds one
+    cluster-keyed aggregate (8 rows) on top of s5's assignment scan; the
+    oracle replays the identical Lloyd schedule and aggregates in SQL.
+    Per-row cosines are oracle-exact (s5 margin budget), so only the
+    8-value avg folds differ in order — 4dp rounding dwarfs that drift."""
+    from guardian_for_apache_kafka_spark.operators.similarity import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_assign(e, nlist=8, iterations=2)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("csize"),
+            F.round(F.avg("cosine"), 4).alias("mean_cosine"),
+            F.round(F.min("cosine"), 4).alias("min_cosine"),
+        )
+        .orderBy("cluster")
+    )

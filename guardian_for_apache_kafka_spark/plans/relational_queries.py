@@ -3321,3 +3321,74 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "q78_bounce_rate",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS opens
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(opens) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM t
+    ),
+    sessions AS (
+      SELECT user_id, sess, min(ts) AS session_start, count(*) AS n_events
+      FROM s GROUP BY user_id, sess
+    )
+    SELECT CAST(session_start AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END) * 100.0
+                 / count(*), 2) AS bounce_pct
+    FROM sessions GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "sessionization", "bounce"),
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per day: 30-minute-gap sessions (q27's sessionization
+    core) where a single-event session counts as a bounce. Both windows
+    (gap flag + session number) and the session groupBy share ONE user
+    exchange; the day rollup is calendar-sized. The deterministic order
+    key (ts, event_id) pins lag() under timestamp ties."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    opens = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        ev.select("user_id", "ts", "event_id", opens.alias("opens"))
+        .withColumn("sess", F.sum("opens").over(wsum))
+        .groupBy("user_id", "sess")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    return (
+        sessions.groupBy(F.to_date("session_start").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+                "n_bounces"
+            ),
+            F.round(
+                F.sum(F.when(F.col("n_events") == 1, 1.0).otherwise(0.0))
+                * 100.0
+                / F.count("*"),
+                2,
+            ).alias("bounce_pct"),
+        )
+        .orderBy("day")
+    )
