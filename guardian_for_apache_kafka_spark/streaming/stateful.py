@@ -370,3 +370,68 @@ def stream_funnel_steps(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+ATTRIBUTION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, event_id BIGINT, ts_us BIGINT, channel STRING, value DOUBLE"
+)
+ATTRIBUTION_STATE_SCHEMA = "last_ts_us BIGINT, last_event_id BIGINT, channel STRING"
+
+
+def stream_last_touch(events: DataFrame) -> DataFrame:
+    """Streaming twin of q75 last-touch attribution: per-user state is the
+    LATEST non-purchase event seen so far (by (ts, event_id) lex order —
+    the batch window's exact order key); each purchase row emits an
+    attribution record crediting that channel ('direct' when the purchase
+    opens the timeline). State is 2 longs + a short string per user,
+    checkpoint-persisted, so the stream attributes forever at O(users)
+    state. Batch rows are processed in (ts_us, event_id) order; on a
+    finite replay arriving in event-time order the emitted attributions
+    equal the batch q75 rows exactly (asserted in test_streaming). An
+    out-of-order straggler ACROSS micro-batches attributes against the
+    state as-of processing — the documented funnel-twin caveat; bound it
+    upstream with a watermark + sorted replay where exactness matters."""
+
+    def attribute(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lt, le, ch = state.get
+        else:
+            lt = le = ch = None
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+            for r in pdf.itertuples():
+                t, e = int(r.ts_us), int(r.event_id)
+                if r.event_type == "purchase":
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "event_id": e,
+                            "ts_us": t,
+                            "channel": ch if ch is not None else "direct",
+                            "value": float(r.value),
+                        }
+                    )
+                elif lt is None or (t, e) > (lt, le):
+                    lt, le, ch = t, e, str(r.event_type)
+        state.update((lt, le, ch))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "ts_us", "channel", "value"],
+        )
+
+    prepared = events.select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        attribute,
+        outputStructType=ATTRIBUTION_OUTPUT_SCHEMA,
+        stateStructType=ATTRIBUTION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

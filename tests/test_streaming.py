@@ -839,3 +839,60 @@ def test_stream_heavy_hitters_equal_batch_q56(spark, tmp_path):
 
     shutil.rmtree(os.path.join(dest, batch_dirs[0] + "_tmp"))
     assert [tuple(r) for r in heavy_hitters_rollup(spark, dest).collect()] == want
+
+
+def test_stream_last_touch_equals_batch_q75(spark, tmp_path):
+    """Streaming last-touch attribution on an in-order finite replay — split
+    across micro-batches and a checkpointed RESTART — aggregates to exactly
+    the batch q75 channel rows (state = last non-purchase event per user)."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.stateful import stream_last_touch
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    first = ordered.limit(n // 2)
+    rest = ordered.subtract(first)
+    src, ck, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    first.coalesce(1).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream_last_touch(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got_rows = spark.read.parquet(out)
+    # append mode emits each purchase exactly once across both runs
+    assert got_rows.count() == got_rows.select("event_id").distinct().count()
+    got = {
+        r.channel: (r.n_purchases, r.revenue)
+        for r in got_rows.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .collect()
+    }
+    want = {
+        r.channel: (r.n_purchases, r.revenue)
+        for r in all_queries()["q75_last_touch_attribution"](spark, sf).collect()
+    }
+    assert got == want
