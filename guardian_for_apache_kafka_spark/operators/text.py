@@ -810,3 +810,52 @@ def bm25_scores(
         .withColumn("__tsm", F.round(F.col("__ts") * 1000000).cast("long"))
     )
     return scored.groupBy(id_col).agg(F.sum("__tsm").alias("score_micros"))
+
+
+def shingle_duplication_profile(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-n-gram coverage: for each document, the
+    fraction of its DISTINCT word n-grams that also occur in at least one
+    other document — the fine-grained 'how much of this doc is recycled
+    text' signal (the chunk-level t13 boilerplate inventory's n-gram
+    sibling; the Gopher/C4 pipelines gate on exactly this family).
+
+    Plan: shingle (map-only) -> explode to an int64-hashed inverted stream
+    -> shingle document-frequency aggregate -> join the DF back onto the
+    stream -> per-doc aggregate. Two shingle-keyed exchanges and one doc
+    exchange, every one carrying (int64, int64) pairs; document text never
+    shuffles. Returns (id, n_shingles, n_shared, shared_ratio)."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        ngram_shingles,
+        tokens_col,
+    )
+
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        ngram_shingles(tokens_col(content_col), n).alias("__shingles"),
+    ).where(F.size("__shingles") > 0)
+    inv = sh.select(
+        "__id",
+        F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
+    )
+    dfreq = inv.groupBy("__s").agg(F.count("*").alias("__df"))
+    return (
+        inv.join(dfreq, "__s")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_shingles"), 4
+            ).alias("shared_ratio"),
+        )
+    )

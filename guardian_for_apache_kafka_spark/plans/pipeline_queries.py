@@ -2936,3 +2936,47 @@ def s9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "t20_shingle_duplication",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+    dfreq AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_shingles,
+               sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM inv JOIN dfreq USING (s) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_shingles, 4) AS shared_ratio
+    FROM per_doc
+    ORDER BY shared_ratio DESC, doc_id LIMIT 50
+    """,
+    tags=("text", "dedup", "ngram-coverage"),
+)
+def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated 3-gram coverage: the 50 documents with the highest
+    fraction of shingles shared with ANY other document — the doc-level
+    recycled-text gate (t13 finds the chunks; this scores the victims).
+    All exchanges carry (int64, int64); the oracle replays the inverted
+    index with raw shingle strings
+    (operators/text.shingle_duplication_profile)."""
+    from guardian_for_apache_kafka_spark.operators.text import (
+        shingle_duplication_profile,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        shingle_duplication_profile(d, n=3)
+        .orderBy(F.desc("shared_ratio"), "doc_id")
+        .limit(50)
+    )
