@@ -3392,3 +3392,53 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q79_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, quantile_cont("value", 0.05) AS p05,
+             quantile_cont("value", 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e."value" < b.p05 OR e."value" > b.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(avg(CASE WHEN e."value" < b.p05 THEN b.p05
+                          WHEN e."value" > b.p95 THEN b.p95
+                          ELSE e."value" END), 2) AS winsorized_mean,
+           round(avg(e."value"), 2) AS raw_mean
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    tags=("relational", "robust-stats", "winsorize"),
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means per event_type: values clipped at the exact
+    interpolated p5/p95 before averaging — the tail-robust estimator
+    between q74's MAD rejection (drop outliers) and the raw mean (keep
+    them); n_clipped reports how much tail was flattened. One percentile
+    aggregate (event_type-sized, broadcast back) + one scan-side CASE —
+    the corpus is never shuffled by value."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.when(F.col("value") < F.col("p05"), F.col("p05")).when(
+        F.col("value") > F.col("p95"), F.col("p95")
+    ).otherwise(F.col("value"))
+    is_clipped = (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(is_clipped, 1).otherwise(0)).alias("n_clipped"),
+            F.round(F.avg(clipped), 2).alias("winsorized_mean"),
+            F.round(F.avg("value"), 2).alias("raw_mean"),
+        )
+        .orderBy("event_type")
+    )
