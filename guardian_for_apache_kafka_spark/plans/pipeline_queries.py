@@ -2980,3 +2980,61 @@ def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_ratio"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "d18_source_dup_matrix",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common WHERE c * 1.0 / (na + nb - c) >= 0.5
+    ),
+    lbl AS (
+        SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b
+        FROM pairs
+        JOIN documents sa ON sa.doc_id = pairs.id_a
+        JOIN documents sb ON sb.doc_id = pairs.id_b
+    )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lbl GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("dedup", "provenance", "matrix"),
+)
+def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: d3's exact near-dup pairs labeled
+    by the UNORDERED source pair of their endpoints — the provenance view
+    that tells a corpus owner WHERE duplication comes from (mirror sites,
+    re-crawls, syndication) and which source pairs need dedup priority.
+    Two id-keyed broadcast-able label joins on top of the d3 inverted
+    index; the matrix itself is source^2-sized."""
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    src = d.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "__sa"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "__sb"), "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
