@@ -20,10 +20,14 @@ from guardian_for_apache_kafka_spark.session import get_spark  # noqa: E402
 from guardian_for_apache_kafka_spark.sources.tables import load_table  # noqa: E402
 
 
-def timed(label, df):
-    df.collect()
+def timed(label, df_or_build):
+    """Accepts a DataFrame (legacy; repeated collect reuses shuffle stages,
+    so the number is a LOWER bound) or a zero-arg builder returning a fresh
+    DataFrame per run (bench.py discipline: no stage reuse, honest wall)."""
+    build = df_or_build if callable(df_or_build) else (lambda: df_or_build)
+    build().collect()
     t0 = time.perf_counter()
-    n = len(df.collect())
+    n = len(build().collect())
     print(f"{label:44s} {time.perf_counter() - t0:7.2f} s  ({n} rows)")
 
 
@@ -175,5 +179,73 @@ def extra() -> None:
           rolling_distinct_sketch(ev10))
 
 
+def extra_c() -> None:
+    """Round-6c additions: SymSpell join at 10x keys, interval coalescing
+    and attribution at 10x events, shingle-duplication at 10x docs."""
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("guardian-stress-r6c")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from guardian_for_apache_kafka_spark.operators.strings import (
+        edit_distance_pairs,
+    )
+
+    # 150k digit-dense keys — the adversarial shape (many ED-2 collisions)
+    names = spark.range(150_000).select(
+        F.format_string("Customer#%09d", F.col("id") * 7 % 1_000_000).alias("nm")
+    ).localCheckpoint()
+    timed("symspell ed<=1 join @ 150k digit keys",
+          lambda: edit_distance_pairs(names, "nm"))
+
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    ev = load_table(spark, sf, "events")
+    reps = spark.range(10).select(F.col("id").alias("__rep"))
+    ev10 = (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("user_id") * 10 + F.col("__rep")).alias("user_id"),
+            F.col("ts").alias("s"),
+            F.expr(
+                "timestampadd(MINUTE, 1 + abs(cast(round(value * 100) as bigint)) % 30, ts)"
+            ).alias("e"),
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("ts"),
+        )
+        .repartition(64)
+        .localCheckpoint()
+    )
+    timed("interval coalesce @ 1M intervals/15k users",
+          lambda: coalesce_intervals(ev10, "user_id", "s", "e")
+          .groupBy().agg(F.count("*").alias("n"), F.sum("n_intervals").alias("s")))
+
+    from guardian_for_apache_kafka_spark.operators.text import (
+        shingle_duplication_profile,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    docs10 = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * 10 + F.col("__rep")).alias("doc_id"),
+            "text",  # replicas share text -> duplication density rises 10x
+        )
+        .repartition(64)
+        .localCheckpoint()
+    )
+    timed("shingle duplication profile @ 50k docs (10x dup density)",
+          lambda: shingle_duplication_profile(docs10)
+          .groupBy().agg(F.count("*").alias("n"), F.sum("n_shared").alias("s")))
+
+
 if __name__ == "__main__":
-    extra() if os.environ.get("STRESS_EXTRA") else main()
+    if os.environ.get("STRESS_EXTRA_C"):
+        extra_c()
+    elif os.environ.get("STRESS_EXTRA"):
+        extra()
+    else:
+        main()
