@@ -3442,3 +3442,67 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q80_weekly_churn",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS w
+      FROM events WHERE event_type = 'purchase'
+    ),
+    weeks AS (SELECT DISTINCT w FROM wk),
+    nxt AS (
+      SELECT a.w, a.user_id,
+             CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+      FROM wk a
+      LEFT JOIN wk b
+        ON b.user_id = a.user_id AND b.w = a.w + INTERVAL 7 DAY
+      WHERE a.w < (SELECT max(w) FROM weeks)
+    )
+    SELECT CAST(w AS DATE) AS week,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(churned) AS BIGINT) AS n_churned,
+           round(sum(churned) * 100.0 / count(*), 2) AS churn_pct
+    FROM nxt GROUP BY w ORDER BY w
+    """,
+    tags=("relational", "retention", "churn"),
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly purchase churn: users purchasing in week W with NO purchase in week W+1
+    (the inverse of q51's retention view). The corpus collapses to
+    distinct (user, week) FIRST — one exchange — and the week-shift
+    LEFT anti-pattern join runs on that user-week skeleton; the final
+    week is excluded (its churn is undefined until the next week lands).
+    Integer counts; one fixed-order percentage division."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts").cast("date")).alias("w"),
+        )
+        .distinct()
+    )
+    max_w = wk.agg(F.max("w").alias("__mx"))
+    # label each activity week SHIFTED BACK by 7 days: a (user, w) row in
+    # ``nxt`` then means "user was active in w's NEXT week", so the left
+    # join key equality tests exactly the oracle's b.w = a.w + 7
+    nxt = wk.select(
+        "user_id",
+        (F.col("w") - F.expr("INTERVAL 7 DAYS")).alias("w"),
+        F.lit(1).alias("__hit"),
+    )
+    return (
+        wk.crossJoin(F.broadcast(max_w))
+        .where(F.col("w") < F.col("__mx"))
+        .join(nxt, ["user_id", "w"], "left")
+        .select("w", F.when(F.col("__hit").isNull(), 1).otherwise(0).alias("churned"))
+        .groupBy(F.col("w").cast("date").alias("week"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum("churned").alias("n_churned"),
+            F.round(F.sum("churned") * 100.0 / F.count("*"), 2).alias("churn_pct"),
+        )
+        .orderBy("week")
+    )
