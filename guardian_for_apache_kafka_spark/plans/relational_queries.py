@@ -3506,3 +3506,48 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@query(
+    "q81_variant_json_stats",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_k,
+           CAST(min(k) AS INT) AS min_k,
+           CAST(max(k) AS INT) AS max_k,
+           round(avg(k), 2) AS avg_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS ndv_k
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "json", "variant", "spark4"),
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured stats through Spark 4's native VARIANT type:
+    ``parse_json`` once into a binary variant, then typed ``variant_get``
+    extraction — the modern engine path for JSON columns (single parse,
+    typed access, shreddable at the scan at scale) where q17 uses the
+    legacy per-access ``get_json_object`` string walk. The oracle reads
+    the same field with DuckDB's JSON extraction; aggregates are exact
+    integers plus one rounded mean."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.countDistinct("k").alias("ndv_k"),
+        )
+        .orderBy("event_type")
+    )
