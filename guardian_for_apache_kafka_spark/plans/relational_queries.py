@@ -3551,3 +3551,73 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q82_session_paths",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS opens
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(opens) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM t
+    ),
+    tri AS (
+      SELECT event_type
+             || '>' || lead(event_type, 1) OVER v
+             || '>' || lead(event_type, 2) OVER v AS path,
+             lead(sess, 2) OVER v AS sess2, sess
+      FROM s
+      WINDOW v AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE path IS NOT NULL AND sess2 = sess
+    GROUP BY path ORDER BY n DESC, path LIMIT 15
+    """,
+    tags=("relational", "sessionization", "sequence-mining"),
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 behavioral 3-step paths WITHIN sessions: q78's 30-minute-gap
+    sessionization, then event-type trigrams via two leads over the
+    session-scoped window — the lightweight sequential-pattern miner
+    (clickstream 'what do users do next'). Both the session numbering and
+    the trigram leads partition by user, so everything rides user-keyed
+    exchanges; the path space is |event_types|^3-bounded, so the count
+    shuffle is tiny. The session-scoped lead window makes cross-session
+    trigrams structurally impossible."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    opens = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = ev.select(
+        "user_id", "ts", "event_id", "event_type", opens.alias("opens")
+    ).withColumn("sess", F.sum("opens").over(wsum))
+    v = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    tri = s.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(v),
+            F.lead("event_type", 2).over(v),
+        ).alias("path"),
+        (F.lead("event_type", 2).over(v).isNotNull()).alias("complete"),
+    )
+    return (
+        tri.where(F.col("complete"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )
