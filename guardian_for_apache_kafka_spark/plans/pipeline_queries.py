@@ -3038,3 +3038,89 @@ def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+_DUCK_QUALITY = """
+      SELECT doc_id,
+             round(
+               least(len(tk) / 50.0, 1.0) * 0.3
+               + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
+               + (alpha * 1.0 / greatest(tl, 1)) * 0.2
+               + least(len(list_intersect(list_distinct(tk),
+                   ['the','and','of','to','in','is','that','with'])) / 4.0, 1.0) * 0.2
+             , 4) AS quality
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS tk, length(text) AS tl,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+        FROM documents
+      )
+"""
+
+
+@query(
+    "p8_curriculum_stages",
+    oracle=f"""
+    WITH q AS ({_DUCK_QUALITY}),
+    th AS (
+      SELECT quantile_cont(quality, 0.25) AS p25,
+             quantile_cont(quality, 0.50) AS p50,
+             quantile_cont(quality, 0.75) AS p75
+      FROM q
+    ),
+    staged AS (
+      SELECT doc_id, quality,
+             CASE WHEN quality >= p75 THEN 1
+                  WHEN quality >= p50 THEN 2
+                  WHEN quality >= p25 THEN 3
+                  ELSE 4 END AS stage,
+             md5(CAST(doc_id AS VARCHAR)) AS ck
+      FROM q CROSS JOIN th
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q,
+           CAST(arg_min(doc_id, ck) AS BIGINT) AS first_doc
+    FROM staged GROUP BY stage ORDER BY stage
+    """,
+    tags=("pipeline", "curriculum", "ordering"),
+)
+def p8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: documents staged easiest-first by quality
+    quartile (stage 1 = top quartile), shuffled content-stably INSIDE each
+    stage by md5(doc_id) — the easy-to-hard ordering a curriculum trainer
+    consumes, reproducible across reruns/backfills (p6's seeded-order
+    discipline per stage). One quality scan + a 3-scalar broadcast
+    threshold row; the report is stage-sized, with the stage's first
+    curriculum document attested via min_by on the hash key. Quartile
+    thresholds interpolate BETWEEN distinct 4dp values at these corpus
+    sizes, so the stage boundaries are knife-edge-free (asserted by the
+    cross-engine hash match itself)."""
+    from guardian_for_apache_kafka_spark.operators.text import quality_score
+
+    d = quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    th = d.agg(
+        F.expr("percentile(quality, 0.25)").alias("p25"),
+        F.expr("percentile(quality, 0.50)").alias("p50"),
+        F.expr("percentile(quality, 0.75)").alias("p75"),
+    )
+    staged = d.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "quality",
+        F.when(F.col("quality") >= F.col("p75"), 1)
+        .when(F.col("quality") >= F.col("p50"), 2)
+        .when(F.col("quality") >= F.col("p25"), 3)
+        .otherwise(4)
+        .alias("stage"),
+        F.md5(F.col("doc_id").cast("string")).alias("ck"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("quality"), 4).alias("min_q"),
+            F.round(F.max("quality"), 4).alias("max_q"),
+            F.expr("min_by(doc_id, ck)").alias("first_doc"),
+        )
+        .orderBy("stage")
+    )
