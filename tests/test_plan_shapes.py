@@ -705,3 +705,33 @@ def test_d16_join_key_is_variant_hash_not_text(plans):
     assert "levenshtein" in plan, plan
     assert re.search(r"Left keys \[1\]: \[__h#\d+L\]", plan), plan
     assert re.search(r"Right keys \[1\]: \[__h#\d+L\]", plan), plan
+
+
+def test_t20_exchanges_carry_hashes_not_text(plans):
+    """Shingle-duplication profile: every exchange must carry the int64
+    shingle hash or the doc id — the document text column must be pruned
+    before any exchange (check: no exchange input contains 'text')."""
+    import re
+
+    plan = plans("t20_shingle_duplication")
+    assert "xxhash64" in plan, plan
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "text#" not in m.group(1), m.group(1)
+
+
+def test_q74_q79_broadcast_thresholds_not_value_shuffle(plans):
+    """Robust-stats queries: the percentile threshold tables broadcast back
+    onto the event stream; the raw corpus must never hash-exchange on
+    value (only event_type-keyed aggregate exchanges are allowed)."""
+    for name in ("q74_mad_outliers", "q79_winsorized_stats"):
+        plan = plans(name)
+        assert "BroadcastExchange" in plan, name
+        assert "hashpartitioning(value" not in plan, name
+
+
+def test_q82_session_and_trigram_share_user_exchange(plans):
+    """Session numbering and the trigram leads both partition by user; the
+    plan must not re-exchange between them (one hashpartitioning(user_id),
+    plus only the tiny path-count aggregate exchange)."""
+    plan = plans("q82_session_paths")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
