@@ -215,3 +215,50 @@ def test_coalesce_intervals_semantics(spark):
         (1, T(30), T(50), 2),
         (2, T(1), T(2), 1),
     }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 400), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_coalesce_intervals_properties(spark, iv):
+    """Properties vs a driver-side sweep: per key, islands are disjoint and
+    non-touching, every interval is contained in exactly one island,
+    n_intervals sums to the input count, and island bounds are exact."""
+    from datetime import datetime, timedelta
+
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (k, base + timedelta(minutes=s), base + timedelta(minutes=s + d))
+        for k, s, d in iv
+    ]
+    df = spark.createDataFrame(rows, "k BIGINT, s TIMESTAMP, e TIMESTAMP")
+    got = sorted(
+        (r.k, r.island_start, r.island_end, r.n_intervals)
+        for r in coalesce_intervals(df, "k", "s", "e").collect()
+    )
+
+    # reference: sweep-line merge per key
+    want = []
+    bykey = {}
+    for k, s, e in rows:
+        bykey.setdefault(k, []).append((s, e))
+    for k, ivs in bykey.items():
+        ivs.sort()
+        cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s <= cur_e:
+                cur_e, n = max(cur_e, e), n + 1
+            else:
+                want.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        want.append((k, cur_s, cur_e, n))
+    assert got == sorted(want)
