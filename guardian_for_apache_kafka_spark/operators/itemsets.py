@@ -143,3 +143,66 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def frequent_triples(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int,
+    min_pair_support: int,
+    min_triple_support: int,
+    max_basket: int = 20,
+) -> DataFrame:
+    """Level-3 a-priori: frequent item triples. The candidate ladder prunes
+    twice before any triple exists — items below ``min_item_support`` leave
+    the baskets (broadcast semi-join), then only items that participate in
+    some frequent PAIR survive (the a-priori property one level up: a
+    triple's every sub-pair must be frequent, so an item in no frequent
+    pair can't be in any frequent triple). Triples generate INSIDE the
+    sorted per-basket array (map-only, C(n,3) bounded by the declared
+    ``max_basket`` cap — tighter than level 2's, as the fan-out is cubic);
+    the one shuffle carries (int, int, int) triple keys. Returns
+    (item_a, item_b, item_c, support), a < b < c."""
+    b = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    freq_items = (
+        b.groupBy("__i")
+        .agg(F.count("*").alias("__s"))
+        .where(F.col("__s") >= min_item_support)
+        .select("__i")
+    )
+    pruned = b.join(F.broadcast(freq_items), "__i")
+    pairs = frequent_pairs(
+        baskets, basket_col, item_col,
+        min_item_support=min_item_support,
+        min_pair_support=min_pair_support,
+        max_basket=max_basket,
+    )
+    pair_items = (
+        pairs.select(F.col("item_a").alias("__i"))
+        .unionAll(pairs.select(F.col("item_b").alias("__i")))
+        .distinct()
+    )
+    pruned2 = pruned.join(F.broadcast(pair_items), "__i")
+    kept = (
+        pruned2.groupBy("__b")
+        .agg(F.collect_list("__i").alias("__items"))
+        .where(F.size("__items") <= max_basket)
+        .select(F.array_sort("__items").alias("__items"))
+        .where(F.size("__items") >= 3)
+    )
+    triples = F.expr(
+        "flatten(transform(__items, (x, i) -> "
+        "flatten(transform(slice(__items, i + 2, size(__items)), (y, j) -> "
+        "transform(slice(__items, i + j + 3, size(__items)), "
+        "z -> struct(x AS item_a, y AS item_b, z AS item_c))))))"
+    )
+    return (
+        kept.select(F.explode(triples).alias("t"))
+        .select("t.item_a", "t.item_b", "t.item_c")
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_triple_support)
+    )

@@ -3621,3 +3621,52 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(15)
     )
+
+
+@query(
+    "q83_frequent_triples",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    isup AS (SELECT it FROM b GROUP BY it HAVING count(*) >= 25),
+    pruned AS (SELECT bk, it FROM b JOIN isup USING (it)),
+    sized AS (SELECT bk FROM pruned GROUP BY bk HAVING count(*) BETWEEN 2 AND 20),
+    pairs AS (
+      SELECT a.it AS ia, a2.it AS ib
+      FROM pruned a JOIN sized USING (bk)
+      JOIN pruned a2 ON a.bk = a2.bk AND a.it < a2.it
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    pitems AS (SELECT DISTINCT ia AS it FROM pairs UNION SELECT ib FROM pairs),
+    pruned2 AS (SELECT bk, it FROM pruned JOIN pitems USING (it)),
+    sized3 AS (SELECT bk FROM pruned2 GROUP BY bk HAVING count(*) BETWEEN 3 AND 20),
+    tr AS (
+      SELECT a.it AS item_a, b2.it AS item_b, c.it AS item_c, count(*) AS support
+      FROM pruned2 a JOIN sized3 USING (bk)
+      JOIN pruned2 b2 ON a.bk = b2.bk AND a.it < b2.it
+      JOIN pruned2 c ON a.bk = c.bk AND b2.it < c.it
+      GROUP BY 1, 2, 3
+    )
+    SELECT item_a, item_b, item_c, CAST(support AS BIGINT) AS support
+    FROM tr ORDER BY support DESC, item_a, item_b, item_c LIMIT 20
+    """,
+    tags=("itemsets", "apriori", "triples"),
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-3 a-priori: top-20 part triples co-purchased together. The
+    candidate ladder prunes twice before any triple exists (frequent
+    singletons, then items appearing in some frequent PAIR — the a-priori
+    property one level up), and the cubic in-array fan-out is bounded by
+    a tighter 20-item basket cap; the one shuffle carries (int,int,int)
+    keys. The oracle replays the identical ladder with set-wise SQL
+    (operators/itemsets.frequent_triples)."""
+    from guardian_for_apache_kafka_spark.operators.itemsets import frequent_triples
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = frequent_triples(
+        li, "l_orderkey", "l_partkey",
+        min_item_support=25, min_pair_support=2, min_triple_support=1,
+        max_basket=20,
+    )
+    return out.orderBy(
+        F.desc("support"), "item_a", "item_b", "item_c"
+    ).limit(20)
