@@ -3670,3 +3670,54 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.desc("support"), "item_a", "item_b", "item_c"
     ).limit(20)
+
+
+@query(
+    "q84_join_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT count(*) AS n_keys, sum(cnt) AS n_rows,
+             max(cnt) AS max_cnt, avg(cnt) AS avg_cnt
+      FROM c
+    )
+    SELECT c.key, CAST(c.cnt AS BIGINT) AS cnt,
+           round(c.cnt * 100.0 / s.n_rows, 4) AS pct_of_rows,
+           round(c.cnt / s.avg_cnt, 2) AS skew_factor,
+           CAST(s.n_keys AS BIGINT) AS n_keys
+    FROM c CROSS JOIN s
+    ORDER BY c.cnt DESC, c.key LIMIT 10
+    """,
+    tags=("relational", "diagnostics", "skew"),
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: the 10 heaviest lineitem part keys with their
+    share of rows and skew factor (count / mean count) — the pre-join
+    diagnostic that decides whether q39's salting or AQE skew-join is
+    needed BEFORE a 100 TB shuffle burns. One key-count aggregate + a
+    broadcast scalar summary; TakeOrdered for the top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    s = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.avg("cnt").alias("avg_cnt"),
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") * 100.0 / F.col("n_rows"), 4).alias(
+                "pct_of_rows"
+            ),
+            F.round(F.col("cnt") / F.col("avg_cnt"), 2).alias("skew_factor"),
+            "n_keys",
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(10)
+    )
