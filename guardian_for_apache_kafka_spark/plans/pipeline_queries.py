@@ -3124,3 +3124,61 @@ def p8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@query(
+    "d19_dedup_yield_curve",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+        SELECT id_a, id_b, c * 1.0 / (na + nb - c) AS j
+        FROM common WHERE c * 1.0 / (na + nb - c) >= 0.5
+    ),
+    th(threshold) AS (
+      SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+    ),
+    hit AS (SELECT threshold, id_a, id_b FROM pairs JOIN th ON j >= threshold)
+    SELECT threshold,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_removed
+    FROM hit GROUP BY threshold ORDER BY threshold
+    """,
+    tags=("dedup", "capacity-planning", "yield"),
+)
+def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve: for Jaccard thresholds 0.5-0.9, how many pairs
+    fire and how many documents keep-first dedup would remove — the
+    capacity-planning sweep run BEFORE committing a 100 TB corpus to one
+    threshold. One d3 inverted-index pass computes the pairs; the
+    threshold fan-out is a 5-row broadcast join over the (small) pair set,
+    so sweeping thresholds costs nothing extra at scale."""
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    th = d.sparkSession.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold DOUBLE"
+    )
+    hit = pairs.crossJoin(F.broadcast(th)).where(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    return (
+        hit.groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_docs_removed"),
+        )
+        .orderBy("threshold")
+    )
