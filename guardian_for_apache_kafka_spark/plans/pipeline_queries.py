@@ -3182,3 +3182,49 @@ def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "t21_langid_confusion",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tk
+               FROM documents),
+    langs(plang, sw) AS (VALUES
+        ('de', ['der','die','das','und','ist','von','mit','den']),
+        ('en', ['the','and','of','to','in','is','that','with']),
+        ('es', ['el','la','de','que','y','en','los','por']),
+        ('fr', ['le','la','les','et','de','des','est','dans']),
+        ('zh', ['的','是','在','了','和','有','我','不'])),
+    hits AS (
+        SELECT doc_id, lang, plang, len(list_intersect(tk, sw)) AS v
+        FROM t CROSS JOIN langs
+    ),
+    best AS (
+        SELECT doc_id, lang, min({'nv': -v, 'plang': plang}) AS b
+        FROM hits GROUP BY doc_id, lang
+    )
+    SELECT lang AS label,
+           CASE WHEN -b.nv > 0 THEN b.plang ELSE 'und' END AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM best GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("text", "langid", "evaluation"),
+)
+def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: t5's stopword-argmax prediction
+    crossed against the labeled ``lang`` column — the evaluation view of
+    the classifier (per-label prediction counts; diagonal = agreement).
+    Mechanically exact across engines (identical argmax and tie-break);
+    on THIS corpus the text is language-agnostic by construction (t5
+    note), so the matrix documents that fact rather than real accuracy —
+    on labeled real data the same query is the model eval. Map-side
+    scoring; the matrix exchange is |langs|^2-bounded."""
+    from guardian_for_apache_kafka_spark.operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        language_id(d)
+        .groupBy(F.col("lang").alias("label"), F.col("lang_pred").alias("predicted"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "predicted")
+    )
