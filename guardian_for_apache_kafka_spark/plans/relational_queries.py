@@ -3721,3 +3721,37 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(10)
     )
+
+
+@query(
+    "q85_latency_bands",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont("value", 0.50), 3) AS p50,
+           round(quantile_cont("value", 0.90), 3) AS p90,
+           round(quantile_cont("value", 0.99), 3) AS p99
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("relational", "percentiles", "observability"),
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily latency-band rollup: exact interpolated p50/p90/p99 of value
+    per (day, event_type) — the SLO dashboard primitive. One grouped
+    percentile aggregate; at 100 TB the same shape swaps percentile() for
+    the q58 mergeable histograms when groups stop fitting a sort buffer
+    (both are in the registry precisely so the trade is measured, not
+    guessed)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.50)"), 3).alias("p50"),
+            F.round(F.expr("percentile(value, 0.90)"), 3).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 3).alias("p99"),
+        )
+        .orderBy("day", "event_type")
+    )
