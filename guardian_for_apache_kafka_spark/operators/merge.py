@@ -36,6 +36,7 @@ def merge_into(
     delete_col: str | None = None,
     allow_partial_inserts: bool = False,
     validate_unique: bool = False,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Apply a CDC batch to a snapshot: per key — update ``update_cols``
     from ``updates`` when matched, insert unmatched update rows, drop base
@@ -46,7 +47,26 @@ def merge_into(
     ``update_cols`` would be silently NULL on inserted rows; that is almost
     always a caller bug, so ``update_cols`` must cover every non-key base
     column unless ``allow_partial_inserts=True`` explicitly opts into
-    NULL-padded inserts."""
+    NULL-padded inserts.
+
+    ``evolve_schema=True`` is Delta's ``mergeSchema`` twin: columns in
+    ``update_cols`` that don't exist on base yet are ADDED to the output
+    schema (typed from the updates side); pre-existing base rows that the
+    batch doesn't touch carry NULL there — exactly the add-column
+    backfill contract. Without the flag, a novel column raises."""
+    if evolve_schema:
+        new_cols = [c for c in update_cols if c not in base.columns]
+        for c in new_cols:
+            base = base.withColumn(
+                c, F.lit(None).cast(dict(updates.dtypes)[c])
+            )
+    else:
+        novel = set(update_cols) - set(base.columns)
+        if novel:
+            raise ValueError(
+                f"update_cols not on base: {sorted(novel)}; pass "
+                "evolve_schema=True to add them (Delta mergeSchema semantics)"
+            )
     u_cols = set(updates.columns)
     required = {key, *update_cols} | ({delete_col} if delete_col else set())
     missing = required - u_cols

@@ -3755,3 +3755,76 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "q86_merge_schema_evolution",
+    oracle="""
+    WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p,
+                      o_orderpriority AS pr FROM orders),
+    base AS (SELECT k, c, p, pr FROM o WHERE k % 3 <> 0),
+    upd AS (
+      SELECT k, c, p + 1000 AS p, pr, 'eu-west' AS region
+      FROM o WHERE k % 3 <> 0 AND k % 7 = 0
+      UNION ALL
+      SELECT k, c, p, pr, 'us-east' AS region FROM o WHERE k % 3 = 0
+    ),
+    merged AS (
+      SELECT b.k, b.c,
+             CASE WHEN u.k IS NOT NULL THEN u.p ELSE b.p END AS p,
+             b.pr,
+             u.region
+      FROM base b LEFT JOIN upd u ON b.k = u.k
+      UNION ALL
+      SELECT u.k, u.c, u.p, u.pr, u.region
+      FROM upd u LEFT JOIN base b ON b.k = u.k WHERE b.k IS NULL
+    )
+    SELECT coalesce(region, '(legacy)') AS region,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(p), 2) AS total_price
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "merge", "schema-evolution"),
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution (Delta ``mergeSchema`` twin): the CDC
+    batch carries a NEW ``region`` column; ``evolve_schema=True`` adds it
+    to the snapshot, updates/inserts populate it, and untouched legacy
+    rows carry NULL — the add-column backfill contract on plain parquet.
+    Still ONE full-outer key join (operators/merge.merge_into); the
+    oracle reconstructs the evolved snapshot set-wise."""
+    from guardian_for_apache_kafka_spark.operators.merge import merge_into
+
+    k = F.col("o_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    base = o.where(k % 3 != 0)
+    upd = o.where((k % 3 != 0) & (k % 7 == 0)).select(
+        k,
+        "o_custkey",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        "o_orderpriority",
+        F.lit("eu-west").alias("region"),
+    )
+    ins = o.where(k % 3 == 0).select(
+        k, "o_custkey", "o_totalprice", "o_orderpriority",
+        F.lit("us-east").alias("region"),
+    )
+    merged = merge_into(
+        base,
+        upd.unionByName(ins),
+        "o_orderkey",
+        ["o_custkey", "o_totalprice", "o_orderpriority", "region"],
+        evolve_schema=True,
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("region", F.lit("(legacy)")).alias("region")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("region")
+    )

@@ -1028,3 +1028,28 @@ def test_association_rules_hand_computed(spark):
     assert got[("b", "c")] == (1, 1 / 3, (1 / 3) / (1 / 4))
     assert got[("c", "b")] == (1, 1 / 1, 1.0 / (3 / 4))
     assert set(got) == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
+
+
+def test_merge_schema_evolution_semantics(spark):
+    """evolve_schema adds novel update columns typed from the updates side;
+    untouched base rows get NULL; without the flag a novel column raises."""
+    import pytest as _pytest
+
+    from guardian_for_apache_kafka_spark.operators.merge import merge_into
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k BIGINT, v DOUBLE")
+    upd = spark.createDataFrame(
+        [(2, 21.0, "x"), (3, 30.0, "y")], "k BIGINT, v DOUBLE, tag STRING"
+    )
+    with _pytest.raises(ValueError, match="evolve_schema"):
+        merge_into(base, upd, "k", ["v", "tag"])
+    out = {
+        r.k: (r.v, r.tag)
+        for r in merge_into(
+            base, upd, "k", ["v", "tag"], evolve_schema=True
+        ).collect()
+    }
+    assert out == {1: (10.0, None), 2: (21.0, "x"), 3: (30.0, "y")}
+    # evolved column adopts the updates-side type
+    df = merge_into(base, upd, "k", ["v", "tag"], evolve_schema=True)
+    assert dict(df.dtypes)["tag"] == "string"
