@@ -294,3 +294,43 @@ def snapshot_diff(
         )
         .where(F.col("change_type").isNotNull())
     )
+
+
+def bitemporal_asof(
+    log: DataFrame,
+    key: str,
+    valid_col: str,
+    txn_col: str,
+    valid_as_of,
+    txn_as_of,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Bitemporal point lookup: the state of every key as KNOWN at
+    transaction time ``txn_as_of``, EFFECTIVE at valid time
+    ``valid_as_of`` — the two-axis completion of the CDC family
+    (``merge_into`` = latest/latest, ``snapshot_asof`` = one txn point,
+    ``scd2_from_log`` = full valid history). Row chosen per key: among log
+    entries with txn <= txn_as_of and valid <= valid_as_of, the one with
+    the greatest (valid, txn) — i.e. the most recent effective state the
+    system knew about then; a delete entry chosen this way erases the key.
+
+    ONE key-partitioned window (max_by via row_number over (valid, txn)
+    DESC) on one key exchange; both as-of predicates push into the scan.
+    Late-arriving corrections (txn newer, valid older) resolve exactly as
+    a bitemporal table should: they only win for valid_as_of points their
+    validity covers."""
+    from pyspark.sql.window import Window
+
+    filtered = log.where(
+        (F.col(txn_col) <= F.lit(txn_as_of))
+        & (F.col(valid_col) <= F.lit(valid_as_of))
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.desc(valid_col), F.desc(txn_col)
+    )
+    picked = filtered.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    if delete_col is not None:
+        picked = picked.where(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return picked

@@ -3828,3 +3828,60 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@query(
+    "q87_bitemporal_asof",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey % 997 AS k, o_totalprice AS p, o_orderpriority AS pr,
+             o_orderdate AS valid_ts,
+             row_number() OVER (PARTITION BY o_orderkey % 997
+                                ORDER BY o_orderdate, o_orderkey) AS txn
+      FROM orders
+    ),
+    picked AS (
+      SELECT k, p, pr FROM log
+      WHERE txn <= 3 AND valid_ts <= TIMESTAMP '1996-12-31 00:00:00'
+      QUALIFY row_number() OVER (PARTITION BY k
+                                 ORDER BY valid_ts DESC, txn DESC) = 1
+    )
+    SELECT pr AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_keys,
+           round(sum(p), 2) AS total_price
+    FROM picked GROUP BY pr ORDER BY pr
+    """,
+    tags=("relational", "bitemporal", "cdc"),
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of: order state per key as KNOWN after each key's
+    first 3 transactions, EFFECTIVE at valid time 1996-12-31 — both time
+    axes at once (q57 time-travels the transaction axis, q61 materializes
+    the valid axis; this is the point lookup across both, the
+    late-correction-safe read a bitemporal ledger exists for). One
+    key-partitioned argmax window on one exchange; both as-of predicates
+    are scan filters (operators/merge.bitemporal_asof)."""
+    from guardian_for_apache_kafka_spark.operators.merge import bitemporal_asof
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.col("o_orderkey") % 997).orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    log = o.select(
+        (F.col("o_orderkey") % 997).alias("k"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderdate").alias("valid_ts"),
+        F.row_number().over(w).cast("long").alias("txn"),
+    )
+    picked = bitemporal_asof(
+        log, "k", "valid_ts", "txn",
+        valid_as_of="1996-12-31 00:00:00", txn_as_of=3,
+    )
+    return (
+        picked.groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.round(F.sum("p"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
