@@ -3228,3 +3228,85 @@ def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("label", "predicted")
     )
+
+
+@query(
+    "p9_grouped_kfold",
+    oracle="""
+    WITH RECURSIVE tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(tk) - 2),
+                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+      FROM tk0 WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS c
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (SELECT ia, ib FROM common WHERE c * 1.0 / (na + nb - c) >= 0.7),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    comp AS (SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    folded AS (
+      SELECT doc_id, grp,
+             CAST(('0x' || substring(md5('guardian|' || CAST(grp AS VARCHAR)), 1, 13))
+                  AS UBIGINT) % 5 AS fold
+      FROM lab
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+    FROM folded GROUP BY fold ORDER BY fold
+    """,
+    tags=("pipeline", "split", "kfold", "decontamination"),
+)
+def p9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 5-fold cross-validation assignment: near-dup CONNECTED
+    COMPONENTS (3-gram Jaccard >= 0.7) are the grouping unit, so every
+    fold's holdout is near-dup-disjoint from its training folds by
+    construction — GroupKFold at corpus scale, the k-fold generalization
+    of p7's single split. Fold = portable md5 hash of the component
+    representative mod k (content-stable: reruns and engines agree).
+    Components come from the d7 alternating-star CC over the d3 inverted
+    index; the oracle replays the closure with a recursive CTE and the
+    identical fold arithmetic."""
+    from guardian_for_apache_kafka_spark.operators.clusters import (
+        connected_components,
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.7).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    lab = d.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("grp")
+    )
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("guardian|"), F.col("grp").cast("string"))), 1, 13),
+            16, 10,
+        ).cast("long")
+        % 5
+    )
+    return (
+        lab.select("doc_id", "grp", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+        )
+        .orderBy("fold")
+    )

@@ -1117,3 +1117,31 @@ def test_weighted_sample_is_proportional_and_stable(spark):
     dfz = df.withColumn("w", F.when(F.col("id") < 1000, F.lit(0.0)).otherwise(F.col("w")))
     gotz = {r.id for r in weighted_sample(dfz, "w", "content", 500).collect()}
     assert all(i >= 1000 for i in gotz)
+
+
+def test_p9_folds_never_split_components(spark, docs):
+    """Grouped k-fold invariant: every near-dup pair lands in the SAME
+    fold (the property the grouping exists for)."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.7).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    lab = docs.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("component", "doc_id").alias("grp"))
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("guardian|"), F.col("grp").cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("long") % 5
+    )
+    folds = {r.doc_id: r.fold for r in lab.select("doc_id", fold.alias("fold")).collect()}
+    for r in pairs.collect():
+        assert folds[r.id_a] == folds[r.id_b], (r.id_a, r.id_b)
