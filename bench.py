@@ -92,6 +92,9 @@ HEADLINE = {
     "weighted_sample": "d17_weighted_sample",
     "phash_dedup": "m6_phash_dedup",
     "last_touch_attribution": "q75_last_touch_attribution",
+    "session_paths": "q82_session_paths",
+    "shingle_duplication": "t20_shingle_duplication",
+    "grouped_kfold": "p9_grouped_kfold",
 }
 
 N_RUNS = 3
