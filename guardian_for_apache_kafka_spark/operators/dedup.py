@@ -816,3 +816,72 @@ def bloom_contamination_report(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard pairs with PREFIX FILTERING (the AllPairs/PPJoin
+    family): instead of indexing EVERY shingle (the d3 inverted index),
+    each document indexes only the first ``|A| - ceil(t*|A|) + 1``
+    shingles under a global canonical order — if J(A,B) >= t, the two
+    prefixes MUST share an element (pigeonhole: fewer than that many
+    misses can't push the intersection below t), so recall is guaranteed,
+    not probabilistic. Precision comes from the exact verify: candidates
+    re-check the full intersection from the attached hash arrays (the d4
+    pattern), making the result IDENTICAL to :func:`ngram_jaccard_pairs`.
+
+    Scale effect: the candidate-proposing index shrinks by roughly the
+    threshold factor (t=0.9 indexes ~10%% of shingles; t=0.5 ~50%%) and
+    the self-join's quadratic bucket terms shrink with the square of
+    that — the textbook set-similarity join optimization, with the
+    canonical order here being plain hash order (frequency order would
+    shrink buckets further but costs a global df pass; the ``max_bucket``
+    cap in d3 remains the stop-shingle valve for that regime)."""
+    sh = _shingled(df, id_col, content_col, n).persist()
+    hashes = sh.select(
+        "__id",
+        F.array_sort(
+            F.transform("__shingles", lambda c: F.xxhash64(c))
+        ).alias("__h"),
+    )
+    sizes = hashes.select("__id", F.size("__h").alias("__n"))
+    prefix_len = (
+        F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).cast("int")
+    pref = hashes.withColumn("__n", F.size("__h")).select(
+        "__id", F.explode(F.slice("__h", 1, prefix_len)).alias("__s")
+    )
+    a = pref.select(F.col("__id").alias("id_a"), "__s")
+    b = pref.select(F.col("__id").alias("id_b"), "__s")
+    cand = (
+        a.join(b, "__s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashes.select(F.col("__id").alias("id_a"), F.col("__h").alias("__ha"))
+    hb = hashes.select(F.col("__id").alias("id_b"), F.col("__h").alias("__hb"))
+    verified = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__ha", "__hb")).alias("__common"),
+            F.size("__ha").alias("__na"),
+            F.size("__hb").alias("__nb"),
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("__common")
+            / (F.col("__na") + F.col("__nb") - F.col("__common"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)

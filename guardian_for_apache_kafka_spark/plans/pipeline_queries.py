@@ -3389,3 +3389,47 @@ def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("kept_token_pct"),
     )
+
+
+@query(
+    "d21_prefix_filtered_jaccard",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 4) AS jaccard
+    FROM common
+    WHERE c * 1.0 / (na + nb - c) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "ppjoin"),
+)
+def d21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin family): each
+    document indexes only its first |A| - ceil(t|A|) + 1 shingles under a
+    canonical hash order — pigeonhole guarantees any pair at J >= t still
+    collides in the pruned index (recall 1, NOT probabilistic), and the
+    exact full-set verify makes the answer IDENTICAL to d3's (the oracle
+    IS d3's all-shingle SQL). The candidate index halves at t=0.5 and
+    shrinks ~10x at t=0.9; quadratic bucket terms shrink with the square
+    (operators/dedup.ngram_jaccard_pairs_prefix)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs_prefix(d, n=3, threshold=0.5)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )

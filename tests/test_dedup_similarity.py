@@ -1145,3 +1145,23 @@ def test_p9_folds_never_split_components(spark, docs):
     folds = {r.doc_id: r.fold for r in lab.select("doc_id", fold.alias("fold")).collect()}
     for r in pairs.collect():
         assert folds[r.id_a] == folds[r.id_b], (r.id_a, r.id_b)
+
+
+def test_prefix_filtered_jaccard_equals_full_index(docs):
+    """Prefix filtering is an index optimization, not an approximation:
+    pair sets and jaccard values equal the full inverted index at multiple
+    thresholds (recall-1 by pigeonhole, precision by exact verify)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    for t in (0.5, 0.7, 0.9):
+        full = {
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert full == pref, t
