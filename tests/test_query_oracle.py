@@ -1053,3 +1053,97 @@ def test_merge_schema_evolution_semantics(spark):
     # evolved column adopts the updates-side type
     df = merge_into(base, upd, "k", ["v", "tag"], evolve_schema=True)
     assert dict(df.dtypes)["tag"] == "string"
+
+
+def test_bitemporal_asof_late_correction(spark):
+    """A late-arriving correction (higher txn, older valid time) wins only
+    for valid-as-of points its validity covers; deletes erase the key."""
+    from datetime import datetime
+
+    from guardian_for_apache_kafka_spark.operators.merge import bitemporal_asof
+
+    T = lambda d: datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        # k=1: v=10 effective day 1 (txn 1); correction v=99 effective day 1
+        # arrives later (txn 3); v=20 effective day 5 (txn 2)
+        (1, 10.0, T(1), 1, False),
+        (1, 20.0, T(5), 2, False),
+        (1, 99.0, T(1), 3, False),
+        # k=2: created then deleted
+        (2, 7.0, T(2), 1, False),
+        (2, 7.0, T(3), 2, True),
+    ]
+    log = spark.createDataFrame(
+        rows, "k BIGINT, v DOUBLE, valid_ts TIMESTAMP, txn BIGINT, deleted BOOLEAN"
+    )
+
+    def state(valid_day, txn):
+        return {
+            r.k: r.v
+            for r in bitemporal_asof(
+                log, "k", "valid_ts", "txn", T(valid_day), txn, delete_col="deleted"
+            ).collect()
+        }
+
+    # as known at txn 2, effective day 3: original v=10 (correction not yet
+    # known); k=2's delete (valid day 3, txn 2) is already effective
+    assert state(3, 2) == {1: 10.0}
+    # one day earlier the k=2 create still stands
+    assert state(2, 2) == {1: 10.0, 2: 7.0}
+    # as known at txn 3, effective day 3: correction v=99 wins
+    assert state(3, 3)[1] == 99.0
+    # effective day 6: the day-5 state wins regardless of the day-1 correction
+    assert state(6, 3)[1] == 20.0
+    # k=2 erased once the delete is known and effective
+    assert 2 not in state(3, 3) or state(3, 3).get(2) is None or 2 not in state(3, 3)
+    assert 2 not in state(4, 2) or True  # delete at valid day 3, txn 2
+    got = state(4, 2)
+    assert 2 not in got
+
+
+def test_guarded_sequence_crafted_timeline(spark, sf_dir):
+    """q89 semantics on a crafted timeline: view->purchase inside 1h counts;
+    error between them disqualifies; view older than 1h disqualifies;
+    error BEFORE the view does not."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F, Window
+
+    from datetime import timedelta
+
+    T = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # u1: clean conversion (view 0, purchase 30)
+        (1, 1, T(0), "view", 0.0), (1, 2, T(30), "purchase", 5.0),
+        # u2: error between view and purchase -> dirty
+        (2, 3, T(0), "view", 0.0), (2, 4, T(10), "error", 0.0),
+        (2, 5, T(30), "purchase", 7.0),
+        # u3: view too old (purchase at minute 70)
+        (3, 6, T(0), "view", 0.0), (3, 7, T(70), "purchase", 9.0),
+        # u4: error BEFORE the view -> still clean
+        (4, 8, T(0), "error", 0.0), (4, 9, T(5), "view", 0.0),
+        (4, 10, T(40), "purchase", 11.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    last_error = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    t = ev.select("user_id", "ts", "event_type", "value",
+                  last_view.alias("lv"), last_error.alias("le"))
+    clean = t.where(
+        (F.col("event_type") == "purchase")
+        & F.col("lv").isNotNull()
+        & (F.unix_timestamp("ts") - F.unix_timestamp("lv") <= 3600)
+        & (F.col("le").isNull() | (F.col("le") < F.col("lv")))
+    )
+    assert {r.user_id for r in clean.collect()} == {1, 4}
