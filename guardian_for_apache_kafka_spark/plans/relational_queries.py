@@ -3997,3 +3997,74 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q90_scd2_fact_join",
+    oracle="""
+    WITH tiers AS (
+      SELECT user_id, ts AS tier_from, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS tier
+      FROM events WHERE event_type = 'signup' OR event_type = 'click'
+    ),
+    facts AS (
+      SELECT user_id, ts, event_id, "value" FROM events
+      WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT f.user_id, f."value",
+             (SELECT max(t.tier) FROM tiers t
+              WHERE t.user_id = f.user_id
+                AND (t.tier_from < f.ts
+                     OR (t.tier_from = f.ts AND t.event_id <= f.event_id)))
+               AS tier
+      FROM facts f
+    )
+    SELECT coalesce(tier, 0) AS tier,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum("value"), 2) AS revenue
+    FROM joined GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "scd2", "asof", "dimension-join"),
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 dimension join: each purchase picks up the user's tier
+    AS OF the purchase time (tier = running count of signup/click
+    milestones — a self-derived slowly-changing dimension), the warehouse
+    lookup every fact table runs against its dimension history. Spark
+    plan: the union-window as-of join (operators/asof.asof_join — one
+    (user, time)-keyed exchange, NO range probe, no per-fact subquery);
+    the oracle states the textbook correlated validity-interval lookup
+    the operator exists to avoid. Tier 0 = purchases before any
+    milestone."""
+    from guardian_for_apache_kafka_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tiers = (
+        ev.where(F.col("event_type").isin("signup", "click"))
+        .select(
+            "user_id", "ts", "event_id",
+            F.row_number().over(w).cast("long").alias("tier"),
+        )
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        facts,
+        tiers.select("user_id", "ts", "tier"),
+        on="ts",
+        by=("user_id",),
+        payload=("tier",),
+        direction="backward",
+    )
+    return (
+        joined.groupBy(F.coalesce("tier", F.lit(0)).alias("tier"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("tier")
+    )
