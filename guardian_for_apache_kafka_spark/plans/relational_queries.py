@@ -4068,3 +4068,51 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@query(
+    "q91_event_debounce",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, "value",
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 300
+                  THEN 1 ELSE 0 END AS keep
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           round(sum(keep) * 100.0 / count(*), 2) AS kept_pct,
+           round(sum(CASE WHEN keep = 1 THEN "value" ELSE 0 END), 2)
+             AS kept_value
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "debounce", "dedup", "signals"),
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debouncing: collapse bursts of the same (user, event_type)
+    signal into their first occurrence — a burst (re)opens after 5 silent
+    minutes, so keep == the burst-opening rows (the q78 session-open flag
+    on a finer key). The telemetry/refresh-spam dedup every event
+    pipeline runs before counting anything; one (user, type)-keyed window
+    exchange, burst membership never materializes."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    keep = F.when(F.lag("ts").over(w).isNull() | (gap > 300), 1).otherwise(0)
+    t = ev.select("event_type", "value", keep.alias("keep"))
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum("keep").alias("n_kept"),
+            F.round(F.sum("keep") * 100.0 / F.count("*"), 2).alias("kept_pct"),
+            F.round(
+                F.sum(F.when(F.col("keep") == 1, F.col("value")).otherwise(0.0)),
+                2,
+            ).alias("kept_value"),
+        )
+        .orderBy("event_type")
+    )
