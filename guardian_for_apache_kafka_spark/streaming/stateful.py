@@ -435,3 +435,63 @@ def stream_last_touch(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+DEBOUNCE_OUTPUT_SCHEMA = (
+    "user_id BIGINT, event_type STRING, event_id BIGINT, ts_us BIGINT, "
+    "value DOUBLE"
+)
+DEBOUNCE_STATE_SCHEMA = "last_ts_us BIGINT, last_event_id BIGINT"
+
+
+def stream_debounce(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
+    """Streaming twin of q91 debouncing: per (user, event_type), emit only
+    rows that OPEN a burst — more than ``gap_seconds`` after the previous
+    row of that key (the previous ROW, kept or not, exactly like the
+    batch lag() formulation). State = the last-seen (ts, event_id), two
+    longs per key, checkpoint-persisted; on an in-order finite replay the
+    emitted set equals the batch keep=1 rows (asserted in
+    test_streaming). The out-of-order caveat matches stream_last_touch."""
+    gap_us = gap_seconds * 1_000_000
+
+    def debounce(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lt, le = state.get
+        else:
+            lt = le = None
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+            for r in pdf.itertuples():
+                t, e = int(r.ts_us), int(r.event_id)
+                if lt is None or t - lt > gap_us:
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "event_type": key[1],
+                            "event_id": e,
+                            "ts_us": t,
+                            "value": float(r.value),
+                        }
+                    )
+                lt, le = t, e
+        state.update((lt, le))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_type", "event_id", "ts_us", "value"]
+        )
+
+    prepared = events.select(
+        "user_id", "event_type", "event_id", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return prepared.groupBy("user_id", "event_type").applyInPandasWithState(
+        debounce,
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

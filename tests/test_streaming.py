@@ -896,3 +896,51 @@ def test_stream_last_touch_equals_batch_q75(spark, tmp_path):
         for r in all_queries()["q75_last_touch_attribution"](spark, sf).collect()
     }
     assert got == want
+
+
+def test_stream_debounce_equals_batch_q91(spark, tmp_path):
+    """Streaming debounce on an in-order finite replay (two micro-batches +
+    restart) emits exactly the batch keep=1 rows per (user, event_type)."""
+    from guardian_for_apache_kafka_spark.streaming.stateful import stream_debounce
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    first = ordered.limit(n // 2)
+    rest = ordered.subtract(first)
+    src, ck, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    first.coalesce(1).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream_debounce(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = {r.event_id for r in spark.read.parquet(out).collect()}
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    keep = F.when(F.lag("ts").over(w).isNull() | (gap > 300), 1).otherwise(0)
+    want = {
+        r.event_id
+        for r in ev.select("event_id", keep.alias("k")).where("k = 1").collect()
+    }
+    assert got == want
