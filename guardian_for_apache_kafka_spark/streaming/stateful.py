@@ -451,8 +451,10 @@ def stream_debounce(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
     batch lag() formulation). State = the last-seen (ts, event_id), two
     longs per key, checkpoint-persisted; on an in-order finite replay the
     emitted set equals the batch keep=1 rows (asserted in
-    test_streaming). The out-of-order caveat matches stream_last_touch."""
-    gap_us = gap_seconds * 1_000_000
+    test_streaming). The gap compares SECOND-truncated epochs — exactly
+    the batch unix_timestamp()/date_diff('second') arithmetic — so
+    sub-second fractions can't diverge the twins at the 300 s knife edge.
+    The out-of-order caveat matches stream_last_touch."""
 
     def debounce(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
@@ -468,7 +470,7 @@ def stream_debounce(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
             pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
             for r in pdf.itertuples():
                 t, e = int(r.ts_us), int(r.event_id)
-                if lt is None or t - lt > gap_us:
+                if lt is None or t // 1_000_000 - lt // 1_000_000 > gap_seconds:
                     out.append(
                         {
                             "user_id": key[0],
