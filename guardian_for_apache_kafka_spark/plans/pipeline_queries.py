@@ -3433,3 +3433,67 @@ def d21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "d22_cluster_size_histogram",
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(tk) - 2),
+                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+      FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS c
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (SELECT ia, ib FROM common WHERE c * 1.0 / (na + nb - c) >= 0.7),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    comp AS (SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a),
+    sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(csize) AS BIGINT) AS n_docs,
+           CAST(sum(csize - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY csize ORDER BY csize
+    """,
+    tags=("dedup", "capacity-planning", "clusters"),
+)
+def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution: how many duplicate clusters of
+    each size the corpus holds, how many documents they cover and how
+    many dedup would remove — the shape that distinguishes 'mirror site'
+    duplication (few huge clusters; fix the crawler) from organic near-dup
+    noise (many pairs; fix the threshold). Components from the d7
+    alternating-star CC; the histogram is component-count-sized."""
+    from guardian_for_apache_kafka_spark.operators.clusters import (
+        connected_components,
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.7).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    return (
+        sizes.groupBy("csize")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("csize").alias("n_docs"),
+            F.sum(F.col("csize") - 1).alias("n_removable"),
+        )
+        .select(
+            F.col("csize").alias("cluster_size"),
+            "n_clusters", "n_docs", "n_removable",
+        )
+        .orderBy("cluster_size")
+    )

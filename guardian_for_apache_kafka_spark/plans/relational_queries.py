@@ -4116,3 +4116,51 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q92_write_conflicts",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, round(o_totalprice * 1.10, 2) AS p
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    b AS (
+      SELECT o_orderkey AS k, round(o_totalprice + 500, 2) AS p
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT a.k AS o_orderkey, a.p AS price_txn_a, b.p AS price_txn_b,
+           round(abs(a.p - b.p), 2) AS divergence
+    FROM a JOIN b ON a.k = b.k AND a.p <> b.p
+    ORDER BY divergence DESC, a.k LIMIT 20
+    """,
+    tags=("relational", "cdc", "concurrency", "conflict-detection"),
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency conflict detection: two concurrent CDC
+    batches (a 10%% reprice and a flat +500 adjustment) touch overlapping
+    keys with DIFFERENT results — the write-write conflicts a MERGE
+    serializer must surface before applying either (Delta's
+    ConcurrentAppend analysis on plain frames). One key-equi join between
+    batch key sets; conflict volume is overlap-sized, so the report is
+    tiny even when the batches aren't."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    a = o.where(k % 5 == 0).select(
+        k.alias("k"), F.round(F.col("o_totalprice") * 1.10, 2).alias("pa")
+    )
+    b = o.where(k % 7 == 0).select(
+        k.alias("k"), F.round(F.col("o_totalprice") + 500, 2).alias("pb")
+    )
+    return (
+        a.join(b, "k")
+        .where(F.col("pa") != F.col("pb"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("pa").alias("price_txn_a"),
+            F.col("pb").alias("price_txn_b"),
+            F.round(F.abs(F.col("pa") - F.col("pb")), 2).alias("divergence"),
+        )
+        .orderBy(F.desc("divergence"), "o_orderkey")
+        .limit(20)
+    )
