@@ -4164,3 +4164,39 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("divergence"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q93_range_split_points",
+    oracle="""
+    WITH sp AS (
+      SELECT quantile_cont(o_totalprice,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS v
+      FROM orders
+    )
+    SELECT CAST(g.i AS BIGINT) AS bucket, round(v[g.i], 2) AS split_point
+    FROM sp CROSS JOIN generate_series(1, 7) AS g(i)
+    ORDER BY bucket
+    """,
+    tags=("relational", "layout", "range-partitioning"),
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition planning: the 7 split points dividing
+    orders into 8 equal-count price ranges — what a range partitioner /
+    sorted-write layout computes before a 100 TB global sort (Spark's own
+    RangePartitioner samples; this is the exact version, and q58's
+    mergeable histograms the approximate-at-scale one). One percentile
+    aggregate; boundaries are 7 scalars."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = ", ".join(str((b) / 8.0) for b in range(1, 8))
+    splits = o.agg(
+        F.expr(f"percentile(o_totalprice, array({qs}))").alias("sp")
+    )
+    return (
+        splits.select(F.posexplode("sp").alias("i", "v"))
+        .select(
+            (F.col("i") + 1).cast("long").alias("bucket"),
+            F.round("v", 2).alias("split_point"),
+        )
+        .orderBy("bucket")
+    )
