@@ -4200,3 +4200,43 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q94_cube_aggregate",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, returnflag, linestatus
+    """,
+    tags=("relational", "cube", "grouping"),
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations in
+    one pass — completes the grouped-aggregate surface next to q8's
+    ROLLUP/GROUPING SETS. Spark plans CUBE as a single Expand + aggregate
+    (rows duplicated 4x at map side, partial-agg before the one
+    exchange); grouping() flags disambiguate real NULLs from subtotal
+    rows, rendered '(all)' deterministically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n", "sum_qty", "g_rf", "g_ls",
+        )
+        .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
+    )
