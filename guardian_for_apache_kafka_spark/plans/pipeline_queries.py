@@ -3497,3 +3497,58 @@ def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "s10_radius_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_duck_cosine('e.embedding', 'q.qv')} AS c
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id,
+           CAST(count(*) FILTER (c >= 0.3) AS BIGINT) AS n_within,
+           CAST(min(CASE WHEN c >= 0.3 THEN vec_id END) AS BIGINT)
+             AS first_id,
+           round(max(c), 4) AS best_cosine
+    FROM scored GROUP BY query_id ORDER BY query_id
+    """,
+    tags=("similarity", "range-search", "radius"),
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: ALL corpus vectors within cosine >= 0.3 of
+    each query — the threshold-complement of s1's top-k (dedup sweeps and
+    recall audits want 'everything this close', not 'the k closest').
+    Same broadcast-query scan as s1: the corpus never shuffles, each
+    partition emits only its in-radius hits, and the per-query rollup
+    here keeps the driver result query-sized. Exact fold cosine, same
+    association order as the oracle."""
+    from guardian_for_apache_kafka_spark.functions.columns import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("c"),
+        )
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("c") >= 0.3, 1).otherwise(0)).alias("n_within"),
+            F.min(F.when(F.col("c") >= 0.3, F.col("vec_id"))).alias("first_id"),
+            F.round(F.max("c"), 4).alias("best_cosine"),
+        )
+        .orderBy("query_id")
+    )
