@@ -463,3 +463,38 @@ def forget_keys(
         fs.delete(old, True)
     fs.delete(staged_root, True)
     return affected
+
+
+def plan_retention(spark: SparkSession, dest: str, cutoff) -> "DataFrame":
+    """Retention expiry plan for an archive: one row per slice with its
+    metadata inventory and an ``expire`` verdict (slice start strictly
+    before ``cutoff``) — the dry-run a retention job reviews BEFORE
+    deleting anything (the forget_keys/compact discipline: plan, stage,
+    then swap; deletion itself is slice-directory removal, crash-safe
+    because a partially-deleted expired slice is still expired on re-run).
+    Built on :func:`describe_archive`, so driver work stays slice-count
+    bounded and the record counts come from the same one-scan join."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    desc = describe_archive(spark, dest)
+    if isinstance(cutoff, str):
+        cutoff = datetime.fromisoformat(cutoff)
+    cutoff = cutoff.replace(tzinfo=None)
+    # slice-count-bounded driver pass through the SAME key parser the
+    # archive layout uses (second/millisecond/offset layouts all reconcile)
+    verdicts = [
+        (
+            r["slice"],
+            _slice_time(r["slice"]).replace(tzinfo=None),
+            _slice_time(r["slice"]).replace(tzinfo=None) < cutoff,
+        )
+        for r in desc.select("slice").collect()
+    ]
+    vdf = spark.createDataFrame(
+        verdicts, "slice string, slice_ts timestamp, expire boolean"
+    )
+    return desc.join(vdf, "slice").select(
+        "slice", "slice_ts", "n_files", "bytes", "n_records", "expire"
+    )

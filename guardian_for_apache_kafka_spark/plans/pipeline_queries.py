@@ -3552,3 +3552,53 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "g9_retention_plan",
+    oracle="""
+    WITH sliced AS (
+      SELECT date_trunc('hour', ts) AS slice_ts, count(*) AS n_records
+      FROM events WHERE event_id < 500 GROUP BY 1
+    ),
+    b AS (SELECT min(slice_ts) AS t0 FROM sliced)
+    SELECT strftime(slice_ts, '%Y-%m-%dT%H:%M:%SZ') AS slice,
+           CAST(n_records AS BIGINT) AS n_records,
+           slice_ts < t0 + INTERVAL 12 HOUR AS expire
+    FROM sliced CROSS JOIN b
+    ORDER BY slice
+    """,
+    tags=("guardian", "maintenance", "retention"),
+)
+def g9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive retention planning: the per-slice expiry dry-run a retention
+    job reviews before deleting — hourly slices older than first-slice +
+    12 h are marked expire (the lifecycle-policy verb next to describe /
+    compact / forget). Reuses the p1 fixed-path archive (written once,
+    skip-if-populated); driver work is slice-count bounded and the oracle
+    predicts the whole plan independently from events
+    (operators/maintenance.plan_retention)."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.maintenance import plan_retention
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    rec = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"guardian_roundtrip_{digest}")
+    if not (os.path.isdir(dest) and os.listdir(dest)):
+        write_guardian_format(rec, dest, ChronoUnitSlice("HOURS"))
+    t0 = rec.agg(F.date_trunc("hour", F.min("timestamp")).alias("t0")).collect()[0][
+        "t0"
+    ]
+    from datetime import timedelta
+
+    plan = plan_retention(spark, dest, t0 + timedelta(hours=12))
+    return plan.select(
+        F.date_format("slice_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("slice"),
+        "n_records",
+        "expire",
+    ).orderBy("slice")
