@@ -346,6 +346,13 @@ def build_parser() -> argparse.ArgumentParser:
     common(de)
     de.add_argument("--dest", required=False, default=None, help="archive directory")
 
+    rp = sub.add_parser("retention", help="retention expiry dry-run: per-slice "
+                        "expire verdicts against a cutoff (review before deleting)")
+    common(rp)
+    rp.add_argument("--dest", required=False, default=None, help="archive directory")
+    rp.add_argument("--before", type=_parse_from_when, default=None,
+                    help="slices strictly before this ISO-8601 time expire")
+
     m = sub.add_parser("maintain", help="small-file compaction of a JSON-lines archive")
     common(m)
     m.add_argument("--dest", required=False, default=None, help="archive directory")
@@ -586,6 +593,19 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--dest is required for describe")
         for row in describe_archive(spark, args.dest).collect():
             print(json.dumps(row.asDict()))
+        return 0
+
+    if args.command == "retention":
+        from guardian_for_apache_kafka_spark.operators.maintenance import plan_retention
+
+        if not args.dest:
+            raise SystemExit("--dest is required for retention")
+        if args.before is None:
+            raise SystemExit("--before is required for retention")
+        for row in plan_retention(spark, args.dest, args.before).collect():
+            d = row.asDict()
+            d["slice_ts"] = d["slice_ts"].isoformat()
+            print(json.dumps(d))
         return 0
 
     if args.command == "maintain":

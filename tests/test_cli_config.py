@@ -472,3 +472,36 @@ def test_cli_audit_matrix_detects_slice_loss(spark, sf_dir, tmp_path, capsys, mo
     assert main(["audit", "--records", src, "--archive", dest, "--format", fmt]) == 3
     rep = _json.loads(capsys.readouterr().out.strip())
     assert rep["missing"] == lost > 0
+
+
+def test_cli_retention_verb(spark, tmp_path, capsys):
+    """The retention verb prints one JSON plan row per slice with an expire
+    verdict; slices strictly before the cutoff expire."""
+    import json as _json
+
+    from guardian_for_apache_kafka_spark.cli import main as cli_main
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators import backup_batch
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("event_id") < 200
+    )
+    rec = normalize_events_to_records(ev)
+    dest = str(tmp_path / "arch")
+    backup_batch(rec, dest, ChronoUnitSlice("HOURS"))
+
+    rc = cli_main(
+        ["retention", "--dest", dest, "--before", "2024-01-01T06:00:00"]
+    )
+    assert rc == 0
+    rows = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert rows
+    for r in rows:
+        assert r["expire"] == (r["slice_ts"] < "2024-01-01T06:00:00")
