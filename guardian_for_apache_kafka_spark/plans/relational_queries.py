@@ -4240,3 +4240,42 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
     )
+
+
+@query(
+    "q95_audience_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT x.event_type AS type_a, y.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM a x JOIN a y
+      ON x.user_id = y.user_id AND x.event_type < y.event_type
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("relational", "audience", "overlap"),
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: distinct users engaging in BOTH of each
+    event-type pair — the co-audience view behind campaign planning and
+    the q48 sketch rollup's exact twin (at 100 TB the same matrix comes
+    from pairwise HLL sketch intersections via inclusion-exclusion;
+    this exact form is the ground truth it's validated against).
+    One distinct (user, type) collapse, then the pair fan-out happens
+    INSIDE the per-user type array — types^2 is tiny — so the only
+    exchanges are the distinct and the matrix count."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("user_id", "event_type").distinct()
+    per_user = a.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("event_type")).alias("types")
+    )
+    pairs = F.expr(
+        "flatten(transform(types, (x, i) -> "
+        "transform(slice(types, i + 2, size(types)), "
+        "y -> struct(x AS type_a, y AS type_b))))"
+    )
+    return (
+        per_user.select(F.explode(pairs).alias("p"))
+        .groupBy("p.type_a", "p.type_b")
+        .agg(F.count("*").alias("n_both"))
+        .orderBy("type_a", "type_b")
+    )
