@@ -3602,3 +3602,47 @@ def g9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_records",
         "expire",
     ).orderBy("slice")
+
+
+@query(
+    "p10_truncation_loss",
+    oracle="""
+    WITH t AS (
+      SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(CASE WHEN n_tok > 64 THEN n_tok - 64 ELSE 0 END) AS BIGINT)
+             AS tokens_lost,
+           round(sum(CASE WHEN n_tok > 64 THEN n_tok - 64 ELSE 0 END) * 100.0
+                 / sum(n_tok), 2) AS lost_pct
+    FROM t GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "truncation", "context-window"),
+)
+def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation loss: per source, documents and tokens
+    that a 64-token cap would cut — the report that decides between
+    truncation and the t9/p3 chunk-and-pack path BEFORE training throws
+    tokens away silently. Map-only token counts, one source-sized
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    t = d.select("source", n_tok.alias("n_tok"))
+    over = F.when(F.col("n_tok") > 64, F.col("n_tok") - 64).otherwise(0)
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("n_tok") > 64, 1).otherwise(0)).alias(
+                "n_truncated"
+            ),
+            F.sum(over).cast("long").alias("tokens_lost"),
+            F.round(F.sum(over) * 100.0 / F.sum("n_tok"), 2).alias("lost_pct"),
+        )
+        .orderBy("source")
+    )

@@ -4279,3 +4279,44 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_both"))
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "q96_diverse_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+           CAST(rn AS BIGINT) AS rank_within_cust
+    FROM ranked WHERE rn <= 2
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+    tags=("relational", "topk", "diversity-constraint"),
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained top-k: the 15 highest-value orders subject to
+    AT MOST 2 per customer — the feed/search-results constraint that a
+    plain ORDER BY LIMIT violates the moment one heavy customer dominates.
+    Per-customer window rank caps the group contribution (WindowGroupLimit
+    prunes to 2 rows/customer BEFORE the exchange), then TakeOrdered picks
+    the global k — no global sort ever materializes."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("rn").cast("long").alias("rank_within_cust"),
+        )
+        .orderBy(F.desc("price"), "o_orderkey")
+        .limit(15)
+    )
