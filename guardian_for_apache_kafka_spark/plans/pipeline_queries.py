@@ -3646,3 +3646,71 @@ def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "d23_cluster_inspection_sample",
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(tk) - 2),
+                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+      FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS c
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (SELECT ia, ib FROM common WHERE c * 1.0 / (na + nb - c) >= 0.7),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    comp AS (SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a),
+    picked AS (
+      SELECT component,
+             substring(md5('guardian|' || CAST(component AS VARCHAR)), 1, 8) AS ck
+      FROM comp GROUP BY component
+      ORDER BY ck, component LIMIT 5
+    )
+    SELECT p.component, c.node AS doc_id
+    FROM picked p JOIN comp c USING (component)
+    ORDER BY p.ck, p.component, c.node
+    """,
+    tags=("dedup", "sampling", "inspection"),
+)
+def d23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stratified inspection sample: 5 near-dup clusters picked
+    content-stably (md5 of the component id) with ALL their members — the
+    human-review workflow samples whole clusters, because judging a lone
+    document can't confirm a duplication pattern. Components from the d7
+    CC; the pick is a component-count-bounded top-k, members come from one
+    id-keyed join."""
+    from guardian_for_apache_kafka_spark.operators.clusters import (
+        connected_components,
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.7).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    ck = F.substring(
+        F.md5(F.concat(F.lit("guardian|"), F.col("component").cast("string"))), 1, 8
+    )
+    picked = (
+        comp.select("component").distinct()
+        .select("component", ck.alias("ck"))
+        .orderBy("ck", "component")
+        .limit(5)
+    )
+    return (
+        picked.join(comp, "component")
+        .select("component", F.col("node").alias("doc_id"), "ck")
+        .orderBy("ck", "component", "doc_id")
+        .drop("ck")
+    )
