@@ -3714,3 +3714,77 @@ def d23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ck", "component", "doc_id")
         .drop("ck")
     )
+
+
+@query(
+    "t23_dup_pair_evidence",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+        SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 4) AS jaccard
+        FROM common WHERE c * 1.0 / (na + nb - c) >= 0.9
+    ),
+    ev AS (
+        SELECT p.id_a, p.id_b, p.jaccard,
+               array_to_string(list_sort(list_intersect(a.sh, b.sh))[1:3], ' | ')
+                 AS evidence
+        FROM pairs p
+        JOIN shl a ON a.doc_id = p.id_a
+        JOIN shl b ON b.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, jaccard, evidence
+    FROM ev ORDER BY id_a, id_b LIMIT 25
+    """,
+    tags=("text", "dedup", "explainability"),
+)
+def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair EVIDENCE: for each >= 0.9 Jaccard pair, the three
+    lexicographically-first shared 3-grams — the explanation a reviewer
+    (or an appeals process) sees next to the dedup verdict instead of a
+    bare score. Shingle arrays re-attach to the d3 pairs by id (two
+    broadcast-able joins); the intersection/sort/slice is in-row."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        ngram_shingles,
+        tokens_col,
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.9).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+    shl = d.select(
+        "doc_id", ngram_shingles(tokens_col("text"), 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    ev = (
+        pairs.join(
+            shl.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            shl.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.array_join(
+                F.slice(F.array_sort(F.array_intersect("__sa", "__sb")), 1, 3),
+                " | ",
+            ).alias("evidence"),
+        )
+    )
+    return ev.orderBy("id_a", "id_b").limit(25)
