@@ -497,3 +497,59 @@ def stream_debounce(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+SILENCE_OUTPUT_SCHEMA = "user_id BIGINT, last_seen_us BIGINT, alerted BOOLEAN"
+SILENCE_STATE_SCHEMA = "last_seen_us BIGINT"
+
+
+def stream_silence_alerts(events: DataFrame, silence_seconds: int = 3600) -> DataFrame:
+    """Dead-man's-switch over user activity (q88's streaming complement):
+    alert when a user goes silent for ``silence_seconds`` of EVENT time.
+    State = last-seen timestamp per user with an **event-time timeout** at
+    last_seen + silence: when the watermark passes that point with no new
+    activity, Spark invokes the function with ``state.hasTimedOut`` and
+    the alert fires WITHOUT any row for that user — the push-style gap
+    detection a batch lag() scan can only discover after the fact. New
+    activity re-arms the timeout. The input must carry a watermark (the
+    caller's ``withWatermark``), which also bounds state recovery time.
+
+    Emits (user_id, last_seen_us, alerted): alerted=false heartbeat rows
+    on activity (pick-latest per user downstream), alerted=true exactly
+    when the silence window expires; timed-out state is REMOVED, so a
+    returning user alerts again after the next silence."""
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (last,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "last_seen_us": [last], "alerted": [True]}
+            )
+            return
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            mx = int(pdf["ts_us"].max())
+            last = mx if last is None else max(last, mx)
+        if last is not None:
+            state.update((last,))
+            # event-time timeout: alert when the watermark passes this
+            state.setTimeoutTimestamp(last // 1000 + silence_seconds * 1000)
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "last_seen_us": [last], "alerted": [False]}
+            )
+
+    prepared = events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=SILENCE_OUTPUT_SCHEMA,
+        stateStructType=SILENCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )

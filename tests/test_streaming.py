@@ -944,3 +944,56 @@ def test_stream_debounce_equals_batch_q91(spark, tmp_path):
         for r in ev.select("event_id", keep.alias("k")).where("k = 1").collect()
     }
     assert got == want
+
+
+def test_stream_silence_alerts_fire_on_watermark(spark, tmp_path):
+    """EventTimeTimeout state: a user who stops producing gets an alert once
+    the watermark (driven by OTHER users' later events) passes last_seen +
+    silence; active users only heartbeat; a returning user re-arms."""
+    import datetime as dtm
+
+    from guardian_for_apache_kafka_spark.streaming.stateful import (
+        stream_silence_alerts,
+    )
+
+    T = lambda m: dtm.datetime(2024, 1, 1) + dtm.timedelta(minutes=m)  # noqa: E731
+    schema = "user_id BIGINT, ts TIMESTAMP"
+    # batch 1: users 1 and 2 active at minute 0
+    b1 = [(1, T(0)), (2, T(0))]
+    # batch 2: only user 2 keeps going, far past user 1's silence window
+    b2 = [(2, T(90)), (2, T(120))]
+    src, ck, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 minute")
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream_silence_alerts(stream, silence_seconds=3600)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+    rows = spark.read.parquet(out).collect()
+    alerts = {(r.user_id, r.last_seen_us) for r in rows if r.alerted}
+    beats = {r.user_id for r in rows if not r.alerted}
+    us0 = int(T(0).replace(tzinfo=dtm.timezone.utc).timestamp() * 1e6)
+    # user 1 alerted with its last-seen time; user 2 never alerted
+    assert (1, us0) in alerts
+    assert all(u != 2 for u, _ in alerts)
+    assert {1, 2} <= beats
