@@ -4320,3 +4320,63 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price"), "o_orderkey")
         .limit(15)
     )
+
+
+@query(
+    "q97_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS k, sum(o.o_totalprice) AS s
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT seg, s,
+             row_number() OVER (PARTITION BY seg ORDER BY s, k) AS i,
+             count(*) OVER (PARTITION BY seg) AS n
+      FROM spend
+    )
+    SELECT seg,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           round(sum(s), 2) AS total_spend,
+           round(2.0 * sum(i * s) / (max(n) * sum(s))
+                 - (max(n) + 1.0) / max(n), 4) AS gini
+    FROM ranked GROUP BY seg ORDER BY seg
+    """,
+    tags=("relational", "statistics", "concentration"),
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: the exact Gini
+    coefficient of per-customer spend (0 = equal, 1 = one whale) via the
+    rank formula G = 2*sum(i*s_i)/(n*sum(s)) - (n+1)/n — the
+    whale-dependence metric behind q84's skew report, as a statistic
+    instead of a top-k. One spend aggregate, one segment-keyed rank
+    window, one segment-sized rollup; ties pinned by (spend, custkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("k"))
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    w = Window.partitionBy("seg").orderBy("s", "k")
+    ranked = spend.select(
+        "seg", "s",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy("seg")).alias("n"),
+    )
+    return (
+        ranked.groupBy("seg")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.round(F.sum("s"), 2).alias("total_spend"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("s"))
+                / (F.max("n") * F.sum("s"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                4,
+            ).alias("gini"),
+        )
+        .orderBy("seg")
+    )
