@@ -4380,3 +4380,133 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "q98_markov_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS opens
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(opens) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM t
+    ),
+    tr AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER v AS to_type
+      FROM s
+      WINDOW v AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+    ),
+    cnt AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM cnt ORDER BY from_type, to_type
+    """,
+    tags=("relational", "markov", "sessionization"),
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of in-session behavior:
+    P(next event type | current) estimated from consecutive pairs inside
+    q78's 30-minute sessions — the model behind next-action prediction
+    and the q82 path miner's 1-step core. All heavy work rides the one
+    user-keyed exchange; the matrix itself is |types|^2, and the
+    row-normalization window runs over that tiny frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    opens = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = ev.select(
+        "user_id", "ts", "event_id", "event_type", opens.alias("opens")
+    ).withColumn("sess", F.sum("opens").over(wsum))
+    v = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    tr = s.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(v).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    cnt = tr.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return (
+        cnt.select(
+            "from_type", "to_type", "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "q99_referential_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_children,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey))
+                AS BIGINT) AS n_childless_parents
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey))
+                AS BIGINT)
+    ORDER BY relationship
+    """,
+    tags=("relational", "data-quality", "referential-integrity"),
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned children and childless
+    parents across the lineitem->orders and orders->customer foreign
+    keys — the RELATIONSHIP-level data-quality check beside q50's
+    column-level profile (a broken ingest shows up here first). Each
+    count is an anti-join (LeftAnti, broadcast-able dim side); nothing
+    wider than keys ever shuffles. The six counts are bounded scalar
+    aggregates collected at plan-BUILD time (the s5 Lloyd note applies to
+    bench timings); the report itself is 2 rows."""
+
+    def audit(child, ckey, parent, pkey, name):
+        n_children = child.count()
+        orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).count()
+        childless = parent.join(
+            child, child[ckey] == parent[pkey], "left_anti"
+        ).count()
+        return (name, n_children, orphans, childless)
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    rows = [
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        audit(o, "o_custkey", c, "c_custkey", "orders->customer"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "relationship string, n_children long, n_orphans long, "
+        "n_childless_parents long",
+    ).orderBy("relationship")
