@@ -3788,3 +3788,79 @@ def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ev.orderBy("id_a", "id_b").limit(25)
+
+
+@query(
+    "d24_cluster_density",
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(tk) - 2),
+                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+      FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS c
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (SELECT ia, ib FROM common WHERE c * 1.0 / (na + nb - c) >= 0.7),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    comp AS (SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a),
+    csz AS (SELECT component, count(*) AS n FROM comp GROUP BY component),
+    ecnt AS (
+      SELECT c1.component, count(*) AS m
+      FROM pairs p JOIN comp c1 ON c1.node = p.ia
+      GROUP BY c1.component
+    )
+    SELECT csz.component, CAST(csz.n AS BIGINT) AS n_docs,
+           CAST(ecnt.m AS BIGINT) AS n_edges,
+           round(ecnt.m * 2.0 / (csz.n * (csz.n - 1)), 4) AS density
+    FROM csz JOIN ecnt USING (component)
+    ORDER BY density, csz.component
+    """,
+    tags=("dedup", "clusters", "density", "diagnostics"),
+)
+def d24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster density: edges / C(n,2) per component — density 1
+    means a clique (every member pairwise-similar: safe to keep any one
+    representative), low density means a CHAIN (A~B~C with A!~C — exactly
+    the shape that makes pairwise split moves leak, the p7 rationale, and
+    that makes keep-one-per-cluster lossy). Edge counts come from one
+    id-keyed join of the d3 pairs onto the d7 components; both report
+    sides are component-sized."""
+    from guardian_for_apache_kafka_spark.operators.clusters import (
+        connected_components,
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.7).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    csz = comp.groupBy("component").agg(F.count("*").alias("n_docs"))
+    ecnt = (
+        pairs.join(
+            comp.withColumnRenamed("node", "id_a"), "id_a"
+        )
+        .groupBy("component")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return (
+        csz.join(ecnt, "component")
+        .select(
+            "component", "n_docs", "n_edges",
+            F.round(
+                F.col("n_edges") * 2.0
+                / (F.col("n_docs") * (F.col("n_docs") - 1)),
+                4,
+            ).alias("density"),
+        )
+        .orderBy("density", "component")
+    )
