@@ -346,6 +346,16 @@ def build_parser() -> argparse.ArgumentParser:
     common(de)
     de.add_argument("--dest", required=False, default=None, help="archive directory")
 
+    qr = sub.add_parser("query", help="run a registered engine query and print "
+                        "JSON rows (see plans/registry.py; --list shows names)")
+    common(qr)
+    qr.add_argument("--name", default=None, help="registry query name")
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="table directory (parquet per FIXTURES.md)")
+    qr.add_argument("--list", action="store_true", help="list registered queries")
+    qr.add_argument("--limit", type=int, default=100,
+                    help="max rows printed (the query's own LIMIT still applies)")
+
     rp = sub.add_parser("retention", help="retention expiry dry-run: per-slice "
                         "expire verdicts against a cutoff (review before deleting)")
     common(rp)
@@ -593,6 +603,22 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--dest is required for describe")
         for row in describe_archive(spark, args.dest).collect():
             print(json.dumps(row.asDict()))
+        return 0
+
+    if args.command == "query":
+        from guardian_for_apache_kafka_spark.plans import REGISTRY
+
+        if args.list:
+            for name, q in REGISTRY.items():
+                print(f"{name}\t{(q.doc or '').strip().splitlines()[0][:100] if q.doc else ''}")
+            return 0
+        if not args.name:
+            raise SystemExit("--name (or --list) is required for query")
+        if args.name not in REGISTRY:
+            raise SystemExit(f"unknown query {args.name!r}; see --list")
+        df = REGISTRY[args.name].builder(spark, args.sf_dir)
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
         return 0
 
     if args.command == "retention":

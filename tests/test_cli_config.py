@@ -505,3 +505,28 @@ def test_cli_retention_verb(spark, tmp_path, capsys):
     assert rows
     for r in rows:
         assert r["expire"] == (r["slice_ts"] < "2024-01-01T06:00:00")
+
+
+def test_cli_query_verb(capsys):
+    """The query verb lists registry names and runs one, printing JSON rows."""
+    import json as _json
+
+    from guardian_for_apache_kafka_spark.cli import main as cli_main
+
+    rc = cli_main(["query", "--list"])
+    assert rc == 0
+    names = [ln.split("\t")[0] for ln in capsys.readouterr().out.splitlines()]
+    assert "q02_hash_aggregate_tpch_q1" in names
+
+    rc = cli_main(
+        ["query", "--name", "g2_time_slice_hourly",
+         "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"]
+    )
+    assert rc == 0
+    rows = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert len(rows) == 5
+    assert {"slice", "cnt"} <= set(rows[0])
