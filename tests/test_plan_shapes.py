@@ -741,3 +741,23 @@ def test_q82_session_and_trigram_share_user_exchange(plans):
     plus only the tiny path-count aggregate exchange)."""
     plan = plans("q82_session_paths")
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_q96_group_limit_prunes_before_exchange(plans):
+    """Diversity-constrained top-k: the per-customer rank must plan with
+    WindowGroupLimit (partial, map-side) so each group prunes to its cap
+    BEFORE the exchange, and the global k must be TakeOrdered — never a
+    global Sort."""
+    plan = plans("q96_diverse_topk")
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q95_pairs_generated_in_array(plans):
+    """Audience overlap: the type-pair fan-out happens INSIDE the per-user
+    array (Generate over collect_list output) — a second self-join
+    formulation would re-exchange the distinct stream."""
+    plan = plans("q95_audience_overlap")
+    assert "Generate explode" in plan, plan
+    # distinct + per-user collect + matrix count: three keyed exchanges max
+    assert plan.count("Arguments: hashpartitioning") <= 3, plan
