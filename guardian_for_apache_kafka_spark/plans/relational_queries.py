@@ -4510,3 +4510,91 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         "relationship string, n_children long, n_orphans long, "
         "n_childless_parents long",
     ).orderBy("relationship")
+
+
+@query(
+    "q100_contract_checks",
+    oracle="""
+    WITH checks AS (
+      SELECT
+        CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS null_event_id,
+        CAST(sum(CASE WHEN event_type NOT IN
+                  ('click','error','purchase','signup','view')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS bad_event_type,
+        CAST(sum(CASE WHEN "value" < 0 OR "value" > 1000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS value_out_of_range,
+        CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                        OR ts >= TIMESTAMP '2024-02-01'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_window,
+        CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS props_missing_k,
+        CAST(count(*) AS BIGINT) AS n_rows
+      FROM events
+    )
+    SELECT c.name AS check_name, c.v AS n_violations, checks.n_rows,
+           c.v = 0 AS passed
+    FROM checks, LATERAL (VALUES
+      ('event_id_not_null', null_event_id),
+      ('event_type_enum', bad_event_type),
+      ('props_has_k', props_missing_k),
+      ('ts_in_window', ts_out_of_window),
+      ('value_range', value_out_of_range)
+    ) AS c(name, v)
+    ORDER BY check_name
+    """,
+    tags=("relational", "data-quality", "contract"),
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (the expectations-suite shape): not-null,
+    enum-membership, numeric-range, time-window and JSON-shape checks over
+    events in ONE scan — all violation counters are conditional sums in a
+    single aggregate, melted to one row per check (q50 profiles what IS
+    there; this asserts what MUST be). At 100 TB adding a check costs one
+    more CASE column, never another pass."""
+    ev = load_table(spark, sf_dir, "events")
+    viol = {
+        "event_id_not_null": F.sum(
+            F.when(F.col("event_id").isNull(), 1).otherwise(0)
+        ),
+        "event_type_enum": F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "error", "purchase", "signup", "view"
+                ),
+                1,
+            ).otherwise(0)
+        ),
+        "props_has_k": F.sum(
+            F.when(F.get_json_object("props", "$.k").isNull(), 1).otherwise(0)
+        ),
+        "ts_in_window": F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ),
+        "value_range": F.sum(
+            F.when((F.col("value") < 0) | (F.col("value") > 1000), 1).otherwise(0)
+        ),
+    }
+    agg = ev.agg(
+        *[v.alias(k) for k, v in viol.items()], F.count("*").alias("n_rows")
+    )
+    stack = ", ".join(f"'{k}', {k}" for k in sorted(viol))
+    return (
+        agg.select(
+            F.expr(
+                f"stack({len(viol)}, {stack}) AS (check_name, n_violations)"
+            ),
+            "n_rows",
+        )
+        .select(
+            "check_name",
+            "n_violations",
+            "n_rows",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )
