@@ -3864,3 +3864,76 @@ def d24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("density", "component")
     )
+
+
+@query(
+    "p11_dataset_datasheet",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             string_split(text, ' ') AS tk
+      FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(tk) - 2),
+                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+      FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS c
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    doomed AS (
+      SELECT DISTINCT ib FROM common WHERE c * 1.0 / (na + nb - c) >= 0.7
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST((SELECT count(*) FROM doomed) AS BIGINT) AS n_near_dups,
+           round(avg(n_tok), 2) AS avg_tokens,
+           CAST(min(n_tok) AS BIGINT) AS min_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens
+    FROM toks
+    """,
+    tags=("pipeline", "datasheet", "documentation"),
+)
+def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet: the one-row summary a 'datasheets for datasets'
+    card leads with — volume (docs/tokens/chars), provenance breadth
+    (langs/sources), duplication burden (keep-first near-dup count at
+    Jaccard 0.7) and length distribution. One corpus scan for the volume
+    stats + the d3 inverted-index pass for the dup figure; everything
+    reduces to a single row, so the datasheet regenerates per release at
+    the cost of the dedup pass it already needed."""
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    doomed = (
+        ngram_jaccard_pairs(d, n=3, threshold=0.7)
+        .select("id_b")
+        .distinct()
+        .agg(F.count("*").alias("n_near_dups"))
+    )
+    stats = d.select(
+        "lang", "source", "n_chars", n_tok.alias("n_tok")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+        F.min("n_tok").cast("long").alias("min_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+    )
+    return stats.crossJoin(F.broadcast(doomed)).select(
+        "n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
+        "n_near_dups", "avg_tokens", "min_tokens", "max_tokens",
+    )
