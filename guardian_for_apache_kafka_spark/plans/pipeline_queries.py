@@ -3937,3 +3937,72 @@ def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
         "n_near_dups", "avg_tokens", "min_tokens", "max_tokens",
     )
+
+
+@query(
+    "q101_rank_drift",
+    oracle="""
+    WITH t AS (
+      SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    dom AS (
+      SELECT n_tok, count(*) AS cnt FROM t GROUP BY n_tok
+    ),
+    cum AS (
+      SELECT n_tok, cnt,
+             sum(cnt) OVER (ORDER BY n_tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS below
+      FROM dom
+    ),
+    n AS (SELECT count(*) AS total FROM t),
+    pct AS (
+      SELECT n_tok,
+             (coalesce(below, 0) + 0.5 * cnt) / total AS midrank
+      FROM cum CROSS JOIN n
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(midrank), 4) AS mean_percentile,
+           round(min(midrank), 4) AS min_percentile,
+           round(max(midrank), 4) AS max_percentile
+    FROM t JOIN pct USING (n_tok)
+    GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "drift", "rank-statistics"),
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift by source via mean GLOBAL midrank percentile of
+    document length (the Mann-Whitney U normalization: a balanced source
+    sits at 0.5; one stuck at 0.7 ships systematically longer docs) —
+    the batch-effect check before mixing sources into one corpus. The
+    scalable global-rank plan: NO global window over the corpus — the
+    value DOMAIN aggregates first (distinct lengths, tiny), the running
+    below-count runs over that domain frame (Spark's single-partition
+    WindowExec WARNing fires on the ~|domain| rows — intended: that frame
+    is value-domain-sized, never corpus-sized), and midranks broadcast
+    back onto the stream. Exact integers until the one final division."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("source", F.size(F.split("text", " ")).alias("n_tok"))
+    dom = t.groupBy("n_tok").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dom.withColumn("below", F.sum("cnt").over(w))
+    total = t.agg(F.count("*").alias("total"))
+    pct = cum.crossJoin(F.broadcast(total)).select(
+        "n_tok",
+        (
+            (F.coalesce("below", F.lit(0)) + 0.5 * F.col("cnt"))
+            / F.col("total")
+        ).alias("midrank"),
+    )
+    return (
+        t.join(F.broadcast(pct), "n_tok")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("midrank"), 4).alias("mean_percentile"),
+            F.round(F.min("midrank"), 4).alias("min_percentile"),
+            F.round(F.max("midrank"), 4).alias("max_percentile"),
+        )
+        .orderBy("source")
+    )
