@@ -40,8 +40,8 @@ def main() -> None:
             print(f'    "{name}": {rnd},')
     latest = max(last.values(), default=0)
     print(
-        f"# also set: _VERY_STALE_ROUND = {max(1, latest - 3)}  "
-        f"(latest round {latest} - 3; guarantees no attestation ages past ~4 rounds)"
+        f"# also set: _VERY_STALE_ROUND = {max(1, latest - 2)}  "
+        f"(latest round {latest} - 2; guarantees no attestation ages past ~3 rounds)"
     )
 
 

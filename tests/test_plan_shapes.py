@@ -763,3 +763,48 @@ def test_q95_pairs_generated_in_array(plans):
     assert re.search(r"\(\d+\) Generate", plan) and "explode" in plan, plan
     # distinct + per-user collect + matrix count: three keyed exchanges max
     assert plan.count("Arguments: hashpartitioning") <= 3, plan
+
+
+def test_q97_dim_broadcasts_no_sort_merge(plans):
+    """Gini concentration: the customer segment dim must broadcast onto
+    orders (no SortMergeJoin anywhere); the only hash exchanges are the
+    per-customer spend aggregate and the segment-keyed rank window."""
+    plan = plans("q97_gini_concentration")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, plan
+    assert "SortMergeJoin" not in tree, plan
+
+
+def test_q98_single_user_exchange(plans):
+    """Markov transitions: session numbering (lag + running sum) and the
+    transition lead must all ride ONE user_id hash exchange — the only
+    other keyed exchange is the |types|^2 transition-count aggregate."""
+    plan = plans("q98_markov_transitions")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_q100_contract_checks_single_scan(plans):
+    """Data-contract validation: all five checks plus the row count must
+    fold into ONE aggregate over ONE events scan — a per-check rescan
+    multiplies the 100 TB read by the number of checks."""
+    plan = plans("q100_contract_checks")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+
+
+def test_q101_no_corpus_window_and_midranks_broadcast(plans):
+    """Global-rank drift: the running below-count window must run over the
+    length DOMAIN (n_tok, cnt — distinct-value-sized), never the corpus
+    stream, and the midrank table must broadcast back onto the stream.
+    A corpus-sized SinglePartition sort is the failure mode this guards."""
+    import re
+
+    plan = plans("q101_rank_drift")
+    assert "BroadcastHashJoin" in plan, plan
+    # every SinglePartition exchange feeds domain-shaped rows, not documents
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition",
+        plan,
+    ):
+        cols = m.group(1)
+        assert "text#" not in cols and "source#" not in cols, cols
