@@ -396,3 +396,40 @@ def hyperplane_buckets_udf(signs):
     return _bk
 
 
+
+
+def contract_violation_aggs() -> "dict[str, Column]":
+    """The q100 data-contract expectation suite as named violation-count
+    aggregates over the events schema: not-null, enum-membership,
+    JSON-shape, time-window and numeric-range checks. ONE dict shared by
+    the batch validator (plans q100_contract_checks) and the streaming
+    monitor (streaming.pipeline.stream_contract_checks) so the two
+    surfaces can never drift apart check-by-check. Adding a check costs
+    one more conditional-sum column — never another scan in batch, never
+    another stateful operator in streaming."""
+    return {
+        "event_id_not_null": F.sum(
+            F.when(F.col("event_id").isNull(), 1).otherwise(0)
+        ),
+        "event_type_enum": F.sum(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "error", "purchase", "signup", "view"
+                ),
+                1,
+            ).otherwise(0)
+        ),
+        "props_has_k": F.sum(
+            F.when(F.get_json_object("props", "$.k").isNull(), 1).otherwise(0)
+        ),
+        "ts_in_window": F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ),
+        "value_range": F.sum(
+            F.when((F.col("value") < 0) | (F.col("value") > 1000), 1).otherwise(0)
+        ),
+    }

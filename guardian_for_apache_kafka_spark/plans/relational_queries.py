@@ -4551,34 +4551,15 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     events in ONE scan — all violation counters are conditional sums in a
     single aggregate, melted to one row per check (q50 profiles what IS
     there; this asserts what MUST be). At 100 TB adding a check costs one
-    more CASE column, never another pass."""
+    more CASE column, never another pass. The check suite itself lives in
+    functions.columns.contract_violation_aggs, shared with the streaming
+    monitor twin (streaming.pipeline.stream_contract_checks)."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        contract_violation_aggs,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    viol = {
-        "event_id_not_null": F.sum(
-            F.when(F.col("event_id").isNull(), 1).otherwise(0)
-        ),
-        "event_type_enum": F.sum(
-            F.when(
-                ~F.col("event_type").isin(
-                    "click", "error", "purchase", "signup", "view"
-                ),
-                1,
-            ).otherwise(0)
-        ),
-        "props_has_k": F.sum(
-            F.when(F.get_json_object("props", "$.k").isNull(), 1).otherwise(0)
-        ),
-        "ts_in_window": F.sum(
-            F.when(
-                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
-                | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp")),
-                1,
-            ).otherwise(0)
-        ),
-        "value_range": F.sum(
-            F.when((F.col("value") < 0) | (F.col("value") > 1000), 1).otherwise(0)
-        ),
-    }
+    viol = contract_violation_aggs()
     agg = ev.agg(
         *[v.alias(k) for k, v in viol.items()], F.count("*").alias("n_rows")
     )

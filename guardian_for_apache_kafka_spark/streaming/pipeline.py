@@ -636,3 +636,40 @@ def heavy_hitters_rollup(
         .select("token", "cnt")
         .orderBy(F.desc("cnt"), "token")
     )
+
+
+def stream_contract_checks(events: DataFrame) -> DataFrame:
+    """Streaming twin of q100 data-contract validation: the SAME check
+    suite (functions.columns.contract_violation_aggs — one shared dict, so
+    batch and stream can never drift check-by-check) as a continuously
+    maintained global aggregate. Complete-mode output: one row per check
+    with the violation count over everything seen so far — the
+    data-quality monitor a 100 TB ingest runs beside the pipeline, where
+    q100 is the audit it runs after.
+
+    Scale: the aggregate state is ONE row of counters (five longs + a row
+    count) regardless of stream volume; each micro-batch folds in
+    map-side partial sums, so the exchange carries counters, not events.
+    After a finite in-order replay drains, the table equals batch q100
+    exactly (asserted in test_streaming)."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        contract_violation_aggs,
+    )
+
+    viol = contract_violation_aggs()
+    agg = events.agg(
+        *[v.alias(k) for k, v in viol.items()], F.count("*").alias("n_rows")
+    )
+    stack = ", ".join(f"'{k}', {k}" for k in sorted(viol))
+    return (
+        agg.select(
+            F.expr(f"stack({len(viol)}, {stack}) AS (check_name, n_violations)"),
+            "n_rows",
+        )
+        .select(
+            "check_name",
+            "n_violations",
+            "n_rows",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )

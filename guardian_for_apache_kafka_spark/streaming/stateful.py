@@ -553,3 +553,76 @@ def stream_silence_alerts(events: DataFrame, silence_seconds: int = 3600) -> Dat
         outputMode="update",
         timeoutConf="EventTimeTimeout",
     )
+
+
+MARKOV_OUTPUT_SCHEMA = (
+    "user_id BIGINT, from_type STRING, to_type STRING, event_id BIGINT, "
+    "ts_us BIGINT"
+)
+MARKOV_STATE_SCHEMA = "last_ts_us BIGINT, last_event_id BIGINT, last_type STRING"
+
+
+def stream_markov_transitions(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Streaming twin of q98's transition extraction: per user, every
+    consecutive in-session pair (gap <= ``gap_seconds``) emits a
+    (from_type, to_type) transition row; a gap beyond the threshold opens
+    a new session and emits nothing — exactly the batch lead()-inside-
+    session formulation. Counting the emitted rows by (from_type, to_type)
+    and row-normalizing reproduces the q98 matrix (asserted in
+    test_streaming), so the downstream estimator can stay a trivial
+    always-correct aggregate while THIS operator holds the only state:
+    the last-seen (ts, event_id, type) per user — two longs and a short
+    string, checkpoint-persisted, O(users) forever.
+
+    The gap compares SECOND-truncated epochs (the batch
+    unix_timestamp()/date_diff('second') arithmetic — the
+    stream_debounce discipline) so sub-second fractions can't diverge
+    the twins at the session knife edge. Batch rows are processed in
+    (ts_us, event_id) order; the out-of-order-across-micro-batches caveat
+    matches stream_last_touch."""
+
+    def transitions(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lt, le, lty = state.get
+        else:
+            lt = le = lty = None
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+            for r in pdf.itertuples():
+                t, e = int(r.ts_us), int(r.event_id)
+                if (
+                    lt is not None
+                    and t // 1_000_000 - lt // 1_000_000 <= gap_seconds
+                ):
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "from_type": lty,
+                            "to_type": str(r.event_type),
+                            "event_id": e,
+                            "ts_us": t,
+                        }
+                    )
+                lt, le, lty = t, e, str(r.event_type)
+        state.update((lt, le, lty))
+        yield pd.DataFrame(
+            out, columns=["user_id", "from_type", "to_type", "event_id", "ts_us"]
+        )
+
+    prepared = events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        transitions,
+        outputStructType=MARKOV_OUTPUT_SCHEMA,
+        stateStructType=MARKOV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -997,3 +997,107 @@ def test_stream_silence_alerts_fire_on_watermark(spark, tmp_path):
     assert (1, us0) in alerts
     assert all(u != 2 for u, _ in alerts)
     assert {1, 2} <= beats
+
+
+def test_stream_markov_equals_batch_q98(spark, tmp_path):
+    """Streaming transition extraction on an in-order finite replay (two
+    micro-batch runs with a restart between them) emits exactly the
+    consecutive in-session pairs; counting + row-normalizing them
+    reproduces the batch q98 matrix, with the session that STRADDLES the
+    restart stitched by the persisted per-user state."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.stateful import (
+        stream_markov_transitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    first = ordered.limit(n // 2)
+    rest = ordered.subtract(first)
+    src, ck, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    first.coalesce(1).write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream_markov_transitions(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    emitted = spark.read.parquet(out)
+    wrow = Window.partitionBy("from_type")
+    got = {
+        (r.from_type, r.to_type, r.n, r.p)
+        for r in emitted.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 4).alias("p"),
+        )
+        .collect()
+    }
+    want = {
+        (r.from_type, r.to_type, r.n, r.p)
+        for r in all_queries()["q98_markov_transitions"](spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_stream_contract_checks_equals_batch_q100(spark, tmp_path):
+    """Complete-mode contract monitor: after a finite replay drains, the
+    maintained table equals batch q100 row-for-row (the shared
+    contract_violation_aggs dict makes check drift impossible; this
+    asserts the aggregation plumbing)."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        stream_contract_checks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    ev.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream_contract_checks(stream)
+        .writeStream.format("memory")
+        .queryName("contract_monitor")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT check_name, n_violations, n_rows, passed FROM contract_monitor"
+        ).collect()
+    }
+    want = {
+        tuple(r) for r in all_queries()["q100_contract_checks"](spark, sf).collect()
+    }
+    assert got == want
