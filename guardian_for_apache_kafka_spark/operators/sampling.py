@@ -272,3 +272,73 @@ def weighted_sample(
         "__wkey", weighted_sample_key(F.col(content_col), F.col(weight_col), seed)
     )
     return keyed.orderBy(F.desc("__wkey")).limit(k)
+
+
+def epoch_plan(
+    df: DataFrame,
+    budget_multiple: float = 2.0,
+    max_epochs: float = 4.0,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained epoch planner: given a token budget of
+    ``budget_multiple`` x the corpus and temperature-smoothed per-source
+    shares (~ n_tokens^alpha, the temperature_mixture move at token
+    granularity), how many EPOCHS of each source fill it — with repeats
+    capped at ``max_epochs`` (past ~4 epochs repeated data stops paying;
+    the data-constrained-scaling rule of thumb), leaving the unfillable
+    remainder explicit per source instead of silently over-repeating.
+
+    Determinism contract (cross-engine oracle): per-source token counts
+    are EXACT integer sums; the share denominator is a left fold of
+    sqrt(tokens) in source-name order (the temperature_mixture
+    discipline); every double expression keeps one association order. All
+    rounding happens once, at the output.
+
+    Scale shape: ONE scan of the corpus (token counts fold into a
+    source-keyed partial aggregate), a |sources|-row fold, and a broadcast
+    of two scalars back onto the |sources|-row plan — nothing else moves."""
+    if alpha != 0.5:
+        raise ValueError("alpha != 0.5 needs a pow() fold; only sqrt is wired")
+    cnt = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count("*").alias("__n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("__tok"),
+    )
+    scalars = cnt.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__g"),
+                            F.sqrt(F.col("__tok").cast("double")).alias("__s"),
+                        )
+                    )
+                ),
+                lambda s: s["__s"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__d"),
+        F.sum("__tok").alias("__total"),
+    )
+    tokd = F.col("__tok").cast("double")
+    weight = F.sqrt(tokd) / F.col("__d")
+    target = weight * (F.lit(float(budget_multiple)) * F.col("__total").cast("double"))
+    raw = target / tokd
+    capped = F.least(raw, F.lit(float(max_epochs)))
+    return (
+        cnt.crossJoin(F.broadcast(scalars))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n_docs").alias("n_docs"),
+            F.col("__tok").alias("n_tokens"),
+            F.round(weight, 6).alias("weight"),
+            F.round(raw, 4).alias("epochs_raw"),
+            F.round(capped, 4).alias("epochs"),
+            F.round(capped * tokd, 2).alias("realized_tokens"),
+            F.round((raw - capped) * tokd, 2).alias("budget_unfilled"),
+        )
+        .orderBy(group_col)
+    )

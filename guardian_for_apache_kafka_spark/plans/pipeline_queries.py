@@ -4006,3 +4006,53 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "p12_epoch_plan",
+    oracle="""
+    WITH c AS (
+      SELECT source AS g, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+      FROM documents GROUP BY 1
+    ),
+    den AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(sqrt(CAST(tok AS DOUBLE)) ORDER BY g)),
+               (acc, x) -> acc + x) AS d,
+             CAST(sum(tok) AS DOUBLE) AS total
+      FROM c
+    )
+    SELECT g AS source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           tok AS n_tokens,
+           round(sqrt(CAST(tok AS DOUBLE)) / d, 6) AS weight,
+           round((sqrt(CAST(tok AS DOUBLE)) / d * (2.0 * total))
+                 / CAST(tok AS DOUBLE), 4) AS epochs_raw,
+           round(least((sqrt(CAST(tok AS DOUBLE)) / d * (2.0 * total))
+                       / CAST(tok AS DOUBLE), 4.0), 4) AS epochs,
+           round(least((sqrt(CAST(tok AS DOUBLE)) / d * (2.0 * total))
+                       / CAST(tok AS DOUBLE), 4.0)
+                 * CAST(tok AS DOUBLE), 2) AS realized_tokens,
+           round(((sqrt(CAST(tok AS DOUBLE)) / d * (2.0 * total))
+                  / CAST(tok AS DOUBLE)
+                  - least((sqrt(CAST(tok AS DOUBLE)) / d * (2.0 * total))
+                          / CAST(tok AS DOUBLE), 4.0))
+                 * CAST(tok AS DOUBLE), 2) AS budget_unfilled
+    FROM c CROSS JOIN den ORDER BY source
+    """,
+    tags=("pipeline", "mixture", "epoch-planning"),
+)
+def p12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch plan: a 2x-corpus token budget split by
+    temperature-smoothed source shares (~ tokens^0.5, p4's move at token
+    granularity), converted to per-source repeat factors with epochs
+    capped at 4 — the data-constrained-scaling budget sheet (how many
+    times each source repeats, what the cap leaves unfilled) computed
+    BEFORE any shuffle-heavy mixing runs. One corpus scan, a
+    |sources|-row fold in source order (the p4 determinism contract), two
+    broadcast scalars (operators/sampling.epoch_plan)."""
+    from guardian_for_apache_kafka_spark.operators.sampling import epoch_plan
+
+    return epoch_plan(load_table(spark, sf_dir, "documents"))

@@ -1165,3 +1165,29 @@ def test_prefix_filtered_jaccard_equals_full_index(docs):
             for r in ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
         }
         assert full == pref, t
+
+
+def test_p12_epoch_plan_budget_conservation(spark, sf_dir):
+    """Epoch plan invariants: epochs never exceed the cap, uncapped sources
+    leave zero unfilled budget, and realized + unfilled reassembles each
+    source's temperature-weighted target — so the whole budget is accounted
+    for: sum(targets) == budget_multiple x corpus tokens."""
+    from guardian_for_apache_kafka_spark.operators.sampling import epoch_plan
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = epoch_plan(docs, budget_multiple=2.0, max_epochs=4.0).collect()
+    assert rows, "plan must have one row per source"
+    total_tokens = sum(r.n_tokens for r in rows)
+    budget = 2.0 * total_tokens
+    acct = 0.0
+    for r in rows:
+        assert 0 < r.epochs <= 4.0
+        assert r.epochs <= r.epochs_raw + 1e-9
+        if r.epochs_raw < 4.0:  # uncapped: target fully realized
+            assert r.budget_unfilled == 0.0
+        assert r.budget_unfilled >= 0.0
+        acct += r.realized_tokens + r.budget_unfilled
+    assert abs(acct - budget) / budget < 1e-6
+    # weights are a temperature-smoothed distribution
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
