@@ -808,3 +808,15 @@ def test_q101_no_corpus_window_and_midranks_broadcast(plans):
     ):
         cols = m.group(1)
         assert "text#" not in cols and "source#" not in cols, cols
+
+
+def test_p12_epoch_plan_single_scan_broadcast_scalars(plans):
+    """Epoch plan: ONE documents scan feeding a source-keyed partial
+    aggregate; the fold/total scalars come back via BroadcastExchange
+    (BroadcastNestedLoopJoin on the 1-row side) — a second corpus scan or
+    a non-broadcast join would pay the whole read twice at 100 TB."""
+    plan = plans("p12_epoch_plan")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 2, plan  # cnt reused; scalars derive from it
+    assert "BroadcastExchange" in tree, plan
+    assert "SortMergeJoin" not in tree, plan
