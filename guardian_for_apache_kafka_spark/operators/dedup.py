@@ -836,7 +836,7 @@ def ngram_jaccard_pairs_prefix(
     pattern), making the result IDENTICAL to :func:`ngram_jaccard_pairs`.
 
     Scale effect: the candidate-proposing index shrinks by roughly the
-    threshold factor (t=0.9 indexes ~10%% of shingles; t=0.5 ~50%%) and
+    threshold factor (t=0.9 indexes ~10% of shingles; t=0.5 ~50%) and
     the self-join's quadratic bucket terms shrink with the square of
     that — the textbook set-similarity join optimization, with the
     canonical order here being plain hash order (frequency order would

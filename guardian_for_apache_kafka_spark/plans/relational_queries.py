@@ -4138,7 +4138,7 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimistic-concurrency conflict detection: two concurrent CDC
-    batches (a 10%% reprice and a flat +500 adjustment) touch overlapping
+    batches (a 10% reprice and a flat +500 adjustment) touch overlapping
     keys with DIFFERENT results — the write-write conflicts a MERGE
     serializer must surface before applying either (Delta's
     ConcurrentAppend analysis on plain frames). One key-equi join between
