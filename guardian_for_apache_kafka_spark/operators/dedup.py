@@ -885,3 +885,93 @@ def ngram_jaccard_pairs_prefix(
             / (F.col("__na") + F.col("__nb") - F.col("__common"))
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_span_tokens: int | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Maximal cross-document duplicated TOKEN SPANS — substring-level dedup.
+
+    The doc-level measures (d1-d4) say *that* two documents overlap;
+    training-data curation also needs *where*: the exact copied passages
+    (boilerplate, syndicated paragraphs, license blocks) so they can be cut
+    from otherwise-unique documents instead of dropping whole docs — the
+    substring-deduplication regime of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022), re-expressed relationally.
+
+    Plan (all built-in exprs, zero UDFs):
+
+    1. positional n-gram shingles (NO array_distinct — positions matter),
+       hashed to int64 so the explode/shuffle carries (id, pos, hash64);
+    2. inverted-index self-join on the shingle hash -> match points
+       (id_a, id_b, pos_a, pos_b), id_a < id_b;
+    3. gaps-and-islands per anti-diagonal: within (id_a, id_b,
+       diag = pos_a - pos_b), consecutive pos_a values are one run
+       (pos_a - row_number() is constant on a run — the standard islands
+       trick); a run of c matched shingles is a duplicated span of
+       c + n - 1 tokens.
+
+    Runs shorter than ``min_span_tokens`` (default ``2*n``) are noise-level
+    and dropped. Returns (id_a, id_b, start_a, start_b, span_tokens) with
+    0-based token offsets — one row per maximal span per diagonal (a passage
+    repeated twice in doc_b yields two rows, by design).
+
+    Scale posture: the only quadratic risk is hot shingles, capped by
+    ``max_bucket`` exactly like :func:`ngram_jaccard_pairs` (docs-per-shingle
+    cap on the pair-proposing join). The islands window partitions by
+    (pair, diagonal) — millions of tiny partitions, no skew; the shuffle
+    rows are four longs wide.
+    """
+    if min_span_tokens is None:
+        min_span_tokens = 2 * n
+    df = spread_narrow_scan(df)
+    toks = tokens_col(content_col)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
+    )
+    pos = (
+        df.where(F.size(toks) >= n)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(make).alias("__p", "__s"),
+        )
+    )
+    if max_bucket is not None:
+        hot = (
+            pos.groupBy("__s")
+            .agg(F.count_distinct("__id").alias("__df"))
+            .where(F.col("__df") > max_bucket)
+            .select("__s")
+        )
+        pos = pos.join(F.broadcast(hot), "__s", "left_anti")
+    a = pos.select(F.col("__id").alias("id_a"), F.col("__p").alias("__pa"), "__s")
+    b = pos.select(F.col("__id").alias("id_b"), F.col("__p").alias("__pb"), "__s")
+    m = (
+        a.join(b, "__s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__pa").cast("long").alias("__pa"),
+            F.col("__pb").cast("long").alias("__pb"),
+        )
+        .withColumn("__diag", F.col("__pa") - F.col("__pb"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("__pa")
+    isl = m.withColumn("__grp", F.col("__pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("id_a", "id_b", "__diag", "__grp")
+        .agg(
+            F.min("__pa").alias("start_a"),
+            F.min("__pb").alias("start_b"),
+            (F.count("*") + F.lit(n - 1)).alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span_tokens)
+        .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+    )

@@ -4056,3 +4056,55 @@ def p12(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guardian_for_apache_kafka_spark.operators.sampling import epoch_plan
 
     return epoch_plan(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "d25_duplicate_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id, list_transform(range(len(tk) - 7),
+            i -> struct_pack(p := i,
+                 s := tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '
+                      ||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]||' '||tk[i+8])) AS sh
+        FROM toks WHERE len(tk) >= 8
+    ),
+    pos AS (SELECT doc_id, unnest(sh, recursive := true) FROM shl),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+        FROM pos a JOIN pos b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT id_a, id_b, pa - pb AS diag, pa, pb,
+               pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                       ORDER BY pa) AS grp
+        FROM m
+    ),
+    spans AS (
+        SELECT id_a, id_b,
+               CAST(min(pa) AS BIGINT) AS start_a,
+               CAST(min(pb) AS BIGINT) AS start_b,
+               CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT id_a, id_b, start_a, start_b, span_tokens
+    FROM spans WHERE span_tokens >= 16
+    ORDER BY span_tokens DESC, id_a, id_b, start_a, start_b LIMIT 50
+    """,
+    tags=("dedup", "substring", "spans"),
+)
+def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: the 50 longest maximal cross-document
+    duplicated token spans (8-gram seeds, gaps-and-islands per
+    anti-diagonal) — WHERE the copied passages are, not just which docs
+    overlap, so curation can cut the passage instead of the document.
+    The oracle replays the islands construction on raw shingle strings;
+    Spark carries int64 hashes (operators/dedup.duplicate_spans)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        duplicate_spans(d, n=8, min_span_tokens=16)
+        .orderBy(F.desc("span_tokens"), "id_a", "id_b", "start_a", "start_b")
+        .limit(50)
+    )

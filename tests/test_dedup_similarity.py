@@ -1191,3 +1191,50 @@ def test_p12_epoch_plan_budget_conservation(spark, sf_dir):
     assert abs(acct - budget) / budget < 1e-6
     # weights are a temperature-smoothed distribution
     assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+
+
+def test_duplicate_spans_exact_boundaries(spark):
+    # one 20-token passage copied into two otherwise-disjoint documents:
+    # the span (and only the span) must come back, with exact 0-based
+    # offsets on both sides and no sub-span fragments
+    span = [f"s{i}" for i in range(20)]
+    doc_a = [f"a{i}" for i in range(7)] + span + [f"z{i}" for i in range(5)]
+    doc_b = [f"b{i}" for i in range(11)] + span + [f"y{i}" for i in range(9)]
+    df = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b))], "doc_id long, text string"
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import duplicate_spans
+
+    out = duplicate_spans(df, n=8, min_span_tokens=16).collect()
+    assert [tuple(r) for r in out] == [(1, 2, 7, 11, 20)]
+
+
+def test_duplicate_spans_repeated_passage_two_rows(spark):
+    # the same passage pasted TWICE into doc_b must produce two spans (one
+    # per diagonal), not one merged blob
+    span = [f"s{i}" for i in range(16)]
+    doc_a = span
+    doc_b = span + [f"g{i}" for i in range(6)] + span
+    df = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b))], "doc_id long, text string"
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import duplicate_spans
+
+    out = sorted(
+        tuple(r) for r in duplicate_spans(df, n=8, min_span_tokens=16).collect()
+    )
+    assert out == [(1, 2, 0, 0, 16), (1, 2, 0, 22, 16)]
+
+
+def test_duplicate_spans_below_min_dropped(spark):
+    # a 10-token copied run seeds 8-gram matches but sits under
+    # min_span_tokens=16 -> empty result
+    span = [f"s{i}" for i in range(10)]
+    doc_a = [f"a{i}" for i in range(8)] + span
+    doc_b = span + [f"y{i}" for i in range(8)]
+    df = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b))], "doc_id long, text string"
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import duplicate_spans
+
+    assert duplicate_spans(df, n=8, min_span_tokens=16).count() == 0

@@ -820,3 +820,16 @@ def test_p12_epoch_plan_single_scan_broadcast_scalars(plans):
     assert tree.count("Scan parquet") <= 2, plan  # cnt reused; scalars derive from it
     assert "BroadcastExchange" in tree, plan
     assert "SortMergeJoin" not in tree, plan
+
+
+def test_d25_duplicate_spans_long_only_shuffles(plans):
+    # substring dedup: the inverted-index join + islands window must shuffle
+    # (id, pos, hash64) longs only — no string shingles past the projection,
+    # no Python evaluation anywhere
+    p = plans("d25_duplicate_spans")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # the islands window reuses the join's (id_a, id_b) clustering up to the
+    # diagonal; groupBy on (pair, diag, grp) must NOT add a 4th exchange:
+    # subset-clustering satisfies the aggregate's distribution
+    tree = p.split("== Physical Plan ==")[1]
+    assert tree.count("Exchange hashpartitioning") <= 3, p
