@@ -975,3 +975,74 @@ def duplicate_spans(
         .where(F.col("span_tokens") >= min_span_tokens)
         .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
     )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_span_tokens: int | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cut :func:`duplicate_spans` passages out of the HIGHER-id copy.
+
+    First-writer-wins at passage granularity (the d2 keep-lowest-id rule
+    moved from documents to substrings): every duplicated span stays in
+    ``id_a`` and is excised from ``id_b``, so the corpus keeps exactly one
+    copy of each passage while both documents' unique text survives — the
+    cut step of the Lee-et-al. substring-dedup regime, where doc-level
+    dedup would wrongly drop whole near-unique documents.
+
+    No interval merging is needed: a token is dropped iff ANY collected
+    span covers it (`exists` over the per-doc interval array — union
+    semantics for free, overlap-safe). The interval arrays are per-doc and
+    span-count-bounded, so the membership probe is a tiny JVM-side nested
+    higher-order function, not a join; the only shuffles are the ones
+    :func:`duplicate_spans` already does plus one id-keyed join of the
+    interval table (vastly smaller than the corpus) back onto ``df``.
+
+    Returns one row per MODIFIED document: (``id_col``, n_before, n_after,
+    n_spans_cut, cleaned_text) with token counts before/after excision.
+    Untouched documents don't appear (callers union them back unchanged).
+    """
+    spans = duplicate_spans(
+        df,
+        n=n,
+        min_span_tokens=min_span_tokens,
+        id_col=id_col,
+        content_col=content_col,
+        max_bucket=max_bucket,
+    )
+    ivs = spans.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("span_tokens")).alias("e"),
+            )
+        ).alias("__ivs"),
+        F.count("*").alias("n_spans_cut"),
+    )
+    toks = tokens_col(content_col)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__ivs"), lambda iv: (i >= iv["s"]) & (i < iv["e"])
+        ),
+    )
+    return (
+        df.join(ivs, id_col)
+        .select(
+            id_col,
+            F.size(toks).cast("int").alias("n_before"),
+            kept.alias("__kept"),
+            "n_spans_cut",
+        )
+        .select(
+            id_col,
+            "n_before",
+            F.size("__kept").cast("int").alias("n_after"),
+            "n_spans_cut",
+            F.concat_ws(" ", "__kept").alias("cleaned_text"),
+        )
+    )

@@ -4108,3 +4108,73 @@ def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("span_tokens"), "id_a", "id_b", "start_a", "start_b")
         .limit(50)
     )
+
+
+@query(
+    "d26_span_excision",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id, list_transform(range(len(tk) - 7),
+            i -> struct_pack(p := i,
+                 s := tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '
+                      ||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]||' '||tk[i+8])) AS sh
+        FROM toks WHERE len(tk) >= 8
+    ),
+    pos AS (SELECT doc_id, unnest(sh, recursive := true) FROM shl),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+        FROM pos a JOIN pos b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT id_a, id_b, pa - pb AS diag, pa, pb,
+               pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                       ORDER BY pa) AS grp
+        FROM m
+    ),
+    spans AS (
+        SELECT id_a, id_b, min(pb) AS start_b, count(*) + 7 AS span_tokens
+        FROM isl GROUP BY id_a, id_b, diag, grp HAVING count(*) + 7 >= 16
+    ),
+    ivs AS (
+        SELECT id_b AS doc_id,
+               list(struct_pack(s := start_b, e := start_b + span_tokens)) AS ivl,
+               CAST(count(*) AS BIGINT) AS n_spans_cut
+        FROM spans GROUP BY 1
+    ),
+    cut AS (
+        SELECT t.doc_id, len(tk) AS n_before, n_spans_cut,
+               list_transform(
+                 list_filter(range(len(tk)),
+                   i -> len(list_filter(ivl, iv -> i >= iv.s AND i < iv.e)) = 0),
+                 i -> tk[i+1]) AS kept
+        FROM toks t JOIN ivs USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_before AS INT) AS n_before,
+           CAST(len(kept) AS INT) AS n_after, n_spans_cut,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+    FROM cut ORDER BY doc_id
+    """,
+    tags=("dedup", "substring", "excision"),
+)
+def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut step for d25's duplicated spans: excise every copied passage
+    from the higher-id document (first-writer-wins at passage granularity),
+    reporting per modified doc the before/after token counts and the md5 of
+    the cleaned text — doc-level dedup drops whole near-unique documents;
+    this keeps their unique remainder. Union membership via a JVM-side
+    nested exists over the per-doc interval array, no extra shuffle
+    (operators/dedup.excise_duplicate_spans)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = excise_duplicate_spans(d, n=8, min_span_tokens=16)
+    return out.select(
+        "doc_id",
+        "n_before",
+        "n_after",
+        "n_spans_cut",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    ).orderBy("doc_id")

@@ -1238,3 +1238,45 @@ def test_duplicate_spans_below_min_dropped(spark):
     from guardian_for_apache_kafka_spark.operators.dedup import duplicate_spans
 
     assert duplicate_spans(df, n=8, min_span_tokens=16).count() == 0
+
+
+def test_excise_duplicate_spans_keeps_unique_text(spark):
+    # the copied passage leaves the HIGHER-id doc only; both docs' unique
+    # text survives verbatim
+    span = [f"s{i}" for i in range(20)]
+    a = [f"a{i}" for i in range(7)] + span + [f"z{i}" for i in range(5)]
+    b = [f"b{i}" for i in range(11)] + span + [f"y{i}" for i in range(9)]
+    df = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b))], "doc_id long, text string"
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+
+    rows = excise_duplicate_spans(df, n=8, min_span_tokens=16).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.n_before, r.n_after, r.n_spans_cut) == (2, 40, 20, 1)
+    assert r.cleaned_text == " ".join([f"b{i}" for i in range(11)] + [f"y{i}" for i in range(9)])
+
+
+def test_excise_duplicate_spans_overlapping_union(spark):
+    # two overlapping spans (one per lower-id source doc) excise their UNION
+    # from the highest doc — no double-cut, no residue between them
+    s1 = [f"s{i}" for i in range(20)]
+    d1 = s1                          # owns s1 fully
+    d2 = s1[2:] + [f"w{i}" for i in range(12)]  # owns tail of s1 + w-run
+    d3 = s1 + [f"w{i}" for i in range(12)]      # copies overlap: s1 and s1[2:]+w
+    df = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3))],
+        "doc_id long, text string",
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+
+    out = {r.doc_id: r for r in excise_duplicate_spans(df, n=8, min_span_tokens=16).collect()}
+    # doc 3 is covered end-to-end by the union of doc-1 and doc-2 spans
+    assert out[3].n_after == 0 and out[3].cleaned_text == ""
+    # doc 2's copy of s1[8:] is cut, its unique w-run stays
+    assert out[2].cleaned_text == " ".join(f"w{i}" for i in range(12))

@@ -833,3 +833,11 @@ def test_d25_duplicate_spans_long_only_shuffles(plans):
     # subset-clustering satisfies the aggregate's distribution
     tree = p.split("== Physical Plan ==")[1]
     assert tree.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_d26_span_excision_no_python_eval(plans):
+    # the interval membership probe is a nested JVM higher-order function
+    # (filter + exists), never a Python UDF; the corpus-side join on doc_id
+    # adds exactly one exchange over d25's three
+    p = plans("d26_span_excision")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
