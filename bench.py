@@ -95,6 +95,9 @@ HEADLINE = {
     "session_paths": "q82_session_paths",
     "shingle_duplication": "t20_shingle_duplication",
     "grouped_kfold": "p9_grouped_kfold",
+    # round-6d additions
+    "duplicate_spans": "d25_duplicate_spans",
+    "span_excision": "d26_span_excision",
 }
 
 N_RUNS = 3

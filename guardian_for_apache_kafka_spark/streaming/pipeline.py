@@ -673,3 +673,85 @@ def stream_contract_checks(events: DataFrame) -> DataFrame:
             (F.col("n_violations") == 0).alias("passed"),
         )
     )
+
+
+def star_dedup_batch(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Within-batch greedy near-dup dedup: drop every document that
+    near-duplicates (exact n-gram Jaccard >= ``threshold``) a LOWER-id peer
+    of the same batch — the star rule (first writer wins) shared by the
+    batch fold and the streaming ingest so their results cannot drift."""
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    doomed = (
+        ngram_jaccard_pairs(
+            docs, n=n, threshold=threshold, id_col=id_col,
+            content_col=content_col, max_bucket=max_bucket,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return docs.join(doomed, id_col, "left_anti")
+
+
+def stream_incremental_dedup(
+    docs: DataFrame,
+    keepers_dir: str,
+    checkpoint: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous-ingest near-dup dedup: the streaming twin of d12's
+    daily-ingest shape, run per micro-batch via ``foreachBatch``.
+
+    Each batch is (a) star-deduped within itself (:func:`star_dedup_batch`),
+    then (b) deduplicated against the ACCUMULATED keeper corpus with the
+    SAME operator the batch query uses (``operators/dedup.incremental_dedup``
+    — no new-new or ref-ref comparisons); survivors append to
+    ``keepers_dir``. Idempotent under foreachBatch's at-least-once contract
+    WITHOUT a state store: a replayed batch's documents near-duplicate their
+    own earlier append at Jaccard 1.0 and are doomed by the cross-join, so a
+    crash between append and checkpoint commit re-appends only the rows the
+    crash lost.
+
+    At scale the per-batch keeper re-read is IO-linear in keepers and the
+    cross inverted index is rebuilt per batch — the shape a daily 100 TB
+    ingest already has; a long-lived deployment would persist the keeper
+    shingle index bucketed by shingle hash (operators/bucketing.py) instead
+    of re-exploding it, which changes the constant, not the plan."""
+    from guardian_for_apache_kafka_spark.operators.dedup import incremental_dedup
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        survivors = star_dedup_batch(
+            batch_df, n=n, threshold=threshold, id_col=id_col,
+            content_col=content_col, max_bucket=max_bucket,
+        )
+        try:
+            ref = spark.read.parquet(keepers_dir)
+            has_ref = len(ref.take(1)) > 0
+        except Exception:
+            has_ref = False
+        if has_ref:
+            survivors = incremental_dedup(
+                survivors, ref, n=n, threshold=threshold, id_col=id_col,
+                content_col=content_col, max_bucket=max_bucket,
+            )
+        survivors.write.mode("append").parquet(keepers_dir)
+
+    writer = docs.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

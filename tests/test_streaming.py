@@ -1101,3 +1101,79 @@ def test_stream_contract_checks_equals_batch_q100(spark, tmp_path):
         tuple(r) for r in all_queries()["q100_contract_checks"](spark, sf).collect()
     }
     assert got == want
+
+
+def test_stream_incremental_dedup_equals_batch_fold(spark, tmp_path):
+    """Continuous-ingest dedup == the batch fold of (star-dedup within wave,
+    then incremental_dedup vs accumulated keepers) over the same arrival
+    waves — and a simulated crash-replay of the last wave appends nothing
+    (the Jaccard-1.0 self-match idempotency claim)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import incremental_dedup
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        star_dedup_batch,
+        stream_incremental_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # 250 docs keep the run short; the slice still contains near-dup pairs
+    # both within and across the %3 arrival waves (asserted below).
+    docs = (
+        load_table(spark, sf, "documents")
+        .where(F.col("doc_id") < 250)
+        .select("doc_id", "text", "source")
+    )
+    src = str(tmp_path / "in")
+    n = docs.count()
+    # One deterministically-named file per wave with forced, strictly
+    # increasing mtimes: FileStreamSource orders by (modTime, path), so the
+    # stream's processing order and the fold's sorted-filename order agree —
+    # appended part-files would have random task UUIDs in their names and the
+    # two orders could diverge (wave order decides WHICH near-dup survives).
+    import time
+
+    os.makedirs(src)
+    base = int(time.time())
+    for i in range(3):
+        wave_dir = str(tmp_path / f"wave{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(wave_dir)
+        (part,) = [f for f in os.listdir(wave_dir) if f.startswith("part-")]
+        dst = os.path.join(src, f"wave{i}.parquet")
+        os.rename(os.path.join(wave_dir, part), dst)
+        os.utime(dst, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    keepers, ckpt = str(tmp_path / "keep"), str(tmp_path / "ck")
+    q = stream_incremental_dedup(stream, keepers, ckpt)
+    q.awaitTermination(180)
+
+    # batch fold over the same waves, in FILE order (the stream's order)
+    import glob
+
+    files = sorted(glob.glob(os.path.join(src, "wave*.parquet")))
+    assert len(files) == 3
+    acc = None
+    for f in files:
+        wave = spark.read.schema(docs.schema).parquet(f)
+        surv = star_dedup_batch(wave)
+        if acc is not None:
+            surv = incremental_dedup(surv, acc)
+        acc = surv if acc is None else acc.unionByName(surv)
+        acc = acc.localCheckpoint()  # keep the fold's lineage flat
+
+    want = sorted(tuple(r) for r in acc.collect())
+    got_df = spark.read.parquet(keepers)
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert got == want
+    assert 0 < len(got) < n  # dedup actually dropped something
+
+    # crash-replay simulation: re-running the LAST wave through the batch
+    # body must append zero rows (every doc self-matches its own append)
+    last = spark.read.schema(docs.schema).parquet(files[-1])
+    replay_surv = incremental_dedup(
+        star_dedup_batch(last), spark.read.parquet(keepers)
+    )
+    assert replay_surv.count() == 0
