@@ -98,6 +98,8 @@ HEADLINE = {
     # round-6d additions
     "duplicate_spans": "d25_duplicate_spans",
     "span_excision": "d26_span_excision",
+    "span_decontaminate": "d27_span_decontaminate",
+    "gopher_rules": "t24_gopher_rules",
 }
 
 N_RUNS = 3

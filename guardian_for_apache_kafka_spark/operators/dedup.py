@@ -887,6 +887,42 @@ def ngram_jaccard_pairs_prefix(
     ).where(F.col("jaccard") >= threshold)
 
 
+def _positional_shingles(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    n: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Positional n-gram hashes: (__id, __p, __s) with __s = xxhash64 of the
+    raw n-token window at 0-based token offset __p. NO array_distinct —
+    positions matter for span reconstruction. ``max_bucket`` drops shingles
+    appearing in more than that many docs (stop-shingles), the same recall
+    contract as :func:`ngram_jaccard_pairs`."""
+    df = spread_narrow_scan(df)
+    toks = tokens_col(content_col)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
+    )
+    pos = (
+        df.where(F.size(toks) >= n)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(make).alias("__p", "__s"),
+        )
+    )
+    if max_bucket is not None:
+        hot = (
+            pos.groupBy("__s")
+            .agg(F.count_distinct("__id").alias("__df"))
+            .where(F.col("__df") > max_bucket)
+            .select("__s")
+        )
+        pos = pos.join(F.broadcast(hot), "__s", "left_anti")
+    return pos
+
+
 def duplicate_spans(
     df: DataFrame,
     n: int = 8,
@@ -929,27 +965,7 @@ def duplicate_spans(
     """
     if min_span_tokens is None:
         min_span_tokens = 2 * n
-    df = spread_narrow_scan(df)
-    toks = tokens_col(content_col)
-    make = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
-    )
-    pos = (
-        df.where(F.size(toks) >= n)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.posexplode(make).alias("__p", "__s"),
-        )
-    )
-    if max_bucket is not None:
-        hot = (
-            pos.groupBy("__s")
-            .agg(F.count_distinct("__id").alias("__df"))
-            .where(F.col("__df") > max_bucket)
-            .select("__s")
-        )
-        pos = pos.join(F.broadcast(hot), "__s", "left_anti")
+    pos = _positional_shingles(df, id_col, content_col, n, max_bucket)
     a = pos.select(F.col("__id").alias("id_a"), F.col("__p").alias("__pa"), "__s")
     b = pos.select(F.col("__id").alias("id_b"), F.col("__p").alias("__pb"), "__s")
     m = (
@@ -1032,6 +1048,129 @@ def excise_duplicate_spans(
     )
     return (
         df.join(ivs, id_col)
+        .select(
+            id_col,
+            F.size(toks).cast("int").alias("n_before"),
+            kept.alias("__kept"),
+            "n_spans_cut",
+        )
+        .select(
+            id_col,
+            "n_before",
+            F.size("__kept").cast("int").alias("n_after"),
+            "n_spans_cut",
+            F.concat_ws(" ", "__kept").alias("cleaned_text"),
+        )
+    )
+
+
+def cross_duplicate_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    min_span_tokens: int | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Verbatim token spans SHARED between a training corpus and a benchmark
+    set — the locate step of exact-substring decontamination (the GPT-3 /
+    PaLM appendix regime: overlaps with evaluation data are cut from
+    TRAINING documents at passage granularity, never the reverse).
+
+    Same gaps-and-islands construction as :func:`duplicate_spans` but over
+    two corpora: the match-point join is train-positions x bench-positions
+    on the shingle hash with no id ordering constraint (the frames are
+    assumed id-disjoint; a doc present in both matches itself end-to-end,
+    which IS the correct decontamination verdict). Returns
+    (train_id, bench_id, start_train, start_bench, span_tokens).
+
+    Scale posture: the bench side is benchmark-sized (millions of tokens,
+    not TB) — its positional index is small and reused across the whole
+    train scan; match points are bounded by true contamination, not corpus
+    size. ``max_bucket`` caps shingles appearing in more than that many
+    BENCH docs (boilerplate prompts shared by every eval doc), the stop-
+    shingle recall contract of d3/d25.
+    """
+    if min_span_tokens is None:
+        min_span_tokens = 2 * n
+    t = _positional_shingles(train, id_col, content_col, n, None).select(
+        F.col("__id").alias("train_id"), F.col("__p").alias("__pt"), "__s"
+    )
+    b = _positional_shingles(bench, id_col, content_col, n, max_bucket).select(
+        F.col("__id").alias("bench_id"), F.col("__p").alias("__pb"), "__s"
+    )
+    m = t.join(b, "__s").select(
+        "train_id",
+        "bench_id",
+        F.col("__pt").cast("long").alias("__pt"),
+        F.col("__pb").cast("long").alias("__pb"),
+    ).withColumn("__diag", F.col("__pt") - F.col("__pb"))
+    w = Window.partitionBy("train_id", "bench_id", "__diag").orderBy("__pt")
+    isl = m.withColumn("__grp", F.col("__pt") - F.row_number().over(w))
+    return (
+        isl.groupBy("train_id", "bench_id", "__diag", "__grp")
+        .agg(
+            F.min("__pt").alias("start_train"),
+            F.min("__pb").alias("start_bench"),
+            (F.count("*") + F.lit(n - 1)).alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span_tokens)
+        .select("train_id", "bench_id", "start_train", "start_bench", "span_tokens")
+    )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    min_span_tokens: int | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cut benchmark-overlapping passages out of TRAINING documents — the
+    excision step of exact-substring decontamination. Where d14/d15 REPORT
+    contaminated documents and s4 DROPS them, this keeps the document and
+    removes only the leaked passage, preserving the unique remainder
+    (dropping whole web documents for one quoted benchmark question wastes
+    real data at 100 TB).
+
+    Mechanics mirror :func:`excise_duplicate_spans`: collect the per-train-
+    doc interval array from :func:`cross_duplicate_spans` (union membership
+    via a JVM-side nested ``exists`` — overlap-safe, no interval merging),
+    one id-keyed join of the interval table (contamination-sized, vastly
+    smaller than the corpus) onto the train scan. Returns one row per
+    MODIFIED training document: (``id_col``, n_before, n_after,
+    n_spans_cut, cleaned_text); untouched docs don't appear.
+    """
+    spans = cross_duplicate_spans(
+        train,
+        bench,
+        n=n,
+        min_span_tokens=min_span_tokens,
+        id_col=id_col,
+        content_col=content_col,
+        max_bucket=max_bucket,
+    )
+    ivs = spans.groupBy(F.col("train_id").alias(id_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_train").alias("s"),
+                (F.col("start_train") + F.col("span_tokens")).alias("e"),
+            )
+        ).alias("__ivs"),
+        F.count("*").alias("n_spans_cut"),
+    )
+    toks = tokens_col(content_col)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__ivs"), lambda iv: (i >= iv["s"]) & (i < iv["e"])
+        ),
+    )
+    return (
+        train.join(ivs, id_col)
         .select(
             id_col,
             F.size(toks).cast("int").alias("n_before"),

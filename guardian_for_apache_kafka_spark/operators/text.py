@@ -876,3 +876,93 @@ def shingle_duplication_profile(
             ).alias("shared_ratio"),
         )
     )
+
+
+#: The Gopher quality-rule stopword list (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher", App. A1.1):
+#: a document must contain at least 2 of these to pass the stop-word rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher/C4 quality-rule battery as per-rule boolean
+    flags — the standard pre-training document filter (Rae et al. 2021
+    App. A1.1; Raffel et al. 2020 §2.2), kept rule-by-rule inspectable so
+    curation can report WHY a document was dropped, not just that it was:
+
+    - ``word_count_ok``:    min_words <= #words <= max_words;
+    - ``mean_word_len_ok``: mean word length in [3, 10] characters;
+    - ``symbol_ratio_ok``:  words containing '#' or '...' are <= 10%;
+    - ``bullet_ok``:        <= 90% of lines start with a bullet marker;
+    - ``ellipsis_ok``:      <= 30% of lines end with '...';
+    - ``alpha_ok``:         >= 80% of words contain an alphabetic char;
+    - ``stopword_ok``:      >= 2 distinct Gopher stopwords present;
+    - ``passes_gopher``:    AND of all seven.
+
+    Every rule is a per-row JVM higher-order expression over the hoisted
+    token/line arrays — map-only, ZERO shuffles, whole-stage-codegen
+    friendly; at 100 TB this runs at scan speed as the first stage of the
+    filter funnel (cheap rules first, the t8/t14 model scoring after).
+    Ratios are rounded to 6 places for cross-engine hash stability.
+    """
+    df, toks = _with_tokens_scratch(df, text_col)
+    t = F.col(toks)
+    n_words = F.size(t)
+    mean_len = F.round(
+        F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / n_words,
+        6,
+    )
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    n_symbol = F.size(
+        F.filter(t, lambda x: x.contains("#") | x.contains("..."))
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike("^[-*•]"),
+        )
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(t, s),
+        )
+    )
+    frac = lambda num, den: F.round(num.cast("double") / den, 6)  # noqa: E731
+    out = df.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        frac(n_alpha, n_words).alias("alpha_word_frac"),
+        frac(n_symbol, n_words).alias("symbol_ratio"),
+        frac(n_bullet, n_lines).alias("bullet_line_frac"),
+        frac(n_ellipsis, n_lines).alias("ellipsis_line_frac"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+    )
+    flags = {
+        "word_count_ok": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "mean_word_len_ok": (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0),
+        "symbol_ratio_ok": F.col("symbol_ratio") <= 0.1,
+        "bullet_ok": F.col("bullet_line_frac") <= 0.9,
+        "ellipsis_ok": F.col("ellipsis_line_frac") <= 0.3,
+        "alpha_ok": F.col("alpha_word_frac") >= 0.8,
+        "stopword_ok": F.col("n_stopwords") >= 2,
+    }
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    passes = None
+    for name in flags:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return out.withColumn("passes_gopher", passes)

@@ -4178,3 +4178,137 @@ def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans_cut",
         F.md5("cleaned_text").alias("cleaned_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "t24_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk, string_split(text, chr(10)) AS ln
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             round(list_aggregate(list_transform(tk, x -> CAST(len(x) AS DOUBLE)), 'sum')
+                   / len(tk), 6) AS mean_word_len,
+             round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / len(tk), 6) AS alpha_word_frac,
+             round(CAST(len(list_filter(tk, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+                   / len(tk), 6) AS symbol_ratio,
+             round(CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+                   / len(ln), 6) AS bullet_line_frac,
+             round(CAST(len(list_filter(ln, l -> l LIKE '%...')) AS DOUBLE)
+                   / len(ln), 6) AS ellipsis_line_frac,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                  w -> list_contains(tk, w))) AS BIGINT) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+           bullet_line_frac, ellipsis_line_frac, n_stopwords,
+           (n_words BETWEEN 50 AND 100000) AS word_count_ok,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS mean_word_len_ok,
+           (symbol_ratio <= 0.1) AS symbol_ratio_ok,
+           (bullet_line_frac <= 0.9) AS bullet_ok,
+           (ellipsis_line_frac <= 0.3) AS ellipsis_ok,
+           (alpha_word_frac >= 0.8) AS alpha_ok,
+           (n_stopwords >= 2) AS stopword_ok,
+           ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+            AND n_stopwords >= 2) AS passes_gopher
+    FROM s ORDER BY doc_id
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher/C4 quality-rule battery, rule-by-rule: per-doc
+    word-count bounds, mean word length, symbol and bullet/ellipsis ratios,
+    alphabetic-word fraction, and Gopher-stopword presence, each as an
+    inspectable boolean flag plus the AND verdict — the standard first
+    stage of a pre-training filter funnel, map-only at scan speed (zero
+    shuffles; operators/text.gopher_quality_flags). The synthetic corpus
+    exercises the word-count/stop-word/mean-length rules; the
+    symbol/bullet/ellipsis rules are structurally verified (all-pass
+    here, discriminating on real web text)."""
+    from guardian_for_apache_kafka_spark.operators.text import gopher_quality_flags
+
+    return gopher_quality_flags(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+@query(
+    "d27_span_decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id, list_transform(range(len(tk) - 3),
+            i -> struct_pack(p := i,
+                 s := tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])) AS sh
+        FROM toks WHERE len(tk) >= 4
+    ),
+    pos AS (SELECT doc_id, unnest(sh, recursive := true) FROM shl),
+    m AS (
+        SELECT t.doc_id AS train_id, b.doc_id AS bench_id, t.p AS pt, b.p AS pb
+        FROM pos t JOIN pos b ON t.s = b.s
+        WHERE t.doc_id >= 10 AND b.doc_id < 10
+    ),
+    isl AS (
+        SELECT train_id, bench_id, pt - pb AS diag, pt,
+               pt - row_number() OVER (PARTITION BY train_id, bench_id, pt - pb
+                                       ORDER BY pt) AS grp
+        FROM m
+    ),
+    spans AS (
+        SELECT train_id, min(pt) AS start_t, count(*) + 3 AS span_tokens
+        FROM isl GROUP BY train_id, bench_id, diag, grp
+        HAVING count(*) + 3 >= 8
+    ),
+    ivs AS (
+        SELECT train_id AS doc_id,
+               list(struct_pack(s := start_t, e := start_t + span_tokens)) AS ivl,
+               CAST(count(*) AS BIGINT) AS n_spans_cut
+        FROM spans GROUP BY 1
+    ),
+    cut AS (
+        SELECT t.doc_id, len(tk) AS n_before, n_spans_cut,
+               list_transform(
+                 list_filter(range(len(tk)),
+                   i -> len(list_filter(ivl, iv -> i >= iv.s AND i < iv.e)) = 0),
+                 i -> tk[i+1]) AS kept
+        FROM toks t JOIN ivs USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_before AS INT) AS n_before,
+           CAST(len(kept) AS INT) AS n_after, n_spans_cut,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+    FROM cut ORDER BY doc_id
+    """,
+    tags=("dedup", "decontamination", "substring"),
+)
+def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (the GPT-3/PaLM appendix regime):
+    cut benchmark-overlapping passages out of TRAINING documents at
+    passage granularity — d14/d15 report contaminated docs and s4 drops
+    them; this keeps the unique remainder. Eval set = doc_id < 10 (the
+    d14 convention), train = doc_id >= 10; 4-gram seeds / 8-token minimum
+    spans for this small-vocabulary synthetic corpus (real pipelines use
+    8-13-gram windows, the operator default). Per modified train doc:
+    before/after token counts, spans cut, md5 of the cleaned text
+    (operators/dedup.decontaminate_spans)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import decontaminate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    out = decontaminate_spans(
+        d.where(F.col("doc_id") >= 10),
+        d.where(F.col("doc_id") < 10),
+        n=4,
+        min_span_tokens=8,
+    )
+    return out.select(
+        "doc_id",
+        "n_before",
+        "n_after",
+        "n_spans_cut",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    ).orderBy("doc_id")

@@ -1280,3 +1280,50 @@ def test_excise_duplicate_spans_overlapping_union(spark):
     assert out[3].n_after == 0 and out[3].cleaned_text == ""
     # doc 2's copy of s1[8:] is cut, its unique w-run stays
     assert out[2].cleaned_text == " ".join(f"w{i}" for i in range(12))
+
+
+def test_decontaminate_spans_cuts_bench_overlap_only(spark):
+    # a benchmark passage quoted inside a train doc is excised from the
+    # TRAIN doc regardless of id order; train-unique text survives, the
+    # bench frame is never modified, and train docs with no overlap
+    # don't appear in the output
+    leak = [f"q{i}" for i in range(12)]
+    bench = spark.createDataFrame(
+        [(1, " ".join([f"p{i}" for i in range(4)] + leak))],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # id LOWER than the bench doc's: cross variant must still cut
+            # from the train side (no id_a < id_b rule)
+            (0, " ".join([f"u{i}" for i in range(6)] + leak + ["tail0", "tail1"])),
+            (50, " ".join(f"clean{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        cross_duplicate_spans,
+        decontaminate_spans,
+    )
+
+    spans = cross_duplicate_spans(train, bench, n=4, min_span_tokens=8).collect()
+    assert [tuple(r) for r in spans] == [(0, 1, 6, 4, 12)]
+    rows = decontaminate_spans(train, bench, n=4, min_span_tokens=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.n_before, r.n_after, r.n_spans_cut) == (0, 20, 8, 1)
+    assert r.cleaned_text == " ".join(
+        [f"u{i}" for i in range(6)] + ["tail0", "tail1"]
+    )
+
+
+def test_decontaminate_spans_full_containment(spark):
+    # a train doc that IS a benchmark doc verbatim is cut to nothing —
+    # the self-match-at-any-id contract the docstring claims
+    text = " ".join(f"x{i}" for i in range(16))
+    bench = spark.createDataFrame([(3, text)], "doc_id long, text string")
+    train = spark.createDataFrame([(99, text)], "doc_id long, text string")
+    from guardian_for_apache_kafka_spark.operators.dedup import decontaminate_spans
+
+    r = decontaminate_spans(train, bench, n=4, min_span_tokens=8).collect()[0]
+    assert (r.n_before, r.n_after, r.cleaned_text) == (16, 0, "")

@@ -841,3 +841,30 @@ def test_d26_span_excision_no_python_eval(plans):
     # adds exactly one exchange over d25's three
     p = plans("d26_span_excision")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_t24_gopher_rules_map_only(plans):
+    """The Gopher rule battery is the funnel's FIRST stage: every rule is a
+    per-row higher-order expression over the hoisted token/line arrays —
+    no joins, no aggregation shuffle; the only exchange is the
+    presentation sort's range partitioning."""
+    p = plans("t24_gopher_rules")
+    tree = p.split("\n\n")[0]
+    assert "Join" not in tree, p
+    assert "hashpartitioning" not in tree, p
+    assert tree.count("Exchange") <= 1, p
+
+
+def test_d27_decontaminate_bench_side_capped_join(plans):
+    """Cross-corpus span decontamination: the train-x-bench match join is
+    keyed on the int64 shingle hash (never text) with the benchmark-sized
+    side BROADCAST (at 100 TB the bench index is MBs against a TB train
+    scan — Catalyst picks broadcast here and must keep doing so); no
+    cartesian anywhere, no Python eval, and the islands window sits on
+    (pair, diagonal) partitions."""
+    p = plans("d27_span_decontaminate")
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "BroadcastHashJoin" in tree or "hashpartitioning(__s" in p, p
+    assert "hashpartitioning(train_id" in p, p

@@ -677,3 +677,43 @@ def test_perceptual_hash_identical_blobs_collide(spark):
     assert got[1] == got[2] == replay("same")
     assert got[3] == replay("other")
     assert got[1] != got[3]
+
+
+def test_gopher_quality_flags_rules(spark):
+    # one doc per rule boundary; flags are exact and passes_gopher is the
+    # AND of all seven
+    good = " ".join(["the", "be", "to"] + [f"word{i}" for i in range(60)])
+    short = "the be " + " ".join(f"w{i}" for i in range(10))
+    longwords = " ".join(["the", "be"] + ["x" * 40 for _ in range(58)])
+    symbols = " ".join(["the", "be"] + ["tag#" + str(i) for i in range(58)])
+    nostop = " ".join(f"w{i}" for i in range(60))
+    bullets = "\n".join("- the be item w" + str(i) for i in range(10))
+    numeric = " ".join(["the", "be"] + [str(i) for i in range(58)])
+    df = spark.createDataFrame(
+        [
+            (1, good), (2, short), (3, longwords), (4, symbols),
+            (5, nostop), (6, bullets), (7, numeric),
+        ],
+        "doc_id long, text string",
+    )
+    from guardian_for_apache_kafka_spark.operators.text import gopher_quality_flags
+
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert out[1].passes_gopher
+    assert not out[2].word_count_ok and not out[2].passes_gopher
+    assert not out[3].mean_word_len_ok
+    assert not out[4].symbol_ratio_ok
+    assert out[5].n_stopwords == 0 and not out[5].stopword_ok
+    assert not out[6].bullet_ok  # 10/10 bullet lines > 0.9
+    assert not out[7].alpha_ok  # 58/60 numeric words < 0.8 alpha
+
+
+def test_gopher_quality_flags_scratch_collision(spark):
+    # a caller frame already holding __toks must come through untouched
+    df = spark.createDataFrame(
+        [(1, "the be " + " ".join(f"w{i}" for i in range(60)), "keepme")],
+        "doc_id long, text string, __toks string",
+    )
+    from guardian_for_apache_kafka_spark.operators.text import gopher_quality_flags
+
+    assert gopher_quality_flags(df).count() == 1
