@@ -242,8 +242,62 @@ def extra_c() -> None:
           .groupBy().agg(F.count("*").alias("n"), F.sum("n_shared").alias("s")))
 
 
+def extra_d() -> None:
+    """Round-6d additions: substring-level span extraction/excision and
+    cross-corpus span decontamination at 10x docs with 10x duplication
+    density (replicas share text, so every passage is copied 10x — match
+    points grow with duplication^2, the worst case for any span plan)."""
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("guardian-stress-r6d")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        decontaminate_spans,
+        duplicate_spans,
+        excise_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    reps = spark.range(10).select(F.col("id").alias("__rep"))
+    docs10 = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * 10 + F.col("__rep")).alias("doc_id"),
+            "text",  # replicas share text -> every span duplicated 10x
+        )
+        .repartition(64)
+        .localCheckpoint()
+    )
+    print(f"stress corpus: {docs10.count()} docs, 10x span duplication")
+    timed(
+        "duplicate spans @ 50k docs (10x dup density)",
+        lambda: duplicate_spans(docs10, n=8, min_span_tokens=16, max_bucket=200)
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("span_tokens").alias("tok")),
+    )
+    timed(
+        "span excision @ 50k docs (10x dup density)",
+        lambda: excise_duplicate_spans(
+            docs10, n=8, min_span_tokens=16, max_bucket=200
+        )
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("n_spans_cut").alias("cut")),
+    )
+    bench = docs.where(F.col("doc_id") < 50).select("doc_id", "text")
+    timed(
+        "span decontaminate @ 50k train x 50 bench",
+        lambda: decontaminate_spans(
+            docs10, bench, n=8, min_span_tokens=16
+        )
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("n_spans_cut").alias("cut")),
+    )
+
+
 if __name__ == "__main__":
-    if os.environ.get("STRESS_EXTRA_C"):
+    if os.environ.get("STRESS_EXTRA_D"):
+        extra_d()
+    elif os.environ.get("STRESS_EXTRA_C"):
         extra_c()
     elif os.environ.get("STRESS_EXTRA"):
         extra()
