@@ -100,6 +100,7 @@ HEADLINE = {
     "span_excision": "d26_span_excision",
     "span_decontaminate": "d27_span_decontaminate",
     "gopher_rules": "t24_gopher_rules",
+    "curation_funnel": "p13_curation_funnel",
 }
 
 N_RUNS = 3

@@ -4312,3 +4312,109 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans_cut",
         F.md5("cleaned_text").alias("cleaned_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "p13_curation_funnel",
+    oracle="""
+    WITH tr AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+                FROM documents WHERE doc_id >= 10),
+    be AS (SELECT doc_id, string_split(text, ' ') AS tk
+           FROM documents WHERE doc_id < 10),
+    q AS (
+      SELECT * FROM tr
+      WHERE len(tk) BETWEEN 50 AND 100000
+        AND round(list_aggregate(list_transform(tk, x -> CAST(len(x) AS DOUBLE)),
+                                 'sum') / len(tk), 6) BETWEEN 3.0 AND 10.0
+        AND round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                       AS DOUBLE) / len(tk), 6) >= 0.8
+    ),
+    ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+    eq AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(tk) - 2),
+               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS g
+           FROM eq WHERE len(tk) >= 3),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    doom AS (SELECT DISTINCT id_b AS doc_id
+             FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+                     JOIN sz sb ON sb.doc_id = pr.id_b
+             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+    nd AS (SELECT eq.* FROM eq ANTI JOIN doom USING (doc_id)),
+    bg AS (SELECT DISTINCT unnest(list_transform(range(len(tk) - 3),
+               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+           FROM be WHERE len(tk) >= 4),
+    con AS (SELECT DISTINCT s.doc_id FROM (
+              SELECT doc_id, unnest(list_distinct(list_transform(range(len(tk) - 3),
+                  i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
+              FROM nd WHERE len(tk) >= 4) s
+            JOIN bg USING (g)),
+    fin AS (SELECT nd.* FROM nd ANTI JOIN con USING (doc_id))
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'raw' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM tr
+      UNION ALL SELECT 2, 'quality', count(*), sum(len(tk)) FROM q
+      UNION ALL SELECT 3, 'exact_dedup', count(*), sum(len(tk)) FROM eq
+      UNION ALL SELECT 4, 'near_dedup', count(*), sum(len(tk)) FROM nd
+      UNION ALL SELECT 5, 'decontaminated', count(*), sum(len(tk)) FROM fin
+    ) ORDER BY stage_idx
+    """,
+    tags=("pipeline", "curation", "funnel"),
+)
+def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel a pre-training data team actually runs, as ONE
+    query reporting per-stage yield (docs and tokens surviving): raw ->
+    quality rules (the t24 battery's word-count/mean-length/alpha rules —
+    the ones that discriminate on this synthetic vocabulary) -> exact
+    dedup (d2 keep-lowest-id) -> near-dup star rule (d3 3-gram Jaccard
+    >= 0.5, higher id doomed) -> benchmark decontamination (d14 4-gram
+    overlap vs doc_id < 10). Every stage composes the registered operator
+    itself, so the funnel attests the COMPOSITION semantics — yield
+    accounting is what decides curation tradeoffs at 100 TB, and each
+    stage's scale posture is its operator's (map-only filter, digest
+    shuffle, capped inverted index, broadcast bench grams)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        dedup_exact,
+        ngram_decontaminate,
+        ngram_jaccard_pairs,
+    )
+    from guardian_for_apache_kafka_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") >= 10)
+    bench = docs.where(F.col("doc_id") < 10)
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        )
+
+    flags = gopher_quality_flags(train)
+    ok = flags.where(
+        F.col("word_count_ok") & F.col("mean_word_len_ok") & F.col("alpha_ok")
+    ).select("doc_id")
+    s2 = train.join(ok, "doc_id")
+    s3 = dedup_exact(s2)
+    doomed = (
+        ngram_jaccard_pairs(s3, n=3, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.join(doomed, "doc_id", "left_anti")
+    s5 = ngram_decontaminate(s4, bench, n=4)
+    return (
+        stage(1, "raw", train)
+        .unionByName(stage(2, "quality", s2))
+        .unionByName(stage(3, "exact_dedup", s3))
+        .unionByName(stage(4, "near_dedup", s4))
+        .unionByName(stage(5, "decontaminated", s5))
+        .orderBy("stage_idx")
+    )
