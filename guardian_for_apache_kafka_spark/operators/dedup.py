@@ -1185,3 +1185,62 @@ def decontaminate_spans(
             F.concat_ws(" ", "__kept").alias("cleaned_text"),
         )
     )
+
+
+def eval_contamination_report(
+    eval_set: DataFrame,
+    corpus: DataFrame,
+    n: int = 8,
+    dirty_threshold: float = 0.0,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    eval_content_col: str = "text",
+) -> DataFrame:
+    """Per-EVAL-document contamination: the reverse direction of
+    :func:`ngram_contamination_report` and the number papers actually
+    publish — for each benchmark document, how many of its distinct word
+    n-grams appear ANYWHERE in the training corpus, the contaminated
+    fraction, and a ``dirty`` verdict (fraction > ``dirty_threshold``; the
+    GPT-3 appendix flags an eval example "dirty" on any collision, i.e.
+    threshold 0). Returns (``id_col``, n_grams, n_contaminated,
+    contaminated_frac, dirty) with one row per eval doc, including clean
+    ones (n_contaminated = 0).
+
+    Scale shape: the eval gram set is benchmark-sized, so it BROADCASTS
+    against the corpus scan (semi-join filters the corpus gram stream
+    map-side to eval-relevant grams only — corpus-size-independent output);
+    the distinct + count aggregates then run on benchmark-sized frames. The
+    corpus is never shuffled, mirroring d14's posture with the report
+    direction flipped."""
+    toks_e = ngram_shingles(tokens_col(eval_content_col), n)
+    eg = (
+        eval_set.select(F.col(id_col), F.explode(toks_e).alias("__g"))
+        .distinct()
+    )
+    corpus_grams = spread_narrow_scan(corpus).select(
+        F.explode(ngram_shingles(tokens_col(content_col), n)).alias("__g")
+    )
+    hit = (
+        corpus_grams.join(
+            F.broadcast(eg.select("__g").distinct()), "__g", "left_semi"
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    frac = F.round(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+        / F.count("*"),
+        6,
+    )
+    return (
+        eg.join(hit, "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            frac.alias("contaminated_frac"),
+        )
+        .withColumn("dirty", F.col("contaminated_frac") > dirty_threshold)
+    )

@@ -150,3 +150,26 @@ def parquet_file_ranges(path: str, cols: list[str]) -> list[dict]:
             entry[c] = (lo, hi)
         out.append(entry)
     return out
+
+
+def zorder_value_n(cols, bits: int = 16):
+    """N-dimensional Morton key: bit i of column j lands at position
+    ``i * k + j`` (k = number of columns), generalizing :func:`zorder_value`
+    (which is the k=2 case with the same bit convention). Inputs must
+    already be normalized to ``[0, 2^bits)`` integers; the result fits a
+    long for ``k * bits <= 63`` (asserted). Still a pure integer JVM
+    expression — map-only, codegen'd — so ``write_zordered``-style layouts
+    extend to 3-4 clustering columns the way Delta's OPTIMIZE ZORDER BY
+    accepts several."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a signed long")
+    out = None
+    for j, c in enumerate(cols):
+        cl = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for i in range(bits):
+            t = F.shiftleft(F.shiftright(cl, i).bitwiseAND(F.lit(1)), i * k + j)
+            out = t if out is None else out + t
+    return out

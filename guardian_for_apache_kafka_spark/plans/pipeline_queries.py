@@ -4402,13 +4402,17 @@ def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("word_count_ok") & F.col("mean_word_len_ok") & F.col("alpha_ok")
     ).select("doc_id")
     s2 = train.join(ok, "doc_id")
-    s3 = dedup_exact(s2)
+    # persist the two frames whose lineage later stages re-walk: without
+    # the barriers, the stage-5 aggregate recomputes the exact-dedup window
+    # AND the inverted-index jaccard a second time (the union of 5 stage
+    # aggregates otherwise costs the sum of funnel PREFIXES, ~2.5x one pass)
+    s3 = dedup_exact(s2).persist()
     doomed = (
         ngram_jaccard_pairs(s3, n=3, threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    s4 = s3.join(doomed, "doc_id", "left_anti")
+    s4 = s3.join(doomed, "doc_id", "left_anti").persist()
     s5 = ngram_decontaminate(s4, bench, n=4)
     return (
         stage(1, "raw", train)
@@ -4418,3 +4422,56 @@ def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(5, "decontaminated", s5))
         .orderBy("stage_idx")
     )
+
+
+@query(
+    "d28_eval_contamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    eg AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(range(len(tk) - 3),
+             i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
+      FROM toks WHERE doc_id < 10 AND len(tk) >= 4
+    ),
+    cg AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_transform(range(len(tk) - 3),
+               i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+        FROM toks WHERE doc_id >= 10 AND len(tk) >= 4
+      ) WHERE g IN (SELECT g FROM eg)
+    ),
+    rep AS (
+      SELECT eg.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN cg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated
+      FROM eg LEFT JOIN cg ON eg.g = cg.g
+      GROUP BY eg.doc_id
+    )
+    SELECT doc_id, n_grams, n_contaminated,
+           round(n_contaminated * 1.0 / n_grams, 6) AS contaminated_frac,
+           (round(n_contaminated * 1.0 / n_grams, 6) > 0.0) AS dirty
+    FROM rep ORDER BY doc_id
+    """,
+    tags=("dedup", "decontamination", "eval-side"),
+)
+def d28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side contamination report — the number papers publish: for each
+    benchmark document (doc_id < 10, the d14 convention), the count and
+    fraction of its distinct word 4-grams appearing anywhere in the
+    training corpus (doc_id >= 10), plus the GPT-3-style ``dirty`` verdict
+    (any collision). Complements d14 (corpus-side report), d15 (bloom
+    path), d27 (passage excision): this one drives the decision to REPORT
+    benchmark numbers with/without dirty examples. Corpus never shuffles —
+    the benchmark gram set broadcasts and filters the corpus gram stream
+    map-side (operators/dedup.eval_contamination_report)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        eval_contamination_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return eval_contamination_report(
+        d.where(F.col("doc_id") < 10),
+        d.where(F.col("doc_id") >= 10),
+        n=4,
+    ).orderBy("doc_id")

@@ -1147,3 +1147,41 @@ def test_guarded_sequence_crafted_timeline(spark, sf_dir):
         & (F.col("le").isNull() | (F.col("le") < F.col("lv")))
     )
     assert {r.user_id for r in clean.collect()} == {1, 4}
+
+
+def test_zorder_value_n_matches_2d_and_interleaves_3d(spark):
+    """k=2 must agree bit-for-bit with zorder_value; k=3 must place bit i
+    of column j at position 3i+j (checked against a Python reference)."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.layout import (
+        zorder_value,
+        zorder_value_n,
+    )
+
+    df = spark.createDataFrame(
+        [(x, y, z) for x, y, z in [(0, 0, 0), (1, 2, 4), (65535, 0, 255),
+                                   (12345, 54321, 999), (255, 255, 255)]],
+        "x long, y long, z long",
+    )
+    two = df.select(
+        (zorder_value(F.col("x"), F.col("y"))
+         == zorder_value_n(["x", "y"])).alias("eq")
+    ).collect()
+    assert all(r.eq for r in two)
+
+    def ref3(x, y, z, bits=16):
+        out = 0
+        for j, v in enumerate((x, y, z)):
+            for i in range(bits):
+                out |= ((v >> i) & 1) << (i * 3 + j)
+        return out
+
+    got = df.select("x", "y", "z", zorder_value_n(["x", "y", "z"]).alias("m")).collect()
+    for r in got:
+        assert r.m == ref3(r.x, r.y, r.z), (r.x, r.y, r.z)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zorder_value_n(["x", "y", "z", "z"], bits=16)
