@@ -755,3 +755,46 @@ def stream_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the attribution shape
+    (view -> click within ``max_delay``) that stream-static enrichment
+    can't express because BOTH sides arrive continuously.
+
+    Both inputs get event-time watermarks and the join carries the
+    time-range condition ``left_ts <= right_ts <= left_ts + max_delay``;
+    together those let Spark BOUND the join state (a left row is evictable
+    once the right watermark passes ``left_ts + max_delay``, and vice
+    versa) — without the range bound, stream-stream join state grows with
+    all history, the 100 TB failure mode. Column names must be disjoint
+    apart from ``key_col`` (rename upstream; the engine convention over
+    positional access).
+
+    Batch equivalence contract (the §2.3 streaming validation rule): on a
+    finite replay where no row is later than ``watermark``, the inner join
+    equals the identical batch range join — asserted in
+    tests/test_streaming.py. Outer variants additionally emit NULL-padded
+    rows only after watermark passage, so they are replay-sensitive at the
+    stream tail; ``how='inner'`` is the equivalence-safe default.
+    """
+    l_ = left.withWatermark(left_ts, watermark).alias("l")
+    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l_.join(r_, cond, how).drop(F.col(f"r.{key_col}"))

@@ -1177,3 +1177,70 @@ def test_stream_incremental_dedup_equals_batch_fold(spark, tmp_path):
         star_dedup_batch(last), spark.read.parquet(keepers)
     )
     assert replay_surv.count() == 0
+
+
+def test_stream_interval_join_equals_batch_range_join(spark, sf_dir, tmp_path):
+    """Stream-stream watermarked interval join (view -> click within 10 min
+    per user) on a finite replay equals the identical batch range join —
+    the §2.3 equivalence contract for the one join shape where BOTH sides
+    are streams. The generous watermark makes nothing late, so inner-join
+    semantics must match batch exactly."""
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    src = str(tmp_path / "in")
+    ev.repartition(4).write.parquet(src)
+
+    def views(df):
+        return df.where(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+
+    def clicks(df):
+        return df.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    joined = stream_interval_join(
+        views(stream),
+        clicks(stream),
+        key_col="user_id",
+        left_ts="view_ts",
+        right_ts="click_ts",
+        max_delay="10 minutes",
+        watermark="3650 days",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = views(ev).alias("l").join(
+        clicks(ev).alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.click_ts") >= F.col("l.view_ts"))
+        & (F.col("r.click_ts") <= F.col("l.view_ts") + F.expr("INTERVAL 10 minutes")),
+        "inner",
+    ).drop(F.col("r.user_id"))
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0  # the corpus actually exercises the join
