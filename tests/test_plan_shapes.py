@@ -919,3 +919,15 @@ def test_zorder_write_prunes_files_for_box_predicate(spark, sf_dir, tmp_path):
     assert z_touched < lex_touched, (z_touched, lex_touched)
     # round-trip sanity: both layouts hold the same rows
     assert spark.read.parquet(zdir).count() == spark.read.parquet(ldir).count()
+
+
+def test_d28_eval_contamination_corpus_never_shuffles(plans):
+    """Eval-side contamination: the benchmark gram set must BROADCAST onto
+    the corpus gram stream (semi-join map-side), so no hashpartitioning
+    exchange ever carries corpus-scan-sized data — the aggregates downstream
+    of the semi-join run on benchmark-sized frames only."""
+    p = plans("d28_eval_contamination")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin LeftSemi" in tree, p
+    assert "CartesianProduct" not in tree, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
