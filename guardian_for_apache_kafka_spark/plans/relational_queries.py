@@ -4579,3 +4579,235 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+def _ewma_sql(alpha: float, n_lags: int) -> tuple[str, str]:
+    """DuckDB numerator/denominator text for the bounded-lag EWMA: weighted
+    sum over the ``n_lags`` most recent rows (weight (1-alpha)^i), normalized
+    by the weights actually present so the series start is unbiased."""
+    num, den = [], []
+    for i in range(n_lags):
+        w = (1 - alpha) ** i
+        x = f"lag(x, {i}) OVER w" if i else "x"
+        num.append(f"CASE WHEN {x} IS NOT NULL THEN {w!r} * {x} ELSE 0 END")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {w!r} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql(0.3, 8)
+
+
+@query(
+    "q102_ewma_smoothing",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, sum("value") AS x
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    )
+    SELECT user_id, day, round(x, 2) AS total,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 2) AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ORDER BY user_id, day
+    """,
+    tags=("relational", "timeseries", "smoothing"),
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lag EWMA smoothing of each user's daily spend — the
+    monitoring-dashboard smoother. The textbook EWMA is a per-row recurrence
+    (inherently sequential); the weight (1-a)^i decays below 6% of the head
+    weight by lag 8 at a=0.3, so the 8-lag truncation is the
+    cluster-friendly form: one shuffle on user_id, then a single window pass
+    computes all eight lags — no per-key sequential state, no iteration.
+    Weights are renormalized over the lags actually present so the series
+    start is unbiased rather than damped. The untruncated recurrence lives
+    in the streaming twin (streaming.stateful.stream_ewma), where per-key
+    state is the natural home."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("user_id") < 20)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    alpha, n_lags = 0.3, 8
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(n_lags):
+        x = F.lag("x", i).over(w) if i else F.col("x")
+        wt = float((1 - alpha) ** i)
+        num = num + F.when(x.isNotNull(), F.lit(wt) * x).otherwise(F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return daily.select(
+        "user_id",
+        "day",
+        F.round("x", 2).alias("total"),
+        F.round(num / den, 2).alias("ewma"),
+    ).orderBy("user_id", "day")
+
+
+@query(
+    "q103_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band0,
+             CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band1
+      FROM customer
+    ),
+    leveled AS (
+      SELECT nation, segment, 0 AS level, band0 AS band FROM qi
+      UNION ALL
+      SELECT nation, segment, 1 AS level, band1 AS band FROM qi
+      UNION ALL
+      SELECT nation, segment, 2 AS level, 0 AS band FROM qi
+    ),
+    classes AS (
+      SELECT nation, segment, level, band, count(*) AS class_size
+      FROM leveled GROUP BY 1, 2, 3, 4
+    ),
+    lv AS (
+      SELECT nation, segment, level, min(class_size) AS min_size
+      FROM classes GROUP BY 1, 2, 3
+    ),
+    chosen AS (
+      SELECT nation, segment,
+             coalesce(min(CASE WHEN min_size >= 5 THEN level END), 2)
+               AS chosen_level
+      FROM lv GROUP BY 1, 2
+    )
+    SELECT c.nation, c.segment,
+           CAST(c.chosen_level AS INT) AS chosen_level,
+           CAST(lv.min_size AS BIGINT) AS min_class_size,
+           lv.min_size >= 5 AS meets_k
+    FROM chosen c JOIN lv
+      ON lv.nation = c.nation AND lv.segment = c.segment
+     AND lv.level = c.chosen_level
+    ORDER BY c.nation, c.segment
+    """,
+    tags=("relational", "privacy", "k-anonymity"),
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-generalization k-anonymity audit (k=5) over the customer
+    quasi-identifiers (nation, segment, account-balance band): for each
+    (nation, segment) population, pick the LEAST generalized balance band
+    (level 0 = $1000 bands, 1 = $2000 bands, 2 = band suppressed) whose
+    smallest equivalence class still holds >= k people — the
+    release-readiness check run before publishing any user-keyed dataset.
+    ONE scan: the three candidate generalizations explode to (level, band)
+    rows map-side, then two small aggregations find per-level minima and the
+    chosen level; no per-level rescan at 100 TB. Groups failing k even fully
+    suppressed surface as meets_k = false rather than being dropped."""
+    c = load_table(spark, sf_dir, "customer")
+    leveled = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("level"),
+                    F.floor(F.col("c_acctbal") / 1000.0).alias("band"),
+                ),
+                F.struct(
+                    F.lit(1).alias("level"),
+                    F.floor(F.col("c_acctbal") / 2000.0).alias("band"),
+                ),
+                F.struct(
+                    F.lit(2).alias("level"), F.lit(0).cast("long").alias("band")
+                ),
+            )
+        ).alias("lb"),
+    ).select("nation", "segment", "lb.level", "lb.band")
+    lv = (
+        leveled.groupBy("nation", "segment", "level", "band")
+        .agg(F.count("*").alias("class_size"))
+        .groupBy("nation", "segment", "level")
+        .agg(F.min("class_size").alias("min_size"))
+    )
+    chosen = lv.groupBy("nation", "segment").agg(
+        F.coalesce(
+            F.min(F.when(F.col("min_size") >= 5, F.col("level"))), F.lit(2)
+        ).alias("chosen_level")
+    )
+    return (
+        chosen.join(
+            lv,
+            (lv.nation == chosen.nation)
+            & (lv.segment == chosen.segment)
+            & (lv.level == chosen.chosen_level),
+        )
+        .select(
+            chosen.nation,
+            chosen.segment,
+            F.col("chosen_level").cast("int").alias("chosen_level"),
+            F.col("min_size").cast("long").alias("min_class_size"),
+            (F.col("min_size") >= 5).alias("meets_k"),
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+@query(
+    "q104_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, sum("value") AS total
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, total,
+             CASE WHEN count(*) OVER w = 7
+                  THEN avg(total) OVER w END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    se AS (
+      SELECT dayofweek(day) AS dow, avg(total - trend) AS seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY 1
+    )
+    SELECT t.day, round(t.total, 2) AS total, round(t.trend, 2) AS trend,
+           round(s.seasonal, 2) AS seasonal,
+           round(t.total - t.trend - s.seasonal, 2) AS residual
+    FROM tr t JOIN se s ON s.dow = dayofweek(t.day)
+    ORDER BY t.day
+    """,
+    tags=("relational", "timeseries", "decomposition"),
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: trend = centered 7-day moving average (defined only where the
+    full window exists, so edges stay NULL instead of biased), weekly
+    seasonal = day-of-week mean of the detrended series, residual = the
+    anomaly signal left over — the STL-lite preprocessing step before
+    alerting on q44-style z-scores. The series is one row per day, so the
+    single-partition window is a DAYS-sized frame over an already-tiny
+    aggregate, never over raw events; at 100 TB only the first groupBy
+    touches the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("total")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "total",
+        F.when(F.count("*").over(w) == 7, F.avg("total").over(w)).alias("trend"),
+    )
+    se = (
+        tr.where(F.col("trend").isNotNull())
+        .groupBy((F.dayofweek("day") - 1).alias("dow"))
+        .agg(F.avg(F.col("total") - F.col("trend")).alias("seasonal"))
+    )
+    return (
+        tr.join(F.broadcast(se), (F.dayofweek(tr.day) - 1) == se.dow)
+        .select(
+            "day",
+            F.round("total", 2).alias("total"),
+            F.round("trend", 2).alias("trend"),
+            F.round("seasonal", 2).alias("seasonal"),
+            F.round(F.col("total") - F.col("trend") - F.col("seasonal"), 2).alias(
+                "residual"
+            ),
+        )
+        .orderBy("day")
+    )
