@@ -320,3 +320,54 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(hash_batch, PHASH_DDL)
+
+
+PATCH_GRID_DDL = (
+    "doc_id BIGINT, patch_row INT, patch_col INT, patch_w INT, patch_h INT, "
+    "mean_intensity INT, std_intensity INT, informative BOOLEAN"
+)
+
+
+def extract_patch_grid(media: DataFrame, grid: int = 2) -> DataFrame:
+    """ViT-style patch extraction: ONE decode pass per image emits a
+    ``grid x grid`` grid of patch rows with per-patch statistics and an
+    informativeness flag — the pre-tokenization step of an image-training
+    pipeline (blank/uninformative patches are dropped before the vision
+    tokenizer, like t13 drops boilerplate chunks).
+
+    Scale shape matches the other one-pass decoders: ``mapInPandas`` opens
+    each blob exactly once and fans out grid**2 rows; cross-image
+    parallelism comes from the input partitioning (spread first so a narrow
+    scan cannot serialize onto one Arrow task), and the binary column never
+    reaches the driver. The pixel statistics are STUBBED like the m1/m2/m4
+    twins — per-patch features derive from sha256(sha256hex(content) +
+    ":row:col"), so the whole Arrow fan-out contract is recomputable by
+    digest arithmetic (the m7 oracle); a real deployment swaps the inner
+    loop for PIL crop + numpy stats."""
+    media = spread_narrow_scan(media)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                w, h, _c = _decode_bytes_stub(content)
+                dig = hashlib.sha256(content).hexdigest()
+                for r in range(grid):
+                    for c in range(grid):
+                        ph = hashlib.sha256(f"{dig}:{r}:{c}".encode()).digest()
+                        rows.append(
+                            {
+                                "doc_id": row["doc_id"],
+                                "patch_row": r,
+                                "patch_col": c,
+                                "patch_w": w // grid,
+                                "patch_h": h // grid,
+                                "mean_intensity": ph[0],
+                                "std_intensity": ph[1],
+                                "informative": ph[2] % 4 != 0,
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, PATCH_GRID_DDL)

@@ -966,3 +966,77 @@ def gopher_quality_flags(
     for name in flags:
         passes = F.col(name) if passes is None else passes & F.col(name)
     return out.withColumn("passes_gopher", passes)
+
+
+def kneser_ney_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    broadcast_model: bool | None = None,
+    broadcast_vocab_limit: int = 2_000_000,
+) -> DataFrame:
+    """Per-document cross-entropy against an interpolated Kneser-Ney bigram
+    model — the standard n-gram smoothing (Kneser & Ney 1995; Chen & Goodman
+    1999) and the scoring KenLM-based quality filters actually apply, one
+    step past t15's add-one smoothing:
+
+        P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1)
+                 + D * N1+(w1,*) / c(w1) * N1+(*,w2) / N1+(*,*)
+
+    where N1+(w1,*) counts distinct continuations of w1, N1+(*,w2) counts
+    distinct left contexts of w2 (the "how many contexts has this word
+    completed" continuation probability that distinguishes KN from plain
+    backoff), and D is the absolute discount.
+
+    Scale shape mirrors bigram_cross_entropy: ALL model statistics are
+    re-aggregations of the one bigram-type table c(w1,w2) — never a second
+    pass over the corpus — and the continuation total N1+(*,*) is a scalar
+    broadcast. The assembled model is bigram-vocabulary-sized and joins the
+    token stream broadcast below ``broadcast_vocab_limit`` rows, shuffling
+    on (w1, w2) above it."""
+    hoisted = df.select(F.col(id_col), tokens_col(text_col).alias("__tk"))
+    toks = F.col("__tk")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = hoisted.select(F.col(id_col), F.explode(pairs).alias("__b")).select(
+        id_col, F.col("__b.w1").alias("__w1"), F.col("__b.w2").alias("__w2")
+    )
+    c12 = bg.groupBy("__w1", "__w2").agg(F.count("*").alias("__c12"))
+    # every model statistic below re-aggregates c12 (model-sized), not bg
+    left = c12.groupBy("__w1").agg(
+        F.sum("__c12").alias("__c1"), F.count("*").alias("__n1p")
+    )
+    cont = c12.groupBy("__w2").agg(F.count("*").alias("__nc"))
+    total = c12.agg(F.count("*").alias("__t"))
+    if broadcast_model is None:
+        probe = c12.limit(broadcast_vocab_limit + 1).count()
+        broadcast_model = probe <= broadcast_vocab_limit
+    d = F.lit(float(discount))
+    model = (
+        c12.join(left, "__w1")
+        .join(cont, "__w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__w1",
+            "__w2",
+            F.log(
+                F.greatest(F.col("__c12") - d, F.lit(0.0)) / F.col("__c1")
+                + d * F.col("__n1p") / F.col("__c1")
+                * F.col("__nc") / F.col("__t")
+            ).alias("__logp"),
+        )
+    )
+    scored = bg.join(
+        F.broadcast(model) if broadcast_model else model, ["__w1", "__w2"]
+    )
+    return scored.groupBy(id_col).agg((-F.avg("__logp")).alias("kn_cross_entropy"))

@@ -4475,3 +4475,97 @@ def d28(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") >= 10),
         n=4,
     ).orderBy("doc_id")
+
+
+@query(
+    "t25_kneser_ney_entropy",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+      FROM toks WHERE len(tk) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    lft AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p FROM c12 GROUP BY 1),
+    cont AS (SELECT w2, count(*) AS nc FROM c12 GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM c12)
+    SELECT doc_id,
+           round(-avg(ln(
+             greatest(CAST(c12 AS DOUBLE) - 0.75, 0) / c1
+             + 0.75 * n1p / c1 * nc / t
+           )), 2) AS kn_cross_entropy
+    FROM bg JOIN c12 USING (w1, w2) JOIN lft USING (w1)
+            JOIN cont USING (w2), tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "quality", "language-model", "kneser-ney"),
+)
+def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy per document — the
+    smoothing real KenLM perplexity filters use (absolute discounting plus
+    the continuation-probability backoff that plain add-one lacks), closing
+    the t14 (unigram) -> t15 (add-one bigram) -> t25 ladder. Every KN
+    statistic — left-context totals, distinct continuations, distinct left
+    contexts, total bigram types — is a re-aggregation of the one bigram-
+    type table, so the corpus is scanned exactly once; the assembled model
+    broadcasts under the t15 vocabulary gate and shuffle-joins above it
+    (operators/text.kneser_ney_cross_entropy)."""
+    from guardian_for_apache_kafka_spark.operators.text import (
+        kneser_ney_cross_entropy,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        kneser_ney_cross_entropy(d, broadcast_model=True)
+        .select("doc_id", F.round("kn_cross_entropy", 2).alias("kn_cross_entropy"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "m7_patch_grid",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS dig FROM documents
+    ), p AS (
+        SELECT doc_id, dig,
+               CAST(r.g AS INT) AS patch_row, CAST(c.g AS INT) AS patch_col,
+               sha256(dig || ':' || CAST(r.g AS VARCHAR) || ':'
+                      || CAST(c.g AS VARCHAR)) AS pdig
+        FROM h, generate_series(0, 1) r(g), generate_series(0, 1) c(g)
+    )
+    SELECT doc_id, patch_row, patch_col,
+           CAST((64 + ({_hexb('dig', 0)}) % 192) // 2 AS INT) AS patch_w,
+           CAST((64 + ({_hexb('dig', 1)}) % 192) // 2 AS INT) AS patch_h,
+           CAST({_hexb('pdig', 0)} AS INT) AS mean_intensity,
+           CAST({_hexb('pdig', 1)} AS INT) AS std_intensity,
+           ({_hexb('pdig', 2)}) % 4 <> 0 AS informative
+    FROM p ORDER BY doc_id, patch_row, patch_col LIMIT 800
+    """,
+    tags=("multimodal", "image", "patches"),
+)
+def m7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch grid over image blobs: one decode pass per image
+    fans out a 2x2 grid of patch rows with per-patch statistics and the
+    informativeness flag a vision tokenizer filters on. Per-patch features
+    derive from sha256(sha256hex(content) + ':row:col'), recomputed exactly
+    by DuckDB digest arithmetic, so the driver row checks the full Arrow
+    fan-out contract (schema, patch dimensions from the stubbed decode,
+    grid cardinality); only the pixel statistics are stubbed
+    (operators/multimodal.extract_patch_grid)."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        extract_patch_grid,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(d, "blob", "image", "png")
+    return (
+        extract_patch_grid(media, grid=2)
+        .orderBy("doc_id", "patch_row", "patch_col")
+        .limit(800)
+    )
