@@ -498,3 +498,139 @@ def plan_retention(spark: SparkSession, dest: str, cutoff) -> "DataFrame":
     return desc.join(vdf, "slice").select(
         "slice", "slice_ts", "n_files", "bytes", "n_records", "expire"
     )
+
+
+def record_checksum_col() -> "Column":
+    """Order-independent per-record integrity checksum: the first 4 bytes of
+    md5 over the canonical record rendering
+    ``topic|partition|offset|key|value|epoch_millis`` as a non-negative
+    int64. Summing it per slice gives a content checksum any engine can
+    recompute independently (the g10 oracle recomputes it straight from the
+    source table), so a record lost, duplicated, or altered anywhere in the
+    serialize -> write -> list -> parse chain changes the slice checksum."""
+    from pyspark.sql import functions as F
+
+    canon = F.concat_ws(
+        "|",
+        F.col("topic"),
+        F.col("partition").cast("string"),
+        F.col("offset").cast("string"),
+        F.col("key").cast("string"),
+        F.col("value").cast("string"),
+        F.unix_millis("timestamp").cast("string"),
+    )
+    return F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+
+
+def archive_manifest(spark: SparkSession, dest: str) -> "DataFrame":
+    """Per-slice integrity manifest of a guardian-format archive: one
+    whole-file parse pass emits (slice, n_records, checksum) with
+    ``checksum = sum(record_checksum_col())`` — the fixity record an
+    operator stores next to the archive and re-runs before trusting a
+    restore. ONE job: file listing via the destination's FileSystem (any
+    scheme), slice identity from the decoded object basename, counts and
+    digest sums map-side combined per slice."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.core.model import (
+        RECORD_JSON_SCHEMA_DDL,
+        parsed_json_to_record_cols,
+    )
+    from guardian_for_apache_kafka_spark.operators.backup import physical_name
+    from guardian_for_apache_kafka_spark.operators.restore import list_backup_keys
+
+    keys = list_backup_keys(dest, spark)
+    paths = [os.path.join(dest, physical_name(k)) for k in keys]
+    raw = spark.read.text(paths, wholetext=True)
+    basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    decoded = F.coalesce(
+        F.expr(
+            "try_url_decode(replace(element_at(split(input_file_name(), '/'), -1),"
+            " '+', '%2B'))"
+        ),
+        basename,
+    )
+    slice_key = F.regexp_replace(
+        F.translate(decoded, "_", ":"), r"\.json(\.gz)?$", ""
+    )
+    rec = (
+        raw.select(
+            slice_key.alias("slice"),
+            F.explode(
+                F.from_json("value", f"array<struct<{RECORD_JSON_SCHEMA_DDL}>>")
+            ).alias("rec"),
+        )
+        .where(F.col("rec").isNotNull())
+        .select("slice", *parsed_json_to_record_cols(F.col("rec")))
+    )
+    return (
+        rec.withColumn("__ck", record_checksum_col())
+        .groupBy("slice")
+        .agg(F.count("*").alias("n_records"), F.sum("__ck").alias("checksum"))
+    )
+
+
+def verify_archive(
+    spark: SparkSession, dest: str, records: "DataFrame", config
+) -> "DataFrame":
+    """Fixity verification: compare the archive's manifest against the
+    expected manifest computed from the pre-write records (slice identity
+    from the same time-slice config the writer used). Returns one row per
+    slice with the archive-side counts/checksums and a ``verified`` flag;
+    slices present on only one side surface with verified = false rather
+    than vanishing.
+
+    Slice identity is normalized to an always-seconds UTC form on both
+    sides (the object keys themselves are Java ISO_OFFSET_DATE_TIME, which
+    omits zero seconds): the archive side goes through the same driver-side
+    key parser restore uses (metadata-sized, like every listing), the
+    expected side through one ``date_format``."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.core.timeslice import (
+        key_to_datetime,
+        slice_col,
+    )
+    from guardian_for_apache_kafka_spark.operators.restore import list_backup_keys
+
+    expected = (
+        records.withColumn("__slice_start", slice_col(F.col("timestamp"), config))
+        .withColumn("__ck", record_checksum_col())
+        .groupBy(
+            F.date_format("__slice_start", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "slice"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_expected"),
+            F.sum("__ck").alias("expected_checksum"),
+        )
+    )
+    canon = {}
+    for k in list_backup_keys(dest, spark):
+        stem = re.sub(r"\.json(\.gz)?$", "", k)
+        t = key_to_datetime(k).astimezone(_dt.timezone.utc)
+        canon[stem] = t.strftime("%Y-%m-%dT%H:%M:%SZ")
+    lookup = F.create_map(
+        *[F.lit(x) for pair in canon.items() for x in pair]
+    )
+    actual = archive_manifest(spark, dest).withColumn(
+        "slice", lookup[F.col("slice")]
+    )
+    return (
+        expected.join(actual, "slice", "full_outer")
+        .select(
+            "slice",
+            "n_records",
+            "checksum",
+            (
+                F.col("n_records").eqNullSafe(F.col("n_expected"))
+                & F.col("checksum").eqNullSafe(F.col("expected_checksum"))
+            ).alias("verified"),
+        )
+        .orderBy("slice")
+    )

@@ -4569,3 +4569,62 @@ def m7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "patch_row", "patch_col")
         .limit(800)
     )
+
+
+def _md5b4(col: str) -> str:
+    """DuckDB int64 from the first 4 bytes of an md5 hex column — the oracle
+    twin of operators/maintenance.record_checksum_col."""
+    return (
+        f"({_hexb(col, 0)}) * 16777216 + ({_hexb(col, 1)}) * 65536"
+        f" + ({_hexb(col, 2)}) * 256 + ({_hexb(col, 3)})"
+    )
+
+
+@query(
+    "g10_archive_manifest",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type AS topic, event_id AS off,
+             CAST(user_id AS VARCHAR) AS k, props AS v,
+             epoch_ms(ts) AS ms,
+             strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%SZ') AS slice
+      FROM events WHERE event_id < 500
+    ), c AS (
+      SELECT slice,
+             md5(topic || '|0|' || CAST(off AS VARCHAR) || '|' || k || '|'
+                 || v || '|' || CAST(ms AS VARCHAR)) AS h
+      FROM r
+    )
+    SELECT slice, CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum({_md5b4('h')}) AS BIGINT) AS checksum,
+           true AS verified
+    FROM c GROUP BY slice ORDER BY slice
+    """,
+    tags=("guardian", "maintenance", "integrity"),
+)
+def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive fixity manifest + verification: write the hourly guardian
+    archive (p1's fixture flow), compute the per-slice integrity manifest
+    (record count + order-independent content checksum) from the ARCHIVE
+    FILES in one parse pass, and verify it against the same manifest
+    computed from the pre-write records — the check an operator runs before
+    trusting a restore. The oracle recomputes count and checksum per slice
+    straight from the events table via md5 digest arithmetic, so a record
+    lost, duplicated, or altered anywhere in the serialize -> write ->
+    list -> parse chain fails the hash match (strictly stronger than p1's
+    per-topic counts: content- and slice-granular, not just cardinality).
+    Operators: maintenance.archive_manifest / verify_archive."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.maintenance import verify_archive
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    rec = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"guardian_manifest_{digest}")
+    if not (os.path.isdir(dest) and os.listdir(dest)):
+        write_guardian_format(rec, dest, ChronoUnitSlice("HOURS"))
+    return verify_archive(spark, dest, rec, ChronoUnitSlice("HOURS"))

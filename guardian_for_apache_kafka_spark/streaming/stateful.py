@@ -626,3 +626,57 @@ def stream_markov_transitions(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE, ewma DOUBLE"
+)
+EWMA_STATE_SCHEMA = "ewma DOUBLE, n LONG"
+
+
+def stream_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming twin of q102's EWMA smoother, running the UNTRUNCATED
+    textbook recurrence ``ewma_i = alpha * x_i + (1 - alpha) * ewma_{i-1}``
+    (seeded with the first value) per user — the form that is inherently
+    sequential and therefore lives here rather than in a batch window
+    (q102's batch plan truncates to 8 lags instead; the two agree to within
+    the (1-alpha)^8 tail by construction).
+
+    State is two scalars per key (current ewma + count), checkpoint-
+    persisted, so restarts continue the recurrence exactly. Within each
+    micro-batch rows are sorted by (ts, event_id); cross-batch order is
+    arrival order — the same contract as stream_zscore_anomalies. On a
+    finite in-order replay the emissions equal a per-key sequential fold
+    over the batch table row-for-row (asserted in test_streaming)."""
+
+    def smooth(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = 0.0, 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            out = []
+            for x in pdf["value"]:
+                x = float(x)
+                ewma = x if n == 0 else alpha * x + (1.0 - alpha) * ewma
+                n += 1
+                out.append(ewma)
+            res = pdf[["user_id", "event_id", "ts", "value"]].copy()
+            res["ewma"] = out
+            yield res
+        state.update((ewma, n))
+
+    return events.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        smooth,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

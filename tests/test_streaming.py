@@ -1244,3 +1244,50 @@ def test_stream_interval_join_equals_batch_range_join(spark, sf_dir, tmp_path):
     want = {tuple(r) for r in batch.collect()}
     assert got == want
     assert len(got) > 0  # the corpus actually exercises the join
+
+
+def test_stream_ewma_equals_sequential_fold(spark, tmp_path):
+    """Streaming EWMA recurrence on an in-order finite replay == a per-user
+    sequential fold over the batch table (bit-identical doubles), with state
+    carried ACROSS micro-batches (input staged as two ordered files)."""
+    from guardian_for_apache_kafka_spark.streaming.stateful import stream_ewma
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "in")
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    first = ordered.limit(n // 2)
+    rest = ordered.subtract(first)
+    first.coalesce(1).write.parquet(src)
+    rest.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.ewma
+        for r in spark.sql("select event_id, ewma from ewma_stream").collect()
+    }
+
+    rows = ev.select("user_id", "event_id", "ts", "value").orderBy(
+        "ts", "event_id"
+    ).collect()
+    state: dict[int, float] = {}
+    want = {}
+    for r in rows:
+        prev = state.get(r.user_id)
+        cur = float(r.value) if prev is None else 0.3 * float(r.value) + 0.7 * prev
+        state[r.user_id] = cur
+        want[r.event_id] = cur
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == v  # bit-identical recurrence
