@@ -4671,19 +4671,18 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM classes GROUP BY 1, 2, 3
     ),
     chosen AS (
-      SELECT nation, segment,
-             coalesce(min(CASE WHEN min_size >= 5 THEN level END), 2)
+      SELECT nation, segment, level, min_size,
+             coalesce(min(CASE WHEN min_size >= 5 THEN level END)
+                        OVER (PARTITION BY nation, segment), 2)
                AS chosen_level
-      FROM lv GROUP BY 1, 2
+      FROM lv
     )
-    SELECT c.nation, c.segment,
-           CAST(c.chosen_level AS INT) AS chosen_level,
-           CAST(lv.min_size AS BIGINT) AS min_class_size,
-           lv.min_size >= 5 AS meets_k
-    FROM chosen c JOIN lv
-      ON lv.nation = c.nation AND lv.segment = c.segment
-     AND lv.level = c.chosen_level
-    ORDER BY c.nation, c.segment
+    SELECT nation, segment,
+           CAST(chosen_level AS INT) AS chosen_level,
+           CAST(min_size AS BIGINT) AS min_class_size,
+           min_size >= 5 AS meets_k
+    FROM chosen WHERE level = chosen_level
+    ORDER BY nation, segment
     """,
     tags=("relational", "privacy", "k-anonymity"),
 )
@@ -4695,9 +4694,11 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest equivalence class still holds >= k people — the
     release-readiness check run before publishing any user-keyed dataset.
     ONE scan: the three candidate generalizations explode to (level, band)
-    rows map-side, then two small aggregations find per-level minima and the
-    chosen level; no per-level rescan at 100 TB. Groups failing k even fully
-    suppressed surface as meets_k = false rather than being dropped."""
+    rows map-side, two small aggregations find per-level minima, and the
+    chosen level is a window minimum over the 3-rows-per-group level table
+    (a join-back formulation would duplicate the lineage and re-scan the
+    base table; plan-asserted). Groups failing k even fully suppressed
+    surface as meets_k = false rather than being dropped."""
     c = load_table(spark, sf_dir, "customer")
     leveled = c.select(
         F.col("c_nationkey").alias("nation"),
@@ -4724,21 +4725,20 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "segment", "level")
         .agg(F.min("class_size").alias("min_size"))
     )
-    chosen = lv.groupBy("nation", "segment").agg(
+    chosen = lv.withColumn(
+        "chosen_level",
         F.coalesce(
-            F.min(F.when(F.col("min_size") >= 5, F.col("level"))), F.lit(2)
-        ).alias("chosen_level")
+            F.min(F.when(F.col("min_size") >= 5, F.col("level"))).over(
+                Window.partitionBy("nation", "segment")
+            ),
+            F.lit(2),
+        ),
     )
     return (
-        chosen.join(
-            lv,
-            (lv.nation == chosen.nation)
-            & (lv.segment == chosen.segment)
-            & (lv.level == chosen.chosen_level),
-        )
+        chosen.where(F.col("level") == F.col("chosen_level"))
         .select(
-            chosen.nation,
-            chosen.segment,
+            "nation",
+            "segment",
             F.col("chosen_level").cast("int").alias("chosen_level"),
             F.col("min_size").cast("long").alias("min_class_size"),
             (F.col("min_size") >= 5).alias("meets_k"),
@@ -4762,14 +4762,15 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ),
     se AS (
-      SELECT dayofweek(day) AS dow, avg(total - trend) AS seasonal
-      FROM tr WHERE trend IS NOT NULL GROUP BY 1
+      SELECT day, total, trend,
+             avg(total - trend) OVER (PARTITION BY dayofweek(day)) AS seasonal
+      FROM tr
     )
-    SELECT t.day, round(t.total, 2) AS total, round(t.trend, 2) AS trend,
-           round(s.seasonal, 2) AS seasonal,
-           round(t.total - t.trend - s.seasonal, 2) AS residual
-    FROM tr t JOIN se s ON s.dow = dayofweek(t.day)
-    ORDER BY t.day
+    SELECT day, round(total, 2) AS total, round(trend, 2) AS trend,
+           round(seasonal, 2) AS seasonal,
+           round(total - trend - seasonal, 2) AS residual
+    FROM se
+    ORDER BY day
     """,
     tags=("relational", "timeseries", "decomposition"),
 )
@@ -4777,12 +4778,13 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the daily revenue
     series: trend = centered 7-day moving average (defined only where the
     full window exists, so edges stay NULL instead of biased), weekly
-    seasonal = day-of-week mean of the detrended series, residual = the
-    anomaly signal left over — the STL-lite preprocessing step before
-    alerting on q44-style z-scores. The series is one row per day, so the
-    single-partition window is a DAYS-sized frame over an already-tiny
-    aggregate, never over raw events; at 100 TB only the first groupBy
-    touches the fact table."""
+    seasonal = day-of-week mean of the detrended series (expressed as a
+    dow-partitioned window so NULL-trend edges drop out arithmetically),
+    residual = the anomaly signal left over — the STL-lite preprocessing
+    step before alerting on q44-style z-scores. Everything past the first
+    groupBy is windows over the DAYS-sized daily aggregate in ONE lineage —
+    the fact table is scanned exactly once (a join-back formulation would
+    re-scan it per decomposition term; plan-asserted)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum("value").alias("total")
@@ -4793,21 +4795,18 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         F.when(F.count("*").over(w) == 7, F.avg("total").over(w)).alias("trend"),
     )
-    se = (
-        tr.where(F.col("trend").isNotNull())
-        .groupBy((F.dayofweek("day") - 1).alias("dow"))
-        .agg(F.avg(F.col("total") - F.col("trend")).alias("seasonal"))
+    se = tr.withColumn(
+        "seasonal",
+        F.avg(F.col("total") - F.col("trend")).over(
+            Window.partitionBy(F.dayofweek("day") - 1)
+        ),
     )
-    return (
-        tr.join(F.broadcast(se), (F.dayofweek(tr.day) - 1) == se.dow)
-        .select(
-            "day",
-            F.round("total", 2).alias("total"),
-            F.round("trend", 2).alias("trend"),
-            F.round("seasonal", 2).alias("seasonal"),
-            F.round(F.col("total") - F.col("trend") - F.col("seasonal"), 2).alias(
-                "residual"
-            ),
-        )
-        .orderBy("day")
-    )
+    return se.select(
+        "day",
+        F.round("total", 2).alias("total"),
+        F.round("trend", 2).alias("trend"),
+        F.round("seasonal", 2).alias("seasonal"),
+        F.round(F.col("total") - F.col("trend") - F.col("seasonal"), 2).alias(
+            "residual"
+        ),
+    ).orderBy("day")

@@ -931,3 +931,66 @@ def test_d28_eval_contamination_corpus_never_shuffles(plans):
     assert "BroadcastHashJoin LeftSemi" in tree, p
     assert "CartesianProduct" not in tree, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_q102_single_scan_and_daily_sized_window(plans):
+    """Bounded-lag EWMA: one events scan; the eight-lag window runs over the
+    per-(user, day) aggregate, so every exchange after the partial agg
+    carries daily rows — a window over raw events (or a per-lag re-scan)
+    is the 100 TB failure mode."""
+    plan = plans("q102_ewma_smoothing")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_q103_one_scan_three_generalization_levels(plans):
+    """k-anonymity: the three candidate generalizations must come from ONE
+    customer scan via a generator (map-side explode), never three scans or
+    a per-level union of re-reads."""
+    plan = plans("q103_k_anonymity")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    assert "Generate" in tree and "explode(" in plan, plan
+
+
+def test_q104_single_scan_decomposition(plans):
+    """Seasonal decomposition: trend, seasonal, and residual all derive from
+    windows over the daily aggregate in one lineage — exactly ONE events
+    scan (the join-back formulation this replaced scanned the fact table
+    twice)."""
+    plan = plans("q104_seasonal_decomposition")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+
+
+def test_t25_model_broadcasts_onto_stream(plans):
+    """Kneser-Ney scoring: the assembled bigram model must BROADCAST onto
+    the token stream under the vocabulary gate (a sort-merge join would
+    shuffle the whole corpus' bigram stream), and no corpus-sized
+    SinglePartition exchange may appear — the scalar N1+(*,*) total is the
+    only single-partition value and it feeds a broadcast."""
+    import re
+
+    plan = plans("t25_kneser_ney_entropy")
+    assert "BroadcastHashJoin" in plan, plan
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition",
+        plan,
+    ):
+        cols = m.group(1)
+        assert "text#" not in cols and "doc_id#" not in cols, cols
+
+
+def test_m7_patch_grid_one_decode_pass_no_blob_shuffle(plans):
+    """Patch extraction: decode is exactly ONE MapInPandas pass whose 2x2
+    fan-out happens inside the Arrow batch (each blob opened once); the
+    global order+limit is a TakeOrdered over patch rows, never a full sort;
+    and no exchange ABOVE the decode carries the binary content column —
+    patch rows shuffle, blobs don't."""
+    plan = plans("m7_patch_grid")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    above_decode = tree.split("MapInPandas")[0]  # operators above the decode
+    assert "content#" not in above_decode, above_decode
