@@ -101,6 +101,10 @@ HEADLINE = {
     "span_decontaminate": "d27_span_decontaminate",
     "gopher_rules": "t24_gopher_rules",
     "curation_funnel": "p13_curation_funnel",
+    # round-6e additions
+    "kneser_ney": "t25_kneser_ney_entropy",
+    "k_anonymity": "q103_k_anonymity",
+    "archive_manifest": "g10_archive_manifest",
 }
 
 N_RUNS = 3

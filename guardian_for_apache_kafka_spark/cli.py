@@ -407,6 +407,13 @@ def build_parser() -> argparse.ArgumentParser:
     ck.add_argument("--format", choices=["guardian", "json"], default=None,
                     help="archive layout (default guardian)")
 
+    mf = sub.add_parser("manifest", help="per-slice fixity manifest of a guardian "
+                        "archive: record counts + order-independent content "
+                        "checksums (store next to the archive; re-run and diff "
+                        "before trusting a restore)")
+    common(mf)
+    mf.add_argument("--dest", default=None, help="archive directory")
+
     fg = sub.add_parser("forget", help="right-to-be-forgotten erasure: drop all records "
                         "with the given Kafka keys from a JSON-lines archive")
     common(fg)
@@ -690,6 +697,20 @@ def main(argv: list[str] | None = None) -> int:
         # (RestoreClientInterface.scala:104-120); exit 4 mirrors that
         # loudness without blocking the inventory output
         return 0 if not corrupt else 4
+
+    if args.command == "manifest":
+        from guardian_for_apache_kafka_spark.operators.maintenance import (
+            archive_manifest,
+        )
+
+        if not args.dest:
+            raise SystemExit("--dest is required for manifest")
+        rows = [
+            r.asDict()
+            for r in archive_manifest(spark, args.dest).orderBy("slice").collect()
+        ]
+        print(json.dumps({"n_slices": len(rows), "slices": rows}, default=str))
+        return 0
 
     if args.command == "forget":
         from guardian_for_apache_kafka_spark.operators.maintenance import forget_keys

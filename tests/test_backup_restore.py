@@ -1049,3 +1049,54 @@ def test_guardian_datasource_filter_conjunction_and_corrupt_skip(spark, records,
     want = restore_batch(spark, dest, fmt="guardian")
     assert as_set(via_ds) == as_set(want)  # both paths skip the damaged object
     assert via_ds.count() < records.count()
+
+
+def test_archive_manifest_verifies_and_detects_tampering(spark, records, tmp_path):
+    """g10's fixity chain end-to-end: a freshly-written archive verifies on
+    every slice; altering ONE record's payload byte in ONE object flips
+    verified=false for exactly that slice (count unchanged — only the
+    content checksum catches it); deleting an object surfaces the slice
+    with verified=false rather than dropping it from the report."""
+    from guardian_for_apache_kafka_spark.operators.maintenance import (
+        archive_manifest,
+        verify_archive,
+    )
+
+    dest = str(tmp_path / "arch")
+    recs = records.withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    write_guardian_format(recs, dest, ChronoUnitSlice("HOURS"))
+    cfg = ChronoUnitSlice("HOURS")
+
+    ok = verify_archive(spark, dest, recs, cfg).collect()
+    assert ok and all(r.verified for r in ok)
+    n_slices = len(ok)
+
+    # tamper: flip one digit inside one record's value payload
+    victim = next(
+        os.path.join(dest, f) for f in sorted(os.listdir(dest)) if f.endswith(".json")
+    )
+    blob = open(victim, encoding="utf-8").read()
+    i = blob.index('"value"')
+    j = blob.index(":", i) + 3
+    tampered = blob[:j] + ("B" if blob[j] != "B" else "C") + blob[j + 1 :]
+    open(victim, "w", encoding="utf-8").write(tampered)
+
+    after = verify_archive(spark, dest, recs, cfg).collect()
+    bad = [r for r in after if not r.verified]
+    assert len(after) == n_slices and len(bad) == 1
+    good_counts = {r.slice: r.n_records for r in ok}
+    assert bad[0].n_records == good_counts[bad[0].slice]  # count alone misses it
+
+    # delete a different object: its slice must SURFACE as unverified
+    manifest = {r.slice for r in archive_manifest(spark, dest).collect()}
+    other = next(
+        os.path.join(dest, f)
+        for f in sorted(os.listdir(dest))
+        if f.endswith(".json") and os.path.join(dest, f) != victim
+    )
+    os.remove(other)
+    final = verify_archive(spark, dest, recs, cfg).collect()
+    assert len(final) == n_slices
+    assert sum(1 for r in final if not r.verified) == 2

@@ -530,3 +530,37 @@ def test_cli_query_verb(capsys):
     ]
     assert len(rows) == 5
     assert {"slice", "cnt"} <= set(rows[0])
+
+
+def test_cli_manifest_verb(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """manifest prints the per-slice fixity rows for a guardian archive and
+    the checksums match a direct archive_manifest() call — the operator the
+    verb wraps."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.cli import main
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.operators.maintenance import archive_manifest
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    monkeypatch.delenv("GUARDIAN_CONFIG", raising=False)
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    records = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src = str(tmp_path / "records")
+    records.write.parquet(src)
+    dest = str(tmp_path / "arch")
+    assert main(["backup", "--source", src, "--dest", dest,
+                 "--chrono-unit-slice", "hours"]) == 0
+    capsys.readouterr()
+
+    assert main(["manifest", "--dest", dest]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    want = {
+        r.slice: (r.n_records, r.checksum)
+        for r in archive_manifest(spark, dest).collect()
+    }
+    assert out["n_slices"] == len(want) > 0
+    got = {r["slice"]: (r["n_records"], r["checksum"]) for r in out["slices"]}
+    assert got == want

@@ -717,3 +717,35 @@ def test_gopher_quality_flags_scratch_collision(spark):
     from guardian_for_apache_kafka_spark.operators.text import gopher_quality_flags
 
     assert gopher_quality_flags(df).count() == 1
+
+
+def test_kneser_ney_reference_and_branch_parity(spark):
+    """KN scores match a hand-computed reference on a tiny corpus (absolute
+    discount 0.75 + continuation backoff), short docs are absent, and the
+    broadcast and shuffle-join branches agree bit-for-bit."""
+    import math
+
+    from guardian_for_apache_kafka_spark.operators.text import (
+        kneser_ney_cross_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "solo"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    # corpus bigrams: d1: ab, ba, ab, bc ; d3: ab  -> c12: ab=3, ba=1, bc=1
+    # left:  a -> c1=3 n1p=1 ; b -> c1=2 n1p=2
+    # cont:  b <- 1 ctx ; a <- 1 ctx ; c <- 1 ctx ; total types T=3
+    d = 0.75
+    p_ab = (3 - d) / 3 + d * 1 / 3 * (1 / 3)
+    p_ba = (1 - d) / 2 + d * 2 / 2 * (1 / 3)
+    p_bc = (1 - d) / 2 + d * 2 / 2 * (1 / 3)
+    want1 = -(math.log(p_ab) * 2 + math.log(p_ba) + math.log(p_bc)) / 4
+    want3 = -math.log(p_ab)
+
+    bc = {r.doc_id: round(r.kn_cross_entropy, 9)
+          for r in kneser_ney_cross_entropy(df, broadcast_model=True).collect()}
+    sh = {r.doc_id: round(r.kn_cross_entropy, 9)
+          for r in kneser_ney_cross_entropy(df, broadcast_model=False).collect()}
+    assert set(bc) == {1, 3} and bc == sh  # 9dp: avg fold order may differ by ulps
+    assert abs(bc[1] - want1) < 1e-9 and abs(bc[3] - want3) < 1e-9
