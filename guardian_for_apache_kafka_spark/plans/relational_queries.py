@@ -4810,3 +4810,68 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     ).orderBy("day")
+
+
+@query(
+    "q105_linear_attribution",
+    oracle="""
+    WITH nxt AS (
+      SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_pts
+      FROM events
+    ),
+    touch AS (
+      SELECT user_id, event_type, next_pts,
+             count(*) OVER (PARTITION BY user_id, next_pts) AS n
+      FROM nxt
+      WHERE event_type IN ('view', 'click')
+        AND next_pts IS NOT NULL
+        AND date_diff('second', ts, next_pts) <= 86400
+    )
+    SELECT event_type AS channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(sum(1.0 / n), 2) AS attributed_conversions
+    FROM touch GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "attribution", "marketing"),
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the fair-share complement of q75's
+    last-touch: every view/click in the 24 h before a user's next purchase
+    splits that conversion's credit equally (1/n per touch). The
+    next-purchase lookup is a running conditional MIN over a DESCENDING
+    user window (the as-of-forward idiom — no self-join), the per-
+    conversion touch count is a second window over the filtered touch rows,
+    and the final rollup is channel-sized. Exchanges carry touch rows only;
+    nothing joins."""
+    ev = load_table(spark, sf_dir, "events")
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w_next).alias("next_pts"),
+    )
+    touch = nxt.where(
+        F.col("event_type").isin("view", "click")
+        & F.col("next_pts").isNotNull()
+        & (F.unix_seconds("next_pts") - F.unix_seconds("ts") <= 86400)
+    ).withColumn(
+        "n", F.count("*").over(Window.partitionBy("user_id", "next_pts"))
+    )
+    return (
+        touch.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(F.sum(1.0 / F.col("n")), 2).alias("attributed_conversions"),
+        )
+        .orderBy("channel")
+    )

@@ -798,3 +798,68 @@ def stream_interval_join(
         )
     )
     return l_.join(r_, cond, how).drop(F.col(f"r.{key_col}"))
+
+
+def stream_manifest(
+    records: DataFrame,
+    dest: str,
+    checkpoint: str,
+    config=None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of g10's fixity manifest: as records flow to the
+    archive, accumulate per-slice (n_records, checksum) increments via
+    ``foreachBatch`` appends; ``manifest_rollup`` sums them at read time
+    into the same manifest ``operators.maintenance.archive_manifest``
+    computes from the archive files — continuous fixity without re-reading
+    the archive.
+
+    Idempotency contract (same design as stream_cohort_activity): each
+    batch appends one row per (batch_id, slice); a crash-replayed batch
+    re-appends IDENTICAL rows (checkpoint replay re-reads the same input),
+    and the rollup dedups on (batch_id, slice) before summing — so
+    at-least-once delivery cannot double-count a slice. State is zero; the
+    accumulator is slices x batches rows, metadata-sized."""
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.maintenance import (
+        record_checksum_col,
+    )
+
+    cfg = config or ChronoUnitSlice("HOURS")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__slice_start", slice_col(F.col("timestamp"), cfg))
+            .withColumn("__ck", record_checksum_col())
+            .groupBy(
+                F.date_format("__slice_start", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                    "slice"
+                )
+            )
+            .agg(F.count("*").alias("n_records"), F.sum("__ck").alias("checksum"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(dest)
+        )
+
+    writer = records.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def manifest_rollup(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """Sum the accumulated per-batch manifest increments into the archive's
+    fixity manifest (slice, n_records, checksum) — identical contract to
+    ``archive_manifest`` up to slice-key canonicalization (always-seconds
+    UTC here, Java ISO_OFFSET object keys there; ``verify_archive`` is the
+    bridge). The distinct on (batch_id, slice) is what makes crash-replayed
+    appends harmless."""
+    inc = spark.read.parquet(manifest_dir).dropDuplicates(["batch_id", "slice"])
+    return (
+        inc.groupBy("slice")
+        .agg(F.sum("n_records").alias("n_records"), F.sum("checksum").alias("checksum"))
+        .orderBy("slice")
+    )

@@ -1291,3 +1291,65 @@ def test_stream_ewma_equals_sequential_fold(spark, tmp_path):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k] == v  # bit-identical recurrence
+
+
+def test_stream_manifest_equals_archive_manifest(spark, tmp_path):
+    """Continuous fixity: the manifest accumulated across micro-batches,
+    rolled up, equals the manifest computed from the batch-written archive
+    files (per-slice counts AND content checksums), and a simulated
+    crash-replayed batch (identical increment rows re-appended with the
+    same batch_id) changes nothing."""
+    import datetime as dtm
+    import re
+
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import (
+        ChronoUnitSlice,
+        key_to_datetime,
+    )
+    from guardian_for_apache_kafka_spark.operators import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.maintenance import archive_manifest
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        manifest_rollup,
+        records_file_stream,
+        stream_manifest,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    records = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src = str(tmp_path / "in")
+    ordered = records.orderBy("timestamp", "offset")
+    n = records.count()
+    first = ordered.limit(n // 2)
+    first.coalesce(1).write.parquet(src)
+    ordered.subtract(first).coalesce(1).write.mode("append").parquet(src)
+
+    mdir, ckpt = str(tmp_path / "manifest"), str(tmp_path / "ckpt")
+    q = stream_manifest(
+        records_file_stream(spark, src, max_files_per_trigger=1), mdir, ckpt
+    )
+    q.awaitTermination(120)
+    got = {
+        r.slice: (r.n_records, r.checksum)
+        for r in manifest_rollup(spark, mdir).collect()
+    }
+
+    arch = str(tmp_path / "arch")
+    write_guardian_format(records, arch, ChronoUnitSlice("HOURS"))
+    want = {}
+    for r in archive_manifest(spark, arch).collect():
+        t = key_to_datetime(r.slice + ".json").astimezone(dtm.timezone.utc)
+        want[t.strftime("%Y-%m-%dT%H:%M:%SZ")] = (r.n_records, r.checksum)
+    assert got == want and len(got) > 1
+
+    # simulate a crash-replayed batch: re-append one increment file verbatim
+    inc = spark.read.parquet(mdir)
+    one = inc.where(F.col("batch_id") == inc.agg(F.min("batch_id")).collect()[0][0])
+    one.write.mode("append").parquet(mdir)
+    again = {
+        r.slice: (r.n_records, r.checksum)
+        for r in manifest_rollup(spark, mdir).collect()
+    }
+    assert again == want
