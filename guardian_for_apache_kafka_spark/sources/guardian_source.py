@@ -163,6 +163,9 @@ class GuardianDataSource(DataSource):
     def streamReader(self, schema: StructType) -> "GuardianStreamReader":
         return GuardianStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "GuardianWriter":
+        return GuardianWriter(self.options, overwrite)
+
 
 def register_guardian_datasource(spark) -> None:
     """Register the format for the session (idempotent) and enable the
@@ -238,3 +241,247 @@ class GuardianStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in the checkpoint's offset log
+
+
+# ---------------------------------------------------------------------------
+# Batch writer: df.write.format("guardian").save(dest)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+_CHRONO_SECONDS = {"SECONDS": 1, "MINUTES": 60, "HOURS": 3600, "DAYS": 86400}
+
+
+class GuardianWriteCommit(WriterCommitMessage):
+    """Per-task commit message: the (slice key, staged relative path) pairs
+    this task produced."""
+
+    def __init__(self, parts: list):
+        self.parts = parts
+
+
+def _fs_ops(dest: str):
+    """(write_bytes, read_bytes, move, delete, rmdir) closures for a bare
+    local path or any ``scheme://`` URI pyarrow.fs can dial — the same
+    dispatch split as operators/backup._open_slice_output."""
+    import os
+
+    if "://" not in dest:
+        def write_bytes(rel: str, data: bytes) -> None:
+            p = os.path.join(dest, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as fh:
+                fh.write(data)
+
+        def read_bytes(rel: str) -> bytes:
+            with open(os.path.join(dest, rel), "rb") as fh:
+                return fh.read()
+
+        def move(rel_src: str, rel_dst: str) -> None:
+            os.replace(os.path.join(dest, rel_src), os.path.join(dest, rel_dst))
+
+        def delete(rel: str) -> None:
+            os.remove(os.path.join(dest, rel))
+
+        def rmdir(rel: str) -> None:
+            import shutil
+
+            shutil.rmtree(os.path.join(dest, rel), ignore_errors=True)
+
+        return write_bytes, read_bytes, move, delete, rmdir
+
+    from pyarrow import fs as pafs
+
+    scheme, rest = dest.split("://", 1)
+    scheme = {"s3a": "s3", "s3n": "s3", "gs": "gcs"}.get(scheme, scheme)
+    filesystem, base = pafs.FileSystem.from_uri(f"{scheme}://{rest}")
+    base = base.rstrip("/")
+
+    def write_bytes(rel: str, data: bytes) -> None:
+        parent = f"{base}/{rel}".rsplit("/", 1)[0]
+        filesystem.create_dir(parent, recursive=True)
+        with filesystem.open_output_stream(f"{base}/{rel}", compression=None) as fh:
+            fh.write(data)
+
+    def read_bytes(rel: str) -> bytes:
+        with filesystem.open_input_stream(f"{base}/{rel}") as fh:
+            return fh.read()
+
+    def move(rel_src: str, rel_dst: str) -> None:
+        filesystem.move(f"{base}/{rel_src}", f"{base}/{rel_dst}")
+
+    def delete(rel: str) -> None:
+        filesystem.delete_file(f"{base}/{rel}")
+
+    def rmdir(rel: str) -> None:
+        try:
+            filesystem.delete_dir(f"{base}/{rel}")
+        except FileNotFoundError:
+            pass
+
+    return write_bytes, read_bytes, move, delete, rmdir
+
+
+def _wire_json(rec: dict) -> str:
+    """Render one wire record dict to the exact bytes Spark's ``to_json``
+    emits for core.model.record_to_json_col: compact separators, fixed field
+    order, null key omitted."""
+    parts = [f'"topic":{json.dumps(rec["topic"])}']
+    parts.append(f'"partition":{rec["partition"]}')
+    parts.append(f'"offset":{rec["offset"]}')
+    if rec.get("key") is not None:
+        parts.append(f'"key":"{rec["key"]}"')
+    parts.append(f'"value":"{rec["value"]}"')
+    parts.append(f'"timestamp":{rec["timestamp"]}')
+    parts.append(f'"timestamp_type":{rec["timestamp_type"]}')
+    return "{" + ",".join(parts) + "}"
+
+
+class GuardianWriter(DataSourceWriter):
+    """Batch write half of the format: ``df.write.format("guardian")
+    .option("chronoUnitSlice", "hours").mode(...).save(dest)`` writes the
+    byte-exact reference archive (one JSON array object per slice, wire
+    records in (topic, partition, offset) order, optional deterministic
+    gzip) — the same bytes as operators/backup.write_guardian_format
+    (parity-tested byte-for-byte).
+
+    Scale/commit contract: each task stages its slices' part files under a
+    run-scoped staging dir and the driver commit RENAMES single-part slices
+    into place (a task-failure retry never leaves a half-written final
+    object — same atomicity discipline as maintenance's rename-swap). A
+    slice spanning multiple tasks is merged and re-sorted at commit
+    (driver-side, slice-sized): pre-``repartition`` the input by slice to
+    keep commit rename-only — this writer is the INTEGRATION surface; the
+    foreachPartition bulk path in operators/backup.py streams slices
+    without any driver bytes."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("guardian datasource requires a path")
+        unit = (options.get("chronounitslice") or "HOURS").upper()
+        if unit not in _CHRONO_SECONDS:
+            raise ValueError(f"unsupported chronoUnitSlice: {unit}")
+        self.period_s = _CHRONO_SECONDS[unit]
+        self.compression = options.get("compression")
+        if self.compression not in (None, "gzip"):
+            raise ValueError(f"unsupported compression: {self.compression}")
+        lvl = options.get("compressionlevel")
+        self.level = int(lvl) if lvl else 6
+        self.overwrite = overwrite
+        import uuid
+
+        self.staging = f"_guardian_staging_{uuid.uuid4().hex}"
+
+    # -- executor side ------------------------------------------------------
+    def write(self, iterator) -> GuardianWriteCommit:
+        import uuid
+
+        from guardian_for_apache_kafka_spark.core.timeslice import calculate_key
+        from guardian_for_apache_kafka_spark.operators.backup import physical_name
+
+        write_bytes, *_ = _fs_ops(self.path)
+        buckets: dict = {}
+        for row in iterator:
+            ts = row[5]
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            # integer-exact epoch millis: float timestamp() is exact on the
+            # whole-second part; the sub-second part comes from .microsecond
+            ms = int(ts.timestamp()) * 1000 + ts.microsecond // 1000
+            start_s = (ms // 1000 // self.period_s) * self.period_s
+            start = _dt.datetime.fromtimestamp(start_s, _dt.timezone.utc)
+            key = row[3]
+            val = row[4]
+            buckets.setdefault(start, []).append(
+                (
+                    row[0],
+                    row[1],
+                    row[2],
+                    None if key is None else base64.b64encode(bytes(key)).decode(),
+                    base64.b64encode(bytes(val)).decode(),
+                    ms,
+                    row[6],
+                )
+            )
+        tid = uuid.uuid4().hex[:12]
+        parts = []
+        for start in sorted(buckets):
+            rows = sorted(buckets[start], key=lambda r: (r[0], r[1], r[2]))
+            objs = ",".join(
+                _wire_json(
+                    {
+                        "topic": r[0],
+                        "partition": r[1],
+                        "offset": r[2],
+                        "key": r[3],
+                        "value": r[4],
+                        "timestamp": r[5],
+                        "timestamp_type": r[6],
+                    }
+                )
+                for r in rows
+            )
+            slice_key = calculate_key(start, self.compression)
+            rel = f"{self.staging}/{tid}__{physical_name(slice_key)}.part"
+            write_bytes(rel, ("[" + objs + "]").encode("utf-8"))
+            parts.append((slice_key, rel))
+        return GuardianWriteCommit(parts)
+
+    # -- driver side ---------------------------------------------------------
+    def _finalize(self, payload: bytes, physical: str) -> bytes:
+        if self.compression != "gzip":
+            return payload
+        buf = io.BytesIO()
+        # filename= replicates the FNAME member header the bulk writer's
+        # GzipFile(fileobj=<real file>) embeds — byte parity requires it
+        inner = physical[:-3] if physical.endswith(".gz") else physical
+        with _gzip.GzipFile(
+            filename=inner, fileobj=buf, mode="wb", compresslevel=self.level, mtime=0
+        ) as gz:
+            gz.write(payload)
+        return buf.getvalue()
+
+    def commit(self, messages) -> None:
+        from guardian_for_apache_kafka_spark.operators.backup import physical_name
+        from guardian_for_apache_kafka_spark.operators.restore import list_backup_keys
+
+        write_bytes, read_bytes, move, delete, rmdir = _fs_ops(self.path)
+        by_key: dict = {}
+        for m in messages:
+            if m is None:
+                continue
+            for slice_key, rel in m.parts:
+                by_key.setdefault(slice_key, []).append(rel)
+        existing = set(list_backup_keys(self.path))
+        if self.overwrite:
+            for k in existing:
+                delete(physical_name(k))
+        else:
+            clash = sorted(set(by_key) & existing)
+            if clash:
+                rmdir(self.staging)
+                raise ValueError(
+                    f"archive objects already exist (append would corrupt "
+                    f"slices): {clash[:5]}... — write with mode('overwrite') "
+                    f"or to a fresh destination"
+                )
+        for slice_key in sorted(by_key):
+            rels = sorted(by_key[slice_key])
+            if len(rels) == 1 and self.compression is None:
+                move(rels[0], physical_name(slice_key))
+                continue
+            # multi-part slice (input not slice-partitioned) or gzip framing:
+            # merge + re-sort driver-side, slice-sized
+            recs = []
+            for rel in rels:
+                recs.extend(json.loads(read_bytes(rel).decode("utf-8")))
+            recs.sort(key=lambda r: (r["topic"], r["partition"], r["offset"]))
+            payload = ("[" + ",".join(_wire_json(r) for r in recs) + "]").encode()
+            phys = physical_name(slice_key)
+            write_bytes(phys, self._finalize(payload, phys))
+        rmdir(self.staging)
+
+    def abort(self, messages) -> None:
+        *_, rmdir = _fs_ops(self.path)
+        rmdir(self.staging)

@@ -1100,3 +1100,63 @@ def test_archive_manifest_verifies_and_detects_tampering(spark, records, tmp_pat
     final = verify_archive(spark, dest, recs, cfg).collect()
     assert len(final) == n_slices
     assert sum(1 for r in final if not r.verified) == 2
+
+
+def test_guardian_datasource_writer_byte_parity(spark, records, tmp_path):
+    """df.write.format('guardian') produces the BYTE-EXACT reference archive
+    write_guardian_format writes (same object names, same bytes), for both
+    plain and gzip framing — single-part fast path (input pre-partitioned
+    by slice) and the multi-part merge path (round-robin input, slices
+    spanning tasks) alike."""
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.backup import with_slice
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        register_guardian_datasource,
+    )
+
+    register_guardian_datasource(spark)
+    recs = records.withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    ref = str(tmp_path / "ref")
+    write_guardian_format(recs, ref, ChronoUnitSlice("HOURS"))
+
+    def read_all(d):
+        return {
+            f: open(os.path.join(d, f), "rb").read() for f in sorted(os.listdir(d))
+        }
+
+    want = read_all(ref)
+
+    # fast path: pre-partitioned by slice -> commit is rename-only
+    pre = with_slice(recs, ChronoUnitSlice("HOURS"), None).repartition("slice").drop("slice")
+    fast = str(tmp_path / "fast")
+    pre.write.format("guardian").option("chronoUnitSlice", "hours").mode("append").save(fast)
+    assert read_all(fast) == want
+
+    # merge path: round-robin partitions make every slice span tasks
+    merge = str(tmp_path / "merge")
+    recs.repartition(8).write.format("guardian").option(
+        "chronoUnitSlice", "hours"
+    ).mode("append").save(merge)
+    assert read_all(merge) == want
+
+    # gzip framing parity (deterministic mtime=0 members)
+    refz = str(tmp_path / "refz")
+    write_guardian_format(recs, refz, ChronoUnitSlice("HOURS"), compression="gzip")
+    dz = str(tmp_path / "dz")
+    recs.write.format("guardian").option("chronoUnitSlice", "hours").option(
+        "compression", "gzip"
+    ).mode("append").save(dz)
+    assert read_all(dz) == read_all(refz)
+
+    # append into a populated archive must refuse loudly...
+    with pytest.raises(Exception, match="already exist"):
+        recs.write.format("guardian").option("chronoUnitSlice", "hours").mode(
+            "append"
+        ).save(fast)
+    # ...while overwrite replaces and stays byte-identical
+    recs.write.format("guardian").option("chronoUnitSlice", "hours").mode(
+        "overwrite"
+    ).save(fast)
+    assert read_all(fast) == want
