@@ -4628,3 +4628,65 @@ def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (os.path.isdir(dest) and os.listdir(dest)):
         write_guardian_format(rec, dest, ChronoUnitSlice("HOURS"))
     return verify_archive(spark, dest, rec, ChronoUnitSlice("HOURS"))
+
+
+@query(
+    "p14_mixture_schedule",
+    oracle="""
+    WITH sized AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    keyed AS (
+      SELECT source, doc_id, (r - 0.5) / n AS stride_key FROM sized
+    )
+    SELECT CAST(row_number() OVER (ORDER BY stride_key, source, doc_id)
+                AS BIGINT) AS position,
+           source, doc_id, round(stride_key, 6) AS stride_key
+    FROM keyed ORDER BY position LIMIT 200
+    """,
+    tags=("pipeline", "mixture", "scheduling"),
+)
+def p14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture SCHEDULE — the interleaved global order a
+    dataloader actually consumes, completing p4 (quotas) and p12 (repeat
+    budget): every source's documents spread evenly through the epoch via
+    stride scheduling (the weighted-fair-queueing virtual-time trick —
+    item r of a source of n gets key (r - 0.5)/n, so at any prefix depth
+    every source has contributed proportionally to its size; no source
+    ever clusters at the front the way a sort-by-source or a naive
+    concat-and-shuffle epoch does). The global order is one rank over the
+    stride keys; per-source ranks come from one source-keyed window.
+    Deterministic and content-addressed — any worker can recompute its
+    shard's slice without coordination.
+
+    Scale note: global positions are NOT materialized with a corpus-wide
+    window (that would single-partition-sort the epoch) — the stride key
+    itself IS the order, so consumers range-partition on it; this query
+    ranks only the TakeOrdered prefix it returns. An epoch export would
+    ``write.sortBy(stride_key)`` / range-partition, never rank."""
+    d = load_table(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("doc_id")
+    keyed = d.select(
+        "source",
+        "doc_id",
+        (
+            (F.row_number().over(wsrc) - 0.5)
+            / F.count("*").over(Window.partitionBy("source"))
+        ).alias("stride_key"),
+    )
+    head = keyed.orderBy("stride_key", "source", "doc_id").limit(200)
+    return (
+        head.select(
+            F.row_number()
+            .over(Window.orderBy("stride_key", "source", "doc_id"))
+            .cast("long")
+            .alias("position"),
+            "source",
+            "doc_id",
+            F.round("stride_key", 6).alias("stride_key"),
+        )
+        .orderBy("position")
+    )

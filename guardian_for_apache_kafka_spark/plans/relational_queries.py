@@ -4875,3 +4875,219 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q106_fifo_allocation",
+    oracle="""
+    WITH flow AS (
+      SELECT user_id, ts, event_id,
+             CAST(round("value" * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 'spend' ELSE 'grant' END
+               AS side
+      FROM events
+      WHERE user_id < 50 AND event_type IN ('view', 'signup', 'purchase')
+    ),
+    g AS (
+      SELECT user_id, ts, event_id, cents,
+             sum(cents) OVER w - cents AS lo, sum(cents) OVER w AS hi
+      FROM flow WHERE side = 'grant'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, cents,
+             sum(cents) OVER w - cents AS lo, sum(cents) OVER w AS hi
+      FROM flow WHERE side = 'spend'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    alloc AS (
+      SELECT s.user_id,
+             least(g.hi, s.hi) - greatest(g.lo, s.lo) AS qty,
+             date_diff('second', g.ts, s.ts) AS age_s
+      FROM s JOIN g ON g.user_id = s.user_id
+                   AND g.lo < s.hi AND s.lo < g.hi
+    ),
+    spend_tot AS (
+      SELECT user_id, sum(cents) AS spent FROM flow
+      WHERE side = 'spend' GROUP BY user_id
+    )
+    SELECT t.user_id,
+           round(t.spent / 100.0, 2) AS total_spend,
+           round(coalesce(sum(a.qty), 0) / 100.0, 2) AS allocated,
+           round((t.spent - coalesce(sum(a.qty), 0)) / 100.0, 2)
+             AS unallocated,
+           round(CASE WHEN coalesce(sum(a.qty), 0) > 0
+                      THEN sum(a.qty * a.age_s) * 1.0 / sum(a.qty) END, 2)
+             AS avg_age_s
+    FROM spend_tot t LEFT JOIN alloc a ON a.user_id = t.user_id
+    GROUP BY t.user_id, t.spent ORDER BY t.user_id
+    """,
+    tags=("relational", "fifo", "allocation"),
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO credit allocation — the cost-basis/lot-matching idiom (fintech
+    FIFO accounting, inventory COGS): each user's purchases consume earlier
+    view/signup 'credits' in strict arrival order. The classic row-at-a-time
+    matching collapses to interval intersection on CUMULATIVE integer-cents
+    ranges: grant i covers [G_{i-1}, G_i), spend j covers [S_{j-1}, S_j),
+    and the allocation of j to i is the overlap — an equi-join on user plus
+    a range predicate, no recursion, no loops. Integer cents make both
+    engines' cumulative sums bit-identical, so join membership (the razor
+    edge lo < hi) is deterministic. Per user: total spend, allocated,
+    unallocated (spend past all credit), and the qty-weighted mean age of
+    consumed credit."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 50)
+        & F.col("event_type").isin("view", "signup", "purchase")
+    )
+    flow = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", "spend")
+        .otherwise("grant")
+        .alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    def cum_side(side: str, prefix: str) -> DataFrame:
+        # filter FIRST: each side's cumulative range is over its own rows
+        return (
+            flow.where(F.col("side") == side)
+            .withColumn("hi", F.sum("cents").over(w))
+            .withColumn("lo", F.col("hi") - F.col("cents"))
+            .select(
+                "user_id",
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("lo").alias(f"{prefix}_lo"),
+                F.col("hi").alias(f"{prefix}_hi"),
+            )
+        )
+
+    g = cum_side("grant", "g")
+    s = cum_side("spend", "s")
+    alloc = s.join(g, "user_id").where(
+        (F.col("g_lo") < F.col("s_hi")) & (F.col("s_lo") < F.col("g_hi"))
+    ).select(
+        "user_id",
+        (F.least("g_hi", "s_hi") - F.greatest("g_lo", "s_lo")).alias("qty"),
+        (F.unix_seconds("s_ts") - F.unix_seconds("g_ts")).alias("age_s"),
+    )
+    spend_tot = (
+        flow.where(F.col("side") == "spend")
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("spent"))
+    )
+    agg = alloc.groupBy("user_id").agg(
+        F.sum("qty").alias("alloc_q"),
+        F.sum(F.col("qty") * F.col("age_s")).alias("alloc_age"),
+    )
+    return (
+        spend_tot.join(agg, "user_id", "left")
+        .select(
+            "user_id",
+            F.round(F.col("spent") / 100.0, 2).alias("total_spend"),
+            F.round(F.coalesce(F.col("alloc_q"), F.lit(0)) / 100.0, 2).alias(
+                "allocated"
+            ),
+            F.round(
+                (F.col("spent") - F.coalesce(F.col("alloc_q"), F.lit(0))) / 100.0, 2
+            ).alias("unallocated"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("alloc_q"), F.lit(0)) > 0,
+                    F.col("alloc_age") * 1.0 / F.col("alloc_q"),
+                ),
+                2,
+            ).alias("avg_age_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q107_ab_test_chisquare",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT variant, conv, count(*) AS n FROM u GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT sum(n) AS total,
+             sum(CASE WHEN variant = 0 THEN n END) AS r0,
+             sum(CASE WHEN variant = 1 THEN n END) AS r1,
+             sum(CASE WHEN conv = 0 THEN n END) AS c0,
+             sum(CASE WHEN conv = 1 THEN n END) AS c1,
+             sum(CASE WHEN variant = 0 AND conv = 1 THEN n ELSE 0 END) AS a1,
+             sum(CASE WHEN variant = 1 AND conv = 1 THEN n ELSE 0 END) AS b1
+      FROM cells
+    )
+    SELECT CAST(r0 AS BIGINT) AS n_control, CAST(r1 AS BIGINT) AS n_treatment,
+           round(a1 * 1.0 / r0, 4) AS conv_rate_control,
+           round(b1 * 1.0 / r1, 4) AS conv_rate_treatment,
+           round(total
+                 * power(a1 * (r1 - b1) * 1.0 - b1 * (r0 - a1), 2)
+                 / (r0 * r1 * c0 * c1), 4) AS chi2,
+           (total * power(a1 * (r1 - b1) * 1.0 - b1 * (r0 - a1), 2)
+                 / (r0 * r1 * c0 * c1)) > 3.841458820694124 AS significant
+    FROM tot
+    """,
+    tags=("relational", "statistics", "hypothesis-test"),
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a chi-square independence test — the
+    hypothesis-testing member of the statistics family (q23 moments, q42
+    correlation, q97 concentration): users split into deterministic
+    variants (user_id parity = the hash-bucket assignment of a real
+    experiment framework), conversion = any purchase, and the 2x2 chi-square
+    uses the closed form N(ad-bc)^2/(r0 r1 c0 c1) on exact BIGINT cell
+    counts, so both engines compute the identical statistic. Verdict
+    compares against the df=1, alpha=0.05 critical value (3.8415) — the
+    p-value-free form every SQL engine can evaluate. Two aggregates total:
+    per-user conversion flags, then four cells."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    cells = u.groupBy("variant", "conv").agg(F.count("*").alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("r0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("r1"),
+        F.sum(F.when(F.col("conv") == 0, F.col("n"))).alias("c0"),
+        F.sum(F.when(F.col("conv") == 1, F.col("n"))).alias("c1"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("conv") == 1), F.col("n")).otherwise(0)
+        ).alias("a1"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("conv") == 1), F.col("n")).otherwise(0)
+        ).alias("b1"),
+    )
+    det = (
+        F.col("a1") * (F.col("r1") - F.col("b1")) * F.lit(1.0)
+        - F.col("b1") * (F.col("r0") - F.col("a1"))
+    )
+    chi2 = (
+        F.col("total") * F.pow(det, 2)
+        / (F.col("r0") * F.col("r1") * F.col("c0") * F.col("c1"))
+    )
+    return tot.select(
+        F.col("r0").cast("long").alias("n_control"),
+        F.col("r1").cast("long").alias("n_treatment"),
+        F.round(F.col("a1") * 1.0 / F.col("r0"), 4).alias("conv_rate_control"),
+        F.round(F.col("b1") * 1.0 / F.col("r1"), 4).alias("conv_rate_treatment"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.841458820694124).alias("significant"),
+    )

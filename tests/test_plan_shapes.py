@@ -994,3 +994,46 @@ def test_m7_patch_grid_one_decode_pass_no_blob_shuffle(plans):
     assert "TakeOrderedAndProject" in plan, plan
     above_decode = tree.split("MapInPandas")[0]  # operators above the decode
     assert "content#" not in above_decode, above_decode
+
+
+def test_q106_alloc_join_carries_interval_rows_only(plans):
+    """FIFO allocation: ONE events scan feeds both sides (the side filter
+    splits AFTER the scan via plan reuse or a second scan of the pruned
+    columns is acceptable — what must NOT happen is a corpus-sized
+    SinglePartition sort), and the allocation join is user-keyed, never a
+    cartesian."""
+    plan = plans("q106_fifo_allocation")
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition",
+        plan,
+    ):
+        assert "event_id#" not in m.group(1), m.group(1)
+
+
+def test_q107_two_aggregates_one_scan(plans):
+    """Chi-square readout: per-user flags then four cells — ONE events scan,
+    and the final statistic is computed on a single scalar row (no join,
+    no window)."""
+    plan = plans("q107_ab_test_chisquare")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    assert "Join" not in tree and "Window" not in tree, plan
+
+
+def test_p14_no_corpus_wide_rank(plans):
+    """Mixture schedule: the global rank runs only over the TakeOrdered
+    200-row prefix — the corpus-sized input must reach at most a
+    TakeOrdered, never a SinglePartition sort carrying text/source rows."""
+    import re
+
+    plan = plans("p14_mixture_schedule")
+    assert "TakeOrderedAndProject" in plan, plan
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition",
+        plan,
+    ):
+        cols = m.group(1)
+        assert "text#" not in cols, cols
