@@ -433,3 +433,42 @@ def contract_violation_aggs() -> "dict[str, Column]":
             F.when((F.col("value") < 0) | (F.col("value") > 1000), 1).otherwise(0)
         ),
     }
+
+
+def ab_chisquare_readout(u: "DataFrame") -> "DataFrame":
+    """2x2 chi-square experiment readout over per-user rows (user_id,
+    variant in {0,1}, conv in {0,1}): exact BIGINT cell counts, the closed
+    form N(ad-bc)^2 / (r0 r1 c0 c1), and the df=1 alpha=0.05 verdict.
+    Shared by the q107 batch query and the streaming A/B monitor
+    (streaming/pipeline.stream_ab_activity + ab_rollup) so the two surfaces
+    cannot drift formula-by-formula."""
+    cells = u.groupBy("variant", "conv").agg(F.count("*").alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("r0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("r1"),
+        F.sum(F.when(F.col("conv") == 0, F.col("n"))).alias("c0"),
+        F.sum(F.when(F.col("conv") == 1, F.col("n"))).alias("c1"),
+        F.sum(
+            F.when((F.col("variant") == 0) & (F.col("conv") == 1), F.col("n")).otherwise(0)
+        ).alias("a1"),
+        F.sum(
+            F.when((F.col("variant") == 1) & (F.col("conv") == 1), F.col("n")).otherwise(0)
+        ).alias("b1"),
+    )
+    det = (
+        F.col("a1") * (F.col("r1") - F.col("b1")) * F.lit(1.0)
+        - F.col("b1") * (F.col("r0") - F.col("a1"))
+    )
+    chi2 = (
+        F.col("total") * F.pow(det, 2)
+        / (F.col("r0") * F.col("r1") * F.col("c0") * F.col("c1"))
+    )
+    return tot.select(
+        F.col("r0").cast("long").alias("n_control"),
+        F.col("r1").cast("long").alias("n_treatment"),
+        F.round(F.col("a1") * 1.0 / F.col("r0"), 4).alias("conv_rate_control"),
+        F.round(F.col("b1") * 1.0 / F.col("r1"), 4).alias("conv_rate_treatment"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.841458820694124).alias("significant"),
+    )

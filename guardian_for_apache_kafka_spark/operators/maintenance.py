@@ -634,3 +634,45 @@ def verify_archive(
         )
         .orderBy("slice")
     )
+
+
+def archive_diff(spark: SparkSession, dest_a: str, dest_b: str) -> "DataFrame":
+    """Replication diff between two archives (primary vs replica / two
+    regions): join their fixity manifests full-outer and classify each
+    slice — ``in_sync`` (count AND checksum equal), ``divergent`` (present
+    both sides, content differs), ``missing_b`` / ``missing_a``. Two
+    manifest passes (each archive read once — the minimum any content diff
+    can do) and a slice-sized join; record payloads never shuffle. The
+    operational complement of verify_archive: that checks one archive
+    against its source records, this checks two archives against each
+    other."""
+    from pyspark.sql import functions as F
+
+    a = archive_manifest(spark, dest_a).select(
+        "slice",
+        F.col("n_records").alias("n_a"),
+        F.col("checksum").alias("ck_a"),
+    )
+    b = archive_manifest(spark, dest_b).select(
+        "slice",
+        F.col("n_records").alias("n_b"),
+        F.col("checksum").alias("ck_b"),
+    )
+    return (
+        a.join(b, "slice", "full_outer")
+        .select(
+            "slice",
+            "n_a",
+            "n_b",
+            F.when(F.col("n_a").isNull(), "missing_a")
+            .when(F.col("n_b").isNull(), "missing_b")
+            .when(
+                (F.col("n_a") == F.col("n_b"))
+                & (F.col("ck_a") == F.col("ck_b")),
+                "in_sync",
+            )
+            .otherwise("divergent")
+            .alias("status"),
+        )
+        .orderBy("slice")
+    )

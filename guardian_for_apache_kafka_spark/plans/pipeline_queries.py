@@ -4690,3 +4690,56 @@ def p14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+@query(
+    "g11_archive_replication_diff",
+    oracle="""
+    WITH a AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%MZ') AS slice,
+             count(*) AS n_a
+      FROM events WHERE event_id < 500 GROUP BY 1
+    ),
+    b AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%MZ') AS slice,
+             count(*) AS n_b
+      FROM events WHERE event_id < 450 GROUP BY 1
+    )
+    SELECT a.slice, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_b IS NULL THEN 'missing_b'
+                WHEN n_a = n_b THEN 'in_sync'
+                ELSE 'divergent' END AS status
+    FROM a LEFT JOIN b ON b.slice = a.slice
+    ORDER BY a.slice
+    """,
+    tags=("guardian", "maintenance", "replication"),
+)
+def g11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-archive replication diff: primary (records with event_id < 500)
+    vs a lagging replica (< 450) — per slice, in_sync / divergent /
+    missing_b from the two fixity manifests joined full-outer. The oracle
+    predicts every verdict straight from the events table: a replica slice
+    missing records is 'divergent' by checksum even when a count-only
+    monitor would... here the subset construction makes counts sufficient,
+    but the operator compares checksums, so content drift with equal counts
+    is also caught (tamper case unit-tested in test_backup_restore).
+    Each archive is read exactly once (operators/maintenance.archive_diff)."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.maintenance import archive_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    dests = {}
+    for tag, bound in (("a", 500), ("b", 450)):
+        rec = normalize_events_to_records(
+            ev.where(F.col("event_id") < bound)
+        ).withColumn("timestamp", F.timestamp_millis(F.unix_millis("timestamp")))
+        dest = os.path.join(
+            tempfile.gettempdir(), f"guardian_repl_{tag}_{digest}"
+        )
+        if not (os.path.isdir(dest) and os.listdir(dest)):
+            write_guardian_format(rec, dest, ChronoUnitSlice("HOURS"))
+        dests[tag] = dest
+    return archive_diff(spark, dests["a"], dests["b"])

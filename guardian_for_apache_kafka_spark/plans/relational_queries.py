@@ -5054,40 +5054,17 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, so both engines compute the identical statistic. Verdict
     compares against the df=1, alpha=0.05 critical value (3.8415) — the
     p-value-free form every SQL engine can evaluate. Two aggregates total:
-    per-user conversion flags, then four cells."""
+    per-user conversion flags, then four cells. The readout lives in
+    functions.columns.ab_chisquare_readout, shared with the streaming A/B
+    monitor so the two surfaces cannot drift formula-by-formula."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        ab_chisquare_readout,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("conv")
     ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
-    cells = u.groupBy("variant", "conv").agg(F.count("*").alias("n"))
-    tot = cells.agg(
-        F.sum("n").alias("total"),
-        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("r0"),
-        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("r1"),
-        F.sum(F.when(F.col("conv") == 0, F.col("n"))).alias("c0"),
-        F.sum(F.when(F.col("conv") == 1, F.col("n"))).alias("c1"),
-        F.sum(
-            F.when((F.col("variant") == 0) & (F.col("conv") == 1), F.col("n")).otherwise(0)
-        ).alias("a1"),
-        F.sum(
-            F.when((F.col("variant") == 1) & (F.col("conv") == 1), F.col("n")).otherwise(0)
-        ).alias("b1"),
-    )
-    det = (
-        F.col("a1") * (F.col("r1") - F.col("b1")) * F.lit(1.0)
-        - F.col("b1") * (F.col("r0") - F.col("a1"))
-    )
-    chi2 = (
-        F.col("total") * F.pow(det, 2)
-        / (F.col("r0") * F.col("r1") * F.col("c0") * F.col("c1"))
-    )
-    return tot.select(
-        F.col("r0").cast("long").alias("n_control"),
-        F.col("r1").cast("long").alias("n_treatment"),
-        F.round(F.col("a1") * 1.0 / F.col("r0"), 4).alias("conv_rate_control"),
-        F.round(F.col("b1") * 1.0 / F.col("r1"), 4).alias("conv_rate_treatment"),
-        F.round(chi2, 4).alias("chi2"),
-        (chi2 > 3.841458820694124).alias("significant"),
-    )
+    return ab_chisquare_readout(u)

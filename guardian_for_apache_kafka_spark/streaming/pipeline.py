@@ -863,3 +863,58 @@ def manifest_rollup(spark: SparkSession, manifest_dir: str) -> DataFrame:
         .agg(F.sum("n_records").alias("n_records"), F.sum("checksum").alias("checksum"))
         .orderBy("slice")
     )
+
+
+def stream_ab_activity(
+    events: DataFrame,
+    dest: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the q107 A/B readout: accumulate per-batch
+    (user_id, converted-in-batch) evidence via idempotent ``foreachBatch``
+    appends; ``ab_rollup`` derives the chi-square readout from the
+    accumulated evidence at read time.
+
+    Same accumulator design as the cohort stream: conversion is
+    max()-mergeable evidence (a user who ever purchased stays converted),
+    so per batch we append the DISTINCT (user_id, conv) pairs the batch
+    proves — duplicates from crash-replayed batches are harmless because
+    the rollup re-maxes per user. Accumulator size is O(users), not
+    O(events)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("conv")
+            )
+            .write.mode("append")
+            .parquet(dest)
+        )
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ab_rollup(spark: SparkSession, evidence_dir: str) -> DataFrame:
+    """Chi-square readout over the accumulated A/B evidence — identical
+    output contract to q107 (same shared formula,
+    functions.columns.ab_chisquare_readout)."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        ab_chisquare_readout,
+    )
+
+    u = (
+        spark.read.parquet(evidence_dir)
+        .groupBy("user_id")
+        .agg(F.max("conv").alias("conv"))
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    return ab_chisquare_readout(u)

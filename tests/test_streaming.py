@@ -1353,3 +1353,39 @@ def test_stream_manifest_equals_archive_manifest(spark, tmp_path):
         for r in manifest_rollup(spark, mdir).collect()
     }
     assert again == want
+
+
+def test_stream_ab_rollup_equals_q107(spark, tmp_path):
+    """A/B evidence accumulated across micro-batches, rolled up, equals the
+    q107 batch readout row-for-row (same shared chi-square formula), and a
+    replayed evidence append changes nothing."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        ab_rollup,
+        stream_ab_activity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "in")
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    first = ordered.limit(n // 2)
+    first.coalesce(1).write.parquet(src)
+    ordered.subtract(first).coalesce(1).write.mode("append").parquet(src)
+
+    dest, ckpt = str(tmp_path / "evidence"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = stream_ab_activity(stream, dest, ckpt)
+    q.awaitTermination(120)
+
+    got = ab_rollup(spark, dest).collect()
+    want = all_queries()["q107_ab_test_chisquare"](spark, sf).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+    # replayed batch: re-append the evidence file set verbatim
+    spark.read.parquet(dest).write.mode("append").parquet(dest)
+    again = ab_rollup(spark, dest).collect()
+    assert [r.asDict() for r in again] == [r.asDict() for r in want]
