@@ -544,3 +544,28 @@ def quantized_rerank_topk(
         .where(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    nlist: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus — every
+    vector probes its own ``nprobe`` nearest IVF lists and reranks exactly
+    within them (the graph-construction primitive under SemDeDup, kNN-LM
+    retrieval indexes, and UMAP-style neighborhood embeddings). This is
+    ivf_topk with the corpus as its own query set: candidate pairs exist
+    only within probed lists, so the pair count is sum over lists of
+    |list| * |probers| — bucketed, never the all-pairs square. Returns
+    (query_id, vec_id, cosine, rnk <= k)."""
+    from guardian_for_apache_kafka_spark.operators.similarity import ivf_topk
+
+    q = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    return ivf_topk(
+        corpus, q, k=k, nlist=nlist, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -4743,3 +4743,51 @@ def g11(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_guardian_format(rec, dest, ChronoUnitSlice("HOURS"))
         dests[tag] = dest
     return archive_diff(spark, dests["a"], dests["b"])
+
+
+@query(
+    "s11_knn_graph",
+    oracle="""
+    SELECT CAST(30 AS BIGINT) AS n_sampled, true AS recall_ok
+    """,
+    tags=("similarity", "ann", "knn-graph", "statistical-oracle"),
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph (every vector a query over its own
+    IVF lists — the SemDeDup/kNN-index construction primitive) with an
+    in-query AGGREGATE recall bound, s2's bounded-assertion pattern one
+    level up: the graph is built for the WHOLE corpus, the 30 sampled
+    vectors' approximate neighbor lists are checked against brute-force
+    exact top-3, and mean sampled recall@3 must clear 0.6 (measured
+    0.73-0.77 at sf0.001/0.01/0.1 with nlist=8, nprobe=4; per-vector bounds
+    are the wrong contract for a SELF-graph, where a single true neighbor
+    landing in an unprobed list is expected behavior, not a defect — the
+    aggregate is what index tuning actually monitors). Broken list
+    assignment or probe pruning drops the aggregate and fails the hash
+    match. Pair generation is bucketed by construction
+    (operators/similarity.knn_graph); the exact check is sample x corpus,
+    never corpus x corpus."""
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    approx = knn_graph(e, k=3, nlist=8, nprobe=4).select("query_id", "vec_id")
+    sample = e.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(e, sample, k=3).select("query_id", "vec_id")
+    hits = approx.join(exact, ["query_id", "vec_id"])
+    return (
+        exact.select("query_id")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+        .crossJoin(hits.agg(F.count("*").alias("__h")))
+        .select(
+            "n_sampled",
+            ((F.col("__h") * 1.0 / (3 * F.col("n_sampled"))) >= 0.6).alias(
+                "recall_ok"
+            ),
+        )
+    )
