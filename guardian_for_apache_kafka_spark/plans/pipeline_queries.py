@@ -4791,3 +4791,58 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "t26_doc_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, t AS keyword,
+             round(tf * ln(n * 1.0 / df), 4) AS tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * ln(n * 1.0 / df) DESC, t) AS rnk
+      FROM tf JOIN df USING (t), n
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, keyword, tfidf
+    FROM scored WHERE rnk <= 3 AND doc_id < 200
+    ORDER BY doc_id, rnk
+    """,
+    tags=("text", "keywords", "tfidf"),
+)
+def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction — top-3 tokens by TF-IDF (t6 ranks
+    terms per LANGUAGE; this ranks per DOCUMENT, the tagging/routing
+    primitive under search snippets and topic labeling). The document
+    frequency table is vocabulary-sized and BROADCASTS onto the term-
+    frequency stream (a (token)-keyed shuffle join would move the whole
+    exploded corpus); N is a scalar. The per-doc top-3 is a WindowGroupLimit
+    over the doc-keyed tf table — prunes to 3 rows per doc before the final
+    exchange. Ties pinned lexicographically."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("t").alias("keyword"),
+            (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__s"), "keyword")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where((F.col("rnk") <= 3) & (F.col("doc_id") < 200))
+        .select("doc_id", "rnk", "keyword", F.round("__s", 4).alias("tfidf"))
+        .orderBy("doc_id", "rnk")
+    )

@@ -1037,3 +1037,14 @@ def test_p14_no_corpus_wide_rank(plans):
     ):
         cols = m.group(1)
         assert "text#" not in cols, cols
+
+
+def test_t26_df_broadcasts_and_group_limit(plans):
+    """Per-doc keywords: the vocabulary-sized df table must BROADCAST onto
+    the tf stream (a token-keyed sort-merge join would shuffle the exploded
+    corpus twice), and the per-doc top-3 must plan as WindowGroupLimit —
+    pruning to 3 rows/doc before the final exchange."""
+    plan = plans("t26_doc_keywords")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, plan
+    assert "WindowGroupLimit" in tree, plan
