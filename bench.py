@@ -105,6 +105,9 @@ HEADLINE = {
     "kneser_ney": "t25_kneser_ney_entropy",
     "k_anonymity": "q103_k_anonymity",
     "archive_manifest": "g10_archive_manifest",
+    "fifo_allocation": "q106_fifo_allocation",
+    "knn_graph": "s11_knn_graph",
+    "doc_keywords": "t26_doc_keywords",
 }
 
 N_RUNS = 3

@@ -414,6 +414,13 @@ def build_parser() -> argparse.ArgumentParser:
     common(mf)
     mf.add_argument("--dest", default=None, help="archive directory")
 
+    df_ = sub.add_parser("diff", help="replication diff of two guardian archives: "
+                         "per-slice in_sync / divergent / missing from the two "
+                         "fixity manifests")
+    common(df_)
+    df_.add_argument("--dest-a", required=False, default=None, help="primary archive")
+    df_.add_argument("--dest-b", required=False, default=None, help="replica archive")
+
     fg = sub.add_parser("forget", help="right-to-be-forgotten erasure: drop all records "
                         "with the given Kafka keys from a JSON-lines archive")
     common(fg)
@@ -711,6 +718,21 @@ def main(argv: list[str] | None = None) -> int:
         ]
         print(json.dumps({"n_slices": len(rows), "slices": rows}, default=str))
         return 0
+
+    if args.command == "diff":
+        from guardian_for_apache_kafka_spark.operators.maintenance import archive_diff
+
+        if not args.dest_a or not args.dest_b:
+            raise SystemExit("--dest-a and --dest-b are required for diff")
+        rows = [r.asDict() for r in archive_diff(spark, args.dest_a, args.dest_b).collect()]
+        out_of_sync = [r for r in rows if r["status"] != "in_sync"]
+        print(json.dumps({
+            "n_slices": len(rows),
+            "n_out_of_sync": len(out_of_sync),
+            "slices": rows,
+        }, default=str))
+        # mirror the check verb's loudness: nonzero exit when drifted
+        return 0 if not out_of_sync else 5
 
     if args.command == "forget":
         from guardian_for_apache_kafka_spark.operators.maintenance import forget_keys

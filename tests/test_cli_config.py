@@ -564,3 +564,43 @@ def test_cli_manifest_verb(spark, sf_dir, tmp_path, capsys, monkeypatch):
     assert out["n_slices"] == len(want) > 0
     got = {r["slice"]: (r["n_records"], r["checksum"]) for r in out["slices"]}
     assert got == want
+
+
+def test_cli_diff_verb(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """diff reports per-slice sync status between two archives and exits 5
+    when they drift, 0 when identical."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.cli import main
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    monkeypatch.delenv("GUARDIAN_CONFIG", raising=False)
+    ev = load_table(spark, sf_dir, "events")
+    recs = normalize_events_to_records(ev.where(F.col("event_id") < 200)).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src_a, src_b = str(tmp_path / "ra"), str(tmp_path / "rb")
+    recs.write.parquet(src_a)
+    # replica lags: missing the latest records
+    normalize_events_to_records(ev.where(F.col("event_id") < 150)).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    ).write.parquet(src_b)
+    da, db = str(tmp_path / "archa"), str(tmp_path / "archb")
+    assert main(["backup", "--source", src_a, "--dest", da,
+                 "--chrono-unit-slice", "hours"]) == 0
+    assert main(["backup", "--source", src_b, "--dest", db,
+                 "--chrono-unit-slice", "hours"]) == 0
+    capsys.readouterr()
+
+    assert main(["diff", "--dest-a", da, "--dest-b", db]) == 5
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["n_out_of_sync"] > 0
+    assert {r["status"] for r in out["slices"]} <= {
+        "in_sync", "divergent", "missing_b", "missing_a"
+    }
+
+    # identical archives: exit 0, everything in_sync
+    assert main(["diff", "--dest-a", da, "--dest-b", da]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip())
+    assert out2["n_out_of_sync"] == 0
