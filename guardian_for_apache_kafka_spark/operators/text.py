@@ -1040,3 +1040,63 @@ def kneser_ney_cross_entropy(
         F.broadcast(model) if broadcast_model else model, ["__w1", "__w2"]
     )
     return scored.groupBy(id_col).agg((-F.avg("__logp")).alias("kn_cross_entropy"))
+
+
+def cdc_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries, the
+    rsync/LBFS/dedup-storage trick): a chunk boundary falls after any token
+    whose trailing 3-gram's md5 starts with hex '0' (P = 1/16, expected
+    chunk ~16 tokens). Unlike t9's fixed windows, boundaries are
+    CONTENT-ANCHORED — inserting one token early in a document shifts every
+    fixed window but leaves all later CDC chunks byte-identical, which is
+    what makes chunk-level dedup robust to edits.
+
+    Map-only: one ``aggregate`` fold per document builds the chunk array in
+    O(tokens) (state = built chunks + current chunk + last two tokens +
+    position), then explodes — zero shuffles until the caller aggregates
+    chunk hashes. The boundary hash is md5-derived, so DuckDB replays the
+    identical segmentation with lag windows (the d29 oracle)."""
+    hoisted = df.select(F.col(id_col), tokens_col(text_col).alias("__tk"))
+    init = F.struct(
+        F.array().cast("array<string>").alias("chunks"),
+        F.lit("").alias("cur"),
+        F.lit("").alias("p1"),
+        F.lit("").alias("p2"),
+        F.lit(0).alias("pos"),
+    )
+
+    def step(acc, t):
+        gram = F.concat(acc["p2"], F.lit(" "), acc["p1"], F.lit(" "), t)
+        is_b = (acc["pos"] >= 2) & (
+            F.substring(F.md5(gram.cast("binary")), 1, 1) == "0"
+        )
+        cur2 = F.when(acc["cur"] == "", t).otherwise(
+            F.concat(acc["cur"], F.lit(" "), t)
+        )
+        return F.struct(
+            F.when(is_b, F.concat(acc["chunks"], F.array(cur2)))
+            .otherwise(acc["chunks"])
+            .alias("chunks"),
+            F.when(is_b, F.lit("")).otherwise(cur2).alias("cur"),
+            t.alias("p1"),
+            acc["p1"].alias("p2"),
+            (acc["pos"] + 1).alias("pos"),
+        )
+
+    folded = hoisted.select(
+        F.col(id_col),
+        F.aggregate(
+            F.col("__tk"),
+            init,
+            step,
+            lambda acc: F.when(
+                acc["cur"] == "", acc["chunks"]
+            ).otherwise(F.concat(acc["chunks"], F.array(acc["cur"]))),
+        ).alias("__chunks"),
+    )
+    return folded.select(
+        F.col(id_col),
+        F.posexplode("__chunks").alias("chunk_index", "chunk"),
+    )

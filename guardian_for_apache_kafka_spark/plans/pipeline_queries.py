@@ -4846,3 +4846,69 @@ def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rnk", "keyword", F.round("__s", 4).alias("tfidf"))
         .orderBy("doc_id", "rnk")
     )
+
+
+@query(
+    "d29_cdc_chunk_dedup",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, t, pos,
+             CASE WHEN pos >= 3 AND substr(md5(
+                      lag(t, 2) OVER w || ' ' || lag(t, 1) OVER w || ' ' || t
+                  ), 1, 1) = '0'
+                  THEN 1 ELSE 0 END AS b
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    cid AS (
+      SELECT doc_id, t, pos,
+             1 + coalesce(sum(b) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id, string_agg(t, ' ' ORDER BY pos) AS chunk
+      FROM cid GROUP BY 1, 2
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(len(string_split(chunk, ' '))) AS INT) AS chunk_tokens
+    FROM chunks
+    GROUP BY chunk_hash HAVING count(*) >= 2
+    ORDER BY n_occurrences DESC, chunk_hash LIMIT 100
+    """,
+    tags=("dedup", "cdc", "chunking"),
+)
+def d29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over CONTENT-DEFINED chunks — the storage-dedup
+    regime (rsync/LBFS rolling-hash boundaries) applied to corpus curation:
+    recurring ~16-token chunks survive token insertions that would shift
+    every fixed window (t9/t13), so this catches recycled passages that
+    drifted by an edit. The segmentation is a map-only O(tokens) fold per
+    document (operators/text.cdc_chunks); the only shuffle carries md5
+    chunk hashes. The oracle replays the identical boundary rule with lag
+    windows + gaps-and-islands in DuckDB, so the fold's state machine is
+    differentially attested chunk-for-chunk."""
+    from guardian_for_apache_kafka_spark.operators.text import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(d)
+    return (
+        ch.groupBy(F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"))
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            # equal hashes => equal chunks, so min(token count) == the
+            # chunk's token count and only ints ride the shuffle
+            F.min(F.size(F.split("chunk", " "))).cast("int").alias("chunk_tokens"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), "chunk_hash")
+        .limit(100)
+    )

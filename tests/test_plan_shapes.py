@@ -1048,3 +1048,21 @@ def test_t26_df_broadcasts_and_group_limit(plans):
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree, plan
     assert "WindowGroupLimit" in tree, plan
+
+
+def test_d29_cdc_fold_single_hash_shuffle(plans):
+    """CDC chunk dedup: segmentation is a map-only fold — exactly ONE
+    documents scan and ONE hash exchange (the chunk-hash groupBy); the
+    exploded chunk text never shuffles twice."""
+    plan = plans("d29_cdc_chunk_dedup")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    # exact count_distinct(doc_id) needs the standard two-phase distinct:
+    # two hash exchanges, both carrying (chunk_hash, ids/ints) — assert the
+    # chunk TEXT itself never rides an exchange
+    assert plan.count("Arguments: hashpartitioning") <= 2, plan
+    import re
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        assert "chunk#" not in m.group(1), m.group(1)

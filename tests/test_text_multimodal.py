@@ -749,3 +749,24 @@ def test_kneser_ney_reference_and_branch_parity(spark):
           for r in kneser_ney_cross_entropy(df, broadcast_model=False).collect()}
     assert set(bc) == {1, 3} and bc == sh  # 9dp: avg fold order may differ by ulps
     assert abs(bc[1] - want1) < 1e-9 and abs(bc[3] - want3) < 1e-9
+
+
+def test_cdc_chunks_edit_robustness_vs_fixed_windows(spark):
+    """The CDC property itself: inserting ONE token early in a document
+    leaves every chunk after the edit region byte-identical (boundaries are
+    content-anchored), where fixed windows shift everything; and chunks
+    reconstruct the document exactly."""
+    from guardian_for_apache_kafka_spark.operators.text import cdc_chunks
+
+    base = " ".join(f"w{i % 97}x{i % 13}" for i in range(400))
+    edited = "INSERTED " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    a = [r.chunk for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_index)) if r.doc_id == 1]
+    b = [r.chunk for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_index)) if r.doc_id == 2]
+    assert " ".join(a) == base and " ".join(b) == edited  # lossless cover
+    # all but the first few chunks realign exactly after the insertion
+    shared = set(a) & set(b)
+    assert len(shared) >= len(a) - 2, (len(shared), len(a))
