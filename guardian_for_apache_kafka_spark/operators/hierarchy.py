@@ -157,3 +157,45 @@ def pagerank_fixed_point(
             .localCheckpoint()
         )
     return ranks
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    root: int = 0,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Transitive closure (node -> EVERY proper ancestor) by path doubling:
+    reach(r+1) = reach(r) UNION reach(r) o reach(r), so after r rounds every
+    ancestor within 2^r edges is known — ceil(log2(depth)) rounds instead of
+    one join per level. The virtual root (parent == ``root``) is excluded
+    from the closure.
+
+    Output size is n x avg_depth rows — for the O(log n)-deep forests this
+    engine builds, ~12x the node count, NOT the quadratic worst case; a
+    chain-shaped hierarchy would be O(n^2) and should use per-level
+    aggregation instead (the docstring is the contract). Each round is one
+    self-join on the ancestor key + a distinct; lineage cut per round with
+    localCheckpoint like ancestor_depths."""
+    reach = (
+        edges.select(
+            F.col(id_col).cast("long").alias("node"),
+            F.col(parent_col).cast("long").alias("anc"),
+        )
+        .where(F.col("anc") != F.lit(root).cast("long"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = reach.count()
+    for _ in range(max_iter):
+        t = reach.select(F.col("node").alias("__m"), F.col("anc").alias("__a"))
+        composed = reach.join(t, reach["anc"] == F.col("__m")).select(
+            "node", F.col("__a").alias("anc")
+        )
+        reach = reach.unionByName(composed).distinct().localCheckpoint()
+        n = reach.count()
+        if n == n_prev:
+            return reach
+        n_prev = n
+    raise ValueError(f"closure did not converge in {max_iter} rounds (cycle?)")

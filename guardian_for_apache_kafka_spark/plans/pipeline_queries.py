@@ -4912,3 +4912,71 @@ def d29(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "chunk_hash")
         .limit(100)
     )
+
+
+def _sha4b(col: str) -> str:
+    """DuckDB int64 from the first 4 bytes of a sha256-hex column."""
+    return (
+        f"({_hexb(col, 0)}) * 16777216 + ({_hexb(col, 1)}) * 65536"
+        f" + ({_hexb(col, 2)}) * 256 + ({_hexb(col, 3)})"
+    )
+
+
+@query(
+    "m8_audio_fingerprint_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    h AS (SELECT doc_id, sha256(text) AS dig FROM corpus),
+    fr AS (
+      SELECT doc_id,
+             {_sha4b("sha256(dig || ':' || CAST(g AS VARCHAR))")} AS fp
+      FROM h, generate_series(0, 7) s(g)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+    FROM pairs WHERE n_shared >= 6
+    ORDER BY doc_a, doc_b LIMIT 100
+    """,
+    tags=("multimodal", "audio", "dedup", "fingerprint"),
+)
+def m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup by SHARED sub-fingerprint count — the chromaprint regime
+    (a sequence of per-frame fingerprints, matched through an inverted
+    index), not a single whole-file hash: offset/re-encode robustness comes
+    from requiring only most frames to agree (>= 6 of 8 here). One decode
+    pass per blob fans out int64 sub-fingerprints; the self-join shuffles
+    (fp, id) pairs only — audio bytes never leave their scan partition.
+    Declared re-encode fixture as m6: every 10th doc appears twice. The
+    oracle replays decode, fingerprint sequence, and inverted-index match
+    in digest arithmetic (operators/multimodal.audio_fingerprints)."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        audio_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionAll(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).withColumn("blob", F.col("text").cast("binary"))
+    fr = audio_fingerprints(attach_media(corpus, "blob", "audio", "wav"))
+    a = fr.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fr.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 6)
+        .orderBy("doc_a", "doc_b")
+        .limit(100)
+    )

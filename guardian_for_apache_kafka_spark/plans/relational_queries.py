@@ -5068,3 +5068,77 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conv")
     ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
     return ab_chisquare_readout(u)
+
+
+@query(
+    "q108_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS node,
+             c_custkey - 1 - CAST(
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+               % CAST(c_custkey AS UBIGINT) AS BIGINT) AS parent,
+             c_acctbal AS val
+      FROM customer WHERE c_custkey >= 1
+    ),
+    up AS (
+      SELECT node AS descendant, parent AS anc FROM e WHERE parent <> 0
+      UNION
+      SELECT u.descendant, e2.parent
+      FROM up u JOIN e e2 ON u.anc = e2.node WHERE e2.parent <> 0
+    )
+    SELECT e.node,
+           CAST(coalesce(d.n_desc, 0) AS BIGINT) AS n_desc,
+           round(e.val + coalesce(d.desc_val, 0), 2) AS subtree_acctbal
+    FROM e LEFT JOIN (
+      SELECT u.anc AS node, count(*) AS n_desc, sum(e2.val) AS desc_val
+      FROM up u JOIN e e2 ON e2.node = u.descendant GROUP BY u.anc
+    ) d ON d.node = e.node
+    WHERE e.node < 500
+    ORDER BY e.node
+    """,
+    tags=("iterative", "hierarchy", "rollup"),
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials subtree rollup — every node's descendant count and
+    subtree value total (the org-chart / BOM / category-tree aggregation) —
+    without recursive CTEs: the transitive closure comes from PATH DOUBLING
+    (reach o reach per round, ceil(log2 depth) rounds; the same iterative
+    family as q47's depths and d7's components), then ONE join attaches
+    descendant values and ONE aggregate rolls them up. The closure is
+    n x avg_depth rows (~12x nodes on this O(log n)-deep forest), so the
+    rollup never materializes per-level scans. DuckDB replays the walk with
+    a real recursive CTE, attesting every (count, total) pair
+    (operators/hierarchy.ancestor_closure)."""
+    from guardian_for_apache_kafka_spark.operators.hierarchy import (
+        ancestor_closure,
+        synthetic_parent,
+    )
+
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") >= 1)
+    nodes = c.select(
+        F.col("c_custkey").cast("long").alias("node"),
+        synthetic_parent(F.col("c_custkey")).cast("long").alias("parent"),
+        F.col("c_acctbal").alias("val"),
+    )
+    closure = ancestor_closure(nodes)
+    rolled = (
+        closure.join(
+            nodes.select(F.col("node").alias("descendant"), "val"),
+            closure.node == F.col("descendant"),
+        )
+        .groupBy(F.col("anc").alias("rnode"))
+        .agg(F.count("*").alias("n_desc"), F.sum("val").alias("desc_val"))
+    )
+    return (
+        nodes.join(rolled, nodes.node == F.col("rnode"), "left")
+        .where(F.col("node") < 500)
+        .select(
+            "node",
+            F.coalesce("n_desc", F.lit(0)).cast("long").alias("n_desc"),
+            F.round(
+                F.col("val") + F.coalesce("desc_val", F.lit(0.0)), 2
+            ).alias("subtree_acctbal"),
+        )
+        .orderBy("node")
+    )
