@@ -1244,3 +1244,68 @@ def eval_contamination_report(
         )
         .withColumn("dirty", F.col("contaminated_frac") > dirty_threshold)
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    max_df_ratio: float = 0.1,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by WEIGHTED cosine over sparse TF-IDF vectors —
+    the real-valued complement of the set-based family (d3 Jaccard, d21
+    prefix-filtered): common boilerplate tokens contribute almost nothing
+    (low IDF) while rare shared vocabulary dominates, so templated
+    documents with different payloads separate where raw token Jaccard
+    conflates them.
+
+    Sparse dot products come from the inverted index: join the (doc, token,
+    weight) postings on token, sum weight products per pair, divide by the
+    precomputed norms. Tokens appearing in more than ``max_df_ratio`` of
+    the corpus are dropped from the INDEX entirely — principled (their IDF
+    is near zero, so they barely move the cosine) and it is what bounds the
+    posting-list self-join at 100 TB, the same hot-bucket discipline as
+    d3's ``max_bucket``; RELATIVE to corpus size so the semantics are
+    scale-stable (an absolute cap silently empties the index as the corpus
+    grows — caught at sf0.1). The oracle replays the same filter, so the
+    cut is attested, not hidden. Returns (id_a, id_b, cosine) at or above
+    ``threshold``."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(content_col), " ")).alias("t"),
+    )
+    tf = tok.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n"))
+    w = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") <= F.ceil(F.lit(max_df_ratio) * F.col("n")))
+        .select(
+            "id",
+            "t",
+            (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("id").alias("id_a"), "t", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

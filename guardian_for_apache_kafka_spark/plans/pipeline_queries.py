@@ -4980,3 +4980,50 @@ def m8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
         .limit(100)
     )
+
+
+@query(
+    "d30_tfidf_cosine_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (SELECT id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+      SELECT id, t, tf * ln(n * 1.0 / df) AS w
+      FROM tf JOIN dfq USING (t), n
+      WHERE df <= ceil(0.1 * n)
+    ),
+    nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+    dots AS (
+      SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.t = b.t AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(dot / (x.nrm * y.nrm), 4) AS cosine
+    FROM dots JOIN nrm x ON x.id = id_a JOIN nrm y ON y.id = id_b
+    WHERE dot / (x.nrm * y.nrm) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "tfidf", "cosine", "near-dup"),
+)
+def d30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted cosine near-dup pairs — the real-valued member of
+    the near-dup family: boilerplate tokens are IDF-damped instead of
+    counted, so templated docs with different payloads separate where raw
+    Jaccard (d3) conflates them. Inverted-index dot products; tokens in
+    more than 10% of the corpus are dropped from the index (IDF ~ 0 AND
+    the hot-bucket bound — d3's max_bucket discipline, relative so it
+    scales, replayed by the oracle so the cut is attested). Thresholded
+    at 0.6 (operators/dedup.tfidf_cosine_pairs)."""
+    from guardian_for_apache_kafka_spark.operators.dedup import tfidf_cosine_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        tfidf_cosine_pairs(d, threshold=0.6, max_df_ratio=0.1)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
