@@ -5027,3 +5027,62 @@ def d30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "s12_nprobe_recall_curve",
+    oracle="""
+    SELECT CAST(p AS INT) AS nprobe, true AS recall_ok, true AS monotone_ok
+    FROM (VALUES (1), (2), (4), (8)) v(p) ORDER BY nprobe
+    """,
+    tags=("similarity", "ann", "tuning", "statistical-oracle"),
+)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tuning curve: sampled recall@3 of the kNN graph at nprobe in
+    {1, 2, 4, 8} of 8 lists — the artifact an index operator reads before
+    picking the probe budget (d19 is the same idea for dedup thresholds).
+    Two attested properties per point: recall_ok (>= 0.3 at nprobe=1,
+    >= 0.6 at 4+, generous floors under the measured 0.73-0.77 at 4) and
+    monotone_ok — recall never DECREASES with more probes, which is
+    structural (more probes = a candidate superset; exact-top-3 members
+    present in a candidate set always rank into the approx top-3) and
+    therefore a hard invariant, not a tuning accident. nprobe=8 probes
+    every list, so its approx == exact and recall is 1.0 by construction —
+    the curve's fixed point."""
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sample = e.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(e, sample, k=3).select("query_id", "vec_id")
+    counts = []
+    for p in (1, 2, 4, 8):
+        ap = knn_graph(e, k=3, nlist=8, nprobe=p).select("query_id", "vec_id")
+        counts.append(
+            ap.join(exact, ["query_id", "vec_id"])
+            .agg(F.count("*").alias("hits"))
+            .select(F.lit(p).alias("nprobe"), "hits")
+        )
+    cur = counts[0]
+    for c in counts[1:]:
+        cur = cur.unionByName(c)
+    n = exact.select("query_id").distinct().count()
+    floor = F.when(F.col("nprobe") == 1, 0.3).otherwise(
+        F.when(F.col("nprobe") < 4, 0.4).otherwise(0.6)
+    )
+    w = Window.orderBy("nprobe")
+    return (
+        cur.withColumn("recall", F.col("hits") / (3.0 * n))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            (F.col("recall") >= floor).alias("recall_ok"),
+            (
+                F.col("hits") >= F.coalesce(F.lag("hits").over(w), F.lit(0))
+            ).alias("monotone_ok"),
+        )
+        .orderBy("nprobe")
+    )

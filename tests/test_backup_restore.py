@@ -1160,3 +1160,34 @@ def test_guardian_datasource_writer_byte_parity(spark, records, tmp_path):
         "overwrite"
     ).save(fast)
     assert read_all(fast) == want
+
+
+def test_guardian_datasource_writer_file_uri_scheme(spark, records, tmp_path):
+    """The writer's pyarrow-FS branch (scheme:// destinations): writing to a
+    file:// URI produces the same bytes as the bare-path write — staging,
+    rename-commit, and cleanup all through FileSystem.from_uri, the exact
+    code path an object-store URI takes."""
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        register_guardian_datasource,
+    )
+
+    register_guardian_datasource(spark)
+    recs = records.withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    ref = str(tmp_path / "ref")
+    write_guardian_format(recs, ref, ChronoUnitSlice("HOURS"))
+
+    uri_dir = tmp_path / "uri"
+    uri_dir.mkdir()
+    recs.repartition(4).write.format("guardian").option(
+        "chronoUnitSlice", "hours"
+    ).mode("append").save(f"file://{uri_dir}")
+
+    want = {f: open(os.path.join(ref, f), "rb").read() for f in sorted(os.listdir(ref))}
+    got = {f: open(os.path.join(str(uri_dir), f), "rb").read()
+           for f in sorted(os.listdir(str(uri_dir)))}
+    assert got == want
+    # staging dir cleaned up
+    assert not [f for f in os.listdir(str(uri_dir)) if f.startswith("_guardian_staging")]
