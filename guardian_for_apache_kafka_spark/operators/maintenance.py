@@ -542,6 +542,12 @@ def archive_manifest(spark: SparkSession, dest: str) -> "DataFrame":
     from guardian_for_apache_kafka_spark.operators.restore import list_backup_keys
 
     keys = list_backup_keys(dest, spark)
+    if not keys:
+        # empty archive: an empty manifest, not a reader error — verify/diff
+        # then classify every expected slice as missing, which is the truth
+        return spark.createDataFrame(
+            [], "slice string, n_records long, checksum long"
+        )
     paths = [os.path.join(dest, physical_name(k)) for k in keys]
     raw = spark.read.text(paths, wholetext=True)
     basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
@@ -615,12 +621,15 @@ def verify_archive(
         stem = re.sub(r"\.json(\.gz)?$", "", k)
         t = key_to_datetime(k).astimezone(_dt.timezone.utc)
         canon[stem] = t.strftime("%Y-%m-%dT%H:%M:%SZ")
-    lookup = F.create_map(
-        *[F.lit(x) for pair in canon.items() for x in pair]
-    )
-    actual = archive_manifest(spark, dest).withColumn(
-        "slice", lookup[F.col("slice")]
-    )
+    if canon:
+        lookup = F.create_map(
+            *[F.lit(x) for pair in canon.items() for x in pair]
+        )[F.col("slice")]
+    else:
+        # empty archive: no keys to canonicalize (map() has VOID value type
+        # and cannot be indexed) — every expected slice will be unmatched
+        lookup = F.lit(None).cast("string")
+    actual = archive_manifest(spark, dest).withColumn("slice", lookup)
     return (
         expected.join(actual, "slice", "full_outer")
         .select(

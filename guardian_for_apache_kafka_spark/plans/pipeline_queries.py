@@ -5086,3 +5086,83 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+@query(
+    "s13_retrieval_ndcg",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < 15
+    ),
+    scored AS (
+      SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+             {_duck_cosine('c.embedding', 'q.qv')} AS cosine
+      FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= 5),
+    ideal AS (
+      SELECT query_id, rel, rnk,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, rnk) AS ipos
+      FROM top
+    )
+    SELECT query_id,
+           CAST(sum(rel) AS BIGINT) AS n_relevant,
+           round(coalesce(
+             sum(rel / log2(rnk + 1.0))
+               / nullif(sum(rel / log2(ipos + 1.0)), 0), 0), 4) AS ndcg
+    FROM ideal GROUP BY query_id ORDER BY query_id
+    """,
+    tags=("similarity", "ranking", "evaluation"),
+)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality as nDCG@5 — the ranking-metric member of the
+    similarity family (s2/s11/s12 attest recall; this grades ORDER): for
+    each query vector, exact cosine top-5, binary relevance = label match,
+    DCG discounted by log2(rank+1), normalized by the ideal ordering of
+    the same gains (computed as a second in-query window — no closed-form
+    shortcut, so ties and zero-relevance queries are handled exactly;
+    R = 0 pins ndcg to 0). EXACT oracle — DuckDB replays scoring, ranking,
+    and both discount sums bit-compatibly (left-fold dot product, 4dp
+    rounding) — unlike the bounded-assertion ANN entries, every per-query
+    metric value is hash-attested."""
+    from guardian_for_apache_kafka_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), "embedding", F.col("label").alias("qlabel")
+    )
+    top = cosine_topk(e, q.select("query_id", "embedding"), k=5).join(
+        e.select(F.col("vec_id").alias("vec_id"), "label"), "vec_id"
+    ).join(q.select("query_id", "qlabel"), "query_id").select(
+        "query_id",
+        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+        "rnk",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "rnk")
+    ideal = top.withColumn("ipos", F.row_number().over(w))
+    return (
+        ideal.groupBy("query_id")
+        .agg(
+            F.sum("rel").cast("long").alias("n_relevant"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("rel") / F.log2(F.col("rnk") + 1.0))
+                    / F.nullif(
+                        F.sum(F.col("rel") / F.log2(F.col("ipos") + 1.0)), F.lit(0)
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

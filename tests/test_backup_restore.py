@@ -1191,3 +1191,29 @@ def test_guardian_datasource_writer_file_uri_scheme(spark, records, tmp_path):
     assert got == want
     # staging dir cleaned up
     assert not [f for f in os.listdir(str(uri_dir)) if f.startswith("_guardian_staging")]
+
+
+def test_archive_manifest_empty_archive(spark, records, tmp_path):
+    """An empty archive yields an empty manifest (not a reader error), and
+    verify/diff against it classify every slice as unverified / missing."""
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.maintenance import (
+        archive_diff,
+        archive_manifest,
+        verify_archive,
+    )
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    assert archive_manifest(spark, empty).count() == 0
+
+    recs = records.withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    ver = verify_archive(spark, empty, recs, ChronoUnitSlice("HOURS")).collect()
+    assert ver and all(not r.verified for r in ver)
+
+    full = str(tmp_path / "full")
+    write_guardian_format(recs, full, ChronoUnitSlice("HOURS"))
+    d = archive_diff(spark, full, empty).collect()
+    assert d and all(r.status == "missing_b" for r in d)
