@@ -1389,3 +1389,51 @@ def test_stream_ab_rollup_equals_q107(spark, tmp_path):
     spark.read.parquet(dest).write.mode("append").parquet(dest)
     again = ab_rollup(spark, dest).collect()
     assert [r.asDict() for r in again] == [r.asDict() for r in want]
+
+
+def test_stream_manifest_restart_no_double_count(spark, tmp_path):
+    """stream_manifest restart discipline: stop after the first wave, restart
+    a NEW query on the SAME checkpoint as more records arrive — the rolled-up
+    manifest equals the single-pass expected manifest (no slice double-counted
+    across the restart, none lost)."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators.maintenance import (
+        record_checksum_col,
+    )
+    from guardian_for_apache_kafka_spark.core.timeslice import slice_col
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        manifest_rollup,
+        records_file_stream,
+        stream_manifest,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    records = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src, mdir, ckpt = (str(tmp_path / p) for p in ("in", "manifest", "ckpt"))
+    first = records.where(F.col("offset") < 200)
+    second = records.where(F.col("offset") >= 200)
+    first.write.parquet(src)
+    q1 = stream_manifest(records_file_stream(spark, src), mdir, ckpt)
+    q1.awaitTermination(120)
+    second.write.mode("append").parquet(src)
+    q2 = stream_manifest(records_file_stream(spark, src), mdir, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        r.slice: (r.n_records, r.checksum)
+        for r in manifest_rollup(spark, mdir).collect()
+    }
+    expected = {
+        r.slice: (r.n, r.ck)
+        for r in records.withColumn(
+            "__s", slice_col(F.col("timestamp"), ChronoUnitSlice("HOURS"))
+        )
+        .withColumn("__ck", record_checksum_col())
+        .groupBy(F.date_format("__s", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("slice"))
+        .agg(F.count("*").alias("n"), F.sum("__ck").alias("ck"))
+        .collect()
+    }
+    assert got == expected and len(got) > 1
