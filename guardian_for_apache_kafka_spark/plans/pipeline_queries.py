@@ -5166,3 +5166,113 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "t27_source_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source AS s, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    stats AS (SELECT s, t, count(*) AS c FROM tok GROUP BY 1, 2),
+    srcs AS (SELECT DISTINCT s FROM stats),
+    pairs AS (
+      SELECT a.s AS sa, b.s AS sb FROM srcs a JOIN srcs b ON a.s < b.s
+    ),
+    ja AS (
+      SELECT p.sa, p.sb, st.t, st.c AS ca
+      FROM pairs p JOIN stats st ON st.s = p.sa
+    ),
+    jb AS (
+      SELECT p.sa, p.sb, st.t, st.c AS cb
+      FROM pairs p JOIN stats st ON st.s = p.sb
+    ),
+    u AS (
+      SELECT coalesce(ja.sa, jb.sa) AS sa, coalesce(ja.sb, jb.sb) AS sb,
+             coalesce(ja.t, jb.t) AS t,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM ja FULL OUTER JOIN jb
+        ON ja.sa = jb.sa AND ja.sb = jb.sb AND ja.t = jb.t
+    ),
+    norm AS (
+      SELECT sa, sb, t, ca, cb,
+             sum(ca) OVER w AS na, sum(cb) OVER w AS nb,
+             count(*) OVER w AS v
+      FROM u WINDOW w AS (PARTITION BY sa, sb)
+    ),
+    probs AS (
+      SELECT sa, sb, CAST(v AS BIGINT) AS v,
+             (ca + 0.5) / (na + 0.5 * v) AS p,
+             (cb + 0.5) / (nb + 0.5 * v) AS q
+      FROM norm
+    )
+    SELECT sa AS source_a, sb AS source_b, max(v) AS v_union,
+           round(sum(p * ln(p / q)), 4) AS kl_ab,
+           round(sum(q * ln(q / p)), 4) AS kl_ba
+    FROM probs GROUP BY sa, sb ORDER BY sa, sb
+    """,
+    tags=("text", "drift", "kl-divergence"),
+)
+def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary drift as pairwise KL divergence (both
+    directions) between Laplace-smoothed unigram distributions — the
+    corpus-composition diagnostic behind mixture decisions (a source whose
+    distribution diverges hard from the rest dilutes transfer; near-zero
+    divergence means redundant sources). Contract: the model for a pair is
+    smoothed over THAT PAIR's observed union vocabulary (+0.5 per type) —
+    self-contained and replayed exactly by the oracle. Everything happens
+    on the vocabulary-sized stats table: one corpus scan, then joins and
+    windows over (sources x vocab) rows; the pair list is |sources|^2 and
+    broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = (
+        d.select(F.col("source").alias("s"), F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("s", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    srcs = stats.select("s").distinct()
+    pairs = (
+        srcs.select(F.col("s").alias("sa"))
+        .join(srcs.select(F.col("s").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    ja = F.broadcast(pairs).join(
+        stats.select(F.col("s").alias("sa"), "t", F.col("c").alias("ca")), "sa"
+    )
+    jb = F.broadcast(pairs).join(
+        stats.select(F.col("s").alias("sb"), "t", F.col("c").alias("cb")), "sb"
+    )
+    u = ja.join(jb, ["sa", "sb", "t"], "full_outer").select(
+        "sa",
+        "sb",
+        "t",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.partitionBy("sa", "sb")
+    norm = u.select(
+        "sa",
+        "sb",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("na"),
+        F.sum("cb").over(w).alias("nb"),
+        F.count("*").over(w).alias("v"),
+    )
+    p = (F.col("ca") + 0.5) / (F.col("na") + 0.5 * F.col("v"))
+    q = (F.col("cb") + 0.5) / (F.col("nb") + 0.5 * F.col("v"))
+    return (
+        norm.select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("v").cast("long").alias("v"),
+            (p * F.log(p / q)).alias("__ab"),
+            (q * F.log(q / p)).alias("__ba"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max("v").alias("v_union"),
+            F.round(F.sum("__ab"), 4).alias("kl_ab"),
+            F.round(F.sum("__ba"), 4).alias("kl_ba"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -5142,3 +5142,98 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@query(
+    "q109_psi_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                  THEN 'base' ELSE 'current' END AS period,
+             least(CAST(floor("value" / 100.0) AS BIGINT), 9) AS bin
+      FROM events
+    ),
+    cnt AS (
+      SELECT period, bin, count(*) AS n FROM binned GROUP BY 1, 2
+    ),
+    tot AS (SELECT period, sum(n) AS t FROM cnt GROUP BY 1),
+    props AS (
+      SELECT b.bin,
+             max(CASE WHEN c.period = 'base'
+                 THEN (c.n + 0.5) / (t.t + 5.0) END) AS p,
+             max(CASE WHEN c.period = 'current'
+                 THEN (c.n + 0.5) / (t.t + 5.0) END) AS q
+      FROM (SELECT DISTINCT bin FROM cnt) b
+      LEFT JOIN cnt c ON c.bin = b.bin
+      JOIN tot t ON t.period = c.period
+      GROUP BY b.bin
+    ),
+    terms AS (
+      SELECT bin,
+             coalesce(p, 0.5 / 5.0 / 10000) AS p,
+             coalesce(q, 0.5 / 5.0 / 10000) AS q
+      FROM props
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           round(p, 6) AS p_base, round(q, 6) AS p_current,
+           round((q - p) * ln(q / p), 6) AS psi_term,
+           round(sum((q - p) * ln(q / p)) OVER (), 4) AS psi_total
+    FROM terms ORDER BY bin
+    """,
+    tags=("relational", "drift", "monitoring"),
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report — the standard ML-ops check
+    that a feature's distribution hasn't shifted between a baseline window
+    and now: value binned into fixed $100 buckets (capped at bin 9 so the
+    bin set is schema-stable), additive smoothing (+0.5 per bin over +5
+    total — Laplace over the 10-bin domain) so an empty bin contributes a
+    finite term instead of log(0), PSI = sum (q-p) ln(q/p). One scan, two
+    tiny aggregates, the total as a window over 10 rows; rule of thumb
+    PSI > 0.2 = investigate. Smoothing constants are part of the declared
+    contract (the oracle replays them exactly)."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), "base"
+        )
+        .otherwise("current")
+        .alias("period"),
+        F.least(F.floor(F.col("value") / 100.0), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+    )
+    cnt = binned.groupBy("period", "bin").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("period").agg(F.sum("n").alias("t"))
+    props = (
+        cnt.join(tot, "period")
+        .groupBy("bin")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("period") == "base",
+                    (F.col("n") + 0.5) / (F.col("t") + 5.0),
+                )
+            ).alias("p"),
+            F.max(
+                F.when(
+                    F.col("period") == "current",
+                    (F.col("n") + 0.5) / (F.col("t") + 5.0),
+                )
+            ).alias("q"),
+        )
+    )
+    floor_p = 0.5 / 5.0 / 10000
+    terms = props.select(
+        "bin",
+        F.coalesce("p", F.lit(floor_p)).alias("p"),
+        F.coalesce("q", F.lit(floor_p)).alias("q"),
+    )
+    psi = (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))
+    return terms.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.round("p", 6).alias("p_base"),
+        F.round("q", 6).alias("p_current"),
+        F.round(psi, 6).alias("psi_term"),
+        F.round(F.sum(psi).over(Window.partitionBy()), 4).alias("psi_total"),
+    ).orderBy("bin")
