@@ -472,3 +472,48 @@ def ab_chisquare_readout(u: "DataFrame") -> "DataFrame":
         F.round(chi2, 4).alias("chi2"),
         (chi2 > 3.841458820694124).alias("significant"),
     )
+
+
+def psi_report(cnt: "DataFrame", n_bins: int = 10) -> "DataFrame":
+    """Population-stability-index report from per-(period, bin) counts
+    (period in {'base', 'current'}): Laplace smoothing (+0.5 per bin over
+    +0.5*n_bins total) so empty bins contribute finite terms, per-bin PSI
+    terms and the windowed total. Shared by the q109 batch query and the
+    streaming drift monitor (streaming/pipeline.stream_psi_activity +
+    psi_rollup) so the two surfaces cannot drift formula-by-formula."""
+    tot = cnt.groupBy("period").agg(F.sum("n").alias("t"))
+    half_bins = 0.5 * n_bins
+    props = (
+        cnt.join(tot, "period")
+        .groupBy("bin")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("period") == "base",
+                    (F.col("n") + 0.5) / (F.col("t") + half_bins),
+                )
+            ).alias("p"),
+            F.max(
+                F.when(
+                    F.col("period") == "current",
+                    (F.col("n") + 0.5) / (F.col("t") + half_bins),
+                )
+            ).alias("q"),
+        )
+    )
+    floor_p = 0.5 / half_bins / 10000
+    terms = props.select(
+        "bin",
+        F.coalesce("p", F.lit(floor_p)).alias("p"),
+        F.coalesce("q", F.lit(floor_p)).alias("q"),
+    )
+    psi = (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))
+    from pyspark.sql import Window as _W
+
+    return terms.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.round("p", 6).alias("p_base"),
+        F.round("q", 6).alias("p_current"),
+        F.round(psi, 6).alias("psi_term"),
+        F.round(F.sum(psi).over(_W.partitionBy()), 4).alias("psi_total"),
+    ).orderBy("bin")

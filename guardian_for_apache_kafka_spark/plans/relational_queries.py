@@ -5191,7 +5191,11 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite term instead of log(0), PSI = sum (q-p) ln(q/p). One scan, two
     tiny aggregates, the total as a window over 10 rows; rule of thumb
     PSI > 0.2 = investigate. Smoothing constants are part of the declared
-    contract (the oracle replays them exactly)."""
+    contract (the oracle replays them exactly). The report itself lives in
+    functions.columns.psi_report, shared with the streaming drift monitor
+    so the two surfaces cannot drift formula-by-formula."""
+    from guardian_for_apache_kafka_spark.functions.columns import psi_report
+
     ev = load_table(spark, sf_dir, "events")
     binned = ev.select(
         F.when(
@@ -5204,36 +5208,4 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
     )
     cnt = binned.groupBy("period", "bin").agg(F.count("*").alias("n"))
-    tot = cnt.groupBy("period").agg(F.sum("n").alias("t"))
-    props = (
-        cnt.join(tot, "period")
-        .groupBy("bin")
-        .agg(
-            F.max(
-                F.when(
-                    F.col("period") == "base",
-                    (F.col("n") + 0.5) / (F.col("t") + 5.0),
-                )
-            ).alias("p"),
-            F.max(
-                F.when(
-                    F.col("period") == "current",
-                    (F.col("n") + 0.5) / (F.col("t") + 5.0),
-                )
-            ).alias("q"),
-        )
-    )
-    floor_p = 0.5 / 5.0 / 10000
-    terms = props.select(
-        "bin",
-        F.coalesce("p", F.lit(floor_p)).alias("p"),
-        F.coalesce("q", F.lit(floor_p)).alias("q"),
-    )
-    psi = (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))
-    return terms.select(
-        F.col("bin").cast("int").alias("bin"),
-        F.round("p", 6).alias("p_base"),
-        F.round("q", 6).alias("p_current"),
-        F.round(psi, 6).alias("psi_term"),
-        F.round(F.sum(psi).over(Window.partitionBy()), 4).alias("psi_total"),
-    ).orderBy("bin")
+    return psi_report(cnt)

@@ -918,3 +918,68 @@ def ab_rollup(spark: SparkSession, evidence_dir: str) -> DataFrame:
         .withColumn("variant", (F.col("user_id") % 2).cast("int"))
     )
     return ab_chisquare_readout(u)
+
+
+def psi_bin_col(value_col: str = "value", width: float = 100.0, n_bins: int = 10):
+    """The q109 binning contract: fixed-width buckets capped at the last
+    bin, shared by the batch report and the streaming monitor."""
+    return (
+        F.least(F.floor(F.col(value_col) / F.lit(width)), F.lit(n_bins - 1))
+        .cast("long")
+        .alias("bin")
+    )
+
+
+def stream_psi_activity(
+    events: DataFrame,
+    dest: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the q109 PSI drift report: accumulate the CURRENT
+    period's per-bin counts incrementally via idempotent ``foreachBatch``
+    appends (one row per (batch_id, bin) — counts are sum-mergeable, and
+    the rollup dedups on batch_id so crash-replayed batches cannot
+    double-count, the stream_manifest design); ``psi_rollup`` joins the
+    accumulated counts against a static baseline and emits the exact q109
+    report via the shared formula. Accumulator size: bins x batches rows."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(psi_bin_col())
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(dest)
+        )
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def psi_rollup(spark: SparkSession, counts_dir: str, baseline: DataFrame) -> DataFrame:
+    """PSI report from the accumulated streaming counts vs a static
+    baseline frame (same schema the batch query bins from). Identical
+    output contract to q109 — shared formula,
+    functions.columns.psi_report."""
+    from guardian_for_apache_kafka_spark.functions.columns import psi_report
+
+    cur = (
+        spark.read.parquet(counts_dir)
+        .dropDuplicates(["batch_id", "bin"])
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("period", F.lit("current"))
+    )
+    base = (
+        baseline.select(psi_bin_col())
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .withColumn("period", F.lit("base"))
+    )
+    return psi_report(base.unionByName(cur))

@@ -1437,3 +1437,46 @@ def test_stream_manifest_restart_no_double_count(spark, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 1
+
+
+def test_stream_psi_rollup_equals_q109(spark, tmp_path):
+    """PSI monitor: streaming-accumulated current-period bin counts vs the
+    static baseline equals the q109 batch report row-for-row (shared
+    formula + shared binning), across micro-batches and under a replayed
+    evidence append."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        psi_rollup,
+        stream_psi_activity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    base = ev.where(F.col("ts") < cut)
+    current = ev.where(F.col("ts") >= cut)
+
+    src = str(tmp_path / "in")
+    ordered = current.orderBy("ts", "event_id")
+    n = current.count()
+    first = ordered.limit(n // 2)
+    first.coalesce(1).write.parquet(src)
+    ordered.subtract(first).coalesce(1).write.mode("append").parquet(src)
+
+    dest, ckpt = str(tmp_path / "counts"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = stream_psi_activity(stream, dest, ckpt)
+    q.awaitTermination(120)
+
+    got = [r.asDict() for r in psi_rollup(spark, dest, base).collect()]
+    want = [
+        r.asDict()
+        for r in all_queries()["q109_psi_drift"](spark, sf).collect()
+    ]
+    assert got == want and len(got) > 1
+
+    spark.read.parquet(dest).write.mode("append").parquet(dest)  # replay
+    again = [r.asDict() for r in psi_rollup(spark, dest, base).collect()]
+    assert again == want
