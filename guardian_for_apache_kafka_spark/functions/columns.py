@@ -445,10 +445,14 @@ def ab_chisquare_readout(u: "DataFrame") -> "DataFrame":
     cells = u.groupBy("variant", "conv").agg(F.count("*").alias("n"))
     tot = cells.agg(
         F.sum("n").alias("total"),
-        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("r0"),
-        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("r1"),
-        F.sum(F.when(F.col("conv") == 0, F.col("n"))).alias("c0"),
-        F.sum(F.when(F.col("conv") == 1, F.col("n"))).alias("c1"),
+        # .otherwise(0): an all-one-variant (or all-one-outcome) sample must
+        # degrade to explicit zeros / significant=false, not a NULL row that
+        # downstream alerting silently skips (streaming monitors hit this
+        # in their first micro-batches)
+        F.sum(F.when(F.col("variant") == 0, F.col("n")).otherwise(0)).alias("r0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n")).otherwise(0)).alias("r1"),
+        F.sum(F.when(F.col("conv") == 0, F.col("n")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("conv") == 1, F.col("n")).otherwise(0)).alias("c1"),
         F.sum(
             F.when((F.col("variant") == 0) & (F.col("conv") == 1), F.col("n")).otherwise(0)
         ).alias("a1"),
@@ -460,17 +464,23 @@ def ab_chisquare_readout(u: "DataFrame") -> "DataFrame":
         F.col("a1") * (F.col("r1") - F.col("b1")) * F.lit(1.0)
         - F.col("b1") * (F.col("r0") - F.col("a1"))
     )
-    chi2 = (
-        F.col("total") * F.pow(det, 2)
-        / (F.col("r0") * F.col("r1") * F.col("c0") * F.col("c1"))
+    # denominator promoted to DOUBLE before multiplying: four ~1e5 marginals
+    # overflow BIGINT (~9.2e18) silently under non-ANSI long arithmetic
+    den = (
+        F.col("r0") * F.lit(1.0) * F.col("r1") * F.col("c0") * F.col("c1")
     )
+    chi2 = F.when(den > 0, F.col("total") * F.pow(det, 2) / den)
     return tot.select(
         F.col("r0").cast("long").alias("n_control"),
         F.col("r1").cast("long").alias("n_treatment"),
-        F.round(F.col("a1") * 1.0 / F.col("r0"), 4).alias("conv_rate_control"),
-        F.round(F.col("b1") * 1.0 / F.col("r1"), 4).alias("conv_rate_treatment"),
+        F.round(F.try_divide(F.col("a1") * 1.0, F.col("r0")), 4).alias(
+            "conv_rate_control"
+        ),
+        F.round(F.try_divide(F.col("b1") * 1.0, F.col("r1")), 4).alias(
+            "conv_rate_treatment"
+        ),
         F.round(chi2, 4).alias("chi2"),
-        (chi2 > 3.841458820694124).alias("significant"),
+        F.coalesce(chi2 > 3.841458820694124, F.lit(False)).alias("significant"),
     )
 
 
@@ -483,29 +493,22 @@ def psi_report(cnt: "DataFrame", n_bins: int = 10) -> "DataFrame":
     psi_rollup) so the two surfaces cannot drift formula-by-formula."""
     tot = cnt.groupBy("period").agg(F.sum("n").alias("t"))
     half_bins = 0.5 * n_bins
-    props = (
-        cnt.join(tot, "period")
-        .groupBy("bin")
-        .agg(
-            F.max(
-                F.when(
-                    F.col("period") == "base",
-                    (F.col("n") + 0.5) / (F.col("t") + half_bins),
-                )
-            ).alias("p"),
-            F.max(
-                F.when(
-                    F.col("period") == "current",
-                    (F.col("n") + 0.5) / (F.col("t") + half_bins),
-                )
-            ).alias("q"),
-        )
-    )
-    floor_p = 0.5 / half_bins / 10000
-    terms = props.select(
+    # TRUE Laplace for bins absent from one period: the missing count is 0,
+    # so its smoothed mass is 0.5/(t + 0.5*n_bins) — sample-size-aware (a
+    # fixed floor both skews terms and breaks sum-to-~1; review r6 finding).
+    # Build the full bins x periods grid first, then smooth.
+    grid = cnt.select("bin").distinct().crossJoin(tot)
+    smoothed = grid.join(cnt, ["period", "bin"], "left").select(
+        "period",
         "bin",
-        F.coalesce("p", F.lit(floor_p)).alias("p"),
-        F.coalesce("q", F.lit(floor_p)).alias("q"),
+        (
+            (F.coalesce(F.col("n"), F.lit(0)) + 0.5)
+            / (F.col("t") + F.lit(half_bins))
+        ).alias("prob"),
+    )
+    terms = smoothed.groupBy("bin").agg(
+        F.max(F.when(F.col("period") == "base", F.col("prob"))).alias("p"),
+        F.max(F.when(F.col("period") == "current", F.col("prob"))).alias("q"),
     )
     psi = (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))
     from pyspark.sql import Window as _W

@@ -196,6 +196,14 @@ def ancestor_closure(
         reach = reach.unionByName(composed).distinct().localCheckpoint()
         n = reach.count()
         if n == n_prev:
+            # a CYCLE also reaches a fixed point (its closure is finite) —
+            # but only a cycle can make a node its own proper ancestor, so
+            # detect it explicitly instead of returning self-ancestor rows
+            # that would double-count in rollups (review r6 finding)
+            if not reach.where(F.col("node") == F.col("anc")).isEmpty():
+                raise ValueError(
+                    "cycle detected: node(s) reachable from themselves"
+                )
             return reach
         n_prev = n
-    raise ValueError(f"closure did not converge in {max_iter} rounds (cycle?)")
+    raise ValueError(f"closure did not converge in {max_iter} rounds")

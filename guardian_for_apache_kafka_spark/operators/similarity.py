@@ -562,8 +562,6 @@ def knn_graph(
     only within probed lists, so the pair count is sum over lists of
     |list| * |probers| — bucketed, never the all-pairs square. Returns
     (query_id, vec_id, cosine, rnk <= k)."""
-    from guardian_for_apache_kafka_spark.operators.similarity import ivf_topk
-
     q = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col))
     return ivf_topk(
         corpus, q, k=k, nlist=nlist, nprobe=nprobe,

@@ -5016,7 +5016,8 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             max(CASE WHEN event_type = 'purchase' AND "value" > 150
+                 THEN 1 ELSE 0 END) AS conv
       FROM events GROUP BY user_id
     ),
     cells AS (
@@ -5033,13 +5034,17 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells
     )
     SELECT CAST(r0 AS BIGINT) AS n_control, CAST(r1 AS BIGINT) AS n_treatment,
-           round(a1 * 1.0 / r0, 4) AS conv_rate_control,
-           round(b1 * 1.0 / r1, 4) AS conv_rate_treatment,
-           round(total
-                 * power(a1 * (r1 - b1) * 1.0 - b1 * (r0 - a1), 2)
-                 / (r0 * r1 * c0 * c1), 4) AS chi2,
-           (total * power(a1 * (r1 - b1) * 1.0 - b1 * (r0 - a1), 2)
-                 / (r0 * r1 * c0 * c1)) > 3.841458820694124 AS significant
+           round(CASE WHEN r0 > 0 THEN a1 * 1.0 / r0 END, 4)
+             AS conv_rate_control,
+           round(CASE WHEN r1 > 0 THEN b1 * 1.0 / r1 END, 4)
+             AS conv_rate_treatment,
+           round(CASE WHEN r0 * 1.0 * r1 * c0 * c1 > 0
+                 THEN total * power(a1 * (r1 - b1) * 1.0 - b1 * (r0 - a1), 2)
+                      / (r0 * 1.0 * r1 * c0 * c1) END, 4) AS chi2,
+           coalesce(CASE WHEN r0 * 1.0 * r1 * c0 * c1 > 0
+                 THEN total * power(a1 * (r1 - b1) * 1.0 - b1 * (r0 - a1), 2)
+                      / (r0 * 1.0 * r1 * c0 * c1) END
+                 > 3.841458820694124, false) AS significant
     FROM tot
     """,
     tags=("relational", "statistics", "hypothesis-test"),
@@ -5049,9 +5054,15 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     hypothesis-testing member of the statistics family (q23 moments, q42
     correlation, q97 concentration): users split into deterministic
     variants (user_id parity = the hash-bucket assignment of a real
-    experiment framework), conversion = any purchase, and the 2x2 chi-square
+    experiment framework), conversion = any HIGH-VALUE purchase (> $150, ~5% of this fixture's exponential values —
+    "any purchase" is degenerate here, every user has one, and a margin of
+    zero never exercises the statistic), and the 2x2 chi-square
     uses the closed form N(ad-bc)^2/(r0 r1 c0 c1) on exact BIGINT cell
-    counts, so both engines compute the identical statistic. Verdict
+    counts (denominator promoted to DOUBLE — four ~1e5 marginals overflow
+    int64), so both engines compute the identical statistic. A degenerate
+    table (an empty margin, e.g. nobody unconverted) pins chi2 NULL and
+    significant FALSE instead of a NULL verdict downstream alerting would
+    silently skip. Verdict
     compares against the df=1, alpha=0.05 critical value (3.8415) — the
     p-value-free form every SQL engine can evaluate. Two aggregates total:
     per-user conversion flags, then four cells. The readout lives in
@@ -5064,7 +5075,10 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
         ).alias("conv")
     ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
     return ab_chisquare_readout(u)
@@ -5157,22 +5171,21 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT period, bin, count(*) AS n FROM binned GROUP BY 1, 2
     ),
     tot AS (SELECT period, sum(n) AS t FROM cnt GROUP BY 1),
-    props AS (
-      SELECT b.bin,
-             max(CASE WHEN c.period = 'base'
-                 THEN (c.n + 0.5) / (t.t + 5.0) END) AS p,
-             max(CASE WHEN c.period = 'current'
-                 THEN (c.n + 0.5) / (t.t + 5.0) END) AS q
-      FROM (SELECT DISTINCT bin FROM cnt) b
-      LEFT JOIN cnt c ON c.bin = b.bin
-      JOIN tot t ON t.period = c.period
-      GROUP BY b.bin
+    grid AS (
+      SELECT b.bin, t.period, t.t
+      FROM (SELECT DISTINCT bin FROM cnt) b CROSS JOIN tot t
+    ),
+    smoothed AS (
+      SELECT g.period, g.bin,
+             (coalesce(c.n, 0) + 0.5) / (g.t + 5.0) AS prob
+      FROM grid g LEFT JOIN cnt c
+        ON c.bin = g.bin AND c.period = g.period
     ),
     terms AS (
       SELECT bin,
-             coalesce(p, 0.5 / 5.0 / 10000) AS p,
-             coalesce(q, 0.5 / 5.0 / 10000) AS q
-      FROM props
+             max(CASE WHEN period = 'base' THEN prob END) AS p,
+             max(CASE WHEN period = 'current' THEN prob END) AS q
+      FROM smoothed GROUP BY bin
     )
     SELECT CAST(bin AS INT) AS bin,
            round(p, 6) AS p_base, round(q, 6) AS p_current,

@@ -164,7 +164,7 @@ class GuardianDataSource(DataSource):
         return GuardianStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> "GuardianWriter":
-        return GuardianWriter(self.options, overwrite)
+        return GuardianWriter(self.options, overwrite, schema)
 
 
 def register_guardian_datasource(spark) -> None:
@@ -355,10 +355,27 @@ class GuardianWriter(DataSourceWriter):
     foreachPartition bulk path in operators/backup.py streams slices
     without any driver bytes."""
 
-    def __init__(self, options, overwrite: bool):
+    RECORD_FIELDS = (
+        "topic", "partition", "offset", "key", "value", "timestamp",
+        "timestamp_type",
+    )
+
+    def __init__(self, options, overwrite: bool, schema: StructType):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("guardian datasource requires a path")
+        # resolve field positions BY NAME from the caller's schema — rows
+        # arrive positionally in the caller's column order, and key/value
+        # are both binary, so positional assumptions would swap them
+        # SILENTLY on a reordered select (review r6 finding)
+        names = [f.name for f in schema.fields]
+        missing = [f for f in self.RECORD_FIELDS if f not in names]
+        if missing:
+            raise ValueError(
+                f"guardian writer needs record columns {self.RECORD_FIELDS}; "
+                f"missing from input schema: {missing}"
+            )
+        self.idx = {f: names.index(f) for f in self.RECORD_FIELDS}
         unit = (options.get("chronounitslice") or "HOURS").upper()
         if unit not in _CHRONO_SECONDS:
             raise ValueError(f"unsupported chronoUnitSlice: {unit}")
@@ -381,9 +398,10 @@ class GuardianWriter(DataSourceWriter):
         from guardian_for_apache_kafka_spark.operators.backup import physical_name
 
         write_bytes, *_ = _fs_ops(self.path)
+        ix = self.idx
         buckets: dict = {}
         for row in iterator:
-            ts = row[5]
+            ts = row[ix["timestamp"]]
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=_dt.timezone.utc)
             # integer-exact epoch millis: float timestamp() is exact on the
@@ -391,17 +409,17 @@ class GuardianWriter(DataSourceWriter):
             ms = int(ts.timestamp()) * 1000 + ts.microsecond // 1000
             start_s = (ms // 1000 // self.period_s) * self.period_s
             start = _dt.datetime.fromtimestamp(start_s, _dt.timezone.utc)
-            key = row[3]
-            val = row[4]
+            key = row[ix["key"]]
+            val = row[ix["value"]]
             buckets.setdefault(start, []).append(
                 (
-                    row[0],
-                    row[1],
-                    row[2],
+                    row[ix["topic"]],
+                    row[ix["partition"]],
+                    row[ix["offset"]],
                     None if key is None else base64.b64encode(bytes(key)).decode(),
                     base64.b64encode(bytes(val)).decode(),
                     ms,
-                    row[6],
+                    row[ix["timestamp_type"]],
                 )
             )
         tid = uuid.uuid4().hex[:12]
@@ -443,17 +461,30 @@ class GuardianWriter(DataSourceWriter):
         return buf.getvalue()
 
     def commit(self, messages) -> None:
-        from guardian_for_apache_kafka_spark.operators.backup import physical_name
+        from guardian_for_apache_kafka_spark.operators.backup import (
+            _ensure_dest_dir,
+            physical_name,
+        )
         from guardian_for_apache_kafka_spark.operators.restore import list_backup_keys
 
         write_bytes, read_bytes, move, delete, rmdir = _fs_ops(self.path)
+        # an empty write to a fresh destination must commit an empty archive,
+        # not crash listing a directory no task created (review r6 finding)
+        _ensure_dest_dir(self.path)
+        # list through the same scheme normalization _fs_ops applies —
+        # pyarrow does not know s3a:///gs:// aliases (review r6 finding)
+        list_path = self.path
+        if "://" in list_path:
+            scheme, rest = list_path.split("://", 1)
+            scheme = {"s3a": "s3", "s3n": "s3", "gs": "gcs"}.get(scheme, scheme)
+            list_path = f"{scheme}://{rest}"
         by_key: dict = {}
         for m in messages:
             if m is None:
                 continue
             for slice_key, rel in m.parts:
                 by_key.setdefault(slice_key, []).append(rel)
-        existing = set(list_backup_keys(self.path))
+        existing = set(list_backup_keys(list_path))
         if self.overwrite:
             for k in existing:
                 delete(physical_name(k))

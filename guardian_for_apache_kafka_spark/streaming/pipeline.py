@@ -888,7 +888,11 @@ def stream_ab_activity(
             batch_df.groupBy("user_id")
             .agg(
                 F.max(
-                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("value") > 150),
+                        1,
+                    ).otherwise(0)
                 ).alias("conv")
             )
             .write.mode("append")

@@ -1217,3 +1217,46 @@ def test_archive_manifest_empty_archive(spark, records, tmp_path):
     write_guardian_format(recs, full, ChronoUnitSlice("HOURS"))
     d = archive_diff(spark, full, empty).collect()
     assert d and all(r.status == "missing_b" for r in d)
+
+
+def test_guardian_datasource_writer_schema_order_and_empty(spark, records, tmp_path):
+    """Review-r6 regressions: (1) a column-REORDERED input writes the same
+    archive as the canonical order (fields resolved by name, never by
+    position — key/value are both binary and would swap silently), (2) an
+    empty write to a fresh destination commits an empty archive instead of
+    crashing the listing, (3) a missing record column fails loudly at plan
+    time with the offending names."""
+    from guardian_for_apache_kafka_spark.core.model import RECORD_SCHEMA
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        register_guardian_datasource,
+    )
+
+    register_guardian_datasource(spark)
+    recs = records.withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    ref = str(tmp_path / "ref")
+    write_guardian_format(recs, ref, ChronoUnitSlice("HOURS"))
+
+    shuffled = recs.select(
+        "value", "timestamp_type", "topic", "offset", "key", "timestamp", "partition"
+    )
+    dest = str(tmp_path / "reordered")
+    shuffled.write.format("guardian").option("chronoUnitSlice", "hours").mode(
+        "append"
+    ).save(dest)
+    want = {f: open(os.path.join(ref, f), "rb").read() for f in sorted(os.listdir(ref))}
+    got = {f: open(os.path.join(dest, f), "rb").read() for f in sorted(os.listdir(dest))}
+    assert got == want
+
+    empty_dest = str(tmp_path / "fresh" / "empty")  # parent doesn't exist either
+    spark.createDataFrame([], RECORD_SCHEMA).write.format("guardian").mode(
+        "append"
+    ).save(empty_dest)
+    assert os.path.isdir(empty_dest) and os.listdir(empty_dest) == []
+
+    with pytest.raises(Exception, match="missing from input schema"):
+        recs.drop("key").write.format("guardian").mode("append").save(
+            str(tmp_path / "nope")
+        )

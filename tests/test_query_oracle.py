@@ -1185,3 +1185,17 @@ def test_zorder_value_n_matches_2d_and_interleaves_3d(spark):
 
     with _pytest.raises(ValueError):
         zorder_value_n(["x", "y", "z", "z"], bits=16)
+
+
+def test_ancestor_closure_raises_on_cycle(spark):
+    """A cyclic edge set must raise, not silently return self-ancestor rows
+    that double-count in subtree rollups (review r6)."""
+    import pytest
+
+    from guardian_for_apache_kafka_spark.operators.hierarchy import ancestor_closure
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 0)], "node long, parent long"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        ancestor_closure(edges).collect()
