@@ -5222,3 +5222,104 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = binned.groupBy("period", "bin").agg(F.count("*").alias("n"))
     return psi_report(cnt)
+
+
+@query(
+    "q110_retention_halflife",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS active_week
+      FROM events
+    ),
+    curve AS (
+      SELECT f.cohort_week,
+             datediff('week', f.cohort_week, a.active_week) AS week_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM activity a JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT cohort_week, week_offset, n_active,
+             max(CASE WHEN week_offset = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_week) AS cohort_size
+      FROM curve
+    ),
+    fit AS (
+      SELECT cohort_week, CAST(max(cohort_size) AS BIGINT) AS cohort_size,
+             CAST(count(*) AS BIGINT) AS n_points,
+             regr_slope(ln(n_active * 1.0 / cohort_size), week_offset)
+               AS slope
+      FROM sized WHERE week_offset >= 1
+      GROUP BY cohort_week HAVING count(*) >= 2
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, cohort_size, n_points,
+           round(slope, 4) AS decay_slope,
+           round(CASE WHEN slope < 0 THEN -ln(2) / slope END, 2)
+             AS half_life_weeks
+    FROM fit ORDER BY cohort_week
+    """,
+    tags=("relational", "retention", "regression"),
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention HALF-LIFE per cohort: fit ln(retention) ~ week_offset by
+    least squares over q51's retention curve (offsets >= 1 — week 0 is the
+    anchor, retention 1 by definition) and convert the decay slope to a
+    half-life, -ln(2)/slope — the single number a growth team tracks where
+    q51 gives the full matrix. regr_slope on exact counts; cohorts with
+    fewer than 2 curve points can't be fit and are excluded (attested by
+    the oracle's HAVING); a non-decaying cohort (slope >= 0) reports NULL
+    half-life rather than a negative one. Everything past the q51 rollup is
+    cohort-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.to_date("ts")).cast("date")
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
+    curve = (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.datediff(
+                F.date_trunc("week", "active_week"),
+                F.date_trunc("week", "cohort_week"),
+            ).alias("__days"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            "cohort_week",
+            (F.col("__days") / 7).cast("long").alias("week_offset"),
+            "n_active",
+        )
+    )
+    sized = curve.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(
+            Window.partitionBy("cohort_week")
+        ),
+    )
+    fit = (
+        sized.where(F.col("week_offset") >= 1)
+        .groupBy("cohort_week")
+        .agg(
+            F.max("cohort_size").cast("long").alias("cohort_size"),
+            F.count("*").cast("long").alias("n_points"),
+            F.regr_slope(
+                F.log(F.col("n_active") * 1.0 / F.col("cohort_size")),
+                F.col("week_offset").cast("double"),
+            ).alias("slope"),
+        )
+        .where(F.col("n_points") >= 2)
+    )
+    return fit.select(
+        "cohort_week",
+        "cohort_size",
+        "n_points",
+        F.round("slope", 4).alias("decay_slope"),
+        F.round(
+            F.when(F.col("slope") < 0, -F.lit(float(__import__("math").log(2))) / F.col("slope")),
+            2,
+        ).alias("half_life_weeks"),
+    ).orderBy("cohort_week")
