@@ -5323,3 +5323,90 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("half_life_weeks"),
     ).orderBy("cohort_week")
+
+
+@query(
+    "q111_ipf_raking",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS i, c_mktsegment AS j, count(*) * 1.0 AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    tgt AS (
+      SELECT sum(n) / count(DISTINCT i) AS r,
+             sum(n) / count(DISTINCT j) AS c
+      FROM cells
+    ),
+    r1 AS (
+      SELECT i, j, n, r, c,
+             n * (r / sum(n) OVER (PARTITION BY i)) / n AS w
+      FROM cells, tgt
+    ),
+    c1 AS (
+      SELECT i, j, n, r, c,
+             w * (c / sum(w * n) OVER (PARTITION BY j)) AS w
+      FROM r1
+    ),
+    r2 AS (
+      SELECT i, j, n, r, c,
+             w * (r / sum(w * n) OVER (PARTITION BY i)) AS w
+      FROM c1
+    ),
+    c2 AS (
+      SELECT i, j, n, r, c,
+             w * (c / sum(w * n) OVER (PARTITION BY j)) AS w
+      FROM r2
+    ),
+    r3 AS (
+      SELECT i, j, n, r, c,
+             w * (r / sum(w * n) OVER (PARTITION BY i)) AS w
+      FROM c2
+    ),
+    c3 AS (
+      SELECT i, j, n, r, c,
+             w * (c / sum(w * n) OVER (PARTITION BY j)) AS w
+      FROM r3
+    )
+    SELECT CAST(i AS BIGINT) AS nation, j AS segment,
+           CAST(n AS BIGINT) AS n,
+           round(w, 6) AS weight, round(w * n, 2) AS fitted
+    FROM c3 ORDER BY nation, segment
+    """,
+    tags=("relational", "iterative", "raking", "weighting"),
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) — the survey-weighting /
+    post-stratification standard: fit per-cell weights over the
+    (nation x segment) contingency table so BOTH marginals match uniform
+    targets, by alternately rescaling rows and columns (3 rounds; IPF's
+    geometric convergence makes that plenty at this table's skew). The
+    iterative-family member where the state is a WEIGHT per cell rather
+    than a rank (q59) or a pointer (q47); every round is two window sums
+    over the CELL table — contingency-table-sized, never the fact table,
+    so at 100 TB only the first groupBy touches raw data. The oracle
+    unrolls all six rescalings exactly."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("i"), F.col("c_mktsegment").alias("j")
+    ).agg((F.count("*") * 1.0).alias("n"))
+    tgt = cells.agg(
+        (F.sum("n") / F.count_distinct("i")).alias("r"),
+        (F.sum("n") / F.count_distinct("j")).alias("c"),
+    )
+    cur = cells.crossJoin(F.broadcast(tgt)).withColumn("w", F.lit(1.0))
+    wi = Window.partitionBy("i")
+    wj = Window.partitionBy("j")
+    for _ in range(3):
+        cur = cur.withColumn(
+            "w", F.col("w") * (F.col("r") / F.sum(F.col("w") * F.col("n")).over(wi))
+        )
+        cur = cur.withColumn(
+            "w", F.col("w") * (F.col("c") / F.sum(F.col("w") * F.col("n")).over(wj))
+        )
+    return cur.select(
+        F.col("i").cast("long").alias("nation"),
+        F.col("j").alias("segment"),
+        F.col("n").cast("long").alias("n"),
+        F.round("w", 6).alias("weight"),
+        F.round(F.col("w") * F.col("n"), 2).alias("fitted"),
+    ).orderBy("nation", "segment")
