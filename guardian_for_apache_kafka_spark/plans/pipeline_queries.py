@@ -5276,3 +5276,71 @@ def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "t28_token_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (SELECT t, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    stats AS (
+      SELECT t,
+             count(*) AS n_present,
+             sum(c) AS total,
+             sum(c * c) AS sq,
+             max(n.n_docs) AS n_docs
+      FROM tf, n GROUP BY t
+    )
+    SELECT t AS token, CAST(total AS BIGINT) AS total,
+           CAST(n_present AS BIGINT) AS n_docs_present,
+           round((sq * 1.0 / n_docs
+                  - power(total * 1.0 / n_docs, 2))
+                 / (total * 1.0 / n_docs), 4) AS fano
+    FROM stats WHERE total >= 50
+    ORDER BY fano DESC, token LIMIT 50
+    """,
+    tags=("text", "burstiness", "spam"),
+)
+def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness as the Fano factor (variance/mean of per-document
+    counts, zeros included): a token uniformly sprinkled across the corpus
+    has Fano ~1 (Poisson); one concentrated in a few documents — spam
+    campaigns, boilerplate blocks, template IDs — has Fano >> 1. The
+    spam-campaign detector that frequency alone misses (a token can be
+    globally rare but pathologically bursty). Moments over ALL docs come
+    from present-doc sums plus the corpus size scalar (absent docs
+    contribute zero to sum and sum-of-squares), so the zero-inflated
+    variance costs nothing extra; one vocabulary-keyed aggregate, top-50 by
+    Fano over tokens with >= 50 occurrences."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    n = d.agg(F.count("*").alias("n_docs"))
+    stats = (
+        tf.groupBy("t")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.sum("c").alias("total"),
+            F.sum(F.col("c") * F.col("c")).alias("sq"),
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    mean = F.col("total") * 1.0 / F.col("n_docs")
+    var = F.col("sq") * 1.0 / F.col("n_docs") - F.pow(mean, 2)
+    return (
+        stats.where(F.col("total") >= 50)
+        .select(
+            F.col("t").alias("token"),
+            F.col("total").cast("long").alias("total"),
+            F.col("n_present").cast("long").alias("n_docs_present"),
+            F.round(var / mean, 4).alias("fano"),
+        )
+        .orderBy(F.desc("fano"), "token")
+        .limit(50)
+    )

@@ -5410,3 +5410,56 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w", 6).alias("weight"),
         F.round(F.col("w") * F.col("n"), 2).alias("fitted"),
     ).orderBy("nation", "segment")
+
+
+@query(
+    "q112_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor("value" * 100) AS BIGINT) AS VARCHAR), 1, 1)
+             AS INT) AS digit
+      FROM events WHERE "value" >= 0.01
+    ),
+    obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS t FROM obs)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / t, 4) AS observed_p,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS benford_p,
+           round(power(n * 1.0 / t - ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+                 / (ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS gof_term
+    FROM obs, tot ORDER BY digit
+    """,
+    tags=("relational", "data-quality", "benford"),
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic data-quality classic:
+    natural multi-scale amounts follow P(d) = log10(1 + 1/d); fabricated or
+    truncated feeds don't. First digits come from the integer-cents string
+    (floor(value*100), so sub-dollar amounts keep their leading digit and
+    the digit extraction is exact in both engines); per digit: observed vs
+    Benford share and the chi-square goodness-of-fit term. One scan, one
+    9-row aggregate. This fixture's exponential values WON'T be Benford-
+    perfect — the point of the report is the deviation, not a verdict."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.where(F.col("value") >= 0.01).select(
+        F.substring(
+            F.floor(F.col("value") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    p = F.col("n") * 1.0 / F.col("t")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(p, 4).alias("observed_p"),
+            F.round(benford, 4).alias("benford_p"),
+            F.round(F.pow(p - benford, 2) / benford, 6).alias("gof_term"),
+        )
+        .orderBy("digit")
+    )
