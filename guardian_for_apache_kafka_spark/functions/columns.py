@@ -460,9 +460,11 @@ def ab_chisquare_readout(u: "DataFrame") -> "DataFrame":
             F.when((F.col("variant") == 1) & (F.col("conv") == 1), F.col("n")).otherwise(0)
         ).alias("b1"),
     )
+    # both det factors promoted to DOUBLE BEFORE the multiply: two ~3e9
+    # cells make a1*(r1-b1) overflow int64 long before the denominator does
     det = (
-        F.col("a1") * (F.col("r1") - F.col("b1")) * F.lit(1.0)
-        - F.col("b1") * (F.col("r0") - F.col("a1"))
+        F.col("a1") * F.lit(1.0) * (F.col("r1") - F.col("b1"))
+        - F.col("b1") * F.lit(1.0) * (F.col("r0") - F.col("a1"))
     )
     # denominator promoted to DOUBLE before multiplying: four ~1e5 marginals
     # overflow BIGINT (~9.2e18) silently under non-ANSI long arithmetic
@@ -497,7 +499,21 @@ def psi_report(cnt: "DataFrame", n_bins: int = 10) -> "DataFrame":
     # so its smoothed mass is 0.5/(t + 0.5*n_bins) — sample-size-aware (a
     # fixed floor both skews terms and breaks sum-to-~1; review r6 finding).
     # Build the full bins x periods grid first, then smooth.
-    grid = cnt.select("bin").distinct().crossJoin(tot)
+    # the period axis of the grid is the LITERAL {base, current} pair, not
+    # the periods present in the data: a stream that has seen no current
+    # rows yet must smooth current to the uniform 0.5/(0 + half_bins) mass
+    # per bin and emit a finite PSI, not NULLs alerting silently skips
+    # (review r6 finding)
+    spark_session = cnt.sparkSession
+    periods = spark_session.createDataFrame(
+        [("base",), ("current",)], "period string"
+    )
+    grid = (
+        cnt.select("bin").distinct()
+        .crossJoin(periods)
+        .join(tot, "period", "left")
+        .withColumn("t", F.coalesce(F.col("t"), F.lit(0)))
+    )
     smoothed = grid.join(cnt, ["period", "bin"], "left").select(
         "period",
         "bin",

@@ -5025,10 +5025,10 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (
       SELECT sum(n) AS total,
-             sum(CASE WHEN variant = 0 THEN n END) AS r0,
-             sum(CASE WHEN variant = 1 THEN n END) AS r1,
-             sum(CASE WHEN conv = 0 THEN n END) AS c0,
-             sum(CASE WHEN conv = 1 THEN n END) AS c1,
+             sum(CASE WHEN variant = 0 THEN n ELSE 0 END) AS r0,
+             sum(CASE WHEN variant = 1 THEN n ELSE 0 END) AS r1,
+             sum(CASE WHEN conv = 0 THEN n ELSE 0 END) AS c0,
+             sum(CASE WHEN conv = 1 THEN n ELSE 0 END) AS c1,
              sum(CASE WHEN variant = 0 AND conv = 1 THEN n ELSE 0 END) AS a1,
              sum(CASE WHEN variant = 1 AND conv = 1 THEN n ELSE 0 END) AS b1
       FROM cells
@@ -5172,8 +5172,10 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT period, sum(n) AS t FROM cnt GROUP BY 1),
     grid AS (
-      SELECT b.bin, t.period, t.t
-      FROM (SELECT DISTINCT bin FROM cnt) b CROSS JOIN tot t
+      SELECT b.bin, p.period, coalesce(t.t, 0) AS t
+      FROM (SELECT DISTINCT bin FROM cnt) b
+      CROSS JOIN (VALUES ('base'), ('current')) p(period)
+      LEFT JOIN tot t ON t.period = p.period
     ),
     smoothed AS (
       SELECT g.period, g.bin,
@@ -5282,17 +5284,12 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity.join(F.broadcast(firsts), "user_id")
         .groupBy(
             "cohort_week",
-            F.datediff(
-                F.date_trunc("week", "active_week"),
-                F.date_trunc("week", "cohort_week"),
-            ).alias("__days"),
+            # active_week / cohort_week are already week-truncated dates
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
-        .select(
-            "cohort_week",
-            (F.col("__days") / 7).cast("long").alias("week_offset"),
-            "n_active",
-        )
     )
     sized = curve.withColumn(
         "cohort_size",
@@ -5319,7 +5316,7 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points",
         F.round("slope", 4).alias("decay_slope"),
         F.round(
-            F.when(F.col("slope") < 0, -F.lit(float(__import__("math").log(2))) / F.col("slope")),
+            F.when(F.col("slope") < 0, -F.log(F.lit(2.0)) / F.col("slope")),
             2,
         ).alias("half_life_weeks"),
     ).orderBy("cohort_week")

@@ -355,10 +355,9 @@ class GuardianWriter(DataSourceWriter):
     foreachPartition bulk path in operators/backup.py streams slices
     without any driver bytes."""
 
-    RECORD_FIELDS = (
-        "topic", "partition", "offset", "key", "value", "timestamp",
-        "timestamp_type",
-    )
+    #: derived from the canonical record schema — a field added or renamed
+    #: there cannot silently drift from the writer's validation list
+    RECORD_FIELDS = tuple(f.name for f in RECORD_SCHEMA.fields)
 
     def __init__(self, options, overwrite: bool, schema: StructType):
         self.path = options.get("path")
@@ -471,20 +470,16 @@ class GuardianWriter(DataSourceWriter):
         # an empty write to a fresh destination must commit an empty archive,
         # not crash listing a directory no task created (review r6 finding)
         _ensure_dest_dir(self.path)
-        # list through the same scheme normalization _fs_ops applies —
-        # pyarrow does not know s3a:///gs:// aliases (review r6 finding)
-        list_path = self.path
-        if "://" in list_path:
-            scheme, rest = list_path.split("://", 1)
-            scheme = {"s3a": "s3", "s3n": "s3", "gs": "gcs"}.get(scheme, scheme)
-            list_path = f"{scheme}://{rest}"
+
         by_key: dict = {}
         for m in messages:
             if m is None:
                 continue
             for slice_key, rel in m.parts:
                 by_key.setdefault(slice_key, []).append(rel)
-        existing = set(list_backup_keys(list_path))
+        # scheme aliases (s3a/gs) are normalized inside the sessionless
+        # list_backup_keys path itself, so every DataSource caller benefits
+        existing = set(list_backup_keys(self.path))
         if self.overwrite:
             for k in existing:
                 delete(physical_name(k))
