@@ -499,17 +499,19 @@ def psi_report(cnt: "DataFrame", n_bins: int = 10) -> "DataFrame":
     # so its smoothed mass is 0.5/(t + 0.5*n_bins) — sample-size-aware (a
     # fixed floor both skews terms and breaks sum-to-~1; review r6 finding).
     # Build the full bins x periods grid first, then smooth.
-    # the period axis of the grid is the LITERAL {base, current} pair, not
-    # the periods present in the data: a stream that has seen no current
-    # rows yet must smooth current to the uniform 0.5/(0 + half_bins) mass
-    # per bin and emit a finite PSI, not NULLs alerting silently skips
-    # (review r6 finding)
+    # BOTH grid axes are literals: periods = {base, current} (a stream that
+    # has seen no current rows must smooth to the uniform mass and emit a
+    # finite PSI, not NULLs alerting silently skips) and bins = the static
+    # [0, n_bins) domain the binning contract clamps into (deriving bins
+    # from cnt would duplicate the fact-scan lineage — plan-asserted).
+    # Never-seen bins get p == q and a zero term; the report is always
+    # n_bins rows.
     spark_session = cnt.sparkSession
     periods = spark_session.createDataFrame(
         [("base",), ("current",)], "period string"
     )
     grid = (
-        cnt.select("bin").distinct()
+        spark_session.range(n_bins).select(F.col("id").alias("bin"))
         .crossJoin(periods)
         .join(tot, "period", "left")
         .withColumn("t", F.coalesce(F.col("t"), F.lit(0)))

@@ -5164,7 +5164,7 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH binned AS (
       SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
                   THEN 'base' ELSE 'current' END AS period,
-             least(CAST(floor("value" / 100.0) AS BIGINT), 9) AS bin
+             greatest(least(CAST(floor("value" / 100.0) AS BIGINT), 9), 0) AS bin
       FROM events
     ),
     cnt AS (
@@ -5173,7 +5173,7 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT period, sum(n) AS t FROM cnt GROUP BY 1),
     grid AS (
       SELECT b.bin, p.period, coalesce(t.t, 0) AS t
-      FROM (SELECT DISTINCT bin FROM cnt) b
+      FROM (SELECT CAST(g AS BIGINT) AS bin FROM generate_series(0, 9) s(g)) b
       CROSS JOIN (VALUES ('base'), ('current')) p(period)
       LEFT JOIN tot t ON t.period = p.period
     ),
@@ -5218,7 +5218,7 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("current")
         .alias("period"),
-        F.least(F.floor(F.col("value") / 100.0), F.lit(9))
+        F.greatest(F.least(F.floor(F.col("value") / 100.0), F.lit(9)), F.lit(0))
         .cast("long")
         .alias("bin"),
     )

@@ -928,7 +928,10 @@ def psi_bin_col(value_col: str = "value", width: float = 100.0, n_bins: int = 10
     """The q109 binning contract: fixed-width buckets capped at the last
     bin, shared by the batch report and the streaming monitor."""
     return (
-        F.least(F.floor(F.col(value_col) / F.lit(width)), F.lit(n_bins - 1))
+        F.greatest(
+            F.least(F.floor(F.col(value_col) / F.lit(width)), F.lit(n_bins - 1)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("bin")
     )

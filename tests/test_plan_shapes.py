@@ -1066,3 +1066,59 @@ def test_d29_cdc_fold_single_hash_shuffle(plans):
         r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
     ):
         assert "chunk#" not in m.group(1), m.group(1)
+
+
+def test_q109_psi_single_scan(plans):
+    """PSI drift: ONE events scan; everything after the per-(period, bin)
+    aggregate is bins-sized."""
+    plan = plans("q109_psi_drift")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+
+
+def test_q111_ipf_windows_on_cell_table_only(plans):
+    """IPF raking: the six rescaling windows must all run over the
+    contingency-table aggregate — one customer scan, and every window
+    input carries cell rows (i, j, n, w), never customer columns."""
+    import re
+
+    plan = plans("q111_ipf_raking")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        assert "c_acctbal#" not in m.group(1) and "c_name#" not in m.group(1)
+
+
+def test_q112_benford_one_tiny_aggregate(plans):
+    """Benford audit: one scan, digits aggregate to <= 9 rows before any
+    further work; no join back to the fact table."""
+    plan = plans("q112_benford_audit")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+
+
+def test_t27_kl_runs_on_stats_table(plans):
+    """Source KL: pair list broadcasts; no exchange carries document text —
+    all divergence arithmetic happens on (source, token, count) rows."""
+    import re
+
+    plan = plans("t27_source_kl_divergence")
+    assert "BroadcastHashJoin" in plan, plan
+    for m in re.finditer(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    ):
+        assert "text#" not in m.group(1), m.group(1)
+
+
+def test_t28_burstiness_single_scan_no_doc_join(plans):
+    """Token burstiness: moments come from one exploded-scan aggregate plus
+    a scalar corpus size — no join back to documents, no window."""
+    plan = plans("t28_token_burstiness")
+    tree = plan.split("\n\n")[0]
+    # documents scanned twice is acceptable (count + tokens are separate
+    # aggregates on different projections); what must NOT happen is a
+    # token-stream x documents join or a corpus-wide window
+    assert "Window" not in tree, plan
+    assert "SortMergeJoin" not in tree, plan
