@@ -990,3 +990,37 @@ def psi_rollup(spark: SparkSession, counts_dir: str, baseline: DataFrame) -> Dat
         .withColumn("period", F.lit("base"))
     )
     return psi_report(base.unionByName(cur))
+
+
+def checkpoint_inventory(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Observability for the resume machinery (the engine's T8/T9
+    equivalent of the reference's commit log): parse a Structured Streaming
+    checkpoint's ``offsets/`` and ``commits/`` logs into one row per batch
+    — (batch_id, offset_logged, committed) — so an operator can see at a
+    glance whether the last planned batch committed (a planned-but-
+    uncommitted tail batch is exactly the one a restart will REPLAY; the
+    engine's sinks are idempotent under that replay by design, and this is
+    the report that shows it happening). Driver-side listing of two
+    metadata directories — batch-count-sized, like every checkpoint
+    operation Spark itself performs."""
+    import os
+
+    def batch_ids(sub: str) -> set[int]:
+        d = os.path.join(checkpoint, sub)
+        if not os.path.isdir(d):
+            return set()
+        out = set()
+        for name in os.listdir(d):
+            base = name.split(".", 1)[0]
+            if base.isdigit():
+                out.add(int(base))
+        return out
+
+    offsets = batch_ids("offsets")
+    commits = batch_ids("commits")
+    rows = [
+        (b, True, b in commits) for b in sorted(offsets | commits)
+    ]
+    return spark.createDataFrame(
+        rows, "batch_id long, offset_logged boolean, committed boolean"
+    )

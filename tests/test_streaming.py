@@ -1510,3 +1510,35 @@ def test_psi_rollup_with_no_current_rows_is_finite(spark, tmp_path):
     for r in rows:
         assert r.psi_term is not None and r.psi_total is not None
     assert rows[0].psi_total > 0  # drifted-by-absence IS drift
+
+
+def test_checkpoint_inventory_reports_committed_batches(spark, tmp_path):
+    """After a clean availableNow run, every planned batch is committed; the
+    inventory shows (offset_logged, committed) per batch and is empty for a
+    directory that is not a checkpoint."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        checkpoint_inventory,
+        records_file_stream,
+        stream_manifest,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    records = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src, mdir, ckpt = (str(tmp_path / p) for p in ("in", "m", "ckpt"))
+    half = records.where(F.col("offset") < 200)
+    half.coalesce(1).write.parquet(src)
+    records.subtract(half).coalesce(1).write.mode("append").parquet(src)
+    q = stream_manifest(
+        records_file_stream(spark, src, max_files_per_trigger=1), mdir, ckpt
+    )
+    q.awaitTermination(120)
+
+    inv = checkpoint_inventory(spark, ckpt).collect()
+    assert len(inv) >= 2  # maxFilesPerTrigger=1 over two files
+    assert all(r.offset_logged and r.committed for r in inv)
+    assert [r.batch_id for r in inv] == sorted(r.batch_id for r in inv)
+
+    assert checkpoint_inventory(spark, str(tmp_path / "nope")).count() == 0
