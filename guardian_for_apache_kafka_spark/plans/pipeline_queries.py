@@ -5344,3 +5344,124 @@ def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fano"), "token")
         .limit(50)
     )
+
+
+@query(
+    "d31_split_leakage_audit",
+    oracle="""
+    WITH RECURSIVE tk0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(tk) - 2),
+                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+      FROM tk0 WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS c
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (SELECT ia, ib FROM common WHERE c * 1.0 / (na + nb - c) >= 0.7),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    comp AS (SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5('guardian' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666665' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    train_comps AS (
+      SELECT DISTINCT c.component FROM comp c
+      JOIN base b ON c.node = b.doc_id WHERE b.split = 'train'
+    ),
+    labels AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id IN (
+                    SELECT node FROM comp
+                    WHERE component IN (SELECT component FROM train_comps))
+                  THEN 'train' ELSE b.split END AS split
+      FROM base b
+    ),
+    cross_pairs AS (
+      SELECT least(la.split, lb.split) AS split_a,
+             greatest(la.split, lb.split) AS split_b,
+             count(*) AS n_pairs
+      FROM pairs p
+      JOIN labels la ON la.doc_id = p.ia
+      JOIN labels lb ON lb.doc_id = p.ib
+      WHERE la.split <> lb.split
+      GROUP BY 1, 2
+    )
+    SELECT g.split_a, g.split_b,
+           CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CASE WHEN g.split_a = 'train' OR g.split_b = 'train'
+                THEN coalesce(c.n_pairs, 0) = 0 ELSE true END AS leak_free
+    FROM (VALUES ('test', 'train'), ('train', 'val'), ('test', 'val'))
+         g(split_a, split_b)
+    LEFT JOIN cross_pairs c
+      ON c.split_a = g.split_a AND c.split_b = g.split_b
+    ORDER BY g.split_a, g.split_b
+    """,
+    tags=("dedup", "split", "audit", "leakage"),
+)
+def d31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent leakage audit of p7's splits — trust but verify: rerun
+    the near-dup pair detection (d3's exact inverted-index Jaccard at the
+    split's own 0.7 threshold) AGAINST the assigned labels and count
+    cross-split pairs. The p7 guarantee is train-vs-eval disjointness by
+    construction; this query measures it (expected 0, attested per pair
+    class), and val-test pairs are reported without judgment (allowed by
+    the contract — moving them would leak information INTO train for no
+    benefit). The audit deliberately does not reuse p7's component
+    machinery: pairs come from the raw pair detector, so a bug in the
+    closure code cannot certify itself."""
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+    from guardian_for_apache_kafka_spark.operators.sampling import (
+        leakage_free_split_label,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = leakage_free_split_label(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.7).select("id_a", "id_b")
+    la = labels.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    lb = labels.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    crossed = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .where(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    grid = spark.createDataFrame(
+        [("test", "train"), ("train", "val"), ("test", "val")],
+        "split_a string, split_b string",
+    )
+    return (
+        grid.join(crossed, ["split_a", "split_b"], "left")
+        .select(
+            "split_a",
+            "split_b",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.when(
+                (F.col("split_a") == "train") | (F.col("split_b") == "train"),
+                F.coalesce("n_pairs", F.lit(0)) == 0,
+            )
+            .otherwise(F.lit(True))
+            .alias("leak_free"),
+        )
+        .orderBy("split_a", "split_b")
+    )
