@@ -5460,3 +5460,81 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "q113_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 300 SECOND AS e FROM events
+    ),
+    pts AS (
+      SELECT s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS delta FROM iv
+    ),
+    swept AS (
+      SELECT CAST(date_trunc('day', t) AS DATE) AS day, t,
+             sum(delta) OVER (ORDER BY t, delta DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS live
+      FROM pts
+    ),
+    daily AS (
+      SELECT day, max(live) AS peak FROM swept GROUP BY day
+    )
+    SELECT d.day, CAST(d.peak AS BIGINT) AS peak,
+           min(s.t) AS first_peak_at
+    FROM daily d JOIN swept s ON s.day = d.day AND s.live = d.peak
+    GROUP BY d.day, d.peak ORDER BY d.day
+    """,
+    tags=("relational", "sweep-line", "concurrency"),
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep line — the capacity-planning classic (max
+    simultaneous sessions/connections/jobs): every activity window
+    [ts, ts+5min) becomes a +1/-1 boundary point, a single running sum over
+    the time-ordered points is the live count, and the per-day max is the
+    peak (with its first occurrence). The self-join alternative
+    (intervals x intervals overlap count) is quadratic; the sweep is one
+    sort. Tie order (delta DESC at equal timestamps: starts before ends)
+    makes touching intervals count as overlapping — the inclusive
+    convention, pinned identically in the oracle.
+
+    Scale note: the running sum is a GLOBAL window by nature (concurrency
+    is a global property). At 100 TB, range-partition the points by time
+    and carry partition-boundary offsets (two passes); at this fixture the
+    single-partition sort over 2x|events| points is the honest plan and
+    AQE handles it."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("e"),
+    )
+    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.select(
+        F.date_trunc("day", "t").cast("date").alias("day"),
+        "t",
+        F.sum("delta").over(w).alias("live"),
+    )
+    daily = swept.groupBy("day").agg(F.max("live").alias("peak"))
+    return (
+        daily.join(
+            swept,
+            (swept.day == daily.day) & (swept.live == daily.peak),
+        )
+        .groupBy(daily.day, "peak")
+        .agg(F.min("t").alias("first_peak_at"))
+        .select(
+            daily.day.alias("day"),
+            F.col("peak").cast("long").alias("peak"),
+            "first_peak_at",
+        )
+        .orderBy("day")
+    )
