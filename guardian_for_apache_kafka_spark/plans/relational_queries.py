@@ -5538,3 +5538,80 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q114_clamped_balance",
+    oracle="""
+    WITH RECURSIVE flow AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN -CAST(round("value" * 100) AS BIGINT)
+                  ELSE CAST(round("value" * 100) AS BIGINT) END AS delta,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+      WHERE user_id < 10 AND event_type IN ('view', 'signup', 'purchase')
+    ),
+    walk AS (
+      SELECT user_id, event_id, ts, rn,
+             greatest(CAST(0 AS BIGINT), delta) AS bal
+      FROM flow WHERE rn = 1
+      UNION ALL
+      SELECT f.user_id, f.event_id, f.ts, f.rn,
+             greatest(CAST(0 AS BIGINT), w.bal + f.delta)
+      FROM walk w JOIN flow f
+        ON f.user_id = w.user_id AND f.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, round(bal / 100.0, 2) AS balance
+    FROM walk ORDER BY user_id, event_id
+    """,
+    tags=("relational", "sequential", "balance", "arrow"),
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance — credits accrue (view/signup), purchases
+    draw down, and the balance FLOORS at zero: b_i = max(0, b_{i-1} + x_i).
+    Unlike q64's reset-on-event balances (expressible as segmented
+    windows), the clamp feeds back into every subsequent step, so NO window
+    formulation exists — this is the engine's showcase for the
+    applyInPandas escape hatch: per-user Arrow batches, a sequential
+    integer-cents fold inside, nothing but (user) partitioning outside. The
+    oracle walks the identical recurrence with a recursive CTE row-by-row,
+    so the fold's clamp arithmetic is differentially attested. Integer
+    cents make every step exact in both engines."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 10)
+        & F.col("event_type").isin("view", "signup", "purchase")
+    )
+    flow = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            -F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.round(F.col("value") * 100).cast("long"))
+        .alias("delta"),
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        bal, out = 0, []
+        for d in pdf["delta"]:
+            bal = max(0, bal + int(d))
+            out.append(bal)
+        pdf = pdf[["user_id", "event_id"]].copy()
+        pdf["bal"] = out
+        return pdf
+
+    res = flow.groupBy("user_id").applyInPandas(
+        walk, "user_id long, event_id long, bal long"
+    )
+    return res.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("bal") / 100.0, 2).alias("balance"),
+    ).orderBy("user_id", "event_id")
