@@ -1260,3 +1260,27 @@ def test_guardian_datasource_writer_schema_order_and_empty(spark, records, tmp_p
         recs.drop("key").write.format("guardian").mode("append").save(
             str(tmp_path / "nope")
         )
+
+
+def test_guardian_datasource_writer_multipart_gzip_parity(spark, records, tmp_path):
+    """The merge path COMBINED with gzip framing: round-robin input makes
+    every slice span tasks, commit merge-sorts and then gzips — bytes must
+    still equal the bulk writer's (FNAME header included)."""
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        register_guardian_datasource,
+    )
+
+    register_guardian_datasource(spark)
+    recs = records.withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    ref = str(tmp_path / "refz")
+    write_guardian_format(recs, ref, ChronoUnitSlice("HOURS"), compression="gzip")
+    dest = str(tmp_path / "dz")
+    recs.repartition(8).write.format("guardian").option(
+        "chronoUnitSlice", "hours"
+    ).option("compression", "gzip").mode("append").save(dest)
+    want = {f: open(os.path.join(ref, f), "rb").read() for f in sorted(os.listdir(ref))}
+    got = {f: open(os.path.join(dest, f), "rb").read() for f in sorted(os.listdir(dest))}
+    assert got == want
