@@ -5465,3 +5465,97 @@ def d31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+@query(
+    "d32_minhash_calibration",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(tk) - 2),
+                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+      FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shl),
+    common AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, count(*) AS c
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    exact AS (
+      SELECT ia, ib, c * 1.0 / (na + nb - c) AS j
+      FROM common WHERE c * 1.0 / (na + nb - c) >= 0.3
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           true AS calibrated
+    FROM (
+      SELECT CASE WHEN j < 0.5 THEN '[0.3,0.5)'
+                  WHEN j < 0.7 THEN '[0.5,0.7)'
+                  ELSE '[0.7,1.0]' END AS band
+      FROM exact
+    ) GROUP BY band ORDER BY band
+    """,
+    tags=("dedup", "minhash", "calibration", "statistical-oracle"),
+)
+def d32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator CALIBRATION audit — is the 64-hash signature an
+    unbiased Jaccard estimator on THIS corpus? For every true pair at
+    Jaccard >= 0.3 (exact inverted-index ground truth, oracle-recomputed),
+    compare the signature estimate (matching positions / 64) against the
+    exact value, banded by exact Jaccard; each band must show mean absolute
+    error <= 0.08 (the 64-hash binomial std is <= 0.0625, so band means of
+    many pairs sit far inside — a seeding or banding bug blows straight
+    through). Band populations are exact and hash-attested; the calibration
+    verdict is the bounded assertion (signatures are numpy-side, not SQL-
+    replayable — the s2/s11 oracle pattern). Signatures and exact sets are
+    each computed ONCE; the estimate join carries ids + signatures."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        minhash_signature_udf,
+        tokens_col,
+    )
+    from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
+    from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, n=3, threshold=0.3).select(
+        "id_a", "id_b", F.col("jaccard").alias("j")
+    )
+    hashed = spread_narrow_scan(d).select(
+        F.col("doc_id").alias("__id"),
+        F.transform(tokens_col("text"), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    sig = hashed.select(
+        "__id", minhash_signature_udf(64, 3)("__th").alias("__sig")
+    ).where(F.col("__sig").isNotNull()).persist()
+    sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
+    sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
+    est = (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "j",
+            (
+                F.aggregate(
+                    F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / 64.0
+            ).alias("est"),
+        )
+    )
+    band = (
+        F.when(F.col("j") < 0.5, "[0.3,0.5)")
+        .when(F.col("j") < 0.7, "[0.5,0.7)")
+        .otherwise("[0.7,1.0]")
+    )
+    return (
+        est.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            (F.avg(F.abs(F.col("est") - F.col("j"))) <= 0.08).alias("calibrated"),
+        )
+        .orderBy("band")
+    )
