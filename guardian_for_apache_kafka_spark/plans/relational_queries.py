@@ -5615,3 +5615,73 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("bal") / 100.0, 2).alias("balance"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "q115_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS part, sum(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT part, r,
+             sum(r) OVER (ORDER BY r DESC, part
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(r) OVER () AS cum_share
+      FROM rev
+    ),
+    classed AS (
+      SELECT part, r,
+             CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END AS klass
+      FROM ranked
+    )
+    SELECT klass,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(r), 2) AS revenue,
+           round(sum(r) / (SELECT sum(r) FROM rev), 4) AS revenue_share
+    FROM classed GROUP BY klass ORDER BY klass
+    """,
+    tags=("relational", "pareto", "abc-analysis"),
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification — rank parts by revenue,
+    classify by CUMULATIVE share (A holds the first 80%, B to 95%, C the
+    tail): the 80/20 working-capital lens q97's Gini summarizes as one
+    number, materialized as the three bands planners actually act on.
+    The running share is a window over the PART-level aggregate
+    (|parts| rows, single-partition by nature — ordered cumulative shares
+    are global — and already thousands of times smaller than lineitem);
+    ties pinned by part key. Three rows out, each class's population and
+    exact revenue share."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    w_run = (
+        Window.orderBy(F.desc("r"), "part")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    classed = rev.select(
+        "r",
+        F.when(
+            F.sum("r").over(w_run) / F.sum("r").over(w_all) <= 0.8, "A"
+        )
+        .when(F.sum("r").over(w_run) / F.sum("r").over(w_all) <= 0.95, "B")
+        .otherwise("C")
+        .alias("klass"),
+    )
+    return (
+        classed.groupBy("klass")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(F.sum("r"), 2).alias("revenue"),
+            F.round(
+                F.sum("r") / F.sum(F.sum("r")).over(Window.partitionBy()), 4
+            ).alias("revenue_share"),
+        )
+        .orderBy("klass")
+    )
