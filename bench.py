@@ -15,6 +15,16 @@ run in the SAME process, interleaved per metric with the engine runs, and the
 line carries ``ratio_vs_stock`` per metric plus ``ratio_total``. Absolute
 seconds at this SF move ±30% with machine load; the same-moment ratio is the
 load-robust number to grade against the 2x budget (BASELINE.md's own warning).
+
+Output contract (round-7 fix, VERDICT r6 "What's missing" #2): the external
+driver captures only the LAST 2000 chars of stdout and json-parses the final
+line, so the r6 line (>2000 chars with 60+ metrics) arrived head-truncated
+(``BENCH_r06.json parsed: null``). Now the final stdout line is a COMPACT
+summary guaranteed to fit that window (precision auto-degrades 4->3->2
+decimals if needed), and the FULL result — per-metric stock timings and
+ratios included — is written to ``BENCH_RESULT.json`` next to this file.
+Spark's console progress bar is disabled so no carriage-return frames can
+land between the JSON line and EOF.
 """
 
 from __future__ import annotations
@@ -112,6 +122,39 @@ HEADLINE = {
 
 N_RUNS = 3
 
+# the driver's stdout tail capture is 2000 chars; leave headroom for the
+# trailing newline and any stray final log line
+_TAIL_BUDGET = 1900
+
+
+def emit_result(result: dict) -> None:
+    """Write the full result to BENCH_RESULT.json and print a compact line
+    guaranteed to fit the driver's 2000-char stdout tail window."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_RESULT.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+
+    compact = {k: v for k, v in result.items() if k not in ("stock_queries", "ratio_vs_stock")}
+    compact["full"] = "BENCH_RESULT.json"
+    for ndigits in (4, 3, 2):
+        compact["queries"] = {
+            k: (round(v, ndigits) if v > 0 else v) for k, v in result["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= _TAIL_BUDGET:
+            break
+    if len(line) > _TAIL_BUDGET:
+        # hard guarantee: shed per-query entries (slowest-first stay — they
+        # carry the signal) until the line fits; BENCH_RESULT.json keeps all
+        ordered = sorted(result["queries"], key=lambda k: -result["queries"][k])
+        while ordered and len(line) > _TAIL_BUDGET:
+            ordered.pop()
+            compact["queries"] = {k: round(result["queries"][k], 2) for k in sorted(ordered)}
+            compact["queries_omitted"] = len(result["queries"]) - len(ordered)
+            line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
+
 
 def full_sweep() -> None:
     """``bench.py --full``: ONE timed execution of EVERY registered query —
@@ -120,7 +163,9 @@ def full_sweep() -> None:
     Not run by the external driver (that contract is the headline line);
     run once per round and record the line in SCALE.md."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("guardian-bench-full")
+    spark = get_spark(
+        "guardian-bench-full", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
@@ -132,19 +177,22 @@ def full_sweep() -> None:
         except Exception as exc:
             print(f"bench --full: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
-    print(
-        json.dumps(
-            {
-                "metric": "full_registry_wall",
-                "value": round(time.perf_counter() - t_all, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "runs": 1,
-                "failed": sorted(k for k, v in timings.items() if v < 0),
-            }
-        )
-    )
+    result = {
+        "metric": "full_registry_wall",
+        "value": round(time.perf_counter() - t_all, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "runs": 1,
+        "failed": sorted(k for k, v in timings.items() if v < 0),
+    }
+    # the --full sweep is a builder-side regression net (not the driver
+    # contract), so a full-precision single line is fine; still mirror it to
+    # BENCH_RESULT_FULL.json for the record
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_RESULT_FULL.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps(result))
 
 
 def main() -> None:
@@ -155,7 +203,9 @@ def main() -> None:
     except ValueError:
         sf = sf_label
 
-    spark = get_spark("guardian-bench")
+    spark = get_spark(
+        "guardian-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
@@ -219,23 +269,21 @@ def main() -> None:
     comparable_stock = sum(stock[m] for m in ratios)
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": N_RUNS,
-                "stock_queries": stock,
-                "ratio_vs_stock": ratios,
-                "ratio_total": (
-                    round(comparable_engine / comparable_stock, 3) if comparable_stock else None
-                ),
-                "failed": sorted(k for k, v in timings.items() if v < 0),
-            }
-        )
+    emit_result(
+        {
+            "metric": "headline_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "runs": N_RUNS,
+            "stock_queries": stock,
+            "ratio_vs_stock": ratios,
+            "ratio_total": (
+                round(comparable_engine / comparable_stock, 3) if comparable_stock else None
+            ),
+            "failed": sorted(k for k, v in timings.items() if v < 0),
+        }
     )
 
 

@@ -5501,11 +5501,18 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes touching intervals count as overlapping — the inclusive
     convention, pinned identically in the oracle.
 
-    Scale note: the running sum is a GLOBAL window by nature (concurrency
-    is a global property). At 100 TB, range-partition the points by time
-    and carry partition-boundary offsets (two passes); at this fixture the
-    single-partition sort over 2x|events| points is the honest plan and
-    AQE handles it."""
+    Scale note (the two-pass sweep, round 7): the running sum is a GLOBAL
+    property, but it is NOT computed with a global window. The boundary
+    points are range-partitioned on the exact sweep order (t ASC, delta
+    DESC — ties never straddle a partition), each partition computes its
+    own running sum in parallel (window keyed by spark_partition_id), and
+    the global count is recovered by adding the exclusive prefix of
+    per-partition delta totals — a partition-count-sized table (the only
+    single-partition window runs over those ~n_parts rows) broadcast back
+    onto the stream. Identical output to the single-sort sweep, but the
+    widest sort is 1/n_parts of the corpus; at 1000 executors every pass
+    stays parallel. Plan pinned by
+    test_q113_sweep_is_partition_parallel."""
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         F.col("ts").alias("s"),
@@ -5514,14 +5521,33 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
     )
-    w = (
-        Window.orderBy(F.col("t"), F.col("delta").desc())
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # explicit numPartitions => AQE keeps the user-specified partitioning, so
+    # spark_partition_id() is stable between the two consumers below
+    ranged = pts.repartitionByRange(
+        n_parts, F.col("t").asc(), F.col("delta").desc()
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("t"), F.col("delta").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    swept = pts.select(
-        F.date_trunc("day", "t").cast("date").alias("day"),
-        "t",
-        F.sum("delta").over(w).alias("live"),
+    # exclusive prefix of per-partition totals: n_parts rows, the only
+    # single-partition window in the plan (domain-sized, like p10)
+    w_prefix = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.sum("delta").alias("part_tot"))
+        .select("pid", F.coalesce(F.sum("part_tot").over(w_prefix), F.lit(0)).alias("off"))
+    )
+    swept = (
+        ranged.withColumn("run", F.sum("delta").over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            F.date_trunc("day", "t").cast("date").alias("day"),
+            "t",
+            (F.col("run") + F.col("off")).alias("live"),
+        )
     )
     daily = swept.groupBy("day").agg(F.max("live").alias("peak"))
     return (

@@ -43,6 +43,10 @@ def main() -> None:
         f"# also set: _VERY_STALE_ROUND = {max(1, latest - 2)}  "
         f"(latest round {latest} - 2; guarantees no attestation ages past ~3 rounds)"
     )
+    print(
+        "# note: at most _VERY_STALE_SLOTS very-stale veterans get guaranteed head"
+        " slots per round; the rest queue just behind the never-attested pool."
+    )
 
 
 if __name__ == "__main__":

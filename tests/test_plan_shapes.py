@@ -1122,3 +1122,32 @@ def test_t28_burstiness_single_scan_no_doc_join(plans):
     # token-stream x documents join or a corpus-wide window
     assert "Window" not in tree, plan
     assert "SortMergeJoin" not in tree, plan
+
+
+def test_q113_sweep_is_partition_parallel(plans):
+    """The r6 verdict's one scale-killer, fixed: the concurrency sweep must
+    range-partition the boundary points and run its corpus-sized running-sum
+    window keyed by spark_partition_id — the ONLY SinglePartition exchange
+    allowed is the one feeding the n_parts-row prefix-offset window, i.e. its
+    direct child is already an aggregate (HashAggregate), never corpus data."""
+    import re
+
+    plan = plans("q113_peak_concurrency")
+    tree = plan.split("\n\n")[0]
+    # the two-pass structure is present
+    assert "rangepartitioning(t#" in plan, plan
+    assert "hashpartitioning(pid#" in plan, plan
+    # every SinglePartition exchange feeds off an aggregate, not the corpus
+    single_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", plan
+        )
+    }
+    assert single_ids, "expected exactly the prefix-offset SinglePartition exchange\n" + plan
+    for node_id in single_ids:
+        # find the tree line for this exchange and its direct child
+        lines = tree.splitlines()
+        idx = next(i for i, ln in enumerate(lines) if ln.rstrip().endswith(f"Exchange ({node_id})"))
+        child = lines[idx + 1]
+        assert "HashAggregate" in child, f"SinglePartition exchange ({node_id}) over non-aggregate input:\n{tree}"

@@ -20,6 +20,31 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert res.ok, res.detail
 
 
+def test_rotation_window_composition():
+    """The attestation rotation invariants (plans/__init__._reorder_registry):
+    at most _VERY_STALE_SLOTS guaranteed veteran slots, never-attested queries
+    fill the rest of the head window before any fresher veteran, and within
+    each tier registration order is preserved (stable sort)."""
+    from guardian_for_apache_kafka_spark import plans as p
+
+    head = list(p.REGISTRY)[:50]
+    n_never = sum(1 for n in p.REGISTRY if n not in p._LAST_ATTESTED)
+    head_never = [n for n in head if n not in p._LAST_ATTESTED]
+    head_vets = [n for n in head if n in p._LAST_ATTESTED]
+    # guaranteed veterans are capped
+    very_stale = [
+        n for n in head_vets if p._LAST_ATTESTED[n] <= p._VERY_STALE_ROUND
+    ]
+    assert len(very_stale) <= p._VERY_STALE_SLOTS
+    # never-attested backlog drains at >= 50 - cap per round
+    expected_never = min(n_never, 50 - len(very_stale))
+    assert len(head_never) == expected_never
+    # no fresher-than-very-stale veteran may occupy a head slot while
+    # never-attested queries wait outside the window
+    if n_never > len(head_never):
+        assert all(p._LAST_ATTESTED[n] <= p._VERY_STALE_ROUND for n in head_vets)
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
