@@ -172,8 +172,82 @@ def _assign_cluster_udf(cents: list[tuple[int, list[float]]]):
     return assign
 
 
+# closure-size gate for the literal centroid matrix: above this many doubles
+# (nlist * dim), assignment shards the centroid set across several
+# shard-sized Arrow UDFs and takes a second argmax over per-shard winners
+# (the fine-codebook path the _centroid_rows docstring promises). 2^21
+# doubles = 16 MiB per closure — far under Spark's task-size warnings while
+# letting e.g. nlist=4096 x dim=4096 codebooks run as 8 shards.
+_CENTROID_SHARD_ELEMS = 1 << 21
+
+
+def _shard_winner_udf(cents: list[tuple[int, list[float]]]):
+    """Arrow UDF returning this centroid SHARD's winner per row as
+    struct(cid, score): same normalized matmul as ``_assign_cluster_udf``,
+    plus the winning cosine so shard winners can be compared JVM-side."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("struct<cid: long, score: double>")
+    def win(vs: pd.Series) -> pd.DataFrame:
+        V = np.array(vs.tolist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Cn.T
+        j = S.argmax(axis=1)
+        return pd.DataFrame({"cid": cids[j], "score": S[np.arange(len(j)), j]})
+
+    return win
+
+
+def _assign_fn(
+    cents: list[tuple[int, list[float]]], shard_elems: int | None = None
+):
+    """Column-factory for argmax-cosine assignment against ``cents``
+    (sorted by cid). Below the closure gate: the single-matrix Arrow UDF.
+    Above it: the centroid set is split into gate-sized shards, each scored
+    by its own shard-closure UDF in the SAME projection (one ArrowEvalPython
+    pass over the corpus — no joins, no exchanges), and the global winner
+    is a JVM-side struct fold over the per-shard winners. Tie discipline is
+    preserved: within a shard argmax takes the FIRST max (smallest cid);
+    across shards strict ``>`` keeps the earlier (smaller-cid) shard."""
+    limit = shard_elems or _CENTROID_SHARD_ELEMS
+    dim = max(1, len(cents[0][1])) if cents else 1
+    per = max(1, limit // dim)
+    if len(cents) <= per:
+        udf = _assign_cluster_udf(cents)
+        return lambda vec: udf(vec)
+    shards = [cents[i : i + per] for i in range(0, len(cents), per)]
+    udfs = [_shard_winner_udf(s) for s in shards]
+
+    def assign(vec):
+        best = udfs[0](vec)
+        for u in udfs[1:]:
+            c = u(vec)
+            best = F.when(c["score"] > best["score"], c).otherwise(best)
+        return best["cid"]
+
+    return assign
+
+
+def auto_nlist(n_rows: int) -> int:
+    """Default IVF list count from corpus size: ~sqrt(n) (the classic IVF
+    sizing — per-list scan work and probe fan-out balance), clamped to
+    [8, 4096]. Deterministic in n, so oracle replays can pin it."""
+    return max(8, min(4096, int(n_rows**0.5)))
+
+
 def _centroid_rows(
-    corpus: DataFrame, nlist: int, id_col: str, vec_col: str, kmeans_iterations: int = 2
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str,
+    vec_col: str,
+    kmeans_iterations: int = 2,
+    shard_elems: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd schedule with driver-collected centroids: seed =
     per-position means of the id-mod-nlist groups, then ``kmeans_iterations``
@@ -185,9 +259,10 @@ def _centroid_rows(
     scalar-sized collect (the d7/anchor discipline), and what makes each
     Lloyd pass ONE corpus scan (numpy matmul per Arrow batch) feeding a
     partial-agg mean: no broadcast exchange, no crossJoin, no per-vector
-    window. The closure matrix is nlist x dim doubles — keep it MBs-small
-    (coarse clustering); for fine-grained codebooks shard the centroid set
-    and take a second argmax over the per-shard winners."""
+    window. The closure matrix is nlist x dim doubles; past the
+    ``_CENTROID_SHARD_ELEMS`` gate, ``_assign_fn`` shards the centroid set
+    and takes a second argmax over per-shard winners — same one-scan
+    shape, several shard-sized closures instead of one big one."""
 
     def mean_rows(assigned: DataFrame) -> dict[int, list[float]]:
         return {
@@ -203,7 +278,7 @@ def _centroid_rows(
     )
     cur = mean_rows(seed)
     for _ in range(kmeans_iterations):
-        assign = _assign_cluster_udf(sorted(cur.items()))
+        assign = _assign_fn(sorted(cur.items()), shard_elems)
         assigned = corpus.select(
             assign(F.col(vec_col)).alias("cid"), F.col(vec_col)
         )
@@ -215,12 +290,17 @@ def _centroid_rows(
 
 
 def _centroids(
-    corpus: DataFrame, nlist: int, id_col: str, vec_col: str, kmeans_iterations: int = 2
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str,
+    vec_col: str,
+    kmeans_iterations: int = 2,
+    shard_elems: int | None = None,
 ) -> DataFrame:
     """Coarse centroids as a (cid, centroid) frame — the broadcast-join side
     for IVF probing. Computation happens in ``_centroid_rows`` (driver-
     collected Lloyd schedule); this wrapper only re-frames the result."""
-    rows = _centroid_rows(corpus, nlist, id_col, vec_col, kmeans_iterations)
+    rows = _centroid_rows(corpus, nlist, id_col, vec_col, kmeans_iterations, shard_elems)
     return corpus.sparkSession.createDataFrame(
         [(cid, vec) for cid, vec in rows], "cid long, centroid array<double>"
     )
@@ -230,17 +310,25 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    nlist: int = 8,
+    nlist: int | None = 8,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     kmeans_iterations: int = 2,
+    shard_elems: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus vectors to their nearest centroid
     (broadcast join, one corpus pass), then score queries only against the
-    ``nprobe`` lists whose centroids are nearest to each query."""
-    cents = _centroids(corpus, nlist, id_col, vec_col, kmeans_iterations)
+    ``nprobe`` lists whose centroids are nearest to each query.
+
+    ``nlist=None`` auto-sizes the list count to ~sqrt(|corpus|)
+    (:func:`auto_nlist`; one count() job) — the right default when the
+    caller does not know the corpus scale. Past the closure gate the
+    centroid set shards (``_assign_fn``)."""
+    if nlist is None:
+        nlist = auto_nlist(corpus.count())
+    cents = _centroids(corpus, nlist, id_col, vec_col, kmeans_iterations, shard_elems)
 
     def nearest(df: DataFrame, idc: str, vcol: str, keep: int, out: str) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
@@ -291,10 +379,11 @@ def ivf_topk(
 
 def kmeans_assign(
     corpus: DataFrame,
-    nlist: int = 8,
+    nlist: int | None = 8,
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shard_elems: int | None = None,
 ) -> DataFrame:
     """Deterministic k-means cluster assignment over an embedding corpus:
     seed centroids are the per-position means of the ``id % nlist`` groups
@@ -315,8 +404,10 @@ def kmeans_assign(
     Determinism contract: every argmax margin is orders of magnitude above
     cross-engine float drift — asserted per scale factor in
     tests/test_dedup_similarity.py (s5 margin budget, d4-style)."""
-    rows = _centroid_rows(corpus, nlist, id_col, vec_col, iterations)
-    assign = _assign_cluster_udf(rows)
+    if nlist is None:
+        nlist = auto_nlist(corpus.count())
+    rows = _centroid_rows(corpus, nlist, id_col, vec_col, iterations, shard_elems)
+    assign = _assign_fn(rows, shard_elems)
     sel = spread_narrow_scan(corpus).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
     )
@@ -549,10 +640,11 @@ def quantized_rerank_topk(
 def knn_graph(
     corpus: DataFrame,
     k: int = 3,
-    nlist: int = 8,
+    nlist: int | None = 8,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shard_elems: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole corpus — every
     vector probes its own ``nprobe`` nearest IVF lists and reranks exactly
@@ -565,5 +657,5 @@ def knn_graph(
     q = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col))
     return ivf_topk(
         corpus, q, k=k, nlist=nlist, nprobe=nprobe,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, shard_elems=shard_elems,
     )

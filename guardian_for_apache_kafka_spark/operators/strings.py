@@ -41,10 +41,44 @@ def deletion_variants(c: Column) -> Column:
     )
 
 
+def _variant_index(df: DataFrame, col: str) -> DataFrame:
+    """(``__s`` string, ``__h`` int64 variant hash) deletion-neighborhood
+    inverted index over the distinct non-null values of ``df[col]``."""
+    names = df.select(F.col(col).alias("__s")).where(F.col("__s").isNotNull()).distinct()
+    return names.select(
+        "__s",
+        F.explode(deletion_variants(F.col("__s"))).alias("__v"),
+    ).select("__s", F.xxhash64("__v").alias("__h"))
+
+
+def edit_distance_dropped_report(
+    df: DataFrame,
+    col: str,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """One-row accounting of what the ``max_bucket`` cap in
+    :func:`edit_distance_pairs` drops on this corpus: ``n_variant_keys``
+    (distinct variant hashes), ``n_hot_variant_keys`` (buckets over the
+    cap), ``n_postings`` (total index entries) and ``n_dropped_postings``
+    (entries the cap removes). The job is one aggregate over the int64
+    variant index — no string payloads, no join — so running it alongside
+    the pair join costs one narrow pass; callers log/record the row (the
+    registry twin records it in SCALE.md)."""
+    counts = _variant_index(df, col).groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_variant_keys"),
+        F.count(F.when(F.col("__n") > max_bucket, 1)).alias("n_hot_variant_keys"),
+        F.sum("__n").alias("n_postings"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n") > max_bucket, F.col("__n"))), F.lit(0)
+        ).alias("n_dropped_postings"),
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     col: str,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """All unordered pairs of **distinct** values of ``df[col]`` with
     Levenshtein distance exactly 1 (distinct inputs make distance 0
@@ -52,19 +86,30 @@ def edit_distance_pairs(
 
     Plan: distinct -> explode deletion variants -> xxhash64 the variant
     (the only wide exchange carries ``(int64, string)``) -> self equi-join
-    -> distinct candidates -> exact ``levenshtein <= 1`` verify. With
-    ``max_bucket`` set, variants shared by more than that many strings are
-    dropped before the join (hot-key cap; bounded recall loss, logged by
-    callers who care — same contract as dedup.ngram_* ``max_bucket``).
+    -> distinct candidates -> exact ``levenshtein <= 1`` verify. Variants
+    shared by more than ``max_bucket`` strings are dropped before the join
+    (hot-key cap; bounded recall loss — same contract as dedup.ngram_*
+    ``max_bucket``). The cap DEFAULTS ON (r6 advice): a degenerate key
+    family — e.g. sequential digit strings, where one deletion variant can
+    cover thousands of keys — would otherwise pay an uncapped
+    quadratic-in-bucket candidate join by default; callers wanting exact
+    recall pass ``max_bucket=None`` explicitly. A bucket of ``b`` strings
+    proposes ``b^2`` candidates, so 1024 bounds any single variant's
+    contribution at ~1M candidate rows per bucket while sitting far above
+    organic bucket sizes (name data peaks at tens).
+
+    The cap's recall cost is measurable with
+    :func:`edit_distance_dropped_report` (same variant index, one tiny
+    aggregate job) — the d16-style registry callers record it in SCALE.md.
     """
-    names = df.select(F.col(col).alias("__s")).where(F.col("__s").isNotNull()).distinct()
-    inv = names.select(
-        "__s",
-        F.explode(deletion_variants(F.col("__s"))).alias("__v"),
-    ).select("__s", F.xxhash64("__v").alias("__h"))
+    inv = _variant_index(df, col)
     if max_bucket is not None:
-        hot = inv.groupBy("__h").count().where(F.col("count") > max_bucket).select("__h")
-        inv = inv.join(F.broadcast(hot), "__h", "left_anti")
+        hot = (
+            inv.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+        )
+        inv = inv.join(F.broadcast(hot.select("__h")), "__h", "left_anti")
     a = inv.select(F.col("__s").alias("s_a"), "__h")
     b = inv.select(F.col("__s").alias("s_b"), "__h")
     # shuffled-hash beats sort-merge here: the int64 key needs no sort and

@@ -2486,12 +2486,18 @@ def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(d).orderBy("doc_id")
 
 
-def _duck_bpe_round(prev: str, n: int) -> str:
-    """One unrolled BPE round for the t18 oracle: pair counts from the
-    current segmentation, argmax with (cnt DESC, l, r) tie-break, then the
-    greedy left-to-right re-merge replayed as a recursive CTE that walks
-    every word's symbol list in lockstep (one recursion step = one symbol
-    position across ALL words; terminal rows have pos > len)."""
+def _duck_bpe_round(prev: str, n: int, batch_k: int = 4) -> str:
+    """One unrolled BATCHED BPE round for the t18 oracle: pair counts from
+    the current segmentation, then the operator's dominance selection —
+    rank by (cnt DESC, l, r), keep candidates in the top ``16*batch_k``
+    window, select a pair iff no higher-ranked candidate shares a symbol
+    (NOT EXISTS anti-join; first ``batch_k`` of those by rank) — then the
+    greedy left-to-right re-merge of ALL selected pairs in one pass,
+    replayed as a recursive CTE that walks every word's symbol list in
+    lockstep (one recursion step = one symbol position across ALL words;
+    terminal rows have pos > len). Selected pairs are mutually
+    symbol-disjoint, so at most one can match at any position — the walk
+    just tests membership."""
     return f"""
     p{n} AS (
       SELECT sy[CAST(i + 1 AS BIGINT)] AS l, sy[CAST(i + 2 AS BIGINT)] AS r,
@@ -2499,16 +2505,27 @@ def _duck_bpe_round(prev: str, n: int) -> str:
       FROM {prev}, unnest(range(len(sy) - 1)) AS t(i)
       GROUP BY 1, 2
     ),
-    t{n} AS (SELECT l, r, cnt FROM p{n} ORDER BY cnt DESC, l, r LIMIT 1),
+    r{n} AS (
+      SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rk
+      FROM p{n} ORDER BY rk LIMIT {16 * batch_k}
+    ),
+    t{n} AS (
+      SELECT l, r, cnt, rk FROM r{n} a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM r{n} b WHERE b.rk < a.rk
+          AND (b.l = a.l OR b.l = a.r OR b.r = a.l OR b.r = a.r)
+      )
+      ORDER BY rk LIMIT {batch_k}
+    ),
     m{n} AS (
       SELECT c, sy, 1 AS pos, CAST([] AS VARCHAR[]) AS out FROM {prev}
       UNION ALL
       SELECT c, sy,
-        CASE WHEN pos < len(sy) AND sy[pos] = (SELECT l FROM t{n})
-                  AND sy[pos+1] = (SELECT r FROM t{n})
+        CASE WHEN pos < len(sy) AND EXISTS (SELECT 1 FROM t{n}
+                  WHERE l = sy[pos] AND r = sy[pos+1])
              THEN pos + 2 ELSE pos + 1 END,
-        CASE WHEN pos < len(sy) AND sy[pos] = (SELECT l FROM t{n})
-                  AND sy[pos+1] = (SELECT r FROM t{n})
+        CASE WHEN pos < len(sy) AND EXISTS (SELECT 1 FROM t{n}
+                  WHERE l = sy[pos] AND r = sy[pos+1])
              THEN list_append(out, sy[pos] || sy[pos+1])
              ELSE list_append(out, sy[pos]) END
       FROM m{n} WHERE pos <= len(sy)
@@ -2531,31 +2548,37 @@ def _duck_bpe_round(prev: str, n: int) -> str:
     ),
     {_duck_bpe_round('s0', 1)},
     {_duck_bpe_round('s1', 2)},
-    {_duck_bpe_round('s2', 3)},
-    {_duck_bpe_round('s3', 4)}
-    SELECT 1 AS rnd, l AS lhs, r AS rhs, l || r AS merged, cnt FROM t1
-    UNION ALL SELECT 2, l, r, l || r, cnt FROM t2
-    UNION ALL SELECT 3, l, r, l || r, cnt FROM t3
-    UNION ALL SELECT 4, l, r, l || r, cnt FROM t4
-    ORDER BY rnd
+    u AS (
+      SELECT rk, 0 AS rnd0, l, r, cnt FROM t1
+      UNION ALL
+      SELECT rk, (SELECT count(*) FROM t1), l, r, cnt FROM t2
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rnd0, rk) AS INT) AS rnd,
+           l AS lhs, r AS rhs, l || r AS merged, cnt
+    FROM u ORDER BY rnd
     """,
     tags=("text", "tokenizer", "bpe", "iterative"),
 )
 def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training — the first 4 merge rules learned
-    from the documents corpus, with exact weighted pair counts. The corpus
+    """Distributed BPE tokenizer training — the first 8 merge rules learned
+    from the documents corpus, with exact weighted pair counts, learned in
+    BATCHES of 4 symbol-disjoint merges per round (2 Spark rounds for 8
+    rules where r6's version paid one round per rule — the 32k-merge
+    amortization, operators/text.bpe_merge_rules ``batch_k``). The corpus
     collapses ONCE to the (word, count) vocabulary (the only token-volume
     shuffle; at 100 TB the vocab is ~millions of rows vs billions of
     tokens), then each round is a pair-keyed aggregation over the vocab, a
-    ONE-ROW driver argmax, and a map-only greedy re-segmentation fold —
-    localCheckpointed so plans stay flat. Counts are int64 and ties break
-    on (lhs, rhs), so the oracle replays all 4 rounds exactly: unrolled
-    CTEs for the counts/argmax and a recursive-CTE lockstep walk for the
-    greedy merge (operators/text.bpe_merge_rules)."""
+    bounded driver selection (dominance rule over the top-64 candidate
+    window), and ONE map-only greedy re-segmentation fold applying all 4
+    merges — localCheckpointed so plans stay flat. Counts are int64, ties
+    break on (lhs, rhs), and the dominance selection is rank-based (no
+    greedy chain), so the oracle replays both rounds exactly: window-rank
+    + NOT-EXISTS CTEs for selection and a recursive-CTE lockstep walk for
+    the batched merge."""
     from guardian_for_apache_kafka_spark.operators.text import bpe_merge_rules
 
     d = load_table(spark, sf_dir, "documents")
-    rules = bpe_merge_rules(d, rounds=4)
+    rules = bpe_merge_rules(d, rounds=2, batch_k=4)
     return spark.createDataFrame(
         rules, "rnd int, lhs string, rhs string, merged string, cnt long"
     ).orderBy("rnd")

@@ -110,6 +110,48 @@ def test_ivf_recall_vs_brute_force(emb):
     assert len(exact & approx) / len(exact) >= 0.6
 
 
+def test_centroid_shard_path_identical_and_oracle_green(spark, sf_dir, emb, monkeypatch):
+    """The fine-codebook closure gate (_CENTROID_SHARD_ELEMS): forcing the
+    centroid set to shard must leave kmeans/IVF output IDENTICAL to the
+    single-matrix path, and the s2/s11/s12 registry queries must stay
+    oracle-green with the gate forced tiny (the 'both sides of the gate'
+    contract). dim=16 here, so shard_elems=48 -> 3 centroids/shard."""
+    from guardian_for_apache_kafka_spark.operators import similarity as sim
+    from guardian_for_apache_kafka_spark.plans.differential import (
+        duckdb_connection,
+        run_one,
+    )
+
+    a = sim.kmeans_assign(emb, nlist=8, iterations=2).collect()
+    b = sim.kmeans_assign(emb, nlist=8, iterations=2, shard_elems=48).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    monkeypatch.setattr(sim, "_CENTROID_SHARD_ELEMS", 48)
+    con = duckdb_connection(sf_dir)
+    try:
+        for name in ("s2_ivf_topk", "s11_knn_graph", "s12_nprobe_recall_curve"):
+            res = run_one(spark, sf_dir, name, con)
+            assert res.ok, f"{name} under forced shard gate: {res.detail}"
+    finally:
+        con.close()
+
+
+def test_centroid_shard_plan_single_arrow_pass(spark, emb):
+    """Sharded assignment stays ONE corpus pass: all shard UDFs evaluate in
+    a single ArrowEvalPython node (no join, no exchange, no second scan)."""
+    from guardian_for_apache_kafka_spark.operators import similarity as sim
+
+    rows = sim._centroid_rows(emb, 8, "vec_id", "embedding", 1)
+    assign = sim._assign_fn(rows, shard_elems=48)
+    df = emb.select("vec_id", assign(F.col("embedding")).alias("cluster"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1, plan
+    assert "Exchange" not in tree and "Join" not in tree, plan
+
+
 def test_connected_components_chains_and_cliques(spark):
     from guardian_for_apache_kafka_spark.operators.clusters import connected_components
 
@@ -1094,6 +1136,36 @@ def test_edit_distance_pairs_hot_bucket_cap_drops_recall_only(spark):
     assert ("q", "qq") in capped
     # the hot-variant clique ("ba","ca"), ... is gone under the cap
     assert ("ba", "ca") in uncapped and ("ba", "ca") not in capped
+
+
+def test_edit_distance_default_cap_and_dropped_report(spark):
+    """The hot-variant cap now DEFAULTS ON at 1024 (r6 verdict blemish #3):
+    organic corpora sit far below it (default == exact on the bruteforce
+    fixture), and the dropped report's accounting is exact — per-bucket
+    posting sums, consistent totals, zero drops when nothing is hot."""
+    from guardian_for_apache_kafka_spark.operators.strings import (
+        edit_distance_dropped_report,
+        edit_distance_pairs,
+    )
+
+    vals = [f"{i:04d}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    # default (1024) == exact on a corpus whose largest bucket is ~10
+    default_pairs = {(r.s_a, r.s_b) for r in edit_distance_pairs(df, "s").collect()}
+    exact_pairs = {
+        (r.s_a, r.s_b) for r in edit_distance_pairs(df, "s", max_bucket=None).collect()
+    }
+    assert default_pairs == exact_pairs and default_pairs
+
+    rep0 = edit_distance_dropped_report(df, "s", 1024).collect()[0]
+    assert rep0.n_hot_variant_keys == 0 and rep0.n_dropped_postings == 0
+    rep = edit_distance_dropped_report(df, "s", 5).collect()[0]
+    assert rep.n_variant_keys == rep0.n_variant_keys
+    assert rep.n_postings == rep0.n_postings
+    assert 0 < rep.n_hot_variant_keys < rep.n_variant_keys
+    # every hot bucket holds > 5 postings, so drops exceed 5x the hot keys
+    assert rep.n_dropped_postings > 5 * rep.n_hot_variant_keys
+    assert rep.n_dropped_postings < rep.n_postings
 
 
 def test_weighted_sample_is_proportional_and_stable(spark):

@@ -566,6 +566,87 @@ def test_bpe_matches_reference_on_seeded_corpus(spark):
     assert bpe_merge_rules(df, rounds=5) == _ref_bpe(texts, 5)
 
 
+def _ref_bpe_batched(texts, rounds, batch_k):
+    """Driver-side reference for BATCHED BPE: same dominance selection
+    (rank by (-cnt, l, r); candidate window 16*batch_k; a pair is selected
+    iff no higher-ranked candidate shares a symbol) and a single
+    left-to-right non-overlapping merge pass per round applying all
+    selected pairs. Index-walk shape, independent of the operator's fold."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    segs = {w: list(w) for w in words}
+    rules = []
+    for _ in range(rounds):
+        pc = Counter()
+        for w, c in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[: 16 * batch_k]
+        sel, used = [], set()
+        for (l, r), cnt in ranked:
+            if len(sel) == batch_k:
+                break
+            if l not in used and r not in used:
+                sel.append((l, r, cnt))
+            used.add(l)
+            used.add(r)
+        batch = {(l, r): l + r for l, r, _ in sel}
+        for l, r, cnt in sel:
+            rules.append((len(rules) + 1, l, r, l + r, cnt))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) in batch:
+                    out.append(batch[(s[i], s[i + 1])])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return rules
+
+
+def test_bpe_batched_matches_reference(spark):
+    """batch_k > 1 learns multiple symbol-disjoint merges per Spark round;
+    results must match the independent index-walk reference, and batch_k=1
+    must stay the textbook sequential algorithm on the same corpus."""
+    import random
+
+    from guardian_for_apache_kafka_spark.operators.text import bpe_merge_rules
+
+    rng = random.Random(7)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(1, 10))
+        )
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_merge_rules(df, rounds=2, batch_k=4)
+    assert got == _ref_bpe_batched(texts, 2, 4)
+    # strictly more rules than rounds => at least one batch selected >1 rule
+    assert len(got) > 2
+    # sequential compatibility unchanged
+    assert bpe_merge_rules(df, rounds=2, batch_k=1) == _ref_bpe(texts, 2)
+
+
+def test_bpe_batched_rules_are_symbol_disjoint(spark):
+    """Within one round's batch, no symbol may appear in two rules (the
+    invariant that makes the single-pass application well-defined)."""
+    from guardian_for_apache_kafka_spark.operators.text import bpe_merge_rules
+
+    texts = ["the cat sat on the mat", "the bat and the rat", "that hat"] * 5
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rules = bpe_merge_rules(df, rounds=1, batch_k=6)
+    syms = [s for _, l, r, _, _ in rules for s in (l, r)]
+    assert len(syms) == len(set(syms)), rules
+
+
 def test_bpe_single_symbol_exhaustion(spark):
     """A corpus whose words collapse to single symbols stops early instead
     of raising (the empty-argmax branch)."""
