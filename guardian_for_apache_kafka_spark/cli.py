@@ -461,6 +461,17 @@ def _resolved_config(args: argparse.Namespace) -> dict:
 
 def main(argv: list[str] | None = None) -> int:
     args = apply_config_fallbacks(build_parser().parse_args(argv))
+    # env scheme aliases (SPARK_GRAFT_SCHEME_ALIASES, e.g. "minio=s3a")
+    # rewrite every URI-bearing argument ONCE at the boundary, so both the
+    # Hadoop-side consumers (spark.read over archives, session listing) and
+    # the sessionless pyarrow paths (which also normalize via resolve_fs)
+    # see the same target scheme end-to-end
+    from guardian_for_apache_kafka_spark.operators.backup import normalize_uri
+
+    for uri_arg in ("dest", "source", "dest_a", "dest_b", "archive", "target", "checkpoint"):
+        val = getattr(args, uri_arg, None)
+        if isinstance(val, str):
+            setattr(args, uri_arg, normalize_uri(val))
     cfg = _resolved_config(args)
     if args.dry_run:
         print(json.dumps(cfg, default=str))

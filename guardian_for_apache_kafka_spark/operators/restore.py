@@ -47,15 +47,14 @@ def _list_names(dest: str, spark: SparkSession | None) -> list[str]:
         if "://" in dest:
             # sessionless planning contexts (the Python DataSource) still
             # reach object stores: pyarrow FS, the same dispatch the
-            # guardian writer's executor side uses (operators/backup.py).
-            # Normalize Hadoop scheme aliases HERE so every sessionless
-            # caller (batch reader, stream reader, writer commit) accepts
-            # the same URIs the write path does (review r6 finding).
-            scheme, rest = dest.split("://", 1)
-            scheme = {"s3a": "s3", "s3n": "s3", "gs": "gcs"}.get(scheme, scheme)
-            from pyarrow.fs import FileSelector, FileSystem
+            # guardian writer's executor side uses — resolve_fs is the one
+            # alias-normalization point (review r6 finding; round 7 moved
+            # the inline copies there).
+            from pyarrow.fs import FileSelector
 
-            fs, inner = FileSystem.from_uri(f"{scheme}://{rest}")
+            from guardian_for_apache_kafka_spark.operators.backup import resolve_fs
+
+            fs, inner = resolve_fs(dest)
             return [
                 info.base_name
                 for info in fs.get_file_info(FileSelector(inner, recursive=False))

@@ -407,3 +407,62 @@ def coalesce_intervals(
         F.max(end_col).alias("island_end"),
         F.count("*").alias("n_intervals"),
     ).drop("__island")
+
+
+def sweep_daily_peaks(pts: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """Peak concurrency by partition-parallel sweep line over boundary
+    points ``(t timestamp, delta int)`` (+1 at interval start, -1 at end):
+    returns (day, peak, first_peak_at). The shared core of the q113
+    relational query and its streaming twin
+    (streaming/pipeline.stream_concurrency_points).
+
+    Two-pass sweep (never a corpus-sized global window — the r6 verdict's
+    one scale-killer): range-partition on the exact sweep order (t ASC,
+    delta DESC, so ties never straddle a partition), per-partition running
+    sums via a window keyed by spark_partition_id, then add the exclusive
+    prefix of per-partition totals (a partition-count-sized table — the
+    only single-partition window — broadcast back). delta DESC at equal t
+    counts touching intervals as overlapping (inclusive convention)."""
+    spark = pts.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # explicit numPartitions => AQE keeps the user-specified partitioning,
+    # so spark_partition_id() is stable between the two consumers below
+    ranged = pts.repartitionByRange(
+        n_parts, F.col("t").asc(), F.col("delta").desc()
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prefix = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.sum("delta").alias("part_tot"))
+        .select("pid", F.coalesce(F.sum("part_tot").over(w_prefix), F.lit(0)).alias("off"))
+    )
+    swept = (
+        ranged.withColumn("run", F.sum("delta").over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            F.date_trunc("day", "t").cast("date").alias("day"),
+            "t",
+            (F.col("run") + F.col("off")).alias("live"),
+        )
+    )
+    daily = swept.groupBy("day").agg(F.max("live").alias("peak"))
+    return (
+        daily.join(
+            swept,
+            (swept.day == daily.day) & (swept.live == daily.peak),
+        )
+        .groupBy(daily.day, "peak")
+        .agg(F.min("t").alias("first_peak_at"))
+        .select(
+            daily.day.alias("day"),
+            F.col("peak").cast("long").alias("peak"),
+            "first_peak_at",
+        )
+        .orderBy("day")
+    )

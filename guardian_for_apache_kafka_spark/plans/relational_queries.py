@@ -5512,7 +5512,11 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the stream. Identical output to the single-sort sweep, but the
     widest sort is 1/n_parts of the corpus; at 1000 executors every pass
     stays parallel. Plan pinned by
-    test_q113_sweep_is_partition_parallel."""
+    test_q113_sweep_is_partition_parallel; shared core
+    operators/timeseries.sweep_daily_peaks (the streaming twin
+    stream_concurrency_points accumulates the same points incrementally)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import sweep_daily_peaks
+
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         F.col("ts").alias("s"),
@@ -5521,49 +5525,7 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # explicit numPartitions => AQE keeps the user-specified partitioning, so
-    # spark_partition_id() is stable between the two consumers below
-    ranged = pts.repartitionByRange(
-        n_parts, F.col("t").asc(), F.col("delta").desc()
-    ).withColumn("pid", F.spark_partition_id())
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy(F.col("t"), F.col("delta").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # exclusive prefix of per-partition totals: n_parts rows, the only
-    # single-partition window in the plan (domain-sized, like p10)
-    w_prefix = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        ranged.groupBy("pid")
-        .agg(F.sum("delta").alias("part_tot"))
-        .select("pid", F.coalesce(F.sum("part_tot").over(w_prefix), F.lit(0)).alias("off"))
-    )
-    swept = (
-        ranged.withColumn("run", F.sum("delta").over(w_local))
-        .join(F.broadcast(offsets), "pid")
-        .select(
-            F.date_trunc("day", "t").cast("date").alias("day"),
-            "t",
-            (F.col("run") + F.col("off")).alias("live"),
-        )
-    )
-    daily = swept.groupBy("day").agg(F.max("live").alias("peak"))
-    return (
-        daily.join(
-            swept,
-            (swept.day == daily.day) & (swept.live == daily.peak),
-        )
-        .groupBy(daily.day, "peak")
-        .agg(F.min("t").alias("first_peak_at"))
-        .select(
-            daily.day.alias("day"),
-            F.col("peak").cast("long").alias("peak"),
-            "first_peak_at",
-        )
-        .orderBy("day")
-    )
+    return sweep_daily_peaks(pts)
 
 
 @query(

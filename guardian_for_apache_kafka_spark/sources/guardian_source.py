@@ -61,9 +61,9 @@ def _open_bytes(path: str) -> bytes:
     guardian writer uses, operators/backup.py); bare paths use plain
     open."""
     if "://" in path:
-        from pyarrow.fs import FileSystem
+        from guardian_for_apache_kafka_spark.operators.backup import resolve_fs
 
-        fs, inner = FileSystem.from_uri(path)
+        fs, inner = resolve_fs(path)
         with fs.open_input_stream(inner) as fh:
             return fh.read()
     with open(path, "rb") as fh:
@@ -290,11 +290,9 @@ def _fs_ops(dest: str):
 
         return write_bytes, read_bytes, move, delete, rmdir
 
-    from pyarrow import fs as pafs
+    from guardian_for_apache_kafka_spark.operators.backup import resolve_fs
 
-    scheme, rest = dest.split("://", 1)
-    scheme = {"s3a": "s3", "s3n": "s3", "gs": "gcs"}.get(scheme, scheme)
-    filesystem, base = pafs.FileSystem.from_uri(f"{scheme}://{rest}")
+    filesystem, base = resolve_fs(dest)
     base = base.rstrip("/")
 
     def write_bytes(rel: str, data: bytes) -> None:
@@ -340,10 +338,21 @@ def _wire_json(rec: dict) -> str:
 class GuardianWriter(DataSourceWriter):
     """Batch write half of the format: ``df.write.format("guardian")
     .option("chronoUnitSlice", "hours").mode(...).save(dest)`` writes the
-    byte-exact reference archive (one JSON array object per slice, wire
-    records in (topic, partition, offset) order, optional deterministic
-    gzip) — the same bytes as operators/backup.write_guardian_format
-    (parity-tested byte-for-byte).
+    guardian archive layout (one JSON array object per slice, wire records
+    in (topic, partition, offset) order, optional deterministic gzip) —
+    byte-exact against THIS repo's bulk writer,
+    operators/backup.write_guardian_format (parity-tested
+    byte-for-byte). One deliberate wire divergence from the upstream
+    reference bytes: a null Kafka key is OMITTED from the record object,
+    where the reference's Circe Encoder.forProduct7 + Printer.noSpaces
+    (core/.../codecs/Circe.scala:19-38) emits ``"key":null`` — both parse
+    identically on restore (the reader treats absent and null alike).
+
+    mode('overwrite') is idempotent-converging but NOT job-atomic: each
+    slice swap is delete-then-move (complete old or complete new object at
+    every instant), yet a driver crash mid-commit can leave a mix of old
+    and new slices; re-running the identical write converges. True
+    job-level atomicity needs a versioned manifest swap on top.
 
     Scale/commit contract: each task stages its slices' part files under a
     run-scoped staging dir and the driver commit RENAMES single-part slices
@@ -403,9 +412,15 @@ class GuardianWriter(DataSourceWriter):
             ts = row[ix["timestamp"]]
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=_dt.timezone.utc)
-            # integer-exact epoch millis: float timestamp() is exact on the
-            # whole-second part; the sub-second part comes from .microsecond
-            ms = int(ts.timestamp()) * 1000 + ts.microsecond // 1000
+            # integer-exact epoch millis via divmod on the timedelta since
+            # epoch: timedelta normalizes to (days sign-carrying, seconds
+            # and microseconds non-negative), so flooring is correct for
+            # pre-1970 timestamps too (ADVICE r6: int(ts.timestamp())*1000
+            # + us//1000 truncates toward zero on the seconds but adds a
+            # non-negative millis part — 1969-12-31T23:59:59.999Z came out
+            # +999 instead of -1)
+            d = ts - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            ms = (d.days * 86400 + d.seconds) * 1000 + d.microseconds // 1000
             start_s = (ms // 1000 // self.period_s) * self.period_s
             start = _dt.datetime.fromtimestamp(start_s, _dt.timezone.utc)
             key = row[ix["key"]]
@@ -480,10 +495,7 @@ class GuardianWriter(DataSourceWriter):
         # scheme aliases (s3a/gs) are normalized inside the sessionless
         # list_backup_keys path itself, so every DataSource caller benefits
         existing = set(list_backup_keys(self.path))
-        if self.overwrite:
-            for k in existing:
-                delete(physical_name(k))
-        else:
+        if not self.overwrite:
             clash = sorted(set(by_key) & existing)
             if clash:
                 rmdir(self.staging)
@@ -492,10 +504,20 @@ class GuardianWriter(DataSourceWriter):
                     f"slices): {clash[:5]}... — write with mode('overwrite') "
                     f"or to a fresh destination"
                 )
+        # overwrite ordering (ADVICE r6): a clashing old object is deleted
+        # immediately before its staged replacement lands (delete-then-move
+        # per slice), and old objects with no replacement go LAST — a driver
+        # crash mid-commit leaves every slice as a complete old or complete
+        # new object (possibly a mixed archive; re-running the same write
+        # converges), never the old all-deleted-then-nothing-written hole.
+        # Job-level atomicity would need a manifest swap; see class docstring.
         for slice_key in sorted(by_key):
             rels = sorted(by_key[slice_key])
+            phys = physical_name(slice_key)
+            if self.overwrite and slice_key in existing:
+                delete(phys)
             if len(rels) == 1 and self.compression is None:
-                move(rels[0], physical_name(slice_key))
+                move(rels[0], phys)
                 continue
             # multi-part slice (input not slice-partitioned) or gzip framing:
             # merge + re-sort driver-side, slice-sized
@@ -504,8 +526,10 @@ class GuardianWriter(DataSourceWriter):
                 recs.extend(json.loads(read_bytes(rel).decode("utf-8")))
             recs.sort(key=lambda r: (r["topic"], r["partition"], r["offset"]))
             payload = ("[" + ",".join(_wire_json(r) for r in recs) + "]").encode()
-            phys = physical_name(slice_key)
             write_bytes(phys, self._finalize(payload, phys))
+        if self.overwrite:
+            for k in sorted(existing - set(by_key)):
+                delete(physical_name(k))
         rmdir(self.staging)
 
     def abort(self, messages) -> None:

@@ -378,6 +378,68 @@ def stream_cohort_activity(
     return writer.start()
 
 
+def stream_concurrency_points(
+    events: DataFrame,
+    dest: str,
+    checkpoint: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    duration_s: int = 300,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the q113 peak-concurrency sweep: accumulate the
+    boundary-point set incrementally via ``foreachBatch`` appends;
+    ``peak_concurrency_rollup`` then runs the shared partition-parallel
+    sweep (operators/timeseries.sweep_daily_peaks) over the accumulated
+    points at read time.
+
+    Idempotence discipline (the q51 pair-set pattern): each point is keyed
+    by its EVENT identity — (event_id, delta) uniquely names a point, since
+    every activity window contributes exactly one +1 and one -1 — so a
+    crash-replayed micro-batch appends duplicates that the rollup's
+    distinct removes, satisfying foreachBatch's at-least-once contract
+    with no state store and no read-modify-write. The accumulator is
+    2x|events| narrow rows (id, t, delta) — the same point volume the
+    batch sweep scans, written once, never rewritten."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        starts = batch_df.select(
+            F.col(id_col).alias("event_id"),
+            F.col(ts_col).alias("t"),
+            F.lit(1).alias("delta"),
+        )
+        ends = batch_df.select(
+            F.col(id_col).alias("event_id"),
+            (F.col(ts_col) + F.expr(f"INTERVAL {int(duration_s)} SECOND")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+        starts.unionAll(ends).write.mode("append").parquet(dest)
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def peak_concurrency_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
+    """Batch rollup over the accumulated boundary points — identical output
+    contract to q113 (day, peak, first_peak_at). The distinct on
+    (event_id, delta) is what makes replayed batches harmless; after it the
+    event ids drop and the shared two-pass sweep runs exactly as in the
+    batch plan."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import sweep_daily_peaks
+
+    pts = (
+        spark.read.parquet(points_dir)
+        .select("event_id", "t", "delta")
+        .distinct()
+        .select("t", "delta")
+    )
+    return sweep_daily_peaks(pts)
+
+
 def cohort_rollup(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """Batch rollup over the accumulated (user, active_week) pair set —
     identical output contract to q51 (cohort_week, week_offset, n_active).
@@ -1002,15 +1064,27 @@ def checkpoint_inventory(spark: SparkSession, checkpoint: str) -> DataFrame:
     engine's sinks are idempotent under that replay by design, and this is
     the report that shows it happening). Driver-side listing of two
     metadata directories — batch-count-sized, like every checkpoint
-    operation Spark itself performs."""
-    import os
+    operation Spark itself performs. Listing goes through the Hadoop FS
+    API (operators/restore._list_names), so hdfs://, s3a://, or any
+    session-supported scheme inventories the same as a local path (ADVICE
+    r6: the os.listdir version silently reported every batch absent for
+    URI checkpoints); a missing offsets/ or commits/ dir is an empty set,
+    any other listing failure propagates."""
+    from guardian_for_apache_kafka_spark.operators.restore import _list_names
 
     def batch_ids(sub: str) -> set[int]:
-        d = os.path.join(checkpoint, sub)
-        if not os.path.isdir(d):
-            return set()
+        d = checkpoint.rstrip("/") + "/" + sub
+        try:
+            names = _list_names(d, spark)
+        except Exception as exc:
+            # Hadoop raises FileNotFoundException (wrapped by py4j) for a
+            # not-yet-created metadata dir — the legitimate "no batches yet"
+            # state; anything else (permissions, bad scheme) must surface
+            if "FileNotFoundException" in str(exc) or isinstance(exc, FileNotFoundError):
+                return set()
+            raise
         out = set()
-        for name in os.listdir(d):
+        for name in names:
             base = name.split(".", 1)[0]
             if base.isdigit():
                 out.add(int(base))

@@ -1262,6 +1262,75 @@ def test_guardian_datasource_writer_schema_order_and_empty(spark, records, tmp_p
         )
 
 
+def test_guardian_datasource_writer_pre_epoch_timestamps(spark, tmp_path):
+    """ADVICE r6: epoch-millis must FLOOR for pre-1970 timestamps —
+    1969-12-31T23:59:59.999Z is -1 ms, not +999 (the old int(timestamp())*
+    1000 + us//1000 truncated toward zero on the seconds while adding a
+    non-negative millis part). Round-trip through the DataSource writer and
+    assert the wire millis and the (floored) slice key both come out on the
+    1969 side."""
+    import datetime as dt
+    import json
+
+    from guardian_for_apache_kafka_spark.core.model import RECORD_SCHEMA
+    from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        register_guardian_datasource,
+    )
+
+    register_guardian_datasource(spark)
+    rows = [
+        ("t", 0, 1, None, b"v1", dt.datetime(1969, 12, 31, 23, 59, 59, 999000), 0),
+        ("t", 0, 2, None, b"v2", dt.datetime(1970, 1, 1, 0, 0, 0, 1000), 0),
+    ]
+    df = spark.createDataFrame(rows, RECORD_SCHEMA)
+    dest = str(tmp_path / "pre_epoch")
+    df.write.format("guardian").option("chronoUnitSlice", "hours").mode("append").save(dest)
+    keys = sorted(os.listdir(dest))
+    # floored hourly slices: 1969-12-31T23:00 and 1970-01-01T00:00
+    assert any(k.startswith("1969-12-31T23") for k in keys), keys
+    assert any(k.startswith("1970-01-01T00") for k in keys), keys
+    wire = {}
+    for k in keys:
+        for rec in json.loads(open(os.path.join(dest, k), "rb").read()):
+            wire[rec["offset"]] = rec["timestamp"]
+    assert wire == {1: -1, 2: 1}
+    got = {
+        (r.offset, r.timestamp)
+        for r in restore_batch(spark, dest, fmt="guardian").collect()
+    }
+    assert got == {
+        (1, dt.datetime(1969, 12, 31, 23, 59, 59, 999000)),
+        (2, dt.datetime(1970, 1, 1, 0, 0, 0, 1000)),
+    }
+
+
+def test_guardian_datasource_overwrite_removes_stale_slices(spark, records, tmp_path):
+    """mode('overwrite') replaces the archive: slices not present in the
+    new write are deleted (after the new objects land — the delete-then-move
+    per-slice ordering), and the surviving content equals a fresh write."""
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        register_guardian_datasource,
+    )
+
+    register_guardian_datasource(spark)
+    recs = records.withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    dest = str(tmp_path / "shrink")
+    recs.write.format("guardian").option("chronoUnitSlice", "hours").mode("append").save(dest)
+    n_full = len(os.listdir(dest))
+    sub = recs.orderBy("timestamp").limit(20)
+    sub.write.format("guardian").option("chronoUnitSlice", "hours").mode("overwrite").save(dest)
+    ref = str(tmp_path / "shrink_ref")
+    write_guardian_format(sub, ref, ChronoUnitSlice("HOURS"))
+    want = {f: open(os.path.join(ref, f), "rb").read() for f in sorted(os.listdir(ref))}
+    got = {f: open(os.path.join(dest, f), "rb").read() for f in sorted(os.listdir(dest))}
+    assert got == want
+    assert len(got) < n_full  # the stale tail really was removed
+
+
 def test_guardian_datasource_writer_multipart_gzip_parity(spark, records, tmp_path):
     """The merge path COMBINED with gzip framing: round-robin input makes
     every slice span tasks, commit merge-sorts and then gzips — bytes must

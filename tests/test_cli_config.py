@@ -604,3 +604,69 @@ def test_cli_diff_verb(spark, sf_dir, tmp_path, capsys, monkeypatch):
     assert main(["diff", "--dest-a", da, "--dest-b", da]) == 0
     out2 = json.loads(capsys.readouterr().out.strip())
     assert out2["n_out_of_sync"] == 0
+
+
+def test_cli_e2e_scheme_alias_backup_manifest_diff_restore(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """VERDICT r6 #9 — a NON-file scheme alias end-to-end: with
+    SPARK_GRAFT_SCHEME_ALIASES=s3a=file (the local-FS shim for an
+    object-store-style scheme), drive backup -> manifest -> diff -> restore
+    through cli.main using ``s3a://`` URIs everywhere. The CLI boundary
+    rewrites the scheme for Hadoop-side consumers; the SESSIONLESS pyarrow
+    lister must honor the same alias un-rewritten (resolve_fs), which is
+    asserted directly against the raw s3a:// URI."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.cli import main
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.operators.restore import list_backup_keys
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_SCHEME_ALIASES", "s3a=file")
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    records = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src = str(tmp_path / "records")
+    records.write.parquet(src)
+    dest_a = f"s3a://{tmp_path}/archive_a"
+    dest_b = f"s3a://{tmp_path}/archive_b"
+
+    for dest in (dest_a, dest_b):
+        assert main([
+            "backup", "--source", src, "--dest", dest, "--format", "guardian",
+            "--chrono-unit", "hours",
+        ]) == 0
+    capsys.readouterr()
+
+    # the sessionless pyarrow lister accepts the RAW aliased URI
+    keys = list_backup_keys(dest_a)
+    assert keys and all(k.endswith(".json") for k in keys)
+
+    assert main(["manifest", "--dest", dest_a]) == 0
+    man = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert man["n_slices"] == len(keys)
+    assert sum(s["n_records"] for s in man["slices"]) == records.count()
+
+    assert main(["diff", "--dest-a", dest_a, "--dest-b", dest_b]) == 0
+    d = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["n_out_of_sync"] == 0 and d["n_slices"] == len(keys)
+
+    restored_dir = str(tmp_path / "restored")
+    assert main([
+        "restore", "--source", dest_a, "--target", restored_dir,
+        "--format", "guardian",
+    ]) == 0
+    restored = spark.read.parquet(restored_dir)
+    # restore emits PRODUCER records (no partition/offset, like a Kafka
+    # produce) — compare the produced payload identity
+    got = {
+        (r.topic, None if r.key is None else bytes(r.key), bytes(r.value), r.timestamp)
+        for r in restored.collect()
+    }
+    want = {
+        (r.topic, None if r.key is None else bytes(r.key), bytes(r.value), r.timestamp)
+        for r in records.collect()
+    }
+    assert got == want

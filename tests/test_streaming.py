@@ -582,6 +582,51 @@ def test_stream_cohorts_equal_batch_q51(spark, tmp_path):
     assert [tuple(r) for r in cohort_rollup(spark, dest).collect()] == want
 
 
+def test_stream_concurrency_equal_batch_q113_and_resumes(spark, tmp_path):
+    """Streaming boundary-point accumulation rolled up == the q113 batch
+    sweep, across micro-batches; a simulated replayed batch (duplicate
+    point appends) changes nothing (event-identity distinct); and a RESTART
+    from the same checkpoint ingests only the new file."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        peak_concurrency_rollup,
+        stream_concurrency_points,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "in")
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    first = ordered.limit(n // 2)
+    mid = ordered.subtract(first).orderBy("ts", "event_id").limit(n // 4)
+    rest = ordered.subtract(first).subtract(mid)
+    first.coalesce(1).write.parquet(src)
+    mid.coalesce(1).write.mode("append").parquet(src)
+
+    dest, ckpt = str(tmp_path / "pts"), str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_concurrency_points(stream, dest, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    # restart: the remaining events arrive; the resumed query (same
+    # checkpoint) appends only their points
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    want = [tuple(r) for r in all_queries()["q113_peak_concurrency"](spark, sf).collect()]
+    got = [tuple(r) for r in peak_concurrency_rollup(spark, dest).collect()]
+    assert got == want
+    # replayed-batch simulation: duplicate point appends are idempotent
+    spark.read.parquet(dest).limit(30).write.mode("append").parquet(dest)
+    assert [tuple(r) for r in peak_concurrency_rollup(spark, dest).collect()] == want
+
+
 def test_stream_cdc_apply_equals_sequential_merge_and_resumes(spark, tmp_path):
     """Streaming CDC apply == batch merge_into applied batch-by-batch:
     within-batch latest-per-key compaction, delete flags, inserts; then a
@@ -1542,3 +1587,10 @@ def test_checkpoint_inventory_reports_committed_batches(spark, tmp_path):
     assert [r.batch_id for r in inv] == sorted(r.batch_id for r in inv)
 
     assert checkpoint_inventory(spark, str(tmp_path / "nope")).count() == 0
+
+    # ADVICE r6: a URI-scheme checkpoint path must inventory identically
+    # (os.listdir silently returned empty for any '://' path); missing
+    # dirs under a scheme are still the empty inventory
+    uri_inv = checkpoint_inventory(spark, "file://" + ckpt).collect()
+    assert sorted(r.batch_id for r in uri_inv) == sorted(r.batch_id for r in inv)
+    assert checkpoint_inventory(spark, "file://" + str(tmp_path / "nope2")).count() == 0
