@@ -118,6 +118,10 @@ HEADLINE = {
     "fifo_allocation": "q106_fifo_allocation",
     "knn_graph": "s11_knn_graph",
     "doc_keywords": "t26_doc_keywords",
+    # round-7 additions
+    "pq_adc_topk": "s14_pq_adc_topk",
+    "pq_rerank": "s15_pq_rerank",
+    "bpe_token_counts": "t29_bpe_token_counts",
 }
 
 N_RUNS = 3

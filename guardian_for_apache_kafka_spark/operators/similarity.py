@@ -659,3 +659,244 @@ def knn_graph(
         corpus, q, k=k, nlist=nlist, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col, shard_elems=shard_elems,
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 16,
+    ksub: int = 32,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[dict[int, list[float]]]:
+    """Product-quantization codebooks by per-subspace Lloyd refinement:
+    the vector space splits into ``m`` contiguous subspaces, each trained
+    to ``ksub`` centroids from the deterministic id-mod seed (the s5
+    iteration-zero schedule) through ``iters`` reassign-and-remean rounds
+    — so a SQL oracle can replay training exactly, iteration by
+    iteration. Returns ``codebooks[sub] = {cid: mean subvector}`` (dicts
+    because Lloyd may empty a cluster mid-training; absent cids simply
+    stop being candidates, identically on both engines).
+
+    Per iteration: ONE distributed aggregate (posexplode + grouped
+    ``avg``) and one codebook-sized driver collect (m*ksub*dsub doubles —
+    the ``_centroid_rows`` discipline); assignment rides the scan as an
+    Arrow-batch numpy kernel, never a join. Exactness contract (the s5
+    float discipline): the embeddings are float32, so grouped double sums
+    are EXACT in any order; squared distances use an explicit
+    left-associated chain (see ``_pq_assign_udf``), so argmin decisions —
+    and therefore the codes, the next round's groups, and the final
+    codebooks — are bit-identical across engines."""
+    v = F.col(vec_col).cast("array<double>")
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+
+    def means(codes: Column) -> list[dict[int, list[float]]]:
+        rows = (
+            corpus.select(codes.alias("__codes"), F.posexplode(v).alias("pos", "x"))
+            .select(
+                F.expr(f"pos div {dsub}").cast("int").alias("sub"),
+                F.col("pos"),
+                F.col("x"),
+                F.element_at(
+                    "__codes", (F.expr(f"pos div {dsub}") + 1).cast("int")
+                ).alias("cid"),
+            )
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        cbs: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+        for r in rows:
+            cbs[r.sub].setdefault(r.cid, [0.0] * dsub)[r.pos - r.sub * dsub] = float(r.mean)
+        return cbs
+
+    seed = F.array_repeat((F.col(id_col) % ksub).cast("int"), m)
+    cbs = means(seed)
+    for _ in range(iters):
+        cbs = means(_pq_assign_udf(cbs, dsub)(v))
+    return cbs
+
+
+def _pq_assign_udf(cbs: list[dict[int, list[float]]], dsub: int):
+    """Arrow-vectorized per-subspace nearest-centroid codes: one numpy
+    kernel per batch returning the length-m int code array. Squared
+    distances accumulate in an EXPLICIT left-associated chain over the
+    dsub positions — term for term the association the oracle's
+    ``list_reduce`` fold replays — so with float32-derived doubles every
+    distance is bit-identical and ``argmin`` (first minimum, candidate
+    cids sorted ascending) breaks ties to the smaller cid exactly like
+    the oracle's ``ORDER BY d, j``."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(cbs)
+    cids = [np.array(sorted(cb), dtype=np.int32) for cb in cbs]
+    cents = [
+        np.array([cb[c] for c in sorted(cb)], dtype=np.float64) for cb in cbs
+    ]
+
+    @pandas_udf("array<int>")
+    def assign(vs: pd.Series) -> pd.Series:
+        V = np.array(vs.tolist(), dtype=np.float64)
+        out = np.empty((len(V), m), dtype=np.int32)
+        for s in range(m):
+            sub = V[:, s * dsub : (s + 1) * dsub]
+            sq = (sub[:, None, :] - cents[s][None, :, :]) ** 2
+            acc = sq[:, :, 0]
+            for p in range(1, dsub):
+                acc = acc + sq[:, :, p]
+            out[:, s] = cids[s][acc.argmin(axis=1)]
+        return pd.Series(list(out))
+
+    return assign
+
+
+def _pq_qtab_udf(cbs: list[dict[int, list[float]]], dsub: int, ksub: int):
+    """Arrow-vectorized ADC distance tables for QUERY vectors: a flat
+    m*ksub double array, slot [s*ksub + j] = squared distance from the
+    query's subvector s to centroid j (same left-associated chain as
+    ``_pq_assign_udf``). Slots for Lloyd-emptied cids hold +inf — no code
+    ever points at them, so they are never read."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(cbs)
+
+    @pandas_udf("array<double>")
+    def qtab(vs: pd.Series) -> pd.Series:
+        V = np.array(vs.tolist(), dtype=np.float64)
+        out = np.full((len(V), m * ksub), np.inf)
+        for s in range(m):
+            sub = V[:, s * dsub : (s + 1) * dsub]
+            js = sorted(cbs[s])
+            cent = np.array([cbs[s][j] for j in js], dtype=np.float64)
+            sq = (sub[:, None, :] - cent[None, :, :]) ** 2
+            acc = sq[:, :, 0]
+            for p in range(1, dsub):
+                acc = acc + sq[:, :, p]
+            out[:, [s * ksub + j for j in js]] = acc
+        return pd.Series(list(out))
+
+    return qtab
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 32,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance computation
+    (ADC) — the memory-bound ANN workhorse: the corpus is stored as ``m``
+    small integer codes per vector (m*log2(ksub) BITS of identity instead
+    of dim floats — 10 bytes vs 256 here), queries precompute an m x ksub
+    distance table, and each candidate costs ``m`` table lookups instead
+    of a dim-length dot product. Returns (query_id, vec_id, adc,
+    rnk <= k) by ascending ADC distance, ties to smaller vec_id;
+    self-pairs excluded.
+
+    Plan shape: training is ``pq_train`` (one aggregate per Lloyd round);
+    encoding rides the corpus scan as one Arrow numpy kernel; the only
+    join is the crossJoin against the BROADCAST query side (id + m*ksub
+    table doubles — queries never shuffle the corpus), and the ADC sum is
+    a pure JVM left-associated chain of ``m`` ``element_at`` lookups
+    inside whole-stage codegen: no Python in the scoring loop. At 100 TB
+    the wins compound — the resident scan payload is the m-byte code
+    column, not the float vectors, and scoring cost per candidate is m
+    adds, independent of dim.
+
+    Exactness contract: float32 inputs + fixed association order at every
+    step (training folds, table entries, the ADC chain) make distances
+    bit-identical to the oracle's replay; ranking ties break on the
+    integer ids. Retrieval quality on isotropic embeddings is bounded in
+    tests (tests/test_dedup_similarity.py) — for high recall compose with
+    exact reranking (``pq_rerank_topk``)."""
+    cbs = pq_train(corpus, m, ksub, iters, id_col, vec_col)
+    dim = sum(len(next(iter(cb.values()))) for cb in cbs) if cbs else 0
+    dsub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+
+    coded = spread_narrow_scan(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        _pq_assign_udf(cbs, dsub)(v).alias("__codes"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _pq_qtab_udf(cbs, dsub, ksub)(v).alias("__qtab"),
+    )
+    adc = F.element_at("__qtab", F.element_at("__codes", 1) + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(
+            "__qtab", F.element_at("__codes", s + 1) + F.lit(s * ksub + 1)
+        )
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    probe_mult: int = 4,
+    m: int = 16,
+    ksub: int = 32,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage PQ retrieval — the standard IVFADC+rerank architecture:
+    the compressed-domain ADC scan proposes ``k * probe_mult`` candidates
+    per query, then ONLY those rows are re-read at full precision and
+    re-ranked by exact squared L2. Returns (query_id, vec_id, d2,
+    rnk <= k). At 100 TB the full-precision table is touched for
+    |queries| * k * probe_mult rows total (a semi-join on the id column —
+    Parquet scans just the id + vector columns), while the streaming scan
+    cost is the PQ code column. On the isotropic test embeddings this
+    lifts recall@5 from ~0.4 (pure ADC) to ~0.75 (see tests)."""
+    cand = pq_topk(
+        corpus, queries, k=k * probe_mult, m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select("query_id", "vec_id")
+    full = spread_narrow_scan(corpus).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("__cv", "__qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

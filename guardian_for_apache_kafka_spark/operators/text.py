@@ -714,12 +714,38 @@ def bpe_merge_rules(
     produced by a merge is not re-merged within the same pass), the
     reference BPE semantics; symbols are identified by surface string (two
     merge paths reaching the same string unify, as in standard BPE)."""
+    rules, _ = _bpe_train(df, text_col, rounds, batch_k)
+    return rules
+
+
+def bpe_segmentation(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 4,
+    batch_k: int = 1,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """BPE training that ALSO returns the final vocabulary segmentation —
+    (rules, words) where ``words`` is (word, c, sy: array<string>) after
+    every learned merge has been applied. This is the tokenizer-APPLY
+    surface (t29): token counts per document come from joining the token
+    stream against this vocab-sized table, never from re-folding the
+    corpus text. Same training loop as :func:`bpe_merge_rules` (the word
+    column rides along through the per-round folds)."""
+    return _bpe_train(df, text_col, rounds, batch_k)
+
+
+def _bpe_train(
+    df: DataFrame,
+    text_col: str,
+    rounds: int,
+    batch_k: int,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("c"))
-        .select(F.col("c"), F.split("word", "").alias("sy"))
+        .select(F.col("word"), F.col("c"), F.split("word", "").alias("sy"))
         .localCheckpoint()
     )
     rules: list[tuple[int, str, str, str, int]] = []
@@ -789,9 +815,9 @@ def bpe_merge_rules(
         ).otherwise(acc["out"])
 
         words = words.select(
-            "c", F.aggregate("sy", init, step, finish).alias("sy")
+            "word", "c", F.aggregate("sy", init, step, finish).alias("sy")
         ).localCheckpoint()
-    return rules
+    return rules, words
 
 
 def bm25_scores(

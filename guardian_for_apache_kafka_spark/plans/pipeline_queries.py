@@ -2354,6 +2354,169 @@ def s7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_pq_round(n: int, m: int, ksub: int, dsub: int, dim: int) -> str:
+    """One replayed PQ Lloyd round for the s14 oracle: codebook means
+    grouped by the previous round's codes (round 0 seeds from the id-mod
+    schedule), centroid subvectors reassembled in position order, then
+    every (vector, subspace, centroid) squared distance as the SAME
+    left-associated fold the operator's numpy kernel runs (prepending 0
+    is bit-neutral: 0 + d0 == d0), and first-minimum reassignment
+    (ORDER BY d, j == numpy argmin over ascending cids). Float32 inputs
+    make every grouped double sum EXACT in any order, so the replay is
+    bit-identical round by round (operators/similarity.pq_train)."""
+    seed = (
+        f"CAST(e.vec_id % {ksub} AS INT) AS j,"
+        if n == 0
+        else "c.cj AS j,"
+    )
+    join = (
+        ""
+        if n == 0
+        else f"\n      JOIN code{n-1} c ON c.vec_id = e.vec_id AND c.sub = t.pos // {dsub}"
+    )
+    return f"""
+    cb{n} AS (
+      SELECT t.pos // {dsub} AS sub, {seed} t.pos,
+             avg(CAST(e.embedding[t.pos + 1] AS DOUBLE)) AS mean
+      FROM embeddings e, range({dim}) t(pos){join}
+      GROUP BY 1, 2, 3
+    ),
+    cent{n} AS (SELECT sub, j, list(mean ORDER BY pos) AS cv FROM cb{n} GROUP BY 1, 2),
+    sd{n} AS (
+      SELECT e.vec_id, c.sub, c.j,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range({dsub}), p ->
+                 (CAST(e.embedding[c.sub * {dsub} + p + 1] AS DOUBLE) - c.cv[p + 1])
+                 * (CAST(e.embedding[c.sub * {dsub} + p + 1] AS DOUBLE) - c.cv[p + 1]))),
+               (a, b) -> a + b) AS d
+      FROM embeddings e CROSS JOIN cent{n} c
+    ),
+    code{n} AS (
+      SELECT vec_id, sub, j AS cj FROM (
+        SELECT vec_id, sub, j,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, j) AS rn
+        FROM sd{n}
+      ) WHERE rn = 1
+    )"""
+
+
+def _duck_pq_adc(m: int, ksub: int, dsub: int, dim: int, iters: int, k: int) -> str:
+    """Full s14 oracle: ``iters`` replayed Lloyd refinements after the
+    seeded round, then the ADC ranking — per-subspace distance pulled by
+    the final codes, pivoted wide so the m-term sum is the operator's
+    exact left-associated chain."""
+    rounds = ",".join(_duck_pq_round(i, m, ksub, dsub, dim) for i in range(iters + 1))
+    pivots = ",\n             ".join(
+        f"max(CASE WHEN sub = {s} THEN d END) AS d{s}" for s in range(m)
+    )
+    chain = "d0"
+    for s in range(1, m):
+        chain = f"({chain} + d{s})"
+    return f"""
+    WITH {rounds},
+    qd AS (SELECT vec_id AS query_id, sub, j, d FROM sd{iters} WHERE vec_id < 5),
+    parts AS (
+      SELECT q.query_id, c.vec_id, c.sub, q.d
+      FROM code{iters} c JOIN qd q ON q.sub = c.sub AND q.j = c.cj
+      WHERE c.vec_id <> q.query_id
+    ),
+    adcw AS (
+      SELECT query_id, vec_id,
+             {pivots}
+      FROM parts GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, round({chain}, 4) AS adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY {chain}, vec_id) AS BIGINT) AS rnk
+      FROM adcw
+    )
+    SELECT query_id, vec_id, adc, rnk FROM ranked WHERE rnk <= {k}
+    ORDER BY query_id, rnk
+    """
+
+
+@query(
+    "s14_pq_adc_topk",
+    oracle=_duck_pq_adc(m=16, ksub=32, dsub=4, dim=64, iters=3, k=5),
+    tags=("similarity", "ann", "product-quantization"),
+)
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 via asymmetric distance computation —
+    the memory-bound ANN tier below s7's int8 rerank: the corpus is held
+    as m=16 5-bit codes per vector (10 bytes of identity instead of 64
+    floats), queries precompute a 16x32 distance table, and scoring is 16
+    JVM table lookups (operators/similarity.pq_topk). Codebooks are
+    TRAINED — per-subspace Lloyd from the deterministic id-mod seed
+    through 3 reassign-and-remean rounds — and the oracle replays the
+    ENTIRE pipeline exactly: every round's means (exact double sums of
+    float32 subvectors), every argmin (ties to lower code), and the
+    left-associated ADC fold, so the ranking is differential, not
+    statistical. Retrieval QUALITY (recall vs exact, and the rerank
+    composition that lifts it) is asserted in
+    tests/test_dedup_similarity.py."""
+    from guardian_for_apache_kafka_spark.operators.similarity import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(e, q, k=5, m=16, ksub=32, iters=3)
+    return out.select("query_id", "vec_id", F.round("adc", 4).alias("adc"), "rnk")
+
+
+@query(
+    "s15_pq_rerank",
+    oracle="""
+    SELECT vec_id AS query_id, true AS recall_ok
+    FROM embeddings WHERE vec_id < 10 ORDER BY vec_id
+    """,
+    tags=("similarity", "ann", "product-quantization", "statistical-oracle"),
+)
+def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval with in-query recall attestation (the
+    s2/s7 pattern): the compressed-domain ADC scan proposes 4x the final
+    k, exact squared-L2 reranks ONLY those rows, and the query compares
+    the reranked top-5 against the brute-force exact top-5 per query —
+    emitting the verdict the oracle asserts (>= 1/5 overlap for EVERY
+    query on the isotropic test embeddings — the worst case the data
+    admits; the stronger MEAN bound, ~0.7 where pure ADC manages ~0.34,
+    is pinned in tests/test_dedup_similarity.py). This is the 100 TB
+    architecture:
+    stream the 10-byte code column, touch full precision for
+    |queries| * 4k rows (operators/similarity.pq_rerank_topk)."""
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        cosine_topk,
+        pq_rerank_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rer = pq_rerank_topk(e, q, k=5, probe_mult=4).select(
+        "query_id", F.col("vec_id").alias("__rv")
+    )
+    # exact squared-L2 top-5 == exact cosine top-5 on unit-norm vectors;
+    # reuse the oracled cosine scorer as ground truth
+    exact = cosine_topk(e, q, k=5).select("query_id", F.col("vec_id").alias("__ev"))
+    hits = (
+        exact.join(rer, ["query_id"])
+        .where(F.col("__ev") == F.col("__rv"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("__hits"), F.lit(0)) >= 1).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 @query(
     "p6_training_order",
     oracle="""
@@ -2486,7 +2649,7 @@ def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(d).orderBy("doc_id")
 
 
-def _duck_bpe_round(prev: str, n: int, batch_k: int = 4) -> str:
+def _duck_bpe_round(prev: str, n: int, batch_k: int = 4, carry: str = "") -> str:
     """One unrolled BATCHED BPE round for the t18 oracle: pair counts from
     the current segmentation, then the operator's dominance selection —
     rank by (cnt DESC, l, r), keep candidates in the top ``16*batch_k``
@@ -2497,7 +2660,8 @@ def _duck_bpe_round(prev: str, n: int, batch_k: int = 4) -> str:
     lockstep (one recursion step = one symbol position across ALL words;
     terminal rows have pos > len). Selected pairs are mutually
     symbol-disjoint, so at most one can match at any position — the walk
-    just tests membership."""
+    just tests membership. ``carry`` rides extra columns (e.g. " word,")
+    through the walk so downstream CTEs keep the word identity (t29)."""
     return f"""
     p{n} AS (
       SELECT sy[CAST(i + 1 AS BIGINT)] AS l, sy[CAST(i + 2 AS BIGINT)] AS r,
@@ -2518,9 +2682,9 @@ def _duck_bpe_round(prev: str, n: int, batch_k: int = 4) -> str:
       ORDER BY rk LIMIT {batch_k}
     ),
     m{n} AS (
-      SELECT c, sy, 1 AS pos, CAST([] AS VARCHAR[]) AS out FROM {prev}
+      SELECT{carry} c, sy, 1 AS pos, CAST([] AS VARCHAR[]) AS out FROM {prev}
       UNION ALL
-      SELECT c, sy,
+      SELECT{carry} c, sy,
         CASE WHEN pos < len(sy) AND EXISTS (SELECT 1 FROM t{n}
                   WHERE l = sy[pos] AND r = sy[pos+1])
              THEN pos + 2 ELSE pos + 1 END,
@@ -2530,7 +2694,7 @@ def _duck_bpe_round(prev: str, n: int, batch_k: int = 4) -> str:
              ELSE list_append(out, sy[pos]) END
       FROM m{n} WHERE pos <= len(sy)
     ),
-    s{n} AS (SELECT c, out AS sy FROM m{n} WHERE pos > len(sy))"""
+    s{n} AS (SELECT{carry} c, out AS sy FROM m{n} WHERE pos > len(sy))"""
 
 
 @query(
@@ -2582,6 +2746,64 @@ def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "rnd int, lhs string, rhs string, merged string, cnt long"
     ).orderBy("rnd")
+
+
+@query(
+    "t29_bpe_token_counts",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+      SELECT word, count(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word != '' GROUP BY 1
+    ),
+    s0 AS (
+      SELECT word, c, list_transform(range(length(word)),
+             i -> substr(word, CAST(i + 1 AS BIGINT), 1)) AS sy
+      FROM w
+    ),
+    {_duck_bpe_round('s0', 1, carry=' word,')},
+    {_duck_bpe_round('s1', 2, carry=' word,')},
+    tok AS (SELECT word, len(sy) AS n_tok FROM s2),
+    d AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT d.doc_id, count(*) AS n_words,
+           CAST(sum(t.n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM d JOIN tok t USING (word) WHERE d.word != ''
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    tags=("text", "tokenizer", "bpe", "apply"),
+)
+def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — per-document token counts under the BPE
+    merges t18 learns (2 rounds x batch 4): the budget question every
+    training-data pipeline asks ("how many tokens is this corpus under MY
+    tokenizer?"). The scale inversion that makes this cheap: merges are
+    applied to the VOCABULARY (word, count) table — never re-folded over
+    corpus text — and documents get their counts by joining the exploded
+    word stream against the vocab-sized (word -> n_tok) map
+    (operators/text.bpe_segmentation). At 100 TB the vocab join is
+    millions of rows vs billions of tokens; AQE broadcasts it under the
+    threshold and shuffle-hashes above. The oracle replays training AND
+    application: the same dominance-selection CTEs carry the word identity
+    through both lockstep walks, then join the exploded documents."""
+    from guardian_for_apache_kafka_spark.operators.text import bpe_segmentation
+
+    d = load_table(spark, sf_dir, "documents")
+    _rules, seg = bpe_segmentation(d, rounds=2, batch_k=4)
+    tok = seg.select("word", F.size("sy").alias("n_tok"))
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

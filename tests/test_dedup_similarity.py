@@ -1399,3 +1399,66 @@ def test_decontaminate_spans_full_containment(spark):
 
     r = decontaminate_spans(train, bench, n=4, min_span_tokens=8).collect()[0]
     assert (r.n_before, r.n_after, r.cleaned_text) == (16, 0, "")
+
+
+def test_pq_adc_shape_and_recall(spark, emb):
+    """PQ/ADC invariants + retrieval quality on the isotropic test
+    embeddings: ranks dense 1..k, ADC non-decreasing and non-negative, no
+    self pairs; mean recall@5 vs exact L2 >= 0.2 for pure ADC (measured
+    ~0.34 with m=16/ksub=32/3 Lloyd rounds) and >= 0.5 after the
+    full-precision rerank (measured ~0.68) — the rerank must STRICTLY
+    dominate the compressed-domain scan."""
+    import numpy as np
+
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        pq_rerank_topk,
+        pq_topk,
+    )
+
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def exact_top5(qi):
+        d = {vid: float(((V[qi] - v) ** 2).sum()) for vid, v in V.items() if vid != qi}
+        return set(sorted(d, key=lambda kk: (d[kk], kk))[:5])
+
+    recalls = {}
+    for name, df in [
+        ("adc", pq_topk(emb, q, k=5)),
+        ("rerank", pq_rerank_topk(emb, q, k=5, probe_mult=4)),
+    ]:
+        per = {}
+        for r in df.collect():
+            per.setdefault(r.query_id, []).append(r)
+        assert set(per) == set(range(10))
+        for qi, rows in per.items():
+            rows.sort(key=lambda r: r.rnk)
+            assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+            scores = [r.adc if name == "adc" else r.d2 for r in rows]
+            assert scores == sorted(scores) and scores[0] >= 0.0
+            assert all(r.vec_id != qi for r in rows)
+        recalls[name] = sum(
+            len(exact_top5(qi) & {r.vec_id for r in rows}) / 5
+            for qi, rows in per.items()
+        ) / len(per)
+    assert recalls["adc"] >= 0.2
+    assert recalls["rerank"] >= 0.5
+    assert recalls["rerank"] > recalls["adc"]
+
+
+def test_pq_train_codes_deterministic_and_bounded(spark, emb):
+    """pq_train twice on the same input must produce identical codebooks
+    (content-deterministic training — no RNG, no partition-order
+    dependence thanks to the exact-sum float discipline), with cids
+    inside [0, ksub) and subvector length dim/m."""
+    from guardian_for_apache_kafka_spark.operators.similarity import pq_train
+
+    a = pq_train(emb, m=8, ksub=8, iters=2)
+    b = pq_train(emb, m=8, ksub=8, iters=2)
+    assert a == b
+    assert len(a) == 8
+    for cb in a:
+        assert cb and all(0 <= cid < 8 for cid in cb)
+        assert all(len(cv) == 8 for cv in cb.values())
