@@ -410,3 +410,67 @@ def audio_fingerprints(media: DataFrame, frames: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(fps, AUDIO_FP_DDL)
+
+
+SCENE_SEGMENTS_DDL = (
+    "doc_id BIGINT, scene_index INT, start_frame INT, n_frames INT, "
+    "sum_brightness BIGINT"
+)
+
+
+def scene_segments(
+    media: DataFrame, frames: int = 16, threshold: int = 64
+) -> DataFrame:
+    """Scene-change segmentation — the video-curation pre-chunker (shot
+    boundaries gate which spans get expensive captioning/embedding):
+    per-frame luminance is compared to its predecessor and a jump
+    > ``threshold`` opens a new scene; output is the run-length encoding
+    (doc_id, scene_index, start_frame, n_frames, sum_brightness). ONE
+    decode pass per blob (the extract_video_frames discipline — a 100 TB
+    corpus opens each container exactly once; scene fan-out is free row
+    emission inside the Arrow batch).
+
+    The codec is STUBBED like every multimodal twin: frame luminance is
+    byte 0 of sha256(sha256hex(content) + ":" + frame_index) — digest
+    arithmetic an oracle recomputes exactly, so the differential attests
+    the whole segmentation recurrence (boundary rule, run accounting),
+    not just row counts. A real deployment swaps the luminance line for
+    an ffmpeg decode; the batch contract is identical."""
+    media = spread_narrow_scan(media)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                dig = hashlib.sha256(content).hexdigest()
+                lum = [
+                    hashlib.sha256(f"{dig}:{k}".encode()).digest()[0]
+                    for k in range(frames)
+                ]
+                scene, start, acc = 0, 0, 0
+                for k in range(frames):
+                    if k > 0 and abs(lum[k] - lum[k - 1]) > threshold:
+                        rows.append(
+                            {
+                                "doc_id": row["doc_id"],
+                                "scene_index": scene,
+                                "start_frame": start,
+                                "n_frames": k - start,
+                                "sum_brightness": acc,
+                            }
+                        )
+                        scene, start, acc = scene + 1, k, 0
+                    acc += lum[k]
+                rows.append(
+                    {
+                        "doc_id": row["doc_id"],
+                        "scene_index": scene,
+                        "start_frame": start,
+                        "n_frames": frames - start,
+                        "sum_brightness": acc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, SCENE_SEGMENTS_DDL)

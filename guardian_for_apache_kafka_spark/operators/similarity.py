@@ -900,3 +900,192 @@ def pq_rerank_topk(
         .where(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+_RESID_SCALE = 1 << 20  # residual quantization grid (see ivfpq_topk)
+
+
+def _residualize(df: DataFrame, vec_col: str, cent_df: DataFrame) -> DataFrame:
+    """Replace ``vec_col`` with the GRID-QUANTIZED residual against the
+    joined ``centroid`` column: round((vec - centroid) * 2^20). The scale
+    makes every residual component an INTEGER-VALUED double, which is what
+    keeps downstream PQ training deterministic — grouped sums of integers
+    are exact in any partitioning/order, whereas raw residuals carry full
+    53-bit mantissas and a grouped avg over them would be order-dependent
+    run to run. Distances scale uniformly by 2^40, so rankings are
+    unchanged."""
+    resid = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col("centroid"),
+        lambda x, y: F.round((x - y) * float(_RESID_SCALE), 0),
+    )
+    keep = [c for c in df.columns if c != vec_col]
+    return (
+        df.join(F.broadcast(cent_df), F.col("list_id") == F.col("cid"))
+        .select(*keep, resid.alias(vec_col))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int | None = 8,
+    nprobe: int = 2,
+    m: int = 16,
+    ksub: int = 32,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    kmeans_iterations: int = 2,
+    shard_elems: int | None = None,
+) -> DataFrame:
+    """IVFADC — the FAISS IVF-PQ architecture, the index layout that
+    actually serves billion-vector ANN: a coarse IVF quantizer routes
+    every vector to one of ``nlist`` cells, PQ codebooks are trained on
+    the RESIDUALS (vector minus its cell centroid — residuals are near
+    zero-mean, so the same code budget buys far finer quantization than
+    raw-vector PQ), and queries score codes with an ADC table built from
+    their own residual against each probed cell. Composes s2's bucketing
+    (candidates exist only inside probed cells — the join is IVF-
+    bucketed, never all-pairs) with s14's compression (the scan payload
+    is m small codes per vector).
+
+    Returns (query_id, vec_id, adc, rnk <= k) — ADC distances in the
+    2^40-scaled residual metric (ranking-equivalent; see _residualize).
+
+    Plan shape at 100 TB: coarse training collects only nlist x dim
+    doubles per Lloyd round (_centroid_rows discipline, sharded closures
+    past the gate); corpus-side assignment + residual + PQ encoding all
+    ride ONE scan (Arrow numpy kernels + a broadcast nlist-row join); the
+    only corpus-sized exchange is the final codes-vs-probes join keyed on
+    list_id, carrying (id, list_id, m codes). The query side is
+    |queries| x nprobe rows of m*ksub-double tables — broadcast. Per-
+    candidate scoring is m JVM element_at lookups in whole-stage codegen.
+
+    Determinism contract: coarse centroids follow the s5 float32
+    discipline; residuals are grid-quantized to integer-valued doubles
+    (exact grouped sums -> deterministic PQ codebooks regardless of
+    partitioning), and every distance/table term is integer arithmetic in
+    double with the fixed left association — so codes, tables, and the
+    final ranking are run-to-run and cluster-layout stable."""
+    if nlist is None:
+        nlist = auto_nlist(corpus.count())
+    cent_rows = _centroid_rows(
+        corpus, nlist, id_col, vec_col, kmeans_iterations, shard_elems
+    )
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in cent_rows], "cid long, centroid array<double>"
+    )
+    assign = _assign_fn(cent_rows, shard_elems)
+
+    base = spread_narrow_scan(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+    resid = _residualize(base, "__v", cent_df)
+
+    dim = len(cent_rows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    cbs = pq_train(resid, m=m, ksub=ksub, iters=iters, id_col="vec_id", vec_col="__v")
+    coded = resid.select(
+        "vec_id", "list_id", _pq_assign_udf(cbs, dsub)(F.col("__v")).alias("__codes")
+    )
+
+    # queries: top-nprobe cells by cosine (same probe rule as ivf_topk),
+    # then a PER-CELL residual -> per-cell ADC table
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__q")
+    )
+    probed = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "__q",
+        F.col("cid"),
+        F.col("centroid"),
+        cosine_similarity(F.col("__q"), F.col("centroid")).alias("__cs"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("__cs").desc(), F.col("cid"))
+    probed = (
+        probed.withColumn("__r", F.row_number().over(w_probe))
+        .where(F.col("__r") <= nprobe)
+        .select("query_id", F.col("cid").alias("list_id"), "__q", "centroid")
+    )
+    q_resid = probed.withColumn(
+        "__q",
+        F.zip_with(
+            F.col("__q").cast("array<double>"),
+            F.col("centroid"),
+            lambda x, y: F.round((x - y) * float(_RESID_SCALE), 0),
+        ),
+    ).select(
+        "query_id",
+        "list_id",
+        _pq_qtab_udf(cbs, dsub, ksub)(F.col("__q")).alias("__qtab"),
+    )
+
+    adc = F.element_at("__qtab", F.element_at("__codes", 1) + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(
+            "__qtab", F.element_at("__codes", s + 1) + F.lit(s * ksub + 1)
+        )
+    scored = (
+        coded.join(F.broadcast(q_resid), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    probe_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    **ivfpq_kwargs,
+) -> DataFrame:
+    """IVFADC + refine — the production composition (FAISS
+    IndexIVFPQ + IndexRefineFlat): the compressed bucketed scan proposes
+    k * probe_mult candidates per query, exact squared-L2 re-ranks only
+    those rows (a semi-join on the id column). Returns (query_id,
+    vec_id, d2, rnk <= k)."""
+    cand = ivfpq_topk(
+        corpus, queries, k=k * probe_mult,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        **ivfpq_kwargs,
+    ).select("query_id", "vec_id")
+    full = spread_narrow_scan(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("__cv", "__qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

@@ -5804,3 +5804,412 @@ def d32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "t30_readability",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sents,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '), w ->
+                 greatest(CAST(1 AS BIGINT),
+                          CAST(len(regexp_extract_all(w, '[aeiouy]+')) AS BIGINT)))),
+               (a, x) -> a + x) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           round(n_syll * 1.0 / n_words, 4) AS syll_per_word,
+           round(206.835 - (1.015 * (n_words * 1.0 / n_sents))
+                 - (84.6 * (n_syll * 1.0 / n_words)), 3) AS flesch
+    FROM d ORDER BY doc_id LIMIT 200
+    """,
+    tags=("text", "readability"),
+)
+def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the curation-filter staple
+    (CCNet/Gopher pipelines gate on readability bands): syllables are
+    approximated by vowel-group runs ([aeiouy]+, min 1 per word) — the
+    standard dictionary-free proxy — and sentences fall back to 1 when the
+    corpus has no terminal punctuation (this fixture's documents don't, so
+    words-per-sentence degenerates to document length; the formula is
+    still the discriminating band on real corpora and the syllable term
+    carries the signal here). Integer word/syllable counts keep the
+    arithmetic exact; the float formula is one fixed-order expression
+    rounded at 3. Plan: pure per-row JVM expressions inside whole-stage
+    codegen — zero exchanges before the LIMIT's single-partition take."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    syll = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1).cast("long"),
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))).cast("long"),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_words = F.size(words).cast("long")
+    n_sents = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            syll.alias("n_syllables"),
+            F.round(syll * 1.0 / n_words, 4).alias("syll_per_word"),
+            F.round(
+                F.lit(206.835)
+                - (F.lit(1.015) * (n_words * 1.0 / n_sents))
+                - (F.lit(84.6) * (syll * 1.0 / n_words)),
+                3,
+            ).alias("flesch"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "t31_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT d.source, t.word
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(word)
+    ),
+    vocab AS (
+      SELECT source, word, count(*) AS n FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS hapax_ratio,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           round(count(*) * 1.0 / sum(n), 4) AS type_token_ratio
+    FROM vocab GROUP BY source ORDER BY source
+    """,
+    tags=("text", "lexical-richness", "hapax"),
+)
+def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena ratio and type/token ratio per source — the
+    lexical-richness fingerprint corpus linguists use to spot templated or
+    machine-generated feeds (natural text keeps hapax share near 40-60%;
+    boilerplate mills crater it). One explode, one (source, word)
+    aggregate — the only corpus-sized exchange, map-side combined because
+    word frequencies concentrate — then a per-source rollup over vocab-
+    sized input. All counts integer-exact; ratios round at 4. At 100 TB
+    the (source, word) grouping is the same shape as t11's document-
+    frequency scan — skew lives in the head words and the partial
+    aggregate absorbs it."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    vocab = tok.groupBy("source", "word").agg(F.count("*").alias("n"))
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return (
+        vocab.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("vocab_size"),
+            hapax.cast("long").alias("hapax_count"),
+            F.round(hapax * 1.0 / F.count("*"), 4).alias("hapax_ratio"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.round(F.count("*") * 1.0 / F.sum("n"), 4).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "d33_canonical_dedup",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             '  ' || upper(text) || '!!!' AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    canon AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS ck
+      FROM aug
+    ),
+    grp AS (
+      SELECT ck,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS keeper,
+             max(doc_id) AS max_doc
+      FROM canon GROUP BY ck
+    )
+    SELECT keeper, n_docs, max_doc,
+           CAST(n_docs - 1 AS BIGINT) AS removed
+    FROM grp WHERE n_docs > 1
+    ORDER BY keeper
+    """,
+    tags=("dedup", "canonicalization", "exact"),
+)
+def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-normalized exact dedup — the tier between d1's
+    byte-exact hash and d4's MinHash: lowercase, strip non-alphanumerics
+    to spaces, collapse runs, trim, THEN hash (the C4/CCNet "exact after
+    normalization" rule that catches case/punctuation/whitespace mutants
+    byte-exact dedup misses). This fixture has no such mutants naturally
+    (d1 finds zero even byte-exact dupes), so the query PLANTS them —
+    every doc_id % 7 == 0 gains an uppercased, punctuation-suffixed,
+    space-padded twin at doc_id + 1e6, constructed identically on both
+    engines — and the dedup must recover exactly those groups: keeper =
+    original id, max_doc = mutant id, n_docs = 2. An output row set that
+    is anything but the planted family is a normalizer bug. Plan: the
+    canonical key is one per-row JVM expression chain (no Python), the
+    only corpus-sized exchange groups by the 32-hex digest — uniformly
+    distributed, skew-free by construction — and the digest is the ONLY
+    payload shuffled (text never leaves the scan). At 100 TB this is the
+    cheapest near-dup tier, run FIRST in the d-family cascade so the
+    expensive MinHash/SimHash tiers see a pre-shrunk corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("!!!")).alias("text"),
+    )
+    aug = docs.unionAll(mut)
+    ck = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        )
+    )
+    grp = (
+        aug.select("doc_id", ck.alias("ck"))
+        .groupBy("ck")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+    return (
+        grp.where(F.col("n_docs") > 1)
+        .select(
+            "keeper",
+            "n_docs",
+            "max_doc",
+            (F.col("n_docs") - 1).cast("long").alias("removed"),
+        )
+        .orderBy("keeper")
+    )
+
+
+@query(
+    "p15_budget_apportionment",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens
+      FROM documents GROUP BY 1
+    ),
+    wts AS (
+      SELECT source, tokens,
+             CAST(floor(sqrt(tokens * 1000000.0)) AS BIGINT) AS w
+      FROM src
+    ),
+    tot AS (SELECT sum(w) AS tw, CAST(1000000 AS BIGINT) AS budget FROM wts),
+    quo AS (
+      SELECT source, tokens, w,
+             (budget * w) // tw AS base_quota,
+             (budget * w) % tw AS remainder,
+             budget - sum((budget * w) // tw) OVER () AS leftover
+      FROM wts, tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rr
+      FROM quo
+    )
+    SELECT source, tokens,
+           CAST(base_quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota,
+           round((base_quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END)
+                 / 1000000.0, 6) AS share
+    FROM ranked ORDER BY source
+    """,
+    tags=("pipeline", "mixture", "apportionment"),
+)
+def p15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment by largest remainder (Hamilton's
+    method) — the step after p4/p14 choose mixture WEIGHTS: turning
+    temperature-flattened source weights into INTEGER per-source token
+    quotas that sum exactly to the budget (naive rounding over- or
+    under-shoots; largest-remainder is the standard fix). Temperature
+    T = 2 flattening is sqrt — IEEE-exact correctly-rounded in both
+    engines — and the weight is floored to an integer at 1e6 scale, so
+    quota = budget * w div W and the remainder ranking are EXACT integer
+    arithmetic end to end: no float sum ever decides a quota. The sum of
+    quotas == budget invariant is pinned in tests. Plan: one corpus-sized
+    source aggregate (map-side combined), then source-count-sized windows
+    — at 100 TB the apportionment itself costs nothing; the token census
+    is the one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("tokens")
+    )
+    budget = F.lit(1000000).cast("long")
+    wts = src.select(
+        "source",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens") * 1000000.0)).cast("long").alias("w"),
+    )
+    w_all = Window.partitionBy()
+    quo = wts.select(
+        "source",
+        "tokens",
+        (budget * F.col("w")).cast("long").alias("bw"),
+        F.sum("w").over(w_all).alias("tw"),
+    ).select(
+        "source",
+        "tokens",
+        F.expr("bw div tw").alias("base_quota"),
+        (F.col("bw") % F.col("tw")).alias("remainder"),
+    )
+    quo = quo.select(
+        "source",
+        "tokens",
+        "base_quota",
+        "remainder",
+        (budget - F.sum("base_quota").over(w_all)).alias("leftover"),
+    )
+    ranked = quo.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("remainder"), "source"))
+    )
+    quota = F.col("base_quota") + F.when(
+        F.col("rr") <= F.col("leftover"), 1
+    ).otherwise(0)
+    return ranked.select(
+        "source",
+        "tokens",
+        quota.cast("long").alias("quota"),
+        F.round(quota / 1000000.0, 6).alias("share"),
+    ).orderBy("source")
+
+
+@query(
+    "s16_ivfpq_rerank",
+    oracle="""
+    SELECT vec_id AS query_id, true AS recall_ok
+    FROM embeddings WHERE vec_id < 10 ORDER BY vec_id
+    """,
+    tags=("similarity", "ann", "ivf", "product-quantization", "statistical-oracle"),
+)
+def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + refine — the FAISS IndexIVFPQ architecture end to end
+    (operators/similarity.ivfpq_topk): a coarse IVF quantizer routes
+    vectors to cells, PQ codebooks train on GRID-QUANTIZED residuals
+    (integer-valued doubles keep the training deterministic under any
+    partitioning — see _residualize), queries score m-byte codes with
+    per-cell ADC tables inside their nprobe=4 probed cells only, the
+    compressed scan proposes 4x k candidates, and exact L2 reranks just
+    those rows. The in-query verdict (the s2/s7/s15 pattern) compares the
+    reranked top-5 against brute-force exact per query and asserts >= 1/5
+    overlap for EVERY query — the worst case the isotropic fixture admits
+    at every sf (observed means 0.58-0.68; the mean bound and the
+    candidate-containment invariant — every candidate shares a probed
+    cell with its query — are pinned in tests/test_dedup_similarity.py).
+    At 100 TB this is THE serving layout: the resident scan is
+    (list_id + 10-byte code), candidates exist only inside probed cells,
+    and full-precision rows are touched |queries| x 4k times total."""
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_rerank_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rer = ivfpq_rerank_topk(
+        e, q, k=5, probe_mult=4, nlist=8, nprobe=4, m=16, ksub=32, iters=2
+    ).select("query_id", F.col("vec_id").alias("__rv"))
+    exact = cosine_topk(e, q, k=5).select("query_id", F.col("vec_id").alias("__ev"))
+    hits = (
+        exact.join(rer, ["query_id"])
+        .where(F.col("__ev") == F.col("__rv"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("__hits"), F.lit(0)) >= 1).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "m9_scene_segments",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS dig FROM documents WHERE doc_id < 150
+    ), f AS (
+        SELECT doc_id, CAST(g AS INT) AS k,
+               ({_hexb("sha256(dig || ':' || CAST(g AS VARCHAR))", 0)}) AS lum
+        FROM h, generate_series(0, 15) s(g)
+    ), flagged AS (
+        SELECT doc_id, k, lum,
+               CASE WHEN k > 0 AND abs(lum - lag(lum) OVER w) > 64
+                    THEN 1 ELSE 0 END AS boundary
+        FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY k)
+    ), scenes AS (
+        SELECT doc_id, k, lum,
+               sum(boundary) OVER (PARTITION BY doc_id ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS scene_index
+        FROM flagged
+    )
+    SELECT doc_id, CAST(scene_index AS INT) AS scene_index,
+           CAST(min(k) AS INT) AS start_frame,
+           CAST(count(*) AS INT) AS n_frames,
+           CAST(sum(lum) AS BIGINT) AS sum_brightness
+    FROM scenes GROUP BY doc_id, scene_index
+    ORDER BY doc_id, scene_index
+    """,
+    tags=("multimodal", "video", "scene-detection"),
+)
+def m9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary segmentation over stub-decoded video: per-frame
+    luminance jumps > 64 open a new scene; the run-length encoding
+    (start/length/brightness mass) is what a curation pipeline feeds to
+    captioning — only scene representatives get expensive model calls.
+    One decode pass per blob (operators/multimodal.scene_segments); the
+    oracle replays luminance AND the boundary/run recurrence with digest
+    arithmetic + a lag window, so the whole segmentation logic is
+    differentially attested. Restricted to 150 docs to keep the oracle's
+    16-frame unnest small at every sf."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        scene_segments,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .withColumn("blob", F.col("text").cast("binary"))
+    )
+    media = attach_media(d, "blob", "video", "mp4")
+    return scene_segments(media, frames=16, threshold=64).orderBy(
+        "doc_id", "scene_index"
+    )

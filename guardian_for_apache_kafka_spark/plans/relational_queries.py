@@ -5673,3 +5673,433 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("klass")
     )
+
+
+@query(
+    "q116_linear_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           n AS n_days,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope,
+           round((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 1.0
+                 / (n * (n * sxx - sx * sx)), 6) AS intercept,
+           round(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                 * ((n * sxy - sx * sy) * 1.0 / (n * syy - sy * sy)), 6) AS r2
+    FROM sums ORDER BY event_type
+    """,
+    tags=("relational", "regression", "trend"),
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS linear trend — the capacity-forecasting one-liner
+    (is traffic growing, and how fast?): daily event counts per type,
+    least-squares slope/intercept/R^2 against the day index. The moment
+    sums (n, Σx, Σy, Σxx, Σyy, Σxy) are BIGINT-exact — x is a small day
+    offset, y an integer count, so every product fits in int64 and the
+    normal-equation numerators/denominators are computed in exact integer
+    arithmetic; floating point enters only in the final divisions, in a
+    fixed association both engines share (slope = num/dx; r2 =
+    (num/dx)*(num/dy); intercept keeps one exact integer numerator). This
+    sidesteps the cross-engine summation-order hazard that regr_slope /
+    regr_r2 built-ins carry (Welford vs naive moment accumulation differ
+    in final ulps). Plan: two hash aggregates (day rollup, then 5-row
+    moment rollup) — the day rollup is the only corpus-sized exchange, and
+    partial aggregation makes it map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date(F.date_trunc("day", F.col("ts"))), F.lit("2024-01-01").cast("date")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(num * 1.0 / dx, 6).alias("slope"),
+        F.round(
+            (F.col("sy") * dx - num * F.col("sx")) * 1.0 / (F.col("n") * dx), 6
+        ).alias("intercept"),
+        F.round((num * 1.0 / dx) * (num * 1.0 / dy), 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q117_decile_lift",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type <> 'purchase'
+                      THEN CAST(round("value" * 100) AS BIGINT)
+                      ELSE 0 END) AS score_cents,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1
+    ),
+    deciled AS (
+      SELECT user_id, score_cents, converted,
+             ntile(10) OVER (ORDER BY score_cents DESC, user_id) AS decile
+      FROM u
+    ),
+    agg AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted
+      FROM deciled GROUP BY 1
+    )
+    SELECT decile, n_users, n_converted,
+           round(n_converted * 1.0 / n_users, 4) AS conv_rate,
+           round((n_converted * 1.0 / n_users)
+                 / (sum(n_converted) OVER () * 1.0 / sum(n_users) OVER ()), 4)
+             AS lift,
+           round(sum(n_converted) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 / sum(n_converted) OVER (), 4) AS cum_capture
+    FROM agg ORDER BY decile
+    """,
+    tags=("relational", "lift", "gains-chart"),
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains chart — the model-evaluation classic
+    (does engagement spend rank users by conversion propensity?): users
+    score by non-purchase engagement value (INTEGER CENTS, so the
+    per-user sum is exact and the ntile order has no float ambiguity),
+    label by whether they ever purchased; ntile(10) over (score DESC,
+    user_id) buckets them, and each decile reports conversion rate, lift
+    over the base rate, and cumulative capture. The ntile tie-break is a
+    total order, so both engines bucket identically. Plan: one user
+    aggregate (corpus-sized exchange, map-side combined), then ntile +
+    the final windows run over |users| and 10 rows respectively —
+    at 100 TB the user table is the small output, and the decile windows
+    are constant-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("score_cents"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    deciled = u.select(
+        "converted",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score_cents"), "user_id"))
+        .alias("decile"),
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rate = F.col("n_converted") * 1.0 / F.col("n_users")
+    base = F.sum("n_converted").over(w_all) * 1.0 / F.sum("n_users").over(w_all)
+    return agg.select(
+        "decile",
+        "n_users",
+        "n_converted",
+        F.round(rate, 4).alias("conv_rate"),
+        F.round(rate / base, 4).alias("lift"),
+        F.round(
+            F.sum("n_converted").over(w_cum) * 1.0 / F.sum("n_converted").over(w_all),
+            4,
+        ).alias("cum_capture"),
+    ).orderBy("decile")
+
+
+@query(
+    "q118_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+    ),
+    cohorts AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', first_ts) AS DATE)) // 7
+               AS cohort_week
+      FROM first_seen
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM cohorts GROUP BY 1
+    ),
+    rev AS (
+      SELECT c.cohort_week,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', e.ts) AS DATE)) // 7
+               - c.cohort_week AS age_weeks,
+             sum(CAST(round(e."value" * 100) AS BIGINT)) AS rev_cents
+      FROM events e JOIN cohorts c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.age_weeks, s.cohort_users,
+           round(r.rev_cents / 100.0, 2) AS revenue,
+           round(sum(r.rev_cents) OVER (PARTITION BY r.cohort_week
+                   ORDER BY r.age_weeks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / 100.0 / s.cohort_users, 4) AS cum_ltv_per_user
+    FROM rev r JOIN sizes s ON s.cohort_week = r.cohort_week
+    ORDER BY r.cohort_week, r.age_weeks
+    """,
+    tags=("relational", "cohort", "ltv"),
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value — q51's retention triangle with MONEY in the
+    cells: users cohort by first-seen week, purchase revenue rolls up by
+    (cohort, weeks-since-acquisition), and the running per-user cumulative
+    LTV is the payback-period curve finance actually reads. Integer-cents
+    revenue keeps every sum exact; the cumulative window runs per cohort
+    over at most |weeks| rows. Plan: one user-level min (map-side
+    combined), a purchases join back to cohorts on user_id (AQE broadcasts
+    the cohort side when small; at 100 TB it shuffles on user_id — the
+    same key both sides already aggregate on), then a triangle-sized
+    rollup and window."""
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.floor(
+        F.datediff(
+            F.to_date(F.date_trunc("day", c)), F.lit("2024-01-01").cast("date")
+        )
+        / 7
+    )
+    cohorts = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("age_weeks"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_cents"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.sum("rev_cents").over(w_cum) / 100.0 / F.col("cohort_users"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+@query(
+    "q119_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(y) AS s, sum(y * y) AS q
+      FROM daily GROUP BY 1
+    ),
+    pairs AS (
+      SELECT d1.event_type, k.k,
+             sum(d1.y * d2.y) AS p,
+             sum(d1.y) AS a, sum(d2.y) AS b,
+             CAST(count(*) AS BIGINT) AS npairs
+      FROM daily d1
+      JOIN range(1, 8) k(k) ON true
+      JOIN daily d2 ON d2.event_type = d1.event_type AND d2.x = d1.x + k.k
+      GROUP BY 1, 2
+    )
+    SELECT p.event_type, CAST(p.k AS INT) AS lag,
+           p.npairs AS n_pairs,
+           round((t.n * t.n * p.p - t.n * t.s * (p.a + p.b)
+                  + p.npairs * t.s * t.s) * 1.0
+                 / (t.n * t.n * t.q - t.n * t.s * t.s), 6) AS acf
+    FROM pairs p JOIN tot t ON t.event_type = p.event_type
+    ORDER BY p.event_type, lag
+    """,
+    tags=("relational", "timeseries", "autocorrelation"),
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-7) of daily event counts per type
+    — the seasonality detector behind q104's decomposition (a weekly cycle
+    shows as an acf spike at lag 7; white noise hovers near zero). The
+    standard ACF estimator r_k = sum((y_t - mean)(y_{t+k} - mean)) /
+    sum((y_t - mean)^2) is computed in EXACT BIGINT arithmetic by scaling
+    through n^2 (the q116 trick): numerator n^2*P_k - n*S*(A_k + B_k) +
+    npairs*S^2, denominator n^2*Q - n*S^2 — every term a product of
+    integer day-count sums, one double division at the end. Calendar gaps
+    drop pairs on both engines identically (the lag join is on x + k).
+    Plan: one corpus-sized day rollup, then everything runs on the
+    |days x types| table — the lag self-join and the 7-way lag fan-out
+    are day-table-sized, broadcast-friendly, constant cost at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    d1 = daily.alias("d1")
+    d2 = daily.alias("d2")
+    pairs = (
+        d1.crossJoin(F.broadcast(lags))
+        .join(
+            d2,
+            (F.col("d2.event_type") == F.col("d1.event_type"))
+            & (F.col("d2.x") == F.col("d1.x") + F.col("k")),
+        )
+        .groupBy(F.col("d1.event_type").alias("event_type"), "k")
+        .agg(
+            F.sum(F.col("d1.y") * F.col("d2.y")).alias("p"),
+            F.sum(F.col("d1.y")).alias("a"),
+            F.sum(F.col("d2.y")).alias("b"),
+            F.count("*").cast("long").alias("npairs"),
+        )
+    )
+    j = pairs.join(tot, "event_type")
+    num = (
+        F.col("n") * F.col("n") * F.col("p")
+        - F.col("n") * F.col("s") * (F.col("a") + F.col("b"))
+        + F.col("npairs") * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("q") - F.col("n") * F.col("s") * F.col("s")
+    return j.select(
+        "event_type",
+        F.col("k").cast("int").alias("lag"),
+        F.col("npairs").alias("n_pairs"),
+        F.round(num * 1.0 / den, 6).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+@query(
+    "q120_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    walked AS (
+      SELECT event_type, x, y,
+             sum(y) OVER w AS c,
+             row_number() OVER w AS t,
+             sum(y) OVER (PARTITION BY event_type) AS s,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT event_type, x, n,
+             abs(n * c - t * s) AS stat,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(n * c - t * s) DESC, x) AS rn
+      FROM walked
+    )
+    SELECT event_type, CAST(x AS INT) AS change_day,
+           CAST(stat AS BIGINT) AS cusum_stat,
+           round(stat * 1.0 / n, 2) AS mean_shift_mass
+    FROM scored WHERE rn = 1 ORDER BY event_type
+    """,
+    tags=("relational", "timeseries", "changepoint"),
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event series — the monitoring
+    primitive that answers "WHEN did the rate change": the scaled CUSUM
+    statistic |n*C_t - t*S| (C_t = running count sum, S = total, both
+    BIGINT-exact, so the argmax is integer arithmetic with ties broken to
+    the earlier day) peaks at the most likely mean-shift point; dividing
+    by n recovers the classic max|C_t - t*mean| mass. On this fixture's
+    stationary series the peak is noise-sized — the point is the
+    detector's exactness, pinned differentially. Plan: one corpus-sized
+    day rollup; the windows and the argmax run over the |days x types|
+    table, partitioned BY SERIES (no global window anywhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    walked = daily.select(
+        "event_type",
+        "x",
+        F.sum("y").over(w).alias("c"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("x")).alias("t"),
+        F.sum("y").over(w_all).alias("s"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    stat = F.abs(F.col("n") * F.col("c") - F.col("t") * F.col("s"))
+    scored = walked.select(
+        "event_type",
+        "x",
+        "n",
+        stat.alias("stat"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(stat.desc(), "x"))
+        .alias("rn"),
+    )
+    return (
+        scored.where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("x").cast("int").alias("change_day"),
+            F.col("stat").cast("long").alias("cusum_stat"),
+            F.round(F.col("stat") * 1.0 / F.col("n"), 2).alias("mean_shift_mass"),
+        )
+        .orderBy("event_type")
+    )

@@ -1151,3 +1151,79 @@ def test_q113_sweep_is_partition_parallel(plans):
         idx = next(i for i, ln in enumerate(lines) if ln.rstrip().endswith(f"Exchange ({node_id})"))
         child = lines[idx + 1]
         assert "HashAggregate" in child, f"SinglePartition exchange ({node_id}) over non-aggregate input:\n{tree}"
+
+
+def test_q116_trend_is_two_aggregates_no_window(plans):
+    """Linear trend: day rollup then moment rollup — two hash aggregates,
+    no window, no join; the day rollup is the only corpus-sized exchange."""
+    plan = plans("q116_linear_trend")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree, plan
+    assert "Join" not in tree, plan
+    assert tree.count("Exchange") <= 3, plan  # day agg, moment agg, final sort
+
+
+def test_q117_lift_windows_run_over_aggregates(plans):
+    """Decile lift: the corpus-sized exchange is the user aggregate; the
+    ntile and gains windows run over |users| and 10-row inputs — no join
+    anywhere."""
+    plan = plans("q117_decile_lift")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, plan
+    assert "hashpartitioning(user_id#" in plan, plan
+
+
+def test_q118_ltv_joins_on_user_only(plans):
+    """Cohort LTV: purchases join cohorts on user_id (hash or broadcast —
+    never a nested loop); no corpus-sized single-partition window."""
+    plan = plans("q118_cohort_ltv")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, plan
+    assert "BroadcastNestedLoopJoin" not in tree, plan
+
+
+def test_t30_readability_is_pure_projection(plans):
+    """Readability: per-row JVM expressions + the ordered LIMIT take —
+    no join, no window, no aggregate over the corpus."""
+    plan = plans("t30_readability")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, plan
+    assert "Window" not in tree, plan
+
+
+def test_t31_hapax_exchanges_never_carry_text(plans):
+    """Hapax ratio: the (source, word) aggregate shuffles tokens, never
+    document text."""
+    import re
+
+    plan = plans("t31_hapax_ratio")
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "text#" not in m.group(1), m.group(1)
+
+
+def test_d33_canonical_exchanges_carry_digest_not_text(plans):
+    """Canonical dedup: the group-by key is the md5 digest; text is pruned
+    before every exchange."""
+    import re
+
+    plan = plans("d33_canonical_dedup")
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "text#" not in m.group(1), m.group(1)
+
+
+def test_p15_apportionment_single_corpus_exchange(plans):
+    """Budget apportionment: one corpus-sized exchange (the source token
+    census); every window runs over source-count rows."""
+    plan = plans("p15_budget_apportionment")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree or "BroadcastHashJoin" in tree, plan
+    assert "hashpartitioning(source#" in plan, plan
+
+
+def test_s16_ivfpq_no_unbucketed_cartesian(plans):
+    """IVFADC: corpus codes join query tables on list_id (hash/broadcast);
+    the only nested-loop joins are against the broadcast nlist-row centroid
+    set — a raw CartesianProduct anywhere means the bucketing is broken."""
+    plan = plans("s16_ivfpq_rerank")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, plan

@@ -1,0 +1,130 @@
+"""Semantic property tests for the round-7 additions — invariants the
+DuckDB differential can't express (exactness on synthetic inputs, planted
+recovery, conservation laws)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.plans import all_queries
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    qs = all_queries()
+    return lambda name: qs[name](spark, sf_dir)
+
+
+def test_q116_recovers_exact_line(spark):
+    """OLS on a noise-free line must return its slope/intercept exactly
+    (integer moment arithmetic: no float slack to hide behind)."""
+    from guardian_for_apache_kafka_spark.plans import relational_queries as R
+
+    # synthesize events whose daily counts are exactly y = 3x + 7:
+    # day x gets 3x+7 rows, all one event type
+    rows = [
+        (i, f"2024-01-{x+1:02d} 12:00:00", 1, "view", 1.0, "{}")
+        for x in range(10)
+        for i in range(3 * x + 7)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.event_type: r for r in R.q116(spark, d).collect()}
+    r = out["view"]
+    assert r.slope == 3.0 and r.intercept == 7.0 and r.r2 == 1.0, r
+
+
+def test_q117_decile_conservation_and_monotone_capture(run):
+    rows = run("q117_decile_lift").collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # conservation: users and converters split the totals exactly
+    assert sum(r.n_users for r in rows) > 0
+    caps = [r.cum_capture for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(caps, caps[1:])), caps
+    assert abs(caps[-1] - 1.0) < 1e-9, caps
+    # lift is rate/base: weighted mean of rates == base (lift weighted ~1)
+    tot_u = sum(r.n_users for r in rows)
+    tot_c = sum(r.n_converted for r in rows)
+    base = tot_c / tot_u
+    for r in rows:
+        assert abs(r.conv_rate - r.n_converted / r.n_users) < 1e-3
+        assert abs(r.lift - (r.n_converted / r.n_users) / base) < 1e-3
+
+
+def test_q118_ltv_cumulative_is_monotone_per_cohort(run):
+    rows = run("q118_cohort_ltv").collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for wk, rs in by_cohort.items():
+        ages = [r.age_weeks for r in rs]
+        assert ages == sorted(ages)
+        ltv = [r.cum_ltv_per_user for r in rs]
+        assert all(a <= b + 1e-9 for a, b in zip(ltv, ltv[1:])), (wk, ltv)
+        # cumulative consistency: sum of revenues/user ~= final cum ltv
+        total = sum(r.revenue for r in rs) / rs[0].cohort_users
+        assert abs(total - ltv[-1]) < 0.01, (wk, total, ltv[-1])
+
+
+def test_d33_recovers_exactly_the_planted_mutants(run):
+    rows = run("d33_canonical_dedup").collect()
+    assert rows, "planted mutants not found"
+    for r in rows:
+        assert r.keeper % 7 == 0
+        assert r.n_docs == 2 and r.removed == 1
+        assert r.max_doc == r.keeper + 1000000
+
+
+def test_t30_syllable_proxy_first_principles(run):
+    """Spot-check the vowel-group syllable proxy against hand counts."""
+    rows = {r.doc_id: r for r in run("t30_readability").collect()}
+    assert rows
+    for r in rows.values():
+        assert r.n_syllables >= r.n_words  # every word >= 1 syllable
+        assert 1.0 <= r.syll_per_word <= 4.0  # sane for english-ish tokens
+
+
+def test_t31_hapax_bounds(run):
+    rows = run("t31_hapax_ratio").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hapax_count <= r.vocab_size
+        assert r.vocab_size <= r.total_tokens
+        assert abs(r.hapax_ratio - r.hapax_count / r.vocab_size) < 1e-3
+        assert abs(r.type_token_ratio - r.vocab_size / r.total_tokens) < 1e-3
+
+
+def test_p15_quotas_sum_exactly_to_budget(run):
+    rows = run("p15_budget_apportionment").collect()
+    assert rows
+    assert sum(r.quota for r in rows) == 1000000
+    # monotone: more tokens never means a smaller quota (sqrt is monotone,
+    # largest-remainder preserves order up to the +1 on remainders)
+    srt = sorted(rows, key=lambda r: r.tokens)
+    for a, b in zip(srt, srt[1:]):
+        assert a.quota <= b.quota + 1, (a, b)
+
+
+def test_m9_scenes_tile_the_frame_range(run):
+    """Scene runs must partition frames 0..15 exactly: contiguous, ordered,
+    disjoint, covering — the RLE conservation law of the segmentation."""
+    rows = run("m9_scene_segments").collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.scene_index)
+        assert [r.scene_index for r in rs] == list(range(len(rs)))
+        pos = 0
+        for r in rs:
+            assert r.start_frame == pos, (doc, rs)
+            assert r.n_frames >= 1
+            pos += r.n_frames
+        assert pos == 16, (doc, pos)
+        assert all(0 <= r.sum_brightness <= 255 * r.n_frames for r in rs)
