@@ -122,6 +122,13 @@ HEADLINE = {
     "pq_adc_topk": "s14_pq_adc_topk",
     "pq_rerank": "s15_pq_rerank",
     "bpe_token_counts": "t29_bpe_token_counts",
+    # round-7b additions
+    "ivfpq_rerank": "s16_ivfpq_rerank",
+    "canonical_dedup": "d33_canonical_dedup",
+    "decile_lift": "q117_decile_lift",
+    "autocorrelation": "q119_autocorrelation",
+    "scene_segments": "m9_scene_segments",
+    "readability": "t30_readability",
 }
 
 N_RUNS = 3

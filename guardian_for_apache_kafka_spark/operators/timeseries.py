@@ -466,3 +466,49 @@ def sweep_daily_peaks(pts: DataFrame, n_parts: int | None = None) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def cusum_changepoints(daily: DataFrame) -> DataFrame:
+    """CUSUM changepoint per series over a (event_type, x, y) day table:
+    the scaled statistic |n*C_t - t*S| (C_t running sum, S series total,
+    n series length — all BIGINT-exact, so the argmax and its
+    earlier-day tie-break are pure integer decisions) peaks at the most
+    likely mean-shift point. Returns one row per series: (event_type,
+    change_day, cusum_stat, mean_shift_mass). Shared verbatim by the q120
+    batch query and the streaming twin's rollup — the stream==batch
+    equivalence test rides on this single implementation. Every window is
+    partitioned BY SERIES; nothing here ever sees corpus-sized input."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    walked = daily.select(
+        "event_type",
+        "x",
+        F.sum("y").over(w).alias("c"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("x")).alias("t"),
+        F.sum("y").over(w_all).alias("s"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    stat = F.abs(F.col("n") * F.col("c") - F.col("t") * F.col("s"))
+    scored = walked.select(
+        "event_type",
+        "x",
+        "n",
+        stat.alias("stat"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(stat.desc(), "x"))
+        .alias("rn"),
+    )
+    return (
+        scored.where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("x").cast("int").alias("change_day"),
+            F.col("stat").cast("long").alias("cusum_stat"),
+            F.round(F.col("stat") * 1.0 / F.col("n"), 2).alias("mean_shift_mass"),
+        )
+        .orderBy("event_type")
+    )

@@ -6060,7 +6060,14 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     stationary series the peak is noise-sized — the point is the
     detector's exactness, pinned differentially. Plan: one corpus-sized
     day rollup; the windows and the argmax run over the |days x types|
-    table, partitioned BY SERIES (no global window anywhere)."""
+    table, partitioned BY SERIES (no global window anywhere). The
+    detector core is operators/timeseries.cusum_changepoints, shared
+    verbatim with the streaming twin (stream_daily_count_points +
+    cusum_rollup)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
@@ -6069,37 +6076,4 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("2024-01-01").cast("date"),
         ).alias("x"),
     ).agg(F.count("*").alias("y"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("event_type")
-    walked = daily.select(
-        "event_type",
-        "x",
-        F.sum("y").over(w).alias("c"),
-        F.row_number().over(Window.partitionBy("event_type").orderBy("x")).alias("t"),
-        F.sum("y").over(w_all).alias("s"),
-        F.count("*").over(w_all).alias("n"),
-    )
-    stat = F.abs(F.col("n") * F.col("c") - F.col("t") * F.col("s"))
-    scored = walked.select(
-        "event_type",
-        "x",
-        "n",
-        stat.alias("stat"),
-        F.row_number()
-        .over(Window.partitionBy("event_type").orderBy(stat.desc(), "x"))
-        .alias("rn"),
-    )
-    return (
-        scored.where(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.col("x").cast("int").alias("change_day"),
-            F.col("stat").cast("long").alias("cusum_stat"),
-            F.round(F.col("stat") * 1.0 / F.col("n"), 2).alias("mean_shift_mass"),
-        )
-        .orderBy("event_type")
-    )
+    return cusum_changepoints(daily)

@@ -1098,3 +1098,57 @@ def checkpoint_inventory(spark: SparkSession, checkpoint: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_id long, offset_logged boolean, committed boolean"
     )
+
+
+def stream_daily_count_points(
+    events: DataFrame,
+    dest: str,
+    checkpoint: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    epoch_date: str = "2024-01-01",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the q120 CUSUM changepoint detector — the
+    stream_concurrency_points pattern applied to count points: each
+    micro-batch appends one narrow row PER EVENT (event_id, event_type,
+    day offset), keyed by event identity so crash-replayed batches append
+    duplicates the rollup's distinct removes (foreachBatch's
+    at-least-once contract, no state store). ``cusum_rollup`` then
+    aggregates to the day table and runs the SAME
+    operators/timeseries.cusum_changepoints core as the batch query —
+    the stream==batch equivalence test rides on that shared code."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pts = batch_df.select(
+            F.col(id_col).alias("event_id"),
+            F.col(type_col).alias("event_type"),
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col(ts_col))),
+                F.lit(epoch_date).cast("date"),
+            ).alias("x"),
+        )
+        pts.write.mode("append").parquet(dest)
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cusum_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
+    """Batch rollup over the accumulated count points — identical output
+    contract to q120 (event_type, change_day, cusum_stat,
+    mean_shift_mass). The distinct on event identity makes replays
+    harmless; the count aggregate rebuilds the day table and the shared
+    CUSUM core does the rest."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    pts = spark.read.parquet(points_dir).distinct()
+    daily = pts.groupBy("event_type", "x").agg(F.count("*").alias("y"))
+    return cusum_changepoints(daily)

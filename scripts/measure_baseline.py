@@ -154,6 +154,108 @@ QUERIES = {
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    # round-7 stock twins (plain Spark SQL, same semantics as the registry
+    # queries and their DuckDB oracles)
+    "decile_lift": """
+        WITH u AS (
+          SELECT user_id,
+                 sum(CASE WHEN event_type <> 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                   AS score_cents,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+          FROM events GROUP BY user_id
+        ),
+        deciled AS (
+          SELECT converted,
+                 ntile(10) OVER (ORDER BY score_cents DESC, user_id) AS decile
+          FROM u
+        ),
+        agg AS (
+          SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(converted) AS BIGINT) AS n_converted
+          FROM deciled GROUP BY decile
+        )
+        SELECT decile, n_users, n_converted,
+               round(n_converted * 1.0 / n_users, 4) AS conv_rate,
+               round((n_converted * 1.0 / n_users)
+                     / (sum(n_converted) OVER () * 1.0 / sum(n_users) OVER ()), 4)
+                 AS lift,
+               round(sum(n_converted) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1.0 / sum(n_converted) OVER (), 4) AS cum_capture
+        FROM agg ORDER BY decile
+    """,
+    "autocorrelation": """
+        WITH daily AS (
+          SELECT event_type,
+                 datediff(to_date(date_trunc('day', ts)), DATE '2024-01-01') AS x,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(y) AS s, sum(y * y) AS q
+          FROM daily GROUP BY 1
+        ),
+        lags AS (SELECT explode(sequence(1, 7)) AS k),
+        pairs AS (
+          SELECT d1.event_type, k.k,
+                 sum(d1.y * d2.y) AS p, sum(d1.y) AS a, sum(d2.y) AS b,
+                 CAST(count(*) AS BIGINT) AS npairs
+          FROM daily d1 CROSS JOIN lags k
+          JOIN daily d2 ON d2.event_type = d1.event_type AND d2.x = d1.x + k.k
+          GROUP BY 1, 2
+        )
+        SELECT p.event_type, CAST(p.k AS INT) AS lag, p.npairs AS n_pairs,
+               round((t.n * t.n * p.p - t.n * t.s * (p.a + p.b)
+                      + p.npairs * t.s * t.s) * 1.0
+                     / (t.n * t.n * t.q - t.n * t.s * t.s), 6) AS acf
+        FROM pairs p JOIN tot t ON t.event_type = p.event_type
+        ORDER BY p.event_type, lag
+    """,
+    "readability": """
+        WITH d AS (
+          SELECT doc_id,
+                 size(split(text, ' ')) AS n_words,
+                 greatest(1, size(regexp_extract_all(text, '[.!?]+', 0)))
+                   AS n_sents,
+                 aggregate(transform(split(text, ' '), w ->
+                     greatest(CAST(1 AS BIGINT),
+                              CAST(size(regexp_extract_all(w, '[aeiouy]+', 0))
+                                   AS BIGINT))),
+                   CAST(0 AS BIGINT), (a, x) -> a + x) AS n_syll
+          FROM documents
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_syll AS BIGINT) AS n_syllables,
+               round(n_syll * 1.0 / n_words, 4) AS syll_per_word,
+               round(206.835 - (1.015 * (n_words * 1.0 / n_sents))
+                     - (84.6 * (n_syll * 1.0 / n_words)), 3) AS flesch
+        FROM d ORDER BY doc_id LIMIT 200
+    """,
+    "canonical_dedup": """
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 concat('  ', upper(text), '!!!') AS text
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        canon AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', ' '), ' +', ' '))) AS ck
+          FROM aug
+        ),
+        grp AS (
+          SELECT ck, CAST(count(*) AS BIGINT) AS n_docs,
+                 min(doc_id) AS keeper, max(doc_id) AS max_doc
+          FROM canon GROUP BY ck
+        )
+        SELECT keeper, n_docs, max_doc, CAST(n_docs - 1 AS BIGINT) AS removed
+        FROM grp WHERE n_docs > 1 ORDER BY keeper
+    """,
 }
 
 N_RUNS = 3

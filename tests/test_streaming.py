@@ -1594,3 +1594,44 @@ def test_checkpoint_inventory_reports_committed_batches(spark, tmp_path):
     uri_inv = checkpoint_inventory(spark, "file://" + ckpt).collect()
     assert sorted(r.batch_id for r in uri_inv) == sorted(r.batch_id for r in inv)
     assert checkpoint_inventory(spark, "file://" + str(tmp_path / "nope2")).count() == 0
+
+
+def test_stream_cusum_equal_batch_q120_and_resumes(spark, tmp_path):
+    """Streaming count-point accumulation rolled up == the q120 batch
+    CUSUM changepoint (shared operators/timeseries.cusum_changepoints
+    core), across micro-batches, a restart, and a simulated replayed
+    batch (event-identity distinct makes duplicate appends harmless)."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        cusum_rollup,
+        stream_daily_count_points,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "in")
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    first = ordered.limit(n // 2)
+    rest = ordered.subtract(first)
+    first.coalesce(1).write.parquet(src)
+
+    dest, ckpt = str(tmp_path / "pts"), str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_daily_count_points(stream, dest, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    want = [tuple(r) for r in all_queries()["q120_cusum_changepoint"](spark, sf).collect()]
+    got = [tuple(r) for r in cusum_rollup(spark, dest).collect()]
+    assert got == want
+    # replay simulation: re-appending points must not change the verdict
+    spark.read.parquet(dest).limit(40).write.mode("append").parquet(dest)
+    assert [tuple(r) for r in cusum_rollup(spark, dest).collect()] == want
