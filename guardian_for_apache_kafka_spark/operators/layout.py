@@ -173,3 +173,79 @@ def zorder_value_n(cols, bits: int = 16):
             t = F.shiftleft(F.shiftright(cl, i).bitwiseAND(F.lit(1)), i * k + j)
             out = t if out is None else out + t
     return out
+
+
+def global_running_sum(
+    df: DataFrame,
+    order,
+    value_col: str,
+    out: str = "run",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global ordered prefix sum WITHOUT a corpus-sized single-partition
+    window — the generalized q113 two-pass sweep (sweep_daily_peaks is
+    this primitive specialized to boundary points): range-partition on the
+    exact global order, compute per-partition running sums in parallel
+    (window keyed by spark_partition_id), then add the exclusive prefix of
+    per-partition totals — a partition-count-sized table (the ONLY
+    single-partition window runs over those ~n_parts rows) broadcast back
+    onto the stream. Identical semantics to
+    ``sum(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`` but the
+    widest sort is 1/n_parts of the input, so the plan survives a 100x
+    scale-up where WindowExec-on-one-task does not.
+
+    ``order`` is a list of Column sort expressions (e.g.
+    ``[F.col("r").desc(), F.col("part")]``); the order MUST be total
+    (ties never straddling a range boundary is guaranteed only when the
+    key is unique). Appends ``out`` (the inclusive running sum) and keeps
+    every input column."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if n_parts is None:
+        try:
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except (TypeError, ValueError):
+            n_parts = spark.sparkContext.defaultParallelism
+    # explicit numPartitions => AQE keeps the user-specified partitioning,
+    # so spark_partition_id() is stable between the two consumers below
+    ranged = df.repartitionByRange(n_parts, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__part_tot"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__part_tot").over(w_prefix), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        ranged.withColumn("__local", F.sum(value_col).over(w_local))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out, F.col("__local") + F.col("__off"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
+def global_row_number(
+    df: DataFrame, order, out: str = "rn", n_parts: int | None = None
+) -> DataFrame:
+    """Global ordered 1-based rank without a single-partition window:
+    ``global_running_sum`` over a constant 1 (the running COUNT in the
+    total order). Same contract as
+    ``row_number() OVER (ORDER BY order)`` for a total order."""
+    from pyspark.sql import functions as F
+
+    tagged = df.withColumn("__one", F.lit(1).cast("long"))
+    return (
+        global_running_sum(tagged, order, "__one", out=out, n_parts=n_parts)
+        .drop("__one")
+    )

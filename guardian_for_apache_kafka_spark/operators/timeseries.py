@@ -417,39 +417,21 @@ def sweep_daily_peaks(pts: DataFrame, n_parts: int | None = None) -> DataFrame:
     (streaming/pipeline.stream_concurrency_points).
 
     Two-pass sweep (never a corpus-sized global window — the r6 verdict's
-    one scale-killer): range-partition on the exact sweep order (t ASC,
-    delta DESC, so ties never straddle a partition), per-partition running
-    sums via a window keyed by spark_partition_id, then add the exclusive
-    prefix of per-partition totals (a partition-count-sized table — the
-    only single-partition window — broadcast back). delta DESC at equal t
-    counts touching intervals as overlapping (inclusive convention)."""
-    spark = pts.sparkSession
-    if n_parts is None:
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # explicit numPartitions => AQE keeps the user-specified partitioning,
-    # so spark_partition_id() is stable between the two consumers below
-    ranged = pts.repartitionByRange(
-        n_parts, F.col("t").asc(), F.col("delta").desc()
-    ).withColumn("pid", F.spark_partition_id())
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy(F.col("t"), F.col("delta").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_prefix = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        ranged.groupBy("pid")
-        .agg(F.sum("delta").alias("part_tot"))
-        .select("pid", F.coalesce(F.sum("part_tot").over(w_prefix), F.lit(0)).alias("off"))
-    )
-    swept = (
-        ranged.withColumn("run", F.sum("delta").over(w_local))
-        .join(F.broadcast(offsets), "pid")
-        .select(
-            F.date_trunc("day", "t").cast("date").alias("day"),
-            "t",
-            (F.col("run") + F.col("off")).alias("live"),
-        )
+    one scale-killer), via the generalized primitive
+    operators/layout.global_running_sum: range-partition on the sweep
+    order (t ASC, delta DESC — equal keys land in one range bucket),
+    per-partition running sums in parallel, broadcast prefix offsets.
+    delta DESC at equal t counts touching intervals as overlapping
+    (inclusive convention)."""
+    from guardian_for_apache_kafka_spark.operators.layout import global_running_sum
+
+    swept = global_running_sum(
+        pts, [F.col("t").asc(), F.col("delta").desc()], "delta",
+        out="live", n_parts=n_parts,
+    ).select(
+        F.date_trunc("day", "t").cast("date").alias("day"),
+        "t",
+        "live",
     )
     daily = swept.groupBy("day").agg(F.max("live").alias("peak"))
     return (

@@ -5639,37 +5639,36 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     classify by CUMULATIVE share (A holds the first 80%, B to 95%, C the
     tail): the 80/20 working-capital lens q97's Gini summarizes as one
     number, materialized as the three bands planners actually act on.
-    The running share is a window over the PART-level aggregate
-    (|parts| rows, single-partition by nature — ordered cumulative shares
-    are global — and already thousands of times smaller than lineitem);
-    ties pinned by part key. Three rows out, each class's population and
-    exact revenue share."""
+    The running share is computed with the partition-parallel two-pass
+    prefix sum (operators/layout.global_running_sum — the generalized
+    q113 sweep), so even a billion-part catalog never funnels through a
+    single-partition WindowExec: the widest sort is 1/n_parts of the part
+    table, and the only single-partition window runs over the n_parts-row
+    offset table. Ties pinned by part key. Three rows out, each class's
+    population and exact revenue share (the final rollup windows run over
+    exactly 3 rows)."""
+    from guardian_for_apache_kafka_spark.operators.layout import global_running_sum
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
     )
-    w_run = (
-        Window.orderBy(F.desc("r"), "part")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy()
-    classed = rev.select(
+    tot = rev.agg(F.sum("r").alias("tr"))
+    cum = global_running_sum(rev, [F.desc("r"), F.col("part")], "r", out="cum")
+    classed = cum.crossJoin(F.broadcast(tot)).select(
         "r",
-        F.when(
-            F.sum("r").over(w_run) / F.sum("r").over(w_all) <= 0.8, "A"
-        )
-        .when(F.sum("r").over(w_run) / F.sum("r").over(w_all) <= 0.95, "B")
+        F.when(F.col("cum") / F.col("tr") <= 0.8, "A")
+        .when(F.col("cum") / F.col("tr") <= 0.95, "B")
         .otherwise("C")
         .alias("klass"),
+        "tr",
     )
     return (
         classed.groupBy("klass")
         .agg(
             F.count("*").cast("long").alias("n_parts"),
             F.round(F.sum("r"), 2).alias("revenue"),
-            F.round(
-                F.sum("r") / F.sum(F.sum("r")).over(Window.partitionBy()), 4
-            ).alias("revenue_share"),
+            F.round(F.sum("r") / F.first("tr"), 4).alias("revenue_share"),
         )
         .orderBy("klass")
     )
@@ -5788,10 +5787,15 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id) buckets them, and each decile reports conversion rate, lift
     over the base rate, and cumulative capture. The ntile tie-break is a
     total order, so both engines bucket identically. Plan: one user
-    aggregate (corpus-sized exchange, map-side combined), then ntile +
-    the final windows run over |users| and 10 rows respectively —
-    at 100 TB the user table is the small output, and the decile windows
-    are constant-sized."""
+    aggregate (corpus-sized exchange, map-side combined); the global rank
+    under ntile is computed with the partition-parallel two-pass prefix
+    count (operators/layout.global_row_number — a billion-user table
+    never funnels through one WindowExec task) and the ANSI ntile bucket
+    is recovered from (rank, N) in closed form: the first N mod 10
+    buckets take ceil(N/10) rows, the rest floor(N/10) — byte-identical
+    to the oracle's ntile. The final gains windows run over 10 rows."""
+    from guardian_for_apache_kafka_spark.operators.layout import global_row_number
+
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(
@@ -5804,11 +5808,23 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted"),
     )
-    deciled = u.select(
-        "converted",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score_cents"), "user_id"))
-        .alias("decile"),
+    tot = u.agg(F.count("*").alias("N"))
+    ranked = global_row_number(
+        u, [F.desc("score_cents"), F.col("user_id")], out="rn"
+    ).crossJoin(F.broadcast(tot))
+    q_sz = F.expr("N div 10")
+    rem = F.col("N") % 10
+    big_span = rem * (q_sz + 1)
+    decile = (
+        F.when(q_sz == 0, F.col("rn"))  # N < 10: one row per leading bucket
+        .when(
+            F.col("rn") <= big_span,
+            F.expr("(rn - 1) div (N div 10 + 1)") + 1,
+        )
+        .otherwise(rem + F.expr("(rn - (N % 10) * (N div 10 + 1) - 1) div (N div 10)") + 1)
+    )
+    deciled = ranked.select(
+        "converted", decile.cast("int").alias("decile")
     )
     agg = deciled.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_users"),

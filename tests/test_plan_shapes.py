@@ -1136,7 +1136,7 @@ def test_q113_sweep_is_partition_parallel(plans):
     tree = plan.split("\n\n")[0]
     # the two-pass structure is present
     assert "rangepartitioning(t#" in plan, plan
-    assert "hashpartitioning(pid#" in plan, plan
+    assert "hashpartitioning(__pid#" in plan, plan
     # every SinglePartition exchange feeds off an aggregate, not the corpus
     single_ids = {
         m.group(1)
@@ -1165,11 +1165,14 @@ def test_q116_trend_is_two_aggregates_no_window(plans):
 
 def test_q117_lift_windows_run_over_aggregates(plans):
     """Decile lift: the corpus-sized exchange is the user aggregate; the
-    ntile and gains windows run over |users| and 10-row inputs — no join
-    anywhere."""
+    rank comes from the two-pass prefix primitive (range partitioning +
+    broadcast offset join), the scalar N crossJoin broadcasts one row, and
+    every remaining join side is a broadcast — no shuffle join anywhere."""
     plan = plans("q117_decile_lift")
     tree = plan.split("\n\n")[0]
-    assert "Join" not in tree, plan
+    assert "SortMergeJoin" not in tree, plan
+    assert "ShuffledHashJoin" not in tree, plan
+    assert "rangepartitioning(" in plan, plan
     assert "hashpartitioning(user_id#" in plan, plan
 
 
@@ -1227,3 +1230,37 @@ def test_s16_ivfpq_no_unbucketed_cartesian(plans):
     plan = plans("s16_ivfpq_rerank")
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree, plan
+
+
+def test_q115_and_q117_have_no_corpus_single_partition_window(plans):
+    """Round-7 hardening: the ABC cumulative share and the lift ntile rank
+    both run through the two-pass prefix primitive — every SinglePartition
+    exchange in their plans feeds off an aggregate (the n_parts-row offset
+    table or a bucket-count rollup), never corpus-scale rows."""
+    import re
+
+    for name in ("q115_abc_pareto", "q117_decile_lift"):
+        plan = plans(name)
+        tree = plan.split("\n\n")[0]
+        assert "rangepartitioning(" in plan, name + "\n" + plan
+        lines = tree.splitlines()
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", plan
+        ):
+            node_id = m.group(1)
+            idx = next(
+                i for i, ln in enumerate(lines)
+                if ln.rstrip().endswith(f"Exchange ({node_id})")
+            )
+            # look through row-preserving wrappers (Project/Sort/Filter) to
+            # the node that determines cardinality
+            j = idx + 1
+            while j < len(lines) and any(
+                t in lines[j] for t in ("Project", "Sort", "Filter", "ColumnarToRow")
+            ):
+                j += 1
+            child = lines[j] if j < len(lines) else ""
+            assert "HashAggregate" in child or "Window" in child, (
+                f"{name}: SinglePartition exchange ({node_id}) over "
+                f"non-aggregate input:\n{tree}"
+            )

@@ -128,3 +128,79 @@ def test_m9_scenes_tile_the_frame_range(run):
             pos += r.n_frames
         assert pos == 16, (doc, pos)
         assert all(0 <= r.sum_brightness <= 255 * r.n_frames for r in rs)
+
+
+def test_global_running_sum_equals_global_window(spark):
+    """The two-pass prefix sum must equal the single-partition window on
+    arbitrary data, including duplicate order keys (equal keys land in one
+    range bucket, so tie groups never straddle partitions)."""
+    from pyspark.sql import Window
+
+    from guardian_for_apache_kafka_spark.operators.layout import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    rows = [(i % 17, (i * 7919) % 101 - 50) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {
+        (r.k, r.v, r.run)
+        for r in global_running_sum(
+            df, [F.col("k").asc(), F.col("v").asc()], "v", n_parts=5
+        ).collect()
+    }
+    w = Window.orderBy("k", "v").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.k, r.v, r.run)
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    # duplicate (k, v) keys make per-row prefixes order-dependent WITHIN a
+    # tie group on both sides; compare the full multiset of running values
+    assert sorted(x[2] for x in got) == sorted(x[2] for x in want)
+    # rank on a total order is exact row-for-row
+    uniq = spark.createDataFrame(
+        [(i, (i * 31) % 997) for i in range(997)], "id long, v long"
+    ).repartition(6)
+    got_rn = {
+        r.id: r.rn
+        for r in global_row_number(uniq, [F.col("v").asc(), F.col("id")], n_parts=4).collect()
+    }
+    want_rn = {
+        r.id: r.rn
+        for r in uniq.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got_rn == want_rn
+
+
+def test_q117_closed_form_ntile_matches_builtin(spark):
+    """The (rank, N) closed-form bucket assignment must reproduce ANSI
+    ntile(10) for awkward sizes: N < 10, N % 10 != 0, N % 10 == 0."""
+    from pyspark.sql import Window
+
+    from guardian_for_apache_kafka_spark.operators.layout import global_row_number
+
+    for n in (4, 10, 23, 100, 107):
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 211) for i in range(n)], "id long, s long"
+        )
+        ranked = global_row_number(df, [F.desc("s"), F.col("id")], out="rn", n_parts=3)
+        tot = df.agg(F.count("*").alias("N"))
+        ranked = ranked.crossJoin(F.broadcast(tot))
+        q_sz = F.expr("N div 10")
+        rem = F.col("N") % 10
+        decile = (
+            F.when(q_sz == 0, F.col("rn"))
+            .when(F.col("rn") <= rem * (q_sz + 1), F.expr("(rn - 1) div (N div 10 + 1)") + 1)
+            .otherwise(rem + F.expr("(rn - (N % 10) * (N div 10 + 1) - 1) div (N div 10)") + 1)
+        )
+        got = {r.id: r.d for r in ranked.select("id", decile.cast("int").alias("d")).collect()}
+        want = {
+            r.id: r.d
+            for r in df.select(
+                "id",
+                F.ntile(10).over(Window.orderBy(F.desc("s"), "id")).alias("d"),
+            ).collect()
+        }
+        assert got == want, f"N={n}"
