@@ -2534,16 +2534,24 @@ def p6(spark: SparkSession, sf_dir: str) -> DataFrame:
     training run needs reproducibly: position = rank of md5(seed || id)
     (content-stable, like the d8/p4 membership rule: the same document
     gets the same neighborhood across reruns and engines; changing the
-    seed reshuffles). One total sort on a 32-hex key; at 100 TB you write
-    the ordering once as the shard layout (p5 export) rather than sorting
-    per epoch — range partitioning on the same key gives the
-    shard-parallel equivalent."""
+    seed reshuffles). Positions come from the partition-parallel two-pass
+    rank (operators/layout.global_row_number — round-7 hardening: the
+    ordering is a total sort on a 32-hex key, but the widest sort is
+    1/n_parts of the corpus, never one WindowExec task); at 100 TB you
+    write the ordering once as the shard layout (p5 export) rather than
+    ranking per epoch — the same range partitioning IS the shard map."""
+    from guardian_for_apache_kafka_spark.operators.layout import global_row_number
+
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.md5(F.concat(F.lit("ord1:"), F.col("doc_id").cast("string"))), F.col("doc_id"))
+    key = F.md5(F.concat(F.lit("ord1:"), F.col("doc_id").cast("string")))
+    ranked = global_row_number(
+        d.select("doc_id", key.alias("__k")),
+        [F.col("__k").asc(), F.col("doc_id").asc()],
+        out="rn",
+    )
     return (
-        d.select(
-            (F.row_number().over(w) - 1).cast("long").alias("position"),
-            "doc_id",
+        ranked.select(
+            (F.col("rn") - 1).cast("long").alias("position"), "doc_id"
         )
         .orderBy("position")
     )
