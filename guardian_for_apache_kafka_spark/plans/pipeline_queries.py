@@ -6221,3 +6221,132 @@ def m9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scene_segments(media, frames=16, threshold=64).orderBy(
         "doc_id", "scene_index"
     )
+
+
+@query(
+    "t32_blocklist_filter",
+    oracle="""
+    WITH hits AS (
+      SELECT d.source, d.doc_id,
+             len(list_filter(string_split(d.text, ' '),
+                 w -> list_contains(['error', 'slow'], w))) AS n_hits,
+             len(string_split(d.text, ' ')) AS n_tok
+      FROM documents d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(CASE WHEN n_hits * 1.0 / n_tok > 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           round(sum(n_hits) * 1.0 / sum(n_tok), 6) AS hit_rate
+    FROM hits GROUP BY source ORDER BY source
+    """,
+    tags=("text", "curation", "blocklist"),
+)
+def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering report — the C4 "bad words" gate, the very
+    first curation filter real pipelines run: per source, documents with
+    ANY blocklisted token (flagged) and documents whose blocklist density
+    exceeds 5% (dropped — the C4 rule deletes these outright), plus the
+    corpus-level hit rate. The blocklist here is a 2-token stand-in
+    ('error', 'slow' — present in the fixture vocabulary); a production
+    list is a few hundred tokens and still broadcasts as a literal array.
+    Plan: per-row JVM filter over the token array (no explode, no
+    shuffle of text) — the only exchange is the source-count rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    blocklist = F.array(F.lit("error"), F.lit("slow"))
+    toks = F.split(F.col("text"), " ")
+    n_hits = F.size(F.filter(toks, lambda w: F.array_contains(blocklist, w)))
+    n_tok = F.size(toks)
+    hits = docs.select(
+        "source", n_hits.alias("n_hits"), n_tok.alias("n_tok")
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum(
+                F.when(F.col("n_hits") * 1.0 / F.col("n_tok") > 0.05, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+            F.round(F.sum("n_hits") * 1.0 / F.sum("n_tok"), 6).alias("hit_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "s17_norm_outliers",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id, label,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(embedding, x ->
+                 CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, t) -> a + t) AS sq
+      FROM embeddings
+    ),
+    moments AS (
+      SELECT count(*) AS n, sum(sq) AS s1, sum(sq * sq) AS s2 FROM norms
+    )
+    SELECT vec_id, label,
+           round(sqrt(sq), 6) AS l2_norm,
+           round((sq - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z
+    FROM norms, moments
+    WHERE abs((sq - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) >= 2.0
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "embedding-quality", "outliers"),
+)
+def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm outlier audit — the cheapest embedding-quality gate
+    a vector pipeline runs before indexing: squared-L2 norms per vector
+    (float32 components squared into doubles — each term exact, the
+    per-vector fold left-associated and replayed term-for-term by the
+    oracle), corpus moments, and |z| >= 2 flags for vectors whose norm is
+    anomalous (truncated inputs, dead encoders, wrong preprocessing all
+    show up here first). The z expression shares ONE association order on
+    both engines — every division/multiply sequenced identically — so the
+    verdict set hash-matches. Note the corpus norm-sum crosses engines as
+    a sum of per-vector doubles: deterministic here because DuckDB and
+    Spark both reduce this 2000-row aggregate without parallel
+    re-association at this size is NOT guaranteed at scale — for a 100 TB
+    corpus flag on round-8 quantized moments instead (the q44 integer
+    discipline). Plan: one scan, one scalar aggregate, broadcast back."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") * x.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    norms = e.select("vec_id", "label", sq.alias("sq"))
+    moments = norms.agg(
+        F.count("*").alias("n"),
+        F.sum("sq").alias("s1"),
+        F.sum(F.col("sq") * F.col("sq")).alias("s2"),
+    )
+    j = norms.crossJoin(F.broadcast(moments))
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("sq") - mean) / F.sqrt(
+        F.col("s2") / F.col("n") - mean * mean
+    )
+    return (
+        j.where(F.abs(z) >= 2.0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.sqrt("sq"), 6).alias("l2_norm"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("vec_id")
+    )

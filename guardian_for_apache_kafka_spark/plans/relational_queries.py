@@ -6093,3 +6093,156 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
     ).agg(F.count("*").alias("y"))
     return cusum_changepoints(daily)
+
+
+@query(
+    "q121_l_diversity",
+    oracle="""
+    WITH cls AS (
+      SELECT user_id // 100 AS user_band,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS day,
+             event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    per_class AS (
+      SELECT user_band, day,
+             CAST(sum(n) AS BIGINT) AS n_records,
+             CAST(count(*) AS BIGINT) AS distinct_sensitive
+      FROM cls GROUP BY 1, 2
+    )
+    SELECT user_band, CAST(day AS INT) AS day, n_records, distinct_sensitive,
+           distinct_sensitive >= 3 AS meets_l
+    FROM per_class
+    ORDER BY user_band, day
+    """,
+    tags=("relational", "privacy", "l-diversity"),
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (l=3) — k-anonymity's (q103) sibling
+    check: a release is UNSAFE when an equivalence class is large enough
+    for k yet homogeneous in its SENSITIVE attribute (everyone in the
+    class shares the diagnosis/action, so membership alone leaks it).
+    Quasi-identifiers here: (user-id band, day); sensitive attribute:
+    event_type; each class reports size, distinct sensitive values, and
+    the l >= 3 verdict. One scan, two aggregates (the class-type rollup
+    is the only corpus-sized exchange, map-side combined). At 100 TB the
+    class table is |bands x days| — the audit itself is free."""
+    ev = load_table(spark, sf_dir, "events")
+    cls = ev.groupBy(
+        F.expr("user_id div 100").alias("user_band"),
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    return (
+        cls.groupBy("user_band", "day")
+        .agg(
+            F.sum("n").cast("long").alias("n_records"),
+            F.count("*").cast("long").alias("distinct_sensitive"),
+        )
+        .select(
+            "user_band",
+            F.col("day").cast("int").alias("day"),
+            "n_records",
+            "distinct_sensitive",
+            (F.col("distinct_sensitive") >= 3).alias("meets_l"),
+        )
+        .orderBy("user_band", "day")
+    )
+
+
+@query(
+    "q122_auc_mann_whitney",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type <> 'purchase'
+                      THEN CAST(round("value" * 100) AS BIGINT) ELSE 0 END)
+               AS score,
+             max(CASE WHEN event_type = 'purchase' AND "value" > 150
+                      THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ),
+    dom AS (
+      SELECT score,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(1 - y) AS BIGINT) AS neg
+      FROM u GROUP BY score
+    ),
+    walked AS (
+      SELECT score, pos, neg,
+             coalesce(sum(pos + neg) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM dom
+    ),
+    sums AS (
+      SELECT sum(pos * (2 * below + pos + neg + 1)) AS two_ranksum_pos,
+             sum(pos) AS np, sum(neg) AS nn
+      FROM walked
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round((two_ranksum_pos - np * (np + 1)) * 1.0 / (2 * np * nn), 6)
+             AS auc,
+           round((two_ranksum_pos - np * (np + 1)) * 1.0 / (np * nn) - 1, 6)
+             AS gini
+    FROM sums
+    """,
+    tags=("relational", "ml-eval", "auc"),
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC by the Mann-Whitney rank-sum — the model-eval
+    statistic q117's decile table eyeballs, computed exactly: does
+    engagement spend rank BIG-TICKET purchasers (any purchase over $150 —
+    both classes populated at every sf) above the rest? Midrank tie
+    handling comes free from the VALUE-DOMAIN formulation (the q101
+    trick): scores aggregate to (score, pos, neg) first, the running
+    below-count walks that tiny domain table (the only ordered window —
+    domain-sized, never user-sized), and the rank-sum of positives is
+    2*R+ = sum(pos * (2*below + pos + neg + 1)) — integer-exact, ties
+    averaged by construction. AUC = (R+ - np(np+1)/2) / (np*nn); one
+    double division at the end, Gini = 2*AUC - 1. Integer cents keep the
+    domain exact. At 100 TB: one user aggregate (corpus exchange), one
+    domain aggregate, constant-sized everything else."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    dom = u.groupBy("score").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    walked = dom.withColumn(
+        "below", F.coalesce(F.sum(F.col("pos") + F.col("neg")).over(w), F.lit(0))
+    )
+    sums = walked.agg(
+        F.sum(
+            F.col("pos")
+            * (2 * F.col("below") + F.col("pos") + F.col("neg") + 1)
+        ).alias("two_ranksum_pos"),
+        F.sum("pos").alias("np"),
+        F.sum("neg").alias("nn"),
+    )
+    auc = (F.col("two_ranksum_pos") - F.col("np") * (F.col("np") + 1)) * 1.0 / (
+        2 * F.col("np") * F.col("nn")
+    )
+    return sums.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(auc * 2 - 1, 6).alias("gini"),
+    )

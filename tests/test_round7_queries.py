@@ -204,3 +204,81 @@ def test_q117_closed_form_ntile_matches_builtin(spark):
             ).collect()
         }
         assert got == want, f"N={n}"
+
+
+def test_q122_auc_matches_brute_force_pair_count(spark, sf_dir, run):
+    """The rank-sum AUC must equal the definition: P(score_pos > score_neg)
+    + 0.5 * P(tie), counted over all (pos, neg) pairs."""
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") != "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("score"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .collect()
+    )
+    pos = [r.score for r in users if r.y == 1]
+    neg = [r.score for r in users if r.y == 0]
+    assert pos and neg, "fixture must populate both classes"
+    wins = sum((p > n_) + 0.5 * (p == n_) for p in pos for n_ in neg)
+    want = wins / (len(pos) * len(neg))
+    row = run("q122_auc_mann_whitney").collect()[0]
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert abs(row.auc - want) < 1e-6, (row.auc, want)
+    assert abs(row.gini - (2 * row.auc - 1)) < 1e-6
+
+
+def test_q121_l_diversity_bounds(run):
+    rows = run("q121_l_diversity").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.distinct_sensitive <= 5  # five event types exist
+        assert r.distinct_sensitive <= r.n_records
+        assert r.meets_l == (r.distinct_sensitive >= 3)
+
+
+def test_t32_blocklist_counts_are_consistent(run):
+    rows = run("t32_blocklist_filter").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_flagged <= r.n_docs
+        assert r.total_hits >= r.n_flagged  # every flagged doc has >= 1 hit
+        assert 0.0 <= r.hit_rate <= 1.0
+
+
+def test_s17_flags_exactly_the_tail(spark, sf_dir, run):
+    """Every emitted row respects |z| >= 2, and the flagged set is exactly
+    the rows the moments imply (no off-by-one at the threshold)."""
+    import math
+
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    rows = run("s17_norm_outliers").collect()
+    assert rows
+    assert all(abs(r.z) >= 2.0 for r in rows)
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    sqs = {}
+    for r in emb:
+        acc = 0.0
+        for x in r.embedding:
+            acc += float(x) * float(x)
+        sqs[r.vec_id] = acc
+    n = len(sqs)
+    s1 = sum(sqs.values())
+    s2 = sum(v * v for v in sqs.values())
+    mean = s1 / n
+    sd = math.sqrt(s2 / n - mean * mean)
+    want = {vid for vid, v in sqs.items() if abs((v - mean) / sd) >= 2.0}
+    assert {r.vec_id for r in rows} == want
