@@ -1,0 +1,139 @@
+"""Model-evaluation statistics computed exactly at corpus scale.
+
+The shared discipline: reduce to an integer VALUE-DOMAIN table first
+(score -> class counts), walk that tiny table with ordered windows, and
+let floating point in only for the final division — so every statistic is
+bit-deterministic across engines, partitionings, and batch/streaming
+formulations (the q101/q116 integer-moment pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auc_mann_whitney(scored: DataFrame) -> DataFrame:
+    """Exact tie-averaged AUC-ROC from a (score: long, y: 0/1) frame via
+    the Mann-Whitney rank-sum: scores aggregate to (score, pos, neg), the
+    running below-count walks the DOMAIN table (the only ordered window —
+    domain-sized, never row-sized), and 2*R+ = sum(pos * (2*below + pos +
+    neg + 1)) gives midrank tie handling for free in integer arithmetic.
+    Returns one row: (n_pos, n_neg, auc, gini). Shared verbatim by the
+    q122 batch query and the streaming AUC monitor's rollup
+    (streaming/pipeline.auc_rollup) — the stream==batch equivalence test
+    rides on this single implementation.
+
+    At 100 TB: the caller's per-entity aggregate is the corpus exchange;
+    this function touches only the score-domain table (bounded by the
+    distinct integer scores) and constant-sized output."""
+    dom = scored.groupBy("score").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    walked = dom.withColumn(
+        "below", F.coalesce(F.sum(F.col("pos") + F.col("neg")).over(w), F.lit(0))
+    )
+    sums = walked.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("below") + F.col("pos") + F.col("neg") + 1)
+        ).alias("two_ranksum_pos"),
+        F.sum("pos").alias("np"),
+        F.sum("neg").alias("nn"),
+    )
+    auc = (F.col("two_ranksum_pos") - F.col("np") * (F.col("np") + 1)) * 1.0 / (
+        2 * F.col("np") * F.col("nn")
+    )
+    return sums.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(auc * 2 - 1, 6).alias("gini"),
+    )
+
+
+def ks_statistic_pairs(samples: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance for EVERY pair of
+    groups over an integer value column: D = max_v |F_a(v) - F_b(v)|,
+    computed as the integer argmax of |c_a * n_b - c_b * n_a| over the
+    value domain (one division at the end — the drift detector next to
+    q109's PSI, sensitive to shape changes PSI's fixed bins miss).
+
+    Plan: one (group, value) rollup (the corpus exchange, map-side
+    combined), per-group running counts over the domain via a
+    group-partitioned window, then a domain x groups-squared join that
+    stays tiny because it runs on the DOMAIN table. Returns (group_a,
+    group_b, n_a, n_b, ks_at, ks) with group_a < group_b, the argmax
+    value and its earlier-value tie-break both integer decisions."""
+    counts = samples.groupBy(group_col, value_col).agg(F.count("*").alias("c"))
+    w_run = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = counts.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        F.sum("c").over(w_run).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    # the domain grid per group has holes (a value unseen by group g);
+    # densify by joining the global domain and carrying the last cum
+    dom = samples.select(F.col(value_col).alias("v")).distinct()
+    grps = samples.select(F.col(group_col).alias("g")).distinct()
+    grid = dom.crossJoin(grps)
+    w_fill = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dense = (
+        grid.join(cum, ["g", "v"], "left")
+        .select(
+            "g",
+            "v",
+            F.last("cum", ignorenulls=True).over(w_fill).alias("cum"),
+            F.max("n").over(Window.partitionBy("g")).alias("n"),
+        )
+        .withColumn("cum", F.coalesce("cum", F.lit(0)))
+    )
+    a = dense.select(
+        F.col("g").alias("group_a"),
+        "v",
+        F.col("cum").alias("ca"),
+        F.col("n").alias("n_a"),
+    )
+    b = dense.select(
+        F.col("g").alias("group_b"),
+        F.col("v").alias("vb"),
+        F.col("cum").alias("cb"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.join(
+        b, (F.col("v") == F.col("vb")) & (F.col("group_a") < F.col("group_b"))
+    ).select(
+        "group_a",
+        "group_b",
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias("num"),
+    )
+    w_pick = Window.partitionBy("group_a", "group_b").orderBy(
+        F.desc("num"), F.col("v")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            F.col("v").cast("long").alias("ks_at"),
+            F.round(F.col("num") * 1.0 / (F.col("n_a") * F.col("n_b")), 6).alias("ks"),
+        )
+        .orderBy("group_a", "group_b")
+    )

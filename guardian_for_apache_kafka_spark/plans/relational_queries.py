@@ -6221,28 +6221,76 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("y"),
     )
-    dom = u.groupBy("score").agg(
-        F.sum("y").cast("long").alias("pos"),
-        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    from guardian_for_apache_kafka_spark.operators.evaluation import (
+        auc_mann_whitney,
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    walked = dom.withColumn(
-        "below", F.coalesce(F.sum(F.col("pos") + F.col("neg")).over(w), F.lit(0))
+
+    return auc_mann_whitney(u.select("score", "y"))
+
+
+@query(
+    "q123_ks_drift",
+    oracle="""
+    WITH t AS (
+      SELECT source AS g, len(string_split(text, ' ')) AS v FROM documents
+    ),
+    counts AS (SELECT g, v, count(*) AS c FROM t GROUP BY 1, 2),
+    cum AS (
+      SELECT g, v,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM counts
+    ),
+    grid AS (
+      SELECT g, v FROM (SELECT DISTINCT v FROM t)
+      CROSS JOIN (SELECT DISTINCT g FROM t)
+    ),
+    dense AS (
+      SELECT grid.g, grid.v,
+             coalesce(last_value(cum.cum IGNORE NULLS) OVER (
+               PARTITION BY grid.g ORDER BY grid.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cum,
+             max(cum.n) OVER (PARTITION BY grid.g) AS n
+      FROM grid LEFT JOIN cum ON cum.g = grid.g AND cum.v = grid.v
+    ),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b, a.v, a.n AS n_a, b.n AS n_b,
+             abs(a.cum * b.n - b.cum * a.n) AS num
+      FROM dense a JOIN dense b ON a.v = b.v AND a.g < b.g
+    ),
+    picked AS (
+      SELECT *, row_number() OVER (PARTITION BY group_a, group_b
+                                   ORDER BY num DESC, v) AS rn
+      FROM pairs
     )
-    sums = walked.agg(
-        F.sum(
-            F.col("pos")
-            * (2 * F.col("below") + F.col("pos") + F.col("neg") + 1)
-        ).alias("two_ranksum_pos"),
-        F.sum("pos").alias("np"),
-        F.sum("neg").alias("nn"),
+    SELECT group_a, group_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(v AS BIGINT) AS ks_at,
+           round(num * 1.0 / (n_a * n_b), 6) AS ks
+    FROM picked WHERE rn = 1
+    ORDER BY group_a, group_b
+    """,
+    tags=("relational", "drift", "ks-test"),
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample Kolmogorov-Smirnov drift matrix over document
+    length by source — the shape-sensitive companion to q109's PSI (fixed
+    bins miss a drift that only moves mass WITHIN a bin; KS compares full
+    CDFs). D = max_v |F_a - F_b| computed as the INTEGER argmax of
+    |c_a*n_b - c_b*n_a| (one division at the end; ties to the smaller
+    value — all integer decisions, so the matrix hash-matches). Plan: one
+    (source, length) rollup is the corpus exchange; the forward-filled
+    CDF grid and the pairs join run on the value DOMAIN (|lengths| x
+    |sources| rows), constant-sized at 100 TB
+    (operators/evaluation.ks_statistic_pairs)."""
+    from guardian_for_apache_kafka_spark.operators.evaluation import (
+        ks_statistic_pairs,
     )
-    auc = (F.col("two_ranksum_pos") - F.col("np") * (F.col("np") + 1)) * 1.0 / (
-        2 * F.col("np") * F.col("nn")
+
+    d = load_table(spark, sf_dir, "documents")
+    samples = d.select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("n_tok")
     )
-    return sums.select(
-        F.col("np").cast("long").alias("n_pos"),
-        F.col("nn").cast("long").alias("n_neg"),
-        F.round(auc, 6).alias("auc"),
-        F.round(auc * 2 - 1, 6).alias("gini"),
-    )
+    return ks_statistic_pairs(samples, "source", "n_tok")

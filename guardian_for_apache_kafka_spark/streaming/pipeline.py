@@ -1152,3 +1152,60 @@ def cusum_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
     pts = spark.read.parquet(points_dir).distinct()
     daily = pts.groupBy("event_type", "x").agg(F.count("*").alias("y"))
     return cusum_changepoints(daily)
+
+
+def stream_score_points(
+    events: DataFrame,
+    dest: str,
+    checkpoint: str,
+    id_col: str = "event_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the q122 AUC monitor — the live model-quality
+    gauge an ML-ops pipeline watches between retrains: each micro-batch
+    appends one narrow row per event (event_id, user_id, engagement
+    cents, big-purchase flag), keyed by event identity so crash-replayed
+    batches append duplicates the rollup's distinct removes. ``auc_rollup``
+    re-aggregates users and runs the SAME
+    operators/evaluation.auc_mann_whitney core as the batch query."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pts = batch_df.select(
+            F.col(id_col).alias("event_id"),
+            F.col("user_id"),
+            F.when(
+                F.col("event_type") != "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("cents"),
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            )
+            .otherwise(0)
+            .alias("big"),
+        )
+        pts.write.mode("append").parquet(dest)
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def auc_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
+    """Batch rollup over the accumulated score points — identical output
+    contract to q122 (n_pos, n_neg, auc, gini). Event-identity distinct
+    makes replays harmless; the user re-aggregate rebuilds (score, y) and
+    the shared rank-sum core does the rest."""
+    from guardian_for_apache_kafka_spark.operators.evaluation import (
+        auc_mann_whitney,
+    )
+
+    pts = spark.read.parquet(points_dir).distinct()
+    u = pts.groupBy("user_id").agg(
+        F.sum("cents").alias("score"), F.max("big").alias("y")
+    )
+    return auc_mann_whitney(u.select("score", "y"))

@@ -1635,3 +1635,42 @@ def test_stream_cusum_equal_batch_q120_and_resumes(spark, tmp_path):
     # replay simulation: re-appending points must not change the verdict
     spark.read.parquet(dest).limit(40).write.mode("append").parquet(dest)
     assert [tuple(r) for r in cusum_rollup(spark, dest).collect()] == want
+
+
+def test_stream_auc_equal_batch_q122_and_resumes(spark, tmp_path):
+    """Streaming score-point accumulation rolled up == the q122 batch AUC
+    (shared operators/evaluation.auc_mann_whitney core), across
+    micro-batches, a restart, and a simulated replayed batch."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        auc_rollup,
+        stream_score_points,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "in")
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    first = ordered.limit(n // 2)
+    rest = ordered.subtract(first)
+    first.coalesce(1).write.parquet(src)
+
+    dest, ckpt = str(tmp_path / "pts"), str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_score_points(stream, dest, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    want = [tuple(r) for r in all_queries()["q122_auc_mann_whitney"](spark, sf).collect()]
+    got = [tuple(r) for r in auc_rollup(spark, dest).collect()]
+    assert got == want
+    spark.read.parquet(dest).limit(25).write.mode("append").parquet(dest)
+    assert [tuple(r) for r in auc_rollup(spark, dest).collect()] == want
