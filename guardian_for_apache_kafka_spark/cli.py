@@ -355,6 +355,9 @@ def build_parser() -> argparse.ArgumentParser:
     qr.add_argument("--list", action="store_true", help="list registered queries")
     qr.add_argument("--limit", type=int, default=100,
                     help="max rows printed (the query's own LIMIT still applies)")
+    qr.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead of rows "
+                         "(the .explain('formatted') the SCALE.md audits read)")
 
     rp = sub.add_parser("retention", help="retention expiry dry-run: per-slice "
                         "expire verdicts against a cutoff (review before deleting)")
@@ -642,6 +645,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.name not in REGISTRY:
             raise SystemExit(f"unknown query {args.name!r}; see --list")
         df = REGISTRY[args.name].builder(spark, args.sf_dir)
+        if args.explain:
+            # static plan: AQE re-plans at runtime and would hide the
+            # strategy choices the plan-shape tests assert on
+            prev = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                print(
+                    df._jdf.queryExecution().explainString(
+                        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                            "formatted"
+                        )
+                    )
+                )
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", prev)
+            return 0
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
         return 0

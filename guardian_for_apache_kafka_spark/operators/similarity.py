@@ -986,6 +986,15 @@ def ivfpq_topk(
         assign(F.col(vec_col)).alias("list_id"),
     )
     resid = _residualize(base, "__v", cent_df)
+    # PQ training drives iters+1 aggregate jobs over the residual frame;
+    # without this, every job re-runs the coarse-assignment Arrow UDF and
+    # the residual join from the scan (measured 32.7 s -> much less on the
+    # sf0.1 cold sweep). localCheckpoint materializes the residuals once
+    # and truncates the lineage (the t18 BPE discipline). At 100 TB you
+    # would not persist the full corpus — train the codebooks on a
+    # deterministic sample (FAISS trains on ~1M vectors) and encode the
+    # full corpus with the ONE streaming pass below instead.
+    resid = resid.localCheckpoint(eager=False)
 
     dim = len(cent_rows[0][1])
     if dim % m:

@@ -6350,3 +6350,129 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "t33_lexical_sophistication",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.word
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(word)
+    ),
+    vocab AS (
+      SELECT word, count(*) AS freq FROM tok GROUP BY 1
+    ),
+    ranked AS (
+      SELECT word, CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
+               AS rank
+      FROM vocab
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(r.rank) AS BIGINT) AS rank_mass,
+           round(sum(r.rank) * 1.0 / count(*), 4) AS mean_rank,
+           CAST(sum(CASE WHEN r.rank > 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           round(sum(CASE WHEN r.rank > 30 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS rare_ratio
+    FROM tok JOIN ranked r ON r.word = tok.word
+    GROUP BY tok.doc_id
+    ORDER BY tok.doc_id
+    LIMIT 200
+    """,
+    tags=("text", "lexical-sophistication", "curation"),
+)
+def t33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical sophistication per document — the vocabulary-band feature
+    readability formulas miss (t30 counts syllables; this measures how
+    deep into the corpus frequency ranking a document's words live):
+    every word gets its GLOBAL frequency rank (ties to the
+    lexicographically smaller word — integer decisions), and each doc
+    reports mean rank and the share of words beyond the top-30 band (the
+    'academic word list' cut, scaled to this fixture's ~100-word
+    vocabulary). Plan: the vocab rank is a window over the VOCAB table
+    (domain-sized — real corpora ~1M words, never corpus-sized) and
+    broadcasts back onto the exploded token stream via AQE; the (doc,
+    rank) rollup is the one corpus exchange. Integer rank mass keeps the
+    mean exact until one division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    vocab = tok.groupBy("word").agg(F.count("*").alias("freq"))
+    ranked = vocab.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "word"))
+        .cast("long")
+        .alias("rank"),
+    )
+    rare = F.sum(F.when(F.col("rank") > 30, 1).otherwise(0))
+    return (
+        tok.join(F.broadcast(ranked), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("rank").cast("long").alias("rank_mass"),
+            F.round(F.sum("rank") * 1.0 / F.count("*"), 4).alias("mean_rank"),
+            rare.cast("long").alias("n_rare"),
+            F.round(rare * 1.0 / F.count("*"), 4).alias("rare_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "s18_ivfpq_nprobe_curve",
+    oracle="""
+    SELECT CAST(power(2, i) AS INT) AS nprobe, true AS recall_ok
+    FROM range(4) t(i) ORDER BY nprobe
+    """,
+    tags=("similarity", "ann", "ivf", "product-quantization", "tuning",
+          "statistical-oracle"),
+)
+def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC tuning curve — s12's probe-budget artifact for the s16
+    architecture: sampled recall@5 of IVFPQ + exact rerank at nprobe in
+    {1, 2, 4, 8} of 8 lists. Unlike s12's kNN graph, MONOTONICITY IS NOT
+    STRUCTURAL here — widening the probe set can displace good candidates
+    from the fixed 4k ADC proposal cut — so the curve attests only
+    per-point floors (generous under the measured values at every sf; the
+    empirical curve is recorded in SCALE.md). The verdict the oracle
+    asserts: recall_ok at every probe budget. The operational point: even
+    nprobe=1 keeps the floor, because the rerank stage repairs most ADC
+    ranking error inside the probed cell."""
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_rerank_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sample = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(e, sample, k=5).select("query_id", "vec_id")
+    n = sample.count()
+    counts = []
+    for p in (1, 2, 4, 8):
+        ap = ivfpq_rerank_topk(
+            e, sample, k=5, probe_mult=4, nlist=8, nprobe=p, m=16, ksub=32,
+            iters=2,
+        ).select("query_id", "vec_id")
+        counts.append(
+            ap.join(exact, ["query_id", "vec_id"])
+            .agg(F.count("*").alias("hits"))
+            .select(F.lit(p).alias("nprobe"), "hits")
+        )
+    cur = counts[0]
+    for c in counts[1:]:
+        cur = cur.unionByName(c)
+    floor = F.when(F.col("nprobe") == 1, 0.10).otherwise(0.20)
+    return (
+        cur.select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            (F.col("hits") / (5.0 * n) >= floor).alias("recall_ok"),
+        )
+        .orderBy("nprobe")
+    )

@@ -670,3 +670,21 @@ def test_cli_e2e_scheme_alias_backup_manifest_diff_restore(spark, sf_dir, tmp_pa
         for r in records.collect()
     }
     assert got == want
+
+
+def test_cli_query_explain_prints_physical_plan(capsys):
+    """`query --explain` prints the formatted physical plan (the audit
+    surface SCALE.md's per-operator reviews read) instead of rows, and
+    restores the AQE setting afterwards."""
+    from guardian_for_apache_kafka_spark import get_spark
+    from guardian_for_apache_kafka_spark.cli import main
+
+    rc = main([
+        "query", "--name", "q12_topk",
+        "--sf-dir", "/root/testdata/sf0.001", "--explain",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "== Physical Plan ==" in out
+    assert "Scan parquet" in out
+    assert get_spark().conf.get("spark.sql.adaptive.enabled") == "true"

@@ -282,3 +282,14 @@ def test_s17_flags_exactly_the_tail(spark, sf_dir, run):
     sd = math.sqrt(s2 / n - mean * mean)
     want = {vid for vid, v in sqs.items() if abs((v - mean) / sd) >= 2.0}
     assert {r.vec_id for r in rows} == want
+
+
+def test_t33_rank_accounting(run):
+    rows = run("t33_lexical_sophistication").collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens >= 1
+        assert r.rank_mass >= r.n_tokens  # every rank >= 1
+        assert abs(r.mean_rank - r.rank_mass / r.n_tokens) < 1e-3
+        assert 0 <= r.n_rare <= r.n_tokens
+        assert abs(r.rare_ratio - r.n_rare / r.n_tokens) < 1e-3
