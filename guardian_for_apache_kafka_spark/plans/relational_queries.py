@@ -6294,3 +6294,183 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.size(F.split(F.col("text"), " ")).alias("n_tok")
     )
     return ks_statistic_pairs(samples, "source", "n_tok")
+
+
+@query(
+    "q124_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS x,
+             CAST(count(*) AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('day', ts)) AS rn
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    walk AS (
+      SELECT d1.event_type, d1.rn, d1.x, d1.y,
+             d1.y AS lvl,
+             d1.y - d2.y AS trend,
+             CAST(NULL AS DOUBLE) AS fc
+      FROM daily d1 JOIN daily d2
+        ON d2.event_type = d1.event_type AND d2.rn = 1
+      WHERE d1.rn = 2
+      UNION ALL
+      SELECT d.event_type, d.rn, d.x, d.y,
+             (0.5 * d.y) + (0.5 * (w.lvl + w.trend)),
+             (0.5 * (((0.5 * d.y) + (0.5 * (w.lvl + w.trend))) - w.lvl))
+               + (0.5 * w.trend),
+             w.lvl + w.trend
+      FROM walk w JOIN daily d
+        ON d.event_type = w.event_type AND d.rn = w.rn + 1
+    )
+    SELECT event_type, CAST(x AS INT) AS day,
+           CAST(y AS BIGINT) AS actual,
+           round(fc, 4) AS forecast,
+           round(lvl, 4) AS level,
+           round(trend, 4) AS trend
+    FROM walk WHERE rn >= 3
+    ORDER BY event_type, day
+    """,
+    tags=("relational", "timeseries", "forecasting", "arrow"),
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (alpha = beta = 1/2) with
+    one-step-ahead forecasts per event series — the capacity-forecast
+    recurrence q102's EWMA lacks a trend term for. Like q114's clamp,
+    the COUPLED level/trend recurrence has no window formulation
+    (level feeds trend feeds level), so it runs as a per-series Arrow
+    fold (applyInPandas) with nothing but series partitioning outside.
+    Exactness: multiplying by 0.5 is exact in IEEE double and both
+    engines execute the IDENTICAL operation sequence — the oracle's
+    recursive CTE replays the fold step by step, so even once the dyadic
+    mantissa outgrows 53 bits the correctly-rounded results stay
+    bit-identical. Init: level = y_2, trend = y_2 - y_1 (emission starts
+    at the third point — no forecast exists for the init rows). At 100 TB: |series| independent folds, each over
+    its day-count rows — embarrassingly parallel, bounded state."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("x"),
+    ).agg(F.count("*").cast("double").alias("y"))
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x", kind="mergesort").reset_index(drop=True)
+        out = []
+        lvl = trend = None
+        for i, row in pdf.iterrows():
+            y = float(row["y"])
+            if i == 0:
+                prev = y
+                continue
+            if i == 1:
+                # init (rn=2): level = y_2, trend = y_2 - y_1; emission
+                # starts at rn=3 (no forecast exists for the init row)
+                lvl, trend = y, y - prev
+                continue
+            fc = lvl + trend
+            new_lvl = (0.5 * y) + (0.5 * (lvl + trend))
+            trend = (0.5 * (new_lvl - lvl)) + (0.5 * trend)
+            lvl = new_lvl
+            out.append((row["event_type"], int(row["x"]), y, fc, lvl, trend))
+        return pd.DataFrame(
+            out, columns=["event_type", "x", "y", "fc", "lvl", "trend"]
+        )
+
+    res = daily.groupBy("event_type").applyInPandas(
+        walk, "event_type string, x int, y double, fc double, lvl double, trend double"
+    )
+    return res.select(
+        "event_type",
+        F.col("x").cast("int").alias("day"),
+        F.col("y").cast("long").alias("actual"),
+        F.round("fc", 4).alias("forecast"),
+        F.round("lvl", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "q125_weighted_median",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    dom AS (
+      SELECT flag, price_cents, sum(w) AS w
+      FROM pts GROUP BY 1, 2
+    ),
+    walked AS (
+      SELECT flag, price_cents, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY price_cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(w) OVER (PARTITION BY flag) AS total
+      FROM dom
+    ),
+    picked AS (
+      SELECT flag, price_cents, total,
+             row_number() OVER (PARTITION BY flag ORDER BY price_cents) AS rn
+      FROM walked WHERE 2 * cum >= total
+    )
+    SELECT flag, CAST(total AS BIGINT) AS total_weight,
+           round(price_cents / 100.0, 2) AS weighted_median_price
+    FROM picked WHERE rn = 1 ORDER BY flag
+    """,
+    tags=("relational", "statistics", "weighted-median"),
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the robust
+    "typical traded price" a plain median (q31) gets wrong when order
+    sizes skew (one 50-unit line should count 50x a 1-unit line). Exact
+    by the domain walk: integer cents x integer quantities aggregate to
+    (flag, price, weight), the running weight walks each flag's domain,
+    and the median is the smallest price with 2*cum >= total — all
+    integer comparisons, no interpolation ambiguity across engines.
+    Plan: one corpus-sized (flag, price) rollup (map-side combined),
+    then flag-partitioned windows over domain-sized frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("w"),
+    )
+    dom = pts.groupBy("flag", "price_cents").agg(F.sum("w").alias("w"))
+    w_run = (
+        Window.partitionBy("flag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    walked = dom.select(
+        "flag",
+        "price_cents",
+        F.sum("w").over(w_run).alias("cum"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    picked = walked.where(2 * F.col("cum") >= F.col("total")).select(
+        "flag",
+        "price_cents",
+        "total",
+        F.row_number()
+        .over(Window.partitionBy("flag").orderBy("price_cents"))
+        .alias("rn"),
+    )
+    return (
+        picked.where(F.col("rn") == 1)
+        .select(
+            "flag",
+            F.col("total").cast("long").alias("total_weight"),
+            F.round(F.col("price_cents") / 100.0, 2).alias("weighted_median_price"),
+        )
+        .orderBy("flag")
+    )

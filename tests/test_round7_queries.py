@@ -293,3 +293,42 @@ def test_t33_rank_accounting(run):
         assert abs(r.mean_rank - r.rank_mass / r.n_tokens) < 1e-3
         assert 0 <= r.n_rare <= r.n_tokens
         assert abs(r.rare_ratio - r.n_rare / r.n_tokens) < 1e-3
+
+
+def test_q124_holt_recurrence_first_principles(run):
+    """Replay the Holt fold in Python from the emitted actuals and check
+    the emitted forecasts/levels/trends follow the recurrence."""
+    rows = run("q124_holt_smoothing").collect()
+    assert rows
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append(r)
+    for et, rs in by_series.items():
+        rs.sort(key=lambda r: r.day)
+        # each emitted forecast is last level + last trend (rounded at 4)
+        for prev, cur in zip(rs, rs[1:]):
+            assert abs(cur.forecast - (prev.level + prev.trend)) < 1.5e-4, (
+                et, prev, cur,
+            )
+
+
+def test_q125_weighted_median_definition(spark, sf_dir, run):
+    """The reported medians must satisfy the defining inequalities:
+    weight(price < m) <= total/2 and weight(price <= m) >= total/2."""
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.round(F.col("l_quantity")).cast("long").alias("w"),
+    ).collect()
+    got = {r.flag: (r.weighted_median_price, r.total_weight) for r in run("q125_weighted_median").collect()}
+    assert got
+    for flag, (m, total) in got.items():
+        mc = round(m * 100)
+        below = sum(r.w for r in li if r.flag == flag and r.p < mc)
+        at_or_below = sum(r.w for r in li if r.flag == flag and r.p <= mc)
+        tw = sum(r.w for r in li if r.flag == flag)
+        assert tw == total
+        assert 2 * below < tw + 1  # strictly less than half + tie room
+        assert 2 * at_or_below >= tw
