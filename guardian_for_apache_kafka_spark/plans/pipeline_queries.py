@@ -6476,3 +6476,67 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+@query(
+    "t34_sentiment_lexicon",
+    oracle="""
+    WITH scored AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['fast', 'big'], w))) AS pos,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['slow', 'error'], w))) AS neg
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS pos_hits,
+           CAST(sum(neg) AS BIGINT) AS neg_hits,
+           CAST(sum(CASE WHEN pos > neg THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(sum(CASE WHEN neg > pos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           round(sum(pos - neg) * 1.0
+                 / nullif(sum(pos + neg), 0), 4) AS polarity
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    tags=("text", "sentiment", "lexicon"),
+)
+def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring — the EDBT'16 large-scale-Twitter-
+    on-Spark recipe (PAPERS.md): count positive/negative lexicon hits per
+    document with a per-row JVM token filter (no explode — text never
+    shuffles), classify by majority, and report per-source polarity
+    (pos - neg) / (pos + neg). The 2x2-word lexicon is a fixture-sized
+    stand-in; a production lexicon (thousands of terms) still ships as a
+    broadcast literal array or a broadcast join. One corpus scan, one
+    source-count rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pos_lex = F.array(F.lit("fast"), F.lit("big"))
+    neg_lex = F.array(F.lit("slow"), F.lit("error"))
+    pos = F.size(F.filter(toks, lambda w: F.array_contains(pos_lex, w)))
+    neg = F.size(F.filter(toks, lambda w: F.array_contains(neg_lex, w)))
+    scored = docs.select("source", pos.alias("pos"), neg.alias("neg"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("pos").cast("long").alias("pos_hits"),
+            F.sum("neg").cast("long").alias("neg_hits"),
+            F.sum(F.when(F.col("pos") > F.col("neg"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_positive"),
+            F.sum(F.when(F.col("neg") > F.col("pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+            F.round(
+                F.sum(F.col("pos") - F.col("neg"))
+                * 1.0
+                / F.nullif(F.sum(F.col("pos") + F.col("neg")), F.lit(0)),
+                4,
+            ).alias("polarity"),
+        )
+        .orderBy("source")
+    )

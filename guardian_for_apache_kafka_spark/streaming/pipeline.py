@@ -1209,3 +1209,59 @@ def auc_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
         F.sum("cents").alias("score"), F.max("big").alias("y")
     )
     return auc_mann_whitney(u.select("score", "y"))
+
+
+def stream_topk_candidates(
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    dest: str,
+    checkpoint: str,
+    k: int = 5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental top-k similarity maintenance (the EDBT'20 interactive-
+    session pattern, PAPERS.md): as corpus vectors ARRIVE in micro-
+    batches, each batch contributes only its own per-query local top-k to
+    a candidate accumulator — sound because any global top-k member is by
+    definition inside its own batch's top-k — and ``topk_rollup``
+    re-ranks the accumulated candidate pool at read time. Per batch the
+    work is |batch| x |queries| scored pairs and the accumulator grows by
+    k rows per query per batch, NOT by the corpus: the index never
+    rescans history to refresh the answer. Replays append duplicate
+    candidates; the rollup's (query_id, vec_id) distinct removes them
+    (the foreachBatch at-least-once discipline)."""
+    from guardian_for_apache_kafka_spark.operators.similarity import cosine_topk
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        local = cosine_topk(batch_df, queries_df, k=k).select(
+            "query_id", "vec_id", "cosine"
+        )
+        local.write.mode("append").parquet(dest)
+
+    writer = corpus.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def topk_rollup(spark: SparkSession, candidates_dir: str, k: int = 5) -> DataFrame:
+    """Re-rank the accumulated candidate pool — identical output contract
+    to the batch cosine_topk over the full corpus (query_id, vec_id,
+    cosine, rnk). The pool holds k rows per query per micro-batch, so
+    this rollup is batches x k x |queries| rows — interactive even after
+    thousands of batches."""
+    from pyspark.sql import Window
+
+    pool = (
+        spark.read.parquet(candidates_dir)
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pool.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

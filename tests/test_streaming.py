@@ -1674,3 +1674,55 @@ def test_stream_auc_equal_batch_q122_and_resumes(spark, tmp_path):
     assert got == want
     spark.read.parquet(dest).limit(25).write.mode("append").parquet(dest)
     assert [tuple(r) for r in auc_rollup(spark, dest).collect()] == want
+
+
+def test_stream_incremental_topk_equal_batch_s1_and_resumes(spark, tmp_path):
+    """Per-batch local top-k accumulation re-ranked == batch cosine top-k
+    over the full corpus (any global winner is inside its own batch's
+    top-k), across micro-batches, a restart, and a replayed batch."""
+    from guardian_for_apache_kafka_spark.operators.similarity import cosine_topk
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        stream_topk_candidates,
+        topk_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src = str(tmp_path / "in")
+    n = emb.count()
+    first = emb.orderBy("vec_id").limit(n // 2)
+    rest = emb.subtract(first)
+    first.coalesce(1).write.parquet(src)
+
+    dest, ckpt = str(tmp_path / "cand"), str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(emb.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_topk_candidates(stream, queries, dest, ckpt, k=5)
+        q.awaitTermination(120)
+
+    run()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    want = [
+        (r.query_id, r.vec_id, round(r.cosine, 6), r.rnk)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    ]
+    got = [
+        (r.query_id, r.vec_id, round(r.cosine, 6), r.rnk)
+        for r in topk_rollup(spark, dest, k=5).collect()
+    ]
+    assert got == want
+    # replayed batch: duplicate candidates change nothing
+    spark.read.parquet(dest).limit(10).write.mode("append").parquet(dest)
+    got2 = [
+        (r.query_id, r.vec_id, round(r.cosine, 6), r.rnk)
+        for r in topk_rollup(spark, dest, k=5).collect()
+    ]
+    assert got2 == want
