@@ -6540,3 +6540,73 @@ def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "m10_aspect_ratio_bands",
+    oracle=f"""
+    WITH h AS (
+      SELECT d.doc_id, d.source, sha256(d.text) AS dig,
+             length(d.text) AS size_bytes
+      FROM documents d
+    ),
+    dims AS (
+      SELECT doc_id, source, size_bytes,
+             64 + ({_hexb('dig', 0)}) % 192 AS w,
+             64 + ({_hexb('dig', 1)}) % 192 AS h2
+      FROM h
+    ),
+    banded AS (
+      SELECT source, size_bytes, w, h2,
+             CASE WHEN w * 10 >= h2 * 16 THEN 'wide'
+                  WHEN h2 * 10 >= w * 16 THEN 'tall'
+                  ELSE 'squarish' END AS band
+      FROM dims
+    )
+    SELECT source, band,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w,
+           CAST(sum(size_bytes) AS BIGINT) AS bytes_total
+    FROM banded GROUP BY source, band ORDER BY source, band
+    """,
+    tags=("multimodal", "image", "curation"),
+)
+def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio banding over stub-decoded image dimensions — the
+    resolution/aspect census a vision-training pipeline reads before
+    choosing crop/patch policies (extreme aspect ratios get letterboxed
+    or dropped; the m7 patch grid assumes near-square): wide is
+    w:h >= 16:10, tall the transpose, squarish between — INTEGER
+    cross-multiplication, no float ratios. Dimensions come from the same
+    digest arithmetic the m1 decode stub uses, so the oracle recomputes
+    the whole report. One mapInPandas decode pass, one (source, band)
+    rollup."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        extract_image_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(d, "blob", "image", "png")
+    feats = extract_image_features(media).join(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+    )
+    band = (
+        F.when(F.col("width") * 10 >= F.col("height") * 16, "wide")
+        .when(F.col("height") * 10 >= F.col("width") * 16, "tall")
+        .otherwise("squarish")
+    )
+    return (
+        feats.select("source", "size_bytes", "width", "height", band.alias("band"))
+        .groupBy("source", "band")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.min("width").cast("int").alias("min_w"),
+            F.max("width").cast("int").alias("max_w"),
+            F.sum("size_bytes").cast("long").alias("bytes_total"),
+        )
+        .orderBy("source", "band")
+    )

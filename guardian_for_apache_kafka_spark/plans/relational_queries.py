@@ -6474,3 +6474,86 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@query(
+    "q126_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.y - a.y) * 1.0 / (b.x - a.x) AS m,
+             b.y - a.y AS dy, b.x - a.x AS dx
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.x > a.x
+    ),
+    ranked AS (
+      SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY m, dy, dx) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_pairs,
+           round(m, 6) AS theil_sen_slope
+    FROM ranked WHERE rn = (n + 1) // 2
+    ORDER BY event_type
+    """,
+    tags=("relational", "regression", "robust-statistics"),
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event series — the median of all
+    pairwise slopes, immune to the outlier days that drag q116's OLS
+    (the standard robust-regression companion: breakdown point 29%).
+    Slopes are rationals of small integers, so the double division is
+    bit-identical across engines and the median pick (lower median, ties
+    broken by the integer (dy, dx) pair — a total order both engines
+    share) is deterministic. The pairwise join runs on the DAY table
+    (|days|^2 per series ~ 435 pairs here, |days| bounded by the
+    retention window at any corpus size — never event-scaled), so the
+    O(n^2) lives entirely in the domain tier. One corpus exchange: the
+    day rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) * 1.0 / (F.col("b.x") - F.col("a.x"))).alias("m"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+    )
+    ranked = slopes.select(
+        "event_type",
+        "m",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("m", "dy", "dx"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        ranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_pairs"),
+            F.round("m", 6).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )
