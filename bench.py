@@ -129,6 +129,10 @@ HEADLINE = {
     "autocorrelation": "q119_autocorrelation",
     "scene_segments": "m9_scene_segments",
     "readability": "t30_readability",
+    # round-7c additions
+    "auc": "q122_auc_mann_whitney",
+    "weighted_median": "q125_weighted_median",
+    "ks_drift": "q123_ks_drift",
 }
 
 N_RUNS = 3

@@ -234,6 +234,64 @@ QUERIES = {
                      - (84.6 * (n_syll * 1.0 / n_words)), 3) AS flesch
         FROM d ORDER BY doc_id LIMIT 200
     """,
+    "auc": """
+        WITH u AS (
+          SELECT user_id,
+                 sum(CASE WHEN event_type <> 'purchase'
+                          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                   AS score,
+                 max(CASE WHEN event_type = 'purchase' AND value > 150
+                          THEN 1 ELSE 0 END) AS y
+          FROM events GROUP BY user_id
+        ),
+        dom AS (
+          SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(sum(1 - y) AS BIGINT) AS neg
+          FROM u GROUP BY score
+        ),
+        walked AS (
+          SELECT score, pos, neg,
+                 coalesce(sum(pos + neg) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below
+          FROM dom
+        ),
+        sums AS (
+          SELECT sum(pos * (2 * below + pos + neg + 1)) AS r2p,
+                 sum(pos) AS np, sum(neg) AS nn
+          FROM walked
+        )
+        SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               round((r2p - np * (np + 1)) * 1.0 / (2 * np * nn), 6) AS auc,
+               round((r2p - np * (np + 1)) * 1.0 / (np * nn) - 1, 6) AS gini
+        FROM sums
+    """,
+    "weighted_median": """
+        WITH pts AS (
+          SELECT l_returnflag AS flag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                 CAST(round(l_quantity) AS BIGINT) AS w
+          FROM lineitem
+        ),
+        dom AS (SELECT flag, price_cents, sum(w) AS w FROM pts GROUP BY 1, 2),
+        walked AS (
+          SELECT flag, price_cents, w,
+                 sum(w) OVER (PARTITION BY flag ORDER BY price_cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(w) OVER (PARTITION BY flag) AS total
+          FROM dom
+        ),
+        picked AS (
+          SELECT flag, price_cents, total,
+                 row_number() OVER (PARTITION BY flag ORDER BY price_cents)
+                   AS rn
+          FROM walked WHERE 2 * cum >= total
+        )
+        SELECT flag, CAST(total AS BIGINT) AS total_weight,
+               round(price_cents / 100.0, 2) AS weighted_median_price
+        FROM picked WHERE rn = 1 ORDER BY flag
+    """,
     "canonical_dedup": """
         WITH aug AS (
           SELECT doc_id, text FROM documents
