@@ -5787,14 +5787,15 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id) buckets them, and each decile reports conversion rate, lift
     over the base rate, and cumulative capture. The ntile tie-break is a
     total order, so both engines bucket identically. Plan: one user
-    aggregate (corpus-sized exchange, map-side combined); the global rank
-    under ntile is computed with the partition-parallel two-pass prefix
-    count (operators/layout.global_row_number — a billion-user table
-    never funnels through one WindowExec task) and the ANSI ntile bucket
-    is recovered from (rank, N) in closed form: the first N mod 10
-    buckets take ceil(N/10) rows, the rest floor(N/10) — byte-identical
-    to the oracle's ntile. The final gains windows run over 10 rows."""
-    from guardian_for_apache_kafka_spark.operators.layout import global_row_number
+    aggregate (corpus-sized exchange, map-side combined); the bucketing
+    is the ADAPTIVE operators/layout.ntile_by_rank — below the
+    small-input threshold it is the plain ntile window (this fixture's
+    1.5k users: the two-pass machinery's fixed overhead measured 2.9x
+    the plain sort), above it the two-pass prefix rank + closed-form
+    bucket, so a billion-user table never funnels through one WindowExec
+    task. Both paths emit identical buckets (pinned against the builtin
+    for ragged sizes). The final gains windows run over 10 rows."""
+    from guardian_for_apache_kafka_spark.operators.layout import ntile_by_rank
 
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
@@ -5808,24 +5809,9 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted"),
     )
-    tot = u.agg(F.count("*").alias("N"))
-    ranked = global_row_number(
-        u, [F.desc("score_cents"), F.col("user_id")], out="rn"
-    ).crossJoin(F.broadcast(tot))
-    q_sz = F.expr("N div 10")
-    rem = F.col("N") % 10
-    big_span = rem * (q_sz + 1)
-    decile = (
-        F.when(q_sz == 0, F.col("rn"))  # N < 10: one row per leading bucket
-        .when(
-            F.col("rn") <= big_span,
-            F.expr("(rn - 1) div (N div 10 + 1)") + 1,
-        )
-        .otherwise(rem + F.expr("(rn - (N % 10) * (N div 10 + 1) - 1) div (N div 10)") + 1)
-    )
-    deciled = ranked.select(
-        "converted", decile.cast("int").alias("decile")
-    )
+    deciled = ntile_by_rank(
+        u, [F.desc("score_cents"), F.col("user_id")], buckets=10, out="decile"
+    ).select("converted", "decile")
     agg = deciled.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("converted").cast("long").alias("n_converted"),

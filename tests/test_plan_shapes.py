@@ -1164,15 +1164,15 @@ def test_q116_trend_is_two_aggregates_no_window(plans):
 
 
 def test_q117_lift_windows_run_over_aggregates(plans):
-    """Decile lift: the corpus-sized exchange is the user aggregate; the
-    rank comes from the two-pass prefix primitive (range partitioning +
-    broadcast offset join), the scalar N crossJoin broadcasts one row, and
-    every remaining join side is a broadcast — no shuffle join anywhere."""
+    """Decile lift: the corpus-sized exchange is the user aggregate; at
+    fixture scale the adaptive ntile_by_rank takes the plain-window path
+    (the window's input is the user AGGREGATE, never raw events), and no
+    shuffle join appears anywhere. The scale path's shape is asserted on
+    the operator directly in test_round7_queries."""
     plan = plans("q117_decile_lift")
     tree = plan.split("\n\n")[0]
     assert "SortMergeJoin" not in tree, plan
     assert "ShuffledHashJoin" not in tree, plan
-    assert "rangepartitioning(" in plan, plan
     assert "hashpartitioning(user_id#" in plan, plan
 
 
@@ -1242,7 +1242,8 @@ def test_q115_and_q117_have_no_corpus_single_partition_window(plans):
     for name in ("q115_abc_pareto", "q117_decile_lift"):
         plan = plans(name)
         tree = plan.split("\n\n")[0]
-        assert "rangepartitioning(" in plan, name + "\n" + plan
+        if name == "q115_abc_pareto":  # q117's small path has no range stage
+            assert "rangepartitioning(" in plan, name + "\n" + plan
         lines = tree.splitlines()
         for m in re.finditer(
             r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", plan
@@ -1260,7 +1261,14 @@ def test_q115_and_q117_have_no_corpus_single_partition_window(plans):
             ):
                 j += 1
             child = lines[j] if j < len(lines) else ""
-            assert "HashAggregate" in child or "Window" in child, (
+            # "Scan ExistingRDD" = a localCheckpoint of an upstream
+            # aggregate (ntile_by_rank materializes the already-reduced
+            # input) — aggregate-sized by construction
+            assert (
+                "HashAggregate" in child
+                or "Window" in child
+                or "Scan ExistingRDD" in child
+            ), (
                 f"{name}: SinglePartition exchange ({node_id}) over "
                 f"non-aggregate input:\n{tree}"
             )

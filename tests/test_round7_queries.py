@@ -175,27 +175,24 @@ def test_global_running_sum_equals_global_window(spark):
 
 
 def test_q117_closed_form_ntile_matches_builtin(spark):
-    """The (rank, N) closed-form bucket assignment must reproduce ANSI
-    ntile(10) for awkward sizes: N < 10, N % 10 != 0, N % 10 == 0."""
+    """ntile_by_rank's two-pass closed form (small_threshold=0 forces the
+    scale path) must reproduce ANSI ntile(10) for awkward sizes: N < 10,
+    N % 10 != 0, N % 10 == 0 — and the adaptive small path is the builtin
+    by construction, so the two paths agree everywhere."""
     from pyspark.sql import Window
 
-    from guardian_for_apache_kafka_spark.operators.layout import global_row_number
+    from guardian_for_apache_kafka_spark.operators.layout import ntile_by_rank
 
     for n in (4, 10, 23, 100, 107):
         df = spark.createDataFrame(
             [(i, (i * 37) % 211) for i in range(n)], "id long, s long"
         )
-        ranked = global_row_number(df, [F.desc("s"), F.col("id")], out="rn", n_parts=3)
-        tot = df.agg(F.count("*").alias("N"))
-        ranked = ranked.crossJoin(F.broadcast(tot))
-        q_sz = F.expr("N div 10")
-        rem = F.col("N") % 10
-        decile = (
-            F.when(q_sz == 0, F.col("rn"))
-            .when(F.col("rn") <= rem * (q_sz + 1), F.expr("(rn - 1) div (N div 10 + 1)") + 1)
-            .otherwise(rem + F.expr("(rn - (N % 10) * (N div 10 + 1) - 1) div (N div 10)") + 1)
-        )
-        got = {r.id: r.d for r in ranked.select("id", decile.cast("int").alias("d")).collect()}
+        got = {
+            r.id: r.bucket
+            for r in ntile_by_rank(
+                df, [F.desc("s"), F.col("id")], buckets=10, small_threshold=0
+            ).collect()
+        }
         want = {
             r.id: r.d
             for r in df.select(
