@@ -6610,3 +6610,79 @@ def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "band")
     )
+
+
+@query(
+    "d34_lsh_parameter_plan",
+    oracle="""
+    WITH shapes AS (
+      SELECT b, 64 // b AS r FROM (VALUES (1),(2),(4),(8),(16),(32),(64)) t(b)
+    ),
+    grid AS (SELECT i * 0.01 + 0.005 AS s FROM range(100) t(i)),
+    curves AS (
+      SELECT sh.b, sh.r, g.s,
+             1.0 - power(1.0 - power(g.s, sh.r), sh.b) AS p
+      FROM shapes sh CROSS JOIN grid g
+    )
+    SELECT b AS bands, CAST(r AS INT) AS rows_per_band,
+           round(power(1.0 / b, 1.0 / r), 4) AS s_star,
+           round(sum(CASE WHEN s < 0.7 THEN p ELSE 0 END) * 0.01, 4)
+             AS fp_mass,
+           round(sum(CASE WHEN s >= 0.7 THEN 1.0 - p ELSE 0 END) * 0.01, 4)
+             AS fn_mass
+    FROM curves GROUP BY b, r ORDER BY bands
+    """,
+    tags=("dedup", "lsh", "design", "banding-theory"),
+)
+def d34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter planner — the design-time companion to d32's
+    measured calibration: for every (bands, rows) factorization of a
+    64-hash MinHash signature, the candidate probability curve
+    p(s) = 1 - (1 - s^r)^b integrates (midpoint rule, 100 cells) into
+    false-positive mass below the 0.7 target threshold and false-negative
+    mass above it, plus the curve's inflection s* = (1/b)^(1/r). This is
+    the table you read BEFORE running d4 at 100 TB — band count trades
+    shuffle volume (b bucket rows per doc) against recall, and the FP
+    mass is the verify-stage cost driver. Pure math on a 7 x 100 grid —
+    no table scan at all; every power/sum is the same fixed-order
+    double arithmetic in both engines (grouped sums of 100 terms are
+    rounded at 4 after a deterministic add order is forced by the
+    single-partition grid)."""
+    shapes = spark.createDataFrame(
+        [(b, 64 // b) for b in (1, 2, 4, 8, 16, 32, 64)], "b int, r int"
+    )
+    grid = spark.range(100).select((F.col("id") * 0.01 + 0.005).alias("s"))
+    curves = shapes.crossJoin(F.broadcast(grid)).select(
+        "b",
+        "r",
+        "s",
+        (
+            1.0
+            - F.pow(1.0 - F.pow(F.col("s"), F.col("r")), F.col("b"))
+        ).alias("p"),
+    )
+    return (
+        curves.groupBy("b", "r")
+        .agg(
+            F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 4).alias("s_star"),
+            F.round(
+                F.sum(F.when(F.col("s") < 0.7, F.col("p")).otherwise(0.0)) * 0.01,
+                4,
+            ).alias("fp_mass"),
+            F.round(
+                F.sum(
+                    F.when(F.col("s") >= 0.7, 1.0 - F.col("p")).otherwise(0.0)
+                )
+                * 0.01,
+                4,
+            ).alias("fn_mass"),
+        )
+        .select(
+            F.col("b").alias("bands"),
+            F.col("r").cast("int").alias("rows_per_band"),
+            "s_star",
+            "fp_mass",
+            "fn_mass",
+        )
+        .orderBy("bands")
+    )
