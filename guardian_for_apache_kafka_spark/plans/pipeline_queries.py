@@ -6686,3 +6686,105 @@ def d34(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+@query(
+    "s19_srp_hamming_topk",
+    oracle="""
+    WITH sg AS (
+        SELECT t.t, p.p,
+               list(CASE WHEN (CAST('0x' || substring(
+                        md5(concat(dd.d, ':', p.p, ':', t.t)), 1, 16) AS UBIGINT) & 1) = 0
+                         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+                    ORDER BY dd.d) AS s
+        FROM (SELECT unnest(range(64)) AS d) dd
+        CROSS JOIN (SELECT unnest(range(32)) AS p) p
+        CROSS JOIN (SELECT unnest(range(2)) AS t) t
+        GROUP BY 1, 2
+    ),
+    proj AS (
+        SELECT e.vec_id, sg.t, sg.p,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list_zip(e.embedding, sg.s),
+                                  z -> CAST(z[1] AS DOUBLE) * z[2])),
+                   (acc, x) -> acc + x) AS pr
+        FROM embeddings e CROSS JOIN sg
+    ),
+    words AS (
+        SELECT vec_id, t,
+               sum(CASE WHEN pr > 0 THEN 1::BIGINT << (31 - p) ELSE 0 END) AS w
+        FROM proj GROUP BY 1, 2
+    ),
+    sigs AS (
+        SELECT vec_id,
+               max(CASE WHEN t = 0 THEN w END) AS w0,
+               max(CASE WHEN t = 1 THEN w END) AS w1
+        FROM words GROUP BY vec_id
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1))
+                 AS hamming
+        FROM sigs c CROSS JOIN (SELECT * FROM sigs WHERE vec_id < 5) q
+        WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, CAST(hamming AS INT) AS hamming,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "ann", "srp", "hamming"),
+)
+def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection Hamming top-k — the bit-sketch ANN tier
+    below s14's PQ codes (8 bytes of identity per vector; Hamming
+    distance estimates the angle as theta ~ pi * h / bits): 64 SRP bits
+    from the d6 hyperplane tensor (md5-parity signs, so the oracle
+    re-derives the EXACT tensor), packed 32 bits per word, scored with
+    two JVM bit_count(xor) ops per candidate inside whole-stage codegen
+    against the broadcast query signatures. The entire pipeline —
+    projections (cumsum == JVM fold == list_reduce association), sign
+    bits, word packing, Hamming ranking, integer tie-breaks — is
+    differentially attested, not statistical: there is no float anywhere
+    past the sign decision. Angular fidelity (Hamming top-k vs exact
+    cosine top-k) is property-tested in tests/test_dedup_similarity.py.
+    At 100 TB the resident payload is TWO LONGS per vector, the cheapest
+    index this engine offers; scoring cost is independent of dim."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        hyperplane_buckets_udf,
+        hyperplane_signs,
+    )
+    from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    signs = hyperplane_signs(spark, dim, planes=32, tables=2, sign_hash="md5")
+    bk = hyperplane_buckets_udf(signs)
+    sigs = spread_narrow_scan(e).select(
+        "vec_id",
+        F.element_at(bk(F.col("embedding")), 1).alias("w0"),
+        F.element_at(bk(F.col("embedding")), 2).alias("w1"),
+    )
+    q = sigs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    hamming = F.bit_count(F.col("w0").bitwiseXOR(F.col("q0"))) + F.bit_count(
+        F.col("w1").bitwiseXOR(F.col("q1"))
+    )
+    scored = (
+        sigs.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", hamming.cast("int").alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    )

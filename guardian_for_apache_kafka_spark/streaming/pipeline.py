@@ -1265,3 +1265,44 @@ def topk_rollup(spark: SparkSession, candidates_dir: str, k: int = 5) -> DataFra
         .where(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def stream_length_points(
+    docs: DataFrame,
+    dest: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the q123 KS drift matrix — the shape-sensitive
+    sibling of ``stream_psi_activity``: each micro-batch appends one
+    narrow row per document (doc_id, source, token length), keyed by doc
+    identity so replays are distinct-removable, and ``ks_rollup`` rebuilds
+    the per-source length samples and runs the SAME
+    operators/evaluation.ks_statistic_pairs core as the batch query."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pts = batch_df.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        pts.write.mode("append").parquet(dest)
+
+    writer = docs.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ks_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
+    """Batch rollup over the accumulated (doc, source, length) points —
+    identical output contract to q123 (group_a, group_b, n_a, n_b, ks_at,
+    ks). Doc-identity distinct makes replays harmless."""
+    from guardian_for_apache_kafka_spark.operators.evaluation import (
+        ks_statistic_pairs,
+    )
+
+    pts = spark.read.parquet(points_dir).distinct()
+    return ks_statistic_pairs(pts.select("source", "n_tok"), "source", "n_tok")

@@ -1726,3 +1726,41 @@ def test_stream_incremental_topk_equal_batch_s1_and_resumes(spark, tmp_path):
         for r in topk_rollup(spark, dest, k=5).collect()
     ]
     assert got2 == want
+
+
+def test_stream_ks_drift_equal_batch_q123_and_resumes(spark, tmp_path):
+    """Streaming length-point accumulation rolled up == the q123 batch KS
+    matrix (shared operators/evaluation.ks_statistic_pairs core), across
+    micro-batches, a restart, and a replayed batch."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        ks_rollup,
+        stream_length_points,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    src = str(tmp_path / "in")
+    n = docs.count()
+    first = docs.orderBy("doc_id").limit(n // 2)
+    rest = docs.subtract(first)
+    first.coalesce(1).write.parquet(src)
+
+    dest, ckpt = str(tmp_path / "pts"), str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_length_points(stream, dest, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    want = [tuple(r) for r in all_queries()["q123_ks_drift"](spark, sf).collect()]
+    got = [tuple(r) for r in ks_rollup(spark, dest).collect()]
+    assert got == want
+    spark.read.parquet(dest).limit(30).write.mode("append").parquet(dest)
+    assert [tuple(r) for r in ks_rollup(spark, dest).collect()] == want
