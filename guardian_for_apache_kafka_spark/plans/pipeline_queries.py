@@ -6788,3 +6788,99 @@ def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "s20_srp_rerank",
+    oracle="""
+    SELECT vec_id AS query_id, true AS recall_ok
+    FROM embeddings WHERE vec_id < 10 ORDER BY vec_id
+    """,
+    tags=("similarity", "ann", "srp", "rerank", "statistical-oracle"),
+)
+def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP bit-sketch + exact rerank — the completion of the s19 tier
+    (the s7/s15 two-stage pattern at the cheapest index price): the
+    8-byte Hamming scan proposes 16x the final k, exact cosine re-ranks
+    only those rows, and the in-query verdict asserts >= 1/5 overlap
+    with brute-force top-5 for EVERY query at every sf (the isotropic
+    fixture is the sketch's worst case: pure Hamming top-5 manages ~0.12
+    recall, so the rerank stage and the wide proposal carry the quality;
+    16x was sized to hold the per-query floor at sf0.1's 2000 vectors).
+    At 100 TB: stream two longs per vector, touch full precision
+    |queries| x 16k times."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        hyperplane_buckets_udf,
+        hyperplane_signs,
+    )
+    from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
+    from guardian_for_apache_kafka_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k, probe_mult = 5, 16
+    signs = hyperplane_signs(spark, 64, planes=32, tables=2, sign_hash="md5")
+    bk = hyperplane_buckets_udf(signs)
+    sigs = spread_narrow_scan(e).select(
+        "vec_id",
+        F.element_at(bk(F.col("embedding")), 1).alias("w0"),
+        F.element_at(bk(F.col("embedding")), 2).alias("w1"),
+    )
+    qs = sigs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    hamming = F.bit_count(F.col("w0").bitwiseXOR(F.col("q0"))) + F.bit_count(
+        F.col("w1").bitwiseXOR(F.col("q1"))
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    cand = (
+        sigs.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", hamming.alias("hamming"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k * probe_mult)
+        .select("query_id", "vec_id")
+    )
+    full = e.select("vec_id", F.col("embedding").alias("__cv"))
+    qv = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    from guardian_for_apache_kafka_spark.functions.columns import cosine_similarity
+
+    scored = (
+        cand.join(full, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    rer = (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= k)
+        .select("query_id", F.col("vec_id").alias("__rv"))
+    )
+    q_full = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(e, q_full, k=k).select(
+        "query_id", F.col("vec_id").alias("__ev")
+    )
+    hits = (
+        exact.join(rer, ["query_id"])
+        .where(F.col("__ev") == F.col("__rv"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("__hits"), F.lit(0)) >= 1).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
