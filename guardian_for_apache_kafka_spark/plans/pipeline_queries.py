@@ -6884,3 +6884,99 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "g12_slice_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type AS topic,
+             date_trunc('hour', ts) AS slice_ts,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_id < 500 GROUP BY 1, 2
+    ),
+    walked AS (
+      SELECT topic, n,
+             sum(n * 0 + 1) OVER (PARTITION BY topic ORDER BY n, slice_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn,
+             count(*) OVER (PARTITION BY topic) AS n_slices
+      FROM counts
+    ),
+    med AS (
+      SELECT topic, n AS median_records
+      FROM walked WHERE rn = (n_slices + 1) // 2
+    )
+    SELECT c.topic,
+           CAST(count(*) AS BIGINT) AS n_slices,
+           CAST(max(c.n) AS BIGINT) AS max_records,
+           CAST(min(c.n) AS BIGINT) AS min_records,
+           CAST(max(m.median_records) AS BIGINT) AS median_records,
+           round(max(c.n) * 1.0 / max(m.median_records), 4) AS skew_ratio,
+           CAST(sum(CASE WHEN c.n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_slices
+    FROM counts c JOIN med m ON m.topic = c.topic
+    GROUP BY c.topic ORDER BY c.topic
+    """,
+    tags=("guardian", "maintenance", "skew"),
+)
+def g12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive slice-skew report — the capacity-planning read an operator
+    does before q46-style compaction or retention decisions: per topic,
+    slice-count spread (max/min/lower-median records per hourly slice),
+    the max/median skew ratio, and the small-slice count the
+    ``maintain`` verb would merge. Counts come from PARSING THE ARCHIVE
+    FILES back (read_guardian_files over the p1 fixture archive — the
+    whole serialize -> write -> list -> parse chain is in the loop, the
+    g10 discipline), while the oracle predicts the exact same stats
+    straight from events: any slice mis-assignment or lost record skews
+    a count and fails the match. The lower median is an integer domain
+    pick (ties to the earlier slice), the only division is the final
+    ratio. Slice-count-bounded everything after the one parse scan."""
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.restore import (
+        read_guardian_files,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    rec = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    dest = os.path.join(tempfile.gettempdir(), f"guardian_roundtrip_{digest}")
+    if not (os.path.isdir(dest) and os.listdir(dest)):
+        write_guardian_format(rec, dest, ChronoUnitSlice("HOURS"))
+    parsed = read_guardian_files(spark, dest)
+    counts = parsed.groupBy(
+        F.col("topic"),
+        F.date_trunc("hour", F.col("timestamp")).alias("slice_ts"),
+    ).agg(F.count("*").alias("n"))
+    w_rank = Window.partitionBy("topic").orderBy("n", "slice_ts")
+    w_all = Window.partitionBy("topic")
+    walked = counts.select(
+        "topic",
+        "n",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n_slices"),
+    )
+    med = walked.where(F.col("rn") == F.expr("(n_slices + 1) div 2")).select(
+        "topic", F.col("n").alias("median_records")
+    )
+    return (
+        counts.join(med, "topic")
+        .groupBy("topic")
+        .agg(
+            F.count("*").cast("long").alias("n_slices"),
+            F.max("n").cast("long").alias("max_records"),
+            F.min("n").cast("long").alias("min_records"),
+            F.max("median_records").cast("long").alias("median_records"),
+            F.round(
+                F.max("n") * 1.0 / F.max("median_records"), 4
+            ).alias("skew_ratio"),
+            F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_small_slices"),
+        )
+        .orderBy("topic")
+    )
