@@ -329,3 +329,33 @@ def test_q125_weighted_median_definition(spark, sf_dir, run):
         assert tw == total
         assert 2 * below < tw + 1  # strictly less than half + tie room
         assert 2 * at_or_below >= tw
+
+
+def test_t34_sentiment_consistency(run):
+    rows = run("t34_sentiment_lexicon").collect()
+    assert rows
+    for r in rows:
+        assert r.n_positive + r.n_negative <= r.n_docs
+        if r.polarity is not None:
+            assert -1.0 <= r.polarity <= 1.0
+
+
+def test_d34_planner_landscape(run):
+    """Banding theory sanity: more bands => lower inflection point s*;
+    the single-band shape is the strictest (lowest FP), the 64-band
+    shape the most permissive (lowest FN)."""
+    rows = sorted(run("d34_lsh_parameter_plan").collect(), key=lambda r: r.bands)
+    assert [r.bands for r in rows] == [1, 2, 4, 8, 16, 32, 64]
+    stars = [r.s_star for r in rows]
+    assert all(a >= b for a, b in zip(stars, stars[1:])), stars
+    assert rows[0].fp_mass == min(r.fp_mass for r in rows)
+    assert rows[-1].fn_mass == min(r.fn_mass for r in rows)
+
+
+def test_g12_skew_stats_internally_consistent(run):
+    rows = run("g12_slice_skew_report").collect()
+    assert rows
+    for r in rows:
+        assert r.min_records <= r.median_records <= r.max_records
+        assert r.skew_ratio >= 1.0
+        assert 0 <= r.n_small_slices <= r.n_slices
