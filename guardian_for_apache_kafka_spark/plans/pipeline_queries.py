@@ -6980,3 +6980,152 @@ def g12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic")
     )
+
+
+@query(
+    "d35_cosine_threshold_curve",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    ),
+    thresholds AS (SELECT CAST(0.3 AS DOUBLE) + i * CAST(0.1 AS DOUBLE) AS t
+                   FROM range(6) r(i))
+    SELECT round(t, 1) AS threshold,
+           CAST(count(CASE WHEN cosine >= t THEN 1 END) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN cosine >= t THEN ia END)
+                + count(DISTINCT CASE WHEN cosine >= t THEN ib END)
+                AS BIGINT) AS id_incidences,
+           round(count(CASE WHEN cosine >= t THEN 1 END) * 1.0
+                 / count(*), 6) AS pair_share
+    FROM pairs CROSS JOIN thresholds
+    GROUP BY t ORDER BY threshold
+    """,
+    tags=("dedup", "embedding", "calibration", "threshold-curve"),
+)
+def d35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-threshold dedup calibration curve — d19's yield-curve idea
+    for the EMBEDDING tier: exact pair cosines on a deterministic
+    200-vector sample, swept over thresholds 0.3-0.8, reporting pair
+    counts, id incidences, and pair share per threshold — the table that
+    picks d6/d13's threshold BEFORE committing a corpus-wide run (on this
+    isotropic fixture the curve collapses fast: the point is the cliff's
+    location). Calibration runs on SAMPLES by design (the d32 discipline)
+    — the full corpus never does all-pairs; the sample's 19,900 pairs are
+    one task. Exactness: the fold cosine (float32 inputs, fixed
+    association) is the s1 contract; threshold comparisons and counts are
+    then integer-exact."""
+    from guardian_for_apache_kafka_spark.functions.columns import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia", "ib", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine")
+        )
+    )
+    th = spark.range(6).select((F.lit(0.3) + F.col("id") * 0.1).alias("t"))
+    hit = F.when(F.col("cosine") >= F.col("t"), 1)
+    return (
+        pairs.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.count(hit).cast("long").alias("n_pairs"),
+            (
+                F.countDistinct(F.when(F.col("cosine") >= F.col("t"), F.col("ia")))
+                + F.countDistinct(F.when(F.col("cosine") >= F.col("t"), F.col("ib")))
+            ).cast("long").alias("id_incidences"),
+            F.round(F.count(hit) * 1.0 / F.count("*"), 6).alias("pair_share"),
+        )
+        .select(
+            F.round("t", 1).alias("threshold"),
+            "n_pairs",
+            "id_incidences",
+            "pair_share",
+        )
+        .orderBy("threshold")
+    )
+
+
+def _duck_pack_walk(budget: int) -> str:
+    """One recursive packing walk for the p16 oracle at a given budget —
+    p3's CTE parameterized; docs longer than the budget still open their
+    own (overflowing) sequence, identically to pack_sequences."""
+    return f"""
+    walk{budget} AS (
+      SELECT source, n, rn, CAST(0 AS BIGINT) AS seq, n AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.n, d.rn,
+             CASE WHEN w.fill + d.n > {budget} THEN w.seq + 1 ELSE w.seq END,
+             CASE WHEN w.fill + d.n > {budget} THEN d.n ELSE w.fill + d.n END
+      FROM walk{budget} w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+    ),
+    agg{budget} AS (
+      SELECT CAST({budget} AS BIGINT) AS budget,
+             CAST(count(DISTINCT (source, seq)) AS BIGINT) AS n_sequences,
+             CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM walk{budget}
+    )"""
+
+
+@query(
+    "p16_packing_efficiency_sweep",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    {",".join(_duck_pack_walk(b) for b in (64, 128, 256))}
+    SELECT budget, n_sequences, n_tokens,
+           round(n_tokens * 1.0 / (n_sequences * budget), 4) AS fill_ratio,
+           CAST(n_sequences * budget - n_tokens AS BIGINT) AS padding_tokens
+    FROM (SELECT * FROM agg64 UNION ALL SELECT * FROM agg128
+          UNION ALL SELECT * FROM agg256)
+    ORDER BY budget
+    """,
+    tags=("pipeline", "packing", "tuning"),
+)
+def p16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing-efficiency sweep — the s12-style tuning
+    curve for p3's packer: the SAME greedy walk at budgets 64/128/256
+    reports sequences produced, fill ratio, and padding waste — the table
+    that picks a training context length BEFORE packing 100 TB (small
+    windows waste less padding but fragment documents; the curve locates
+    the knee for this corpus's length distribution). Each budget is one
+    per-source Arrow fold (independent folds, embarrassingly parallel);
+    the oracle replays all three walks with parameterized recursive CTEs,
+    so every seq boundary in every sweep point is differentially
+    attested. Integer token counts; one division for the fill ratio."""
+    from guardian_for_apache_kafka_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    parts = []
+    for budget in (64, 128, 256):
+        packed = pack_sequences(d, budget=budget)
+        parts.append(
+            packed.agg(
+                F.lit(budget).cast("long").alias("budget"),
+                F.countDistinct("source", "seq_id").cast("long").alias("n_sequences"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+        )
+    cur = parts[0]
+    for p_ in parts[1:]:
+        cur = cur.unionByName(p_)
+    return cur.select(
+        "budget",
+        "n_sequences",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") * 1.0 / (F.col("n_sequences") * F.col("budget")), 4
+        ).alias("fill_ratio"),
+        (F.col("n_sequences") * F.col("budget") - F.col("n_tokens"))
+        .cast("long")
+        .alias("padding_tokens"),
+    ).orderBy("budget")

@@ -1306,3 +1306,72 @@ def ks_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
 
     pts = spark.read.parquet(points_dir).distinct()
     return ks_statistic_pairs(pts.select("source", "n_tok"), "source", "n_tok")
+
+
+def stream_price_points(
+    lineitem: DataFrame,
+    dest: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the q125 weighted-median monitor: each
+    micro-batch appends one narrow row per line item (orderkey/linenumber
+    identity, flag, integer price cents, integer quantity weight);
+    ``weighted_median_rollup`` rebuilds the (flag, price) weight domain
+    and runs the identical domain walk as the batch query. Replays append
+    duplicates the rollup's identity distinct removes."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pts = batch_df.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+            F.round(F.col("l_quantity")).cast("long").alias("w"),
+        )
+        pts.write.mode("append").parquet(dest)
+
+    writer = lineitem.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def weighted_median_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
+    """Batch rollup over accumulated price points — identical output
+    contract to q125 (flag, total_weight, weighted_median_price)."""
+    from pyspark.sql import Window
+
+    pts = spark.read.parquet(points_dir).distinct()
+    dom = pts.groupBy("flag", "price_cents").agg(F.sum("w").alias("w"))
+    w_run = (
+        Window.partitionBy("flag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("flag")
+    walked = dom.select(
+        "flag",
+        "price_cents",
+        F.sum("w").over(w_run).alias("cum"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    picked = walked.where(2 * F.col("cum") >= F.col("total")).select(
+        "flag",
+        "price_cents",
+        "total",
+        F.row_number()
+        .over(Window.partitionBy("flag").orderBy("price_cents"))
+        .alias("rn"),
+    )
+    return (
+        picked.where(F.col("rn") == 1)
+        .select(
+            "flag",
+            F.col("total").cast("long").alias("total_weight"),
+            F.round(F.col("price_cents") / 100.0, 2).alias("weighted_median_price"),
+        )
+        .orderBy("flag")
+    )

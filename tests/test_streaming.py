@@ -1764,3 +1764,40 @@ def test_stream_ks_drift_equal_batch_q123_and_resumes(spark, tmp_path):
     assert got == want
     spark.read.parquet(dest).limit(30).write.mode("append").parquet(dest)
     assert [tuple(r) for r in ks_rollup(spark, dest).collect()] == want
+
+
+def test_stream_weighted_median_equal_batch_q125_and_resumes(spark, tmp_path):
+    """Streaming price-point accumulation rolled up == the q125 batch
+    weighted median, across micro-batches, restart, and replay."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        stream_price_points,
+        weighted_median_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    src = str(tmp_path / "in")
+    n = li.count()
+    first = li.orderBy("l_orderkey", "l_linenumber").limit(n // 2)
+    rest = li.subtract(first)
+    first.coalesce(1).write.parquet(src)
+
+    dest, ckpt = str(tmp_path / "pts"), str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(li.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_price_points(stream, dest, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    want = [tuple(r) for r in all_queries()["q125_weighted_median"](spark, sf).collect()]
+    got = [tuple(r) for r in weighted_median_rollup(spark, dest).collect()]
+    assert got == want
+    spark.read.parquet(dest).limit(50).write.mode("append").parquet(dest)
+    assert [tuple(r) for r in weighted_median_rollup(spark, dest).collect()] == want
