@@ -6543,3 +6543,94 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q127_g_test_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS et,
+             CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT et, dow, o,
+             sum(o) OVER (PARTITION BY et) AS row_tot,
+             sum(o) OVER (PARTITION BY dow) AS col_tot,
+             sum(o) OVER () AS grand
+      FROM cells
+    ),
+    terms AS (
+      SELECT et, dow,
+             o * ln(o * grand * 1.0 / (row_tot * col_tot)) AS term
+      FROM margins WHERE o > 0
+    ),
+    folded AS (
+      SELECT 2.0 * list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(term ORDER BY et, dow)),
+               (a, x) -> a + x) AS g,
+             count(*) AS n_cells
+      FROM terms
+    )
+    SELECT CAST(n_cells AS BIGINT) AS n_cells,
+           round(g, 4) AS g_statistic,
+           g > 50.0 AS dependent_at_50
+    FROM folded
+    """,
+    tags=("relational", "statistics", "g-test"),
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (log-likelihood ratio) for event_type x
+    day-of-week — the information-theoretic twin of q107's chi-square
+    (G = 2 sum O ln(O/E) is additive across partitions of the table,
+    which Pearson's statistic is not): expected counts from BIGINT-exact
+    margins, one ln per occupied cell, and the cross-engine summation
+    hazard solved by the SORTED-FOLD discipline — the ~35 cell terms
+    fold in (event_type, dow) order on BOTH engines (collect_list of
+    structs sorted, F.aggregate vs list(term ORDER BY) + list_reduce), so
+    even the float sum is bit-identical. The 50.0 verdict line is the
+    df=24 rejection region at far beyond any conventional alpha. At
+    100 TB: one corpus rollup to a 35-cell table; everything after is
+    constant-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.dayofweek("ts").cast("int").alias("dow"),
+    ).agg(F.count("*").alias("o"))
+    margins = cells.select(
+        "et",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("et")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("grand"),
+    )
+    term = F.col("o") * F.log(
+        F.col("o") * F.col("grand") * 1.0 / (F.col("row_tot") * F.col("col_tot"))
+    )
+    terms = margins.where(F.col("o") > 0).select(
+        F.struct("et", "dow").alias("__k"), term.alias("term")
+    )
+    folded = terms.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        (
+            2.0
+            * F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__k", "term"))
+                    ),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("g"),
+    )
+    return folded.select(
+        "n_cells",
+        F.round("g", 4).alias("g_statistic"),
+        (F.col("g") > 50.0).alias("dependent_at_50"),
+    )
