@@ -6634,3 +6634,76 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("g", 4).alias("g_statistic"),
         (F.col("g") > 50.0).alias("dependent_at_50"),
     )
+
+
+@query(
+    "q128_seasonal_naive_skill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, x, y,
+             lag(y, 1) OVER w AS y1,
+             lag(y, 7) OVER w AS y7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY x)
+    ),
+    scored AS (
+      SELECT event_type,
+             CAST(count(CASE WHEN y7 IS NOT NULL THEN 1 END) AS BIGINT) AS n,
+             sum(CASE WHEN y7 IS NOT NULL THEN abs(y - y1) END) AS mae1,
+             sum(CASE WHEN y7 IS NOT NULL THEN abs(y - y7) END) AS mae7
+      FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           CAST(mae1 AS BIGINT) AS naive1_abs_err,
+           CAST(mae7 AS BIGINT) AS seasonal7_abs_err,
+           round(mae7 * 1.0 / mae1, 4) AS seasonal_skill_ratio,
+           mae7 < mae1 AS weekly_cycle_detected
+    FROM scored ORDER BY event_type
+    """,
+    tags=("relational", "forecasting", "evaluation"),
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive skill test — the forecasting-eval sanity check run
+    before q124's smoother is trusted: on the same evaluation days
+    (those with a 7-day lag available), compare the absolute error mass
+    of the lag-7 seasonal-naive forecast against the lag-1 naive. Ratio
+    < 1 means a weekly cycle carries real signal (q119's lag-7 acf said
+    the same thing correlationally; this is the decision-grade MASE-style
+    version). Error masses are sums of |integer - integer| — exact; one
+    division at the end. One corpus day-rollup, series-partitioned lag
+    windows over the day table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("x")
+    lagged = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 7).over(w).alias("y7"),
+    )
+    ok = F.col("y7").isNotNull()
+    scored = lagged.groupBy("event_type").agg(
+        F.count(F.when(ok, 1)).cast("long").alias("n"),
+        F.sum(F.when(ok, F.abs(F.col("y") - F.col("y1")))).alias("mae1"),
+        F.sum(F.when(ok, F.abs(F.col("y") - F.col("y7")))).alias("mae7"),
+    )
+    return scored.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("mae1").cast("long").alias("naive1_abs_err"),
+        F.col("mae7").cast("long").alias("seasonal7_abs_err"),
+        F.round(F.col("mae7") * 1.0 / F.col("mae1"), 4).alias("seasonal_skill_ratio"),
+        (F.col("mae7") < F.col("mae1")).alias("weekly_cycle_detected"),
+    ).orderBy("event_type")
