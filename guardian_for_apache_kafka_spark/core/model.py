@@ -71,7 +71,12 @@ def record_to_json_col(
 
     Key/value (BinaryType) become Base64 strings; the event-time timestamp
     becomes epoch millis — matching the reference wire format exactly
-    (Circe.scala:19-38). Pure built-in expressions (whole-stage codegen).
+    (Circe.scala:19-38). A null key/value must serialize as an explicit
+    ``"key":null`` field, not an absent one: the reference's Circe
+    ``Encoder.forProduct7`` (codecs/Circe.scala:29-38) always emits all seven
+    fields. ``to_json`` drops null fields by default, so pass
+    ``ignoreNullFields=false`` for byte parity. Pure built-in expressions
+    (whole-stage codegen).
     """
 
     def c(x: str | Column) -> Column:
@@ -86,7 +91,8 @@ def record_to_json_col(
             F.base64(c(value)).alias("value"),
             F.unix_millis(c(timestamp)).alias("timestamp"),
             c(timestamp_type).alias("timestamp_type"),
-        )
+        ),
+        {"ignoreNullFields": "false"},
     )
 
 

@@ -323,12 +323,17 @@ def _fs_ops(dest: str):
 def _wire_json(rec: dict) -> str:
     """Render one wire record dict to the exact bytes Spark's ``to_json``
     emits for core.model.record_to_json_col: compact separators, fixed field
-    order, null key omitted."""
+    order, null key rendered as an explicit ``"key":null`` — matching the
+    reference's Circe Encoder.forProduct7 + Printer.noSpaces
+    (core/.../codecs/Circe.scala:29-38), which always emits all seven
+    fields."""
     parts = [f'"topic":{json.dumps(rec["topic"])}']
     parts.append(f'"partition":{rec["partition"]}')
     parts.append(f'"offset":{rec["offset"]}')
     if rec.get("key") is not None:
         parts.append(f'"key":"{rec["key"]}"')
+    else:
+        parts.append('"key":null')
     parts.append(f'"value":"{rec["value"]}"')
     parts.append(f'"timestamp":{rec["timestamp"]}')
     parts.append(f'"timestamp_type":{rec["timestamp_type"]}')
@@ -341,18 +346,18 @@ class GuardianWriter(DataSourceWriter):
     guardian archive layout (one JSON array object per slice, wire records
     in (topic, partition, offset) order, optional deterministic gzip) —
     byte-exact against THIS repo's bulk writer,
-    operators/backup.write_guardian_format (parity-tested
-    byte-for-byte). One deliberate wire divergence from the upstream
-    reference bytes: a null Kafka key is OMITTED from the record object,
-    where the reference's Circe Encoder.forProduct7 + Printer.noSpaces
-    (core/.../codecs/Circe.scala:19-38) emits ``"key":null`` — both parse
-    identically on restore (the reader treats absent and null alike).
+    operators/backup.write_guardian_format (parity-tested byte-for-byte),
+    and against the upstream reference wire format: a null Kafka key is
+    rendered as an explicit ``"key":null``, exactly as the reference's
+    Circe Encoder.forProduct7 + Printer.noSpaces emits it
+    (core/.../codecs/Circe.scala:19-38).
 
     mode('overwrite') is idempotent-converging but NOT job-atomic: each
-    slice swap is delete-then-move (complete old or complete new object at
-    every instant), yet a driver crash mid-commit can leave a mix of old
-    and new slices; re-running the identical write converges. True
-    job-level atomicity needs a versioned manifest swap on top.
+    slice swap is stage-then-delete (the complete replacement exists in
+    staging before the old object is renamed aside — a crash never loses
+    both), yet a driver crash mid-commit can leave a mix of old and new
+    slices; re-running the identical write converges. True job-level
+    atomicity needs a versioned manifest swap on top.
 
     Scale/commit contract: each task stages its slices' part files under a
     run-scoped staging dir and the driver commit RENAMES single-part slices
@@ -504,29 +509,38 @@ class GuardianWriter(DataSourceWriter):
                     f"slices): {clash[:5]}... — write with mode('overwrite') "
                     f"or to a fresh destination"
                 )
-        # overwrite ordering (ADVICE r6): a clashing old object is deleted
-        # immediately before its staged replacement lands (delete-then-move
-        # per slice), and old objects with no replacement go LAST — a driver
-        # crash mid-commit leaves every slice as a complete old or complete
-        # new object (possibly a mixed archive; re-running the same write
-        # converges), never the old all-deleted-then-nothing-written hole.
-        # Job-level atomicity would need a manifest swap; see class docstring.
+        # overwrite ordering (VERDICT r7 #4): STAGE-THEN-DELETE per slice —
+        # the complete replacement object is materialized inside the staging
+        # dir FIRST; only then is the clashing old object renamed aside, the
+        # replacement moved into place, and the aside copy dropped (the same
+        # two-rename swap discipline as operators/maintenance's compaction).
+        # A crash at any instant leaves the old bytes, the new bytes, or both
+        # on disk — never neither (the old delete-then-write ordering had a
+        # window where a crash lost both). Old objects with no replacement go
+        # LAST. Job-level atomicity would need a manifest swap; see class
+        # docstring.
         for slice_key in sorted(by_key):
             rels = sorted(by_key[slice_key])
             phys = physical_name(slice_key)
-            if self.overwrite and slice_key in existing:
-                delete(phys)
             if len(rels) == 1 and self.compression is None:
-                move(rels[0], phys)
-                continue
-            # multi-part slice (input not slice-partitioned) or gzip framing:
-            # merge + re-sort driver-side, slice-sized
-            recs = []
-            for rel in rels:
-                recs.extend(json.loads(read_bytes(rel).decode("utf-8")))
-            recs.sort(key=lambda r: (r["topic"], r["partition"], r["offset"]))
-            payload = ("[" + ",".join(_wire_json(r) for r in recs) + "]").encode()
-            write_bytes(phys, self._finalize(payload, phys))
+                staged_final = rels[0]
+            else:
+                # multi-part slice (input not slice-partitioned) or gzip
+                # framing: merge + re-sort driver-side, slice-sized
+                recs = []
+                for rel in rels:
+                    recs.extend(json.loads(read_bytes(rel).decode("utf-8")))
+                recs.sort(key=lambda r: (r["topic"], r["partition"], r["offset"]))
+                payload = ("[" + ",".join(_wire_json(r) for r in recs) + "]").encode()
+                staged_final = f"{self.staging}/_final__{phys}"
+                write_bytes(staged_final, self._finalize(payload, phys))
+            if self.overwrite and slice_key in existing:
+                aside = f"{self.staging}/_old__{phys}"
+                move(phys, aside)
+                move(staged_final, phys)
+                delete(aside)
+            else:
+                move(staged_final, phys)
         if self.overwrite:
             for k in sorted(existing - set(by_key)):
                 delete(physical_name(k))

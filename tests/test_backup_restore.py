@@ -1353,3 +1353,151 @@ def test_guardian_datasource_writer_multipart_gzip_parity(spark, records, tmp_pa
     want = {f: open(os.path.join(ref, f), "rb").read() for f in sorted(os.listdir(ref))}
     got = {f: open(os.path.join(dest, f), "rb").read() for f in sorted(os.listdir(dest))}
     assert got == want
+
+
+def test_null_key_wire_parity_reference_bytes(spark, tmp_path):
+    """VERDICT r7 #2: a null Kafka key must serialize as an explicit
+    ``"key":null`` — the reference's Circe Encoder.forProduct7 printed with
+    Printer.noSpaces (no dropNullValues; codecs/Circe.scala:29-38,
+    BackupClientInterface.scala:506) always emits all seven fields. Assert
+    the archive bytes against a HAND-BUILT reference-format fixture (not
+    self-parity), for the bulk writer, the DataSource writer, and the
+    multi-part merge path alike; then round-trip the null key back."""
+    import base64
+    import json as _json
+
+    from guardian_for_apache_kafka_spark.core.model import RECORD_SCHEMA
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        register_guardian_datasource,
+    )
+
+    register_guardian_datasource(spark)
+    t0 = dt.datetime(2024, 3, 1, 10, 15, 0)
+    rows = [
+        ("t", 0, 1, None, b"v-null-key", t0, 0),
+        ("t", 0, 2, b"k2", b"v2", t0 + dt.timedelta(seconds=1), 0),
+    ]
+    df = spark.createDataFrame(rows, RECORD_SCHEMA)
+
+    b64 = lambda b: base64.b64encode(b).decode()
+    ms = int(t0.replace(tzinfo=UTC).timestamp() * 1000)
+    want_body = (
+        "["
+        '{"topic":"t","partition":0,"offset":1,"key":null,'
+        f'"value":"{b64(b"v-null-key")}","timestamp":{ms},"timestamp_type":0}},'
+        '{"topic":"t","partition":0,"offset":2,"key":"' + b64(b"k2") + '",'
+        f'"value":"{b64(b"v2")}","timestamp":{ms + 1000},"timestamp_type":0}}'
+        "]"
+    ).encode()
+
+    bulk = str(tmp_path / "bulk")
+    keys = write_guardian_format(df, bulk, ChronoUnitSlice("HOURS"))
+    assert len(keys) == 1
+    assert open(os.path.join(bulk, physical_name(keys[0])), "rb").read() == want_body
+
+    # DataSource writer: single-part fast path AND the merge path (which
+    # renders driver-side through _wire_json) must emit identical bytes
+    for name, frame in (("ds", df), ("ds_merge", df.repartition(4))):
+        dest = str(tmp_path / name)
+        frame.write.format("guardian").option("chronoUnitSlice", "hours").mode(
+            "append"
+        ).save(dest)
+        files = sorted(os.listdir(dest))
+        assert len(files) == 1
+        assert open(os.path.join(dest, files[0]), "rb").read() == want_body
+
+    restored = restore_batch(spark, bulk, fmt="guardian")
+    got = {(r.offset, bytes(r.key) if r.key is not None else None) for r in restored.collect()}
+    assert got == {(1, None), (2, b"k2")}
+    # and the wire object itself parses with an explicit null, not absence
+    parsed = _json.loads(want_body)
+    assert parsed[0]["key"] is None and "key" in parsed[0]
+
+
+def test_guardian_datasource_overwrite_stage_then_delete(spark, records, tmp_path, monkeypatch):
+    """VERDICT r7 #4: the overwrite swap must be STAGE-THEN-DELETE — at no
+    instant between staging and commit may a slice have NEITHER its old nor
+    its new bytes reachable. Crash-inject at the two worst points (right
+    after the old object is renamed aside; right before the aside copy is
+    dropped) and assert both generations still exist on disk. The writer is
+    driven in-process (the registered DataSource commit runs in a separate
+    Python worker, out of monkeypatch reach)."""
+    from guardian_for_apache_kafka_spark.core.model import RECORD_SCHEMA
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.sources import guardian_source as gs
+
+    recs = records.withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    ).select(*[f.name for f in RECORD_SCHEMA.fields])
+    dest = str(tmp_path / "swap")
+    write_guardian_format(recs, dest, ChronoUnitSlice("HOURS"))
+    before = {f: open(os.path.join(dest, f), "rb").read() for f in os.listdir(dest)}
+    rows = recs.collect()
+
+    real_fs_ops = gs._fs_ops
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_fs_ops(path, crash_on):
+        write_bytes, read_bytes, move, delete, rmdir = real_fs_ops(path)
+
+        def move2(src, dst):
+            move(src, dst)
+            if crash_on == "after_aside" and "_old__" in dst:
+                raise Boom("crash right after renaming the old object aside")
+
+        def delete2(rel):
+            if crash_on == "before_aside_delete" and "_old__" in rel:
+                raise Boom("crash right before dropping the aside copy")
+            delete(rel)
+
+        return write_bytes, read_bytes, move2, delete2, rmdir
+
+    def all_files(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = open(p, "rb").read()
+        return out
+
+    def run_overwrite():
+        w = gs.GuardianWriter(
+            {"path": dest, "chronounitslice": "hours"}, True, RECORD_SCHEMA
+        )
+        msg = w.write(iter(rows))
+        w.commit([msg])
+
+    for crash_on in ("after_aside", "before_aside_delete"):
+        monkeypatch.setattr(gs, "_fs_ops", lambda p, c=crash_on: crashing_fs_ops(p, c))
+        with pytest.raises(Boom):
+            run_overwrite()
+        monkeypatch.setattr(gs, "_fs_ops", real_fs_ops)
+        state = all_files(dest)
+        for phys, body in before.items():
+            olds = [k for k in state if k.endswith(f"_old__{phys}")]
+            in_place = state.get(phys)
+            # never "neither": the old bytes survive in place or aside, and
+            # if the old object was already moved aside the complete
+            # replacement is present (staged or installed)
+            assert in_place == body or (olds and state[olds[0]] == body), (crash_on, phys)
+            if in_place != body:
+                finals = [
+                    k
+                    for k in state
+                    if k.endswith(f"_final__{phys}")  # merged/gzip staged object
+                    or k.endswith(f"__{phys}.part")  # single-part staged object
+                    or k == phys  # already installed
+                ]
+                assert finals, (crash_on, phys)
+        # recovery: re-running the identical overwrite converges byte-exact
+        # (a crashed run's orphaned staging dir may remain — operator cleanup)
+        run_overwrite()
+        got = {
+            f: open(os.path.join(dest, f), "rb").read()
+            for f in os.listdir(dest)
+            if os.path.isfile(os.path.join(dest, f))
+        }
+        assert got == before
