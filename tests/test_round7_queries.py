@@ -143,20 +143,23 @@ def test_global_running_sum_equals_global_window(spark):
 
     rows = [(i % 17, (i * 7919) % 101 - 50) for i in range(1000)]
     df = spark.createDataFrame(rows, "k long, v long").repartition(7)
-    got = {
-        (r.k, r.v, r.run)
-        for r in global_running_sum(
-            df, [F.col("k").asc(), F.col("v").asc()], "v", n_parts=5
-        ).collect()
-    }
-    w = Window.orderBy("k", "v").rowsBetween(Window.unboundedPreceding, 0)
-    want = {
+    # RANGE frame (the r8 tie contract): per-row values are exact and
+    # n_parts-invariant even with duplicate (k, v) keys — every tied row
+    # carries the whole tie group's sum, matching the single-partition
+    # RANGE window row-for-row
+    w = Window.orderBy("k", "v")  # default frame: RANGE UNBOUNDED PRECEDING
+    want = sorted(
         (r.k, r.v, r.run)
         for r in df.withColumn("run", F.sum("v").over(w)).collect()
-    }
-    # duplicate (k, v) keys make per-row prefixes order-dependent WITHIN a
-    # tie group on both sides; compare the full multiset of running values
-    assert sorted(x[2] for x in got) == sorted(x[2] for x in want)
+    )
+    for n_parts in (2, 5, 32):
+        got = sorted(
+            (r.k, r.v, r.run)
+            for r in global_running_sum(
+                df, [F.col("k").asc(), F.col("v").asc()], "v", n_parts=n_parts
+            ).collect()
+        )
+        assert got == want, n_parts
     # rank on a total order is exact row-for-row
     uniq = spark.createDataFrame(
         [(i, (i * 31) % 997) for i in range(997)], "id long, v long"
@@ -359,3 +362,50 @@ def test_g12_skew_stats_internally_consistent(run):
         assert r.min_records <= r.median_records <= r.max_records
         assert r.skew_ratio >= 1.0
         assert 0 <= r.n_small_slices <= r.n_slices
+
+
+def test_global_running_sum_heavy_ties_property(spark):
+    """VERDICT r7 #6 property test: under HEAVY duplicate order keys (few
+    distinct keys, many rows each, adversarial all-one-key shapes) the
+    two-pass prefix sum is (a) row-exact against the single-partition
+    RANGE window and (b) bit-identical across partition counts — the
+    contract is enforced by the frame choice, not assumed from callers."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from guardian_for_apache_kafka_spark.operators.layout import global_running_sum
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),  # 3 distinct keys max
+                st.integers(min_value=-1000, max_value=1000),
+            ),
+            min_size=1,
+            max_size=120,
+        ),
+        st.sampled_from([2, 3, 8]),
+    )
+    def check(pairs, n_parts):
+        df = spark.createDataFrame(pairs, "k long, v long").repartition(5)
+        want = sorted(
+            (r.k, r.v, r.run)
+            for r in df.withColumn(
+                "run", F.sum("v").over(Window.orderBy("k"))
+            ).collect()
+        )
+        got = sorted(
+            (r.k, r.v, r.run)
+            for r in global_running_sum(
+                df, [F.col("k").asc()], "v", n_parts=n_parts
+            ).collect()
+        )
+        assert got == want
+
+    check()
