@@ -19,7 +19,8 @@ def auc_mann_whitney(scored: DataFrame) -> DataFrame:
     running below-count walks the DOMAIN table (the only ordered window —
     domain-sized, never row-sized), and 2*R+ = sum(pos * (2*below + pos +
     neg + 1)) gives midrank tie handling for free in integer arithmetic.
-    Returns one row: (n_pos, n_neg, auc, gini). Shared verbatim by the
+    Returns one row: (n_pos, n_neg, auc, gini); auc/gini are an explicit
+    NULL when either class is empty (undefined, not zero). Shared verbatim by the
     q122 batch query and the streaming AUC monitor's rollup
     (streaming/pipeline.auc_rollup) — the stream==batch equivalence test
     rides on this single implementation.
@@ -42,8 +43,14 @@ def auc_mann_whitney(scored: DataFrame) -> DataFrame:
         F.sum("pos").alias("np"),
         F.sum("neg").alias("nn"),
     )
-    auc = (F.col("two_ranksum_pos") - F.col("np") * (F.col("np") + 1)) * 1.0 / (
-        2 * F.col("np") * F.col("nn")
+    # an empty class (possible in a streaming rollup over an early
+    # micro-batch prefix with no qualifying positives yet) makes AUC
+    # undefined — emit an explicit NULL instead of a silent divide-by-zero
+    # null-with-no-contract (ADVICE r7)
+    auc = F.when(
+        F.col("np") * F.col("nn") > 0,
+        (F.col("two_ranksum_pos") - F.col("np") * (F.col("np") + 1)) * 1.0
+        / (2 * F.col("np") * F.col("nn")),
     )
     return sums.select(
         F.col("np").cast("long").alias("n_pos"),
@@ -80,9 +87,14 @@ def ks_statistic_pairs(samples: DataFrame, group_col: str, value_col: str) -> Da
         F.sum("c").over(w_all).alias("n"),
     )
     # the domain grid per group has holes (a value unseen by group g);
-    # densify by joining the global domain and carrying the last cum
-    dom = samples.select(F.col(value_col).alias("v")).distinct()
-    grps = samples.select(F.col(group_col).alias("g")).distinct()
+    # densify by joining the global domain and carrying the last cum.
+    # Derive domain and group lists from the already-aggregated counts
+    # frame (ADVICE r7: distinct() on the corpus-sized samples frame added
+    # two corpus-scale scans; counts is domain x groups-sized, so these
+    # are domain-sized scans and the one corpus exchange really is the
+    # (group, value) rollup)
+    dom = counts.select(F.col(value_col).alias("v")).distinct()
+    grps = counts.select(F.col(group_col).alias("g")).distinct()
     grid = dom.crossJoin(grps)
     w_fill = (
         Window.partitionBy("g")
@@ -136,4 +148,47 @@ def ks_statistic_pairs(samples: DataFrame, group_col: str, value_col: str) -> Da
             F.round(F.col("num") * 1.0 / (F.col("n_a") * F.col("n_b")), 6).alias("ks"),
         )
         .orderBy("group_a", "group_b")
+    )
+
+
+def weighted_median_walk(points: DataFrame, key_col: str = "flag") -> DataFrame:
+    """Exact weighted median per key from a (key, price_cents, w) points
+    frame — THE single domain-walk implementation (ADVICE r7: q125 and the
+    streaming rollup each had an inline copy that could drift; the
+    stream==batch equivalence now rides on shared code, like the
+    cusum/auc/ks twins). Integer cents x integer weights aggregate to the
+    (key, price) domain (the one corpus-sized exchange, map-side
+    combined), the running weight walks each key's domain-sized frame,
+    and the median is the smallest price with 2*cum >= total — all
+    integer comparisons, no interpolation ambiguity across engines.
+    Returns (key_col, total_weight, weighted_median_price) ordered by key."""
+    dom = points.groupBy(key_col, "price_cents").agg(F.sum("w").alias("w"))
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key_col)
+    walked = dom.select(
+        key_col,
+        "price_cents",
+        F.sum("w").over(w_run).alias("cum"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    picked = walked.where(2 * F.col("cum") >= F.col("total")).select(
+        key_col,
+        "price_cents",
+        "total",
+        F.row_number()
+        .over(Window.partitionBy(key_col).orderBy("price_cents"))
+        .alias("rn"),
+    )
+    return (
+        picked.where(F.col("rn") == 1)
+        .select(
+            key_col,
+            F.col("total").cast("long").alias("total_weight"),
+            F.round(F.col("price_cents") / 100.0, 2).alias("weighted_median_price"),
+        )
+        .orderBy(key_col)
     )

@@ -6437,43 +6437,21 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the median is the smallest price with 2*cum >= total — all
     integer comparisons, no interpolation ambiguity across engines.
     Plan: one corpus-sized (flag, price) rollup (map-side combined),
-    then flag-partitioned windows over domain-sized frames."""
+    then flag-partitioned windows over domain-sized frames. The walk
+    itself is operators/evaluation.weighted_median_walk — shared verbatim
+    with the streaming rollup (streaming/pipeline.weighted_median_rollup),
+    so the stream==batch equivalence rides on one implementation."""
+    from guardian_for_apache_kafka_spark.operators.evaluation import (
+        weighted_median_walk,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     pts = li.select(
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
         F.round(F.col("l_quantity")).cast("long").alias("w"),
     )
-    dom = pts.groupBy("flag", "price_cents").agg(F.sum("w").alias("w"))
-    w_run = (
-        Window.partitionBy("flag")
-        .orderBy("price_cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("flag")
-    walked = dom.select(
-        "flag",
-        "price_cents",
-        F.sum("w").over(w_run).alias("cum"),
-        F.sum("w").over(w_all).alias("total"),
-    )
-    picked = walked.where(2 * F.col("cum") >= F.col("total")).select(
-        "flag",
-        "price_cents",
-        "total",
-        F.row_number()
-        .over(Window.partitionBy("flag").orderBy("price_cents"))
-        .alias("rn"),
-    )
-    return (
-        picked.where(F.col("rn") == 1)
-        .select(
-            "flag",
-            F.col("total").cast("long").alias("total_weight"),
-            F.round(F.col("price_cents") / 100.0, 2).alias("weighted_median_price"),
-        )
-        .orderBy("flag")
-    )
+    return weighted_median_walk(pts, key_col="flag")
 
 
 @query(

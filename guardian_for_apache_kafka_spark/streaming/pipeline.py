@@ -1349,37 +1349,13 @@ def stream_price_points(
 
 def weighted_median_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
     """Batch rollup over accumulated price points — identical output
-    contract to q125 (flag, total_weight, weighted_median_price)."""
-    from pyspark.sql import Window
+    contract to q125 (flag, total_weight, weighted_median_price); the
+    domain walk IS q125's, via the shared
+    operators/evaluation.weighted_median_walk (ADVICE r7: the inline copy
+    could drift from the batch query)."""
+    from guardian_for_apache_kafka_spark.operators.evaluation import (
+        weighted_median_walk,
+    )
 
     pts = spark.read.parquet(points_dir).distinct()
-    dom = pts.groupBy("flag", "price_cents").agg(F.sum("w").alias("w"))
-    w_run = (
-        Window.partitionBy("flag")
-        .orderBy("price_cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("flag")
-    walked = dom.select(
-        "flag",
-        "price_cents",
-        F.sum("w").over(w_run).alias("cum"),
-        F.sum("w").over(w_all).alias("total"),
-    )
-    picked = walked.where(2 * F.col("cum") >= F.col("total")).select(
-        "flag",
-        "price_cents",
-        "total",
-        F.row_number()
-        .over(Window.partitionBy("flag").orderBy("price_cents"))
-        .alias("rn"),
-    )
-    return (
-        picked.where(F.col("rn") == 1)
-        .select(
-            "flag",
-            F.col("total").cast("long").alias("total_weight"),
-            F.round(F.col("price_cents") / 100.0, 2).alias("weighted_median_price"),
-        )
-        .orderBy("flag")
-    )
+    return weighted_median_walk(pts, key_col="flag")

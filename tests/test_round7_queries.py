@@ -409,3 +409,19 @@ def test_global_running_sum_heavy_ties_property(spark):
         assert got == want
 
     check()
+
+
+def test_auc_empty_class_is_explicit_null(spark):
+    """ADVICE r7: with an empty class (no positives yet — the early
+    streaming micro-batch prefix) AUC is undefined; the contract is an
+    explicit NULL with the counts still reported, not a silent
+    divide-by-zero."""
+    from guardian_for_apache_kafka_spark.operators.evaluation import auc_mann_whitney
+
+    allneg = spark.createDataFrame([(3, 0), (5, 0), (9, 0)], "score long, y int")
+    r = auc_mann_whitney(allneg).collect()[0]
+    assert r.n_pos == 0 and r.n_neg == 3
+    assert r.auc is None and r.gini is None
+    allpos = spark.createDataFrame([(3, 1)], "score long, y int")
+    r2 = auc_mann_whitney(allpos).collect()[0]
+    assert r2.n_pos == 1 and r2.n_neg == 0 and r2.auc is None
