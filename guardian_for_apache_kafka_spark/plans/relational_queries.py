@@ -6699,3 +6699,457 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mae7") * 1.0 / F.col("mae1"), 4).alias("seasonal_skill_ratio"),
         (F.col("mae7") < F.col("mae1")).alias("weekly_cycle_detected"),
     ).orderBy("event_type")
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (event_type, x=day offset, y=count) rollup — the one
+    corpus-sized exchange of the q126/q128-family trend tests; everything
+    downstream runs on the bounded day domain (|days| fixed by the
+    retention window at any corpus size)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("x"),
+    ).agg(F.count("*").alias("y"))
+
+
+_DAILY_CTE = """
+    daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "q129_spearman_corr",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    xy AS (
+      SELECT x,
+             CAST(sum(CASE WHEN event_type = 'view' THEN y ELSE 0 END) AS BIGINT) AS xv,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN y ELSE 0 END) AS BIGINT) AS yv
+      FROM daily GROUP BY 1
+    ),
+    rk AS (
+      SELECT
+        -- 2*midrank is the integer min_rank + max_rank = 2*rank + ties - 1
+        2 * rank() OVER (ORDER BY xv) + count(*) OVER (PARTITION BY xv) - 1 AS rx,
+        2 * rank() OVER (ORDER BY yv) + count(*) OVER (PARTITION BY yv) - 1 AS ry
+      FROM xy
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy
+      FROM rk
+    )
+    SELECT n AS n_days,
+           round((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+    FROM s
+    """,
+    tags=("relational", "rank-statistics", "correlation"),
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily view and purchase
+    series — the monotone-association companion to q42's Pearson (rank
+    transform makes it robust to the heavy-tailed days OLS-style moments
+    chase). Integer discipline: 2*midrank = min_rank + max_rank =
+    2*rank() + tie_size - 1 is an exact integer (FIXTURES.md §D pattern
+    1), all five moment sums are BIGINT over the bounded day domain, and
+    float enters only in the final sqrt/division — bit-identical across
+    engines. The windows run over the |days|-sized pivot, never the
+    corpus."""
+    daily = _daily_counts(spark, sf_dir)
+    xy = daily.groupBy("x").agg(
+        F.sum(F.when(F.col("event_type") == "view", F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("xv"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yv"),
+    )
+    rk = xy.select(
+        (
+            2 * F.rank().over(Window.orderBy("xv"))
+            + F.count("*").over(Window.partitionBy("xv"))
+            - 1
+        ).alias("rx"),
+        (
+            2 * F.rank().over(Window.orderBy("yv"))
+            + F.count("*").over(Window.partitionBy("yv"))
+            - 1
+        ).alias("ry"),
+    )
+    s = rk.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias("spearman_rho"),
+    )
+
+
+@query(
+    "q130_kendall_tau",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    xy AS (
+      SELECT x,
+             CAST(sum(CASE WHEN event_type = 'view' THEN y ELSE 0 END) AS BIGINT) AS xv,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN y ELSE 0 END) AS BIGINT) AS yv
+      FROM daily GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(sum(CASE WHEN (a.xv < b.xv AND a.yv < b.yv)
+                             OR (a.xv > b.xv AND a.yv > b.yv) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN (a.xv < b.xv AND a.yv > b.yv)
+                             OR (a.xv > b.xv AND a.yv < b.yv) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM xy a JOIN xy b ON b.x > a.x
+    ),
+    totals AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM xy
+    ),
+    tx AS (
+      SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
+      FROM (SELECT count(*) AS t FROM xy GROUP BY xv)
+    ),
+    ty AS (
+      SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2
+      FROM (SELECT count(*) AS t FROM xy GROUP BY yv)
+    )
+    SELECT n AS n_days, c AS concordant, d AS discordant,
+           round((c - d) / (sqrt(CAST(n * (n - 1) / 2 - n1 AS DOUBLE))
+                            * sqrt(CAST(n * (n - 1) / 2 - n2 AS DOUBLE))), 6)
+             AS kendall_tau_b
+    FROM pairs, totals, tx, ty
+    """,
+    tags=("relational", "rank-statistics", "correlation"),
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between the daily view and purchase series — the
+    pairwise-concordance association measure (more robust than q129's
+    Spearman to a few wild ranks; the standard pair for ordinal drift).
+    Concordant/discordant/tie counts are pure integers from the
+    |days|^2/2 pair join (domain-sized: day count is retention-bounded,
+    never corpus-scaled — the q126 argument), tau-b's tie-corrected
+    denominator sqrt((n0-n1)(n0-n2)) is two sqrts of exact BIGINTs, and
+    the one division is the last operation."""
+    daily = _daily_counts(spark, sf_dir)
+    xy = daily.groupBy("x").agg(
+        F.sum(F.when(F.col("event_type") == "view", F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("xv"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yv"),
+    )
+    a, b = xy.alias("a"), xy.alias("b")
+    conc = (
+        (F.col("a.xv") < F.col("b.xv")) & (F.col("a.yv") < F.col("b.yv"))
+    ) | ((F.col("a.xv") > F.col("b.xv")) & (F.col("a.yv") > F.col("b.yv")))
+    disc = (
+        (F.col("a.xv") < F.col("b.xv")) & (F.col("a.yv") > F.col("b.yv"))
+    ) | ((F.col("a.xv") > F.col("b.xv")) & (F.col("a.yv") < F.col("b.yv")))
+    pairs = a.join(b, F.col("b.x") > F.col("a.x")).agg(
+        F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    n = xy.agg(F.count("*").cast("long").alias("n"))
+    tx = (
+        xy.groupBy("xv")
+        .agg(F.count("*").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).cast("long").alias("n1"))
+    )
+    ty = (
+        xy.groupBy("yv")
+        .agg(F.count("*").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).cast("long").alias("n2"))
+    )
+    j = pairs.crossJoin(n).crossJoin(tx).crossJoin(ty)
+    n0 = F.expr("n * (n - 1) div 2")
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("d"))
+            / (
+                F.sqrt((n0 - F.col("n1")).cast("double"))
+                * F.sqrt((n0 - F.col("n2")).cast("double"))
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+@query(
+    "q131_mann_kendall_trend",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.x > a.x
+      GROUP BY 1
+    ),
+    nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, y, count(*) AS t FROM daily GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT s.event_type,
+           n AS n_days,
+           s_stat,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                      WHEN s_stat < 0 THEN (s_stat + 1)
+                      ELSE 0 END
+                 / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0), 4) AS z,
+           CASE WHEN (s_stat - 1) / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+                     > 1.96 AND s_stat > 0 THEN 'increasing'
+                WHEN (s_stat + 1) / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+                     < -1.96 AND s_stat < 0 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM s JOIN nn ON nn.event_type = s.event_type
+           JOIN ties ON ties.event_type = s.event_type
+    ORDER BY s.event_type
+    """,
+    tags=("relational", "trend", "nonparametric"),
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event series — the nonparametric
+    significance companion to q126's Theil-Sen point estimate (same
+    pairwise domain join; MK asks IS there a monotone trend, Theil-Sen
+    asks how steep). S = sum of pairwise signs is an exact integer; the
+    tie-corrected variance (n(n-1)(2n+5) - sum t(t-1)(2t+5))/18 is a
+    ratio of exact integers; the continuity-corrected z and the 1.96 cut
+    are single identical double expressions on both engines. The
+    |days|^2 pair join is domain-sized (q126's argument)."""
+    daily = _daily_counts(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.x") > F.col("a.x")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = s.join(nn, "event_type").join(ties, "event_type")
+    var = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ) / 18.0
+    zpos = (F.col("s_stat") - 1) / F.sqrt(var)
+    zneg = (F.col("s_stat") + 1) / F.sqrt(var)
+    z = (
+        F.when(F.col("s_stat") > 0, zpos)
+        .when(F.col("s_stat") < 0, zneg)
+        .otherwise(F.lit(0.0))
+    )
+    trend = (
+        F.when((zpos > 1.96) & (F.col("s_stat") > 0), "increasing")
+        .when((zneg < -1.96) & (F.col("s_stat") < 0), "decreasing")
+        .otherwise("no trend")
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round(z, 4).alias("z"),
+        trend.alias("trend"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q132_turning_points",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    lagged AS (
+      SELECT event_type, y,
+             lag(y) OVER (PARTITION BY event_type ORDER BY x) AS yp,
+             lead(y) OVER (PARTITION BY event_type ORDER BY x) AS yn
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+                          AND ((y > yp AND y > yn) OR (y < yp AND y < yn))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS turning_points,
+           round(2.0 * (count(*) - 2) / 3.0, 4) AS expected_tp,
+           round(sum(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+                           AND ((y > yp AND y > yn) OR (y < yp AND y < yn))
+                          THEN 1 ELSE 0 END)
+                 / (2.0 * (count(*) - 2) / 3.0), 4) AS randomness_ratio
+    FROM lagged GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "randomness", "timeseries"),
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test per event series: count strict local
+    maxima/minima in the daily counts; an i.i.d. series expects
+    2(n-2)/3 of them, so the ratio flags both over-smooth (trending,
+    ratio << 1) and oscillating (ratio >> 1) series — the cheap
+    first-line check before q131's MK test. Pure lag/lead integer
+    comparisons over the day domain; one division at the end."""
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("x")
+    lagged = daily.select(
+        "event_type",
+        "y",
+        F.lag("y").over(w).alias("yp"),
+        F.lead("y").over(w).alias("yn"),
+    )
+    is_tp = (
+        F.col("yp").isNotNull()
+        & F.col("yn").isNotNull()
+        & (
+            ((F.col("y") > F.col("yp")) & (F.col("y") > F.col("yn")))
+            | ((F.col("y") < F.col("yp")) & (F.col("y") < F.col("yn")))
+        )
+    )
+    g = lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.when(is_tp, 1).otherwise(0)).cast("long").alias("turning_points"),
+    )
+    exp = 2.0 * (F.col("n_days") - 2) / 3.0
+    return g.select(
+        "event_type",
+        "n_days",
+        "turning_points",
+        F.round(exp, 4).alias("expected_tp"),
+        F.round(F.col("turning_points") / exp, 4).alias("randomness_ratio"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q133_runs_test",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    med AS (
+      SELECT event_type, y AS med FROM (
+        SELECT event_type, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY y) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+      ) WHERE rn = (n + 1) // 2
+    ),
+    flagged AS (
+      SELECT d.event_type,
+             CASE WHEN d.y > m.med THEN 1 ELSE 0 END AS above,
+             lag(CASE WHEN d.y > m.med THEN 1 ELSE 0 END)
+               OVER (PARTITION BY d.event_type ORDER BY d.x) AS prev
+      FROM daily d JOIN med m ON m.event_type = d.event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(above) AS BIGINT) AS n_above,
+           CAST(count(*) - sum(above) AS BIGINT) AS n_below,
+           CAST(1 + sum(CASE WHEN prev IS NOT NULL AND above <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+           round(1 + 2.0 * sum(above) * (count(*) - sum(above)) / count(*), 4)
+             AS expected_runs
+    FROM flagged GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "randomness", "nonparametric"),
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event series: classify each day
+    above/below the series' lower median (an integer domain-walk pick, no
+    interpolation), count maximal same-side runs in day order, and
+    compare with the i.i.d. expectation 1 + 2*n1*n2/n — too few runs =
+    clustering/trend, too many = oscillation. Everything is integer
+    until the expected-runs division; the median pick and the run count
+    are windows over the bounded day domain."""
+    daily = _daily_counts(spark, sf_dir)
+    w_rank = Window.partitionBy("event_type").orderBy("y")
+    w_all = Window.partitionBy("event_type")
+    med = (
+        daily.select(
+            "event_type",
+            "y",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_all).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("y").alias("med"))
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("x")
+    above = F.when(F.col("y") > F.col("med"), 1).otherwise(0)
+    flagged = daily.join(med, "event_type").select(
+        "event_type",
+        above.alias("above"),
+        F.lag(above).over(w_ord).alias("prev"),
+    )
+    g = flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("above").cast("long").alias("n_above"),
+        (F.count("*") - F.sum("above")).cast("long").alias("n_below"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("above") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        "n_above",
+        "n_below",
+        "runs",
+        F.round(
+            1 + 2.0 * F.col("n_above") * F.col("n_below") / F.col("n_days"), 4
+        ).alias("expected_runs"),
+    ).orderBy("event_type")
