@@ -474,3 +474,57 @@ def scene_segments(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, SCENE_SEGMENTS_DDL)
+
+
+MOTION_ENERGY_DDL = (
+    "doc_id BIGINT, total_motion BIGINT, max_jump INT, n_cuts INT, "
+    "motion_class STRING"
+)
+
+
+def motion_energy(
+    media: DataFrame, frames: int = 16, cut_threshold: int = 64
+) -> DataFrame:
+    """Per-video motion-energy profile — the curation signal that routes
+    videos between 'static slideshow' (cheap frame-dedup path) and
+    'cut-heavy' (per-scene captioning path): total absolute inter-frame
+    luminance change, the largest single jump, and the hard-cut count at
+    ``cut_threshold`` (m9's boundary rule), classified static (< 32
+    avg motion) / smooth (no hard cut) / cut_heavy. ONE decode pass per
+    blob (the scene_segments discipline); luminance is the same stubbed
+    digest arithmetic (byte 0 of sha256(sha256hex(content)+":"+k)), so
+    the oracle replays the full reduction exactly."""
+    media = spread_narrow_scan(media)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                dig = hashlib.sha256(content).hexdigest()
+                lum = [
+                    hashlib.sha256(f"{dig}:{k}".encode()).digest()[0]
+                    for k in range(frames)
+                ]
+                diffs = [abs(lum[k] - lum[k - 1]) for k in range(1, frames)]
+                total = sum(diffs)
+                mx = max(diffs) if diffs else 0
+                cuts = sum(1 for d in diffs if d > cut_threshold)
+                if total < 32 * (frames - 1):
+                    klass = "static"
+                elif cuts == 0:
+                    klass = "smooth"
+                else:
+                    klass = "cut_heavy"
+                rows.append(
+                    {
+                        "doc_id": row["doc_id"],
+                        "total_motion": total,
+                        "max_jump": mx,
+                        "n_cuts": cuts,
+                        "motion_class": klass,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, MOTION_ENERGY_DDL)

@@ -1098,3 +1098,37 @@ def ivfpq_rerank_topk(
         .where(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def reciprocal_rank_fusion(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) of two ranked
+    retrieval lists: score(d) = sum over lists of 1/(c + rank_d) — the
+    standard zero-training hybrid-search combiner (lexical + vector, or
+    two ANN variants). Inputs are (query_id, vec_id, rnk) frames; a doc
+    absent from one list contributes nothing from it (full outer join,
+    0.0 fill). Determinism: ranks are integers, each RRF score is a
+    fixed-order two-term double sum (no shuffle-order float folding), and
+    the final top-k breaks ties by vec_id. Scale: the join is keyed by
+    (query_id, vec_id) — candidate-list-sized, never corpus-sized; the
+    per-query top-k window partitions by query."""
+    a = ranked_a.select("query_id", "vec_id", F.col("rnk").alias("__ra"))
+    b = ranked_b.select("query_id", "vec_id", F.col("rnk").alias("__rb"))
+    fused = a.join(b, ["query_id", "vec_id"], "full_outer").select(
+        "query_id",
+        "vec_id",
+        (
+            F.coalesce(1.0 / (F.lit(c) + F.col("__ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("__rb")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("vec_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= k)
+        .select("query_id", "vec_id", F.round("rrf", 6).alias("rrf"), "fused_rank")
+    )

@@ -1194,3 +1194,61 @@ def cdc_chunks(
         F.col(id_col),
         F.posexplode("__chunks").alias("chunk_index", "chunk"),
     )
+
+
+def shingle_novelty_profile(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's distinct
+    n-grams whose globally FIRST occurrence (minimum doc id) is this
+    document — the forward-looking complement of
+    shingle_duplication_profile (t20 asks "how much of me is recycled";
+    this asks "how much did I contribute first"), the signal dedup
+    ordering and data-valuation weigh.
+
+    Same de-skewed shape as t20 (r8): distinct (doc, shingle-hash) rollup
+    (localCheckpointed — consumed by both downstream aggregates),
+    per-shingle min-owner aggregation (map-side combined, so a stopword
+    shingle's reducer key receives at most n_map_partitions rows), and
+    novelty attribution rolls up BY OWNER DOC ID — no shingle-keyed join
+    exists. Returns (id, n_shingles, n_novel, novelty_ratio)."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        ngram_shingles,
+        tokens_col,
+    )
+    from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
+
+    tok = spread_narrow_scan(df).select(
+        F.col(id_col).alias("__id"), tokens_col(content_col).alias("__tk")
+    )
+    sh = tok.select(
+        "__id", ngram_shingles(F.col("__tk"), n).alias("__shingles")
+    ).where(F.size("__shingles") > 0)
+    # ngram_shingles dedups within the doc, so this IS the (doc, shingle)
+    # rollup — one row per distinct pair
+    pairs = sh.select(
+        "__id",
+        F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
+    ).localCheckpoint()
+    novel = (
+        pairs.groupBy("__s")
+        .agg(F.min("__id").alias("__owner"))
+        .groupBy(F.col("__owner").alias("__id"))
+        .agg(F.count("*").alias("n_novel"))
+    )
+    doc_tot = pairs.groupBy("__id").agg(F.count("*").alias("n_shingles"))
+    return (
+        doc_tot.join(novel, "__id", "left")
+        .withColumn("n_novel", F.coalesce(F.col("n_novel"), F.lit(0)))
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+            ).alias("novelty_ratio"),
+        )
+    )

@@ -7129,3 +7129,418 @@ def p16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("padding_tokens"),
     ).orderBy("budget")
+
+
+@query(
+    "s21_rrf_fusion",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_duck_cosine('c.embedding', 'q.qv')} AS cosine,
+               {_DOT.format(a='c.embedding', b='q.qv')} AS dot
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS ra,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, vec_id) AS rb
+        FROM scored
+    ),
+    fused AS (
+        SELECT query_id, vec_id,
+               1.0 / (60 + ra) + 1.0 / (60 + rb) AS rrf
+        FROM ranked
+    ),
+    topk AS (
+        SELECT query_id, vec_id, round(rrf, 6) AS rrf,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, vec_id) AS BIGINT) AS fused_rank
+        FROM fused
+    )
+    SELECT query_id, vec_id, rrf, fused_rank FROM topk
+    WHERE fused_rank <= 5
+    ORDER BY query_id, fused_rank
+    """,
+    tags=("similarity", "retrieval", "hybrid-search"),
+)
+def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of two retrieval signals — cosine (angle)
+    and raw inner product (angle x magnitude; MIPS) — per query, top-5
+    fused (operators/similarity.reciprocal_rank_fusion; Cormack et al.'s
+    zero-training hybrid-search combiner, the standard way to merge
+    lexical + vector or multiple ANN lists). Both rankings reuse s1's
+    left-fold dot products (bit-identical doubles across engines), ranks
+    are integers with vec_id tie-breaks, and each RRF score is a fixed
+    two-term sum — no shuffle-order float folding anywhere. Corpus work
+    = |corpus| x |queries| scoring (the s1 brute-force tier; swap either
+    input list for an ANN variant at scale — fusion cost is
+    candidate-list-sized)."""
+    from guardian_for_apache_kafka_spark.functions.columns import cosine_similarity
+    from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        reciprocal_rank_fusion,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    c = spread_narrow_scan(e).select("vec_id", F.col("embedding").alias("__cv"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x.cast("array<double>"), y.cast("array<double>"), lambda p, s: p * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("__cos"),
+            dot(F.col("__cv"), F.col("__qv")).alias("__dot"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("vec_id"))
+    wb = Window.partitionBy("query_id").orderBy(F.col("__dot").desc(), F.col("vec_id"))
+    ranked_a = scored.select(
+        "query_id", "vec_id", F.row_number().over(wa).alias("rnk")
+    )
+    ranked_b = scored.select(
+        "query_id", "vec_id", F.row_number().over(wb).alias("rnk")
+    )
+    return reciprocal_rank_fusion(ranked_a, ranked_b, k=5, c=60).orderBy(
+        "query_id", "fused_rank"
+    )
+
+
+@query(
+    "t35_ngram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+    owner AS (SELECT s, min(doc_id) AS o FROM inv GROUP BY s),
+    novel AS (SELECT o AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+              FROM owner GROUP BY o),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM inv GROUP BY doc_id)
+    SELECT t.doc_id, t.n_shingles,
+           CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / t.n_shingles, 4)
+             AS novelty_ratio
+    FROM tot t LEFT JOIN novel n ON n.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    LIMIT 100
+    """,
+    tags=("text", "dedup", "data-valuation"),
+)
+def t35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a doc's distinct
+    shingles FIRST contributed by that doc (global min doc_id) — the
+    forward complement of t20's recycled-text score, used to order dedup
+    keeps and weigh marginal data value
+    (operators/text.shingle_novelty_profile; de-skewed r8 shape — no
+    shingle-keyed join, novelty attributes by owner doc id)."""
+    from guardian_for_apache_kafka_spark.operators.text import shingle_novelty_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return shingle_novelty_profile(d, n=3).orderBy("doc_id").limit(100)
+
+
+@query(
+    "m11_motion_energy",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS dig FROM documents WHERE doc_id < 150
+    ), f AS (
+        SELECT doc_id, CAST(g AS INT) AS k,
+               ({_hexb("sha256(dig || ':' || CAST(g AS VARCHAR))", 0)}) AS lum
+        FROM h, generate_series(0, 15) s(g)
+    ), d AS (
+        SELECT doc_id,
+               abs(lum - lag(lum) OVER (PARTITION BY doc_id ORDER BY k)) AS jump
+        FROM f
+    ), agg AS (
+        SELECT doc_id,
+               CAST(sum(jump) AS BIGINT) AS total_motion,
+               CAST(max(jump) AS INT) AS max_jump,
+               CAST(sum(CASE WHEN jump > 64 THEN 1 ELSE 0 END) AS INT) AS n_cuts
+        FROM d WHERE jump IS NOT NULL GROUP BY doc_id
+    )
+    SELECT doc_id, total_motion, max_jump, n_cuts,
+           CASE WHEN total_motion < 32 * 15 THEN 'static'
+                WHEN n_cuts = 0 THEN 'smooth'
+                ELSE 'cut_heavy' END AS motion_class
+    FROM agg ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "motion"),
+)
+def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video motion-energy routing profile: total |inter-frame
+    luminance change|, largest jump, hard-cut count, and the
+    static/smooth/cut_heavy class that decides which processing path a
+    video takes (operators/multimodal.motion_energy — one stub-decode
+    pass per blob; the oracle replays the luminance digests and the
+    whole reduction with a lag window). The m9 companion: m9 says WHERE
+    the cuts are, this says HOW MUCH motion there is."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        motion_energy,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .withColumn("blob", F.col("text").cast("binary"))
+    )
+    media = attach_media(d, "blob", "video", "mp4")
+    return motion_energy(media, frames=16, cut_threshold=64).orderBy("doc_id")
+
+
+@query(
+    "t36_token_length_histogram",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hist AS (
+      SELECT lang, CAST(len(t) AS BIGINT) AS token_len,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok WHERE t <> '' GROUP BY 1, 2
+    )
+    SELECT lang, token_len, n_tokens,
+           round(n_tokens * 1.0 / sum(n_tokens) OVER (PARTITION BY lang), 6)
+             AS share
+    FROM hist ORDER BY lang, token_len
+    """,
+    tags=("text", "profiling", "tokenization"),
+)
+def t36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram per language — the tokenizer-design
+    profile (length distribution drives BPE vocabulary sizing and the
+    fertility estimates t29 measures after the fact). One explode + one
+    (lang, len) groupBy (map-side combined, integer keys); the share
+    window runs over the aggregated histogram (bounded by max token
+    length x languages), never the token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("t")
+    ).where(F.col("t") != "")
+    hist = tok.groupBy(
+        "lang", F.length("t").cast("long").alias("token_len")
+    ).agg(F.count("*").cast("long").alias("n_tokens"))
+    w = Window.partitionBy("lang")
+    return hist.select(
+        "lang",
+        "token_len",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(w), 6).alias(
+            "share"
+        ),
+    ).orderBy("lang", "token_len")
+
+
+@query(
+    "d36_candidate_pair_budget",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+    dfreq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY s),
+    banded AS (
+      SELECT CASE WHEN df = 1 THEN 'unique'
+                  WHEN df < 5 THEN '2-4'
+                  WHEN df < 10 THEN '5-9'
+                  ELSE '10+' END AS df_band,
+             df
+      FROM dfreq
+    )
+    SELECT df_band,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df * (df - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM banded GROUP BY df_band ORDER BY df_band
+    """,
+    tags=("dedup", "planning", "cost-model"),
+)
+def d36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair budget by shingle document-frequency band — the
+    cost model behind every inverted-index similarity join in the d
+    family: a shingle with df docs generates C(df,2) candidate pairs, so
+    this report says exactly where d21's prefix filter and d16's
+    hot-bucket cap earn their keep ('10+' is the band the caps drop;
+    'unique' is dead weight the prefix filter skips). Everything is an
+    integer groupBy over the (doc, shingle) rollup; no pair is ever
+    materialized — the budget is computed from counts alone."""
+    d = load_table(spark, sf_dir, "documents")
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        ngram_shingles,
+        tokens_col,
+    )
+
+    sh = d.select(
+        F.col("doc_id"), ngram_shingles(tokens_col("text"), 3).alias("__sh")
+    ).where(F.size("__sh") > 0)
+    inv = sh.select(
+        "doc_id", F.explode(F.transform("__sh", lambda c: F.xxhash64(c))).alias("__s")
+    )
+    dfreq = inv.groupBy("__s").agg(F.count("*").cast("long").alias("df"))
+    banded = dfreq.select(
+        F.when(F.col("df") == 1, "unique")
+        .when(F.col("df") < 5, "2-4")
+        .when(F.col("df") < 10, "5-9")
+        .otherwise("10+")
+        .alias("df_band"),
+        "df",
+    )
+    return (
+        banded.groupBy("df_band")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.expr("df * (df - 1) div 2")).cast("long").alias("candidate_pairs"),
+        )
+        .orderBy("df_band")
+    )
+
+
+@query(
+    "g13_compaction_plan",
+    oracle="""
+    WITH slices AS (
+      SELECT date_trunc('hour', ts) AS slice, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    walked AS (
+      SELECT slice, cnt,
+             CAST(sum(cnt) OVER (ORDER BY slice
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                  AS BIGINT) AS cum_before
+      FROM slices
+    ),
+    grouped AS (
+      SELECT slice, cnt, cum_before // 300 AS grp FROM walked
+    )
+    SELECT CAST(grp AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_slices,
+           min(slice) AS first_slice,
+           max(slice) AS last_slice,
+           CAST(sum(cnt) AS BIGINT) AS n_records
+    FROM grouped GROUP BY grp ORDER BY grp
+    """,
+    tags=("guardian", "maintenance", "planning"),
+)
+def g13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-compaction plan: segment the hourly archive timeline into
+    contiguous rewrite groups of ~300 records by cumulative budget
+    (group = exclusive-prefix-count div target) — the plan
+    maintenance.compact_archive_slices would execute to fix the
+    small-object problem g12's skew report diagnoses (many tiny hourly
+    objects -> few scan-sized ones, preserving time-range pruning because
+    groups are CONTIGUOUS). Integer prefix arithmetic over the
+    slice-count domain (retention-bounded, never corpus-scaled; the
+    ordered window runs over that domain table only)."""
+    ev = load_table(spark, sf_dir, "events")
+    slices = ev.groupBy(F.date_trunc("hour", "ts").alias("slice")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = (
+        Window.orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = slices.select(
+        "slice",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("long").alias("cum_before"),
+    )
+    grouped = walked.select(
+        "slice", "cnt", F.expr("cum_before div 300").alias("grp")
+    )
+    return (
+        grouped.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_slices"),
+            F.min("slice").alias("first_slice"),
+            F.max("slice").alias("last_slice"),
+            F.sum("cnt").cast("long").alias("n_records"),
+        )
+        .select(
+            F.col("grp").cast("long").alias("grp"),
+            "n_slices",
+            "first_slice",
+            "last_slice",
+            "n_records",
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "p17_shard_balance_report",
+    oracle="""
+    WITH assigned AS (
+      SELECT CAST(CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) % 8 AS BIGINT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS tokens
+      FROM assigned GROUP BY shard
+    )
+    SELECT shard, n_docs, tokens,
+           round(tokens * 1.0 / sum(tokens) OVER (), 6) AS token_share,
+           round(tokens * 8.0 / sum(tokens) OVER (), 4) AS balance_ratio
+    FROM per ORDER BY shard
+    """,
+    tags=("pipeline", "export", "balance"),
+)
+def p17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-shard balance audit: content-stable md5 hash assignment of
+    documents to 8 shards (the p5 export layout's routing), then the
+    per-shard doc/token totals and the balance ratio (shard tokens /
+    ideal even share) — the skew check run BEFORE an export, because a
+    2x-heavy shard doubles the slowest dataloader worker. Assignment is
+    pure digest arithmetic both engines compute identically; one groupBy
+    + a window over the 8-row shard table."""
+    d = load_table(spark, sf_dir, "documents")
+    assigned = d.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 8
+        ).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("tokens"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") * 1.0 / F.sum("tokens").over(w), 6).alias("token_share"),
+        F.round(F.col("tokens") * 8.0 / F.sum("tokens").over(w), 4).alias("balance_ratio"),
+    ).orderBy("shard")
