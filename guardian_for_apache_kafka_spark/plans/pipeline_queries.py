@@ -7544,3 +7544,171 @@ def p17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tokens") * 1.0 / F.sum("tokens").over(w), 6).alias("token_share"),
         F.round(F.col("tokens") * 8.0 / F.sum("tokens").over(w), 4).alias("balance_ratio"),
     ).orderBy("shard")
+
+
+@query(
+    "t37_burrows_delta",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE t <> '' GROUP BY 1, 2
+    ),
+    top20 AS (
+      SELECT t FROM (
+        SELECT t, sum(c) AS tot,
+               row_number() OVER (ORDER BY sum(c) DESC, t) AS rn
+        FROM tf GROUP BY t
+      ) WHERE rn <= 20
+    ),
+    totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY source
+    ),
+    grid AS (
+      SELECT s.source, k.t,
+             coalesce(f.c, 0) * 1.0 / s.n AS f
+      FROM totals s CROSS JOIN top20 k
+      LEFT JOIN tf f ON f.source = s.source AND f.t = k.t
+    ),
+    stats AS (
+      SELECT t,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(f ORDER BY source)), (a, x) -> a + x)
+               / count(*) AS mu,
+             CAST(count(*) AS BIGINT) AS k
+      FROM grid GROUP BY t
+    ),
+    var_ AS (
+      SELECT g.t,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list((g.f - st.mu) * (g.f - st.mu) ORDER BY g.source)),
+                         (a, x) -> a + x) / (st.k - 1) AS v
+      FROM grid g JOIN stats st ON st.t = g.t
+      GROUP BY g.t, st.k
+    ),
+    z AS (
+      SELECT g.source, g.t,
+             CASE WHEN v.v > 0 THEN (g.f - st.mu) / sqrt(v.v) ELSE 0.0 END AS z
+      FROM grid g JOIN stats st ON st.t = g.t JOIN var_ v ON v.t = g.t
+    ),
+    delta AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(abs(a.z - b.z) ORDER BY a.t)), (x, y) -> x + y)
+               / 20.0 AS d
+      FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, round(d, 6) AS burrows_delta
+    FROM delta ORDER BY source_a, source_b
+    """,
+    tags=("text", "stylometry", "source-profiling"),
+)
+def t37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair —
+    the authorship-attribution metric repurposed as a source-profiling
+    audit (two sources with near-zero Delta are stylistic clones: one
+    crawl ingested twice under different labels; a Delta outlier is a
+    register shift worth a curation look). Method: top-20 corpus tokens,
+    per-source relative frequencies (ratios of BIGINTs — identical
+    doubles), per-token mean/sample-std ACROSS sources and the z-score
+    matrix, Delta(a,b) = mean |z_a - z_b|. Every cross-source float sum
+    (mean, variance, the 20-term Delta sum) folds in sorted order on
+    both engines (q127 discipline) — bit-identical despite three chained
+    float reductions. Corpus work: one token rollup; everything after
+    lives on the 20 x |sources| grid."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top20 = (
+        tf.groupBy("t")
+        .agg(F.sum("c").alias("tot"))
+        .select(
+            "t",
+            F.row_number()
+            .over(Window.orderBy(F.col("tot").desc(), F.col("t")))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 20)
+        .select("t")
+    )
+    totals = tf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        totals.crossJoin(F.broadcast(top20))
+        .join(tf, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            (F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("n")).alias("f"),
+        )
+    )
+
+    def fold_sorted(struct_col):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(struct_col)), lambda s: s["v"]),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    stats = grid.groupBy("t").agg(
+        (fold_sorted(F.struct("source", F.col("f").alias("v"))) / F.count("*")).alias("mu"),
+        F.count("*").cast("long").alias("k"),
+    )
+    var_ = (
+        grid.join(stats, "t")
+        .groupBy("t", "k")
+        .agg(
+            (
+                fold_sorted(
+                    F.struct(
+                        "source",
+                        ((F.col("f") - F.col("mu")) * (F.col("f") - F.col("mu"))).alias("v"),
+                    )
+                )
+                / (F.col("k") - 1)
+            ).alias("v")
+        )
+        .select("t", "v")
+    )
+    z = (
+        grid.join(stats.select("t", "mu"), "t")
+        .join(var_, "t")
+        .select(
+            "source",
+            "t",
+            F.when(F.col("v") > 0, (F.col("f") - F.col("mu")) / F.sqrt("v"))
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.t") == F.col("b.t")) & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.struct(F.col("a.t").alias("source"), F.abs(F.col("a.z") - F.col("b.z")).alias("v")).alias("__t"),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.aggregate(
+                F.transform(F.array_sort(F.collect_list("__t")), lambda s: s["v"]),
+                F.lit(0.0),
+                lambda x, y: x + y,
+            ).alias("d")
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("d") / 20.0, 6).alias("burrows_delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )

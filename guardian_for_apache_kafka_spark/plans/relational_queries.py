@@ -7153,3 +7153,99 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 + 2.0 * F.col("n_above") * F.col("n_below") / F.col("n_days"), 4
         ).alias("expected_runs"),
     ).orderBy("event_type")
+
+
+@query(
+    "q134_anova_dow",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    dowd AS (
+      SELECT event_type, x, y, CAST(x % 7 AS INT) AS g FROM daily
+    ),
+    per_g AS (
+      SELECT event_type, g,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(y) AS BIGINT) AS s_g
+      FROM dowd GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS q,
+             CAST(count(DISTINCT g) AS BIGINT) AS k
+      FROM dowd GROUP BY 1
+    ),
+    folded AS (
+      SELECT event_type,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(s_g * s_g * 1.0 / n_g ORDER BY g)),
+                         (a, x) -> a + x) AS between_raw
+      FROM per_g GROUP BY event_type
+    )
+    SELECT t.event_type,
+           n AS n_days, k AS k_groups,
+           round(((between_raw - s * s * 1.0 / n) / (k - 1))
+                 / ((q - between_raw) / (n - k)), 4) AS f_stat,
+           round((between_raw - s * s * 1.0 / n)
+                 / (q - s * s * 1.0 / n), 4) AS eta_sq,
+           ((between_raw - s * s * 1.0 / n) / (k - 1))
+             / ((q - between_raw) / (n - k)) > 3.0 AS dow_effect_at_3
+    FROM tot t JOIN folded f ON f.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+    tags=("relational", "anova", "seasonality"),
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA for a day-of-week effect on daily volumes per event
+    series — the mean-comparison companion to q127's G-test (G asks "are
+    type and weekday dependent as CATEGORIES"; this asks "do weekday
+    MEANS differ beyond within-group noise") and the significance test
+    behind q104's seasonal component. Day groups key on x % 7 (offset
+    from the epoch Monday — engine-identical by construction, no dialect
+    dayofweek drift). All sums (n_g, S_g, Q) are BIGINT; the only float
+    accumulation is the k<=7-term sum of S_g^2/n_g, folded in g order on
+    both engines (the q127 sorted-fold discipline), so F and eta^2 are
+    bit-identical. One corpus rollup to the day table; everything after
+    is constant-sized."""
+    daily = _daily_counts(spark, sf_dir)
+    dowd = daily.select(
+        "event_type", "y", (F.col("x") % 7).cast("int").alias("g")
+    )
+    per_g = dowd.groupBy("event_type", "g").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("s_g"),
+    )
+    tot = dowd.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+        F.countDistinct("g").cast("long").alias("k"),
+    )
+    folded = (
+        per_g.select(
+            "event_type",
+            F.struct("g", (F.col("s_g") * F.col("s_g") * 1.0 / F.col("n_g")).alias("r")).alias("__t"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.aggregate(
+                F.transform(F.array_sort(F.collect_list("__t")), lambda s: s["r"]),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("between_raw")
+        )
+    )
+    j = tot.join(folded, "event_type")
+    ssb = F.col("between_raw") - F.col("s") * F.col("s") * 1.0 / F.col("n")
+    ssw = F.col("q") - F.col("between_raw")
+    sst = F.col("q") - F.col("s") * F.col("s") * 1.0 / F.col("n")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("k").alias("k_groups"),
+        F.round(fstat, 4).alias("f_stat"),
+        F.round(ssb / sst, 4).alias("eta_sq"),
+        (fstat > 3.0).alias("dow_effect_at_3"),
+    ).orderBy("event_type")
