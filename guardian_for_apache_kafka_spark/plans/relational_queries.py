@@ -7185,12 +7185,21 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.event_type,
            n AS n_days, k AS k_groups,
-           round(((between_raw - s * s * 1.0 / n) / (k - 1))
-                 / ((q - between_raw) / (n - k)), 4) AS f_stat,
-           round((between_raw - s * s * 1.0 / n)
-                 / (q - s * s * 1.0 / n), 4) AS eta_sq,
-           ((between_raw - s * s * 1.0 / n) / (k - 1))
-             / ((q - between_raw) / (n - k)) > 3.0 AS dow_effect_at_3
+           -- SSW == 0 (all within-group values identical) makes F infinite:
+           -- report NULL, flag the effect iff SSB > 0 (guarded identically
+           -- on the engine side)
+           CASE WHEN (q - between_raw) > 0 AND n > k
+                THEN round(((between_raw - s * s * 1.0 / n) / (k - 1))
+                           / ((q - between_raw) / (n - k)), 4)
+                ELSE NULL END AS f_stat,
+           CASE WHEN (q - s * s * 1.0 / n) > 0
+                THEN round((between_raw - s * s * 1.0 / n)
+                           / (q - s * s * 1.0 / n), 4)
+                ELSE 0.0 END AS eta_sq,
+           CASE WHEN (q - between_raw) > 0 AND n > k
+                THEN ((between_raw - s * s * 1.0 / n) / (k - 1))
+                     / ((q - between_raw) / (n - k)) > 3.0
+                ELSE (between_raw - s * s * 1.0 / n) > 0 END AS dow_effect_at_3
     FROM tot t JOIN folded f ON f.event_type = t.event_type
     ORDER BY t.event_type
     """,
@@ -7240,12 +7249,15 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssb = F.col("between_raw") - F.col("s") * F.col("s") * 1.0 / F.col("n")
     ssw = F.col("q") - F.col("between_raw")
     sst = F.col("q") - F.col("s") * F.col("s") * 1.0 / F.col("n")
+    ok = (ssw > 0) & (F.col("n") > F.col("k"))
     fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    # SSW == 0 makes F infinite (every within-group value identical):
+    # NULL statistic, effect flagged iff SSB > 0 — mirrored in the oracle
     return j.select(
         "event_type",
         F.col("n").alias("n_days"),
         F.col("k").alias("k_groups"),
-        F.round(fstat, 4).alias("f_stat"),
-        F.round(ssb / sst, 4).alias("eta_sq"),
-        (fstat > 3.0).alias("dow_effect_at_3"),
+        F.round(F.when(ok, fstat), 4).alias("f_stat"),
+        F.round(F.when(sst > 0, ssb / sst).otherwise(0.0), 4).alias("eta_sq"),
+        F.when(ok, fstat > 3.0).otherwise(ssb > 0).alias("dow_effect_at_3"),
     ).orderBy("event_type")
