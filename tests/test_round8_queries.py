@@ -95,7 +95,9 @@ def test_q134_planted_weekday_effect(spark):
             eid += 1
     d2 = _events_dir(spark, flat)
     r2 = qs["q134_anova_dow"](spark, d2).collect()[0]
-    assert r2.f_stat == 0.0 and not r2.dow_effect_at_3, r2
+    # a perfectly flat series has SSW == 0 as well (every day identical):
+    # NULL F again, but SSB == 0 so no effect is flagged
+    assert r2.f_stat is None and not r2.dow_effect_at_3 and r2.eta_sq == 0.0, r2
 
 
 def test_t35_novelty_conservation(spark, sf_dir, run):
