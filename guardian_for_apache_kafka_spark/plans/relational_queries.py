@@ -7261,3 +7261,75 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(sst > 0, ssb / sst).otherwise(0.0), 4).alias("eta_sq"),
         F.when(ok, fstat > 3.0).otherwise(ssb > 0).alias("dow_effect_at_3"),
     ).orderBy("event_type")
+
+
+@query(
+    "q135_lorenz_curve",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS part,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS rq
+      FROM lineitem GROUP BY 1
+    ),
+    deciled AS (
+      SELECT part, rq,
+             ntile(10) OVER (ORDER BY rq, part) AS decile
+      FROM rev
+    ),
+    agg AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rq) AS BIGINT) AS r
+      FROM deciled GROUP BY 1
+    )
+    SELECT decile,
+           n_parts,
+           round(sum(r) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 / sum(r) OVER (), 6) AS cum_revenue_share,
+           round(sum(n_parts) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 / sum(n_parts) OVER (), 6) AS cum_population_share
+    FROM agg ORDER BY decile
+    """,
+    tags=("relational", "concentration", "pareto"),
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind q97's Gini and q115's ABC cut: parts
+    sorted by revenue ASCENDING, cumulative revenue share vs cumulative
+    population share at each decile boundary — the 10-point curve an
+    analyst actually plots (Gini is 1 - 2*area under this). Revenue is
+    q115's integer ten-thousandths (per-row quantization, exact on both
+    engines); deciles come from the adaptive two-pass ntile
+    (operators/layout.ntile_by_rank — never a corpus-wide single-task
+    sort above the small gate); the final windows run over the 10-row
+    decile table."""
+    from guardian_for_apache_kafka_spark.operators.layout import ntile_by_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("long")
+        ).alias("rq")
+    )
+    deciled = ntile_by_rank(
+        rev, [F.col("rq").asc(), F.col("part").asc()], buckets=10, out="decile"
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("rq").cast("long").alias("r"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return agg.select(
+        "decile",
+        "n_parts",
+        F.round(
+            F.sum("r").over(w_cum) * 1.0 / F.sum("r").over(w_all), 6
+        ).alias("cum_revenue_share"),
+        F.round(
+            F.sum("n_parts").over(w_cum) * 1.0 / F.sum("n_parts").over(w_all), 6
+        ).alias("cum_population_share"),
+    ).orderBy("decile")
