@@ -1233,6 +1233,15 @@ def shingle_novelty_profile(
         "__id",
         F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
     ).localCheckpoint()
+    return novelty_from_pairs(pairs, id_col)
+
+
+def novelty_from_pairs(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Novelty attribution from a distinct (__id, __s) pair frame — the
+    shared core of shingle_novelty_profile (batch) and the streaming
+    novelty rollup (streaming/pipeline.novelty_rollup), so the
+    stream==batch equivalence rides on one implementation (the
+    weighted-median/cusum twin discipline)."""
     novel = (
         pairs.groupBy("__s")
         .agg(F.min("__id").alias("__owner"))

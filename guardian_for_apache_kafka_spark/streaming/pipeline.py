@@ -1359,3 +1359,53 @@ def weighted_median_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
 
     pts = spark.read.parquet(points_dir).distinct()
     return weighted_median_walk(pts, key_col="flag")
+
+
+def stream_shingle_points(
+    docs: DataFrame,
+    dest: str,
+    checkpoint: str,
+    n: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the t35 n-gram novelty profile — continuous-ingest
+    first-contribution tracking: each micro-batch appends one narrow
+    (doc_id, shingle_hash) row per distinct pair (the identity key, so
+    crash-replayed batches append duplicates the rollup's distinct
+    removes — the stream_concurrency_points at-least-once discipline, no
+    state store). Document text never reaches the sink: rows are two
+    int64s. ``novelty_rollup`` then runs the SAME
+    operators/text.novelty_from_pairs core as the batch query, so min-doc
+    first-occurrence attribution is computed over everything ingested so
+    far — by construction insensitive to arrival order."""
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        ngram_shingles,
+        tokens_col,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sh = batch_df.select(
+            F.col("doc_id").alias("__id"), ngram_shingles(tokens_col("text"), n).alias("__sh")
+        ).where(F.size("__sh") > 0)
+        pts = sh.select(
+            "__id",
+            F.explode(F.transform("__sh", lambda c: F.xxhash64(c))).alias("__s"),
+        )
+        pts.write.mode("append").parquet(dest)
+
+    writer = docs.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def novelty_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
+    """Batch rollup over the accumulated shingle points — identical output
+    contract to t35 (doc_id, n_shingles, n_novel, novelty_ratio); the
+    attribution IS the batch core (operators/text.novelty_from_pairs)."""
+    from guardian_for_apache_kafka_spark.operators.text import novelty_from_pairs
+
+    pts = spark.read.parquet(points_dir).distinct()
+    return novelty_from_pairs(pts, id_col="doc_id")

@@ -1838,3 +1838,49 @@ def test_stream_weighted_median_equal_batch_q125_and_resumes(spark, tmp_path):
     assert got == want
     spark.read.parquet(dest).limit(50).write.mode("append").parquet(dest)
     assert [tuple(r) for r in weighted_median_rollup(spark, dest).collect()] == want
+
+
+def test_stream_novelty_equal_batch_t35_and_resumes(spark, tmp_path):
+    """Streaming shingle-point accumulation rolled up == the t35 batch
+    novelty profile (shared novelty_from_pairs core), including restart
+    replay: kill after the first file, resume, and the rollup still
+    matches — min-doc attribution is arrival-order-insensitive and the
+    identity distinct absorbs replayed appends."""
+    from guardian_for_apache_kafka_spark.operators.text import shingle_novelty_profile
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        novelty_rollup,
+        stream_shingle_points,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src, dest, ckpt = (str(tmp_path / p) for p in ("in", "pts", "ckpt"))
+    half = docs.where(F.col("doc_id") < 250)
+    half.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream_shingle_points(stream, dest, ckpt)
+    q.awaitTermination(120)
+
+    # second half arrives after a restart — a doc in file 2 can only be
+    # novel for shingles file 1 never produced
+    docs.subtract(half).coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q2 = stream_shingle_points(stream2, dest, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty_ratio)
+        for r in novelty_rollup(spark, dest).collect()
+    }
+    want = {
+        (r.doc_id, r.n_shingles, r.n_novel, r.novelty_ratio)
+        for r in shingle_novelty_profile(docs).collect()
+    }
+    assert got == want
