@@ -133,6 +133,12 @@ HEADLINE = {
     "auc": "q122_auc_mann_whitney",
     "weighted_median": "q125_weighted_median",
     "ks_drift": "q123_ks_drift",
+    # round-8 additions
+    "ngram_novelty": "t35_ngram_novelty",
+    "rrf_fusion": "s21_rrf_fusion",
+    "burrows_delta": "t37_burrows_delta",
+    "anova_dow": "q134_anova_dow",
+    "lorenz_curve": "q135_lorenz_curve",
 }
 
 N_RUNS = 3

@@ -166,6 +166,9 @@ class GuardianDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "GuardianWriter":
         return GuardianWriter(self.options, overwrite, schema)
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "GuardianStreamWriter":
+        return GuardianStreamWriter(self.options, schema)
+
 
 def register_guardian_datasource(spark) -> None:
     """Register the format for the session (idempotent) and enable the
@@ -549,3 +552,151 @@ class GuardianWriter(DataSourceWriter):
     def abort(self, messages) -> None:
         *_, rmdir = _fs_ops(self.path)
         rmdir(self.staging)
+
+
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+class GuardianStreamWriter(DataSourceStreamWriter):
+    """Streaming write half of the format: ``df.writeStream
+    .format("guardian").option("chronoUnitSlice", "hours")
+    .option("checkpointLocation", ...).start(dest)`` appends each
+    micro-batch to the ENGINE-NATIVE partitioned JSON-lines archive layout
+    (``<dest>/slice=<ISO>/batch-<id>-<task>.jsonl[.gz]`` — the same layout
+    ``stream_backup``'s text sink produces and ``restore_batch(...,
+    fmt="json")`` prunes/reads; the reference's single-object-per-slice
+    JSON-array format is inherently rewrite-per-batch and stays the BATCH
+    writer's contract).
+
+    Exactly-once discipline: executors stage each (task, slice) part under
+    a run-scoped staging dir (write() never sees the batch id — the
+    DataSourceStreamWriter API only reveals it at commit); the driver
+    commit FIRST deletes any ``batch-<id>-*`` files a previously-failed
+    attempt of the SAME batch left behind, then renames the staged parts
+    to their batch-scoped final names — so a crash-replayed micro-batch
+    fully REPLACES its own output instead of duplicating it, regardless of
+    how the retry repartitioned the data. Object-store safe: every touch
+    goes through the same ``_fs_ops`` dispatch as the batch writer
+    (scheme aliases included).
+
+    Cites the reference's commit-after-upload resume contract
+    (core-backup/.../BackupClientInterface.scala:375-398): Spark's
+    checkpoint plays the offset log, this commit plays the terminating
+    upload."""
+
+    RECORD_FIELDS = tuple(f.name for f in RECORD_SCHEMA.fields)
+
+    def __init__(self, options, schema: StructType):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("guardian datasource requires a path")
+        names = [f.name for f in schema.fields]
+        missing = [f for f in self.RECORD_FIELDS if f not in names]
+        if missing:
+            raise ValueError(
+                f"guardian stream writer needs record columns "
+                f"{self.RECORD_FIELDS}; missing: {missing}"
+            )
+        self.idx = {f: names.index(f) for f in self.RECORD_FIELDS}
+        unit = (options.get("chronounitslice") or "HOURS").upper()
+        if unit not in _CHRONO_SECONDS:
+            raise ValueError(f"unsupported chronoUnitSlice: {unit}")
+        self.period_s = _CHRONO_SECONDS[unit]
+        self.compression = options.get("compression")
+        if self.compression not in (None, "gzip"):
+            raise ValueError(f"unsupported compression: {self.compression}")
+        self.staging = f"_guardian_stream_staging_{uuid.uuid4().hex}"
+
+    # -- executor side -------------------------------------------------------
+    def write(self, iterator) -> GuardianWriteCommit:
+        import uuid
+
+        write_bytes, *_ = _fs_ops(self.path)
+        ix = self.idx
+        buckets: dict = {}
+        for row in iterator:
+            ts = row[ix["timestamp"]]
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            d = ts - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            ms = (d.days * 86400 + d.seconds) * 1000 + d.microseconds // 1000
+            start_s = (ms // 1000 // self.period_s) * self.period_s
+            start = _dt.datetime.fromtimestamp(start_s, _dt.timezone.utc)
+            key = row[ix["key"]]
+            val = row[ix["value"]]
+            buckets.setdefault(start, []).append(
+                {
+                    "topic": row[ix["topic"]],
+                    "partition": row[ix["partition"]],
+                    "offset": row[ix["offset"]],
+                    "key": base64.b64encode(bytes(key)).decode() if key is not None else None,
+                    "value": base64.b64encode(bytes(val)).decode() if val is not None else None,
+                    "timestamp": ms,
+                    "timestamp_type": row[ix["timestamp_type"]],
+                }
+            )
+        tid = uuid.uuid4().hex
+        parts = []
+        for start in sorted(buckets):
+            rows = sorted(
+                buckets[start],
+                key=lambda r: (r["topic"], r["partition"], r["offset"]),
+            )
+            payload = ("\n".join(_wire_json(r) for r in rows) + "\n").encode()
+            if self.compression == "gzip":
+                buf = io.BytesIO()
+                with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(payload)
+                payload = buf.getvalue()
+            slice_val = start.strftime("%Y-%m-%dT%H:%M:%S") + "Z"
+            rel = f"{self.staging}/{tid}__{_quote(slice_val)}.part"
+            write_bytes(rel, payload)
+            parts.append((slice_val, rel))
+        return GuardianWriteCommit(parts)
+
+    # -- driver side -----------------------------------------------------------
+    def commit(self, messages, batchId: int) -> None:
+        from guardian_for_apache_kafka_spark.operators.backup import _ensure_dest_dir
+        from guardian_for_apache_kafka_spark.operators.restore import _list_names
+
+        write_bytes, read_bytes, move, delete, rmdir = _fs_ops(self.path)
+        _ensure_dest_dir(self.path)
+        parts: list = []
+        for m in messages:
+            if m is None:
+                continue
+            parts.extend(m.parts)
+        suffix = ".jsonl.gz" if self.compression == "gzip" else ".jsonl"
+        prefix = f"batch-{batchId:010d}-"
+        # a failed attempt of THIS batch may have committed some files with
+        # a different task layout: remove every batch-<id>-* first so the
+        # replay REPLACES rather than duplicates
+        touched = sorted({f"slice={_quote(sv)}" for sv, _ in parts})
+        for sdir in touched:
+            try:
+                names = _list_names(f"{self.path.rstrip('/')}/{sdir}", None)
+            except (FileNotFoundError, OSError):
+                continue
+            for n in names:
+                if n.startswith(prefix):
+                    delete(f"{sdir}/{n}")
+        for i, (slice_val, rel) in enumerate(sorted(parts, key=lambda p: (p[0], p[1]))):
+            sdir = f"slice={_quote(slice_val)}"
+            _ensure_dest_dir(f"{self.path.rstrip('/')}/{sdir}")
+            move(rel, f"{sdir}/{prefix}{i:05d}{suffix}")
+        rmdir(self.staging)
+
+    def abort(self, messages, batchId: int) -> None:
+        *_, rmdir = _fs_ops(self.path)
+        rmdir(self.staging)
+
+
+def _quote(value: str) -> str:
+    """Escape a slice partition VALUE exactly as Spark's partitioned file
+    sink does (ExternalCatalogUtils.escapePathName: ':' and friends become
+    %XX), so native readers infer the same partition values."""
+    import urllib.parse
+
+    return urllib.parse.quote(value, safe="")

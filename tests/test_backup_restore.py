@@ -1501,3 +1501,106 @@ def test_guardian_datasource_overwrite_stage_then_delete(spark, records, tmp_pat
             if os.path.isfile(os.path.join(dest, f))
         }
         assert got == before
+
+
+def test_guardian_datasource_stream_writer(spark, records, tmp_path):
+    """Native ``writeStream.format("guardian")``: micro-batched appends to
+    the engine's partitioned JSON-lines archive layout must restore to
+    exactly the input (fmt='json' path, fromWhen pruning intact), and a
+    REPLAYED batch must REPLACE its own files, not duplicate them."""
+    import json as _json
+
+    from guardian_for_apache_kafka_spark.sources import guardian_source as gs
+
+    gs.register_guardian_datasource(spark)
+    recs = records.withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src, dest, ckpt = (str(tmp_path / p) for p in ("in", "arch", "ckpt"))
+    half = recs.where(F.col("offset") < 200)
+    half.coalesce(1).write.parquet(src)
+    recs.subtract(half).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(recs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.format("guardian")
+        .option("chronoUnitSlice", "hours")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(dest)
+    )
+    q.awaitTermination(120)
+
+    restored = restore_batch(spark, dest, fmt="json")
+    assert as_set(restored) == as_set(recs)
+    # layout: slice partition dirs with batch-scoped jsonl parts
+    slices = [d for d in os.listdir(dest) if d.startswith("slice=")]
+    assert slices
+    parts = os.listdir(os.path.join(dest, slices[0]))
+    assert all(p.startswith("batch-") and p.endswith(".jsonl") for p in parts), parts
+
+    # replay semantics: re-commit batch 0 with DIFFERENT task layout via the
+    # writer driven in-process — its files replace the original batch-0 set
+    from guardian_for_apache_kafka_spark.core.model import RECORD_SCHEMA
+
+    before = {
+        (d, f)
+        for d in slices
+        for f in os.listdir(os.path.join(dest, d))
+        if f.startswith("batch-0000000000-")
+    }
+    w = gs.GuardianStreamWriter({"path": dest, "chronounitslice": "hours"}, RECORD_SCHEMA)
+    rows = recs.select(*[f.name for f in RECORD_SCHEMA.fields]).collect()
+    mid = len(rows) // 2
+    msgs = [w.write(iter(rows[:mid])), w.write(iter(rows[mid:]))]
+    w.commit(msgs, 0)
+    restored2 = restore_batch(spark, dest, fmt="json")
+    assert as_set(restored2) == as_set(recs)  # still exactly-once
+    after = {
+        (d, f)
+        for d in os.listdir(dest)
+        if d.startswith("slice=")
+        for f in os.listdir(os.path.join(dest, d))
+        if f.startswith("batch-0000000000-")
+    }
+    assert after != before  # the replay really rewrote batch 0's files
+
+    # wire format: one JSON object per line, null-safe key field explicit
+    body = open(os.path.join(dest, slices[0], sorted(os.listdir(os.path.join(dest, slices[0])))[0]), "rb").read()
+    first = _json.loads(body.decode().splitlines()[0])
+    assert set(first) == {"topic", "partition", "offset", "key", "value", "timestamp", "timestamp_type"}
+
+
+def test_guardian_datasource_stream_writer_gzip_and_from_when(spark, records, tmp_path):
+    """Gzip parts restore identically; fromWhen pruning works over the
+    streamed layout (partition-value pruning, same as the bulk sink)."""
+    import datetime as dt
+
+    from guardian_for_apache_kafka_spark.sources import guardian_source as gs
+
+    gs.register_guardian_datasource(spark)
+    recs = records.withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    src, dest, ckpt = (str(tmp_path / p) for p in ("in", "archz", "ckpt"))
+    recs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(recs.schema).parquet(src)
+    q = (
+        stream.writeStream.format("guardian")
+        .option("chronoUnitSlice", "hours")
+        .option("compression", "gzip")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(dest)
+    )
+    q.awaitTermination(120)
+    restored = restore_batch(spark, dest, fmt="json")
+    assert as_set(restored) == as_set(recs)
+
+    cut_row = recs.agg(F.max("timestamp").alias("m")).collect()[0]
+    cut = cut_row["m"].replace(minute=0, second=0, microsecond=0)
+    got = restore_batch(spark, dest, fmt="json", from_when=cut.replace(tzinfo=dt.timezone.utc))
+    want = recs.where(F.col("timestamp") >= F.lit(cut))
+    assert as_set(got) == as_set(want)
