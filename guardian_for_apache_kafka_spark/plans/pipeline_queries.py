@@ -7712,3 +7712,145 @@ def t37(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "t38_pmi_collocations",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents
+    ),
+    tok_nz AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    top50 AS (
+      SELECT t FROM (
+        SELECT t, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, t) AS rn
+        FROM tok_nz GROUP BY t
+      ) WHERE rn <= 50
+    ),
+    ft AS (SELECT doc_id, t FROM tok_nz WHERE t IN (SELECT t FROM top50)),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM ft GROUP BY t),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+    pairs AS (
+      SELECT a.t AS token_a, b.t AS token_b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM ft a JOIN ft b ON b.doc_id = a.doc_id AND a.t < b.t
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT token_a, token_b, c_ab,
+             ln(c_ab * n.n * 1.0 / (da.c * db.c)) AS pmi
+      FROM pairs, n
+      JOIN df da ON da.t = token_a
+      JOIN df db ON db.t = token_b
+      WHERE c_ab >= 5
+    )
+    SELECT token_a, token_b, c_ab, round(pmi, 6) AS pmi
+    FROM scored
+    ORDER BY pmi DESC, token_a, token_b
+    LIMIT 20
+    """,
+    tags=("text", "collocations", "statistics"),
+)
+def t38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations over document
+    co-occurrence: the 20 most-associated token pairs among the 50 most
+    frequent tokens (c_ab >= 5) — the classic collocation/phrase-mining
+    signal (tokens that appear together far more than their marginals
+    predict become tokenizer merge or stop-phrase candidates). The pair
+    space is CLOSED over the broadcast top-50 vocabulary: each doc joins
+    at most 50 of its distinct tokens against itself (<=1225 pairs per
+    doc regardless of corpus size — blocking by construction, the d-family
+    bucket discipline), all counts are BIGINT, and PMI is one ln of a
+    ratio of exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+    ).where(F.col("t") != "")
+    top50 = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "t",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("t"))).alias("rn"),
+        )
+        .where(F.col("rn") <= 50)
+        .select("t")
+    )
+    ft = tok.join(F.broadcast(top50), "t").select("doc_id", "t")
+    df_ = ft.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    n = d.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    a, b = ft.alias("a"), ft.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id")) & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("token_a"), F.col("b.t").alias("token_b"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    scored = (
+        pairs.join(F.broadcast(df_.select(F.col("t").alias("token_a"), F.col("c").alias("__ca"))), "token_a")
+        .join(F.broadcast(df_.select(F.col("t").alias("token_b"), F.col("c").alias("__cb"))), "token_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token_a",
+            "token_b",
+            "c_ab",
+            F.round(
+                F.log(F.col("c_ab") * F.col("n") * 1.0 / (F.col("__ca") * F.col("__cb"))), 6
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "token_a", "token_b").limit(20)
+
+
+@query(
+    "d37_prefix_dedup_sweep",
+    oracle="""
+    SELECT CAST(p AS BIGINT) AS prefix_len,
+           CAST(count(DISTINCT substr(text, 1, p)) AS BIGINT) AS n_groups,
+           CAST(count(*) - count(DISTINCT substr(text, 1, p)) AS BIGINT)
+             AS dup_docs,
+           round((count(*) - count(DISTINCT substr(text, 1, p))) * 1.0
+                 / count(*), 6) AS dup_ratio
+    FROM documents, (SELECT unnest([8, 16, 32, 64, 128]) AS p)
+    GROUP BY p ORDER BY p
+    """,
+    tags=("dedup", "planning", "sweep"),
+)
+def d37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-length dedup sweep: how many documents the cheapest dedup
+    key of all — the first L characters — would fold together, at L = 8,
+    16, 32, 64, 128. The knob-sweep an operator reads before choosing
+    between prefix dedup (one narrow groupBy, no shingles) and the full
+    MinHash pipeline: a corpus whose dup_ratio plateaus by L=32 doesn't
+    need LSH for its exact-ish layer (d33's canonicalization is this with
+    normalization; this quantifies the raw knob). One scan, five
+    count-distincts over truncated keys — the distinct shuffles carry at
+    most L chars per row, never full documents."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (8, 16, 32, 64, 128)])).alias("p")
+    )
+    swept = d.crossJoin(F.broadcast(lens)).select(
+        "p", F.substring("text", 1, 128).alias("__t128"), F.col("p").alias("__p")
+    ).select("p", F.expr("substring(__t128, 1, __p)").alias("__key"))
+    return (
+        swept.groupBy("p")
+        .agg(
+            F.count("*").alias("__n"),
+            F.countDistinct("__key").cast("long").alias("n_groups"),
+        )
+        .select(
+            F.col("p").cast("long").alias("prefix_len"),
+            "n_groups",
+            (F.col("__n") - F.col("n_groups")).cast("long").alias("dup_docs"),
+            F.round((F.col("__n") - F.col("n_groups")) * 1.0 / F.col("__n"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+        .orderBy("prefix_len")
+    )

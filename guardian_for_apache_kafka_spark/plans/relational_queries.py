@@ -7333,3 +7333,91 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_parts").over(w_cum) * 1.0 / F.sum("n_parts").over(w_all), 6
         ).alias("cum_population_share"),
     ).orderBy("decile")
+
+
+@query(
+    "q136_link_prediction",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id AS u,
+             date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS d
+      FROM events WHERE user_id < 150
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM active GROUP BY u),
+    common AS (
+      SELECT a.u AS user_a, b.u AS user_b, CAST(count(*) AS BIGINT) AS common_days
+      FROM active a JOIN active b ON b.d = a.d AND a.u < b.u
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT user_a, user_b, common_days,
+             da.n AS days_a, db.n AS days_b,
+             round(common_days * 1.0 / (da.n + db.n - common_days), 6) AS jaccard
+      FROM common
+      JOIN deg da ON da.u = user_a
+      JOIN deg db ON db.u = user_b
+      WHERE common_days >= 3
+    )
+    SELECT user_a, user_b, common_days, days_a, days_b, jaccard
+    FROM scored
+    ORDER BY jaccard DESC, user_a, user_b
+    LIMIT 20
+    """,
+    tags=("relational", "graph", "link-prediction"),
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction over the user co-activity graph: the 20
+    user pairs whose active-day sets overlap most (common >= 3) — the
+    classic common-neighbors recommender signal, with days as the shared
+    neighborhood (q65's triangle machinery asks about closed triples;
+    this scores OPEN pairs worth an edge). Pair generation is blocked by
+    the day key (users only pair within a day — the d-family
+    bucket-bounded quadratic discipline; a production run would also
+    salt or cap pathological days the way d16 caps hot buckets, and the
+    user_id < 150 gate here bounds the fixture). Counts and degrees are
+    BIGINT; Jaccard is the final division."""
+    ev = load_table(spark, sf_dir, "events")
+    active = (
+        ev.where(F.col("user_id") < 150)
+        .select(
+            F.col("user_id").alias("u"),
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("ts"))),
+                F.lit("2024-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    deg = active.groupBy("u").agg(F.count("*").cast("long").alias("n"))
+    a, b = active.alias("a"), active.alias("b")
+    common = (
+        a.join(b, (F.col("b.d") == F.col("a.d")) & (F.col("a.u") < F.col("b.u")))
+        .groupBy(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
+        .agg(F.count("*").cast("long").alias("common_days"))
+        .where(F.col("common_days") >= 3)
+    )
+    scored = (
+        common.join(
+            F.broadcast(deg.select(F.col("u").alias("user_a"), F.col("n").alias("days_a"))),
+            "user_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("u").alias("user_b"), F.col("n").alias("days_b"))),
+            "user_b",
+        )
+        .select(
+            "user_a",
+            "user_b",
+            "common_days",
+            "days_a",
+            "days_b",
+            F.round(
+                F.col("common_days")
+                * 1.0
+                / (F.col("days_a") + F.col("days_b") - F.col("common_days")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.col("jaccard").desc(), "user_a", "user_b").limit(20)
