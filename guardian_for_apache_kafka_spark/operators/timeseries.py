@@ -494,3 +494,95 @@ def cusum_changepoints(daily: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def turning_point_stats(daily: DataFrame) -> DataFrame:
+    """q132's randomness screen from a (event_type, x, y) day table —
+    shared verbatim by the batch query and the streaming rollup
+    (streaming/pipeline.turning_points_rollup), the cusum/auc twin
+    discipline. Strict local extrema via lag/lead; i.i.d. expectation
+    2(n-2)/3; one division at the end."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("event_type").orderBy("x")
+    lagged = daily.select(
+        "event_type",
+        "y",
+        F.lag("y").over(w).alias("yp"),
+        F.lead("y").over(w).alias("yn"),
+    )
+    is_tp = (
+        F.col("yp").isNotNull()
+        & F.col("yn").isNotNull()
+        & (
+            ((F.col("y") > F.col("yp")) & (F.col("y") > F.col("yn")))
+            | ((F.col("y") < F.col("yp")) & (F.col("y") < F.col("yn")))
+        )
+    )
+    g = lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.when(is_tp, 1).otherwise(0)).cast("long").alias("turning_points"),
+    )
+    exp = 2.0 * (F.col("n_days") - 2) / 3.0
+    return g.select(
+        "event_type",
+        "n_days",
+        "turning_points",
+        F.round(exp, 4).alias("expected_tp"),
+        F.round(F.col("turning_points") / exp, 4).alias("randomness_ratio"),
+    ).orderBy("event_type")
+
+
+def runs_test_stats(daily: DataFrame) -> DataFrame:
+    """q133's Wald-Wolfowitz runs test from a (event_type, x, y) day
+    table — shared by the batch query and the streaming rollup. Lower
+    median via the integer domain-walk pick; runs counted as sign
+    changes in day order; everything integer until expected_runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w_rank = Window.partitionBy("event_type").orderBy("y")
+    w_all = Window.partitionBy("event_type")
+    med = (
+        daily.select(
+            "event_type",
+            "y",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_all).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("y").alias("med"))
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("x")
+    above = F.when(F.col("y") > F.col("med"), 1).otherwise(0)
+    flagged = daily.join(med, "event_type").select(
+        "event_type",
+        above.alias("above"),
+        F.lag(above).over(w_ord).alias("prev"),
+    )
+    g = flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("above").cast("long").alias("n_above"),
+        (F.count("*") - F.sum("above")).cast("long").alias("n_below"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("above") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        "n_above",
+        "n_below",
+        "runs",
+        F.round(
+            1 + 2.0 * F.col("n_above") * F.col("n_below") / F.col("n_days"), 4
+        ).alias("expected_runs"),
+    ).orderBy("event_type")

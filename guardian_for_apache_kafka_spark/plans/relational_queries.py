@@ -7038,35 +7038,14 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
     2(n-2)/3 of them, so the ratio flags both over-smooth (trending,
     ratio << 1) and oscillating (ratio >> 1) series — the cheap
     first-line check before q131's MK test. Pure lag/lead integer
-    comparisons over the day domain; one division at the end."""
-    daily = _daily_counts(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("x")
-    lagged = daily.select(
-        "event_type",
-        "y",
-        F.lag("y").over(w).alias("yp"),
-        F.lead("y").over(w).alias("yn"),
+    comparisons over the day domain; one division at the end. The core is
+    operators/timeseries.turning_point_stats — shared with the streaming
+    rollup (streaming/pipeline.turning_points_rollup)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        turning_point_stats,
     )
-    is_tp = (
-        F.col("yp").isNotNull()
-        & F.col("yn").isNotNull()
-        & (
-            ((F.col("y") > F.col("yp")) & (F.col("y") > F.col("yn")))
-            | ((F.col("y") < F.col("yp")) & (F.col("y") < F.col("yn")))
-        )
-    )
-    g = lagged.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_days"),
-        F.sum(F.when(is_tp, 1).otherwise(0)).cast("long").alias("turning_points"),
-    )
-    exp = 2.0 * (F.col("n_days") - 2) / 3.0
-    return g.select(
-        "event_type",
-        "n_days",
-        "turning_points",
-        F.round(exp, 4).alias("expected_tp"),
-        F.round(F.col("turning_points") / exp, 4).alias("randomness_ratio"),
-    ).orderBy("event_type")
+
+    return turning_point_stats(_daily_counts(spark, sf_dir))
 
 
 @query(
@@ -7107,52 +7086,12 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare with the i.i.d. expectation 1 + 2*n1*n2/n — too few runs =
     clustering/trend, too many = oscillation. Everything is integer
     until the expected-runs division; the median pick and the run count
-    are windows over the bounded day domain."""
-    daily = _daily_counts(spark, sf_dir)
-    w_rank = Window.partitionBy("event_type").orderBy("y")
-    w_all = Window.partitionBy("event_type")
-    med = (
-        daily.select(
-            "event_type",
-            "y",
-            F.row_number().over(w_rank).alias("rn"),
-            F.count("*").over(w_all).alias("n"),
-        )
-        .where(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("y").alias("med"))
-    )
-    w_ord = Window.partitionBy("event_type").orderBy("x")
-    above = F.when(F.col("y") > F.col("med"), 1).otherwise(0)
-    flagged = daily.join(med, "event_type").select(
-        "event_type",
-        above.alias("above"),
-        F.lag(above).over(w_ord).alias("prev"),
-    )
-    g = flagged.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n_days"),
-        F.sum("above").cast("long").alias("n_above"),
-        (F.count("*") - F.sum("above")).cast("long").alias("n_below"),
-        (
-            1
-            + F.sum(
-                F.when(
-                    F.col("prev").isNotNull() & (F.col("above") != F.col("prev")), 1
-                ).otherwise(0)
-            )
-        )
-        .cast("long")
-        .alias("runs"),
-    )
-    return g.select(
-        "event_type",
-        "n_days",
-        "n_above",
-        "n_below",
-        "runs",
-        F.round(
-            1 + 2.0 * F.col("n_above") * F.col("n_below") / F.col("n_days"), 4
-        ).alias("expected_runs"),
-    ).orderBy("event_type")
+    are windows over the bounded day domain. The core is
+    operators/timeseries.runs_test_stats — shared with the streaming
+    rollup (streaming/pipeline.runs_test_rollup)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import runs_test_stats
+
+    return runs_test_stats(_daily_counts(spark, sf_dir))
 
 
 @query(

@@ -1409,3 +1409,26 @@ def novelty_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
 
     pts = spark.read.parquet(points_dir).distinct()
     return novelty_from_pairs(pts, id_col="doc_id")
+
+
+def turning_points_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
+    """Batch rollup over the accumulated daily count points (the q120
+    stream's sink, shared) — identical output contract to q132; the
+    screen IS the batch core (operators/timeseries.turning_point_stats)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        turning_point_stats,
+    )
+
+    pts = spark.read.parquet(points_dir).distinct()
+    daily = pts.groupBy("event_type", "x").agg(F.count("*").alias("y"))
+    return turning_point_stats(daily)
+
+
+def runs_test_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
+    """Batch rollup over the accumulated daily count points — identical
+    output contract to q133 (operators/timeseries.runs_test_stats)."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import runs_test_stats
+
+    pts = spark.read.parquet(points_dir).distinct()
+    daily = pts.groupBy("event_type", "x").agg(F.count("*").alias("y"))
+    return runs_test_stats(daily)

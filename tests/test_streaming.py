@@ -1884,3 +1884,40 @@ def test_stream_novelty_equal_batch_t35_and_resumes(spark, tmp_path):
         for r in shingle_novelty_profile(docs).collect()
     }
     assert got == want
+
+
+def test_stream_randomness_monitors_equal_batch_q132_q133(spark, tmp_path):
+    """The q120 count-point stream feeds THREE monitors now: CUSUM (q120),
+    turning points (q132) and the runs test (q133) — one sink, three
+    rollups, each equal to its batch query via the shared timeseries
+    cores. Kill/restart replay is absorbed by the identity distinct
+    (same contract as the cusum twin)."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        runs_test_rollup,
+        stream_daily_count_points,
+        turning_points_rollup,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    ev = load_table(spark, sfd, "events")
+    src, dest, ckpt = (str(tmp_path / p) for p in ("in", "pts", "ckpt"))
+    half = ev.where(F.col("event_id") % 2 == 0)
+    half.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_daily_count_points(stream, dest, ckpt)
+    q.awaitTermination(120)
+    # restart with the second half arriving later
+    ev.subtract(half).coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q2 = stream_daily_count_points(stream2, dest, ckpt)
+    q2.awaitTermination(120)
+
+    qs = all_queries()
+    got_tp = {tuple(r) for r in turning_points_rollup(spark, dest).collect()}
+    want_tp = {tuple(r) for r in qs["q132_turning_points"](spark, sfd).collect()}
+    assert got_tp == want_tp
+    got_rt = {tuple(r) for r in runs_test_rollup(spark, dest).collect()}
+    want_rt = {tuple(r) for r in qs["q133_runs_test"](spark, sfd).collect()}
+    assert got_rt == want_rt
