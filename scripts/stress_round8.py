@@ -108,3 +108,56 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def stream_writer_stress(spark, n_records: int, n_batches: int) -> None:
+    """Volume profile for the native guardian stream writer: commit cost
+    is driver-side renames linear in slices TOUCHED per batch, not in
+    records — verify wall grows sublinearly in records at fixed slices."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.restore import restore_batch
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        register_guardian_datasource,
+    )
+
+    register_guardian_datasource(spark)
+    root = tempfile.mkdtemp()
+    src, dest, ckpt = f"{root}/in", f"{root}/arch", f"{root}/ckpt"
+    per_batch = n_records // n_batches
+    recs = spark.range(n_records).select(
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("id").alias("offset"),
+        F.col("id").cast("string").cast("binary").alias("key"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("value"),
+        F.timestamp_millis(
+            F.lit(1704067200000) + (F.col("id") % 48) * 3600000 + F.col("id")
+        ).alias("timestamp"),
+        F.lit(0).alias("timestamp_type"),
+    )
+    for b in range(n_batches):
+        recs.where((F.col("offset") % n_batches) == b).coalesce(4).write.mode(
+            "append"
+        ).parquet(src)
+    t0 = time.perf_counter()
+    stream = spark.readStream.schema(recs.schema).option("maxFilesPerTrigger", 4).parquet(src)
+    q = (
+        stream.writeStream.format("guardian")
+        .option("chronoUnitSlice", "hours")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(dest)
+    )
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    n = restore_batch(spark, dest, fmt="json").count()
+    assert n == n_records, (n, n_records)
+    print(
+        f"stream_writer: {n_records} records / {n_batches} batches / 48 slices"
+        f" -> {wall:.1f} s ({per_batch} rec/batch), restore count OK"
+    )
+    shutil.rmtree(root)
