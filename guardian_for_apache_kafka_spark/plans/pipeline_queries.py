@@ -7854,3 +7854,204 @@ def d37(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_len")
     )
+
+
+@query(
+    "s22_rank_agreement",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_duck_cosine('c.embedding', 'q.qv')} AS cosine,
+               {_DOT.format(a='c.embedding', b='q.qv')} AS dot
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS ra,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, vec_id) AS rb
+        FROM scored
+    ),
+    fused AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY 1.0 / (60 + ra) + 1.0 / (60 + rb) DESC, vec_id)
+                 AS rf
+        FROM ranked
+    ),
+    tops AS (
+        SELECT r.query_id, r.vec_id, r.ra, r.rb, f.rf
+        FROM ranked r JOIN fused f
+          ON f.query_id = r.query_id AND f.vec_id = r.vec_id
+    )
+    SELECT query_id,
+           CAST(sum(CASE WHEN ra <= 5 AND rb <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cd_overlap5,
+           CAST(sum(CASE WHEN ra <= 5 AND rf <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cf_overlap5,
+           CAST(sum(CASE WHEN rb <= 5 AND rf <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS df_overlap5
+    FROM tops GROUP BY query_id ORDER BY query_id
+    """,
+    tags=("similarity", "retrieval", "diagnostics"),
+)
+def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-agreement diagnostics for the s21 fusion: per query, the
+    top-5 overlap between the cosine and inner-product lists (how much
+    the two signals actually disagree — if cd_overlap5 is 5 everywhere,
+    fusion buys nothing) and each list's overlap with the fused ranking
+    (RRF must sit BETWEEN its inputs: cf/df >= cd by construction of the
+    score). Integer overlap counts from the same bit-identical rankings
+    as s21; one corpus-scoring pass feeds all three rankings."""
+    from guardian_for_apache_kafka_spark.functions.columns import cosine_similarity
+    from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    c = spread_narrow_scan(e).select("vec_id", F.col("embedding").alias("__cv"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x.cast("array<double>"), y.cast("array<double>"), lambda p, s: p * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("__cos"),
+            dot(F.col("__cv"), F.col("__qv")).alias("__dot"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("vec_id"))
+    wb = Window.partitionBy("query_id").orderBy(F.col("__dot").desc(), F.col("vec_id"))
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        (1.0 / (F.lit(60) + F.col("ra")) + 1.0 / (F.lit(60) + F.col("rb"))).desc(),
+        F.col("vec_id"),
+    )
+    tops = ranked.withColumn("rf", F.row_number().over(wf))
+    return (
+        tops.groupBy("query_id")
+        .agg(
+            F.sum(F.when((F.col("ra") <= 5) & (F.col("rb") <= 5), 1).otherwise(0))
+            .cast("long")
+            .alias("cd_overlap5"),
+            F.sum(F.when((F.col("ra") <= 5) & (F.col("rf") <= 5), 1).otherwise(0))
+            .cast("long")
+            .alias("cf_overlap5"),
+            F.sum(F.when((F.col("rb") <= 5) & (F.col("rf") <= 5), 1).otherwise(0))
+            .cast("long")
+            .alias("df_overlap5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "m12_patch_signature_dedup",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS dig FROM documents
+    ), p AS (
+        SELECT doc_id,
+               CAST(r.g AS INT) AS pr, CAST(c.g AS INT) AS pc,
+               sha256(dig || ':' || CAST(r.g AS VARCHAR) || ':'
+                      || CAST(c.g AS VARCHAR)) AS pdig
+        FROM h, generate_series(0, 1) r(g), generate_series(0, 1) c(g)
+    ), sig AS (
+        SELECT doc_id,
+               (pr * 2 + pc) * 64
+                 + (({_hexb('pdig', 0)}) // 32) * 8
+                 + (({_hexb('pdig', 1)}) // 32) AS s
+        FROM p
+    ), owner AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS df, min(doc_id) AS o
+        FROM sig GROUP BY s
+    ), uniq AS (
+        SELECT o AS doc_id, CAST(count(*) AS BIGINT) AS n_unique
+        FROM owner WHERE df = 1 GROUP BY o
+    ), tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_patches FROM sig GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_patches,
+           CAST(t.n_patches - coalesce(u.n_unique, 0) AS BIGINT) AS n_shared,
+           round((t.n_patches - coalesce(u.n_unique, 0)) * 1.0 / t.n_patches, 4)
+             AS shared_ratio
+    FROM tot t LEFT JOIN uniq u ON u.doc_id = t.doc_id
+    ORDER BY t.doc_id LIMIT 200
+    """,
+    tags=("multimodal", "image", "dedup"),
+)
+def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-image patch-signature dedup: quantize each ViT patch's
+    stubbed (mean, std) statistics onto an 8x8 grid, key by (position,
+    quantized stats), and score each image by the fraction of its patches
+    whose signature appears in ANY other image — the patch-level
+    recycled-content screen (logo corners, borders, letterboxing) that
+    runs before m6's whole-image pHash. Uses the t20/t35 uniqueness
+    identity (shared = total - globally-unique, unique signatures
+    attribute to their min-doc owner), so no signature-keyed join exists
+    and a letterbox-black signature shared by millions of images costs a
+    map-side-combined count, not a hot-key join. One decode pass
+    (operators/multimodal.extract_patch_grid); the oracle replays the
+    digests, the quantization, and the attribution exactly."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        extract_patch_grid,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "blob", F.col("text").cast("binary")
+    )
+    media = attach_media(d, "blob", "image", "png")
+    grid = extract_patch_grid(media, grid=2)
+    sig = grid.select(
+        "doc_id",
+        (
+            (F.col("patch_row") * 2 + F.col("patch_col")) * 64
+            + F.floor(F.col("mean_intensity") / 32) * 8
+            + F.floor(F.col("std_intensity") / 32)
+        ).alias("__s"),
+    )
+    owner = sig.groupBy("__s").agg(
+        F.count("*").cast("long").alias("__df"), F.min("doc_id").alias("__o")
+    )
+    uniq = (
+        owner.where(F.col("__df") == 1)
+        .groupBy(F.col("__o").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("__n_unique"))
+    )
+    tot = sig.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_patches"))
+    return (
+        tot.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_patches",
+            (F.col("n_patches") - F.coalesce(F.col("__n_unique"), F.lit(0)))
+            .cast("long")
+            .alias("n_shared"),
+            F.round(
+                (F.col("n_patches") - F.coalesce(F.col("__n_unique"), F.lit(0)))
+                * 1.0
+                / F.col("n_patches"),
+                4,
+            ).alias("shared_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
