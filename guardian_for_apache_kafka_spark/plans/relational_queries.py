@@ -7360,3 +7360,130 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("jaccard").desc(), "user_a", "user_b").limit(20)
+
+
+@query(
+    "q137_capture_recapture",
+    oracle="""
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    m AS (
+      SELECT CAST((SELECT count(*) FROM w1) AS BIGINT) AS n1,
+             CAST((SELECT count(*) FROM w2) AS BIGINT) AS n2,
+             CAST((SELECT count(*) FROM w1 JOIN w2 USING (user_id)) AS BIGINT)
+               AS recaptured,
+             CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+               AS true_distinct
+    )
+    SELECT n1, n2, recaptured, true_distinct,
+           -- Chapman's bias-corrected Lincoln-Petersen estimator; // keeps
+           -- the estimate integral so rel_error matches the engine's
+           -- floored integer estimate exactly
+           CAST((n1 + 1) * (n2 + 1) // (recaptured + 1) - 1 AS BIGINT)
+             AS estimated_distinct,
+           round(abs((n1 + 1) * (n2 + 1) // (recaptured + 1) - 1
+                     - true_distinct) * 1.0 / true_distinct, 4) AS rel_error
+    FROM m
+    """,
+    tags=("relational", "estimation", "statistics"),
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Chapman's bias-corrected
+    Lincoln-Petersen): treat the first and second half-months as two
+    'captures' of the user population and estimate total distinct users
+    from (n1, n2, recaptured) alone — the sampling trick that sizes a
+    dedup problem (how many distinct keys does this corpus REALLY have)
+    from two cheap samples before paying for the full distinct. The
+    estimator is integer arithmetic ((n1+1)(n2+1) div (m+1) - 1); the
+    true distinct is computed alongside so the report carries its own
+    relative error. Two semi-joined distinct sets + one exact distinct —
+    all map-side-combined aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    w1 = ev.where(F.col("ts") < cut).select("user_id").distinct()
+    w2 = ev.where(F.col("ts") >= cut).select("user_id").distinct()
+    n1 = w1.count()
+    n2 = w2.count()
+    m = w1.join(w2, "user_id").count()
+    true_distinct = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    est = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    rel = round(abs(est - true_distinct) / true_distinct, 4)
+    return spark.createDataFrame(
+        [(n1, n2, m, true_distinct, est, rel)],
+        "n1 long, n2 long, recaptured long, true_distinct long, "
+        "estimated_distinct long, rel_error double",
+    )
+
+
+@query(
+    "q138_gumbel_extremes",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    weekly_max AS (
+      SELECT event_type, x // 7 AS wk, CAST(max(y) AS BIGINT) AS mx
+      FROM daily GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_weeks,
+             CAST(sum(mx) AS BIGINT) AS s,
+             CAST(sum(mx * mx) AS BIGINT) AS q
+      FROM weekly_max GROUP BY 1
+    )
+    SELECT event_type, n_weeks,
+           round(sqrt((q - s * s * 1.0 / n_weeks) / (n_weeks - 1))
+                 * sqrt(6.0) / pi(), 4) AS gumbel_scale,
+           round(s * 1.0 / n_weeks
+                 - 0.5772156649015329
+                   * (sqrt((q - s * s * 1.0 / n_weeks) / (n_weeks - 1))
+                      * sqrt(6.0) / pi()), 4) AS gumbel_location,
+           -- 99th-percentile weekly peak under the fitted Gumbel
+           round(s * 1.0 / n_weeks
+                 - 0.5772156649015329
+                   * (sqrt((q - s * s * 1.0 / n_weeks) / (n_weeks - 1))
+                      * sqrt(6.0) / pi())
+                 - (sqrt((q - s * s * 1.0 / n_weeks) / (n_weeks - 1))
+                    * sqrt(6.0) / pi()) * ln(-ln(0.99)), 4) AS p99_weekly_peak
+    FROM mom WHERE n_weeks >= 2 ORDER BY event_type
+    """,
+    tags=("relational", "extreme-value", "capacity"),
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit on weekly peak volumes per event series —
+    the capacity-planning statistic (method-of-moments: scale =
+    std*sqrt(6)/pi, location = mean - gamma*scale) plus the fitted
+    99th-percentile weekly peak, which is what you provision for (q85's
+    latency bands describe the body; this models the TAIL of the maxima
+    themselves). Weekly maxima and both moment sums are BIGINT; the fit
+    is a fixed closed-form double expression written identically on both
+    engines (one sqrt, one ln at the end)."""
+    daily = _daily_counts(spark, sf_dir)
+    weekly = daily.groupBy(
+        "event_type", F.expr("x div 7").alias("wk")
+    ).agg(F.max("y").cast("long").alias("mx"))
+    mom = weekly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_weeks"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("q"),
+    ).where(F.col("n_weeks") >= 2)
+    std = F.sqrt(
+        (F.col("q") - F.col("s") * F.col("s") * 1.0 / F.col("n_weeks"))
+        / (F.col("n_weeks") - 1)
+    )
+    scale = std * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mean = F.col("s") * 1.0 / F.col("n_weeks")
+    loc = mean - 0.5772156649015329 * scale
+    p99 = loc - scale * F.log(-F.log(F.lit(0.99)))
+    return mom.select(
+        "event_type",
+        "n_weeks",
+        F.round(scale, 4).alias("gumbel_scale"),
+        F.round(loc, 4).alias("gumbel_location"),
+        F.round(p99, 4).alias("p99_weekly_peak"),
+    ).orderBy("event_type")
