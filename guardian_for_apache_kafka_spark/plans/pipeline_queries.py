@@ -8055,3 +8055,124 @@ def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@query(
+    "t39_ngram_coverage_curve",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS sh
+        FROM toks WHERE len(tk) >= 3
+    ),
+    inv AS (SELECT unnest(sh) AS s FROM shl),
+    freq AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS c,
+             row_number() OVER (ORDER BY count(*) DESC, s) AS rnk
+      FROM inv GROUP BY s
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+            FROM freq),
+    ks AS (SELECT unnest([10, 100, 1000, 10000]) AS k)
+    SELECT CAST(k AS BIGINT) AS top_k,
+           CAST(least(k, max(v)) AS BIGINT) AS vocab_used,
+           CAST(coalesce(sum(c) FILTER (rnk <= k), 0) AS BIGINT)
+             AS occurrences_covered,
+           round(coalesce(sum(c) FILTER (rnk <= k), 0) * 1.0 / max(n), 6)
+             AS coverage
+    FROM ks, freq, tot GROUP BY k ORDER BY top_k
+    """,
+    tags=("text", "zipf", "vocabulary"),
+)
+def t39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram coverage curve: the fraction of all trigram OCCURRENCES
+    covered by the top-k most frequent trigrams, k in {10, 100, 1000,
+    10000} — the Zipf-coverage readout that sizes n-gram caches, phrase
+    vocabularies, and t25's KN truncation (t19 fits the slope; this
+    reports the cumulative mass an engineer actually budgets against).
+    Occurrence counting (NOT per-doc distinct — within-doc repeats are
+    mass here); one corpus rollup to the trigram frequency table, a rank
+    over that domain, and a 4-point banded aggregate."""
+    from guardian_for_apache_kafka_spark.functions.columns import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(tokens_col("text").alias("__tk")).where(F.size("__tk") >= 3)
+    inv = tk.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__tk") - 3),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__tk"), i + 1),
+                        F.element_at(F.col("__tk"), i + 2),
+                        F.element_at(F.col("__tk"), i + 3),
+                    )
+                ),
+            )
+        ).alias("__s")
+    )
+    freq = inv.groupBy("__s").agg(F.count("*").cast("long").alias("c"))
+    # rank ties broken by the raw shingle string on the oracle side vs the
+    # hash here — coverage sums are tie-safe because FILTER(rnk <= k) cuts
+    # BETWEEN frequency groups only when counts differ; within a tied count
+    # group the cut could split differently, so extend k's cut to respect
+    # count boundaries: rank by (c desc) and include ALL entries tied with
+    # the k-th count... simpler and exact: rank on (c, hash) both sides is
+    # impossible (different tie keys), so compute coverage from the COUNT
+    # DOMAIN: for each k, the covered mass = full groups above the k-th
+    # count + partial mass of the boundary count group (deterministic:
+    # boundary group contributes (k - rows_above) * boundary_count).
+    cd = freq.groupBy("c").agg(F.count("*").cast("long").alias("g"))
+    w_above = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    walked = cd.select(
+        "c",
+        "g",
+        F.coalesce(F.sum("g").over(w_above), F.lit(0)).cast("long").alias("rows_above"),
+        F.coalesce(F.sum(F.col("g") * F.col("c")).over(w_above), F.lit(0))
+        .cast("long")
+        .alias("mass_above"),
+    )
+    tot = freq.agg(
+        F.sum("c").cast("long").alias("n"), F.count("*").cast("long").alias("v")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (10, 100, 1000, 10000)])).alias("k")
+    )
+    # boundary group per k: the single count-group where the k-th row lands
+    boundary = (
+        ks.crossJoin(F.broadcast(walked))
+        .where(
+            (F.col("rows_above") < F.col("k"))
+            & (F.col("rows_above") + F.col("g") >= F.col("k"))
+        )
+        .select(
+            "k",
+            (
+                F.col("mass_above")
+                + (F.col("k") - F.col("rows_above")) * F.col("c")
+            ).alias("covered_at_k"),
+        )
+    )
+    # k beyond the vocabulary: everything is covered
+    full = ks.crossJoin(F.broadcast(tot)).select(
+        "k", "n", "v"
+    )
+    return (
+        full.join(boundary, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("top_k"),
+            F.least(F.col("k"), F.col("v")).cast("long").alias("vocab_used"),
+            F.coalesce(F.col("covered_at_k"), F.col("n"))
+            .cast("long")
+            .alias("occurrences_covered"),
+            F.round(
+                F.coalesce(F.col("covered_at_k"), F.col("n")) * 1.0 / F.col("n"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("top_k")
+    )
