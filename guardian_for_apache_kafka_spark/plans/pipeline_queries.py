@@ -8176,3 +8176,81 @@ def t39(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("top_k")
     )
+
+
+@query(
+    "g14_restore_cost_plan",
+    oracle="""
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS slice,
+             -- exact wire length of one serialized record (codecs/Circe
+             -- noSpaces): 86 template chars + topic + digit widths +
+             -- base64 lengths (4 * ceil(n/3))
+             86
+             + len(event_type)
+             + 1  -- partition '0'
+             + len(CAST(event_id AS VARCHAR))
+             + 4 * ((len(CAST(user_id AS VARCHAR)) + 2) // 3)
+             + 4 * ((len(props) + 2) // 3)
+             + len(CAST(epoch_ms(ts) AS VARCHAR))
+             + 1  -- timestamp_type '0'
+               AS rec_len
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+    ),
+    per AS (
+      SELECT slice,
+             CAST(count(*) AS BIGINT) AS n_records,
+             -- '[' + records + (n-1) commas + ']'
+             CAST(sum(rec_len) + count(*) + 1 AS BIGINT) AS object_bytes
+      FROM r GROUP BY slice
+    )
+    SELECT slice, n_records, object_bytes,
+           CAST(sum(object_bytes) OVER (ORDER BY slice
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_bytes
+    FROM per ORDER BY slice
+    """,
+    tags=("guardian", "restore", "planning"),
+)
+def g14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restore cost plan: for every slice at or after the fromWhen cutoff,
+    the EXACT byte size of its archive object computed from the records
+    alone — template chars + digit widths + base64 expansion
+    (4*ceil(n/3)), the arithmetic mirror of the wire codec — plus the
+    cumulative bytes a restore reading forward from the cutoff will have
+    transferred. This is the dry-run an operator prices BEFORE pulling
+    an archive through R3-pruned restore: slices, records, bytes, all
+    from a table scan, no archive access (byte-exactness against real
+    archive files is asserted in tests/test_round8_queries.py). One
+    rollup; the cumulative window runs over the retention-bounded slice
+    domain."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp")
+    )
+    b64len = lambda n: 4 * F.expr(f"(({n}) + 2) div 3")
+    rec_len = (
+        F.lit(86)
+        + F.length("event_type")
+        + F.lit(1)
+        + F.length(F.col("event_id").cast("string"))
+        + b64len("length(cast(user_id as string))")
+        + b64len("length(props)")
+        + F.length(F.unix_millis(F.col("ts")).cast("string"))
+        + F.lit(1)
+    )
+    per = (
+        ev.select(F.date_trunc("hour", "ts").alias("slice"), rec_len.alias("__l"))
+        .groupBy("slice")
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            (F.sum("__l") + F.count("*") + 1).cast("long").alias("object_bytes"),
+        )
+    )
+    w = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "slice",
+        "n_records",
+        "object_bytes",
+        F.sum("object_bytes").over(w).cast("long").alias("cum_bytes"),
+    ).orderBy("slice")

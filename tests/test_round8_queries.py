@@ -221,3 +221,39 @@ def test_t37_stylistic_clones_have_zero_delta(spark):
            for r in qs["t37_burrows_delta"](spark, d).collect()}
     assert out[("clone_a", "clone_b")] == 0.0
     assert out[("clone_a", "shifted")] > 0.5 and out[("clone_b", "shifted")] > 0.5
+
+
+def test_g14_predicted_bytes_match_real_archive(spark, sf_dir, tmp_path):
+    """The restore cost plan's arithmetic wire-size model must be
+    BYTE-EXACT: write the same records through the real bulk writer and
+    compare each predicted object_bytes with the file on disk."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.backup import physical_name
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    plan = {
+        r.slice: (r.n_records, r.object_bytes)
+        for r in all_queries()["g14_restore_cost_plan"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp")
+    )
+    recs = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    dest = str(tmp_path / "arch")
+    keys = write_guardian_format(recs, dest, ChronoUnitSlice("HOURS"))
+    from guardian_for_apache_kafka_spark.core.timeslice import key_to_datetime
+
+    sizes = {}
+    for k in keys:
+        t = key_to_datetime(k).replace(tzinfo=None)
+        sizes[t] = os.path.getsize(os.path.join(dest, physical_name(k)))
+    assert set(sizes) == set(plan)
+    for t, size in sizes.items():
+        assert plan[t][1] == size, (t, plan[t], size)
