@@ -685,3 +685,83 @@ def archive_diff(spark: SparkSession, dest_a: str, dest_b: str) -> "DataFrame":
         )
         .orderBy("slice")
     )
+
+
+ZONEMAP_NAME = "_guardian_zonemap.json"
+
+
+def archive_topic_zonemap(spark: SparkSession, dest: str) -> "DataFrame":
+    """Per-slice topic zone map of a guardian-format archive: one parse
+    pass emits (slice, topics, n_records) — the pruning statistics a
+    topic-filtered scan consults to skip whole objects (the Spark-native
+    analogue of parquet row-group zone maps, at object granularity)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.core.model import (
+        RECORD_JSON_SCHEMA_DDL,
+        parsed_json_to_record_cols,
+    )
+    from guardian_for_apache_kafka_spark.operators.backup import physical_name
+    from guardian_for_apache_kafka_spark.operators.restore import list_backup_keys
+
+    keys = list_backup_keys(dest, spark)
+    if not keys:
+        return spark.createDataFrame(
+            [], "slice string, topics array<string>, n_records long"
+        )
+    paths = [os.path.join(dest, physical_name(k)) for k in keys]
+    raw = spark.read.text(paths, wholetext=True)
+    basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    decoded = F.coalesce(
+        F.expr(
+            "try_url_decode(replace(element_at(split(input_file_name(), '/'), -1),"
+            " '+', '%2B'))"
+        ),
+        basename,
+    )
+    slice_key = F.regexp_replace(
+        F.translate(decoded, "_", ":"), r"\.json(\.gz)?$", ""
+    )
+    rec = (
+        raw.select(
+            slice_key.alias("slice"),
+            F.explode(
+                F.from_json(F.col("value"), f"array<struct<{RECORD_JSON_SCHEMA_DDL}>>")
+            ).alias("rec"),
+        )
+        .where(F.col("rec").isNotNull())
+        .select("slice", *parsed_json_to_record_cols(F.col("rec")))
+    )
+    return (
+        rec.groupBy("slice")
+        .agg(
+            F.array_sort(F.collect_set("topic")).alias("topics"),
+            F.count("*").cast("long").alias("n_records"),
+        )
+        .orderBy("slice")
+    )
+
+
+def write_topic_zonemap(spark: SparkSession, dest: str) -> str:
+    """Materialize the topic zone map next to the archive
+    (``<dest>/_guardian_zonemap.json`` — underscore-prefixed, so every
+    archive listing skips it). REBUILD AFTER WRITES: the DataSource only
+    consults it when asked (``.option("zonemap", "true")``) precisely
+    because a stale map would silently drop slices; the file carries the
+    slice count + total records so the reader can at least detect gross
+    drift. Returns the written path."""
+    import json as _json
+
+    from guardian_for_apache_kafka_spark.sources.guardian_source import _fs_ops
+
+    rows = archive_topic_zonemap(spark, dest).collect()
+    payload = {
+        "n_slices": len(rows),
+        "n_records": int(sum(r.n_records for r in rows)),
+        "slices": {r.slice: list(r.topics) for r in rows},
+    }
+    write_bytes, *_ = _fs_ops(dest)
+    write_bytes(ZONEMAP_NAME, _json.dumps(payload, sort_keys=True).encode())
+    return f"{dest.rstrip('/')}/{ZONEMAP_NAME}"

@@ -76,6 +76,7 @@ class GuardianReader(DataSourceReader):
         if not self.path:
             raise ValueError("guardian datasource requires a path")
         self.from_when = options.get("fromwhen")  # options arrive lowercased
+        self.use_zonemap = (options.get("zonemap") or "").lower() in ("true", "1")
         self.topics: set[str] | None = None
         self.require_key = False
 
@@ -110,6 +111,34 @@ class GuardianReader(DataSourceReader):
         if self.from_when:
             cut = _dt.datetime.fromisoformat(self.from_when.replace("Z", "+00:00"))
             keys = prune_keys_from_when(keys, cut)
+        if self.use_zonemap and self.topics is not None:
+            # topic zone-map pruning (.option("zonemap", "true")): skip whole
+            # objects whose recorded topic set misses every pushed topic —
+            # object-granular partition pruning, the guardian analogue of
+            # parquet row-group stats. OPT-IN because the map is a snapshot:
+            # the operator rebuilds it after writes
+            # (operators/maintenance.write_topic_zonemap); a missing map is
+            # a no-op, a present one must cover every key it prunes.
+            import json as _json
+            import re as _re
+
+            from guardian_for_apache_kafka_spark.operators.maintenance import (
+                ZONEMAP_NAME,
+            )
+
+            try:
+                blob = _open_bytes(f"{self.path.rstrip('/')}/{ZONEMAP_NAME}")
+            except (FileNotFoundError, OSError):
+                blob = None
+            if blob is not None:
+                slices = _json.loads(blob.decode("utf-8"))["slices"]
+                kept = []
+                for k in keys:
+                    stem = _re.sub(r"\.json(\.gz)?$", "", k)
+                    topics = slices.get(stem)
+                    if topics is None or set(topics) & self.topics:
+                        kept.append(k)  # unknown slices stay (stale-map safety)
+                keys = kept
         return [
             GuardianObjectPartition(os.path.join(self.path, physical_name(k)))
             for k in keys

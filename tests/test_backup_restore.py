@@ -1604,3 +1604,77 @@ def test_guardian_datasource_stream_writer_gzip_and_from_when(spark, records, tm
     got = restore_batch(spark, dest, fmt="json", from_when=cut.replace(tzinfo=dt.timezone.utc))
     want = recs.where(F.col("timestamp") >= F.lit(cut))
     assert as_set(got) == as_set(want)
+
+
+def test_guardian_datasource_topic_zonemap_pruning(spark, tmp_path):
+    """Object-granular topic pruning: with a materialized zone map and a
+    pushed topic filter, the reader plans ONLY the objects whose topic
+    set intersects — and results equal the unpruned scan. Slices unknown
+    to the map are kept (stale-map safety); without the option the map
+    is ignored entirely."""
+    import datetime as dt
+
+    from guardian_for_apache_kafka_spark.core.model import RECORD_SCHEMA
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators import write_guardian_format
+    from guardian_for_apache_kafka_spark.operators.maintenance import (
+        archive_topic_zonemap,
+        write_topic_zonemap,
+    )
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        EqualTo,
+        GuardianReader,
+        register_guardian_datasource,
+    )
+
+    register_guardian_datasource(spark)
+    # topic A occupies hours 0-3, topic B hours 4-7: disjoint slices
+    rows = [
+        ("A" if h < 4 else "B", 0, h * 10 + i, None, f"v{h}:{i}".encode(),
+         dt.datetime(2024, 3, 1, h, 5 * i), 0)
+        for h in range(8)
+        for i in range(3)
+    ]
+    recs = spark.createDataFrame(rows, RECORD_SCHEMA)
+    dest = str(tmp_path / "zoned")
+    write_guardian_format(recs, dest, ChronoUnitSlice("HOURS"))
+    zm = archive_topic_zonemap(spark, dest).collect()
+    assert len(zm) == 8 and all(r.n_records == 3 for r in zm)
+    write_topic_zonemap(spark, dest)
+
+    def planned(topic, zonemap):
+        r = GuardianReader({"path": dest, "zonemap": zonemap})
+        list(r.pushFilters([EqualTo(("topic",), topic)]))
+        return len(r.partitions())
+
+    assert planned("A", "true") == 4  # half the objects never open
+    assert planned("B", "true") == 4
+    assert planned("A", "") == 8  # opt-in: without the option, full scan
+
+    got = (
+        spark.read.format("guardian")
+        .option("zonemap", "true")
+        .load(dest)
+        .where(F.col("topic") == "A")
+    )
+    want = recs.where(F.col("topic") == "A")
+    assert as_set(got) == as_set(want)
+
+    # stale-map safety: a new slice ABSENT from the map is still scanned
+    late = spark.createDataFrame(
+        [("A", 0, 999, None, b"late", dt.datetime(2024, 3, 1, 9, 0), 0)],
+        RECORD_SCHEMA,
+    )
+    write_guardian_format(late, str(tmp_path / "late"), ChronoUnitSlice("HOURS"))
+    late_obj = sorted(os.listdir(str(tmp_path / "late")))[0]
+    os.rename(
+        os.path.join(str(tmp_path / "late"), late_obj),
+        os.path.join(dest, late_obj),
+    )
+    got2 = (
+        spark.read.format("guardian")
+        .option("zonemap", "true")
+        .load(dest)
+        .where(F.col("topic") == "A")
+    )
+    assert got2.count() == want.count() + 1
