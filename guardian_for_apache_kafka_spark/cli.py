@@ -417,6 +417,15 @@ def build_parser() -> argparse.ArgumentParser:
     common(mf)
     mf.add_argument("--dest", default=None, help="archive directory")
 
+    zp = sub.add_parser("zonemap", help="per-slice topic zone map of a guardian "
+                        "archive: write _guardian_zonemap.json so topic-filtered "
+                        "DataSource scans (.option('zonemap','true')) skip whole "
+                        "objects; REBUILD after every write")
+    common(zp)
+    zp.add_argument("--dest", default=None, help="archive directory")
+    zp.add_argument("--no-write", action="store_true",
+                    help="print the map without writing the file")
+
     df_ = sub.add_parser("diff", help="replication diff of two guardian archives: "
                          "per-slice in_sync / divergent / missing from the two "
                          "fixity manifests")
@@ -747,6 +756,20 @@ def main(argv: list[str] | None = None) -> int:
             for r in archive_manifest(spark, args.dest).orderBy("slice").collect()
         ]
         print(json.dumps({"n_slices": len(rows), "slices": rows}, default=str))
+        return 0
+
+    if args.command == "zonemap":
+        from guardian_for_apache_kafka_spark.operators.maintenance import (
+            archive_topic_zonemap,
+            write_topic_zonemap,
+        )
+
+        if not args.dest:
+            raise SystemExit("--dest is required for zonemap")
+        rows = [r.asDict() for r in archive_topic_zonemap(spark, args.dest).collect()]
+        path = None if args.no_write else write_topic_zonemap(spark, args.dest)
+        print(json.dumps({"n_slices": len(rows), "written": path, "slices": rows},
+                         default=str))
         return 0
 
     if args.command == "diff":

@@ -688,3 +688,37 @@ def test_cli_query_explain_prints_physical_plan(capsys):
     assert "== Physical Plan ==" in out
     assert "Scan parquet" in out
     assert get_spark().conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_cli_zonemap_writes_and_reports(spark, sf_dir, tmp_path, capsys):
+    """`zonemap --dest` writes _guardian_zonemap.json and prints the map;
+    --no-write prints without writing."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.cli import main
+    from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+    from guardian_for_apache_kafka_spark.operators import write_guardian_format
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    recs = normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+    dest = str(tmp_path / "arch")
+    write_guardian_format(recs, dest, ChronoUnitSlice("HOURS"))
+
+    assert main(["zonemap", "--dest", dest, "--no-write"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["written"] is None and out["n_slices"] > 0
+    assert not os.path.exists(os.path.join(dest, "_guardian_zonemap.json"))
+
+    assert main(["zonemap", "--dest", dest]) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["written"].endswith("_guardian_zonemap.json")
+    zm = _json.loads(open(os.path.join(dest, "_guardian_zonemap.json")).read())
+    assert zm["n_slices"] == out2["n_slices"]
+    assert all(isinstance(v, list) and v for v in zm["slices"].values())
