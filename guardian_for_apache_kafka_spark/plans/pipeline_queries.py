@@ -8254,3 +8254,89 @@ def g14(spark: SparkSession, sf_dir: str) -> DataFrame:
         "object_bytes",
         F.sum("object_bytes").over(w).cast("long").alias("cum_bytes"),
     ).orderBy("slice")
+
+
+@query(
+    "m13_keyframe_selection",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS dig FROM documents WHERE doc_id < 150
+    ), f AS (
+        SELECT doc_id, CAST(g AS INT) AS k,
+               ({_hexb("sha256(dig || ':' || CAST(g AS VARCHAR))", 0)}) AS lum
+        FROM h, generate_series(0, 15) s(g)
+    ), flagged AS (
+        SELECT doc_id, k, lum,
+               CASE WHEN k > 0 AND abs(lum - lag(lum) OVER w) > 64
+                    THEN 1 ELSE 0 END AS boundary
+        FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY k)
+    ), scenes AS (
+        SELECT doc_id, k, lum,
+               sum(boundary) OVER (PARTITION BY doc_id ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS scene_index
+        FROM flagged
+    ), picked AS (
+        SELECT doc_id, CAST(scene_index AS INT) AS scene_index, k, lum,
+               row_number() OVER (PARTITION BY doc_id, scene_index
+                                  ORDER BY lum DESC, k) AS rn
+        FROM scenes
+    )
+    SELECT doc_id, scene_index,
+           CAST(k AS INT) AS keyframe,
+           CAST(lum AS INT) AS brightness
+    FROM picked WHERE rn = 1
+    ORDER BY doc_id, scene_index
+    """,
+    tags=("multimodal", "video", "curation"),
+)
+def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection: within each of m9's scenes, pick the brightest
+    frame (earliest on ties) as the scene representative — the frame that
+    actually gets captioned/embedded, turning a 16-frame video into
+    |scenes| model calls (the whole point of shot segmentation in a
+    curation pipeline). Composition of the m9 recurrence + a per-scene
+    argmax window; the oracle replays segmentation AND selection from the
+    digests, so the end-to-end frame->scene->representative contract is
+    differentially attested."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        extract_video_frames,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .withColumn("blob", F.col("text").cast("binary"))
+    )
+    media = attach_media(d, "blob", "video", "mp4")
+    frames = extract_video_frames(media, every_n=1, max_frames=16).select(
+        "doc_id", F.col("frame_index").alias("k"), F.col("brightness").alias("lum")
+    )
+    w = Window.partitionBy("doc_id").orderBy("k")
+    flagged = frames.withColumn(
+        "boundary",
+        F.when(
+            (F.col("k") > 0) & (F.abs(F.col("lum") - F.lag("lum").over(w)) > 64), 1
+        ).otherwise(0),
+    )
+    scenes = flagged.withColumn(
+        "scene_index",
+        F.sum("boundary")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    w_pick = Window.partitionBy("doc_id", "scene_index").orderBy(
+        F.col("lum").desc(), F.col("k")
+    )
+    return (
+        scenes.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "scene_index",
+            F.col("k").cast("int").alias("keyframe"),
+            F.col("lum").cast("int").alias("brightness"),
+        )
+        .orderBy("doc_id", "scene_index")
+    )
