@@ -8340,3 +8340,95 @@ def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "scene_index")
     )
+
+
+@query(
+    "p18_mixture_fidelity",
+    oracle="""
+    WITH sized AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    keyed AS (
+      SELECT source, n, (r - 0.5) / n AS stride_key FROM sized
+    ),
+    ts AS (SELECT unnest([0.1, 0.25, 0.5]) AS t),
+    achieved AS (
+      SELECT t, source,
+             CAST(max(n) AS BIGINT) AS n_source,
+             CAST(sum(CASE WHEN stride_key <= t THEN 1 ELSE 0 END) AS BIGINT)
+               AS in_prefix
+      FROM keyed, ts GROUP BY t, source
+    ),
+    dev AS (
+      SELECT t, source, in_prefix, n_source,
+             abs(in_prefix - t * n_source) AS deviation
+      FROM achieved
+    ),
+    worst AS (
+      SELECT t, source, in_prefix, n_source, deviation,
+             row_number() OVER (PARTITION BY t
+                                ORDER BY deviation DESC, source) AS rn
+      FROM dev
+    )
+    SELECT t AS depth,
+           CAST((SELECT sum(in_prefix) FROM achieved a WHERE a.t = worst.t)
+                AS BIGINT) AS prefix_rows,
+           round(deviation, 4) AS max_abs_deviation,
+           source AS worst_source
+    FROM worst WHERE rn = 1 ORDER BY t
+    """,
+    tags=("pipeline", "mixture", "audit"),
+)
+def p18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-fidelity audit of the p14 stride schedule: at relative
+    epoch depths t = 10%/25%/50%, how far does any source's achieved
+    contribution drift from its proportional share t*n? Stride
+    scheduling's fairness theorem says the deviation stays O(1) PER
+    SOURCE at every prefix (each source's keys are (r-0.5)/n, so exactly
+    floor(t*n + 0.5) of them land at or below t) — this query measures it
+    rather than assumes it, which is what you'd run after changing the
+    schedule (e.g. p12's repeat budgets) to prove no source front-loads.
+    Counts are integers from a map-side-combined filter aggregate; the
+    only float is the t*n target."""
+    d = load_table(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("doc_id")
+    keyed = d.select(
+        "source",
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+        (
+            (F.row_number().over(wsrc) - 0.5)
+            / F.count("*").over(Window.partitionBy("source"))
+        ).alias("stride_key"),
+    )
+    ts = spark.range(1).select(
+        F.explode(F.array(F.lit(0.1), F.lit(0.25), F.lit(0.5))).alias("t")
+    )
+    achieved = (
+        keyed.crossJoin(F.broadcast(ts))
+        .groupBy("t", "source")
+        .agg(
+            F.max("n").cast("long").alias("n_source"),
+            F.sum(F.when(F.col("stride_key") <= F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("in_prefix"),
+        )
+    )
+    dev = achieved.withColumn(
+        "deviation", F.abs(F.col("in_prefix") - F.col("t") * F.col("n_source"))
+    )
+    prefix_rows = dev.groupBy("t").agg(F.sum("in_prefix").cast("long").alias("prefix_rows"))
+    w = Window.partitionBy("t").orderBy(F.col("deviation").desc(), F.col("source"))
+    worst = dev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        worst.join(prefix_rows, "t")
+        .select(
+            F.col("t").alias("depth"),
+            "prefix_rows",
+            F.round("deviation", 4).alias("max_abs_deviation"),
+            F.col("source").alias("worst_source"),
+        )
+        .orderBy("depth")
+    )
