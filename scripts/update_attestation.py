@@ -47,6 +47,10 @@ def main() -> None:
         "# note: at most _VERY_STALE_SLOTS very-stale veterans get guaranteed head"
         " slots per round; the rest queue just behind the never-attested pool."
     )
+    print(
+        "# also refresh _NEW_THIS_ROUND with the names REGISTERED this round:"
+        " they queue behind the older never-attested backlog until it drains."
+    )
 
 
 if __name__ == "__main__":
