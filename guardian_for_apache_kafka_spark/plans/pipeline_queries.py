@@ -8432,3 +8432,144 @@ def p18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+@query(
+    "t40_token_dropout_augment",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    kept AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             list_filter(
+               list_transform(range(len(tk)),
+                 i -> CASE WHEN (CAST('0x' || substr(
+                               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                               1, 4) AS INT)) % 10 <> 0
+                           THEN tk[i + 1] END),
+               x -> x IS NOT NULL) AS kt
+      FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           CAST(len(kt) AS BIGINT) AS n_kept,
+           round(len(kt) * 1.0 / n_tokens, 4) AS kept_ratio,
+           array_to_string(kt, ' ') AS augmented_text
+    FROM kept ORDER BY doc_id LIMIT 100
+    """,
+    tags=("text", "augmentation", "synthetic-data"),
+)
+def t40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-dropout augmentation — the content-addressed
+    flavor of the classic text-augmentation op: token i of document d is
+    dropped iff md5(d:i) % 10 == 0 (~10% dropout), so any worker
+    regenerates the identical augmented copy with no RNG state to ship
+    (the d8/d17 content-stable-sampling discipline applied to token
+    positions). Emits the augmented text itself plus kept counts; pure
+    per-row higher-order expressions, zero shuffles before the final
+    order — augmentation runs at scan speed. The hash-equality on
+    augmented_text attests byte-identical augmentation across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    keep = lambda i: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10
+        != 0
+    )
+    kept = F.filter(tk, lambda x, i: keep(i))
+    return (
+        d.select(
+            "doc_id",
+            F.size(tk).cast("long").alias("n_tokens"),
+            kept.alias("__kt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("__kt").cast("long").alias("n_kept"),
+            F.round(F.size("__kt") * 1.0 / F.col("n_tokens"), 4).alias("kept_ratio"),
+            F.concat_ws(" ", F.col("__kt")).alias("augmented_text"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "d38_ccnet_quality_buckets",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT sum(c) AS s FROM freq),
+    ce AS (
+      SELECT doc_id, round(-avg(ln(c / s)), 2) AS ce
+      FROM tok JOIN freq USING (t), tot
+      GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, c.ce,
+             ntile(3) OVER (PARTITION BY d.lang ORDER BY c.ce, c.doc_id)
+               AS bucket
+      FROM ce c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT lang,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS quality_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(ce), 2) AS min_ce,
+           round(max(ce), 2) AS max_ce
+    FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+    tags=("dedup", "quality", "ccnet"),
+)
+def d38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: per language, split documents into
+    head/middle/tail tertiles of unigram-LM cross-entropy (Wenzek et al.
+    2020 — the published pipeline trains on 'head', audits 'middle',
+    drops 'tail') and report each band's population and entropy range.
+    Rides t14's scoring (rounded 2dp, deterministic) with a (ce, doc_id)
+    total order into ANSI ntile; per-lang windows over the scored table.
+    The report is the curation decision artifact: which entropy cut
+    'head' actually lands at, per language."""
+    from guardian_for_apache_kafka_spark.operators.text import unigram_cross_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    ce = unigram_cross_entropy(d, broadcast_model=True).select(
+        "doc_id", F.round("cross_entropy", 2).alias("ce")
+    )
+    bucketed = (
+        ce.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            "ce",
+            F.ntile(3)
+            .over(Window.partitionBy("lang").orderBy("ce", "doc_id"))
+            .alias("bucket"),
+        )
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.min("ce"), 2).alias("min_ce"),
+            F.round(F.max("ce"), 2).alias("max_ce"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+            .alias("quality_bucket"),
+            "n_docs",
+            "min_ce",
+            "max_ce",
+        )
+        .orderBy("lang", "quality_bucket")
+    )
