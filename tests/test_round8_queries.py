@@ -257,3 +257,42 @@ def test_g14_predicted_bytes_match_real_archive(spark, sf_dir, tmp_path):
     assert set(sizes) == set(plan)
     for t, size in sizes.items():
         assert plan[t][1] == size, (t, plan[t], size)
+
+
+def test_t40_dropout_determinism_and_rate(run):
+    """Augmentation invariants: rerunning yields byte-identical text
+    (content-addressed, no RNG), kept tokens are a subsequence, and the
+    corpus-level dropout rate sits near the designed 10%."""
+    rows1 = run("t40_token_dropout_augment").collect()
+    rows2 = run("t40_token_dropout_augment").collect()
+    assert [(r.doc_id, r.augmented_text) for r in rows1] == [
+        (r.doc_id, r.augmented_text) for r in rows2
+    ]
+    tot = sum(r.n_tokens for r in rows1)
+    kept = sum(r.n_kept for r in rows1)
+    assert 0.85 <= kept / tot <= 0.95, kept / tot
+    for r in rows1[:10]:
+        assert r.n_kept == len(r.augmented_text.split(" ")) if r.n_kept else True
+
+
+def test_d38_tertiles_partition_each_lang(spark, sf_dir, run):
+    """Tertile populations per language differ by at most 1 and sum to the
+    language's doc count; head entropy range sits at or below tail's."""
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    rows = run("d38_ccnet_quality_buckets").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.quality_bucket] = r
+    counts = {
+        r["lang"]: r["count"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    for lang, buckets in by_lang.items():
+        ns = [b.n_docs for b in buckets.values()]
+        assert sum(ns) == counts[lang]
+        assert max(ns) - min(ns) <= 1
+        assert buckets["head"].max_ce <= buckets["tail"].min_ce + 1e-9
