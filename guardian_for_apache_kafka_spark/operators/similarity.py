@@ -1132,3 +1132,128 @@ def reciprocal_rank_fusion(
         .where(F.col("fused_rank") <= k)
         .select("query_id", "vec_id", F.round("rrf", 6).alias("rrf"), "fused_rank")
     )
+
+
+def prefix_dim_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    prefix_dims: int = 16,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style two-stage retrieval (Kusupati et al. 2022, MRL):
+    stage 1 scores the corpus by cosine over only the FIRST ``prefix_dims``
+    dimensions (MRL-trained embeddings front-load information, so the
+    prefix preserves neighborhood structure at a fraction of the FLOPs and
+    scan bytes), keeps a per-query shortlist, and stage 2 re-ranks the
+    shortlist by full-dimension cosine. At 100 TB the prefix slice is what
+    stays memory-resident (prefix_dims/dim of the vector bytes — here 1/4)
+    while full vectors are fetched only for |Q| x shortlist rows; the plan
+    is one corpus pass + a shortlist-sized self-join back to full vectors.
+    Both scoring folds are the deterministic left-to-right double fold
+    (functions/columns.cosine_similarity), so an oracle replaying the same
+    two stages matches bit-exactly. Returns (query_id, vec_id,
+    cosine, rnk) — full-precision cosine of the re-ranked top k."""
+    q = queries.select(
+        F.col("query_id"),
+        F.slice(F.col(vec_col), 1, prefix_dims).alias("__qp"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = spread_narrow_scan(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.slice(F.col(vec_col), 1, prefix_dims).alias("__cp"),
+        F.col(vec_col).alias("__cv"),
+    )
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "__cv",
+            "__qv",
+            cosine_similarity(F.col("__cp"), F.col("__qp")).alias("__coarse"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.col("__coarse").desc(), F.col("vec_id"))
+    short = coarse.withColumn("__crk", F.row_number().over(wc)).where(
+        F.col("__crk") <= shortlist
+    )
+    rer = short.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def hard_negative_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: for each query
+    vector, the nearest SAME-label neighbor (the positive) and the nearest
+    DIFFERENT-label neighbor (the hard negative), plus the margin between
+    them — the standard triplet-mining step of a retrieval fine-tune (hard
+    negatives are what make in-batch-negative training converge). One
+    broadcast of the query set, one corpus pass; the per-side argmax is a
+    plain ``max(struct(cosine, -vec_id))`` hash aggregate, so it combines
+    map-side (no per-query corpus-wide sort, unlike a ranking window) and
+    the reduce exchange carries |Q| x 2 rows. Tie-break: higher cosine
+    first, then LOWER vec_id (the negated id field inside the max struct).
+    Returns (query_id, pos_id, pos_cosine, neg_id, neg_cosine, margin)."""
+    q = queries.select(
+        F.col("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    c = spread_narrow_scan(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__cl"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id"),
+            (F.col("__cl") == F.col("__ql")).alias("__same"),
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
+    )
+    best = scored.groupBy("query_id", "__same").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("vec_id")).alias("__nid"))).alias("__w")
+    )
+    pos = best.where(F.col("__same")).select(
+        "query_id",
+        (-F.col("__w.__nid")).cast("long").alias("pos_id"),
+        F.col("__w.cosine").alias("__pc"),
+    )
+    neg = best.where(~F.col("__same")).select(
+        "query_id",
+        (-F.col("__w.__nid")).cast("long").alias("neg_id"),
+        F.col("__w.cosine").alias("__nc"),
+    )
+    return (
+        pos.join(neg, "query_id")
+        .select(
+            "query_id",
+            "pos_id",
+            F.round("__pc", 4).alias("pos_cosine"),
+            "neg_id",
+            F.round("__nc", 4).alias("neg_cosine"),
+            F.round(F.col("__pc") - F.col("__nc"), 4).alias("margin"),
+        )
+        .orderBy("query_id")
+    )

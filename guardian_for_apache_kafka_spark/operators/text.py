@@ -1261,3 +1261,118 @@ def novelty_from_pairs(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant_scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the mean log-likelihood ratio of its tokens under a TARGET unigram
+    model vs the RAW-corpus unigram model (DSIR proper uses hashed n-gram
+    features; the unigram special case keeps the oracle exact). High
+    weight = raw-pool document that looks like the target distribution —
+    the selection signal for "find me more data like my target set".
+
+    Both models are add-one smoothed over the SHARED raw vocabulary, so
+    every raw token has a finite ratio (target-absent tokens score
+    ln(1/(n_t+V)) - ln((c_r+1)/(n_r+V)) < 0). Determinism: each token
+    type's ratio is quantized to integer micro-nats once (vocab-sized
+    arithmetic), per-doc accumulation is an INTEGER sum — exact in any
+    partitioning/order — and the single division happens at the end.
+
+    Scale shape: two token-keyed aggregates (map-side combined, results
+    vocabulary-sized), the scored map broadcasts back onto the token
+    stream (or shuffle-joins past broadcast size, the unigram_cross_entropy
+    gate pattern), per-doc rollup is a partial agg on the id. Returns
+    (id, n_tokens, weight_q: long micro-nat total, log_ratio: double
+    mean nats)."""
+    toks = df.select(
+        F.col(id_col), target.alias("__tgt"), F.explode(tokens_col(text_col)).alias("__t")
+    )
+    raw = toks.groupBy("__t").agg(F.count("*").alias("__cr"))
+    tgt = toks.where(F.col("__tgt")).groupBy("__t").agg(F.count("*").alias("__ct"))
+    vocab = raw.join(tgt, "__t", "left").select(
+        "__t", "__cr", F.coalesce("__ct", F.lit(0)).alias("__ct")
+    )
+    scalars = vocab.agg(
+        F.sum("__cr").alias("__nr"),
+        F.sum("__ct").alias("__nt"),
+        F.count("*").alias("__v"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(scalars)).select(
+        "__t",
+        F.round(
+            (
+                F.log((F.col("__ct") + 1.0) / (F.col("__nt") + F.col("__v")))
+                - F.log((F.col("__cr") + 1.0) / (F.col("__nr") + F.col("__v")))
+            )
+            * F.lit(float(quant_scale))
+        )
+        .cast("long")
+        .alias("__rq"),
+    )
+    scored = toks.join(F.broadcast(ratio), "__t")
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("__rq").cast("long").alias("weight_q"),
+        (
+            F.sum("__rq") / F.count("*") / F.lit(float(quant_scale))
+        ).alias("log_ratio"),
+    )
+
+
+def ngram_diversity_profile(
+    df: DataFrame,
+    orders: tuple[int, ...] = (1, 2, 3),
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group n-gram diversity (generalized type-token ratio): for each
+    n, distinct n-grams / total n-grams within the group — the standard
+    self-repetition / memorization-risk profile of a corpus slice (a
+    low-diversity source is template spam; Self-BLEU's cheap cousin).
+
+    The exploded stream carries (group, n, md5(ngram)) — the 32-hex digest,
+    never the n-gram text (the d33 exchange discipline), and the
+    count-distinct runs on the digest so both engines count the same
+    collision-free keys. One union of |orders| per-row expansions, one
+    grouped aggregate (map-side combined)."""
+    parts = []
+    for n in orders:
+        grams = F.expr(
+            f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {n} + 1), "
+            f"i -> md5(array_join(slice(split({text_col}, ' '), i, {n}), ' '))) "
+            f"ELSE array() END"
+        )
+        parts.append(
+            df.select(
+                F.col(group_col).alias("grp"),
+                F.lit(n).cast("int").alias("n"),
+                F.explode(grams).alias("__g"),
+            )
+        )
+    allg = parts[0]
+    for p in parts[1:]:
+        allg = allg.unionByName(p)
+    return (
+        allg.groupBy("grp", "n")
+        .agg(
+            F.count("*").cast("long").alias("total_ngrams"),
+            F.countDistinct("__g").cast("long").alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(F.col("distinct_ngrams") * 1.0 / F.col("total_ngrams"), 4).alias(
+                "diversity"
+            ),
+        )
+    )

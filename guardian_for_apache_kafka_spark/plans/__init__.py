@@ -70,7 +70,11 @@ _NEW_THIS_ROUND = frozenset({
     "p17_shard_balance_report", "p18_mixture_fidelity",
     "m11_motion_energy", "m12_patch_signature_dedup",
     "m13_keyframe_selection", "t40_token_dropout_augment",
-    "d38_ccnet_quality_buckets",
+    "d38_ccnet_quality_buckets", "s23_matryoshka_rerank",
+    "s24_hard_negative_mining", "d39_dsir_importance",
+    "t41_ngram_diversity", "q139_isotonic_calibration",
+    "q140_kaplan_meier", "q141_jsd_drift",
+    "p19_length_bucket_padding", "g15_archive_gap_report",
 })
 
 _VERY_STALE_ROUND = 5  # attested at or before this round => guaranteed slot

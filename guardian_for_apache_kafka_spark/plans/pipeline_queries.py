@@ -8573,3 +8573,355 @@ def d38(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "quality_bucket")
     )
+
+
+@query(
+    "s23_matryoshka_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    coarse AS (
+        SELECT q.query_id, c.vec_id, c.embedding AS cv, q.qv,
+               {_duck_cosine('(c.embedding[1:16])', '(q.qv[1:16])')} AS cs
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    short AS (
+        SELECT query_id, vec_id, cv, qv,
+               row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS crk
+        FROM coarse
+    ),
+    rer AS (
+        SELECT query_id, vec_id,
+               {_duck_cosine('cv', 'qv')} AS cosine
+        FROM short WHERE crk <= 20
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, round(cosine, 4) AS cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        FROM rer
+    )
+    SELECT query_id, vec_id, cosine, rnk FROM ranked
+    WHERE rnk <= 3 ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "ann", "matryoshka"),
+)
+def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension retrieval: coarse-score by cosine over
+    the first 16 of 64 dims (1/4 of the scan bytes and FLOPs), shortlist
+    20 per query, re-rank the shortlist by full-dimension cosine, keep 3.
+    The oracle replays both stages with the identical left-fold dot
+    product, so the two-stage cut and the final cosines match bit-exactly.
+    The scale story is the point: the prefix slice is the memory-resident
+    index (MRL embeddings front-load signal), full vectors are touched for
+    |Q| x 20 rows only."""
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        prefix_dim_rerank_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = prefix_dim_rerank_topk(e, q, k=3, prefix_dims=16, shortlist=20)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rnk"
+    )
+
+
+@query(
+    "s24_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               (c.label = q.ql) AS same,
+               {_duck_cosine('c.embedding', 'q.qv')} AS cosine
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    best AS (
+        SELECT query_id, same, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id, same
+                    ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT p.query_id,
+           CAST(p.vec_id AS BIGINT) AS pos_id,
+           round(p.cosine, 4) AS pos_cosine,
+           CAST(n.vec_id AS BIGINT) AS neg_id,
+           round(n.cosine, 4) AS neg_cosine,
+           round(p.cosine - n.cosine, 4) AS margin
+    FROM (SELECT * FROM best WHERE same AND rk = 1) p
+    JOIN (SELECT * FROM best WHERE NOT same AND rk = 1) n USING (query_id)
+    ORDER BY query_id
+    """,
+    tags=("similarity", "contrastive", "training-data"),
+)
+def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: nearest same-label neighbor (positive) and
+    nearest different-label neighbor (hard negative) per query vector,
+    with the triplet margin — the mining step of a retrieval fine-tune.
+    The engine's per-side argmax is a map-side-combinable
+    max(struct(cosine, -vec_id)) hash aggregate (no corpus-wide ranking
+    window); the oracle uses an explicit rank-1 window, same tie order."""
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negative_pairs(e, q)
+
+
+@query(
+    "d39_dsir_importance",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+    raw AS (SELECT t, count(*) AS cr FROM tok GROUP BY t),
+    tgt AS (SELECT t, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY t),
+    vocab AS (SELECT r.t, r.cr, coalesce(g.ct, 0) AS ct
+              FROM raw r LEFT JOIN tgt g USING (t)),
+    scal AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM vocab),
+    ratio AS (
+      SELECT t,
+             CAST(round((ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v)))
+                        * 1000000.0) AS BIGINT) AS rq
+      FROM vocab, scal
+    ),
+    doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(rq) AS BIGINT) AS weight_q
+      FROM tok JOIN ratio USING (t) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, n_tokens,
+           round(weight_q * 1.0 / n_tokens / 1000000.0, 4) AS log_ratio
+    FROM doc JOIN documents d USING (doc_id)
+    WHERE d.lang <> 'en'
+    ORDER BY weight_q * 1.0 / n_tokens DESC, d.doc_id
+    LIMIT 25
+    """,
+    tags=("dedup", "selection", "dsir"),
+)
+def d39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling signal (Xie et al. 2023) with lang='en'
+    as the target set: which NON-target documents score most target-like
+    under the unigram likelihood-ratio model — the top of the selection
+    list a "find more data like my target" pipeline would keep. Per-token
+    ratios are quantized to integer micro-nats on the vocabulary table, so
+    the per-doc accumulation is an exact integer sum (order-independent
+    under any partitioning); the only doubles are the vocab-sized ln()
+    terms and one final division, computed with the identical expression
+    tree in the oracle."""
+    from guardian_for_apache_kafka_spark.operators.text import dsir_importance_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    w = dsir_importance_weights(d, target=F.col("lang") == "en")
+    out = (
+        w.join(d.select("doc_id", "lang"), "doc_id")
+        .where(F.col("lang") != "en")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(F.col("weight_q") * 1.0 / F.col("n_tokens") / 1e6, 4).alias(
+                "log_ratio"
+            ),
+            (F.col("weight_q") * 1.0 / F.col("n_tokens")).alias("__o"),
+        )
+        .orderBy(F.col("__o").desc(), "doc_id")
+        .limit(25)
+        .drop("__o")
+    )
+    return out
+
+
+@query(
+    "t41_ngram_diversity",
+    oracle="""
+    WITH tok AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT source, n,
+             unnest(list_transform(range(len(tk) - n + 1),
+                    i -> md5(array_to_string(tk[i+1:i+n], ' ')))) AS h
+      FROM tok CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) ns
+      WHERE len(tk) >= n
+    )
+    SELECT source, CAST(n AS INT) AS n,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT h) AS BIGINT) AS distinct_ngrams,
+           round(count(DISTINCT h) * 1.0 / count(*), 4) AS diversity
+    FROM g GROUP BY source, n ORDER BY source, n
+    """,
+    tags=("text", "diversity", "repetition"),
+)
+def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity profile (distinct/total n-grams at
+    n=1/2/3) — the generalized type-token ratio that flags template-spam
+    sources before they flood a training mix. The exploded exchange
+    carries (source, n, md5 digest) only; counts are exact integers."""
+    from guardian_for_apache_kafka_spark.operators.text import ngram_diversity_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_diversity_profile(d).orderBy("source", "n")
+
+
+@query(
+    "p19_length_bucket_padding",
+    oracle="""
+    WITH caps AS (SELECT unnest([8, 16, 32, 64, 128, 256]) AS cap),
+    lens AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS d
+      FROM documents GROUP BY 1
+    ),
+    bucketed AS (
+      SELECT l.n, l.d, CAST(min(c.cap) AS BIGINT) AS cap
+      FROM lens l JOIN caps c ON c.cap >= l.n
+      GROUP BY l.n, l.d
+    ),
+    per AS (
+      SELECT cap, CAST(sum(d) AS BIGINT) AS n_docs,
+             CAST(sum(n * d) AS BIGINT) AS tokens
+      FROM bucketed GROUP BY cap
+    )
+    SELECT cap, n_docs, tokens,
+           CAST(n_docs * cap - tokens AS BIGINT) AS bucket_padding,
+           CAST(n_docs * max(cap) OVER () - tokens AS BIGINT) AS naive_padding,
+           round((n_docs * max(cap) OVER () - tokens - (n_docs * cap - tokens))
+                 * 1.0 / nullif(n_docs * max(cap) OVER () - tokens, 0), 4)
+             AS saved_frac
+    FROM per ORDER BY cap
+    """,
+    tags=("pipeline", "packing", "batching"),
+)
+def p19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign each document to the
+    smallest power-of-two token cap that fits it and compare the padding
+    a bucketed dataloader pays (pad to the BUCKET cap) against naive
+    padding to the corpus-max cap — the standard pre-training batching
+    decision (bucketing typically saves most of the pad-token FLOPs).
+    The corpus collapses to the token-LENGTH domain first (one map-side
+    combined rollup; lengths are a few hundred distinct values at any
+    corpus size), so the cap assignment join and everything after is
+    domain-sized. Pure integer arithmetic plus one guarded division."""
+    d = load_table(spark, sf_dir, "documents")
+    caps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in (8, 16, 32, 64, 128, 256)])).alias("cap")
+    )
+    lens = d.groupBy(
+        F.size(F.split("text", " ")).cast("long").alias("n")
+    ).agg(F.count("*").cast("long").alias("d"))
+    bucketed = (
+        lens.join(F.broadcast(caps), F.col("cap") >= F.col("n"))
+        .groupBy("n", "d")
+        .agg(F.min("cap").cast("long").alias("cap"))
+    )
+    per = bucketed.groupBy("cap").agg(
+        F.sum("d").cast("long").alias("n_docs"),
+        F.sum(F.col("n") * F.col("d")).cast("long").alias("tokens"),
+    )
+    gmax = F.max("cap").over(Window.partitionBy())
+    bucket_pad = F.col("n_docs") * F.col("cap") - F.col("tokens")
+    naive_pad = F.col("n_docs") * gmax - F.col("tokens")
+    return per.select(
+        "cap",
+        "n_docs",
+        "tokens",
+        bucket_pad.cast("long").alias("bucket_padding"),
+        naive_pad.cast("long").alias("naive_padding"),
+        F.round(
+            (naive_pad - bucket_pad) * 1.0 / F.nullif(naive_pad, F.lit(0)), 4
+        ).alias("saved_frac"),
+    ).orderBy("cap")
+
+
+@query(
+    "g15_archive_gap_report",
+    oracle="""
+    WITH present AS (
+      SELECT DISTINCT event_type AS t, date_trunc('hour', ts) AS h FROM events
+    ),
+    b AS (SELECT min(h) AS h0, max(h) AS h1 FROM present),
+    hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+    types AS (SELECT DISTINCT t FROM present),
+    missing AS (
+      SELECT types.t, hours.h
+      FROM hours CROSS JOIN types
+      LEFT JOIN present ON present.t = types.t AND present.h = hours.h
+      WHERE present.t IS NULL
+    ),
+    runs AS (
+      SELECT t, h,
+             CAST(epoch(h) AS BIGINT) // 3600
+               - row_number() OVER (PARTITION BY t ORDER BY h) AS grp
+      FROM missing
+    ),
+    gaps AS (
+      SELECT t, grp, min(h) AS gap_start, CAST(count(*) AS BIGINT) AS gap_hours
+      FROM runs GROUP BY t, grp
+    )
+    SELECT types.t AS topic,
+           CAST(coalesce(sum(gap_hours), 0) AS BIGINT) AS missing_hours,
+           CAST(coalesce(count(gaps.grp), 0) AS BIGINT) AS n_gaps,
+           CAST(coalesce(max(gap_hours), 0) AS BIGINT) AS longest_gap_hours,
+           min(gap_start) AS first_gap_start
+    FROM types LEFT JOIN gaps ON gaps.t = types.t
+    GROUP BY types.t ORDER BY topic
+    """,
+    tags=("guardian", "maintenance", "audit"),
+)
+def g15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive completeness audit: for each topic (event_type as the topic
+    proxy, the g5 convention), find every run of consecutive hourly slices
+    with NO archived records inside the topic's global [first, last] hour
+    range — the monitoring check a guardian operator runs to distinguish
+    "quiet topic" from "backup pipeline silently stopped". Gap runs come
+    from the classic epoch-hour-minus-row-number grouping over the MISSING
+    set only; the hour x topic grid and everything after the one distinct
+    rollup is calendar-domain-sized (hours x topics), never record-scaled.
+    Topics with zero gaps still report (0, 0, 0, NULL)."""
+    ev = load_table(spark, sf_dir, "events")
+    present = ev.select(
+        F.col("event_type").alias("t"), F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    b = present.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = b.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = present.select("t").distinct()
+    missing = hours.crossJoin(types).join(present, ["t", "h"], "left_anti")
+    runs = missing.select(
+        "t",
+        "h",
+        (
+            F.floor(F.unix_timestamp("h") / 3600)
+            - F.row_number().over(Window.partitionBy("t").orderBy("h"))
+        ).alias("grp"),
+    )
+    gaps = runs.groupBy("t", "grp").agg(
+        F.min("h").alias("gap_start"), F.count("*").cast("long").alias("gap_hours")
+    )
+    return (
+        types.join(gaps, "t", "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("gap_hours"), F.lit(0)).cast("long").alias("missing_hours"),
+            F.count("grp").cast("long").alias("n_gaps"),
+            F.coalesce(F.max("gap_hours"), F.lit(0))
+            .cast("long")
+            .alias("longest_gap_hours"),
+            F.min("gap_start").alias("first_gap_start"),
+        )
+        .select(
+            F.col("t").alias("topic"),
+            "missing_hours",
+            "n_gaps",
+            "longest_gap_hours",
+            "first_gap_start",
+        )
+        .orderBy("topic")
+    )

@@ -7487,3 +7487,310 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(loc, 4).alias("gumbel_location"),
         F.round(p99, 4).alias("p99_weekly_peak"),
     ).orderBy("event_type")
+
+
+@query(
+    "q139_isotonic_calibration",
+    oracle="""
+    WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    b AS (
+      SELECT least(9, CAST(floor((value - vmin) / (vmax - vmin) * 10) AS BIGINT))
+               AS bucket,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events, s
+    ),
+    bins AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(is_p) AS BIGINT) AS pos
+      FROM b GROUP BY bucket
+    ),
+    segs AS (
+      SELECT j.bucket AS j, k.bucket AS k, sum(m.pos) * 1.0 / sum(m.n) AS seg
+      FROM bins j JOIN bins k ON k.bucket >= j.bucket
+      JOIN bins m ON m.bucket BETWEEN j.bucket AND k.bucket
+      GROUP BY 1, 2
+    ),
+    minseg AS (
+      SELECT i.bucket AS i, s2.j, min(s2.seg) AS ms
+      FROM bins i JOIN segs s2 ON s2.j <= i.bucket AND s2.k >= i.bucket
+      GROUP BY 1, 2
+    ),
+    fit AS (SELECT i, max(ms) AS fitted FROM minseg GROUP BY i)
+    SELECT bins.bucket, bins.n, bins.pos,
+           round(bins.pos * 1.0 / bins.n, 4) AS purchase_rate,
+           round(fit.fitted, 4) AS isotonic_rate
+    FROM bins JOIN fit ON fit.i = bins.bucket
+    ORDER BY bins.bucket
+    """,
+    tags=("relational", "statistics", "calibration"),
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of purchase rate against the event-value
+    axis — the monotone-regression step of probability calibration
+    (Zadrozny & Elkan 2002), computed by the minimax identity
+    fitted[i] = max_{j<=i} min_{k>=i} wavg(rate[j..k]) instead of the
+    sequential pool-adjacent-violators walk, because over the BUCKET
+    domain (10 rows after one corpus rollup) the O(B^3) closed form is
+    pure joins — no iteration, no UDF, and trivially deterministic: every
+    segment average is a single division of exact BIGINT sums, and min/max
+    over doubles are order-free. At 100 TB only the bucket rollup touches
+    the corpus (map-side combined); the bucketing expression (equal-width
+    over [vmin, vmax]) is the identical float tree on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    b = ev.crossJoin(F.broadcast(s)).select(
+        F.least(
+            F.lit(9).cast("long"),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 10
+            ),
+        ).alias("bucket"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+    )
+    bins = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"), F.sum("is_p").cast("long").alias("pos")
+    )
+    j = bins.select(F.col("bucket").alias("j"))
+    k = bins.select(F.col("bucket").alias("k"))
+    m = bins.select(F.col("bucket").alias("m"), "n", "pos")
+    segs = (
+        j.crossJoin(k)
+        .where(F.col("k") >= F.col("j"))
+        .join(m, (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg((F.sum("pos") * 1.0 / F.sum("n")).alias("seg"))
+    )
+    i = bins.select(F.col("bucket").alias("i"))
+    minseg = (
+        i.join(segs, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("seg").alias("ms"))
+    )
+    fit = minseg.groupBy("i").agg(F.max("ms").alias("fitted"))
+    return (
+        bins.join(fit, bins["bucket"] == fit["i"])
+        .select(
+            "bucket",
+            "n",
+            "pos",
+            F.round(F.col("pos") * 1.0 / F.col("n"), 4).alias("purchase_rate"),
+            F.round("fitted", 4).alias("isotonic_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q140_kaplan_meier",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS tmax FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(CAST(max(ts) AS DATE) - CAST(min(ts) AS DATE) AS BIGINT) AS dur,
+             CASE WHEN max(ts) < (SELECT tmax FROM mx) - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS observed
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(observed) AS BIGINT) AS churned
+      FROM u GROUP BY dur
+    ),
+    walked AS (
+      SELECT dur, churned, n_total,
+             (SELECT CAST(count(*) AS BIGINT) FROM u)
+               - CAST(coalesce(sum(n_total) OVER (ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS at_risk
+      FROM d
+    ),
+    km AS (
+      SELECT dur, at_risk, churned, n_total - churned AS censored,
+             min((at_risk - churned) * 1.0 / at_risk) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minf,
+             exp(sum(CASE WHEN churned < at_risk
+                          THEN ln((at_risk - churned) * 1.0 / at_risk) END)
+                 OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv
+      FROM walked
+    )
+    SELECT dur AS dur_days, at_risk, churned, CAST(censored AS BIGINT) AS censored,
+           round(CASE WHEN minf = 0 THEN 0.0 ELSE surv END, 4) AS survival
+    FROM km ORDER BY dur_days
+    """,
+    tags=("relational", "statistics", "survival"),
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user activity lifespans with right
+    censoring: a user's duration is last-minus-first activity day, and
+    users still active in the final 7 days of the observation window are
+    CENSORED (they count in the at-risk denominator up to their duration
+    but contribute no churn event) — the estimator retention analyses
+    should use instead of naive churn rates, which bias low. S(t) is the
+    running product of (at_risk - churned)/at_risk over the DAY domain
+    (~30 rows after one user rollup), computed as an ordered ln-sum fold
+    (both engines accumulate the same sequence -> bit-identical) with a
+    running-min guard so a zero factor yields exactly 0.0 rather than
+    engine-specific ln(0) behavior (Spark: NULL, DuckDB: -inf). Corpus
+    work: one user-keyed rollup, map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("__mn"), F.max("ts").alias("__mx"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(F.to_date("__mx"), F.to_date("__mn")).cast("long").alias("dur"),
+            (F.col("__mx") < F.col("tmax") - F.expr("INTERVAL 7 DAY"))
+            .cast("long")
+            .alias("observed"),
+        )
+    )
+    d = u.groupBy("dur").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("observed").cast("long").alias("churned"),
+    )
+    total = u.agg(F.count("*").cast("long").alias("__tot"))
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    walked = d.crossJoin(F.broadcast(total)).select(
+        "dur",
+        "churned",
+        "n_total",
+        (
+            F.col("__tot")
+            - F.coalesce(F.sum("n_total").over(wprev), F.lit(0)).cast("long")
+        ).alias("at_risk"),
+    )
+    wrun = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    factor = (F.col("at_risk") - F.col("churned")) * 1.0 / F.col("at_risk")
+    km = walked.select(
+        "dur",
+        "at_risk",
+        "churned",
+        (F.col("n_total") - F.col("churned")).cast("long").alias("censored"),
+        F.min(factor).over(wrun).alias("__minf"),
+        F.exp(
+            F.sum(
+                F.when(F.col("churned") < F.col("at_risk"), F.log(factor))
+            ).over(wrun)
+        ).alias("__surv"),
+    )
+    return km.select(
+        F.col("dur").alias("dur_days"),
+        "at_risk",
+        "churned",
+        "censored",
+        F.round(
+            F.when(F.col("__minf") == 0, F.lit(0.0)).otherwise(F.col("__surv")), 4
+        ).alias("survival"),
+    ).orderBy("dur_days")
+
+
+@query(
+    "q141_jsd_drift",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, event_type AS et,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    weeks AS (SELECT DISTINCT wk FROM counts),
+    types AS (SELECT DISTINCT et FROM counts),
+    grid AS (
+      SELECT w.wk, t.et, coalesce(c.c, 0) AS c,
+             sum(coalesce(c.c, 0)) OVER (PARTITION BY w.wk) AS n
+      FROM weeks w CROSS JOIN types t
+      LEFT JOIN counts c ON c.wk = w.wk AND c.et = t.et
+    ),
+    pairs AS (
+      SELECT cur.wk, cur.et,
+             cur.c * 1.0 / cur.n AS p,
+             prv.c * 1.0 / prv.n AS q,
+             cur.n AS n_curr, prv.n AS n_prev
+      FROM grid cur JOIN grid prv
+        ON prv.wk + 7 = cur.wk AND prv.et = cur.et
+    ),
+    terms AS (
+      SELECT wk, et, n_curr, n_prev,
+             (CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0.0 END)
+           + (CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0.0 END)
+               AS term
+      FROM pairs
+    )
+    SELECT wk AS week,
+           CAST(max(n_curr) AS BIGINT) AS n_curr,
+           CAST(max(n_prev) AS BIGINT) AS n_prev,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                          list(term ORDER BY et)),
+                             (a, x) -> a + x), 6) AS jsd
+    FROM terms GROUP BY wk ORDER BY week
+    """,
+    tags=("relational", "statistics", "drift"),
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week Jensen-Shannon divergence of the event-type mix —
+    the bounded, symmetric drift metric (0 <= JSD <= ln 2) that
+    complements q109's PSI (which explodes on near-empty bins; JSD
+    doesn't). Distributions live on the dense week x type grid (domains
+    derived from the AGGREGATED counts frame, never a second corpus
+    scan), absent types contribute their closed-form 0*ln0 = 0 / q*ln2
+    terms, and the ~5 per-week terms fold in event-type order on both
+    engines (the q127 sorted-fold discipline) so the float statistic is
+    bit-identical. One corpus rollup; everything after is grid-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.to_date(F.date_trunc("week", "ts")).alias("wk"),
+        F.col("event_type").alias("et"),
+    ).agg(F.count("*").alias("c"))
+    weeks = counts.select("wk").distinct()
+    types = counts.select("et").distinct()
+    grid = (
+        weeks.crossJoin(types)
+        .join(counts, ["wk", "et"], "left")
+        .select(
+            "wk",
+            "et",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .withColumn("n", F.sum("c").over(Window.partitionBy("wk")))
+    )
+    prv = grid.select(
+        F.date_add(F.col("wk"), 7).alias("wk"),
+        "et",
+        F.col("c").alias("__pc"),
+        F.col("n").alias("__pn"),
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    q = F.col("__pc") * 1.0 / F.col("__pn")
+    mmid = (p + q) / 2
+    term = F.when(p > 0, 0.5 * p * F.log(p / mmid)).otherwise(0.0) + F.when(
+        q > 0, 0.5 * q * F.log(q / mmid)
+    ).otherwise(0.0)
+    pairs = grid.join(prv, ["wk", "et"]).select(
+        "wk",
+        "et",
+        F.col("n").alias("n_curr"),
+        F.col("__pn").alias("n_prev"),
+        term.alias("term"),
+    )
+    return (
+        pairs.groupBy("wk")
+        .agg(
+            F.max("n_curr").cast("long").alias("n_curr"),
+            F.max("n_prev").cast("long").alias("n_prev"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("et", "term"))),
+                        lambda s: s["term"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("jsd"),
+        )
+        .select(F.col("wk").alias("week"), "n_curr", "n_prev", "jsd")
+        .orderBy("week")
+    )

@@ -296,3 +296,228 @@ def test_d38_tertiles_partition_each_lang(spark, sf_dir, run):
         assert sum(ns) == counts[lang]
         assert max(ns) - min(ns) <= 1
         assert buckets["head"].max_ce <= buckets["tail"].min_ce + 1e-9
+
+
+def _docs_dir(spark, rows):
+    """Write a synthetic documents table and return its sf_dir."""
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_q139_isotonic_is_monotone_and_brackets_rates(run):
+    """PAV output must be non-decreasing in the bucket order, stay inside
+    [0, 1], and preserve the weighted mean of the raw rates (the
+    projection property of isotonic regression)."""
+    rows = run("q139_isotonic_calibration").collect()
+    fitted = [r.isotonic_rate for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(fitted, fitted[1:])), fitted
+    assert all(0.0 <= f <= 1.0 for f in fitted)
+    n = sum(r.n for r in rows)
+    raw_mass = sum(r.pos for r in rows)
+    fit_mass = sum(r.isotonic_rate * r.n for r in rows)
+    # rounding to 4dp perturbs each bucket by <= 5e-5
+    assert abs(fit_mass - raw_mass) <= 5e-5 * n + 1e-6, (fit_mass, raw_mass)
+
+
+def test_q139_pav_equals_sequential_pool_adjacent(spark):
+    """The minimax closed form must equal the classic sequential PAV walk
+    on a planted non-monotone rate sequence."""
+    qs = all_queries()
+    rows = []
+    eid = 0
+    # 10 value buckets with rates deliberately violating monotonicity
+    rates = [0.1, 0.5, 0.2, 0.2, 0.8, 0.4, 0.6, 0.9, 0.7, 1.0]
+    for b, rate in enumerate(rates):
+        for i in range(20):
+            et = "purchase" if i < round(rate * 20) else "view"
+            rows.append((eid, "2024-01-05 10:00:00", 1, et, b + 0.5, "{}"))
+            eid += 1
+    d = _events_dir(spark, rows)
+    out = qs["q139_isotonic_calibration"](spark, d).collect()
+    # sequential PAV on the same bins
+    blocks = [[r.pos, r.n] for r in out]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    expanded = []
+    for pos, n in blocks:
+        rate = pos / n
+        # each merged block spans (n / 20) original buckets of 20 events
+        expanded.extend([rate] * (n // 20))
+    got = [r.isotonic_rate for r in out]
+    assert len(expanded) == len(got)
+    for g, e in zip(got, expanded):
+        assert abs(g - e) <= 5e-5, (got, expanded)
+
+
+def test_q140_km_survival_decreasing_and_bounded(run):
+    """KM survival must start <= 1, be non-increasing over duration, and
+    at-risk counts must telescope down by exactly the day-group sizes."""
+    rows = run("q140_kaplan_meier").collect()
+    surv = [r.survival for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(b <= a + 1e-9 for a, b in zip(surv, surv[1:])), surv
+    for prev, cur in zip(rows, rows[1:]):
+        drop = prev.churned + prev.censored
+        assert cur.at_risk == prev.at_risk - drop, (prev, cur)
+
+
+def test_q140_km_known_answer(spark):
+    """Textbook KM check: 4 users — durations 1 (churn), 2 (churn),
+    2 (censored), 3 (churn) => S(1)=0.75, S(2)=0.5, S(3)=0."""
+    rows = []
+    eid = 0
+    # observation window wide enough that only the day-28 user is censored
+    specs = [
+        (1, "2024-01-01", "2024-01-02"),   # dur 1, churn
+        (2, "2024-01-01", "2024-01-03"),   # dur 2, churn
+        (3, "2024-01-26", "2024-01-28"),   # dur 2, censored (active at end)
+        (4, "2024-01-01", "2024-01-04"),   # dur 3, churn
+    ]
+    for uid, a, b in specs:
+        rows.append((eid, f"{a} 08:00:00", uid, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, f"{b} 08:00:00", uid, "view", 1.0, "{}")); eid += 1
+    d = _events_dir(spark, rows)
+    out = {r.dur_days: r for r in all_queries()["q140_kaplan_meier"](spark, d).collect()}
+    assert out[1].survival == 0.75
+    # at dur 2: at_risk 3, churned 1, censored 1 -> S = 0.75 * 2/3 = 0.5
+    assert out[2].at_risk == 3 and out[2].churned == 1 and out[2].censored == 1
+    assert out[2].survival == 0.5
+    # at dur 3: at_risk 1, churned 1 -> S = 0 (zero-factor guard path)
+    assert out[3].survival == 0.0
+
+
+def test_q141_jsd_bounds_and_identity(spark, run):
+    """JSD is bounded by ln 2 and is exactly 0 for identical weekly
+    distributions."""
+    import math
+
+    rows = run("q141_jsd_drift").collect()
+    assert all(0.0 <= r.jsd <= math.log(2) + 1e-9 for r in rows)
+    # planted: two weeks with the identical type mix -> jsd == 0
+    synth = []
+    eid = 0
+    for day in ("2024-01-01", "2024-01-08"):
+        for et, k in (("view", 10), ("click", 5)):
+            for _ in range(k):
+                synth.append((eid, f"{day} 10:00:00", 1, et, 1.0, "{}"))
+                eid += 1
+    d = _events_dir(spark, synth)
+    out = all_queries()["q141_jsd_drift"](spark, d).collect()
+    assert len(out) == 1 and out[0].jsd == 0.0
+
+
+def test_s23_matryoshka_matches_exact_when_shortlist_is_corpus(spark, sf_dir):
+    """With shortlist >= corpus size the two-stage rerank must equal the
+    brute-force exact top-k (the coarse stage only prunes)."""
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        cosine_topk,
+        prefix_dim_rerank_topk,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.rnk): r.vec_id for r in cosine_topk(e, q, k=3).collect()}
+    two = {
+        (r.query_id, r.rnk): r.vec_id
+        for r in prefix_dim_rerank_topk(e, q, k=3, prefix_dims=16, shortlist=10**9).collect()
+    }
+    assert exact == two
+
+
+def test_s24_margin_and_sides(spark, sf_dir, run):
+    """Positive/negative labels must actually match/differ from the query
+    label, and margin must equal pos_cosine - neg_cosine (+-1 ulp of 4dp)."""
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    for r in run("s24_hard_negative_mining").collect():
+        assert labels[r.pos_id] == labels[r.query_id]
+        assert labels[r.neg_id] != labels[r.query_id]
+        assert abs(r.margin - (r.pos_cosine - r.neg_cosine)) <= 2e-4
+
+
+def test_d39_target_lookalikes_score_above_background(spark):
+    """Planted corpus: non-target docs written in the target's vocabulary
+    must outscore non-target docs in a disjoint vocabulary."""
+    qs = all_queries()
+    rows = []
+    # target: english-ish vocab
+    for i in range(20):
+        rows.append((i, "the quick brown fox jumps over the lazy dog", "en", "srcA", 40))
+    # lookalike non-target: same vocab, different lang tag
+    for i in range(20, 25):
+        rows.append((i, "the quick brown fox", "fr", "srcB", 19))
+    # background non-target: disjoint vocab
+    for i in range(25, 30):
+        rows.append((i, "zzz yyy xxx www vvv", "de", "srcC", 19))
+    d = _docs_dir(spark, rows)
+    out = qs["d39_dsir_importance"](spark, d).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.log_ratio)
+    assert min(by_lang["fr"]) > max(by_lang["de"]), out
+
+
+def test_t41_diversity_detects_template_spam(spark):
+    """A source of identical documents must show far lower trigram
+    diversity than a source of distinct documents."""
+    qs = all_queries()
+    rows = []
+    for i in range(50):
+        rows.append((i, "copy paste boilerplate terms and conditions apply", "en", "spam", 49))
+    for i in range(50, 100):
+        rows.append((i, f"unique document number {i} about topic {i*7%31} here", "en", "fresh", 40))
+    d = _docs_dir(spark, rows)
+    out = {(r.source, r.n): r for r in qs["t41_ngram_diversity"](spark, d).collect()}
+    assert out[("spam", 3)].diversity < 0.05
+    assert out[("fresh", 3)].diversity > 0.5
+    # totals conserve: per doc, total n-grams = sum_docs max(len - n + 1, 0)
+    assert out[("spam", 1)].total_ngrams == 50 * 7
+
+
+def test_p19_padding_accounting(run):
+    """Bucketed padding must never exceed naive padding, every doc fits its
+    cap, and saved_frac is consistent with the two padding columns."""
+    rows = run("p19_length_bucket_padding").collect()
+    for r in rows:
+        assert 0 <= r.bucket_padding <= r.naive_padding
+        assert r.tokens <= r.cap * r.n_docs
+        if r.naive_padding > 0:
+            expect = (r.naive_padding - r.bucket_padding) / r.naive_padding
+            assert abs(r.saved_frac - expect) <= 5e-5
+
+
+def test_g15_planted_gap_is_found(spark):
+    """Remove a 3-hour block from one topic's otherwise-dense stream: the
+    report must show exactly that gap for that topic and zero for a dense
+    topic."""
+    rows = []
+    eid = 0
+    for h in range(24):
+        if h not in (10, 11, 12):
+            rows.append((eid, f"2024-01-01 {h:02d}:30:00", 1, "gappy", 1.0, "{}"))
+            eid += 1
+        rows.append((eid, f"2024-01-01 {h:02d}:15:00", 2, "dense", 1.0, "{}"))
+        eid += 1
+    d = _events_dir(spark, rows)
+    out = {r.topic: r for r in all_queries()["g15_archive_gap_report"](spark, d).collect()}
+    assert out["dense"].missing_hours == 0 and out["dense"].n_gaps == 0
+    assert out["dense"].first_gap_start is None
+    g = out["gappy"]
+    assert g.missing_hours == 3 and g.n_gaps == 1 and g.longest_gap_hours == 3
+    assert str(g.first_gap_start) == "2024-01-01 10:00:00"
