@@ -192,3 +192,66 @@ def weighted_median_walk(points: DataFrame, key_col: str = "flag") -> DataFrame:
         )
         .orderBy(key_col)
     )
+
+
+def jsd_weekly_drift(counts: DataFrame) -> DataFrame:
+    """Week-over-week Jensen-Shannon divergence from a (wk: date,
+    et: string, c: long) count table — the shared core of the q141 batch
+    query and the streaming drift monitor's rollup
+    (streaming/pipeline.jsd_rollup); the stream==batch equivalence test
+    rides on this single implementation.
+
+    Distributions live on the dense week x type grid whose domains come
+    from the AGGREGATED counts frame (never a corpus re-scan); absent
+    types contribute their closed-form limits (0*ln0 = 0, q*ln2); the
+    per-week terms fold in event-type order (the q127 sorted-fold
+    discipline) so the float statistic is bit-identical across engines
+    and partitionings. Everything here is grid-sized — the caller's
+    count rollup is the only corpus-scale work."""
+    weeks = counts.select("wk").distinct()
+    types = counts.select("et").distinct()
+    grid = (
+        weeks.crossJoin(types)
+        .join(counts, ["wk", "et"], "left")
+        .select("wk", "et", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("wk")))
+    )
+    prv = grid.select(
+        F.date_add(F.col("wk"), 7).alias("wk"),
+        "et",
+        F.col("c").alias("__pc"),
+        F.col("n").alias("__pn"),
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    q = F.col("__pc") * 1.0 / F.col("__pn")
+    mmid = (p + q) / 2
+    term = F.when(p > 0, 0.5 * p * F.log(p / mmid)).otherwise(0.0) + F.when(
+        q > 0, 0.5 * q * F.log(q / mmid)
+    ).otherwise(0.0)
+    pairs = grid.join(prv, ["wk", "et"]).select(
+        "wk",
+        "et",
+        F.col("n").alias("n_curr"),
+        F.col("__pn").alias("n_prev"),
+        term.alias("term"),
+    )
+    return (
+        pairs.groupBy("wk")
+        .agg(
+            F.max("n_curr").cast("long").alias("n_curr"),
+            F.max("n_prev").cast("long").alias("n_prev"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("et", "term"))),
+                        lambda s: s["term"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("jsd"),
+        )
+        .select(F.col("wk").alias("week"), "n_curr", "n_prev", "jsd")
+        .orderBy("week")
+    )

@@ -7737,60 +7737,16 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan), absent types contribute their closed-form 0*ln0 = 0 / q*ln2
     terms, and the ~5 per-week terms fold in event-type order on both
     engines (the q127 sorted-fold discipline) so the float statistic is
-    bit-identical. One corpus rollup; everything after is grid-sized."""
+    bit-identical. One corpus rollup; everything after is grid-sized.
+    The grid walk + fold live in operators/evaluation.jsd_weekly_drift,
+    shared verbatim with the streaming drift monitor's rollup
+    (streaming/pipeline.jsd_rollup)."""
+    from guardian_for_apache_kafka_spark.operators.evaluation import jsd_weekly_drift
+
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy(
         F.to_date(F.date_trunc("week", "ts")).alias("wk"),
         F.col("event_type").alias("et"),
     ).agg(F.count("*").alias("c"))
-    weeks = counts.select("wk").distinct()
-    types = counts.select("et").distinct()
-    grid = (
-        weeks.crossJoin(types)
-        .join(counts, ["wk", "et"], "left")
-        .select(
-            "wk",
-            "et",
-            F.coalesce("c", F.lit(0)).alias("c"),
-        )
-        .withColumn("n", F.sum("c").over(Window.partitionBy("wk")))
-    )
-    prv = grid.select(
-        F.date_add(F.col("wk"), 7).alias("wk"),
-        "et",
-        F.col("c").alias("__pc"),
-        F.col("n").alias("__pn"),
-    )
-    p = F.col("c") * 1.0 / F.col("n")
-    q = F.col("__pc") * 1.0 / F.col("__pn")
-    mmid = (p + q) / 2
-    term = F.when(p > 0, 0.5 * p * F.log(p / mmid)).otherwise(0.0) + F.when(
-        q > 0, 0.5 * q * F.log(q / mmid)
-    ).otherwise(0.0)
-    pairs = grid.join(prv, ["wk", "et"]).select(
-        "wk",
-        "et",
-        F.col("n").alias("n_curr"),
-        F.col("__pn").alias("n_prev"),
-        term.alias("term"),
-    )
-    return (
-        pairs.groupBy("wk")
-        .agg(
-            F.max("n_curr").cast("long").alias("n_curr"),
-            F.max("n_prev").cast("long").alias("n_prev"),
-            F.round(
-                F.aggregate(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("et", "term"))),
-                        lambda s: s["term"],
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ),
-                6,
-            ).alias("jsd"),
-        )
-        .select(F.col("wk").alias("week"), "n_curr", "n_prev", "jsd")
-        .orderBy("week")
-    )
+    return jsd_weekly_drift(counts)
+

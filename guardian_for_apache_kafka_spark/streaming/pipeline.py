@@ -1432,3 +1432,49 @@ def runs_test_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
     pts = spark.read.parquet(points_dir).distinct()
     daily = pts.groupBy("event_type", "x").agg(F.count("*").alias("y"))
     return runs_test_stats(daily)
+
+
+def stream_week_type_points(
+    events: DataFrame,
+    dest: str,
+    checkpoint: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the q141 JSD drift monitor — the live
+    distribution-shift gauge over the event-type mix: each micro-batch
+    appends one narrow row per event (event identity, ISO week start,
+    event type); ``jsd_rollup`` re-aggregates the week x type counts and
+    runs the SAME operators/evaluation.jsd_weekly_drift core as the
+    batch query. Crash-replayed batches append duplicates the rollup's
+    identity distinct removes (foreachBatch at-least-once, no state
+    store); counts are additive, so arrival order is irrelevant."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pts = batch_df.select(
+            F.col(id_col).alias("event_id"),
+            F.to_date(F.date_trunc("week", F.col(ts_col))).alias("wk"),
+            F.col(type_col).alias("et"),
+        )
+        pts.write.mode("append").parquet(dest)
+
+    writer = events.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def jsd_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
+    """Batch rollup over the accumulated week/type points — identical
+    output contract to q141 (week, n_curr, n_prev, jsd). The distinct on
+    event identity makes replays harmless; the count aggregate rebuilds
+    the week x type table and the shared JSD core does the rest."""
+    from guardian_for_apache_kafka_spark.operators.evaluation import jsd_weekly_drift
+
+    pts = spark.read.parquet(points_dir).distinct()
+    counts = pts.groupBy("wk", "et").agg(F.count("*").alias("c"))
+    return jsd_weekly_drift(counts)

@@ -1921,3 +1921,41 @@ def test_stream_randomness_monitors_equal_batch_q132_q133(spark, tmp_path):
     got_rt = {tuple(r) for r in runs_test_rollup(spark, dest).collect()}
     want_rt = {tuple(r) for r in qs["q133_runs_test"](spark, sfd).collect()}
     assert got_rt == want_rt
+
+
+def test_stream_jsd_equal_batch_q141_and_resumes(spark, tmp_path):
+    """Streaming week/type-point accumulation rolled up == the q141 batch
+    JSD drift report, across micro-batches, restart, and replayed
+    appends (identity distinct absorbs duplicates)."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        jsd_rollup,
+        stream_week_type_points,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "in")
+    n = ev.count()
+    first = ev.orderBy("event_id").limit(n // 2)
+    rest = ev.subtract(first)
+    first.coalesce(1).write.parquet(src)
+
+    dest, ckpt = str(tmp_path / "pts"), str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_week_type_points(stream, dest, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    want = [tuple(r) for r in all_queries()["q141_jsd_drift"](spark, sf).collect()]
+    got = [tuple(r) for r in jsd_rollup(spark, dest).collect()]
+    assert got == want
+    spark.read.parquet(dest).limit(50).write.mode("append").parquet(dest)
+    assert [tuple(r) for r in jsd_rollup(spark, dest).collect()] == want
