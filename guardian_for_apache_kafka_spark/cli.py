@@ -366,6 +366,13 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--before", type=_parse_from_when, default=None,
                     help="slices strictly before this ISO-8601 time expire")
 
+    gp = sub.add_parser("gaps", help="missing-slice gap report for a calendar-"
+                        "aligned archive (did the backup pipeline silently stop?)")
+    common(gp)
+    gp.add_argument("--dest", required=False, default=None, help="archive directory")
+    gp.add_argument("--step-minutes", type=int, default=60,
+                    help="expected slice cadence (default hourly)")
+
     m = sub.add_parser("maintain", help="small-file compaction of a JSON-lines archive")
     common(m)
     m.add_argument("--dest", required=False, default=None, help="archive directory")
@@ -685,6 +692,25 @@ def main(argv: list[str] | None = None) -> int:
             d = row.asDict()
             d["slice_ts"] = d["slice_ts"].isoformat()
             print(json.dumps(d))
+        return 0
+
+    if args.command == "gaps":
+        from guardian_for_apache_kafka_spark.operators.maintenance import (
+            archive_gap_report,
+        )
+
+        if not args.dest:
+            raise SystemExit("--dest is required for gaps")
+        rows = archive_gap_report(
+            spark, args.dest, step_minutes=args.step_minutes
+        ).collect()
+        for row in rows:
+            d = row.asDict()
+            d["gap_start"] = d["gap_start"].isoformat()
+            d["gap_end"] = d["gap_end"].isoformat()
+            print(json.dumps(d))
+        if not rows:
+            print(json.dumps({"gaps": 0, "status": "complete"}))
         return 0
 
     if args.command == "maintain":

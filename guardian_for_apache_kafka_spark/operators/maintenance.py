@@ -765,3 +765,55 @@ def write_topic_zonemap(spark: SparkSession, dest: str) -> str:
     write_bytes, *_ = _fs_ops(dest)
     write_bytes(ZONEMAP_NAME, _json.dumps(payload, sort_keys=True).encode())
     return f"{dest.rstrip('/')}/{ZONEMAP_NAME}"
+
+
+def archive_gap_report(spark: SparkSession, dest: str, step_minutes: int = 60) -> "DataFrame":
+    """Missing-slice runs in a calendar-aligned archive: list the slice
+    keys (names only — no data read), parse their times with the SAME key
+    parser restore ordering uses (core/timeslice.key_to_datetime), build
+    the expected ``step_minutes`` grid between the first and last slice,
+    and report every CONTIGUOUS run of expected-but-absent slices — the
+    "did the backup pipeline silently stop?" monitoring check for a
+    ChronoUnitSlice archive (g15 runs the same shape on live event data;
+    this one runs on the archive itself, scheme-generic via the Hadoop FS
+    listing). Returns one row per gap (gap_start, gap_end, missing_slices)
+    ordered by gap_start — empty means the timeline is complete.
+
+    Driver work is slice-count bounded (one listing, like
+    plan_retention); the grid arithmetic is calendar-domain-sized and runs
+    as DataFrame ops (epoch-step row-number run grouping)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators.restore import list_backup_keys
+
+    keys = list_backup_keys(dest, spark)
+    times = [(_slice_time(k).replace(tzinfo=None),) for k in keys]
+    if not times:
+        raise ValueError(f"no slice keys under {dest}")
+    present = spark.createDataFrame(times, "h timestamp").distinct()
+    step = int(step_minutes) * 60
+    b = present.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    expected = b.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr(f"INTERVAL {step} SECOND"))
+        ).alias("h")
+    )
+    missing = expected.join(present, "h", "left_anti")
+    runs = missing.select(
+        "h",
+        (
+            F.floor(F.unix_timestamp("h") / step)
+            - F.row_number().over(Window.orderBy("h"))
+        ).alias("grp"),
+    )
+    return (
+        runs.groupBy("grp")
+        .agg(
+            F.min("h").alias("gap_start"),
+            F.max("h").alias("gap_end"),
+            F.count("*").cast("long").alias("missing_slices"),
+        )
+        .drop("grp")
+        .orderBy("gap_start")
+    )

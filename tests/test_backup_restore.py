@@ -1678,3 +1678,48 @@ def test_guardian_datasource_topic_zonemap_pruning(spark, tmp_path):
         .where(F.col("topic") == "A")
     )
     assert got2.count() == want.count() + 1
+
+
+def test_archive_gap_report_finds_planted_gap(spark, tmp_path):
+    """Write a DENSE hourly archive, delete two consecutive interior slice
+    directories, and the gap report must show exactly that one run (and
+    be empty before the deletion). Also drives the CLI verb."""
+    import shutil
+    import subprocess
+    import sys
+
+    from guardian_for_apache_kafka_spark.operators.maintenance import archive_gap_report
+
+    dense = spark.createDataFrame(
+        [
+            ("t", 0, i, None, b"v%d" % i, dt.datetime(2024, 1, 1, h, 30), 0)
+            for i, h in enumerate(range(8))
+        ],
+        "topic string, partition int, offset long, key binary, value binary, "
+        "timestamp timestamp, timestamp_type int",
+    )
+    dest = str(tmp_path / "gapped")
+    backup_batch(dense, dest, ChronoUnitSlice("HOURS"), fmt="json")
+    dirs = sorted(d for d in os.listdir(dest) if d.startswith("slice="))
+    assert len(dirs) >= 5, dirs
+    assert archive_gap_report(spark, dest).count() == 0
+
+    for victim in dirs[2:4]:
+        shutil.rmtree(os.path.join(dest, victim))
+    gaps = archive_gap_report(spark, dest).collect()
+    assert len(gaps) == 1
+    g = gaps[0]
+    assert g.missing_slices == 2
+    assert (g.gap_end - g.gap_start).total_seconds() == 3600
+
+    out = subprocess.run(
+        [sys.executable, "-m", "guardian_for_apache_kafka_spark", "gaps",
+         "--dest", dest],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json as _json
+
+    lines = [_json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert any(d.get("missing_slices") == 2 for d in lines), out.stdout
