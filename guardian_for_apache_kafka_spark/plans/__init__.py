@@ -75,6 +75,8 @@ _NEW_THIS_ROUND = frozenset({
     "t41_ngram_diversity", "q139_isotonic_calibration",
     "q140_kaplan_meier", "q141_jsd_drift",
     "p19_length_bucket_padding", "g15_archive_gap_report",
+    "q142_conditional_entropy", "q143_quantile_shape",
+    "g16_offset_continuity", "p20_token_budget_curation",
 })
 
 _VERY_STALE_ROUND = 5  # attested at or before this round => guaranteed slot

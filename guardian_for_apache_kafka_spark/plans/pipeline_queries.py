@@ -8925,3 +8925,79 @@ def g15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic")
     )
+
+
+@query(
+    "p20_token_budget_curation",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents
+    ),
+    budget AS (SELECT CAST(floor(sum(n_tokens) * 0.5) AS BIGINT) AS b FROM scored),
+    walked AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (ORDER BY ttr DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN run <= (SELECT b FROM budget) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN run <= (SELECT b FROM budget) THEN n_tokens
+                    ELSE 0 END) AS BIGINT) AS selected_tokens,
+           round(sum(CASE WHEN run <= (SELECT b FROM budget) THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS selection_rate
+    FROM walked GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "curation", "budget"),
+)
+def p20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: rank every document by a quality score
+    (type-token ratio here — any score column plugs in) and keep the best
+    until the cumulative token count hits the budget (half the corpus),
+    then report per-source selection yield — the "we can only afford N
+    tokens" cut every data-constrained pretraining run makes. The global
+    ordered accumulation is operators/layout.global_running_sum (the
+    two-pass range-partitioned prefix sum), so the plan has NO corpus-
+    sized single-partition window — the q113/q115 hardening applied to a
+    corpus-scaled curation decision. (ttr, doc_id) is a total order, so
+    the RANGE-frame tie contract coincides with the oracle's ROWS frame."""
+    from guardian_for_apache_kafka_spark.operators.layout import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(tk).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(tk)) * 1.0 / F.size(tk)).alias("ttr"),
+    )
+    budget = scored.agg(
+        F.floor(F.sum("n_tokens") * 0.5).cast("long").alias("b")
+    )
+    walked = global_running_sum(
+        scored, [F.col("ttr").desc(), F.col("doc_id")], "n_tokens", out="run"
+    )
+    sel = F.col("run") <= F.col("b")
+    return (
+        walked.crossJoin(F.broadcast(budget))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum(sel.cast("long")).cast("long").alias("n_selected"),
+            F.sum(F.when(sel, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("selected_tokens"),
+            F.round(F.sum(sel.cast("long")) * 1.0 / F.count("*"), 4).alias(
+                "selection_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -7750,3 +7750,195 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("c"))
     return jsd_weekly_drift(counts)
 
+
+
+@query(
+    "q142_conditional_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    cnt AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    probs AS (
+      SELECT cur, nxt, c,
+             sum(c) OVER (PARTITION BY cur) AS n,
+             (c * 1.0 / sum(c) OVER (PARTITION BY cur))
+               * ln(c * 1.0 / sum(c) OVER (PARTITION BY cur)) AS term
+      FROM cnt
+    )
+    SELECT cur AS from_type,
+           CAST(max(n) AS BIGINT) AS n_transitions,
+           round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                           list(term ORDER BY nxt)),
+                              (a, x) -> a + x), 6) AS cond_entropy,
+           round(exp(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                               list(term ORDER BY nxt)),
+                                  (a, x) -> a + x)), 4) AS perplexity
+    FROM probs GROUP BY cur ORDER BY from_type
+    """,
+    tags=("relational", "statistics", "information"),
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next | current) of the per-user event-type
+    chain — the information-theoretic summary of q98's Markov matrix: how
+    predictable is the next action given the current one, reported with
+    its perplexity (effective branching factor). One user-keyed window
+    builds transitions (the only corpus exchange); the matrix is
+    |types|^2, the per-state terms fold in next-type order (q127
+    discipline) so even the float entropies are bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count("*").alias("c"))
+    n = F.sum("c").over(Window.partitionBy("cur"))
+    p = F.col("c") * 1.0 / n
+    probs = cnt.select("cur", "nxt", n.alias("n"), (p * F.log(p)).alias("term"))
+    folded = probs.groupBy("cur").agg(
+        F.max("n").cast("long").alias("n_transitions"),
+        (
+            -F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("nxt", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("__h"),
+    )
+    return folded.select(
+        F.col("cur").alias("from_type"),
+        "n_transitions",
+        F.round("__h", 6).alias("cond_entropy"),
+        F.round(F.exp("__h"), 4).alias("perplexity"),
+    ).orderBy("from_type")
+
+
+@query(
+    "q143_quantile_shape",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    oct AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(cents, 0.125) AS e1, quantile_cont(cents, 0.25) AS e2,
+             quantile_cont(cents, 0.375) AS e3, quantile_cont(cents, 0.5) AS e4,
+             quantile_cont(cents, 0.625) AS e5, quantile_cont(cents, 0.75) AS e6,
+             quantile_cont(cents, 0.875) AS e7
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor(e2) / 100 AS q1, floor(e4) / 100 AS median, floor(e6) / 100 AS q3,
+           floor((e6 + e2 - 2 * e4) / nullif(e6 - e2, 0) * 10000) / 10000
+             AS bowley_skew,
+           floor(((e7 - e5) + (e3 - e1)) / nullif(e6 - e2, 0) * 10000) / 10000
+             AS moors_kurtosis
+    FROM oct ORDER BY event_type
+    """,
+    tags=("relational", "statistics", "robust"),
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based robust shape statistics per event type: Bowley
+    (quartile) skewness and Moors (octile) kurtosis — the outlier-immune
+    alternatives to moment skew/kurtosis, computed from exact interpolated
+    octiles over integer CENTS (the q31 percentile contract: both engines
+    interpolate lower + (upper-lower)*frac, and with integer inputs at
+    k/8 ranks the interpolation fracs are exact binary, so the octiles
+    are bit-identical). Displays truncate with floor (no HALF_UP hazard).
+    At scale: a per-group sort, with q24's sketches as the 100 TB path —
+    this is the exactness anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    e = {
+        k: F.expr(f"percentile(cents, {k / 8.0}D)")
+        for k in range(1, 8)
+    }
+    oct_ = c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        *[e[k].alias(f"e{k}") for k in range(1, 8)],
+    )
+    iqr = F.nullif(F.col("e6") - F.col("e2"), F.lit(0))
+    return oct_.select(
+        "event_type",
+        "n",
+        (F.floor(F.col("e2")) / 100).alias("q1"),
+        (F.floor(F.col("e4")) / 100).alias("median"),
+        (F.floor(F.col("e6")) / 100).alias("q3"),
+        (
+            F.floor((F.col("e6") + F.col("e2") - 2 * F.col("e4")) / iqr * 10000)
+            / 10000
+        ).alias("bowley_skew"),
+        (
+            F.floor(
+                ((F.col("e7") - F.col("e5")) + (F.col("e3") - F.col("e1")))
+                / iqr
+                * 10000
+            )
+            / 10000
+        ).alias("moors_kurtosis"),
+    ).orderBy("event_type")
+
+
+@query(
+    "g16_offset_continuity",
+    oracle="""
+    SELECT event_type AS topic,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(min(event_id) AS BIGINT) AS min_offset,
+           CAST(max(event_id) AS BIGINT) AS max_offset,
+           CAST(max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
+                AS BIGINT) AS holes,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS duplicates,
+           (max(event_id) - min(event_id) + 1 = count(*)
+             AND count(*) = count(DISTINCT event_id)) AS continuous
+    FROM events GROUP BY event_type ORDER BY topic
+    """,
+    tags=("guardian", "audit", "integrity"),
+)
+def g16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-continuity audit of a restored record set: per topic, does
+    the offset sequence cover its [min, max] span with no holes and no
+    duplicates — the invariant a Kafka restore must satisfy per
+    topic-partition (reference semantics: offsets are per-partition
+    monotone, ReducedConsumerRecord.scala:24-31), and the first thing to
+    check after a restore or replication. One map-side-combined rollup;
+    holes/duplicates are exact integer arithmetic on (count, distinct,
+    span). On the shared synthetic stream event_ids interleave across
+    types, so every topic reports its true hole count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("topic"))
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.min("event_id").cast("long").alias("min_offset"),
+            F.max("event_id").cast("long").alias("max_offset"),
+            (
+                F.max("event_id")
+                - F.min("event_id")
+                + 1
+                - F.countDistinct("event_id")
+            )
+            .cast("long")
+            .alias("holes"),
+            (F.count("*") - F.countDistinct("event_id"))
+            .cast("long")
+            .alias("duplicates"),
+            (
+                (F.max("event_id") - F.min("event_id") + 1 == F.count("*"))
+                & (F.count("*") == F.countDistinct("event_id"))
+            ).alias("continuous"),
+        )
+        .orderBy("topic")
+    )

@@ -521,3 +521,103 @@ def test_g15_planted_gap_is_found(spark):
     g = out["gappy"]
     assert g.missing_hours == 3 and g.n_gaps == 1 and g.longest_gap_hours == 3
     assert str(g.first_gap_start) == "2024-01-01 10:00:00"
+
+
+def test_q142_deterministic_chain_has_zero_entropy(spark):
+    """A strictly alternating A->B->A->B stream has H(next|cur) == 0 and
+    perplexity == 1 for both states."""
+    rows = []
+    for i in range(40):
+        et = "view" if i % 2 == 0 else "click"
+        rows.append((i, f"2024-01-01 10:{i:02d}:00", 7, et, 1.0, "{}"))
+    d = _events_dir(spark, rows)
+    out = all_queries()["q142_conditional_entropy"](spark, d).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.cond_entropy == 0.0 and r.perplexity == 1.0
+
+
+def test_q142_uniform_branching_hits_ln_k(spark):
+    """A state whose successor is uniform over 4 types has H = ln 4 and
+    perplexity = 4."""
+    import math
+
+    rows = []
+    eid = 0
+    nxts = ["a", "b", "c", "d"]
+    for rep in range(8):
+        for nxt in nxts:
+            rows.append((eid, f"2024-01-01 10:{eid:02d}:00" if eid < 60 else f"2024-01-01 11:{eid-60:02d}:00", 1, "hub", 1.0, "{}"))
+            eid += 1
+            rows.append((eid, f"2024-01-01 10:{eid:02d}:00" if eid < 60 else f"2024-01-01 11:{eid-60:02d}:00", 1, nxt, 1.0, "{}"))
+            eid += 1
+    d = _events_dir(spark, rows)
+    out = {r.from_type: r for r in all_queries()["q142_conditional_entropy"](spark, d).collect()}
+    hub = out["hub"]
+    assert abs(hub.cond_entropy - math.log(4)) <= 1e-6
+    assert abs(hub.perplexity - 4.0) <= 1e-4
+
+
+def test_q143_symmetric_distribution_has_zero_skew(spark):
+    """Values uniform on an odd integer ladder are symmetric: Bowley skew
+    exactly 0; octiles land on exact quarter-integer cents."""
+    rows = []
+    eid = 0
+    for v in range(1, 10):           # 1..9 dollars, symmetric around 5
+        for _ in range(4):
+            rows.append((eid, "2024-01-02 09:00:00", 1, "view", float(v), "{}"))
+            eid += 1
+    d = _events_dir(spark, rows)
+    r = all_queries()["q143_quantile_shape"](spark, d).collect()[0]
+    assert r.n == 36
+    assert r.bowley_skew == 0.0
+    assert r.median == 5.0 and r.q1 + r.q3 == 10.0
+
+
+def test_g16_planted_holes_and_duplicates(spark):
+    """One topic missing two interior offsets reports holes=2; a topic
+    with a replayed (duplicate) offset reports duplicates=1; a dense
+    topic is continuous."""
+    rows = []
+    for i in range(10):
+        if i not in (4, 5):
+            rows.append((i, "2024-01-01 10:00:00", 1, "holey", 1.0, "{}"))
+    for i in range(100, 105):
+        rows.append((i, "2024-01-01 10:00:00", 2, "dense", 1.0, "{}"))
+    for i in (200, 201, 201, 202):
+        rows.append((i, "2024-01-01 10:00:00", 3, "dupey", 1.0, "{}"))
+    d = _events_dir(spark, rows)
+    out = {r.topic: r for r in all_queries()["g16_offset_continuity"](spark, d).collect()}
+    assert out["holey"].holes == 2 and not out["holey"].continuous
+    assert out["dense"].holes == 0 and out["dense"].continuous
+    assert out["dupey"].duplicates == 1 and not out["dupey"].continuous
+
+
+def test_p20_budget_respected_and_greedy(spark, sf_dir, run):
+    """Selected tokens never exceed the 50% budget, and the selection is
+    exactly the greedy prefix of the (ttr desc, doc_id) order."""
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    rows = run("p20_token_budget_curation").collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+    scored = []
+    total = 0
+    for r in docs:
+        toks = r.text.split(" ")
+        n = len(toks)
+        total += n
+        scored.append((-(len(set(toks)) / n), r.doc_id, n, r.source))
+    scored.sort()
+    budget = total // 2
+    run_sum, by_source = 0, {}
+    for _ttr, doc_id, n, source in scored:
+        run_sum += n
+        if run_sum <= budget:
+            s = by_source.setdefault(source, [0, 0])
+            s[0] += 1
+            s[1] += n
+    got_sel_tokens = sum(r.selected_tokens for r in rows)
+    assert got_sel_tokens <= budget
+    for r in rows:
+        want = by_source.get(r.source, [0, 0])
+        assert (r.n_selected, r.selected_tokens) == tuple(want), r.source
