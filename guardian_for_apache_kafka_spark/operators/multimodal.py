@@ -528,3 +528,32 @@ def motion_energy(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, MOTION_ENERGY_DDL)
+
+
+def fps_normalization_plan(
+    media: DataFrame, target_fps: int = 6, sampled_frames: int = 16, every_n: int = 10
+) -> DataFrame:
+    """Frame-rate normalization plan: mixed-fps video corpora must be
+    resampled to a common temporal rate before batch embedding (a 30 fps
+    clip otherwise contributes 2.5x the frames of a 12 fps clip for the
+    same wall-clock duration). Reads each container's fps in ONE
+    metadata decode pass (max_frames=1 through the stubbed codec — a real
+    deployment reads the container header), then pure JVM arithmetic:
+    keep every ``stride = max(1, round(fps / target_fps))``-th sampled
+    frame. Emits per-video (fps, stride, n_kept of ``sampled_frames``,
+    effective_fps); the keep rule applied to ``frame_sample_plan`` rows is
+    ``sample_ordinal % stride == 0``. Nothing corpus-scaled happens after
+    the decode scan."""
+    meta = extract_video_frames(media, every_n=every_n, max_frames=1).select(
+        "doc_id", "fps"
+    )
+    stride = F.greatest(
+        F.lit(1), F.round(F.col("fps") / float(target_fps)).cast("int")
+    )
+    return meta.select(
+        "doc_id",
+        "fps",
+        stride.alias("stride"),
+        (F.floor((sampled_frames - 1) / stride) + 1).cast("int").alias("n_kept"),
+        F.round(F.col("fps") * 1.0 / stride, 2).alias("effective_fps"),
+    )

@@ -77,6 +77,7 @@ _NEW_THIS_ROUND = frozenset({
     "p19_length_bucket_padding", "g15_archive_gap_report",
     "q142_conditional_entropy", "q143_quantile_shape",
     "g16_offset_continuity", "p20_token_budget_curation",
+    "m14_fps_normalization", "q144_hill_tail_index",
 })
 
 _VERY_STALE_ROUND = 5  # attested at or before this round => guaranteed slot

@@ -9001,3 +9001,51 @@ def p20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "m14_fps_normalization",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, sha256(text) AS dig FROM documents WHERE doc_id < 200
+    ), v AS (
+        SELECT doc_id,
+               CAST(CASE ({_hexb('dig', 3)}) % 4
+                    WHEN 0 THEN 12 WHEN 1 THEN 24 WHEN 2 THEN 25 ELSE 30
+                    END AS INT) AS fps
+        FROM h
+    ), s AS (
+        SELECT doc_id, fps,
+               greatest(1, CAST(round(fps / 6.0) AS INT)) AS stride
+        FROM v
+    )
+    SELECT doc_id, fps, stride,
+           CAST((15 // stride) + 1 AS INT) AS n_kept,
+           round(fps * 1.0 / stride, 2) AS effective_fps
+    FROM s ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "normalization"),
+)
+def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-rate normalization to ~6 fps across the mixed-fps corpus
+    (stub fps 12/24/25/30): per-video keep-stride, kept-frame count of the
+    16 sampled frames, and the effective rate after decimation — the plan
+    a video-embedding pipeline executes so every clip contributes frames
+    at the same temporal density. One metadata decode per container
+    (operators/multimodal.fps_normalization_plan); the oracle replays the
+    fps derivation from digest arithmetic and the plan is exact integers
+    plus one rounded division."""
+    from guardian_for_apache_kafka_spark.operators.multimodal import (
+        attach_media,
+        fps_normalization_plan,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .withColumn("blob", F.col("text").cast("binary"))
+    )
+    media = attach_media(d, "blob", "video", "mp4")
+    return fps_normalization_plan(media, target_fps=6, sampled_frames=16).orderBy(
+        "doc_id"
+    )

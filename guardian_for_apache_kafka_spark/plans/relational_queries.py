@@ -7942,3 +7942,76 @@ def g16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic")
     )
+
+
+@query(
+    "q144_hill_tail_index",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                  ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    ),
+    xmin AS (
+      SELECT event_type, value AS x_ref FROM ranked WHERE rnk = 51
+    ),
+    terms AS (
+      SELECT r.event_type, r.rnk, ln(r.value / x.x_ref) AS term
+      FROM ranked r JOIN xmin x USING (event_type)
+      WHERE r.rnk <= 50
+    )
+    SELECT event_type,
+           CAST(50 AS BIGINT) AS k,
+           round(max(CASE WHEN rnk = 1 THEN exp(term) END), 4) AS top_ratio,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                          list(term ORDER BY rnk)),
+                             (a, x) -> a + x) / 50, 6) AS hill_h,
+           round(50 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                               list(term ORDER BY rnk)),
+                                  (a, x) -> a + x), 4) AS tail_alpha
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "statistics", "heavy-tail"),
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the tail index over the top-50 order statistics
+    of event value per type — the standard heavy-tail diagnostic (is this
+    a power law, and how heavy?) that complements q138's Gumbel block
+    maxima: H = mean ln(x_(i)/x_(51)), alpha = 1/H. The 50 log-ratio
+    terms fold in RANK order (q127 discipline) so the float statistic is
+    bit-identical; the per-type top-51 cut is a ranking window with a
+    total (value desc, event_id) order. At 100 TB the full-sort window
+    gives way to a per-type top-k aggregate (the s24 argmax shape widened
+    to k rows) — the statistic itself only ever sees 51 rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    ranked = ev.select("event_type", "value", "event_id").withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    xmin = ranked.where(F.col("rnk") == 51).select(
+        "event_type", F.col("value").alias("x_ref")
+    )
+    terms = (
+        ranked.where(F.col("rnk") <= 50)
+        .join(xmin, "event_type")
+        .select("event_type", "rnk", F.log(F.col("value") / F.col("x_ref")).alias("term"))
+    )
+    folded = terms.groupBy("event_type").agg(
+        F.round(F.max(F.when(F.col("rnk") == 1, F.exp("term"))), 4).alias("top_ratio"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("__s"),
+    )
+    return folded.select(
+        "event_type",
+        F.lit(50).cast("long").alias("k"),
+        "top_ratio",
+        F.round(F.col("__s") / 50, 6).alias("hill_h"),
+        F.round(50 / F.col("__s"), 4).alias("tail_alpha"),
+    ).orderBy("event_type")

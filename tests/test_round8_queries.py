@@ -621,3 +621,29 @@ def test_p20_budget_respected_and_greedy(spark, sf_dir, run):
     for r in rows:
         want = by_source.get(r.source, [0, 0])
         assert (r.n_selected, r.selected_tokens) == tuple(want), r.source
+
+
+def test_m14_plan_arithmetic(run):
+    """fps/stride table is exactly the decimation rule: stride =
+    round(fps/6), n_kept = floor(15/stride)+1, effective close to 6."""
+    rows = run("m14_fps_normalization").collect()
+    assert rows
+    want = {12: 2, 24: 4, 25: 4, 30: 5}
+    for r in rows:
+        assert r.stride == want[r.fps]
+        assert r.n_kept == 15 // r.stride + 1
+        assert 5.0 <= r.effective_fps <= 6.5
+
+
+def test_q144_hill_on_planted_pareto(spark):
+    """Exact Pareto(alpha=2) order statistics: x_(i) = (n/i)^(1/2) gives a
+    Hill estimate near 1/2 (so tail_alpha near 2)."""
+    rows = []
+    n = 200
+    for i in range(1, n + 1):
+        rows.append((i, "2024-01-03 12:00:00", 1, "view", (n / i) ** 0.5, "{}"))
+    d = _events_dir(spark, rows)
+    r = all_queries()["q144_hill_tail_index"](spark, d).collect()[0]
+    # H = mean_{i<=50} ln(x_i/x_51) = 0.5 * mean ln(51/i), close to 0.5
+    assert 0.35 <= r.hill_h <= 0.65, r
+    assert 1.5 <= r.tail_alpha <= 2.9, r
