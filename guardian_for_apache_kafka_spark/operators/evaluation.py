@@ -255,3 +255,37 @@ def jsd_weekly_drift(counts: DataFrame) -> DataFrame:
         .select(F.col("wk").alias("week"), "n_curr", "n_prev", "jsd")
         .orderBy("week")
     )
+
+
+def conditional_entropy_from_transitions(tr: DataFrame) -> DataFrame:
+    """H(next | current) with perplexity from a (cur, nxt) transition
+    frame — the shared core of the q142 batch query and the streaming
+    chain monitor's rollup (streaming/pipeline.conditional_entropy_rollup,
+    which feeds it the stateful stream_markov_transitions output with an
+    unbounded session gap). One transition-keyed rollup (map-side
+    combined); the |types|^2 matrix terms fold in next-type order (the
+    q127 sorted-fold discipline) so the float entropy is bit-identical
+    across engines and batch/stream formulations."""
+    cnt = tr.groupBy("cur", "nxt").agg(F.count("*").alias("c"))
+    n = F.sum("c").over(Window.partitionBy("cur"))
+    p = F.col("c") * 1.0 / n
+    probs = cnt.select("cur", "nxt", n.alias("n"), (p * F.log(p)).alias("term"))
+    folded = probs.groupBy("cur").agg(
+        F.max("n").cast("long").alias("n_transitions"),
+        (
+            -F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("nxt", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("__h"),
+    )
+    return folded.select(
+        F.col("cur").alias("from_type"),
+        "n_transitions",
+        F.round("__h", 6).alias("cond_entropy"),
+        F.round(F.exp("__h"), 4).alias("perplexity"),
+    ).orderBy("from_type")

@@ -7791,36 +7791,21 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     its perplexity (effective branching factor). One user-keyed window
     builds transitions (the only corpus exchange); the matrix is
     |types|^2, the per-state terms fold in next-type order (q127
-    discipline) so even the float entropies are bit-identical."""
+    discipline) so even the float entropies are bit-identical. The
+    rollup lives in operators/evaluation.conditional_entropy_from_transitions,
+    shared verbatim with the streaming chain monitor
+    (streaming/pipeline.conditional_entropy_rollup)."""
+    from guardian_for_apache_kafka_spark.operators.evaluation import (
+        conditional_entropy_from_transitions,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("cur"),
         F.lead("event_type").over(w).alias("nxt"),
     ).where(F.col("nxt").isNotNull())
-    cnt = seq.groupBy("cur", "nxt").agg(F.count("*").alias("c"))
-    n = F.sum("c").over(Window.partitionBy("cur"))
-    p = F.col("c") * 1.0 / n
-    probs = cnt.select("cur", "nxt", n.alias("n"), (p * F.log(p)).alias("term"))
-    folded = probs.groupBy("cur").agg(
-        F.max("n").cast("long").alias("n_transitions"),
-        (
-            -F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("nxt", "term"))),
-                    lambda s: s["term"],
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        ).alias("__h"),
-    )
-    return folded.select(
-        F.col("cur").alias("from_type"),
-        "n_transitions",
-        F.round("__h", 6).alias("cond_entropy"),
-        F.round(F.exp("__h"), 4).alias("perplexity"),
-    ).orderBy("from_type")
+    return conditional_entropy_from_transitions(seq)
 
 
 @query(

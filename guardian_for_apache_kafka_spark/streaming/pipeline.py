@@ -1478,3 +1478,52 @@ def jsd_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
     pts = spark.read.parquet(points_dir).distinct()
     counts = pts.groupBy("wk", "et").agg(F.count("*").alias("c"))
     return jsd_weekly_drift(counts)
+
+
+def stream_transition_points(
+    events: DataFrame,
+    dest: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming half of the q142 conditional-entropy monitor: the
+    stateful Markov transition extractor (streaming/stateful.
+    stream_markov_transitions) run with an UNBOUNDED session gap — every
+    consecutive per-user pair is a transition, exactly q142's plain
+    lead() formulation — with each emitted transition appended as a
+    narrow identity-keyed point row. State is O(users) (last event per
+    user); crash-replayed emissions are removed by the rollup's identity
+    distinct. ``conditional_entropy_rollup`` then counts transitions and
+    runs the SAME operators/evaluation core as the batch query."""
+    from guardian_for_apache_kafka_spark.streaming.stateful import (
+        stream_markov_transitions,
+    )
+
+    tr = stream_markov_transitions(events, gap_seconds=2_000_000_000)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("user_id", "event_id", "from_type", "to_type").write.mode(
+            "append"
+        ).parquet(dest)
+
+    writer = tr.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def conditional_entropy_rollup(spark: SparkSession, points_dir: str) -> DataFrame:
+    """Batch rollup over the accumulated transition points — identical
+    output contract to q142 (from_type, n_transitions, cond_entropy,
+    perplexity). Identity distinct absorbs replays; the shared
+    evaluation core does the rest."""
+    from guardian_for_apache_kafka_spark.operators.evaluation import (
+        conditional_entropy_from_transitions,
+    )
+
+    pts = spark.read.parquet(points_dir).distinct()
+    return conditional_entropy_from_transitions(
+        pts.select(F.col("from_type").alias("cur"), F.col("to_type").alias("nxt"))
+    )

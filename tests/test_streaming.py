@@ -1959,3 +1959,43 @@ def test_stream_jsd_equal_batch_q141_and_resumes(spark, tmp_path):
     assert got == want
     spark.read.parquet(dest).limit(50).write.mode("append").parquet(dest)
     assert [tuple(r) for r in jsd_rollup(spark, dest).collect()] == want
+
+
+def test_stream_conditional_entropy_equal_batch_q142_and_resumes(spark, tmp_path):
+    """Stateful transition extraction (unbounded gap) rolled up == the
+    q142 batch conditional entropy, across micro-batches, restart, and
+    replayed appends."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        conditional_entropy_rollup,
+        stream_transition_points,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "in")
+    n = ev.count()
+    # split on event TIME so per-user continuations cross the restart
+    # boundary (the stateful handoff under test)
+    first = ev.orderBy("ts", "event_id").limit(n // 2)
+    rest = ev.subtract(first)
+    first.coalesce(1).write.parquet(src)
+
+    dest, ckpt = str(tmp_path / "pts"), str(tmp_path / "ck")
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_transition_points(stream, dest, ckpt)
+        q.awaitTermination(180)
+
+    run()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    want = [tuple(r) for r in all_queries()["q142_conditional_entropy"](spark, sf).collect()]
+    got = [tuple(r) for r in conditional_entropy_rollup(spark, dest).collect()]
+    assert got == want
+    spark.read.parquet(dest).limit(50).write.mode("append").parquet(dest)
+    assert [tuple(r) for r in conditional_entropy_rollup(spark, dest).collect()] == want
