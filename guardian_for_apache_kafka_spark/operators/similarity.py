@@ -1257,3 +1257,47 @@ def hard_negative_pairs(
         )
         .orderBy("query_id")
     )
+
+
+def filtered_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Filtered vector search: exact top-k restricted to corpus rows whose
+    metadata matches the query's (label equality here — any equi-predicate
+    plugs in), the "search within my category" flavor every production
+    vector store exposes. The filter applies BEFORE scoring, so at 100 TB
+    a selectivity-s predicate cuts the scored candidate set (and the
+    cosine FLOPs) by s — with a label-partitioned corpus layout the scan
+    itself prunes to the matching partitions (the q49 partition-pruning
+    discipline applied to ANN). Same determinism contract as cosine_topk:
+    left-fold cosine, (cosine desc, vec_id) tie order."""
+    q = queries.select(
+        F.col("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    c = spread_narrow_scan(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__cl"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where((F.col("vec_id") != F.col("query_id")) & (F.col("__cl") == F.col("__ql")))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

@@ -9049,3 +9049,45 @@ def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps_normalization_plan(media, target_fps=6, sampled_frames=16).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "s25_filtered_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 6),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_duck_cosine('c.embedding', 'q.qv')} AS cosine
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id AND c.label = q.ql
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, round(cosine, 4) AS cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rnk FROM ranked
+    WHERE rnk <= 3 ORDER BY query_id, rnk
+    """,
+    tags=("similarity", "ann", "filtered"),
+)
+def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the production vector-store
+    "filtered ANN" surface): exact top-3 among corpus vectors sharing the
+    query's label. The predicate applies before scoring — selectivity
+    shrinks FLOPs and, with a label-partitioned layout, the scan itself
+    (operators/similarity.filtered_cosine_topk)."""
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        filtered_cosine_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = filtered_cosine_topk(e, q, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rnk"
+    )

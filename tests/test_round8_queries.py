@@ -647,3 +647,23 @@ def test_q144_hill_on_planted_pareto(spark):
     # H = mean_{i<=50} ln(x_i/x_51) = 0.5 * mean ln(51/i), close to 0.5
     assert 0.35 <= r.hill_h <= 0.65, r
     assert 1.5 <= r.tail_alpha <= 2.9, r
+
+
+def test_s25_filter_honored_and_subset_of_unfiltered_pool(spark, sf_dir, run):
+    """Every filtered hit shares the query's label, and each hit's cosine
+    can't exceed the global (unfiltered) best."""
+    from guardian_for_apache_kafka_spark.operators.similarity import cosine_topk
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    rows = run("s25_filtered_search").collect()
+    assert rows
+    q = e.where(F.col("vec_id") < 6).select(F.col("vec_id").alias("query_id"), "embedding")
+    best = {
+        r.query_id: r.cosine
+        for r in cosine_topk(e, q, k=1).select("query_id", F.round("cosine", 4).alias("cosine")).collect()
+    }
+    for r in rows:
+        assert labels[r.vec_id] == labels[r.query_id]
+        assert r.cosine <= best[r.query_id] + 1e-9
