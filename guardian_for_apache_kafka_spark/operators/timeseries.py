@@ -586,3 +586,80 @@ def runs_test_stats(daily: DataFrame) -> DataFrame:
             1 + 2.0 * F.col("n_above") * F.col("n_below") / F.col("n_days"), 4
         ).alias("expected_runs"),
     ).orderBy("event_type")
+
+
+def znorm_subsequence_topk(
+    daily: DataFrame, window: int = 7, k: int = 3
+) -> DataFrame:
+    """Z-normalized subsequence similarity search over per-key daily count
+    series (the distributed MASS/Matrix-Profile-lite shape of EDBT'19
+    streaming time-series search): for each key, score every
+    ``window``-day subsequence against the LATEST window ("find past weeks
+    that looked like this week") by z-normalized squared Euclidean
+    distance, excluding overlaps, and keep the top ``k``.
+
+    Input: (t, d, y) — key, dense 0-based day index, integer count.
+    Determinism: window sums and sum-of-squares are exact INTEGER folds;
+    mean/std/distance use the identical expression tree on both engines,
+    and the per-pair distance folds element-wise in index order
+    (zip_with), so even the float distances are bit-identical. Constant
+    (sd == 0) windows are excluded — z-normalization is undefined there.
+
+    Scale shape: one corpus rollup to the (key, day) grid, one
+    collect_list per key (series length = the retention horizon, not the
+    corpus), window expansion is per-row array arithmetic, and candidate
+    scoring joins the broadcast-sized query-window table. Output:
+    (t, window_start, dist, rnk)."""
+    series = daily.groupBy("t").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("__ys")
+    )
+    n_win = F.size("__ys") - window + 1
+    wins = series.select(
+        "t",
+        "__ys",
+        F.explode(F.sequence(F.lit(0), n_win - 1)).alias("s"),
+        (n_win - 1).alias("__qs"),
+    ).select(
+        "t",
+        "s",
+        "__qs",
+        F.slice("__ys", F.col("s") + 1, window).alias("__w"),
+    )
+    sm = F.aggregate("__w", F.lit(0).cast("long"), lambda a, x: a + x)
+    ss = F.aggregate("__w", F.lit(0).cast("long"), lambda a, x: a + x * x)
+    stats = wins.select(
+        "t",
+        "s",
+        "__qs",
+        "__w",
+        (sm / float(window)).alias("__m"),
+        F.sqrt(ss / float(window) - (sm / float(window)) * (sm / float(window))).alias(
+            "__sd"
+        ),
+    ).where(F.col("__sd") > 0)
+    qwin = stats.where(F.col("s") == F.col("__qs")).select(
+        "t",
+        F.col("__w").alias("__qw"),
+        F.col("__m").alias("__qm"),
+        F.col("__sd").alias("__qsd"),
+    )
+    cands = stats.where(F.col("s") <= F.col("__qs") - window).join(
+        F.broadcast(qwin), "t"
+    )
+    za = lambda a: (a - F.col("__m")) / F.col("__sd")
+    zq = lambda b: (b - F.col("__qm")) / F.col("__qsd")
+    dist = F.aggregate(
+        F.zip_with("__w", "__qw", lambda a, b: (za(a) - zq(b)) * (za(a) - zq(b))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = cands.select("t", F.col("s").alias("window_start"), dist.alias("__dist"))
+    w = Window.partitionBy("t").orderBy("__dist", "window_start")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("t", "window_start", F.round("__dist", 4).alias("dist"), "rnk")
+        .orderBy("t", "rnk")
+    )

@@ -78,7 +78,7 @@ _NEW_THIS_ROUND = frozenset({
     "q142_conditional_entropy", "q143_quantile_shape",
     "g16_offset_continuity", "p20_token_budget_curation",
     "m14_fps_normalization", "q144_hill_tail_index",
-    "s25_filtered_search",
+    "s25_filtered_search", "q145_subsequence_search",
 })
 
 _VERY_STALE_ROUND = 5  # attested at or before this round => guaranteed slot

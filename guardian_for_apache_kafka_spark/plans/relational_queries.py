@@ -8000,3 +8000,107 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__s") / 50, 6).alias("hill_h"),
         F.round(50 / F.col("__s"), 4).alias("tail_alpha"),
     ).orderBy("event_type")
+
+
+@query(
+    "q145_subsequence_search",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type AS t, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+    days AS (
+      SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b
+    ),
+    types AS (SELECT DISTINCT t FROM counts),
+    grid AS (
+      SELECT ty.t, d.day, coalesce(c.y, 0) AS y
+      FROM days d CROSS JOIN types ty
+      LEFT JOIN counts c ON c.t = ty.t AND c.day = d.day
+    ),
+    series AS (SELECT t, list(y ORDER BY day) AS ys FROM grid GROUP BY t),
+    expanded AS (
+      SELECT t, ys, CAST(unnest(range(len(ys) - 6)) AS BIGINT) AS s,
+             CAST(len(ys) - 7 AS BIGINT) AS qs
+      FROM series
+    ),
+    wins AS (
+      SELECT t, s, qs, ys[s+1:s+7] AS w FROM expanded
+    ),
+    stats AS (
+      SELECT t, s, qs, w,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), w),
+                         (a, x) -> a + x) / 7.0 AS m,
+             sqrt(list_reduce(list_prepend(CAST(0 AS BIGINT), w),
+                              (a, x) -> a + x * x) / 7.0
+                  - (list_reduce(list_prepend(CAST(0 AS BIGINT), w),
+                                 (a, x) -> a + x) / 7.0)
+                    * (list_reduce(list_prepend(CAST(0 AS BIGINT), w),
+                                   (a, x) -> a + x) / 7.0)) AS sd
+      FROM wins
+    ),
+    ok AS (SELECT * FROM stats WHERE sd > 0),
+    q AS (SELECT t, w AS qw, m AS qm, sd AS qsd FROM ok WHERE s = qs),
+    cand AS (
+      SELECT o.t, o.s, o.w, o.m, o.sd, q.qw, q.qm, q.qsd
+      FROM ok o JOIN q USING (t) WHERE o.s <= o.qs - 7
+    ),
+    scored AS (
+      SELECT t, s AS window_start,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(7),
+                 i -> ((w[i+1] - m) / sd - (qw[i+1] - qm) / qsd)
+                    * ((w[i+1] - m) / sd - (qw[i+1] - qm) / qsd))),
+               (a, x) -> a + x) AS dist
+      FROM cand
+    ),
+    ranked AS (
+      SELECT t, window_start, dist,
+             CAST(row_number() OVER (PARTITION BY t
+                  ORDER BY dist, window_start) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT t, window_start, round(dist, 4) AS dist, rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY t, rnk
+    """,
+    tags=("relational", "timeseries", "similarity"),
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-normalized subsequence search over the per-type daily count
+    series — "which past weeks looked like this week" (the distributed
+    MASS / Matrix-Profile-lite shape of EDBT'19 streaming time-series
+    similarity): every 7-day window scores against the latest window by
+    z-normalized squared Euclidean distance, overlaps excluded, top-3 per
+    type. Window sums/sum-of-squares are exact integer folds; the
+    distance folds element-wise in index order, so both engines produce
+    bit-identical doubles (operators/timeseries.znorm_subsequence_topk).
+    Corpus work: one (type, day) rollup; series length is the retention
+    horizon, never the corpus."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        znorm_subsequence_topk,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    b = counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = b.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = counts.select("t").distinct()
+    grid = (
+        days.crossJoin(types)
+        .join(counts, ["t", "day"], "left")
+        .select("t", "day", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+    )
+    day0 = grid.crossJoin(F.broadcast(b)).select(
+        "t", F.datediff("day", "d0").alias("d"), "y"
+    )
+    return znorm_subsequence_topk(day0, window=7, k=3)

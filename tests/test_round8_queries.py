@@ -667,3 +667,26 @@ def test_s25_filter_honored_and_subset_of_unfiltered_pool(spark, sf_dir, run):
     for r in rows:
         assert labels[r.vec_id] == labels[r.query_id]
         assert r.cosine <= best[r.query_id] + 1e-9
+
+
+def test_q145_planted_echo_wins(spark):
+    """A sinusoid-ish weekly pattern replayed exactly two weeks before the
+    query week must be the rank-1 match with distance 0 (z-norm makes the
+    scale irrelevant: the echo is 3x the amplitude)."""
+    pattern = [5, 9, 14, 9, 5, 2, 1]
+    rows, eid = [], 0
+    day = 0
+    # 28 days: noise week, echo week (3x pattern), noise week, query week (1x)
+    for wk, series in enumerate(
+        [[3, 3, 4, 3, 3, 4, 3], [15, 27, 42, 27, 15, 6, 3],
+         [4, 3, 3, 4, 3, 3, 4], pattern]
+    ):
+        for v in series:
+            for _ in range(v):
+                rows.append((eid, f"2024-01-{day+1:02d} 12:00:00", 1, "view", 1.0, "{}"))
+                eid += 1
+            day += 1
+    d = _events_dir(spark, rows)
+    out = all_queries()["q145_subsequence_search"](spark, d).collect()
+    top = [r for r in out if r.rnk == 1][0]
+    assert top.window_start == 7 and top.dist == 0.0, out
