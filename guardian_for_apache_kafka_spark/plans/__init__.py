@@ -79,6 +79,7 @@ _NEW_THIS_ROUND = frozenset({
     "g16_offset_continuity", "p20_token_budget_curation",
     "m14_fps_normalization", "q144_hill_tail_index",
     "s25_filtered_search", "q145_subsequence_search",
+    "p21_epoch_shuffle_plan",
 })
 
 _VERY_STALE_ROUND = 5  # attested at or before this round => guaranteed slot

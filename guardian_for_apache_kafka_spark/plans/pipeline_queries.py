@@ -9091,3 +9091,77 @@ def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rnk"
     )
+
+
+@query(
+    "p21_epoch_shuffle_plan",
+    oracle="""
+    WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             CAST(CAST('0x' || substr(md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                  AS BIGINT) AS k
+      FROM documents d CROSS JOIN e
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(k % 8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min((k // 8) * 10000000 + doc_id) % 10000000 AS BIGINT)
+             AS lead_doc,
+           CAST(sum((k % 1000003) * doc_id) AS BIGINT) AS order_checksum
+    FROM keyed GROUP BY 1, 2 ORDER BY epoch, shard
+    """,
+    tags=("pipeline", "shuffle", "determinism"),
+)
+def p21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffling plan: each training epoch reshuffles
+    the corpus by the content-stable key md5('ep<epoch>:<doc_id>') — any
+    worker (or a resumed run) regenerates the identical epoch order with
+    no RNG state to ship, the d8/t40 content-addressed discipline applied
+    to DATALOADER ordering. Per (epoch, shard = key % 8): population, the
+    shard's lead document (min by the within-shard sort key), and an
+    order-sensitive integer checksum — the audit artifact proving two
+    independent runs produced the same shuffle. No global sort anywhere:
+    shard assignment and the within-shard leader are hash aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    k = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ep"),
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = d.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id", k.alias("k")
+    )
+    return (
+        keyed.groupBy(
+            "epoch", (F.col("k") % 8).cast("long").alias("shard")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (
+                F.min(
+                    F.floor(F.col("k") / 8).cast("long") * 10000000 + F.col("doc_id")
+                )
+                % 10000000
+            )
+            .cast("long")
+            .alias("lead_doc"),
+            F.sum((F.col("k") % 1000003) * F.col("doc_id"))
+            .cast("long")
+            .alias("order_checksum"),
+        )
+        .orderBy("epoch", "shard")
+    )

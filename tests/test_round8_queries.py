@@ -690,3 +690,24 @@ def test_q145_planted_echo_wins(spark):
     out = all_queries()["q145_subsequence_search"](spark, d).collect()
     top = [r for r in out if r.rnk == 1][0]
     assert top.window_start == 7 and top.dist == 0.0, out
+
+
+def test_p21_epochs_differ_but_partition(spark, sf_dir, run):
+    """Each epoch's shards partition the corpus (sizes sum to n_docs);
+    different epochs produce different assignments (checksums differ);
+    re-running is bit-identical (determinism)."""
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    rows = run("p21_epoch_shuffle_plan").collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1, 2}
+    sigs = set()
+    for epoch, shards in by_epoch.items():
+        assert sum(s.n_docs for s in shards) == n
+        sigs.add(tuple(sorted((s.shard, s.order_checksum) for s in shards)))
+    assert len(sigs) == 3  # three distinct shuffles
+    again = [tuple(r) for r in run("p21_epoch_shuffle_plan").collect()]
+    assert again == [tuple(r) for r in rows]
