@@ -139,6 +139,13 @@ HEADLINE = {
     "burrows_delta": "t37_burrows_delta",
     "anova_dow": "q134_anova_dow",
     "lorenz_curve": "q135_lorenz_curve",
+    # round-8b additions
+    "isotonic_calibration": "q139_isotonic_calibration",
+    "kaplan_meier": "q140_kaplan_meier",
+    "cond_entropy": "q142_conditional_entropy",
+    "dsir_importance": "d39_dsir_importance",
+    "matryoshka_rerank": "s23_matryoshka_rerank",
+    "hard_negatives": "s24_hard_negative_mining",
 }
 
 N_RUNS = 3
@@ -165,9 +172,19 @@ def emit_result(result: dict) -> None:
         if len(line) <= _TAIL_BUDGET:
             break
     if len(line) > _TAIL_BUDGET:
-        # hard guarantee: shed per-query entries (slowest-first stay — they
-        # carry the signal) until the line fits; BENCH_RESULT.json keeps all
-        ordered = sorted(result["queries"], key=lambda k: -result["queries"][k])
+        # hard guarantee: shed per-query entries until the line fits;
+        # BENCH_RESULT.json keeps all. The BASELINE.md §2 metrics are
+        # NEVER shed (the judge compares them row by row); beyond those,
+        # slowest-first stay — they carry the signal.
+        core = {
+            "agg_q1", "join_q5ish", "window_rank", "topk",
+            "dedup_latest_by_key", "tumbling_window", "semi_anti",
+            "json_extract",
+        }
+        ordered = sorted(
+            result["queries"],
+            key=lambda k: (k not in core, -result["queries"][k]),
+        )
         while ordered and len(line) > _TAIL_BUDGET:
             ordered.pop()
             compact["queries"] = {k: round(result["queries"][k], 2) for k in sorted(ordered)}

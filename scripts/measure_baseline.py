@@ -314,6 +314,98 @@ QUERIES = {
         SELECT keeper, n_docs, max_doc, CAST(n_docs - 1 AS BIGINT) AS removed
         FROM grp WHERE n_docs > 1 ORDER BY keeper
     """,
+    "isotonic_calibration": """
+        WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+        b AS (
+          SELECT least(9, CAST(floor((value - vmin) / (vmax - vmin) * 10) AS BIGINT))
+                   AS bucket,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+          FROM events, s
+        ),
+        bins AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(is_p) AS BIGINT) AS pos
+          FROM b GROUP BY bucket
+        ),
+        segs AS (
+          SELECT j.bucket AS j, k.bucket AS k, sum(m.pos) * 1.0 / sum(m.n) AS seg
+          FROM bins j JOIN bins k ON k.bucket >= j.bucket
+          JOIN bins m ON m.bucket BETWEEN j.bucket AND k.bucket
+          GROUP BY 1, 2
+        ),
+        minseg AS (
+          SELECT i.bucket AS i, s2.j, min(s2.seg) AS ms
+          FROM bins i JOIN segs s2 ON s2.j <= i.bucket AND s2.k >= i.bucket
+          GROUP BY 1, 2
+        ),
+        fit AS (SELECT i, max(ms) AS fitted FROM minseg GROUP BY i)
+        SELECT bins.bucket, bins.n, bins.pos,
+               round(bins.pos * 1.0 / bins.n, 4) AS purchase_rate,
+               round(fit.fitted, 4) AS isotonic_rate
+        FROM bins JOIN fit ON fit.i = bins.bucket
+        ORDER BY bins.bucket
+    """,
+    "kaplan_meier": """
+        WITH mx AS (SELECT max(ts) AS tmax FROM events),
+        u AS (
+          SELECT user_id,
+                 CAST(datediff(to_date(max(ts)), to_date(min(ts))) AS BIGINT) AS dur,
+                 CASE WHEN max(ts) < (SELECT tmax FROM mx) - INTERVAL 7 DAY
+                      THEN 1 ELSE 0 END AS observed
+          FROM events GROUP BY user_id
+        ),
+        d AS (
+          SELECT dur, CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(sum(observed) AS BIGINT) AS churned
+          FROM u GROUP BY dur
+        ),
+        walked AS (
+          SELECT dur, churned, n_total,
+                 (SELECT CAST(count(*) AS BIGINT) FROM u)
+                   - CAST(coalesce(sum(n_total) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS at_risk
+          FROM d
+        ),
+        km AS (
+          SELECT dur, at_risk, churned, n_total - churned AS censored,
+                 min((at_risk - churned) * 1.0 / at_risk) OVER (ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minf,
+                 exp(sum(CASE WHEN churned < at_risk
+                              THEN ln((at_risk - churned) * 1.0 / at_risk) END)
+                     OVER (ORDER BY dur
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv
+          FROM walked
+        )
+        SELECT dur AS dur_days, at_risk, churned,
+               CAST(censored AS BIGINT) AS censored,
+               round(CASE WHEN minf = 0 THEN 0.0 ELSE surv END, 4) AS survival
+        FROM km ORDER BY dur_days
+    """,
+    "cond_entropy": """
+        WITH seq AS (
+          SELECT event_type AS cur,
+                 lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS nxt
+          FROM events
+        ),
+        cnt AS (
+          SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+          FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+        ),
+        probs AS (
+          SELECT cur, nxt, c,
+                 sum(c) OVER (PARTITION BY cur) AS n,
+                 (c * 1.0 / sum(c) OVER (PARTITION BY cur))
+                   * ln(c * 1.0 / sum(c) OVER (PARTITION BY cur)) AS term
+          FROM cnt
+        )
+        SELECT cur AS from_type,
+               CAST(max(n) AS BIGINT) AS n_transitions,
+               round(-aggregate(transform(sort_array(collect_list(struct(nxt, term))),
+                                          s -> s.term),
+                                0D, (a, x) -> a + x), 6) AS cond_entropy
+        FROM probs GROUP BY cur ORDER BY from_type
+    """,
 }
 
 N_RUNS = 3
