@@ -79,7 +79,8 @@ _NEW_THIS_ROUND = frozenset({
     "g16_offset_continuity", "p20_token_budget_curation",
     "m14_fps_normalization", "q144_hill_tail_index",
     "s25_filtered_search", "q145_subsequence_search",
-    "p21_epoch_shuffle_plan",
+    "p21_epoch_shuffle_plan", "q146_disjunctive_pushdown",
+    "q147_discrete_quantiles_mode",
 })
 
 _VERY_STALE_ROUND = 5  # attested at or before this round => guaranteed slot

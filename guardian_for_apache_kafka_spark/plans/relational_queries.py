@@ -8104,3 +8104,135 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", F.datediff("day", "d0").alias("d"), "y"
     )
     return znorm_subsequence_topk(day0, window=7, k=3)
+
+
+@query(
+    "q146_disjunctive_pushdown",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_microcents,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("relational", "join", "pushdown"),
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape disjunctive predicate join (OR of per-brand
+    size/quantity conjunctions) — the classic optimizer stressor: the
+    common `p_partkey = l_partkey` conjunct must still drive a hash join
+    (NOT a nested loop), with the OR-of-ANDs evaluated as a post-join
+    filter and the single-sided conjuncts (brand/size disjunction on
+    part, quantity range on lineitem) pushed into both scans. Revenue
+    accumulates as exact integer micro-cents (cents x discount
+    hundredths), one division at the end — no float-sum ordering hazard.
+    The plan-shape test pins the hash join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    j = li.join(pt, F.col("p_partkey") == F.col("l_partkey"))
+    arm = lambda brand, s0, s1, q0, q1: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1)
+    )
+    filt = j.where(
+        arm("Brand#12", 1, 15, 1, 21)
+        | arm("Brand#24", 10, 30, 10, 30)
+        | arm("Brand#3", 20, 50, 20, 50)
+    )
+    micro = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return filt.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(micro).cast("long").alias("revenue_microcents"),
+        F.round(F.sum(micro) / 10000.0, 2).alias("revenue"),
+    )
+
+
+@query(
+    "q147_discrete_quantiles_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             year(o_orderdate) AS yr
+      FROM orders
+    ),
+    modes AS (
+      SELECT pri, yr, CAST(count(*) AS BIGINT) AS n_yr,
+             row_number() OVER (PARTITION BY pri
+                  ORDER BY count(*) DESC, yr) AS rk
+      FROM c GROUP BY pri, yr
+    )
+    SELECT c.pri,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(c.cents, 0.25) AS BIGINT) AS p25_cents,
+           CAST(quantile_disc(c.cents, 0.50) AS BIGINT) AS med_cents,
+           CAST(quantile_disc(c.cents, 0.75) AS BIGINT) AS p75_cents,
+           CAST(max(CASE WHEN m.rk = 1 THEN m.yr END) AS BIGINT) AS mode_year,
+           CAST(max(CASE WHEN m.rk = 1 THEN m.n_yr END) AS BIGINT) AS mode_count
+    FROM c JOIN modes m ON m.pri = c.pri AND m.yr = c.yr
+    GROUP BY c.pri ORDER BY c.pri
+    """,
+    tags=("relational", "agg", "quantile"),
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1, no-interpolation) quantiles + per-group mode with
+    a deterministic tie-break — the ordered-set aggregates q31's
+    interpolated percentiles deliberately skip. Discrete quantile
+    semantics differ between engines (Spark has no percentile_disc), so
+    the engine computes them EXPLICITLY as the value at 1-based rank
+    ceil(p * n) over integer cents — which is exactly DuckDB's
+    quantile_disc definition — via one ranking window per group. Mode =
+    most frequent order year, ties to the EARLIEST year. Everything is
+    integer; no float enters at all."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    wv = Window.partitionBy("pri").orderBy("cents", "yr")
+    wn = Window.partitionBy("pri")
+    ranked = c.select(
+        "pri",
+        "cents",
+        F.row_number().over(wv).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    q_at = lambda p: F.max(
+        F.when(F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("cents"))
+    )
+    quant = ranked.groupBy("pri").agg(
+        F.max("n").cast("long").alias("n"),
+        q_at(0.25).cast("long").alias("p25_cents"),
+        q_at(0.50).cast("long").alias("med_cents"),
+        q_at(0.75).cast("long").alias("p75_cents"),
+    )
+    modes = (
+        c.groupBy("pri", "yr")
+        .agg(F.count("*").alias("n_yr"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("pri").orderBy(F.col("n_yr").desc(), "yr")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "pri",
+            F.col("yr").cast("long").alias("mode_year"),
+            F.col("n_yr").cast("long").alias("mode_count"),
+        )
+    )
+    return quant.join(modes, "pri").orderBy("pri")

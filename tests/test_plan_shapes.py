@@ -1276,3 +1276,14 @@ def test_q115_and_q117_have_no_corpus_single_partition_window(plans):
                 f"{name}: SinglePartition exchange ({node_id}) over "
                 f"non-aggregate input:\n{tree}"
             )
+
+
+def test_q146_disjunction_keeps_hash_join(spark, sf_dir):
+    """The OR-of-ANDs must not demote the p_partkey = l_partkey equi-join:
+    the physical plan keeps a hash join (broadcast or sort-merge) and
+    contains no nested-loop/cartesian node."""
+    df = all_queries()["q146_disjunctive_pushdown"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "Brand#" in plan  # the disjunction survives into the physical plan
