@@ -1156,35 +1156,43 @@ def prefix_dim_rerank_topk(
     (functions/columns.cosine_similarity), so an oracle replaying the same
     two stages matches bit-exactly. Returns (query_id, vec_id,
     cosine, rnk) — full-precision cosine of the re-ranked top k."""
-    q = queries.select(
+    qp = queries.select(
         F.col("query_id"),
         F.slice(F.col(vec_col), 1, prefix_dims).alias("__qp"),
-        F.col(vec_col).alias("__qv"),
     )
+    qfull = queries.select(F.col("query_id"), F.col(vec_col).alias("__qv"))
     c = spread_narrow_scan(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.slice(F.col(vec_col), 1, prefix_dims).alias("__cp"),
-        F.col(vec_col).alias("__cv"),
     )
+    # stage 1 shuffles ONLY (query_id, vec_id, score) into the rank window
+    # — full vectors never enter the corpus-sized exchange
     coarse = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(qp))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            "__cv",
-            "__qv",
             cosine_similarity(F.col("__cp"), F.col("__qp")).alias("__coarse"),
         )
     )
     wc = Window.partitionBy("query_id").orderBy(F.col("__coarse").desc(), F.col("vec_id"))
-    short = coarse.withColumn("__crk", F.row_number().over(wc)).where(
-        F.col("__crk") <= shortlist
+    short = (
+        coarse.withColumn("__crk", F.row_number().over(wc))
+        .where(F.col("__crk") <= shortlist)
+        .select("query_id", "vec_id")
     )
-    rer = short.select(
-        "query_id",
-        "vec_id",
-        cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    # fetch full vectors for the |Q| x shortlist survivors only: the tiny
+    # shortlist broadcasts, so the corpus side of the join stays map-side
+    full = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    rer = (
+        full.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
     )
     wf = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -1211,6 +1219,9 @@ def hard_negative_pairs(
     map-side (no per-query corpus-wide sort, unlike a ranking window) and
     the reduce exchange carries |Q| x 2 rows. Tie-break: higher cosine
     first, then LOWER vec_id (the negated id field inside the max struct).
+    Contract: a query with NO same-label neighbor or NO different-label
+    neighbor (single-label corpus, or a label unique to the query) emits
+    no row — the pos/neg join is inner; mining requires both sides.
     Returns (query_id, pos_id, pos_cosine, neg_id, neg_cosine, margin)."""
     q = queries.select(
         F.col("query_id"),

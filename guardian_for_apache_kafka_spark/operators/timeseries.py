@@ -614,7 +614,12 @@ def znorm_subsequence_topk(
         F.transform(
             F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
         ).alias("__ys")
-    )
+    # a key with fewer than `window` points has no subsequences at all —
+    # filter BEFORE the sequence expansion (sequence(0, n_win-1) would
+    # sign-infer a descending [0, -1] for n_win <= 0 and then slice() at
+    # start 0 is a runtime error; the ngram_shingles guard, same hazard).
+    # Matches the oracle's range(len - window + 1) = empty semantics.
+    ).where(F.size("__ys") >= window)
     n_win = F.size("__ys") - window + 1
     wins = series.select(
         "t",

@@ -8772,7 +8772,9 @@ def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "p19_length_bucket_padding",
     oracle="""
-    WITH caps AS (SELECT unnest([8, 16, 32, 64, 128, 256]) AS cap),
+    WITH caps AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+                             4096, 8192, 16384, 32768, 65536, 131072,
+                             262144, 524288, 1048576]) AS cap),
     lens AS (
       SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
              CAST(count(*) AS BIGINT) AS d
@@ -8804,13 +8806,18 @@ def p19(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bucketed dataloader pays (pad to the BUCKET cap) against naive
     padding to the corpus-max cap — the standard pre-training batching
     decision (bucketing typically saves most of the pad-token FLOPs).
-    The corpus collapses to the token-LENGTH domain first (one map-side
+    The cap ladder runs 2^3..2^20, so any document up to 1M tokens maps
+    to a bucket (empty buckets simply emit no row); a longer doc would
+    drop out of the join — extend the ladder before auditing such a
+    corpus. The corpus collapses to the token-LENGTH domain first (one map-side
     combined rollup; lengths are a few hundred distinct values at any
     corpus size), so the cap assignment join and everything after is
     domain-sized. Pure integer arithmetic plus one guarded division."""
     d = load_table(spark, sf_dir, "documents")
     caps = spark.range(1).select(
-        F.explode(F.array(*[F.lit(c) for c in (8, 16, 32, 64, 128, 256)])).alias("cap")
+        F.explode(
+            F.array(*[F.lit(1 << p) for p in range(3, 21)])
+        ).alias("cap")
     )
     lens = d.groupBy(
         F.size(F.split("text", " ")).cast("long").alias("n")

@@ -28,8 +28,11 @@ from guardian_for_apache_kafka_spark.operators.similarity import hard_negative_p
 
 
 def synth_vectors(spark, n: int, dim: int = 16):
-    """Deterministic synthetic unit-ish vectors: component d of vector i is
-    a xxhash64-derived value in [-1, 1); label = i % 4."""
+    """Deterministic synthetic vectors: component d of vector i is
+    (xxhash64(i, d) % 2_000_001) / 1e6 — Spark's % keeps the dividend's
+    sign, so components range over (-2.000001, 2.000001); label = i % 4.
+    Cosine is scale-free, so the range only affects norm intuition, and
+    the aggregate-vs-window comparison is on identical inputs anyway."""
     base = spark.range(n).select(F.col("id").alias("vec_id"))
     comps = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),

@@ -711,3 +711,31 @@ def test_p21_epochs_differ_but_partition(spark, sf_dir, run):
     assert len(sigs) == 3  # three distinct shuffles
     again = [tuple(r) for r in run("p21_epoch_shuffle_plan").collect()]
     assert again == [tuple(r) for r in rows]
+
+
+def test_q145_short_series_key_is_omitted_not_crashed(spark):
+    """A key with fewer than `window` days must be silently omitted (the
+    oracle's range(len - w + 1) = empty semantics), not crash the
+    sequence/slice expansion."""
+    from guardian_for_apache_kafka_spark.operators.timeseries import (
+        znorm_subsequence_topk,
+    )
+
+    daily = spark.createDataFrame(
+        [("short", d, 5 + d) for d in range(3)]
+        + [("long", d, (d * 13) % 7 + d) for d in range(20)],
+        "t string, d int, y long",
+    )
+    out = znorm_subsequence_topk(daily, window=7, k=3).collect()
+    assert out and all(r.t == "long" for r in out)
+
+
+def test_p19_long_document_is_not_dropped(spark):
+    """A 300-token document (beyond the old 256 cap) must still appear in
+    the padding audit: the cap ladder extends to 2^20."""
+    rows = [(0, " ".join(["tok"] * 300), "en", "src", 1200)]
+    rows += [(i, "a b c d e f g h", "en", "src", 15) for i in range(1, 21)]
+    d = _docs_dir(spark, rows)
+    out = all_queries()["p19_length_bucket_padding"](spark, d).collect()
+    assert sum(r.n_docs for r in out) == 21
+    assert any(r.cap == 512 and r.n_docs == 1 for r in out), out
