@@ -1161,9 +1161,14 @@ def prefix_dim_rerank_topk(
         F.slice(F.col(vec_col), 1, prefix_dims).alias("__qp"),
     )
     qfull = queries.select(F.col("query_id"), F.col(vec_col).alias("__qv"))
-    c = spread_narrow_scan(corpus).select(
-        F.col(id_col).alias("vec_id"),
-        F.slice(F.col(vec_col), 1, prefix_dims).alias("__cp"),
+    # slice BEFORE the spread exchange: the round-robin repartition then
+    # carries prefix_dims/dim of the vector bytes (here 1/4) instead of the
+    # full embeddings it only needs the prefix of
+    c = spread_narrow_scan(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), 1, prefix_dims).alias("__cp"),
+        )
     )
     # stage 1 shuffles ONLY (query_id, vec_id, score) into the rank window
     # — full vectors never enter the corpus-sized exchange

@@ -1269,6 +1269,8 @@ def dsir_importance_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     quant_scale: int = 1_000_000,
+    broadcast_model: bool | None = None,
+    broadcast_vocab_limit: int = 2_000_000,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document by
@@ -1286,11 +1288,19 @@ def dsir_importance_weights(
     partitioning/order — and the single division happens at the end.
 
     Scale shape: two token-keyed aggregates (map-side combined, results
-    vocabulary-sized), the scored map broadcasts back onto the token
-    stream (or shuffle-joins past broadcast size, the unigram_cross_entropy
-    gate pattern), per-doc rollup is a partial agg on the id. Returns
-    (id, n_tokens, weight_q: long micro-nat total, log_ratio: double
-    mean nats)."""
+    vocabulary-sized), the scored map joins back onto the token stream,
+    per-doc rollup is a partial agg on the id.
+
+    Broadcast gate (ADVICE r8): a web-scale open vocabulary can exceed any
+    executor broadcast budget, so the ratio frame is broadcast only when
+    its row count is at or below ``broadcast_vocab_limit`` (~2M entries,
+    the unigram_cross_entropy gate); above it the score falls back to a
+    token-keyed shuffle join — the model side stays vocabulary-sized, the
+    stream side carries only (id, token, rq). The probe costs one
+    limit-bounded count; force the choice with ``broadcast_model``.
+
+    Returns (id, n_tokens, weight_q: long micro-nat total, log_ratio:
+    double mean nats)."""
     toks = df.select(
         F.col(id_col), target.alias("__tgt"), F.explode(tokens_col(text_col)).alias("__t")
     )
@@ -1316,7 +1326,11 @@ def dsir_importance_weights(
         .cast("long")
         .alias("__rq"),
     )
-    scored = toks.join(F.broadcast(ratio), "__t")
+    if broadcast_model is None:
+        # limit+1 bounds the probe: "over the limit?" without a full count
+        probe = vocab.limit(broadcast_vocab_limit + 1).count()
+        broadcast_model = probe <= broadcast_vocab_limit
+    scored = toks.join(F.broadcast(ratio) if broadcast_model else ratio, "__t")
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.sum("__rq").cast("long").alias("weight_q"),
@@ -1341,14 +1355,28 @@ def ngram_diversity_profile(
     never the n-gram text (the d33 exchange discipline), and the
     count-distinct runs on the digest so both engines count the same
     collision-free keys. One union of |orders| per-row expansions, one
-    grouped aggregate (map-side combined)."""
+    grouped aggregate (map-side combined). Built with the column DSL over
+    the shared ``tokens_col`` tokenizer (ADVICE r8: the old raw-SQL string
+    broke on column names needing quoting and could drift from the other
+    text operators' tokenization), with the token array hoisted once per
+    row rather than re-split per order."""
+    df, scratch = _with_tokens_scratch(df, text_col)
+    toks = F.col(scratch)
+
+    def gram_digests(n: int) -> Column:
+        # NB: the inner lambda must stay UNARY — PySpark dispatches on the
+        # lambda's arity, and a second parameter (even a defaulted `n=n`
+        # binding) silently selects the (element, index) binary transform
+        # form, turning the bound constant into the array index
+        return F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, F.lit(n)), " ")),
+        )
+
     parts = []
     for n in orders:
-        grams = F.expr(
-            f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
-            f"transform(sequence(1, size(split({text_col}, ' ')) - {n} + 1), "
-            f"i -> md5(array_join(slice(split({text_col}, ' '), i, {n}), ' '))) "
-            f"ELSE array() END"
+        grams = F.when(F.size(toks) >= n, gram_digests(n)).otherwise(
+            F.array().cast("array<string>")
         )
         parts.append(
             df.select(

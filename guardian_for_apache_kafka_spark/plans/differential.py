@@ -127,3 +127,87 @@ def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) ->
     finally:
         con.close()
     return out
+
+
+def run_selfdiff(
+    spark: SparkSession, sf_dir: str, name: str, repeats: int = 2
+) -> DiffResult:
+    """Run ONE query's Spark builder ``repeats`` times in-session and diff the
+    canonicalized result sets against each other — no oracle involved.
+
+    This catches run-order nondeterminism (cache-eviction recomputes, unstable
+    tie-breaks, shuffle-order-sensitive floats) that the oracle diff cannot:
+    a query can agree with DuckDB on run 1 and disagree with ITSELF on run 2,
+    which is exactly the failure shape of a driver-red row that never
+    reproduces in single-execution harnesses. Each repeat rebuilds the
+    DataFrame from the registry builder, so per-run barriers
+    (persist/localCheckpoint) are re-established rather than reused."""
+    baseline: list[str] | None = None
+    base_cols: list[str] | None = None
+    for i in range(repeats):
+        sdf = REGISTRY[name].builder(spark, sf_dir)
+        cols, rows = _canon(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        if baseline is None:
+            baseline, base_cols = rows, cols
+            continue
+        if cols != base_cols:
+            return DiffResult(name, False, f"selfdiff run {i}: columns {cols} != {base_cols}")
+        if rows != baseline:
+            bad = next(
+                (f"row {j}: {a!r} != {b!r}" for j, (a, b) in enumerate(zip(rows, baseline)) if a != b),
+                f"row count {len(rows)} != {len(baseline)}",
+            )
+            return DiffResult(name, False, f"selfdiff run {i} diverged: {bad}")
+    return DiffResult(name, True, f"{repeats} runs bit-identical ({len(baseline or [])} rows)")
+
+
+def run_selfdiff_all(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None, repeats: int = 2
+) -> list[DiffResult]:
+    out = []
+    for name in names or list(REGISTRY):
+        try:
+            out.append(run_selfdiff(spark, sf_dir, name, repeats))
+        except Exception as e:  # surface, don't abort the sweep
+            out.append(DiffResult(name, False, f"EXCEPTION: {type(e).__name__}: {e}"))
+    return out
+
+
+def _main() -> int:
+    """CLI: ``python -m guardian_for_apache_kafka_spark.plans.differential
+    [--selfdiff] [--sf-dir DIR] [--repeats N] [name ...]``."""
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--selfdiff", action="store_true",
+                    help="diff each query against itself across repeated runs "
+                         "instead of against the DuckDB oracle")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("names", nargs="*", help="query names (default: whole registry)")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+        .appName("guardian-differential")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    try:
+        if args.selfdiff:
+            results = run_selfdiff_all(spark, args.sf_dir, args.names or None, args.repeats)
+        else:
+            results = run_all(spark, args.sf_dir, args.names or None)
+    finally:
+        spark.stop()
+    bad = [r for r in results if not r.ok]
+    for r in results:
+        print(f"{'ok ' if r.ok else 'RED'} {r.name}: {r.detail}")
+    print(f"{len(results) - len(bad)}/{len(results)} green")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

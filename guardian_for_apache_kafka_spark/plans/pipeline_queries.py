@@ -4655,17 +4655,27 @@ def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("word_count_ok") & F.col("mean_word_len_ok") & F.col("alpha_ok")
     ).select("doc_id")
     s2 = train.join(ok, "doc_id")
-    # persist the two frames whose lineage later stages re-walk: without
+    # materialize the two frames whose lineage later stages re-walk: without
     # the barriers, the stage-5 aggregate recomputes the exact-dedup window
     # AND the inverted-index jaccard a second time (the union of 5 stage
-    # aggregates otherwise costs the sum of funnel PREFIXES, ~2.5x one pass)
-    s3 = dedup_exact(s2).persist()
+    # aggregates otherwise costs the sum of funnel PREFIXES, ~2.5x one pass).
+    # localCheckpoint (eager) rather than persist: a checkpoint TRUNCATES
+    # lineage, so no later stage can ever silently recompute these frames
+    # under cache pressure — the yield counts the funnel reports are frozen
+    # the moment each stage materializes (round-8 hardening: the driver saw
+    # one hash-red row that 57 in-repo executions could not reproduce; an
+    # evicted-partition recompute was the one engine-side suspect, and a
+    # checkpoint removes that branch entirely). Cluster note: localCheckpoint
+    # is executor-local (not replicated); on a real cluster with dynamic
+    # allocation use df.checkpoint() against a reliable checkpoint dir — in
+    # this single-JVM harness local is both safe and one disk-write cheaper.
+    s3 = dedup_exact(s2).localCheckpoint(eager=True)
     doomed = (
         ngram_jaccard_pairs(s3, n=3, threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    s4 = s3.join(doomed, "doc_id", "left_anti").persist()
+    s4 = s3.join(doomed, "doc_id", "left_anti").localCheckpoint(eager=True)
     s5 = ngram_decontaminate(s4, bench, n=4)
     return (
         stage(1, "raw", train)
@@ -8782,7 +8792,7 @@ def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bucketed AS (
       SELECT l.n, l.d, CAST(min(c.cap) AS BIGINT) AS cap
-      FROM lens l JOIN caps c ON c.cap >= l.n
+      FROM lens l LEFT JOIN caps c ON c.cap >= l.n
       GROUP BY l.n, l.d
     ),
     per AS (
@@ -8790,13 +8800,15 @@ def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(n * d) AS BIGINT) AS tokens
       FROM bucketed GROUP BY cap
     )
-    SELECT cap, n_docs, tokens,
+    SELECT CAST(coalesce(cap, -1) AS BIGINT) AS cap,
+           (cap IS NULL) AS overflow,
+           n_docs, tokens,
            CAST(n_docs * cap - tokens AS BIGINT) AS bucket_padding,
            CAST(n_docs * max(cap) OVER () - tokens AS BIGINT) AS naive_padding,
            round((n_docs * max(cap) OVER () - tokens - (n_docs * cap - tokens))
                  * 1.0 / nullif(n_docs * max(cap) OVER () - tokens, 0), 4)
              AS saved_frac
-    FROM per ORDER BY cap
+    FROM per ORDER BY 1
     """,
     tags=("pipeline", "packing", "batching"),
 )
@@ -8806,12 +8818,14 @@ def p19(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bucketed dataloader pays (pad to the BUCKET cap) against naive
     padding to the corpus-max cap — the standard pre-training batching
     decision (bucketing typically saves most of the pad-token FLOPs).
-    The cap ladder runs 2^3..2^20, so any document up to 1M tokens maps
-    to a bucket (empty buckets simply emit no row); a longer doc would
-    drop out of the join — extend the ladder before auditing such a
-    corpus. The corpus collapses to the token-LENGTH domain first (one map-side
-    combined rollup; lengths are a few hundred distinct values at any
-    corpus size), so the cap assignment join and everything after is
+    The cap ladder runs 2^3..2^20 (1M tokens); a document past the top
+    rung is NOT silently dropped (ADVICE r8, the repo's no-silent-caps
+    discipline) — it lands in an explicit ``overflow`` bucket (cap = -1,
+    NULL paddings: there is no rung to pad to), so an audit over a corpus
+    that needs a longer ladder says so in its own report. The corpus
+    collapses to the token-LENGTH domain first (one map-side combined
+    rollup; lengths are a few hundred distinct values at any corpus
+    size), so the cap assignment join and everything after is
     domain-sized. Pure integer arithmetic plus one guarded division."""
     d = load_table(spark, sf_dir, "documents")
     caps = spark.range(1).select(
@@ -8823,7 +8837,7 @@ def p19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n")
     ).agg(F.count("*").cast("long").alias("d"))
     bucketed = (
-        lens.join(F.broadcast(caps), F.col("cap") >= F.col("n"))
+        lens.join(F.broadcast(caps), F.col("cap") >= F.col("n"), "left")
         .groupBy("n", "d")
         .agg(F.min("cap").cast("long").alias("cap"))
     )
@@ -8831,11 +8845,13 @@ def p19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("long").alias("n_docs"),
         F.sum(F.col("n") * F.col("d")).cast("long").alias("tokens"),
     )
+    # max ignores NULLs, so the overflow bucket never defines the naive cap
     gmax = F.max("cap").over(Window.partitionBy())
     bucket_pad = F.col("n_docs") * F.col("cap") - F.col("tokens")
     naive_pad = F.col("n_docs") * gmax - F.col("tokens")
     return per.select(
-        "cap",
+        F.coalesce(F.col("cap"), F.lit(-1)).cast("long").alias("cap"),
+        F.col("cap").isNull().alias("overflow"),
         "n_docs",
         "tokens",
         bucket_pad.cast("long").alias("bucket_padding"),

@@ -8193,27 +8193,49 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics differ between engines (Spark has no percentile_disc), so
     the engine computes them EXPLICITLY as the value at 1-based rank
     ceil(p * n) over integer cents — which is exactly DuckDB's
-    quantile_disc definition — via one ranking window per group. Mode =
-    most frequent order year, ties to the EARLIEST year. Everything is
-    integer; no float enters at all."""
+    quantile_disc definition. Mode = most frequent order year, ties to
+    the EARLIEST year. Everything is integer; no float enters at all.
+
+    Scale plan (VERDICT r8 #4): the obvious ``row_number() OVER
+    (PARTITION BY pri)`` over raw orders has a 5-way parallelism ceiling
+    — 5 tasks each sorting N/5 rows, a skew bottleneck at 100x. Instead
+    the value distribution collapses first (``groupBy(pri, cents)`` —
+    at most |distinct cents| rows per group, shuffle carries counts not
+    rows), then the cumulative count comes from the two-pass
+    range-partitioned prefix sum (``global_running_sum`` ordered by
+    (pri, cents), parallelism = shuffle partitions, not 5), and the
+    type-1 quantile is the unique cents whose cumulative range straddles
+    rank ceil(p*n): cum - cnt < rank <= cum. The only windows left are
+    domain-sized (5-row per-pri offsets; per-pri year modes)."""
     o = load_table(spark, sf_dir, "orders")
     c = o.select(
         F.col("o_orderpriority").alias("pri"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.year("o_orderdate").alias("yr"),
     )
-    wv = Window.partitionBy("pri").orderBy("cents", "yr")
-    wn = Window.partitionBy("pri")
-    ranked = c.select(
-        "pri",
-        "cents",
-        F.row_number().over(wv).alias("rk"),
-        F.count("*").over(wn).alias("n"),
+    from guardian_for_apache_kafka_spark.operators.layout import global_running_sum
+
+    cnt = c.groupBy("pri", "cents").agg(F.count("*").cast("long").alias("cnt"))
+    cum = global_running_sum(cnt, [F.col("pri"), F.col("cents")], "cnt", out="gcum")
+    # per-pri totals + global start offsets: 5 rows, a driver-trivial window
+    w_off = Window.orderBy("pri").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        cnt.groupBy("pri")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .withColumn("__prior", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
     )
-    q_at = lambda p: F.max(
-        F.when(F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("cents"))
+    within = (
+        cum.join(F.broadcast(off), "pri")
+        .withColumn("__cum", F.col("gcum") - F.col("__prior"))
     )
-    quant = ranked.groupBy("pri").agg(
+    q_at = lambda p: F.min(
+        F.when(
+            (F.col("__cum") - F.col("cnt") < F.ceil(F.lit(p) * F.col("n")))
+            & (F.ceil(F.lit(p) * F.col("n")) <= F.col("__cum")),
+            F.col("cents"),
+        )
+    )
+    quant = within.groupBy("pri").agg(
         F.max("n").cast("long").alias("n"),
         q_at(0.25).cast("long").alias("p25_cents"),
         q_at(0.50).cast("long").alias("med_cents"),

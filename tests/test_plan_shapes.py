@@ -1287,3 +1287,96 @@ def test_q146_disjunction_keeps_hash_join(spark, sf_dir):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
     assert "Brand#" in plan  # the disjunction survives into the physical plan
+
+
+def test_q147_quantiles_no_data_sized_ranking_window(plans):
+    """Round-9 hardening (VERDICT r8 #2): the discrete quantiles must NOT
+    rank all orders rows in a 5-key window (5 tasks each sorting N/5 —
+    a skew ceiling at 100x). The rewrite collapses the value distribution
+    first (groupBy(pri, cents)), takes the cumulative count via the
+    range-partitioned two-pass prefix sum, and reads the quantile off the
+    straddling cumulative range — so every Window in the plan runs over an
+    aggregate, never the raw scan."""
+    p = plans("q147_discrete_quantiles_mode")
+    tree = p.split("\n\n")[0]
+    assert "rangepartitioning(" in p  # the two-pass prefix sum is present
+    # the prefix sum's local window is per-range-partition (__pid), i.e.
+    # parallelism = shuffle partitions, not 5 priorities
+    assert "__pid" in p
+    # every Window's cardinality-determining input is an aggregate: in the
+    # linearized tree, the first aggregate-or-scan node printed after each
+    # Window line must be a HashAggregate, never the parquet scan itself
+    lines = tree.splitlines()
+    for i, ln in enumerate(lines):
+        if " Window (" in ln:
+            nxt = next(
+                (l for l in lines[i + 1:]
+                 if "HashAggregate" in l or "Scan parquet" in l),
+                "",
+            )
+            assert "HashAggregate" in nxt, f"Window over raw scan:\n{tree}"
+
+
+def test_s23_matryoshka_shuffles_never_carry_full_vectors(plans):
+    """The Matryoshka two-stage contract in the physical plan: stage 1
+    scores 16-of-64 prefix dims, so no shuffle exchange may carry the full
+    embedding array — the coarse rank exchange moves (query_id, vec_id,
+    score) and the spread exchange moves the sliced prefix. (Broadcast
+    exchanges are exempt: the |Q|-row query side and the |Q|x20 shortlist
+    legitimately ship full vectors.) Guards both the r8 design claim and
+    the r9 slice-before-spread fix."""
+    import re
+
+    p = plans("s23_matryoshka_rerank")
+    assert "slice(embedding" in p  # the prefix projection exists
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p):
+        cols = m.group(1)
+        assert "embedding#" not in cols, (
+            f"shuffle exchange carries full vectors: [{cols}]\n{p}"
+        )
+
+
+def test_s25_filtered_search_label_predicate_drives_hash_join(plans):
+    """Filtered ANN: the label equi-predicate must become the join KEY of a
+    hash join (corpus rows meet only same-label queries; cosine FLOPs are
+    paid on the filtered set), not a post-hoc filter under a nested-loop
+    cross join that scores everything first."""
+    p = plans("s25_filtered_search")
+    tree = p.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "BroadcastNestedLoopJoin" not in tree and "CartesianProduct" not in tree
+    # per-query top-k never materializes the full scored set into one sort:
+    # the rank window gets the partial group-limit below the exchange
+    assert "WindowGroupLimit" in tree
+
+
+def test_p20_budget_walk_is_two_pass_prefix_sum(plans):
+    """The token-budget walk orders the whole corpus by quality — the naive
+    plan is sum() OVER (ORDER BY ttr) in ONE task. Assert the two-pass
+    shape instead: a rangepartitioning exchange on (ttr, doc_id), the
+    local window keyed by the range partition id (parallel in the number
+    of shuffle partitions), and any SinglePartition exchange feeding off
+    an aggregate (the n_parts-row offset table), never corpus rows."""
+    import re
+
+    p = plans("p20_token_budget_curation")
+    tree = p.split("\n\n")[0]
+    assert re.search(r"rangepartitioning\(ttr#\d+ DESC", p)
+    assert "__pid" in p
+    lines = tree.splitlines()
+    for m in re.finditer(
+        r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", p
+    ):
+        node_id = m.group(1)
+        idx = next(
+            i for i, ln in enumerate(lines)
+            if ln.rstrip().endswith(f"Exchange ({node_id})")
+        )
+        nxt = next(
+            (l for l in lines[idx + 1:]
+             if "HashAggregate" in l or "Scan parquet" in l),
+            "",
+        )
+        assert "HashAggregate" in nxt, (
+            f"SinglePartition exchange ({node_id}) over raw rows:\n{tree}"
+        )

@@ -739,3 +739,22 @@ def test_p19_long_document_is_not_dropped(spark):
     out = all_queries()["p19_length_bucket_padding"](spark, d).collect()
     assert sum(r.n_docs for r in out) == 21
     assert any(r.cap == 512 and r.n_docs == 1 for r in out), out
+
+
+def test_p19_oversized_document_lands_in_overflow_bucket(spark):
+    """ADVICE r8: a document past the top rung (2^20 tokens) must not
+    silently vanish from the audit — it reports as the cap = -1 overflow
+    bucket with NULL paddings, while the sized buckets keep their math."""
+    rows = [(0, " ".join(["t"] * ((1 << 20) + 1)), "en", "src", 1)]
+    rows += [(i, "a b c d e f g h", "en", "src", 15) for i in range(1, 4)]
+    d = _docs_dir(spark, rows)
+    out = {r.cap: r for r in all_queries()["p19_length_bucket_padding"](spark, d).collect()}
+    assert sum(r.n_docs for r in out.values()) == 4
+    over = out[-1]
+    assert over.overflow and over.n_docs == 1
+    assert over.bucket_padding is None and over.saved_frac is None
+    assert over.tokens == (1 << 20) + 1
+    sized = out[8]
+    assert not sized.overflow and sized.n_docs == 3
+    # the naive cap comes from the largest SIZED bucket, not the overflow
+    assert sized.naive_padding == 3 * 8 - 24
