@@ -758,3 +758,44 @@ def test_p19_oversized_document_lands_in_overflow_bucket(spark):
     assert not sized.overflow and sized.n_docs == 3
     # the naive cap comes from the largest SIZED bucket, not the overflow
     assert sized.naive_padding == 3 * 8 - 24
+
+
+def test_q147_type1_quantiles_under_heavy_ties(spark):
+    """Stress the r9 prefix-sum quantile rewrite where it could plausibly
+    drift from row_number semantics: a value domain of 3 cents levels with
+    heavily duplicated values (every (pri, cents) group spans many rows,
+    ties straddle range-partition boundaries) and ranks ceil(p*n) landing
+    exactly on cumulative-range edges. Ground truth is the type-1
+    definition computed directly: value at 1-based rank ceil(p*n) of the
+    sorted multiset."""
+    import math
+
+    rows = []
+    key = 0
+    # pri A: 10x 1.00, 30x 2.00, 10x 3.00  (n=50: p25 rank 13 -> 2.00,
+    # p50 rank 25 -> 2.00, p75 rank 38 -> 2.00... make edges interesting)
+    # pri B: 20x 1.00, 20x 2.00  (n=40: p25 rank 10 -> 1.00 edge,
+    # p50 rank 20 -> 1.00 LAST of tie group, p75 rank 30 -> 2.00)
+    spec = {"A": [(1.00, 10), (2.00, 30), (3.00, 10)], "B": [(1.00, 20), (2.00, 20)]}
+    for pri, dist in spec.items():
+        for price, cnt in dist:
+            for i in range(cnt):
+                rows.append((key, 1, "O", price, f"199{5 + (key % 3)}-01-01", pri))
+                key += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "orders.parquet"))
+
+    out = {r.pri: r for r in all_queries()["q147_discrete_quantiles_mode"](spark, d).collect()}
+    for pri, dist in spec.items():
+        values = sorted(int(round(p * 100)) for p, c in dist for _ in range(c))
+        n = len(values)
+        got = out[pri]
+        assert got.n == n
+        for p, col in ((0.25, "p25_cents"), (0.50, "med_cents"), (0.75, "p75_cents")):
+            want = values[math.ceil(p * n) - 1]
+            assert getattr(got, col) == want, (pri, col, got, want)
