@@ -1,0 +1,813 @@
+"""Third-opinion differential: independent pure-Python reimplementations.
+
+The in-repo gate and the external driver both compare the Spark builder
+against a hand-written DuckDB oracle. That catches ENGINE bugs, but a
+spec-level mistake shared by both formulations (same wrong formula typed
+twice) passes both. This script closes that hole for the round-8 additions
+that had never been driver-attested (the round-9 "tail-30" pool): each
+query is reimplemented FROM ITS DOCUMENTED SPEC in plain pandas/numpy/
+hashlib — no Spark, no SQL reuse — and compared against the registry
+oracle's output on the same parquet tables.
+
+Run (no Spark session needed; ~1 min at sf0.01):
+
+    python scripts/third_opinion.py [--sf-dir /root/testdata/sf0.01] [names...]
+
+A name with no checker here reports SKIP (coverage is the tail-30 plus a
+few neighbors; extend as new registry rounds add formula-heavy queries).
+
+Float comparisons use 2e-4 tolerance where the engine folds float32
+embeddings (cosine paths) and 1e-9 elsewhere; integer/string columns must
+match exactly. Everything else (row count, ordering keys) is exact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import itertools
+import math
+import sys
+from collections import Counter
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def _rnd_half_away(x: float) -> int:
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _round(x: float, nd: int) -> float:
+    """round() with DuckDB/Spark half-AWAY semantics. Python's built-in
+    round() is banker's: round(0.90625, 4) -> 0.9062, but both engines give
+    0.9063 — a real divergence surfaced by the sf0.001 sweep of this script
+    (t35/t40 ratio columns), worth knowing about for every oracle that
+    rounds a ratio landing exactly on a half."""
+    s = 10 ** nd
+    return _rnd_half_away(x * s) / s
+
+
+def _docs(sf):
+    return pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "lang", "text"]
+    ).sort_values("doc_id")
+
+
+def _emb(sf):
+    e = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    return np.stack(e.embedding.values).astype(np.float64), e.vec_id.values, e.label.values
+
+
+def _events(sf):
+    return duckdb.sql(
+        f"SELECT event_id, ts, user_id, event_type, props, epoch_ms(ts) AS ms"
+        f" FROM '{sf}/events.parquet'"
+    ).fetchdf()
+
+
+def _shingle_sets(docs, n=3):
+    out = {}
+    for r in docs.itertuples():
+        tk = r.text.split(" ")
+        if len(tk) >= n:
+            out[r.doc_id] = set(" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1))
+    return out
+
+
+def _ranks(keys):
+    """1-based ranks for a list of (sort_key, tiebreak) tuples, best first."""
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    r = np.empty(len(keys), dtype=int)
+    for rank, i in enumerate(order, 1):
+        r[i] = rank
+    return r
+
+
+# --------------------------------------------------------------------------
+# checkers: name -> fn(sf) -> pd.DataFrame matching the oracle's columns
+# --------------------------------------------------------------------------
+
+def chk_t35(sf):
+    docs = _docs(sf)
+    sh = _shingle_sets(docs)
+    owner: dict[str, int] = {}
+    for d in sorted(sh):
+        for s in sh[d]:
+            owner.setdefault(s, d)
+    novel = Counter(owner.values())
+    rows = [
+        (d, len(sh[d]), novel.get(d, 0), _round(novel.get(d, 0) / len(sh[d]), 4))
+        for d in sorted(sh)[:100]
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "n_shingles", "n_novel", "novelty_ratio"])
+
+
+def chk_t36(sf):
+    docs = _docs(sf)
+    hist: Counter = Counter()
+    for r in docs.itertuples():
+        for t in r.text.split(" "):
+            if t:
+                hist[(r.lang, len(t))] += 1
+    tot: Counter = Counter()
+    for (lang, _), c in hist.items():
+        tot[lang] += c
+    rows = sorted((lang, ln, c, _round(c / tot[lang], 6)) for (lang, ln), c in hist.items())
+    return pd.DataFrame(rows, columns=["lang", "token_len", "n_tokens", "share"])
+
+
+def chk_t37(sf):
+    docs = _docs(sf)
+    tf: dict[str, Counter] = {}
+    tot: Counter = Counter()
+    for r in docs.itertuples():
+        c = tf.setdefault(r.source, Counter())
+        for t in r.text.split(" "):
+            if t:
+                c[t] += 1
+                tot[t] += 1
+    top20 = sorted(tot, key=lambda t: (-tot[t], t))[:20]
+    sources = sorted(tf)
+    n = {s: sum(tf[s].values()) for s in sources}
+    fmat = np.array([[tf[s].get(t, 0) / n[s] for t in top20] for s in sources])
+    mu = fmat.mean(axis=0)
+    sd = fmat.std(axis=0, ddof=1)
+    z = np.where(sd > 0, (fmat - mu) / sd, 0.0)
+    rows = [
+        (sources[i], sources[j], _round(float(np.abs(z[i] - z[j]).mean()), 6))
+        for i, j in itertools.combinations(range(len(sources)), 2)
+    ]
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "burrows_delta"])
+
+
+def chk_t38(sf):
+    docs = _docs(sf)
+    docsets = {r.doc_id: set(t for t in r.text.split(" ") if t) for r in docs.itertuples()}
+    dfreq: Counter = Counter()
+    for s in docsets.values():
+        dfreq.update(s)
+    top = set(sorted(dfreq, key=lambda t: (-dfreq[t], t))[:50])
+    n = len(docsets)
+    pair_c: Counter = Counter()
+    for s in docsets.values():
+        for a, b in itertools.combinations(sorted(s & top), 2):
+            pair_c[(a, b)] += 1
+    rows = [
+        (a, b, c, math.log(c * n / (dfreq[a] * dfreq[b])))
+        for (a, b), c in pair_c.items()
+        if c >= 5
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return pd.DataFrame(
+        [(a, b, c, _round(p, 6)) for a, b, c, p in rows[:20]],
+        columns=["token_a", "token_b", "c_ab", "pmi"],
+    )
+
+
+def chk_t39(sf):
+    docs = _docs(sf)
+    freq: Counter = Counter()
+    for txt in docs.text:
+        tk = txt.split(" ")
+        for i in range(len(tk) - 2):
+            freq[" ".join(tk[i : i + 3])] += 1
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = sum(freq.values())
+    v = len(ranked)
+    rows = []
+    for k in (10, 100, 1000, 10000):
+        cov = sum(c for _, c in ranked[:k])
+        rows.append((k, min(k, v), cov, _round(cov / n, 6)))
+    return pd.DataFrame(rows, columns=["top_k", "vocab_used", "occurrences_covered", "coverage"])
+
+
+def chk_t40(sf):
+    docs = _docs(sf)
+    rows = []
+    for r in docs.itertuples():
+        tk = r.text.split(" ")
+        kt = [
+            t
+            for i, t in enumerate(tk)
+            if int(hashlib.md5(f"{r.doc_id}:{i}".encode()).hexdigest()[:4], 16) % 10 != 0
+        ]
+        rows.append((r.doc_id, len(tk), len(kt), _round(len(kt) / len(tk), 4), " ".join(kt)))
+        if len(rows) == 100:
+            break
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "n_kept", "kept_ratio", "augmented_text"]
+    )
+
+
+def chk_t41(sf):
+    docs = _docs(sf)
+    rows = []
+    for src, g in docs.groupby("source"):
+        for n in (1, 2, 3):
+            tot = 0
+            dist = set()
+            for txt in g.text:
+                tk = txt.split(" ")
+                for i in range(len(tk) - n + 1):
+                    tot += 1
+                    dist.add(" ".join(tk[i : i + n]))
+            rows.append((src, n, tot, len(dist), _round(len(dist) / tot, 4)))
+    return pd.DataFrame(
+        rows, columns=["source", "n", "total_ngrams", "distinct_ngrams", "diversity"]
+    )
+
+
+def chk_d35(sf):
+    V, ids, _ = _emb(sf)
+    m = ids < 200
+    V = V[m]
+    ids = ids[m]
+    norm = np.linalg.norm(V, axis=1)
+    C = (V @ V.T) / np.outer(norm, norm)
+    iu = np.triu_indices(len(ids), 1)
+    cos, ia, ib = C[iu], ids[iu[0]], ids[iu[1]]
+    rows = []
+    for t in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8):
+        sel = cos >= t
+        rows.append(
+            (
+                _round(t, 1),
+                int(sel.sum()),
+                int(len(np.unique(ia[sel])) + len(np.unique(ib[sel]))),
+                _round(float(sel.sum()) / len(cos), 6),
+            )
+        )
+    return pd.DataFrame(rows, columns=["threshold", "n_pairs", "id_incidences", "pair_share"])
+
+
+def chk_d36(sf):
+    sh = _shingle_sets(_docs(sf))
+    dfreq: Counter = Counter()
+    for st in sh.values():
+        dfreq.update(st)
+    bands: dict[str, list[int]] = {}
+    for _, df in dfreq.items():
+        b = "unique" if df == 1 else ("2-4" if df < 5 else ("5-9" if df < 10 else "10+"))
+        e = bands.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += df * (df - 1) // 2
+    rows = sorted((b, v[0], v[1]) for b, v in bands.items())
+    return pd.DataFrame(rows, columns=["df_band", "n_shingles", "candidate_pairs"])
+
+
+def chk_d37(sf):
+    docs = _docs(sf)
+    n = len(docs)
+    rows = []
+    for p in (8, 16, 32, 64, 128):
+        g = len(set(t[:p] for t in docs.text))
+        rows.append((p, g, n - g, _round((n - g) / n, 6)))
+    return pd.DataFrame(rows, columns=["prefix_len", "n_groups", "dup_docs", "dup_ratio"])
+
+
+def chk_d38(sf):
+    docs = _docs(sf)
+    freq: Counter = Counter()
+    toks = {}
+    for r in docs.itertuples():
+        tk = r.text.split(" ")
+        toks[r.doc_id] = tk
+        freq.update(tk)
+    s = sum(freq.values())
+    ce = {
+        d: _round(-sum(math.log(freq[t] / s) for t in tk) / len(tk), 2)
+        for d, tk in toks.items()
+    }
+    rows = []
+    for lang, g in docs.groupby("lang"):
+        order = sorted(g.doc_id, key=lambda d: (ce[d], d))
+        base, rem = divmod(len(order), 3)
+        idx = 0
+        for i, name in enumerate(["head", "middle", "tail"]):
+            sz = base + (1 if i < rem else 0)
+            grp = order[idx : idx + sz]
+            idx += sz
+            if grp:
+                ces = [ce[d] for d in grp]
+                rows.append((lang, name, len(grp), _round(min(ces), 2), _round(max(ces), 2)))
+    return pd.DataFrame(rows, columns=["lang", "quality_bucket", "n_docs", "min_ce", "max_ce"])
+
+
+def chk_d39(sf):
+    docs = _docs(sf)
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    toks = {}
+    for r in docs.itertuples():
+        tk = r.text.split(" ")
+        toks[r.doc_id] = (tk, r.lang)
+        raw.update(tk)
+        if r.lang == "en":
+            tgt.update(tk)
+    nr, nt, v = sum(raw.values()), sum(tgt.values()), len(raw)
+    rq = {
+        t: _rnd_half_away(
+            (math.log((tgt.get(t, 0) + 1.0) / (nt + v)) - math.log((c + 1.0) / (nr + v)))
+            * 1_000_000
+        )
+        for t, c in raw.items()
+    }
+    rows = [
+        (d, lang, len(tk), sum(rq[t] for t in tk))
+        for d, (tk, lang) in toks.items()
+        if lang != "en"
+    ]
+    rows.sort(key=lambda r: (-(r[3] / r[2]), r[0]))
+    return pd.DataFrame(
+        [(d, l, n, _round(wq / n / 1e6, 4)) for d, l, n, wq in rows[:25]],
+        columns=["doc_id", "lang", "n_tokens", "log_ratio"],
+    )
+
+
+def chk_s21(sf):
+    V, ids, _ = _emb(sf)
+    rows = []
+    for qi in np.where(ids < 5)[0]:
+        qv = V[qi]
+        mask = ids != ids[qi]
+        cv, cid = V[mask], ids[mask]
+        cos = (cv @ qv) / (np.linalg.norm(cv, axis=1) * np.linalg.norm(qv))
+        dot = cv @ qv
+        ra = _ranks([(-cos[i], cid[i]) for i in range(len(cid))])
+        rb = _ranks([(-dot[i], cid[i]) for i in range(len(cid))])
+        rrf = 1.0 / (60 + ra) + 1.0 / (60 + rb)
+        order = sorted(range(len(cid)), key=lambda i: (-rrf[i], cid[i]))[:5]
+        for fr, i in enumerate(order, 1):
+            rows.append((ids[qi], cid[i], _round(rrf[i], 6), fr))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "rrf", "fused_rank"])
+
+
+def chk_s22(sf):
+    V, ids, _ = _emb(sf)
+    rows = []
+    for qi in np.where(ids < 5)[0]:
+        qv = V[qi]
+        mask = ids != ids[qi]
+        cv, cid = V[mask], ids[mask]
+        cos = (cv @ qv) / (np.linalg.norm(cv, axis=1) * np.linalg.norm(qv))
+        dot = cv @ qv
+        ra = _ranks([(-cos[i], cid[i]) for i in range(len(cid))])
+        rb = _ranks([(-dot[i], cid[i]) for i in range(len(cid))])
+        rrf = 1.0 / (60 + ra) + 1.0 / (60 + rb)
+        rf = _ranks([(-rrf[i], cid[i]) for i in range(len(cid))])
+        rows.append(
+            (
+                ids[qi],
+                int(((ra <= 5) & (rb <= 5)).sum()),
+                int(((ra <= 5) & (rf <= 5)).sum()),
+                int(((rb <= 5) & (rf <= 5)).sum()),
+            )
+        )
+    return pd.DataFrame(rows, columns=["query_id", "cd_overlap5", "cf_overlap5", "df_overlap5"])
+
+
+def chk_s23(sf):
+    V, ids, _ = _emb(sf)
+    rows = []
+    for qi in np.where(ids < 5)[0]:
+        qv = V[qi]
+        mask = ids != ids[qi]
+        cv, cid = V[mask], ids[mask]
+        cp, qp = cv[:, :16], qv[:16]
+        cs = (cp @ qp) / (np.linalg.norm(cp, axis=1) * np.linalg.norm(qp))
+        short = sorted(range(len(cid)), key=lambda i: (-cs[i], cid[i]))[:20]
+        cos = (cv[short] @ qv) / (np.linalg.norm(cv[short], axis=1) * np.linalg.norm(qv))
+        rer = sorted(range(len(short)), key=lambda j: (-cos[j], cid[short[j]]))[:3]
+        for rk, j in enumerate(rer, 1):
+            rows.append((ids[qi], cid[short[j]], _round(cos[j], 4), rk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine", "rnk"])
+
+
+def chk_s24(sf):
+    V, ids, lab = _emb(sf)
+    rows = []
+    for qi in np.where(ids < 8)[0]:
+        qv = V[qi]
+        mask = ids != ids[qi]
+        cv, cid, cl = V[mask], ids[mask], lab[mask]
+        cos = (cv @ qv) / (np.linalg.norm(cv, axis=1) * np.linalg.norm(qv))
+        same = cl == lab[qi]
+
+        def best(sel):
+            i = sorted(np.where(sel)[0], key=lambda i: (-cos[i], cid[i]))[0]
+            return cid[i], cos[i]
+
+        p_id, p_c = best(same)
+        n_id, n_c = best(~same)
+        rows.append(
+            (ids[qi], p_id, _round(p_c, 4), n_id, _round(n_c, 4), _round(p_c - n_c, 4))
+        )
+    return pd.DataFrame(
+        rows, columns=["query_id", "pos_id", "pos_cosine", "neg_id", "neg_cosine", "margin"]
+    )
+
+
+def chk_s25(sf):
+    V, ids, lab = _emb(sf)
+    rows = []
+    for qi in np.where(ids < 6)[0]:
+        qv = V[qi]
+        mask = (ids != ids[qi]) & (lab == lab[qi])
+        cv, cid = V[mask], ids[mask]
+        cos = (cv @ qv) / (np.linalg.norm(cv, axis=1) * np.linalg.norm(qv))
+        order = sorted(range(len(cid)), key=lambda i: (-cos[i], cid[i]))[:3]
+        for rk, i in enumerate(order, 1):
+            rows.append((ids[qi], cid[i], _round(cos[i], 4), rk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine", "rnk"])
+
+
+def chk_m11(sf):
+    docs = _docs(sf)
+    rows = []
+    for r in docs[docs.doc_id < 150].itertuples():
+        dig = hashlib.sha256(r.text.encode()).hexdigest()
+        lum = [
+            int(hashlib.sha256(f"{dig}:{g}".encode()).hexdigest()[0:2], 16) for g in range(16)
+        ]
+        jumps = [abs(lum[k] - lum[k - 1]) for k in range(1, 16)]
+        total, mx, cuts = sum(jumps), max(jumps), sum(1 for j in jumps if j > 64)
+        cls = "static" if total < 32 * 15 else ("smooth" if cuts == 0 else "cut_heavy")
+        rows.append((r.doc_id, total, mx, cuts, cls))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "total_motion", "max_jump", "n_cuts", "motion_class"]
+    )
+
+
+def chk_m12(sf):
+    docs = _docs(sf)
+    sigs = {}
+    for r in docs.itertuples():
+        dig = hashlib.sha256(r.text.encode()).hexdigest()
+        st = []
+        for pr in (0, 1):
+            for pc in (0, 1):
+                pdg = hashlib.sha256(f"{dig}:{pr}:{pc}".encode()).hexdigest()
+                b0, b1 = int(pdg[0:2], 16), int(pdg[2:4], 16)
+                st.append((pr * 2 + pc) * 64 + (b0 // 32) * 8 + (b1 // 32))
+        sigs[r.doc_id] = st
+    owner: dict[int, list[int]] = {}
+    for d in sorted(sigs):
+        for s in sigs[d]:
+            e = owner.setdefault(s, [0, d])
+            e[0] += 1
+    uniq: Counter = Counter()
+    for s, (df, od) in owner.items():
+        if df == 1:
+            uniq[od] += 1
+    rows = []
+    for d in sorted(sigs)[:200]:
+        npn = len(sigs[d])
+        shd = npn - uniq.get(d, 0)
+        rows.append((d, npn, shd, _round(shd / npn, 4)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_patches", "n_shared", "shared_ratio"])
+
+
+def chk_m13(sf):
+    docs = _docs(sf)
+    rows = []
+    for r in docs[docs.doc_id < 150].itertuples():
+        dig = hashlib.sha256(r.text.encode()).hexdigest()
+        lum = [
+            int(hashlib.sha256(f"{dig}:{g}".encode()).hexdigest()[0:2], 16) for g in range(16)
+        ]
+        scene = 0
+        best: dict[int, tuple[int, int]] = {}
+        for k in range(16):
+            if k > 0 and abs(lum[k] - lum[k - 1]) > 64:
+                scene += 1
+            cur = best.get(scene)
+            if cur is None or lum[k] > cur[1]:
+                best[scene] = (k, lum[k])
+        for s in sorted(best):
+            rows.append((r.doc_id, s, best[s][0], best[s][1]))
+    return pd.DataFrame(rows, columns=["doc_id", "scene_index", "keyframe", "brightness"])
+
+
+def chk_m14(sf):
+    docs = _docs(sf)
+    rows = []
+    for r in docs[docs.doc_id < 200].itertuples():
+        dig = hashlib.sha256(r.text.encode()).hexdigest()
+        fps = {0: 12, 1: 24, 2: 25}.get(int(dig[6:8], 16) % 4, 30)
+        stride = max(1, _rnd_half_away(fps / 6.0))
+        rows.append((r.doc_id, fps, stride, (15 // stride) + 1, _round(fps / stride, 2)))
+    return pd.DataFrame(rows, columns=["doc_id", "fps", "stride", "n_kept", "effective_fps"])
+
+
+def chk_p16(sf):
+    docs = _docs(sf).sort_values(["source", "doc_id"])
+    rows = []
+    for budget in (64, 128, 256):
+        nseq = ntok = 0
+        for _, g in docs.groupby("source"):
+            seq = fill = 0
+            first = True
+            for txt in g.text:
+                n = len(txt.split(" "))
+                ntok += n
+                if first:
+                    fill, first = n, False
+                elif fill + n > budget:
+                    seq += 1
+                    fill = n
+                else:
+                    fill += n
+            nseq += seq + 1
+        rows.append(
+            (budget, nseq, ntok, _round(ntok / (nseq * budget), 4), nseq * budget - ntok)
+        )
+    return pd.DataFrame(
+        rows, columns=["budget", "n_sequences", "n_tokens", "fill_ratio", "padding_tokens"]
+    )
+
+
+def chk_p17(sf):
+    docs = _docs(sf)
+    per: dict[int, list[int]] = {}
+    for r in docs.itertuples():
+        h = int(hashlib.md5(f"shard{r.doc_id}".encode()).hexdigest()[:8], 16) % 8
+        e = per.setdefault(h, [0, 0])
+        e[0] += 1
+        e[1] += len(r.text.split(" "))
+    total = sum(v[1] for v in per.values())
+    rows = [
+        (s, v[0], v[1], _round(v[1] / total, 6), _round(v[1] * 8.0 / total, 4))
+        for s, v in sorted(per.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["shard", "n_docs", "tokens", "token_share", "balance_ratio"]
+    )
+
+
+def chk_p18(sf):
+    docs = _docs(sf)
+    rows = []
+    for t in (0.1, 0.25, 0.5):
+        prefix_rows = 0
+        worst = None
+        for src, g in docs.groupby("source"):
+            n = len(g)
+            in_pref = int((((np.arange(1, n + 1) - 0.5) / n) <= t).sum())
+            prefix_rows += in_pref
+            dev = abs(in_pref - t * n)
+            if worst is None or dev > worst[0] + 1e-12:
+                worst = (dev, src)
+        rows.append((t, prefix_rows, _round(worst[0], 4), worst[1]))
+    return pd.DataFrame(
+        rows, columns=["depth", "prefix_rows", "max_abs_deviation", "worst_source"]
+    )
+
+
+def chk_p19(sf):
+    docs = _docs(sf)
+    caps = [1 << p for p in range(3, 21)]
+    per: dict = {}
+    for txt in docs.text:
+        n = len(txt.split(" "))
+        cap = next((c for c in caps if c >= n), None)
+        e = per.setdefault(cap, [0, 0])
+        e[0] += 1
+        e[1] += n
+    gmax = max(c for c in per if c is not None)
+    rows = []
+    for cap in sorted(per, key=lambda c: -1 if c is None else c):
+        nd, tk = per[cap]
+        if cap is None:
+            rows.append((-1, True, nd, tk, None, None, None))
+        else:
+            bp, npd = nd * cap - tk, nd * gmax - tk
+            rows.append(
+                (cap, False, nd, tk, bp, npd, _round((npd - bp) / npd, 4) if npd else None)
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "cap", "overflow", "n_docs", "tokens",
+            "bucket_padding", "naive_padding", "saved_frac",
+        ],
+    )
+
+
+def chk_p20(sf):
+    docs = _docs(sf)
+    scored = []
+    for r in docs.itertuples():
+        tk = r.text.split(" ")
+        scored.append((r.doc_id, r.source, len(tk), len(set(tk)) / len(tk)))
+    budget = math.floor(sum(s[2] for s in scored) * 0.5)
+    run = 0
+    sel = set()
+    for d, _, n, _ in sorted(scored, key=lambda s: (-s[3], s[0])):
+        run += n
+        if run <= budget:
+            sel.add(d)
+    agg: dict[str, list[int]] = {}
+    for d, src, n, _ in scored:
+        e = agg.setdefault(src, [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += n
+        if d in sel:
+            e[2] += 1
+            e[3] += n
+    rows = [(s, v[0], v[1], v[2], v[3], _round(v[2] / v[0], 4)) for s, v in sorted(agg.items())]
+    return pd.DataFrame(
+        rows,
+        columns=["source", "n_docs", "tokens", "n_selected", "selected_tokens", "selection_rate"],
+    )
+
+
+def chk_p21(sf):
+    docs = _docs(sf)
+    rows: dict = {}
+    for e in range(3):
+        for d in docs.doc_id:
+            k = int(hashlib.md5(f"ep{e}:{d}".encode()).hexdigest()[:8], 16)
+            key = (e, k % 8)
+            r = rows.setdefault(key, [0, None, 0])
+            r[0] += 1
+            cand = (k // 8) * 10000000 + d
+            r[1] = cand if r[1] is None else min(r[1], cand)
+            r[2] += (k % 1000003) * d
+    return pd.DataFrame(
+        [(e, s, v[0], v[1] % 10000000, v[2]) for (e, s), v in sorted(rows.items())],
+        columns=["epoch", "shard", "n_docs", "lead_doc", "order_checksum"],
+    )
+
+
+def chk_g13(sf):
+    ev = _events(sf)
+    s = ev.ts.dt.floor("h").value_counts().sort_index()
+    cum = 0
+    rows: dict = {}
+    for sl, cnt in s.items():
+        grp = cum // 300
+        cum += cnt
+        r = rows.setdefault(grp, [0, None, None, 0])
+        r[0] += 1
+        r[1] = sl if r[1] is None else min(r[1], sl)
+        r[2] = sl if r[2] is None else max(r[2], sl)
+        r[3] += cnt
+    return pd.DataFrame(
+        [(g, *v) for g, v in sorted(rows.items())],
+        columns=["grp", "n_slices", "first_slice", "last_slice", "n_records"],
+    )
+
+
+def chk_g14(sf):
+    ev = _events(sf)
+    ev = ev[ev.ts >= pd.Timestamp("2024-01-05")]
+    b64 = lambda n: 4 * ((n + 2) // 3)  # noqa: E731
+    per: dict = {}
+    for r in ev.itertuples():
+        rec = (
+            86 + len(r.event_type) + 1 + len(str(r.event_id))
+            + b64(len(str(r.user_id))) + b64(len(r.props)) + len(str(r.ms)) + 1
+        )
+        e = per.setdefault(r.ts.floor("h"), [0, 0])
+        e[0] += 1
+        e[1] += rec
+    rows = []
+    cum = 0
+    for sl in sorted(per):
+        nr, tot = per[sl]
+        ob = tot + nr + 1
+        cum += ob
+        rows.append((sl, nr, ob, cum))
+    return pd.DataFrame(rows, columns=["slice", "n_records", "object_bytes", "cum_bytes"])
+
+
+def chk_g15(sf):
+    ev = _events(sf)
+    ev["h"] = ev.ts.dt.floor("h")
+    present = set(zip(ev.event_type, ev.h))
+    hours = pd.date_range(ev.h.min(), ev.h.max(), freq="h")
+    rows = []
+    for t in sorted(ev.event_type.unique()):
+        runs: list[list] = []
+        for h in hours:
+            if (t, h) in present:
+                continue
+            if runs and (h - runs[-1][-1]).total_seconds() == 3600:
+                runs[-1].append(h)
+            else:
+                runs.append([h])
+        if runs:
+            rows.append(
+                (t, sum(len(r) for r in runs), len(runs),
+                 max(len(r) for r in runs), min(r[0] for r in runs))
+            )
+        else:
+            rows.append((t, 0, 0, 0, pd.NaT))
+    return pd.DataFrame(
+        rows,
+        columns=["topic", "missing_hours", "n_gaps", "longest_gap_hours", "first_gap_start"],
+    )
+
+
+CHECKERS = {
+    "t35_ngram_novelty": chk_t35,
+    "t36_token_length_histogram": chk_t36,
+    "t37_burrows_delta": chk_t37,
+    "t38_pmi_collocations": chk_t38,
+    "t39_ngram_coverage_curve": chk_t39,
+    "t40_token_dropout_augment": chk_t40,
+    "t41_ngram_diversity": chk_t41,
+    "d35_cosine_threshold_curve": chk_d35,
+    "d36_candidate_pair_budget": chk_d36,
+    "d37_prefix_dedup_sweep": chk_d37,
+    "d38_ccnet_quality_buckets": chk_d38,
+    "d39_dsir_importance": chk_d39,
+    "s21_rrf_fusion": chk_s21,
+    "s22_rank_agreement": chk_s22,
+    "s23_matryoshka_rerank": chk_s23,
+    "s24_hard_negative_mining": chk_s24,
+    "s25_filtered_search": chk_s25,
+    "m11_motion_energy": chk_m11,
+    "m12_patch_signature_dedup": chk_m12,
+    "m13_keyframe_selection": chk_m13,
+    "m14_fps_normalization": chk_m14,
+    "p16_packing_efficiency_sweep": chk_p16,
+    "p17_shard_balance_report": chk_p17,
+    "p18_mixture_fidelity": chk_p18,
+    "p19_length_bucket_padding": chk_p19,
+    "p20_token_budget_curation": chk_p20,
+    "p21_epoch_shuffle_plan": chk_p21,
+    "g13_compaction_plan": chk_g13,
+    "g14_restore_cost_plan": chk_g14,
+    "g15_archive_gap_report": chk_g15,
+}
+
+#: queries whose float path folds float32 embeddings — the numpy float64
+#: recomputation can differ in the 4th decimal at rounding edges
+_F32_TOL = {"s21", "s22", "s23", "s24", "s25", "d35", "d39"}
+
+
+def _compare(name: str, oracle: pd.DataFrame, mine: pd.DataFrame) -> str | None:
+    if list(oracle.columns) != list(mine.columns):
+        return f"columns {list(oracle.columns)} != {list(mine.columns)}"
+    if len(oracle) != len(mine):
+        return f"row count {len(oracle)} != {len(mine)}"
+    tol = 2e-4 if name.split("_")[0] in _F32_TOL else 1e-9
+    o = oracle.reset_index(drop=True)
+    m = mine.reset_index(drop=True)
+    for col in o.columns:
+        a, b = o[col], m[col]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            an, bn = a.astype(float), b.astype(float)
+            bad = ~((an.isna() & bn.isna()) | ((an - bn).abs() <= tol))
+        elif pd.api.types.is_datetime64_any_dtype(a) or pd.api.types.is_datetime64_any_dtype(b):
+            an, bn = pd.to_datetime(a), pd.to_datetime(b)
+            bad = ~((an.isna() & bn.isna()) | (an == bn))
+        else:
+            bad = ~((a.isna() & b.isna()) | (a == b))
+        if bad.any():
+            i = int(bad.idxmax())
+            return f"col {col} row {i}: oracle={o[col][i]!r} mine={m[col][i]!r}"
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from guardian_for_apache_kafka_spark.plans import REGISTRY
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    names = args.names or sorted(CHECKERS)
+    n_ok = n_bad = n_skip = 0
+    for name in names:
+        fn = CHECKERS.get(name)
+        if fn is None:
+            print(f"SKIP {name}: no independent checker")
+            n_skip += 1
+            continue
+        oracle = con.execute(REGISTRY[name].oracle).fetchdf()
+        err = _compare(name, oracle, fn(args.sf_dir))
+        if err:
+            print(f"FAIL {name}: {err}")
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(oracle)} rows)")
+            n_ok += 1
+    print(f"{n_ok} ok, {n_bad} fail, {n_skip} skip")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
