@@ -3,18 +3,24 @@
 The in-repo gate and the external driver both compare the Spark builder
 against a hand-written DuckDB oracle. That catches ENGINE bugs, but a
 spec-level mistake shared by both formulations (same wrong formula typed
-twice) passes both. This script closes that hole for the round-8 additions
-that had never been driver-attested (the round-9 "tail-30" pool): each
-query is reimplemented FROM ITS DOCUMENTED SPEC in plain pandas/numpy/
-hashlib — no Spark, no SQL reuse — and compared against the registry
-oracle's output on the same parquet tables.
+twice) passes both. This script closes that hole for the round-7/8
+additions awaiting (or fresh from) first driver attestation: the round-9
+"tail-30" pool (s21-s25, t35-t41, d35-d39, m11-m14, p16-p21, g13-g15) AND
+the r9-window statistics family (q129-q147). Each query is reimplemented
+FROM ITS DOCUMENTED SPEC in plain pandas/numpy/hashlib — no Spark, no SQL
+reuse — and compared against the registry oracle's output on the same
+parquet tables. Where the engine/oracle pair share one algorithm shape, the
+checker deliberately uses a different one: sequential pool-adjacent-
+violators vs the minimax-joins closed form (q139), sequential product-limit
+vs the ln-sum window fold (q140), midrank-from-counts vs window midranks
+(q129). 49 checkers, 49/49 green at sf0.01 and sf0.001 (round 9).
 
 Run (no Spark session needed; ~1 min at sf0.01):
 
     python scripts/third_opinion.py [--sf-dir /root/testdata/sf0.01] [names...]
 
-A name with no checker here reports SKIP (coverage is the tail-30 plus a
-few neighbors; extend as new registry rounds add formula-heavy queries).
+A name with no checker here reports SKIP; extend as new registry rounds
+add formula-heavy queries.
 
 Float comparisons use 2e-4 tolerance where the engine folds float32
 embeddings (cosine paths) and 1e-9 elsewhere; integer/string columns must
@@ -62,8 +68,8 @@ def _emb(sf):
 
 def _events(sf):
     return duckdb.sql(
-        f"SELECT event_id, ts, user_id, event_type, props, epoch_ms(ts) AS ms"
-        f" FROM '{sf}/events.parquet'"
+        f"SELECT event_id, ts, user_id, event_type, value, props,"
+        f" epoch_ms(ts) AS ms FROM '{sf}/events.parquet'"
     ).fetchdf()
 
 
@@ -743,6 +749,442 @@ CHECKERS = {
     "g14_restore_cost_plan": chk_g14,
     "g15_archive_gap_report": chk_g15,
 }
+
+# --------------------------------------------------------------------------
+# r9-window statistics family (q129-q147): independent reimplementations,
+# several via a genuinely different algorithm than the engine/oracle pair
+# (sequential PAV vs minimax joins for q139; sequential product-limit vs
+# ln-sum fold for q140)
+# --------------------------------------------------------------------------
+
+def _daily(sf):
+    ev = _events(sf)
+    ev = ev.assign(x=(ev.ts.dt.floor("D") - pd.Timestamp("2024-01-01")).dt.days)
+    return ev, ev.groupby(["event_type", "x"]).size().rename("y").reset_index()
+
+
+def _xy_pivot(daily):
+    xy = daily.pivot_table(index="x", columns="event_type", values="y", aggfunc="sum").fillna(0)
+    z = pd.Series(0, index=xy.index)
+    return (
+        xy.get("view", z).astype(int).values,
+        xy.get("purchase", z).astype(int).values,
+    )
+
+
+def _midrank2(v):
+    """Integer 2*midrank = min_rank + max_rank per value (FIXTURES.md §D)."""
+    cnt = Counter(v.tolist())
+    less = {}
+    c = 0
+    for val in sorted(cnt):
+        less[val] = c
+        c += cnt[val]
+    return np.array([2 * (less[val] + 1) + cnt[val] - 1 for val in v], dtype=np.int64)
+
+
+def chk_q129(sf):
+    _, daily = _daily(sf)
+    xv, yv = _xy_pivot(daily)
+    rx, ry = _midrank2(xv), _midrank2(yv)
+    n = len(rx)
+    sx, sy = int(rx.sum()), int(ry.sum())
+    sxx, syy, sxy = int((rx * rx).sum()), int((ry * ry).sum()), int((rx * ry).sum())
+    rho = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    return pd.DataFrame([(n, _round(rho, 6))], columns=["n_days", "spearman_rho"])
+
+
+def chk_q130(sf):
+    _, daily = _daily(sf)
+    xv, yv = _xy_pivot(daily)
+    n = len(xv)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            prod = (int(xv[j]) - int(xv[i])) * (int(yv[j]) - int(yv[i]))
+            if prod > 0:
+                c += 1
+            elif prod < 0:
+                d += 1
+    n1 = sum(t * (t - 1) // 2 for t in Counter(xv.tolist()).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(yv.tolist()).values())
+    n0 = n * (n - 1) // 2
+    tau = (c - d) / (math.sqrt(n0 - n1) * math.sqrt(n0 - n2))
+    return pd.DataFrame(
+        [(n, c, d, _round(tau, 6))],
+        columns=["n_days", "concordant", "discordant", "kendall_tau_b"],
+    )
+
+
+def chk_q131(sf):
+    _, daily = _daily(sf)
+    rows = []
+    for t, g in daily.groupby("event_type"):
+        y = g.sort_values("x").y.values
+        n = len(y)
+        s = int(sum(np.sign(int(y[j]) - int(y[i])) for i in range(n) for j in range(i + 1, n)))
+        tie = sum(tt * (tt - 1) * (2 * tt + 5) for tt in Counter(y.tolist()).values())
+        sd = math.sqrt((n * (n - 1) * (2 * n + 5) - tie) / 18.0)
+        z = ((s - 1) if s > 0 else (s + 1) if s < 0 else 0) / sd
+        trend = (
+            "increasing" if (s > 0 and (s - 1) / sd > 1.96)
+            else "decreasing" if (s < 0 and (s + 1) / sd < -1.96)
+            else "no trend"
+        )
+        rows.append((t, n, s, _round(z, 4), trend))
+    return pd.DataFrame(rows, columns=["event_type", "n_days", "s_stat", "z", "trend"])
+
+
+def chk_q132(sf):
+    _, daily = _daily(sf)
+    rows = []
+    for t, g in daily.groupby("event_type"):
+        y = g.sort_values("x").y.values
+        n = len(y)
+        tp = sum(
+            1
+            for k in range(1, n - 1)
+            if (y[k] > y[k - 1] and y[k] > y[k + 1]) or (y[k] < y[k - 1] and y[k] < y[k + 1])
+        )
+        exp_tp = 2.0 * (n - 2) / 3.0
+        rows.append((t, n, tp, _round(exp_tp, 4), _round(tp / exp_tp, 4)))
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n_days", "turning_points", "expected_tp", "randomness_ratio"],
+    )
+
+
+def chk_q133(sf):
+    _, daily = _daily(sf)
+    rows = []
+    for t, g in daily.groupby("event_type"):
+        y = g.sort_values("x").y.values
+        n = len(y)
+        med = sorted(y)[(n + 1) // 2 - 1]
+        above = (y > med).astype(int)
+        runs = 1 + int((above[1:] != above[:-1]).sum())
+        na = int(above.sum())
+        rows.append((t, n, na, n - na, runs, _round(1 + 2.0 * na * (n - na) / n, 4)))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_days", "n_above", "n_below", "runs", "expected_runs"]
+    )
+
+
+def chk_q134(sf):
+    _, daily = _daily(sf)
+    rows = []
+    for t, g in daily.groupby("event_type"):
+        g = g.sort_values("x")
+        y = g.y.values.astype(float)
+        dow = g.x.values % 7
+        n, k = len(y), len(set(dow.tolist()))
+        s, q = y.sum(), (y * y).sum()
+        br = sum((y[dow == gg].sum() ** 2) / (dow == gg).sum() for gg in set(dow.tolist()))
+        ssb, ssw, sst = br - s * s / n, q - br, q - s * s / n
+        f = _round((ssb / (k - 1)) / (ssw / (n - k)), 4) if ssw > 0 and n > k else None
+        eta = _round(ssb / sst, 4) if sst > 0 else 0.0
+        sig = ((ssb / (k - 1)) / (ssw / (n - k))) > 3.0 if ssw > 0 and n > k else None
+        rows.append((t, n, k, f, eta, sig))
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n_days", "k_groups", "f_stat", "eta_sq", "dow_effect_at_3"],
+    )
+
+
+def chk_q135(sf):
+    li = duckdb.sql(
+        f"SELECT l_partkey, CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)"
+        f" AS rq FROM '{sf}/lineitem.parquet'"
+    ).fetchdf()
+    rev = li.groupby("l_partkey").rq.sum().reset_index()
+    rev = rev.sort_values(["rq", "l_partkey"]).reset_index(drop=True)
+    n = len(rev)
+    base, rem = divmod(n, 10)
+    dec = []
+    for i in range(10):
+        dec += [i + 1] * (base + (1 if i < rem else 0))
+    rev["decile"] = dec
+    agg = rev.groupby("decile").agg(n_parts=("rq", "size"), r=("rq", "sum")).reset_index()
+    tr, tn = agg.r.sum(), agg.n_parts.sum()
+    agg["cum_revenue_share"] = agg.r.cumsum().apply(lambda v: _round(v / tr, 6))
+    agg["cum_population_share"] = agg.n_parts.cumsum().apply(lambda v: _round(v / tn, 6))
+    return agg[["decile", "n_parts", "cum_revenue_share", "cum_population_share"]]
+
+
+def chk_q136(sf):
+    ev, _ = _daily(sf)
+    act = ev[ev.user_id < 150][["user_id", "x"]].drop_duplicates()
+    days = {u: set(g.x) for u, g in act.groupby("user_id")}
+    us = sorted(days)
+    rows = []
+    for i, a in enumerate(us):
+        for b in us[i + 1 :]:
+            c = len(days[a] & days[b])
+            if c >= 3:
+                rows.append(
+                    (a, b, c, len(days[a]), len(days[b]),
+                     _round(c / (len(days[a]) + len(days[b]) - c), 6))
+                )
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return pd.DataFrame(
+        rows[:20],
+        columns=["user_a", "user_b", "common_days", "days_a", "days_b", "jaccard"],
+    )
+
+
+def chk_q137(sf):
+    ev, _ = _daily(sf)
+    cut = pd.Timestamp("2024-01-15")
+    w1, w2 = set(ev[ev.ts < cut].user_id), set(ev[ev.ts >= cut].user_id)
+    n1, n2, m = len(w1), len(w2), len(w1 & w2)
+    true = ev.user_id.nunique()
+    est = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    return pd.DataFrame(
+        [(n1, n2, m, true, est, _round(abs(est - true) / true, 4))],
+        columns=["n1", "n2", "recaptured", "true_distinct", "estimated_distinct", "rel_error"],
+    )
+
+
+def chk_q138(sf):
+    _, daily = _daily(sf)
+    rows = []
+    for t, g in daily.groupby("event_type"):
+        wm = g.groupby(g.x // 7).y.max()
+        n = len(wm)
+        if n < 2:
+            continue
+        s, q = int(wm.sum()), int((wm * wm).sum())
+        scale = math.sqrt((q - s * s / n) / (n - 1)) * math.sqrt(6.0) / math.pi
+        loc = s / n - 0.5772156649015329 * scale
+        rows.append(
+            (t, n, _round(scale, 4), _round(loc, 4),
+             _round(loc - scale * math.log(-math.log(0.99)), 4))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n_weeks", "gumbel_scale", "gumbel_location", "p99_weekly_peak"],
+    )
+
+
+def chk_q139(sf):
+    """Sequential pool-adjacent-violators — a DIFFERENT algorithm than the
+    minimax-joins closed form both the engine and the oracle use."""
+    ev, _ = _daily(sf)
+    vmin, vmax = ev.value.min(), ev.value.max()
+    b = np.minimum(9, np.floor((ev.value - vmin) / (vmax - vmin) * 10).astype(int))
+    isp = (ev.event_type == "purchase").astype(int)
+    bins = (
+        pd.DataFrame({"bucket": b, "is_p": isp})
+        .groupby("bucket")
+        .agg(n=("is_p", "size"), pos=("is_p", "sum"))
+        .reset_index()
+        .sort_values("bucket")
+    )
+    blocks = []
+    for r in bins.itertuples():
+        blocks.append([r.pos, r.n, [r.bucket]])
+        while len(blocks) > 1 and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]:
+            p2, n2, b2 = blocks.pop()
+            p1, n1, b1 = blocks.pop()
+            blocks.append([p1 + p2, n1 + n2, b1 + b2])
+    fit = {bb: p / n for p, n, bs in blocks for bb in bs}
+    return bins.assign(
+        purchase_rate=[_round(r.pos / r.n, 4) for r in bins.itertuples()],
+        isotonic_rate=[_round(fit[r.bucket], 4) for r in bins.itertuples()],
+    )
+
+
+def chk_q140(sf):
+    """Sequential product-limit — vs the engine/oracle ln-sum window fold."""
+    ev, _ = _daily(sf)
+    tmax = ev.ts.max()
+    u = ev.groupby("user_id").ts.agg(["min", "max"])
+    u["dur"] = (u["max"].dt.date - u["min"].dt.date).apply(lambda d: d.days)
+    u["observed"] = (u["max"] < tmax - pd.Timedelta(days=7)).astype(int)
+    d = u.groupby("dur").agg(n_total=("observed", "size"), churned=("observed", "sum")).sort_index()
+    at_risk, surv, minf = len(u), 1.0, 1.0
+    rows = []
+    for dur, r in d.iterrows():
+        if r.churned < at_risk:
+            surv *= (at_risk - r.churned) / at_risk
+        minf = min(minf, (at_risk - r.churned) / at_risk)
+        rows.append(
+            (dur, at_risk, r.churned, r.n_total - r.churned,
+             _round(0.0 if minf == 0 else surv, 4))
+        )
+        at_risk -= r.n_total
+    return pd.DataFrame(rows, columns=["dur_days", "at_risk", "churned", "censored", "survival"])
+
+
+def chk_q141(sf):
+    ev, _ = _daily(sf)
+    wk = (ev.ts - pd.to_timedelta(ev.ts.dt.dayofweek, unit="D")).dt.floor("D").dt.date
+    counts = ev.assign(wk=wk).groupby(["wk", "event_type"]).size().rename("c").reset_index()
+    weeks = sorted(counts.wk.unique())
+    types = sorted(counts.event_type.unique())
+    grid = {(w, t): 0 for w in weeks for t in types}
+    for r in counts.itertuples():
+        grid[(r.wk, r.event_type)] = r.c
+    n_w = {w: sum(grid[(w, t)] for t in types) for w in weeks}
+    rows = []
+    for i, w in enumerate(weeks[1:], 1):
+        pw = weeks[i - 1]
+        if (pd.Timestamp(w) - pd.Timestamp(pw)).days != 7:
+            continue
+        jsd = 0.0
+        for t in types:
+            p, q = grid[(w, t)] / n_w[w], grid[(pw, t)] / n_w[pw]
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+            if q > 0:
+                jsd += 0.5 * q * math.log(q / m)
+        rows.append((w, n_w[w], n_w[pw], _round(jsd, 6)))
+    return pd.DataFrame(rows, columns=["week", "n_curr", "n_prev", "jsd"])
+
+
+def chk_q142(sf):
+    ev, _ = _daily(sf)
+    trans: Counter = Counter()
+    for _, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        seq = g.event_type.tolist()
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    rows = []
+    for cur in sorted(set(a for a, _ in trans)):
+        tot = sum(c for (a, _), c in trans.items() if a == cur)
+        h = -sum((c / tot) * math.log(c / tot) for (a, _), c in trans.items() if a == cur)
+        rows.append((cur, tot, _round(h, 6), _round(math.exp(h), 4)))
+    return pd.DataFrame(rows, columns=["from_type", "n_transitions", "cond_entropy", "perplexity"])
+
+
+def chk_q143(sf):
+    ev, _ = _daily(sf)
+    rows = []
+    for t, g in ev.groupby("event_type"):
+        cents = np.sort(np.round(g.value.values * 100).astype(np.int64))
+        e = {k: np.quantile(cents, k / 8.0, method="linear") for k in range(1, 8)}
+        iqr = e[6] - e[2]
+        rows.append(
+            (t, len(cents), math.floor(e[2]) / 100, math.floor(e[4]) / 100,
+             math.floor(e[6]) / 100,
+             math.floor((e[6] + e[2] - 2 * e[4]) / iqr * 10000) / 10000 if iqr else None,
+             math.floor(((e[7] - e[5]) + (e[3] - e[1])) / iqr * 10000) / 10000 if iqr else None)
+        )
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "q1", "median", "q3", "bowley_skew", "moors_kurtosis"]
+    )
+
+
+def chk_q144(sf):
+    ev, _ = _daily(sf)
+    rows = []
+    for t, g in ev.groupby("event_type"):
+        top = g.sort_values(["value", "event_id"], ascending=[False, True]).head(51)
+        xref = top.value.iloc[50]
+        terms = [math.log(v / xref) for v in top.value.iloc[:50]]
+        rows.append(
+            (t, 50, _round(math.exp(terms[0]), 4), _round(sum(terms) / 50, 6),
+             _round(50 / sum(terms), 4))
+        )
+    return pd.DataFrame(rows, columns=["event_type", "k", "top_ratio", "hill_h", "tail_alpha"])
+
+
+def chk_q145(sf):
+    ev, _ = _daily(sf)
+    ev = ev.assign(day=ev.ts.dt.floor("D").dt.date)
+    counts = ev.groupby(["event_type", "day"]).size().rename("y").reset_index()
+    days = pd.date_range(counts.day.min(), counts.day.max(), freq="D").date
+    rows = []
+    for t in sorted(counts.event_type.unique()):
+        cm = {r.day: r.y for r in counts[counts.event_type == t].itertuples()}
+        ys = np.array([cm.get(d, 0) for d in days], dtype=np.int64)
+        qs = len(ys) - 7
+
+        def znorm(w):
+            m = w.sum() / 7.0
+            var = (w * w).sum() / 7.0 - m * m
+            sd = math.sqrt(var) if var > 0 else 0.0
+            return None if sd <= 0 else (w - m) / sd
+
+        qz = znorm(ys[qs : qs + 7])
+        if qz is None:
+            continue
+        scored = []
+        for s in range(0, qs - 6):
+            wz = znorm(ys[s : s + 7])
+            if wz is not None:
+                scored.append((s, float(((wz - qz) ** 2).sum())))
+        scored.sort(key=lambda r: (r[1], r[0]))
+        for rnk, (s, dist) in enumerate(scored[:3], 1):
+            rows.append((t, s, _round(dist, 4), rnk))
+    return pd.DataFrame(rows, columns=["t", "window_start", "dist", "rnk"])
+
+
+def chk_q146(sf):
+    j = duckdb.sql(
+        f"SELECT p.p_brand, p.p_size, l.l_quantity, l.l_extendedprice, l.l_discount"
+        f" FROM '{sf}/lineitem.parquet' l"
+        f" JOIN '{sf}/part.parquet' p ON p.p_partkey = l.l_partkey"
+    ).fetchdf()
+    arm = lambda b, s0, s1, q0, q1: (  # noqa: E731
+        (j.p_brand == b) & (j.p_size >= s0) & (j.p_size <= s1)
+        & (j.l_quantity >= q0) & (j.l_quantity <= q1)
+    )
+    sel = j[arm("Brand#12", 1, 15, 1, 21) | arm("Brand#24", 10, 30, 10, 30)
+            | arm("Brand#3", 20, 50, 20, 50)]
+    micro = int(
+        (np.round(sel.l_extendedprice * 100).astype(np.int64)
+         * (100 - np.round(sel.l_discount * 100).astype(np.int64))).sum()
+    )
+    return pd.DataFrame(
+        [(len(sel), micro, _round(micro / 10000.0, 2))],
+        columns=["n_lines", "revenue_microcents", "revenue"],
+    )
+
+
+def chk_q147(sf):
+    od = duckdb.sql(
+        f"SELECT o_orderpriority AS pri, CAST(round(o_totalprice*100) AS BIGINT) AS cents,"
+        f" year(o_orderdate) AS yr FROM '{sf}/orders.parquet'"
+    ).fetchdf()
+    rows = []
+    for pri, g in od.groupby("pri"):
+        vals = sorted(g.cents)
+        n = len(vals)
+        qd = lambda p: vals[math.ceil(p * n) - 1]  # noqa: E731
+        mode_yr = sorted(g.groupby("yr").size().items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        rows.append((pri, n, qd(0.25), qd(0.5), qd(0.75), mode_yr[0], mode_yr[1]))
+    return pd.DataFrame(
+        rows,
+        columns=["pri", "n", "p25_cents", "med_cents", "p75_cents", "mode_year", "mode_count"],
+    )
+
+
+CHECKERS.update({
+    "q129_spearman_corr": chk_q129,
+    "q130_kendall_tau": chk_q130,
+    "q131_mann_kendall_trend": chk_q131,
+    "q132_turning_points": chk_q132,
+    "q133_runs_test": chk_q133,
+    "q134_anova_dow": chk_q134,
+    "q135_lorenz_curve": chk_q135,
+    "q136_link_prediction": chk_q136,
+    "q137_capture_recapture": chk_q137,
+    "q138_gumbel_extremes": chk_q138,
+    "q139_isotonic_calibration": chk_q139,
+    "q140_kaplan_meier": chk_q140,
+    "q141_jsd_drift": chk_q141,
+    "q142_conditional_entropy": chk_q142,
+    "q143_quantile_shape": chk_q143,
+    "q144_hill_tail_index": chk_q144,
+    "q145_subsequence_search": chk_q145,
+    "q146_disjunctive_pushdown": chk_q146,
+    "q147_discrete_quantiles_mode": chk_q147,
+})
+
 
 #: queries whose float path folds float32 embeddings — the numpy float64
 #: recomputation can differ in the 4th decimal at rounding edges
