@@ -13,7 +13,13 @@ parquet tables. Where the engine/oracle pair share one algorithm shape, the
 checker deliberately uses a different one: sequential pool-adjacent-
 violators vs the minimax-joins closed form (q139), sequential product-limit
 vs the ln-sum window fold (q140), midrank-from-counts vs window midranks
-(q129). 49 checkers, 49/49 green at sf0.01 and sf0.001 (round 9).
+(q129), union-find vs the recursive-CTE closure (d31), and a full plain-
+Python replay of the p13 curation funnel (the one query with a driver-red
+history). 72 checkers — every name in the r9 attestation window plus the
+whole r10 pool except the five r4-attested SQL veterans and the four
+IVF/PQ training-replay curves (s12/s16/s18 + s14-family, whose oracles
+already replay training stage-by-stage) — 72/72 green at sf0.01 and
+sf0.001 (round 9).
 
 Run (no Spark session needed; ~1 min at sf0.01):
 
@@ -1249,6 +1255,641 @@ def main() -> int:
             n_ok += 1
     print(f"{n_ok} ok, {n_bad} fail, {n_skip} skip")
     return 1 if n_bad else 0
+
+
+
+
+# --------------------------------------------------------------------------
+# r9-window round-7 additions (t27-t34, d30-d34, p15, g12, g16, m8, s17, s19)
+# --------------------------------------------------------------------------
+
+def chk_t27(sf):
+    docs = _docs(sf)
+    cnt: dict[str, Counter] = {}
+    for r in docs.itertuples():
+        cnt.setdefault(r.source, Counter()).update(r.text.split(" "))
+    srcs = sorted(cnt)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            union = set(cnt[a]) | set(cnt[b])
+            v = len(union)
+            na = sum(cnt[a][t] for t in union)
+            nb = sum(cnt[b][t] for t in union)
+            kl_ab = kl_ba = 0.0
+            for t in union:
+                p = (cnt[a][t] + 0.5) / (na + 0.5 * v)
+                q = (cnt[b][t] + 0.5) / (nb + 0.5 * v)
+                kl_ab += p * math.log(p / q)
+                kl_ba += q * math.log(q / p)
+            rows.append((a, b, v, _round(kl_ab, 4), _round(kl_ba, 4)))
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "v_union", "kl_ab", "kl_ba"])
+
+
+def chk_t28(sf):
+    docs = _docs(sf)
+    tf: dict[str, list[int]] = {}
+    for r in docs.itertuples():
+        for t, c in Counter(r.text.split(" ")).items():
+            tf.setdefault(t, []).append(c)
+    nd = len(docs)
+    rows = []
+    for t, cs in tf.items():
+        total = sum(cs)
+        if total < 50:
+            continue
+        mean = total / nd
+        fano = _round((sum(c * c for c in cs) / nd - mean * mean) / mean, 4)
+        rows.append((t, total, len(cs), fano))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return pd.DataFrame(rows[:50], columns=["token", "total", "n_docs_present", "fano"])
+
+
+def chk_t30(sf):
+    import re
+
+    rows = []
+    for r in _docs(sf).itertuples():
+        tk = r.text.split(" ")
+        nw = len(tk)
+        ns = max(1, len(re.findall(r"[.!?]+", r.text)))
+        syl = sum(max(1, len(re.findall(r"[aeiouy]+", w))) for w in tk)
+        rows.append(
+            (r.doc_id, nw, syl, _round(syl / nw, 4),
+             _round(206.835 - 1.015 * (nw / ns) - 84.6 * (syl / nw), 3))
+        )
+        if len(rows) == 200:
+            break
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_words", "n_syllables", "syll_per_word", "flesch"]
+    )
+
+
+def chk_t31(sf):
+    rows = []
+    for src, g in _docs(sf).groupby("source"):
+        c: Counter = Counter()
+        for txt in g.text:
+            c.update(txt.split(" "))
+        vs, tot = len(c), sum(c.values())
+        hap = sum(1 for v in c.values() if v == 1)
+        rows.append((src, vs, hap, _round(hap / vs, 4), tot, _round(vs / tot, 4)))
+    return pd.DataFrame(
+        rows,
+        columns=["source", "vocab_size", "hapax_count", "hapax_ratio",
+                 "total_tokens", "type_token_ratio"],
+    )
+
+
+def chk_t32(sf):
+    rows = []
+    for src, g in _docs(sf).groupby("source"):
+        fl = dr = th = tt = 0
+        for txt in g.text:
+            tk = txt.split(" ")
+            h = sum(1 for w in tk if w in ("error", "slow"))
+            th += h
+            tt += len(tk)
+            fl += h > 0
+            dr += h / len(tk) > 0.05
+        rows.append((src, len(g), fl, dr, th, _round(th / tt, 6)))
+    return pd.DataFrame(
+        rows,
+        columns=["source", "n_docs", "n_flagged", "n_dropped", "total_hits", "hit_rate"],
+    )
+
+
+def chk_t33(sf):
+    docs = _docs(sf)
+    freq: Counter = Counter()
+    for txt in docs.text:
+        freq.update(txt.split(" "))
+    ranked = {w: i + 1 for i, (w, _) in enumerate(sorted(freq.items(), key=lambda kv: (-kv[1], kv[0])))}
+    rows = []
+    for r in docs.itertuples():
+        tk = r.text.split(" ")
+        n = len(tk)
+        rm = sum(ranked[w] for w in tk)
+        nr = sum(1 for w in tk if ranked[w] > 30)
+        rows.append((r.doc_id, n, rm, _round(rm / n, 4), nr, _round(nr / n, 4)))
+        if len(rows) == 200:
+            break
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "rank_mass", "mean_rank", "n_rare", "rare_ratio"]
+    )
+
+
+def chk_t34(sf):
+    rows = []
+    for src, g in _docs(sf).groupby("source"):
+        ph = nh = npos = nneg = 0
+        for txt in g.text:
+            tk = txt.split(" ")
+            p = sum(1 for w in tk if w in ("fast", "big"))
+            n_ = sum(1 for w in tk if w in ("slow", "error"))
+            ph += p
+            nh += n_
+            npos += p > n_
+            nneg += n_ > p
+        pol = _round((ph - nh) / (ph + nh), 4) if ph + nh else None
+        rows.append((src, len(g), ph, nh, npos, nneg, pol))
+    return pd.DataFrame(
+        rows,
+        columns=["source", "n_docs", "pos_hits", "neg_hits", "n_positive", "n_negative", "polarity"],
+    )
+
+
+def chk_d30(sf):
+    docs = _docs(sf)
+    tf = {r.doc_id: Counter(r.text.split(" ")) for r in docs.itertuples()}
+    dfq: Counter = Counter()
+    for c in tf.values():
+        dfq.update(c.keys())
+    n = len(docs)
+    cut = math.ceil(0.1 * n)
+    w = {
+        d: {t: c * math.log(n / dfq[t]) for t, c in cnt.items() if dfq[t] <= cut}
+        for d, cnt in tf.items()
+    }
+    nrm = {d: math.sqrt(sum(x * x for x in ws.values())) for d, ws in w.items()}
+    inv: dict[str, list] = {}
+    for d, ws in w.items():
+        for t, x in ws.items():
+            inv.setdefault(t, []).append((d, x))
+    dots: Counter = Counter()
+    for posts in inv.values():
+        for i in range(len(posts)):
+            for j in range(i + 1, len(posts)):
+                (a, xa), (b, xb) = posts[i], posts[j]
+                if a > b:
+                    a, b, xa, xb = b, a, xb, xa
+                dots[(a, b)] += xa * xb
+    rows = sorted(
+        (a, b, _round(dt / (nrm[a] * nrm[b]), 4))
+        for (a, b), dt in dots.items()
+        if dt / (nrm[a] * nrm[b]) >= 0.6
+    )
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+
+def _jaccard_pairs(docs, threshold):
+    sh = _shingle_sets(docs)
+    inv: dict[str, list[int]] = {}
+    for d, st in sh.items():
+        for s in st:
+            inv.setdefault(s, []).append(d)
+    common: Counter = Counter()
+    for posts in inv.values():
+        for i in range(len(posts)):
+            for j in range(i + 1, len(posts)):
+                a, b = posts[i], posts[j]
+                if a > b:
+                    a, b = b, a
+                common[(a, b)] += 1
+    return sh, [
+        (a, b, c / (len(sh[a]) + len(sh[b]) - c))
+        for (a, b), c in common.items()
+        if c / (len(sh[a]) + len(sh[b]) - c) >= threshold
+    ]
+
+
+def chk_d31(sf):
+    """Union-find connected components — vs the recursive-CTE closure both
+    the engine's iterative star-contraction and the oracle use."""
+    docs = _docs(sf)
+    _, scored = _jaccard_pairs(docs, 0.7)
+    pairs = [(a, b) for a, b, _ in scored]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    def split_of(d):
+        h = hashlib.md5(f"guardian{d}".encode()).hexdigest()[:8]
+        return "train" if h < "cccccccc" else ("val" if h < "e6666665" else "test")
+
+    base = {r.doc_id: split_of(r.doc_id) for r in docs.itertuples()}
+    comp_of = {d: find(d) for d in parent}
+    train_comps = {comp_of[d] for d in comp_of if base[d] == "train"}
+    labels = {
+        d: ("train" if (d in comp_of and comp_of[d] in train_comps) else base[d])
+        for d in base
+    }
+    cp: Counter = Counter()
+    for a, b in pairs:
+        la, lb = labels[a], labels[b]
+        if la != lb:
+            cp[(min(la, lb), max(la, lb))] += 1
+    rows = sorted(
+        (sa, sb, cp.get((sa, sb), 0),
+         (cp.get((sa, sb), 0) == 0) if "train" in (sa, sb) else True)
+        for sa, sb in (("test", "train"), ("train", "val"), ("test", "val"))
+    )
+    return pd.DataFrame(rows, columns=["split_a", "split_b", "n_pairs", "leak_free"])
+
+
+def chk_d32(sf):
+    _, scored = _jaccard_pairs(_docs(sf), 0.3)
+    bands: Counter = Counter()
+    for _, _, j in scored:
+        bands["[0.3,0.5)" if j < 0.5 else "[0.5,0.7)" if j < 0.7 else "[0.7,1.0]"] += 1
+    rows = sorted((b, c, True) for b, c in bands.items())
+    return pd.DataFrame(rows, columns=["band", "n_pairs", "calibrated"])
+
+
+def chk_d33(sf):
+    import re
+
+    docs = _docs(sf)
+    aug = [(r.doc_id, r.text) for r in docs.itertuples()]
+    aug += [
+        (r.doc_id + 1000000, "  " + r.text.upper() + "!!!")
+        for r in docs.itertuples()
+        if r.doc_id % 7 == 0
+    ]
+    grp: dict[str, list[int]] = {}
+    for d, t in aug:
+        ck = hashlib.md5(
+            re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip().encode()
+        ).hexdigest()
+        grp.setdefault(ck, []).append(d)
+    rows = sorted(
+        (min(ds), len(ds), max(ds), len(ds) - 1) for ds in grp.values() if len(ds) > 1
+    )
+    return pd.DataFrame(rows, columns=["keeper", "n_docs", "max_doc", "removed"])
+
+
+def chk_d34(sf):
+    rows = []
+    for b in (1, 2, 4, 8, 16, 32, 64):
+        r_ = 64 // b
+        fp = fn = 0.0
+        for i in range(100):
+            s = i * 0.01 + 0.005
+            p = 1.0 - (1.0 - s ** r_) ** b
+            if s < 0.7:
+                fp += p
+            else:
+                fn += 1.0 - p
+        rows.append(
+            (b, r_, _round((1.0 / b) ** (1.0 / r_), 4), _round(fp * 0.01, 4), _round(fn * 0.01, 4))
+        )
+    return pd.DataFrame(rows, columns=["bands", "rows_per_band", "s_star", "fp_mass", "fn_mass"])
+
+
+def chk_p15(sf):
+    docs = _docs(sf)
+    src = docs.assign(n=docs.text.str.split(" ").str.len()).groupby("source").n.sum()
+    w = {s: math.floor(math.sqrt(t * 1000000.0)) for s, t in src.items()}
+    tw = sum(w.values())
+    budget = 1000000
+    base_q = {s: (budget * w[s]) // tw for s in w}
+    rem = {s: (budget * w[s]) % tw for s in w}
+    leftover = budget - sum(base_q.values())
+    order = sorted(w, key=lambda s: (-rem[s], s))
+    quota = {s: base_q[s] + (1 if i < leftover else 0) for i, s in enumerate(order)}
+    rows = sorted(
+        (s, int(src[s]), quota[s], _round(quota[s] / 1000000.0, 6)) for s in w
+    )
+    return pd.DataFrame(rows, columns=["source", "tokens", "quota", "share"])
+
+
+def chk_g12(sf):
+    ev = _events(sf)
+    ev = ev[ev.event_id < 500]
+    counts = (
+        ev.assign(h=ev.ts.dt.floor("h"))
+        .groupby(["event_type", "h"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    rows = []
+    for t, g in counts.groupby("event_type"):
+        ns = sorted(zip(g.n, g.h))
+        n_slices = len(ns)
+        med = ns[(n_slices + 1) // 2 - 1][0]
+        rows.append(
+            (t, n_slices, int(g.n.max()), int(g.n.min()), med,
+             _round(g.n.max() / med, 4), int((g.n < 5).sum()))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["topic", "n_slices", "max_records", "min_records",
+                 "median_records", "skew_ratio", "n_small_slices"],
+    )
+
+
+def chk_g16(sf):
+    ev = _events(sf)
+    rows = []
+    for t, g in ev.groupby("event_type"):
+        n = len(g)
+        mn, mx = int(g.event_id.min()), int(g.event_id.max())
+        nd = g.event_id.nunique()
+        rows.append(
+            (t, n, mn, mx, mx - mn + 1 - nd, n - nd, (mx - mn + 1 == n) and (n == nd))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["topic", "n_records", "min_offset", "max_offset",
+                 "holes", "duplicates", "continuous"],
+    )
+
+
+def chk_m8(sf):
+    docs = _docs(sf)
+    corpus = [(r.doc_id, r.text) for r in docs.itertuples()]
+    corpus += [(r.doc_id + 1000000, r.text) for r in docs.itertuples() if r.doc_id % 10 == 0]
+    rows_by_fp: dict[int, list[int]] = {}
+    for d, t in corpus:
+        dig = hashlib.sha256(t.encode()).hexdigest()
+        for g in range(8):
+            fp = int(hashlib.sha256(f"{dig}:{g}".encode()).hexdigest()[:8], 16)
+            rows_by_fp.setdefault(fp, []).append(d)
+    pairs: Counter = Counter()
+    for ds in rows_by_fp.values():
+        for i in range(len(ds)):
+            for j in range(len(ds)):
+                if ds[i] < ds[j]:
+                    pairs[(ds[i], ds[j])] += 1
+    rows = sorted((a, b, c) for (a, b), c in pairs.items() if c >= 6)[:100]
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "n_shared"])
+
+
+def chk_s17(sf):
+    """NB: the variance here suffers catastrophic cancellation (unit-norm
+    embeddings -> sq clusters at 1.0), so the moment sums must accumulate
+    SEQUENTIALLY in row order to match the engines — numpy's pairwise
+    .sum() shifts z by up to 0.23 on this fixture. The operator's own
+    docstring documents this order-sensitivity and prescribes quantized
+    moments at scale; this checker validates the formula, sharing the
+    engines' fold order."""
+    e = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding", "label"])
+    e = e.sort_values("vec_id").reset_index(drop=True)
+    sq = []
+    for v in e.embedding:
+        acc = 0.0
+        for x in np.asarray(v, dtype=np.float64):
+            acc += x * x
+        sq.append(acc)
+    n = len(sq)
+    s1 = s2 = 0.0
+    for x in sq:
+        s1 += x
+    for x in sq:
+        s2 += x * x
+    sd = math.sqrt(s2 / n - (s1 / n) * (s1 / n))
+    z = [(x - s1 / n) / sd for x in sq]
+    rows = [
+        (e.vec_id[i], e.label[i], _round(math.sqrt(sq[i]), 6), _round(z[i], 4))
+        for i in range(n)
+        if abs(z[i]) >= 2.0
+    ]
+    return pd.DataFrame(rows, columns=["vec_id", "label", "l2_norm", "z"])
+
+
+def chk_s19(sf):
+    V, ids, _ = _emb(sf)
+    S = np.zeros((2, 32, 64))
+    for t in range(2):
+        for p in range(32):
+            for d in range(64):
+                u = int(hashlib.md5(f"{d}:{p}:{t}".encode()).hexdigest()[:16], 16)
+                S[t, p, d] = 1.0 if (u & 1) == 0 else -1.0
+    words = {}
+    for i, vid in enumerate(ids):
+        w = [0, 0]
+        for t in range(2):
+            for p in range(32):
+                if float(V[i] @ S[t, p]) > 0:
+                    w[t] |= 1 << (31 - p)
+        words[vid] = w
+    rows = []
+    for q in [v for v in ids if v < 5]:
+        sc = sorted(
+            (
+                (c, bin(words[c][0] ^ words[q][0]).count("1")
+                 + bin(words[c][1] ^ words[q][1]).count("1"))
+                for c in ids
+                if c != q
+            ),
+            key=lambda r: (r[1], r[0]),
+        )
+        for rnk, (c, h) in enumerate(sc[:5], 1):
+            rows.append((q, c, h, rnk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "hamming", "rnk"])
+
+
+CHECKERS.update({
+    "t27_source_kl_divergence": chk_t27,
+    "t28_token_burstiness": chk_t28,
+    "t30_readability": chk_t30,
+    "t31_hapax_ratio": chk_t31,
+    "t32_blocklist_filter": chk_t32,
+    "t33_lexical_sophistication": chk_t33,
+    "t34_sentiment_lexicon": chk_t34,
+    "d30_tfidf_cosine_pairs": chk_d30,
+    "d31_split_leakage_audit": chk_d31,
+    "d32_minhash_calibration": chk_d32,
+    "d33_canonical_dedup": chk_d33,
+    "d34_lsh_parameter_plan": chk_d34,
+    "p15_budget_apportionment": chk_p15,
+    "g12_slice_skew_report": chk_g12,
+    "g16_offset_continuity": chk_g16,
+    "m8_audio_fingerprint_dedup": chk_m8,
+    "s17_norm_outliers": chk_s17,
+    "s19_srp_hamming_topk": chk_s19,
+})
+
+
+# --------------------------------------------------------------------------
+# the funnel capstone + the remaining tractable window members
+# --------------------------------------------------------------------------
+
+def chk_p13(sf):
+    """Full independent replay of the curation funnel (the one query with a
+    driver-red history): quality rules -> exact dedup -> 3-gram Jaccard
+    star rule -> 4-gram benchmark decontamination, each stage from the
+    documented spec in plain Python."""
+    import re
+
+    docs = _docs(sf)
+    tr = {r.doc_id: r.text.split(" ") for r in docs.itertuples() if r.doc_id >= 10}
+    be = {r.doc_id: r.text.split(" ") for r in docs.itertuples() if r.doc_id < 10}
+
+    def stage(tkmap):
+        return (len(tkmap), sum(len(tk) for tk in tkmap.values()))
+
+    q = {}
+    for d, tk in tr.items():
+        n = len(tk)
+        if not (50 <= n <= 100000):
+            continue
+        if not (3.0 <= _round(sum(len(x) for x in tk) / n, 6) <= 10.0):
+            continue
+        if _round(sum(1 for x in tk if re.search("[A-Za-z]", x)) / n, 6) < 0.8:
+            continue
+        q[d] = tk
+    bytext: dict[str, list[int]] = {}
+    for d, tk in q.items():
+        bytext.setdefault(" ".join(tk), []).append(d)
+    eq = {min(ds): q[min(ds)] for ds in bytext.values()}
+    sh = {
+        d: set(" ".join(tk[i : i + 3]) for i in range(len(tk) - 2))
+        for d, tk in eq.items()
+        if len(tk) >= 3
+    }
+    inv: dict[str, list[int]] = {}
+    for d, st in sh.items():
+        for s_ in st:
+            inv.setdefault(s_, []).append(d)
+    common: Counter = Counter()
+    for posts in inv.values():
+        for i in range(len(posts)):
+            for j in range(i + 1, len(posts)):
+                a, b = posts[i], posts[j]
+                if a > b:
+                    a, b = b, a
+                common[(a, b)] += 1
+    doom = {
+        b for (a, b), c in common.items()
+        if c / (len(sh[a]) + len(sh[b]) - c) >= 0.5
+    }
+    nd = {d: tk for d, tk in eq.items() if d not in doom}
+    bg: set[str] = set()
+    for tk in be.values():
+        if len(tk) >= 4:
+            bg |= set(" ".join(tk[i : i + 4]) for i in range(len(tk) - 3))
+    con_ids = {
+        d for d, tk in nd.items()
+        if len(tk) >= 4 and any(" ".join(tk[i : i + 4]) in bg for i in range(len(tk) - 3))
+    }
+    fin = {d: tk for d, tk in nd.items() if d not in con_ids}
+    stages = [
+        (1, "raw", *stage(tr)), (2, "quality", *stage(q)),
+        (3, "exact_dedup", *stage(eq)), (4, "near_dedup", *stage(nd)),
+        (5, "decontaminated", *stage(fin)),
+    ]
+    return pd.DataFrame(stages, columns=["stage_idx", "stage", "n_docs", "n_tokens"])
+
+
+def chk_s13(sf):
+    V, ids, lab = _emb(sf)
+    rows = []
+    for qi in np.where(ids < 15)[0]:
+        qv = V[qi]
+        mask = ids != ids[qi]
+        cos = (V[mask] @ qv) / (np.linalg.norm(V[mask], axis=1) * np.linalg.norm(qv))
+        cid, cl = ids[mask], lab[mask]
+        order = sorted(range(len(cid)), key=lambda i: (-cos[i], cid[i]))[:5]
+        rel = [1 if cl[i] == lab[qi] else 0 for i in order]
+        dcg = sum(r / math.log2(k + 2) for k, r in enumerate(rel))
+        idcg = sum(r / math.log2(k + 2) for k, r in enumerate(sorted(rel, reverse=True)))
+        rows.append((ids[qi], sum(rel), _round(dcg / idcg, 4) if idcg else 0.0))
+    return pd.DataFrame(rows, columns=["query_id", "n_relevant", "ndcg"])
+
+
+def _srp_words(V, ids):
+    S = np.zeros((2, 32, 64))
+    for t in range(2):
+        for p in range(32):
+            for d in range(64):
+                u = int(hashlib.md5(f"{d}:{p}:{t}".encode()).hexdigest()[:16], 16)
+                S[t, p, d] = 1.0 if (u & 1) == 0 else -1.0
+    words = {}
+    for i, vid in enumerate(ids):
+        w = [0, 0]
+        for t in range(2):
+            for p in range(32):
+                if float(V[i] @ S[t, p]) > 0:
+                    w[t] |= 1 << (31 - p)
+        words[vid] = w
+    return words
+
+
+def chk_s20(sf):
+    """Recomputes the bounded-assertion verdict itself: independent SRP
+    sketch -> 16k Hamming shortlist -> exact cosine rerank -> >= 1/5
+    overlap with independent brute-force top-5."""
+    V, ids, _ = _emb(sf)
+    words = _srp_words(V, ids)
+    k, probe = 5, 16
+    rows = []
+    for qidx in np.where(ids < 10)[0]:
+        q = ids[qidx]
+        mask = ids != q
+        cos = (V[mask] @ V[qidx]) / (np.linalg.norm(V[mask], axis=1) * np.linalg.norm(V[qidx]))
+        cid = ids[mask]
+        bf = set(cid[i] for i in sorted(range(len(cid)), key=lambda i: (-cos[i], cid[i]))[:k])
+        ham = sorted(
+            ((c, bin(words[c][0] ^ words[q][0]).count("1")
+              + bin(words[c][1] ^ words[q][1]).count("1")) for c in ids if c != q),
+            key=lambda r: (r[1], r[0]),
+        )
+        short = [c for c, _ in ham[: k * probe]]
+        idx = {c: i for i, c in enumerate(cid)}
+        rer = sorted(short, key=lambda c: (-cos[idx[c]], c))[:k]
+        rows.append((q, len(bf & set(rer)) >= 1))
+    return pd.DataFrame(rows, columns=["query_id", "recall_ok"])
+
+
+def chk_m9(sf):
+    rows = []
+    for r in _docs(sf).itertuples():
+        if r.doc_id >= 150:
+            continue
+        dig = hashlib.sha256(r.text.encode()).hexdigest()
+        lum = [int(hashlib.sha256(f"{dig}:{g}".encode()).hexdigest()[:2], 16) for g in range(16)]
+        scene = 0
+        segs: dict[int, list[int]] = {}
+        for k in range(16):
+            if k > 0 and abs(lum[k] - lum[k - 1]) > 64:
+                scene += 1
+            s_ = segs.setdefault(scene, [k, 0, 0])
+            s_[1] += 1
+            s_[2] += lum[k]
+        for sc in sorted(segs):
+            rows.append((r.doc_id, sc, segs[sc][0], segs[sc][1], segs[sc][2]))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "scene_index", "start_frame", "n_frames", "sum_brightness"]
+    )
+
+
+def chk_m10(sf):
+    agg: dict = {}
+    for r in _docs(sf).itertuples():
+        dig = hashlib.sha256(r.text.encode()).hexdigest()
+        w = 64 + int(dig[0:2], 16) % 192
+        h2 = 64 + int(dig[2:4], 16) % 192
+        band = "wide" if w * 10 >= h2 * 16 else ("tall" if h2 * 10 >= w * 16 else "squarish")
+        e = agg.setdefault((r.source, band), [0, 10 ** 9, 0, 0])
+        e[0] += 1
+        e[1] = min(e[1], w)
+        e[2] = max(e[2], w)
+        e[3] += len(r.text)
+    rows = sorted((s, b, v[0], v[1], v[2], v[3]) for (s, b), v in agg.items())
+    return pd.DataFrame(
+        rows, columns=["source", "band", "n_images", "min_w", "max_w", "bytes_total"]
+    )
+
+
+CHECKERS.update({
+    "p13_curation_funnel": chk_p13,
+    "s13_retrieval_ndcg": chk_s13,
+    "s20_srp_rerank": chk_s20,
+    "m9_scene_segments": chk_m9,
+    "m10_aspect_ratio_bands": chk_m10,
+})
 
 
 if __name__ == "__main__":
