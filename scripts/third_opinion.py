@@ -18,8 +18,9 @@ Python replay of the p13 curation funnel (the one query with a driver-red
 history), and a full numpy reimplementation of the FAISS-style IVF/IVFPQ
 stack (id-mod-seeded Lloyd, 2^20-grid residuals, per-subspace PQ, ADC
 scoring, exact rerank) recomputing the s12/s16/s18 statistical verdicts
-from scratch. **80 checkers — every name in the round-9 attestation
-window AND the round-10 never-attested pool** — 80/80 green at sf0.01
+from scratch. **103 checkers — every name in the round-9 attestation
+window, the round-10 never-attested pool, AND the round-4-attested
+cohort that rotates into round 11's window** — 103/103 green at sf0.01
 and sf0.001 (round 9).
 
 Run (no Spark session needed; ~1 min at sf0.01):
@@ -2128,6 +2129,455 @@ CHECKERS.update({
     "q20_correlated_subquery": chk_q20,
     "q21_cte_multiblock": chk_q21,
     "q22_documents_tokens": chk_q22,
+})
+
+
+# --------------------------------------------------------------------------
+# the round-4-attested cohort — the stalest veterans, who rotate into the
+# round-11 window next; pre-covered so that window ships with independent
+# evidence on day one (d1-d9, t1-t8, q23-q41, m1)
+# --------------------------------------------------------------------------
+
+def _qcont(vals, p):
+    """quantile_cont / Spark percentile at rank p*(n-1). NB the engines
+    evaluate the WEIGHTED form v[lo]*(1-fr) + v[hi]*fr, not the algebraic
+    twin v[lo] + (v[hi]-v[lo])*fr — at an ulp boundary they differ (sf0.001
+    lineitem p75: 81364.25499999999 vs 81364.255, flipping a 2dp rounding),
+    another last-ulp lesson in the banker's-rounding family."""
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    n = len(v)
+    r = p * (n - 1)
+    lo = int(math.floor(r))
+    fr = r - lo
+    hi = min(lo + 1, n - 1)
+    return float(v[lo]) if fr == 0 else float(v[lo] * (1 - fr) + v[hi] * fr)
+
+
+def chk_d1(sf):
+    docs = _docs(sf)
+    n, u = len(docs), docs.text.nunique()
+    return pd.DataFrame([(n, u, n - u)], columns=["docs", "uniq_texts", "dup_docs"])
+
+
+def chk_d2(sf):
+    g = _docs(sf).groupby("text").doc_id.agg(["min", "count"])
+    g = g.rename(columns={"min": "kept_doc_id", "count": "copies"})
+    return g.sort_values("kept_doc_id").head(100).reset_index(drop=True)[
+        ["kept_doc_id", "copies"]
+    ]
+
+
+def chk_d3(sf):
+    sh, scored = _jaccard_pairs(_docs(sf), 0.5)
+    rows = sorted((a, b, _round(j, 4)) for a, b, j in scored)
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def chk_d9(sf):
+    docs = _docs(sf)
+    sh = _shingle_sets(docs)
+    inv: dict[str, list[int]] = {}
+    for d, st in sh.items():
+        for s in st:
+            inv.setdefault(s, []).append(d)
+    common: Counter = Counter()
+    for posts in inv.values():
+        for i in range(len(posts)):
+            for j in range(i + 1, len(posts)):
+                a, b = posts[i], posts[j]
+                if a > b:
+                    a, b = b, a
+                common[(a, b)] += 1
+    rows = sorted(
+        (a, b, _round(c / min(len(sh[a]), len(sh[b])), 4))
+        for (a, b), c in common.items()
+        if c / min(len(sh[a]), len(sh[b])) >= 0.8
+    )
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "containment"])
+
+
+def chk_d8(sf):
+    docs = _docs(sf)
+    sel = docs[
+        docs.doc_id.apply(
+            lambda d: hashlib.md5(f"guardian{d}".encode()).hexdigest()[:8] < "19999998"
+        )
+    ]
+    return sel[["doc_id", "lang", "source"]].reset_index(drop=True)
+
+
+def chk_t1(sf):
+    import re
+
+    rows = []
+    for r in _docs(sf).itertuples():
+        tk = r.text.split(" ")
+        rows.append(
+            (r.doc_id, len(tk), len(set(tk)),
+             len(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", r.text)),
+             len(r.text), _round(sum(len(t) for t in tk) / len(tk), 4))
+        )
+        if len(rows) == 200:
+            break
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "n_tokens", "n_distinct_tokens", "n_bpe_tokens",
+                 "text_len", "avg_token_len"],
+    )
+
+
+def chk_t2(sf):
+    rows = []
+    for lang, g in _docs(sf).groupby("lang"):
+        nt = g.text.str.split(" ").str.len()
+        rows.append((lang, len(g), int(nt.sum()), _round(nt.mean(), 2), g.source.nunique()))
+    return pd.DataFrame(
+        rows, columns=["lang", "n_docs", "total_tokens", "avg_tokens", "n_sources"]
+    )
+
+
+_T3_STOPWORDS = {"the", "and", "of", "to", "in", "is", "that", "with"}
+
+
+def chk_t3(sf):
+    import re
+
+    rows = []
+    for r in _docs(sf).itertuples():
+        tk = r.text.split(" ")
+        alpha = len(re.sub("[^A-Za-z]", "", r.text))
+        q = (
+            min(len(tk) / 50.0, 1.0) * 0.3
+            + (len(set(tk)) / len(tk)) * 0.3
+            + (alpha / max(len(r.text), 1)) * 0.2
+            + min(len(set(tk) & _T3_STOPWORDS) / 4.0, 1.0) * 0.2
+        )
+        rows.append((r.doc_id, _round(q, 4)))
+        if len(rows) == 200:
+            break
+    return pd.DataFrame(rows, columns=["doc_id", "quality"])
+
+
+def chk_t4(sf):
+    rows = []
+    for r in _docs(sf).itertuples():
+        acc = 0
+        for t in r.text.split(" "):
+            acc = (acc * 31 + (len(t) * 17 + (ord(t[0]) if t else 0))) % 1000000007
+        rows.append((r.doc_id, acc))
+        if len(rows) == 200:
+            break
+    return pd.DataFrame(rows, columns=["doc_id", "fingerprint"])
+
+
+_T5_LANGS = {
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "por"],
+    "fr": ["le", "la", "les", "et", "de", "des", "est", "dans"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+
+
+def chk_t5(sf):
+    pred: Counter = Counter()
+    for r in _docs(sf).itertuples():
+        tk = set(r.text.split(" "))
+        best = min((-len(tk & set(sw)), lang) for lang, sw in _T5_LANGS.items())
+        pred["und" if best[0] == 0 else best[1]] += 1
+    return pd.DataFrame(sorted(pred.items()), columns=["lang_pred", "cnt"])
+
+
+def chk_t6(sf):
+    docs = _docs(sf)
+    dfreq: Counter = Counter()
+    tf: dict[int, Counter] = {}
+    for r in docs.itertuples():
+        tk = r.text.split(" ")
+        dfreq.update(set(tk))
+        tf[r.doc_id] = Counter(tk)
+    n = len(docs)
+    rows = []
+    for d in sorted(tf):
+        if d >= 20:
+            continue
+        scored = sorted(
+            ((t, c * math.log(n / dfreq[t])) for t, c in tf[d].items()),
+            key=lambda r: (-r[1], r[0]),
+        )[:3]
+        for t, s in scored:
+            rows.append((d, t, _round(s, 4), s))
+    rows.sort(key=lambda r: (r[0], -r[3], r[1]))
+    return pd.DataFrame([(d, t, s) for d, t, s, _ in rows], columns=["doc_id", "token", "tfidf"])
+
+
+def chk_t7(sf):
+    rows = []
+    for r in _docs(sf).itertuples():
+        tk = r.text.split(" ")
+        n = len(tk)
+        c = Counter(tk)
+        bg = [" ".join(tk[i : i + 2]) for i in range(n - 1)] if n >= 2 else []
+        dbr = 1.0 - len(set(bg)) / len(bg) if bg else 0.0
+        rows.append(
+            (r.doc_id, n, _round(len(c) / n, 4), _round(max(c.values()) / n, 4), _round(dbr, 4))
+        )
+        if len(rows) == 200:
+            break
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "distinct_ratio", "top_share", "dup_bigram_ratio"]
+    )
+
+
+def chk_t8(sf):
+    rows = []
+    for src, g in _docs(sf).groupby("source"):
+        kept = ts = tl = ld = sw = 0
+        for txt in g.text:
+            tk = txt.split(" ")
+            n = len(tk)
+            dr = len(set(tk)) / n
+            sr = sum(1 for x in tk if x in ("the", "a")) / n
+            kept += 25 <= n <= 90 and dr >= 0.35 and sr <= 0.12
+            ts += n < 25
+            tl += n > 90
+            ld += dr < 0.35
+            sw += sr > 0.12
+        rows.append((src, len(g), kept, ts, tl, ld, sw))
+    return pd.DataFrame(
+        rows,
+        columns=["source", "n_docs", "n_kept", "n_too_short", "n_too_long",
+                 "n_low_diversity", "n_stopword_heavy"],
+    )
+
+
+def chk_q23(sf):
+    li = duckdb.sql(
+        f"SELECT l_returnflag, l_quantity, l_extendedprice, l_discount"
+        f" FROM '{sf}/lineitem.parquet'"
+    ).fetchdf()
+    rows = []
+    for rf, g in li.groupby("l_returnflag"):
+        x = g.l_quantity.values.astype(float)
+        p = g.l_extendedprice.values.astype(float)
+        d = g.l_discount.values.astype(float)
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        rows.append(
+            (rf, _round(_qcont(x, 0.5), 2) + 0, _round(_qcont(p, 0.25), 2) + 0,
+             _round(_qcont(p, 0.75), 2) + 0, _round(x.std(ddof=1), 2) + 0,
+             _round(d.var(ddof=1), 4) + 0, _round(float(np.corrcoef(x, p)[0, 1]), 4) + 0,
+             _round(float(np.cov(x, p, ddof=1)[0, 1]), 2) + 0,
+             _round(m3 / m2 ** 1.5, 4) + 0, _round(m4 / m2 ** 2 - 3, 4) + 0)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["l_returnflag", "med_qty", "p25_price", "p75_price", "sd_qty", "var_disc",
+                 "corr_qty_price", "cov_qty_price", "skew_qty", "kurt_qty"],
+    )
+
+
+def chk_q25(sf):
+    import bisect
+
+    ev = _events(sf)
+    clicks = ev[ev.event_type == "click"][["event_id", "ts", "user_id"]]
+    pur = (
+        ev[ev.event_type == "purchase"]
+        .groupby(["user_id", "ts"])
+        .apply(
+            lambda g: pd.Series(
+                {"p_event_id": g.event_id.max(),
+                 "p_value": _round(g.loc[g.event_id.idxmax()].value, 2)}
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+    )
+    ptbl = {
+        u: sorted((r.ts, r.p_event_id, r.p_value) for r in g.itertuples())
+        for u, g in pur.groupby("user_id")
+    }
+    rows = []
+    for r in clicks.sort_values("event_id").itertuples():
+        lst = ptbl.get(r.user_id, [])
+        i = bisect.bisect_right([x[0] for x in lst], r.ts) - 1
+        best = lst[i] if i >= 0 else None
+        rows.append(
+            (r.event_id, r.user_id, r.ts,
+             best[0] if best else pd.NaT,
+             float(best[1]) if best else None,
+             best[2] if best else None)
+        )
+    return pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "ts_r", "p_event_id", "p_value"]
+    )
+
+
+def chk_q27(sf):
+    ev = _events(sf)
+    rows = []
+    for uid, g in ev[ev.user_id < 50].sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        sess = []
+        prev = None
+        for r in g.itertuples():
+            us = r.ts.value // 1000  # exact integer epoch-us (float total_seconds drifts)
+            if prev is None or us - prev > 1_800_000_000:
+                sess.append([uid, len(sess) + 1, 0, r.ts, us, us])
+            sess[-1][2] += 1
+            sess[-1][5] = us
+            prev = us
+        for s in sess:
+            rows.append((s[0], s[1], s[2], s[3], s[5] - s[4]))
+    return pd.DataFrame(
+        rows, columns=["user_id", "session_id", "n_events", "session_start", "duration_us"]
+    )
+
+
+def chk_q31(sf):
+    li = duckdb.sql(
+        f"SELECT l_returnflag, l_quantity, l_extendedprice FROM '{sf}/lineitem.parquet'"
+    ).fetchdf()
+    rows = []
+    for rf, g in li.groupby("l_returnflag"):
+        x, p = g.l_quantity.values, g.l_extendedprice.values
+        rows.append(
+            (rf, _qcont(x, 0.25), _qcont(x, 0.5), _qcont(x, 0.75),
+             math.floor(_qcont(p, 0.5) * 100) / 100, len(g))
+        )
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "p25_qty", "med_qty", "p75_qty", "med_price", "n"]
+    )
+
+
+def chk_q33(sf):
+    ev = _events(sf)
+    rows = []
+    for uid, g in ev.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        ets = g.event_type.tolist()
+        rows.append((uid, len(ets), ets[0], ets[-1], ets[1] if len(ets) > 1 else None))
+    return pd.DataFrame(
+        rows, columns=["user_id", "n_events", "first_et", "last_et", "second_et"]
+    )
+
+
+def chk_q37(sf):
+    cu = duckdb.sql(f"SELECT c_custkey FROM '{sf}/customer.parquet'").fetchdf()
+    od = duckdb.sql(
+        f"SELECT o_custkey, o_orderkey, o_totalprice FROM '{sf}/orders.parquet'"
+    ).fetchdf()
+    byc = {
+        k: sorted(((r.o_totalprice, r.o_orderkey) for r in g.itertuples()),
+                  key=lambda t: (-t[0], t[1]))[:2]
+        for k, g in od.groupby("o_custkey")
+    }
+    rows = []
+    for c in sorted(cu.c_custkey):
+        for price, okey in byc.get(c, []):
+            rows.append((c, okey, price))
+    return pd.DataFrame(rows, columns=["c_custkey", "o_orderkey", "o_totalprice"])
+
+
+def chk_q38(sf):
+    ev = _events(sf)
+    h = (
+        ev[ev.event_type.isin(["click", "purchase"])]
+        .assign(hr=lambda d: d.ts.dt.floor("h"))
+        .groupby(["event_type", "hr"])
+        .size()
+        .rename("cnt")
+        .reset_index()
+    )
+    lo, hi = ev.ts.dt.floor("h").min(), ev.ts.dt.floor("h").max()
+    rows = []
+    for t in sorted(h.event_type.unique()):
+        cm = {r.hr: r.cnt for r in h[h.event_type == t].itertuples()}
+        filled = 0
+        for hr in pd.date_range(lo, hi, freq="h"):
+            c = cm.get(hr)
+            if c is not None:
+                filled = c
+            rows.append((t, hr, c if c is not None else 0, filled))
+    return pd.DataFrame(rows[:200], columns=["event_type", "hr", "cnt", "filled"])
+
+
+def chk_q40(sf):
+    ev = _events(sf)
+    agg: dict = {}
+    for r in ev.itertuples():
+        us = r.ts.value // 1000
+        for widx in range(us // 300000000 - 1, us // 300000000 + 1):
+            key = (pd.Timestamp(widx * 300, unit="s"), r.event_type)
+            e = agg.setdefault(key, [0, 0.0])
+            e[0] += 1
+            e[1] += r.value
+    rows = sorted((k[0], k[1], v[0], _round(v[1], 2)) for k, v in agg.items())
+    return pd.DataFrame(rows, columns=["w_start", "event_type", "cnt", "sum_value"])
+
+
+def chk_q41(sf):
+    ev = _events(sf)
+    rows = []
+    for uid, g in ev[ev.user_id < 50].sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        sess = []
+        prev = None
+        for r in g.itertuples():
+            us = r.ts.value // 1000
+            if prev is None or us - prev > 1_800_000_000:
+                sess.append([uid, r.ts, r.ts, 0, 0.0])
+            sess[-1][2] = r.ts
+            sess[-1][3] += 1
+            sess[-1][4] += r.value
+            prev = us
+        for s in sess:
+            rows.append(
+                (s[0], s[1], s[2] + pd.Timedelta(seconds=1800), s[3], _round(s[4], 2))
+            )
+    return pd.DataFrame(rows, columns=["user_id", "s_start", "s_end", "cnt", "sum_value"])
+
+
+def chk_m1(sf):
+    rows = []
+    for r in _docs(sf).itertuples():
+        dig = hashlib.sha256(r.text.encode()).hexdigest()
+        rows.append(
+            (r.doc_id, "image", len(r.text.encode()),
+             64 + int(dig[0:2], 16) % 192, 64 + int(dig[2:4], 16) % 192,
+             1 + int(dig[4:6], 16) % 4)
+        )
+        if len(rows) == 200:
+            break
+    return pd.DataFrame(
+        rows, columns=["doc_id", "media_type", "size_bytes", "width", "height", "n_channels"]
+    )
+
+
+CHECKERS.update({
+    "d1_dedup_exact_stats": chk_d1,
+    "d2_dedup_exact_keepers": chk_d2,
+    "d3_ngram_jaccard_pairs": chk_d3,
+    "d8_deterministic_sample": chk_d8,
+    "d9_ngram_containment_pairs": chk_d9,
+    "t1_token_stats": chk_t1,
+    "t2_lang_token_summary": chk_t2,
+    "t3_quality_scores": chk_t3,
+    "t4_fingerprint": chk_t4,
+    "t5_language_id": chk_t5,
+    "t6_tfidf_top_terms": chk_t6,
+    "t7_repetition_stats": chk_t7,
+    "t8_quality_filter_report": chk_t8,
+    "q23_statistical_aggregates": chk_q23,
+    "q25_asof_join": chk_q25,
+    "q27_sessionization": chk_q27,
+    "q31_percentiles": chk_q31,
+    "q33_value_window_frames": chk_q33,
+    "q37_lateral_topk_per_group": chk_q37,
+    "q38_gap_fill_resample": chk_q38,
+    "q40_hopping_window": chk_q40,
+    "q41_session_window_native": chk_q41,
+    "m1_multimodal_features": chk_m1,
 })
 
 
