@@ -2581,5 +2581,232 @@ CHECKERS.update({
 })
 
 
+# --------------------------------------------------------------------------
+# the round-5-attested cohort, part 1 (q39, q42-q54): joins, time-series,
+# CDC, profiling, cohorts
+# --------------------------------------------------------------------------
+
+def chk_q39(sf):
+    weights = {"click": 1, "view": 2, "purchase": 10, "signup": 5, "logout": 3}
+    rows = []
+    for t, g in _events(sf).groupby("event_type"):
+        if t not in weights:  # inner dim join drops unlisted types
+            continue
+        wc = (np.floor(g.value.values * 100).astype(np.int64)) * weights[t]
+        rows.append((t, len(g), int(wc.sum())))
+    return pd.DataFrame(sorted(rows), columns=["event_type", "n", "weighted_cents"])
+
+
+def chk_q42(sf):
+    ev = _events(sf)
+    sub = ev[ev.user_id < 40]
+    prof = {}
+    for uid, g in sub.groupby("user_id"):
+        v = np.zeros(24, dtype=np.int64)
+        for h, c in g.ts.dt.hour.value_counts().items():
+            v[h] = c
+        prof[uid] = v
+    us = sorted(prof)
+    rows = []
+    for i, a in enumerate(us):
+        for b in us[i + 1:]:
+            x, y = prof[a], prof[b]
+            sxy, sx, sy = int((x * y).sum()), int(x.sum()), int(y.sum())
+            vx, vy = 24 * int((x * x).sum()) - sx * sx, 24 * int((y * y).sum()) - sy * sy
+            if vx > 0 and vy > 0:
+                corr = (24 * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+                if corr >= 0.2:
+                    rows.append((a, b, _round(corr, 4)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "corr"])
+
+
+def chk_q43(sf):
+    ev = _events(sf)
+    sub = ev[ev.user_id < 20].sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, g in sub.groupby("user_id"):
+        ts, eid = g.ts.tolist(), g.event_id.tolist()
+        for i in range(len(ts)):
+            rows.append(
+                (uid, eid[i], ts[i], ts[i + 1] if i < len(ts) - 1 else pd.NaT,
+                 i == len(ts) - 1)
+            )
+    return pd.DataFrame(
+        rows, columns=["user_id", "event_id", "valid_from", "valid_to", "is_current"]
+    ).sort_values(["user_id", "valid_from", "event_id"]).reset_index(drop=True)
+
+
+def chk_q44(sf):
+    ev = _events(sf)
+    rows = []
+    for t, g in ev.sort_values(["ts", "event_id"]).groupby("event_type"):
+        xi = np.round(g.value.values * 100).astype(np.int64)
+        eids, tss, vals = g.event_id.tolist(), g.ts.tolist(), g.value.tolist()
+        for i in range(len(xi)):
+            w = xi[max(0, i - 20):i]
+            n = len(w)
+            if n != 20:
+                continue
+            sx, sxx = int(w.sum()), int((w * w).sum())
+            var = n * sxx - sx * sx
+            if var <= 0:
+                continue
+            z = float(n * xi[i] - sx) * math.sqrt((n - 1) / float(n * var))
+            if abs(z) >= 3.0:
+                rows.append((t, eids[i], tss[i], vals[i], _round(z, 4)))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pd.DataFrame(rows, columns=["event_type", "event_id", "ts", "value", "z"])
+
+
+def chk_q45(sf):
+    ev = _events(sf)
+    rows = []
+    for uid, g in ev.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        s1 = s2 = s3 = None
+        prev_q0 = prev_q1 = None  # min qualified-step ts over STRICTLY earlier rows
+        for r in g.itertuples():
+            q0 = r.ts if r.event_type == "view" else None
+            q1 = r.ts if (r.event_type == "click" and prev_q0 is not None) else None
+            q2 = r.ts if (r.event_type == "purchase" and prev_q1 is not None) else None
+            if q0 is not None and (s1 is None or q0 < s1):
+                s1 = q0
+            if q1 is not None and (s2 is None or q1 < s2):
+                s2 = q1
+            if q2 is not None and (s3 is None or q2 < s3):
+                s3 = q2
+            if q0 is not None:
+                prev_q0 = q0 if prev_q0 is None else min(prev_q0, q0)
+            if q1 is not None:
+                prev_q1 = q1 if prev_q1 is None else min(prev_q1, q1)
+        if s1 is not None:
+            steps = 3 if s3 is not None else (2 if s2 is not None else 1)
+            rows.append((uid, steps, s1, s2 if s2 else pd.NaT, s3 if s3 else pd.NaT))
+    return pd.DataFrame(
+        rows, columns=["user_id", "steps_completed", "step1_ts", "step2_ts", "step3_ts"]
+    )
+
+
+def chk_q46(sf):
+    j = duckdb.sql(
+        f"SELECT o.o_orderpriority, l.l_extendedprice, l.l_discount"
+        f" FROM '{sf}/orders.parquet' o"
+        f" JOIN '{sf}/lineitem.parquet' l ON o.o_orderkey = l.l_orderkey"
+    ).fetchdf()
+    rows = [
+        (p, len(g), _round(float((g.l_extendedprice * (1 - g.l_discount)).sum()), 2))
+        for p, g in j.groupby("o_orderpriority")
+    ]
+    return pd.DataFrame(sorted(rows), columns=["o_orderpriority", "n_items", "revenue"])
+
+
+def chk_q49(sf):
+    ev = _events(sf)
+    sub = ev[
+        (ev.ts.dt.date >= pd.Timestamp("2024-01-05").date())
+        & (ev.ts.dt.date <= pd.Timestamp("2024-01-09").date())
+    ]
+    rows = sorted(
+        (d, len(g), _round(float(g.value.sum()), 2))
+        for d, g in sub.groupby(sub.ts.dt.date)
+    )
+    return pd.DataFrame(rows, columns=["day", "n", "total_value"])
+
+
+def chk_q50(sf):
+    li = duckdb.sql(
+        f"SELECT l_discount, l_extendedprice, l_quantity, l_tax FROM '{sf}/lineitem.parquet'"
+    ).fetchdf()
+    rows = sorted(
+        (c, len(li[c]), int(li[c].isna().sum()), li[c].nunique(),
+         _round(float(li[c].min()), 2), _round(float(li[c].max()), 2),
+         _round(float(li[c].mean()), 2))
+        for c in ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    )
+    return pd.DataFrame(
+        rows, columns=["col_name", "n", "n_null", "n_distinct", "min_v", "max_v", "avg_v"]
+    )
+
+
+def chk_q51(sf):
+    ev = _events(sf)
+    d = ev.ts.dt.normalize()
+    wk = (d - pd.to_timedelta(d.dt.dayofweek, unit="D")).dt.date
+    act = pd.DataFrame({"user_id": ev.user_id, "active_week": wk}).drop_duplicates()
+    firsts = act.groupby("user_id").active_week.min().rename("cohort_week")
+    m = act.merge(firsts, on="user_id")
+    m["week_offset"] = (
+        (pd.to_datetime(m.active_week) - pd.to_datetime(m.cohort_week)).dt.days // 7
+    )
+    g = (
+        m.groupby(["cohort_week", "week_offset"]).user_id.nunique()
+        .rename("n_active").reset_index()
+    )
+    return g.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
+def chk_q52(sf):
+    od = duckdb.sql(
+        f"SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p,"
+        f" o_orderpriority AS pr FROM '{sf}/orders.parquet'"
+    ).fetchdf()
+    keep = od[(od.k % 3 != 0) & (od.k % 11 != 3)].copy()
+    keep.loc[keep.k % 7 == 0, "p"] += 1000
+    merged = pd.concat([keep, od[od.k % 3 == 0]])
+    rows = sorted(
+        (pr, len(g), _round(float(g.p.sum()), 2)) for pr, g in merged.groupby("pr")
+    )
+    return pd.DataFrame(rows, columns=["o_orderpriority", "n", "total_price"])
+
+
+def chk_q53(sf):
+    pat = np.array([100, 200, 300, 400, 500, 400, 300, 200], dtype=np.int64)
+    rows = []
+    for t, g in _events(sf).sort_values(["ts", "event_id"]).groupby("event_type"):
+        cents = np.round(g.value.values * 100).astype(np.int64)
+        eids = g.event_id.tolist()
+        for i in range(7, len(cents)):
+            rows.append((t, eids[i], int(((cents[i - 7:i + 1] - pat) ** 2).sum())))
+    rows.sort(key=lambda r: (r[2], r[0], r[1]))
+    return pd.DataFrame(rows[:20], columns=["event_type", "window_end_id", "dist"])
+
+
+def _levenshtein(a, b):
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev = dp[0]
+        dp[0] = i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+def chk_q54(sf):
+    rows = []
+    for uid, g in _events(sf).sort_values(["ts", "event_id"]).groupby("user_id"):
+        sig = "".join(t[0] for t in g.event_type)
+        rows.append((uid, sig, _levenshtein(sig, "vcvpvcs")))
+    rows.sort(key=lambda r: (r[2], r[0]))
+    return pd.DataFrame(rows[:25], columns=["user_id", "sig", "edit_dist"])
+
+
+CHECKERS.update({
+    "q39_salted_skew_join": chk_q39,
+    "q42_activity_correlation": chk_q42,
+    "q43_temporal_validity_intervals": chk_q43,
+    "q44_rolling_zscore_anomaly": chk_q44,
+    "q45_funnel_steps": chk_q45,
+    "q46_bucketed_colocated_join": chk_q46,
+    "q49_partition_pruned_scan": chk_q49,
+    "q50_table_profile": chk_q50,
+    "q51_retention_cohorts": chk_q51,
+    "q52_cdc_merge": chk_q52,
+    "q53_pattern_search": chk_q53,
+    "q54_sequence_similarity": chk_q54,
+})
+
+
 if __name__ == "__main__":
     sys.exit(main())
