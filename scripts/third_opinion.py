@@ -2808,5 +2808,358 @@ CHECKERS.update({
 })
 
 
+# --------------------------------------------------------------------------
+# r5 cohort part 2: text utilities (t9-t14), the dedup family core
+# (d5-d7, d10-d15), and the similarity core (s1-s5)
+# --------------------------------------------------------------------------
+
+def chk_t9(sf):
+    rows = []
+    for r in _docs(sf).itertuples():
+        tk = r.text.split(" ")
+        n = len(tk)
+        nch = 1 if n <= 32 else int(math.ceil((n - 32) / 24.0)) + 1
+        for c in range(nch):
+            ch = tk[c * 24 : c * 24 + 32]
+            rows.append((r.doc_id, c, len(ch), hashlib.md5(" ".join(ch).encode()).hexdigest()))
+    return pd.DataFrame(rows, columns=["doc_id", "chunk_id", "n_tokens", "chunk_md5"])
+
+
+def chk_t10(sf):
+    import re
+
+    em = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ph = r"\+\d{1,2}-\d{3}-\d{4}"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    rows = []
+    for r in _docs(sf).itertuples():
+        s = r.text
+        if r.doc_id % 3 == 0:
+            s += f" contact user{r.doc_id}@example.com"
+        if r.doc_id % 4 == 0:
+            s += f" call +1-555-{r.doc_id % 10000:04d}"
+        if r.doc_id % 5 == 0:
+            s += f" host 10.{r.doc_id % 256}.0.{r.doc_id % 100}"
+        red = re.sub(ip, "<IP>", re.sub(ph, "<PHONE>", re.sub(em, "<EMAIL>", s)))
+        rows.append(
+            (r.doc_id, len(re.findall(em, s)), len(re.findall(ph, s)),
+             len(re.findall(ip, s)), hashlib.md5(red.encode()).hexdigest())
+        )
+    return pd.DataFrame(rows, columns=["doc_id", "n_email", "n_phone", "n_ipv4", "redacted_md5"])
+
+
+def chk_t11(sf):
+    dfreq: Counter = Counter()
+    dsets = {}
+    for r in _docs(sf).itertuples():
+        st = set(r.text.split(" "))
+        dsets[r.doc_id] = st
+        dfreq.update(st)
+    rows = [
+        (d, len(st), _round(sum(dfreq[t] for t in st) / len(st), 4))
+        for d, st in sorted(dsets.items())
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "n_distinct", "mean_df"])
+
+
+def chk_t12(sf):
+    import re
+    import unicodedata
+
+    rows = []
+    for r in _docs(sf).itertuples():
+        s = r.text + "  TAIL\té" + ("  X " if r.doc_id % 2 == 0 else "\ny")
+        n = unicodedata.normalize("NFC", s).lower()
+        n = re.sub("[\x00-\x1f\x7f]", " ", n)
+        n = re.sub(r"\s+", " ", n).strip()
+        rows.append((r.doc_id, hashlib.md5(n.encode()).hexdigest(), len(n)))
+    return pd.DataFrame(rows, columns=["doc_id", "norm_md5", "norm_len"])
+
+
+def chk_t13(sf):
+    ch_docs: dict[str, set[int]] = {}
+    for r in _docs(sf).itertuples():
+        tk = r.text.split(" ")
+        n = len(tk)
+        nch = 1 if n <= 3 else int(math.ceil((n - 3) / 3.0)) + 1
+        for c in range(nch):
+            h = hashlib.md5(" ".join(tk[c * 3 : c * 3 + 3]).encode()).hexdigest()
+            ch_docs.setdefault(h, set()).add(r.doc_id)
+    rows = sorted((h, len(ds)) for h, ds in ch_docs.items() if len(ds) >= 3)
+    return pd.DataFrame(rows, columns=["chunk_md5", "n_docs"])
+
+
+def chk_t14(sf):
+    freq: Counter = Counter()
+    toks = {}
+    for r in _docs(sf).itertuples():
+        tk = r.text.split(" ")
+        toks[r.doc_id] = tk
+        freq.update(tk)
+    s = sum(freq.values())
+    rows = [
+        (d, _round(-sum(math.log(freq[t] / s) for t in tk) / len(tk), 2))
+        for d, tk in sorted(toks.items())
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "cross_entropy"])
+
+
+def _components(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {d: find(d) for d in parent}
+
+
+def chk_d7(sf):
+    docs = _docs(sf)
+    _, scored = _jaccard_pairs(docs, 0.5)
+    comp = _components([(a, b) for a, b, _ in scored])
+    drop = {d for d, c in comp.items() if d != c}
+    return docs[~docs.doc_id.isin(drop)][["doc_id", "lang", "source"]].reset_index(drop=True)
+
+
+def chk_d10(sf):
+    docs = _docs(sf)
+    sel = docs[
+        docs.apply(
+            lambda r: hashlib.md5(f"strat{r.doc_id}".encode()).hexdigest()[:8]
+            < ("547ae147" if r.lang == "en" else "g"),
+            axis=1,
+        )
+    ]
+    cnt = sel.groupby("lang").doc_id.count()
+    return (
+        sel[["doc_id", "lang"]].assign(n_lang_kept=sel.lang.map(cnt))
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def chk_d11(sf):
+    docs = pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    ).sort_values("doc_id")
+    _, scored = _jaccard_pairs(docs, 0.5)
+    comp = _components([(a, b) for a, b, _ in scored])
+    clusters: dict[int, set[int]] = {}
+    for d, c in comp.items():
+        clusters.setdefault(c, set()).add(d)
+    nchars = dict(zip(docs.doc_id, docs.n_chars))
+    rows = []
+    for c, mem in clusters.items():
+        best = sorted(mem, key=lambda d: (-nchars[d], d))[0]
+        rows.append((c, len(mem), best, nchars[best]))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["component", "cluster_size", "rep_id", "rep_quality"])
+
+
+def chk_d12(sf):
+    docs = _docs(sf)
+    sh = _shingle_sets(docs)
+    inv: dict[str, list[int]] = {}
+    for d, st in sh.items():
+        for s in st:
+            inv.setdefault(s, []).append(d)
+    cross: Counter = Counter()
+    for posts in inv.values():
+        odd = [d for d in posts if d % 2 == 1]
+        even = [d for d in posts if d % 2 == 0]
+        for a in odd:
+            for b in even:
+                cross[(a, b)] += 1
+    doomed = {
+        a for (a, b), c in cross.items()
+        if c / (len(sh[a]) + len(sh[b]) - c) >= 0.5
+    }
+    return docs[(docs.doc_id % 2 == 1) & (~docs.doc_id.isin(doomed))][
+        ["doc_id", "lang", "source"]
+    ].reset_index(drop=True)
+
+
+def _decontam_counts(sf, n, eval_below):
+    sh = _shingle_sets(_docs(sf), n)
+    ev_g: set[str] = set()
+    for d, st in sh.items():
+        if d < eval_below:
+            ev_g |= st
+    rows = []
+    for d in sorted(sh):
+        if d < eval_below:
+            continue
+        c = len(sh[d] & ev_g)
+        if c:
+            rows.append((d, c))
+    return pd.DataFrame(rows, columns=["doc_id", "n_shared"])
+
+
+def chk_d14(sf):
+    return _decontam_counts(sf, 4, 10)
+
+
+def chk_d15(sf):
+    return _decontam_counts(sf, 3, 20)
+
+
+def _ph64(tok):
+    """functions/columns.portable_hash64 as an unsigned value."""
+    return int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+
+
+def chk_d5(sf):
+    fps = {}
+    for r in _docs(sf).itertuples():
+        votes = [0] * 64
+        for tok in r.text.split(" "):
+            h = _ph64(tok)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        words = [0] * 4
+        for b in range(64):
+            if votes[b] > 0:
+                words[b // 16] |= 1 << (b % 16)
+        fps[r.doc_id] = words
+    dids = sorted(fps)
+    rows = []
+    for i, a in enumerate(dids):
+        fa = fps[a]
+        for b in dids[i + 1:]:
+            fb = fps[b]
+            hm = sum(bin(fa[w] ^ fb[w]).count("1") for w in range(4))
+            if hm <= 3:
+                rows.append((a, b, hm))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+
+def chk_d6(sf):
+    V, ids, _ = _emb(sf)
+    dim = V.shape[1]
+    S = np.zeros((8, 8, dim))
+    for t in range(8):
+        for p in range(8):
+            for d in range(dim):
+                S[t, p, d] = 1.0 if (_ph64(f"{d}:{p}:{t}") & 1) == 0 else -1.0
+    buckets: dict = {}
+    for i, vid in enumerate(ids):
+        for t in range(8):
+            b = 0
+            for p in range(8):
+                if float(V[i] @ S[t, p]) > 0:
+                    b |= 1 << (7 - p)
+            buckets.setdefault((t, b), []).append(vid)
+    cand = set()
+    for vs in buckets.values():
+        vs = sorted(set(vs))
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                cand.add((vs[i], vs[j]))
+    idx = {v: i for i, v in enumerate(ids)}
+    rows = []
+    for a, b in sorted(cand):
+        va, vb = V[idx[a]], V[idx[b]]
+        cs = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if cs >= 0.3:
+            rows.append((a, b, _round(cs, 4)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+
+def _exact_topk_cos_arr(V, ids, qi, k):
+    mask = ids != ids[qi]
+    cos = (V[mask] @ V[qi]) / (np.linalg.norm(V[mask], axis=1) * np.linalg.norm(V[qi]))
+    cid = ids[mask]
+    order = sorted(range(len(cid)), key=lambda i: (-cos[i], cid[i]))[:k]
+    return [(cid[i], cos[i]) for i in order]
+
+
+def chk_s1(sf):
+    V, ids, _ = _emb(sf)
+    rows = []
+    for qi in np.where(ids < 5)[0]:
+        for rnk, (c, cs) in enumerate(_exact_topk_cos_arr(V, ids, qi, 3), 1):
+            rows.append((ids[qi], c, _round(cs, 4), rnk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine", "rnk"])
+
+
+def chk_s2(sf):
+    ix = _ivfpq(sf)
+    rows = []
+    for qi in np.where(ix.ids < 5)[0]:
+        ex = set(c for c, _ in _exact_topk_cos_arr(ix.V, ix.ids, qi, 3))
+        rows.append((ix.ids[qi], len(ex & set(ix.ivf_topk(qi, 3, 4))) >= 2))
+    return pd.DataFrame(rows, columns=["query_id", "recall_ok"])
+
+
+def chk_s3(sf):
+    V, ids, lab = _emb(sf)
+    labmap = dict(zip(ids, lab))
+    rows = []
+    for qi in np.where(ids < 8)[0]:
+        votes = Counter(labmap[c] for c, _ in _exact_topk_cos_arr(V, ids, qi, 10))
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        rows.append((ids[qi], best[0], best[1]))
+    return pd.DataFrame(rows, columns=["query_id", "pred_label", "votes"])
+
+
+def chk_s4(sf):
+    V, ids, _ = _emb(sf)
+    qmask = ids < 10
+    Q, qids = V[qmask], ids[qmask]
+    rows = []
+    for i in np.where(ids >= 10)[0]:
+        cos = (Q @ V[i]) / (np.linalg.norm(Q, axis=1) * np.linalg.norm(V[i]))
+        cand = [(qids[j], cos[j]) for j in range(len(qids)) if cos[j] >= 0.3]
+        if cand:
+            b = sorted(cand, key=lambda t: (-t[1], t[0]))[0]
+            rows.append((ids[i], b[0], _round(b[1], 4)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["vec_id", "best_eval_id", "cosine"])
+
+
+def chk_s5(sf):
+    ix = _ivfpq(sf)
+    Cn = ix.C / np.linalg.norm(ix.C, axis=1, keepdims=True)
+    Vn = ix.V / np.linalg.norm(ix.V, axis=1, keepdims=True)
+    cosm = Vn @ Cn.T
+    assign = np.argmax(cosm, axis=1)
+    csize = Counter(assign.tolist())
+    rows = [
+        (ix.ids[i], ix.cids[assign[i]], _round(cosm[i, assign[i]], 4), csize[assign[i]])
+        for i in range(len(ix.ids))
+    ]
+    return pd.DataFrame(rows, columns=["vec_id", "cluster", "cosine", "csize"])
+
+
+CHECKERS.update({
+    "t9_doc_chunks": chk_t9,
+    "t10_pii_scrub": chk_t10,
+    "t11_token_df_scores": chk_t11,
+    "t12_normalize_text": chk_t12,
+    "t13_boilerplate_chunks": chk_t13,
+    "t14_unigram_cross_entropy": chk_t14,
+    "d5_simhash_pairs": chk_d5,
+    "d6_embedding_near_dup": chk_d6,
+    "d7_dedup_clusters": chk_d7,
+    "d10_stratified_rebalance": chk_d10,
+    "d11_cluster_representatives": chk_d11,
+    "d12_incremental_dedup": chk_d12,
+    "d14_ngram_decontaminate": chk_d14,
+    "d15_bloom_decontaminate": chk_d15,
+    "s1_cosine_topk": chk_s1,
+    "s2_ivf_topk": chk_s2,
+    "s3_knn_classify": chk_s3,
+    "s4_decontaminate": chk_s4,
+    "s5_kmeans_assign": chk_s5,
+})
+
+
 if __name__ == "__main__":
     sys.exit(main())
