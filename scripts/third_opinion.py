@@ -3161,5 +3161,289 @@ CHECKERS.update({
 })
 
 
+# --------------------------------------------------------------------------
+# r5 cohort part 3: the multimodal stub-decode family (m2-m7), the
+# guardian semantics core (g1-g8), and the packing/mixture pipelines
+# (p3-p5)
+# --------------------------------------------------------------------------
+
+def _sha_hex(text):
+    return hashlib.sha256(text.encode()).hexdigest()
+
+
+def _hbyte(dig, k):
+    """0-based byte k of a hex digest as int — the m-family digest stub."""
+    return int(dig[2 * k : 2 * k + 2], 16)
+
+
+def chk_m2(sf):
+    rows = []
+    for r in _docs(sf).itertuples():
+        dig = _sha_hex(r.text)
+        sr = {0: 8000, 1: 16000, 2: 22050}.get(_hbyte(dig, 3) % 4, 44100)
+        ns = _hbyte(dig, 4) * 65536 + _hbyte(dig, 5) * 256 + _hbyte(dig, 6)
+        rows.append((r.doc_id, len(r.text.encode()), sr, ns))
+        if len(rows) == 200:
+            break
+    return pd.DataFrame(rows, columns=["doc_id", "size_bytes", "sample_rate", "n_samples"])
+
+
+def chk_m3(sf):
+    V, ids, _ = _emb(sf)
+    norm = {ids[i]: float(np.sqrt((V[i] * V[i]).sum())) for i in range(len(ids))}
+    rows = []
+    for r in _docs(sf).itertuples():
+        if r.doc_id not in norm:
+            continue
+        dig = _sha_hex(r.text)
+        rows.append(
+            (r.doc_id, len(r.text.split(" ")), len(r.text.encode()),
+             64 + _hbyte(dig, 0) % 192, 64 + _hbyte(dig, 1) % 192,
+             V.shape[1], _round(norm[r.doc_id], 4))
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "size_bytes", "width", "height", "dim", "emb_norm"]
+    )
+
+
+def chk_m4(sf):
+    rows = []
+    for r in _docs(sf).itertuples():
+        dig = _sha_hex(r.text)
+        fps = {0: 12, 1: 24, 2: 25}.get(_hbyte(dig, 3) % 4, 30)
+        for g in range(4):
+            fd = _sha_hex(f"{dig}:{10 * g}")
+            rows.append((r.doc_id, 10 * g, fps, _hbyte(fd, 0), _hbyte(fd, 1), _hbyte(fd, 2) % 8 == 0))
+        if len(rows) >= 800:
+            break
+    return pd.DataFrame(
+        rows[:800], columns=["doc_id", "frame_index", "fps", "brightness", "contrast", "keyframe"]
+    )
+
+
+def chk_m5(sf):
+    rows = []
+    for r in _docs(sf).itertuples():
+        dig = _sha_hex(r.text)
+        sr = {0: 8000, 1: 16000, 2: 22050}.get(_hbyte(dig, 3) % 4, 44100)
+        ns = _hbyte(dig, 4) * 65536 + _hbyte(dig, 5) * 256 + _hbyte(dig, 6)
+        nf = min((ns + sr - 1) // sr, 8)
+        segs = []
+        prev = None
+        for g in range(int(nf)):
+            silent = _hbyte(_sha_hex(f"{dig}:{g}"), 0) < 64
+            if prev is None or silent != prev:
+                segs.append([silent, g, 0])
+            segs[-1][2] += 1
+            prev = silent
+        for si, s in enumerate(segs):
+            rows.append((r.doc_id, si, "silence" if s[0] else "speech", s[1], s[2]))
+    return pd.DataFrame(
+        rows[:900], columns=["doc_id", "seg_index", "kind", "start_frame", "n_frames"]
+    )
+
+
+def chk_m6(sf):
+    docs = _docs(sf)
+    corpus = [(r.doc_id, r.text) for r in docs.itertuples()]
+    corpus += [(r.doc_id + 1000000, r.text) for r in docs.itertuples() if r.doc_id % 10 == 0]
+    groups: dict = {}
+    for d, t in corpus:
+        dig = _sha_hex(t)
+        bs = [_hbyte(dig, k) for k in range(32)]
+        total = sum(bs)
+        ph = sum((1 << k) for k in range(32) if 32 * bs[k] > total)
+        e = groups.setdefault(ph, [0, d])
+        e[0] += 1
+        e[1] = min(e[1], d)
+    rows = [(ph, v[0], v[1]) for ph, v in groups.items() if v[0] >= 2]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pd.DataFrame(rows[:20], columns=["phash", "n_dups", "keeper_id"])
+
+
+def chk_m7(sf):
+    rows = []
+    for r in _docs(sf).itertuples():
+        dig = _sha_hex(r.text)
+        w, h2 = (64 + _hbyte(dig, 0) % 192) // 2, (64 + _hbyte(dig, 1) % 192) // 2
+        for pr in (0, 1):
+            for pc in (0, 1):
+                pdg = _sha_hex(f"{dig}:{pr}:{pc}")
+                rows.append(
+                    (r.doc_id, pr, pc, w, h2, _hbyte(pdg, 0), _hbyte(pdg, 1), _hbyte(pdg, 2) % 4 != 0)
+                )
+        if len(rows) >= 800:
+            break
+    return pd.DataFrame(
+        rows[:800],
+        columns=["doc_id", "patch_row", "patch_col", "patch_w", "patch_h",
+                 "mean_intensity", "std_intensity", "informative"],
+    )
+
+
+def chk_g1(sf):
+    import base64
+
+    rows = []
+    for r in _events(sf).sort_values("event_id").head(100).itertuples():
+        rows.append((r.event_id, base64.b64encode(r.event_type.encode()).decode(), True))
+    return pd.DataFrame(rows, columns=["event_id", "etype_b64", "roundtrip_ok"])
+
+
+def chk_g2(sf):
+    ev = _events(sf)
+    g = ev.assign(slice=ev.ts.dt.floor("h")).groupby("slice").size().rename("cnt").reset_index()
+    return g.sort_values("slice").reset_index(drop=True)
+
+
+def chk_g3(sf):
+    ev = _events(sf)
+    anchor = min(t.value // 1000 for t in ev.ts)
+    period = 15 * 60 * 1_000_000
+    c = Counter((t.value // 1000 - anchor) // period for t in ev.ts)
+    return pd.DataFrame(sorted(c.items()), columns=["win_idx", "cnt"])
+
+
+def chk_g4(sf):
+    from guardian_for_apache_kafka_spark.plans.guardian_queries import FROM_WHEN
+
+    ev = _events(sf)
+    sub = ev[ev.ts >= pd.Timestamp(FROM_WHEN)]
+    rows = sorted(
+        (t, len(g), g.ts.min().strftime("%Y-%m-%d %H:%M:%S.%f"),
+         g.ts.max().strftime("%Y-%m-%d %H:%M:%S.%f"))
+        for t, g in sub.groupby("event_type")
+    )
+    return pd.DataFrame(rows, columns=["event_type", "cnt", "min_ts", "max_ts"])
+
+
+def chk_g5(sf):
+    m = _events(sf).event_type.map(lambda t: "tap" if t == "click" else t)
+    return pd.DataFrame(m.value_counts().sort_index().items(), columns=["topic", "cnt"])
+
+
+def chk_g6(sf):
+    rows = []
+    for uid, g in _events(sf).groupby("user_id"):
+        last = g.sort_values(["ts", "event_id"], ascending=[False, False]).iloc[0]
+        rows.append((uid, last.event_id, last.event_type, _round(last.value, 2)))
+    return pd.DataFrame(
+        sorted(rows), columns=["user_id", "last_event_id", "last_event_type", "last_value"]
+    )
+
+
+def chk_g7(sf):
+    from guardian_for_apache_kafka_spark.plans.guardian_queries import COMMITTED_OFFSET
+
+    sub = _events(sf)
+    sub = sub[sub.event_id > COMMITTED_OFFSET]
+    row = (
+        (len(sub), int(sub.event_id.min()), int(sub.event_id.max()))
+        if len(sub) else (0, None, None)
+    )
+    return pd.DataFrame([row], columns=["cnt", "min_id", "max_id"])
+
+
+def chk_g8(sf):
+    import json
+
+    from guardian_for_apache_kafka_spark.plans.guardian_queries import _INTERRUPTED_JSON
+
+    rows = [
+        (r["offset"], r["key"], r["value"], r["timestamp"])
+        for r in json.loads(_INTERRUPTED_JSON)
+        if r is not None
+    ]
+    return pd.DataFrame(rows, columns=["offset", "key", "value", "ts_ms"])
+
+
+def _pack_walk(items, budget=128):
+    """Greedy per-group packing walk; items = ordered (id, n_tokens)."""
+    out = {}
+    seq = fill = 0
+    first = True
+    for d, n in items:
+        if first:
+            fill, first = n, False
+        elif fill + n > budget:
+            seq += 1
+            fill = n
+        else:
+            fill += n
+        out[d] = (seq, fill - n)
+    return out
+
+
+def chk_p3(sf):
+    rows = []
+    for src, g in _docs(sf).groupby("source"):
+        items = [(r.doc_id, len(r.text.split(" "))) for r in g.sort_values("doc_id").itertuples()]
+        pk = _pack_walk(items)
+        for d, n in items:
+            rows.append((src, d, n, pk[d][0], pk[d][1]))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pd.DataFrame(rows, columns=["source", "doc_id", "n_tokens", "seq_id", "seq_offset"])
+
+
+def chk_p4(sf):
+    docs = _docs(sf)
+    cnt = docs.groupby("lang").doc_id.count()
+    den = sum(math.sqrt(float(cnt[g])) for g in sorted(cnt.index))
+    quota = {
+        g: min(int(cnt[g]), math.floor(300.0 * math.sqrt(float(cnt[g])) / den))
+        for g in cnt.index
+    }
+    rows = []
+    for lang, g in docs.groupby("lang"):
+        ranked = sorted(
+            g.itertuples(),
+            key=lambda r: (hashlib.md5(f"mix{r.doc_id}".encode()).hexdigest(), r.doc_id),
+        )
+        for r in ranked[: quota[lang]]:
+            rows.append((r.doc_id, r.lang, r.source, quota[lang]))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["doc_id", "lang", "source", "q_group"])
+
+
+def chk_p5(sf):
+    docs = _docs(sf)
+
+    def split_of(d):
+        h = hashlib.md5(f"guardian{d}".encode()).hexdigest()[:8]
+        return "train" if h < "cccccccc" else ("val" if h < "e6666665" else "test")
+
+    rows = []
+    for sp in ("test", "train", "val"):
+        items = [
+            (r.doc_id, len(r.text.split(" ")))
+            for r in docs.sort_values("doc_id").itertuples()
+            if split_of(r.doc_id) == sp
+        ]
+        pk = _pack_walk(items)
+        rows.append((sp, len(items), len(set(s for s, _ in pk.values())), sum(n for _, n in items)))
+    return pd.DataFrame(sorted(rows), columns=["split", "n_docs", "n_seqs", "tokens"])
+
+
+CHECKERS.update({
+    "m2_audio_features": chk_m2,
+    "m3_multimodal_fusion": chk_m3,
+    "m4_video_frames": chk_m4,
+    "m5_audio_segments": chk_m5,
+    "m6_phash_dedup": chk_m6,
+    "m7_patch_grid": chk_m7,
+    "g1_record_normalization": chk_g1,
+    "g2_time_slice_hourly": chk_g2,
+    "g3_anchored_windows": chk_g3,
+    "g4_fromwhen_filter": chk_g4,
+    "g5_topic_rename": chk_g5,
+    "g6_compaction_latest_by_key": chk_g6,
+    "g7_offset_resume_filter": chk_g7,
+    "g8_interrupted_file_parse": chk_g8,
+    "p3_sequence_packing": chk_p3,
+    "p4_temperature_mixture": chk_p4,
+    "p5_shard_export": chk_p5,
+})
+
+
 if __name__ == "__main__":
     sys.exit(main())
