@@ -3445,5 +3445,273 @@ CHECKERS.update({
 })
 
 
+# --------------------------------------------------------------------------
+# r6/r7 text family (t15-t29): language models (add-one bigram, Kneser-Ney),
+# BPE training AND application, zipf/vocab diagnostics, gopher rules,
+# keyword extraction
+# --------------------------------------------------------------------------
+
+def _bigram_stream(sf):
+    c12: Counter = Counter()
+    bgs = {}
+    for r in _docs(sf).itertuples():
+        tk = r.text.split(" ")
+        if len(tk) < 2:
+            continue
+        bl = list(zip(tk, tk[1:]))
+        bgs[r.doc_id] = bl
+        c12.update(bl)
+    return c12, bgs
+
+
+def chk_t15(sf):
+    c12, bgs = _bigram_stream(sf)
+    c1: Counter = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    v = len(set(w2 for _, w2 in c12))
+    rows = [
+        (d, _round(-sum(math.log((c12[bg] + 1) / (c1[bg[0]] + v)) for bg in bl) / len(bl), 2))
+        for d, bl in sorted(bgs.items())
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "cross_entropy"])
+
+
+def chk_t16(sf):
+    rows = []
+    for src_, g in _docs(sf).groupby("source"):
+        c: Counter = Counter()
+        for txt in g.text:
+            c.update(txt.split(" "))
+        nt, ty = sum(c.values()), len(c)
+        hp = sum(1 for v in c.values() if v == 1)
+        rows.append((src_, nt, ty, ty / nt, hp, hp / ty))
+    return pd.DataFrame(
+        rows,
+        columns=["source", "n_tokens", "n_types", "type_token_ratio", "n_hapax", "hapax_ratio"],
+    )
+
+
+def chk_t17(sf):
+    rows = []
+    for r in _docs(sf).itertuples():
+        if not r.text:
+            continue
+        c = Counter(r.text)
+        n = sum(c.values())
+        rows.append((r.doc_id, _round(math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n, 4)))
+    return pd.DataFrame(rows, columns=["doc_id", "char_entropy"])
+
+
+def _bpe_train_py(word_counts, rounds=2, batch_k=4):
+    """Batched BPE with the dominance-selection rule and the greedy
+    carry-fold re-merge — the t18/t29 training loop from the documented
+    spec."""
+    words = {w: (c, list(w)) for w, c in word_counts.items()}
+    rules = []
+    for _ in range(rounds):
+        pc: Counter = Counter()
+        for _, (c, sy) in words.items():
+            for i in range(len(sy) - 1):
+                pc[(sy[i], sy[i + 1])] += c
+        top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[: 16 * batch_k]
+        sel = []
+        used: set[str] = set()
+        for (l, r), cnt in top:
+            if len(sel) == batch_k:
+                break
+            if l not in used and r not in used:
+                sel.append((l, r, l + r, cnt))
+            used.add(l)
+            used.add(r)
+        if not sel:
+            break
+        for l, r, m, cnt in sel:
+            rules.append((len(rules) + 1, l, r, m, cnt))
+        rmap = {(l, r): m for l, r, m, _ in sel}
+        for w in words:
+            c, sy = words[w]
+            out = []
+            carry = None
+            for s in sy:
+                m = rmap.get((carry, s))
+                if m is not None:
+                    out.append(m)
+                    carry = None
+                elif carry is None:
+                    carry = s
+                else:
+                    out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            words[w] = (c, out)
+    return rules, words
+
+
+def _word_counts(sf):
+    wc: Counter = Counter()
+    for txt in _docs(sf).text:
+        for w in txt.split(" "):
+            if w:
+                wc[w] += 1
+    return wc
+
+
+def chk_t18(sf):
+    rules, _ = _bpe_train_py(_word_counts(sf))
+    return pd.DataFrame(rules, columns=["rnd", "lhs", "rhs", "merged", "cnt"])
+
+
+def chk_t29(sf):
+    _, words = _bpe_train_py(_word_counts(sf))
+    ntok = {w: len(sy) for w, (_, sy) in words.items()}
+    rows = []
+    for r in _docs(sf).itertuples():
+        ws = [w for w in r.text.split(" ") if w]
+        rows.append((r.doc_id, len(ws), sum(ntok[w] for w in ws)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_bpe_tokens"])
+
+
+def chk_t19(sf):
+    rows = []
+    for lang, g in _docs(sf).groupby("lang"):
+        c: Counter = Counter()
+        for txt in g.text:
+            for t in txt.split(" "):
+                if t:
+                    c[t] += 1
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        xs = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+        ys = np.log(np.array([f for _, f in ranked], dtype=float))
+        slope = float(np.cov(xs, ys, ddof=0)[0, 1] / np.var(xs))
+        r2 = float(np.corrcoef(xs, ys)[0, 1] ** 2)
+        rows.append((lang, len(ranked), int(sum(c.values())), _round(slope, 2), _round(r2, 2)))
+    return pd.DataFrame(rows, columns=["lang", "n_types", "n_tokens", "zipf_slope", "fit_r2"])
+
+
+def chk_t20(sf):
+    sh = _shingle_sets(_docs(sf))
+    dfreq: Counter = Counter()
+    for st in sh.values():
+        dfreq.update(st)
+    rows = []
+    for d in sorted(sh):
+        ns = len(sh[d])
+        nsd = sum(1 for s in sh[d] if dfreq[s] >= 2)
+        rows.append((d, ns, nsd, _round(nsd / ns, 4)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return pd.DataFrame(rows[:50], columns=["doc_id", "n_shingles", "n_shared", "shared_ratio"])
+
+
+def chk_t21(sf):
+    conf: Counter = Counter()
+    for r in _docs(sf).itertuples():
+        tk = set(r.text.split(" "))
+        best = min((-len(tk & set(sw)), pl) for pl, sw in _T5_LANGS.items())
+        conf[(r.lang, "und" if best[0] == 0 else best[1])] += 1
+    return pd.DataFrame(
+        sorted((l, p, c) for (l, p), c in conf.items()), columns=["label", "predicted", "n"]
+    )
+
+
+def chk_t23(sf):
+    sh, scored = _jaccard_pairs(_docs(sf), 0.9)
+    rows = [
+        (a, b, _round(j, 4), " | ".join(sorted(sh[a] & sh[b])[:3]))
+        for a, b, j in sorted(scored)
+    ]
+    return pd.DataFrame(rows[:25], columns=["id_a", "id_b", "jaccard", "evidence"])
+
+
+def chk_t24(sf):
+    import re
+
+    sw_list = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    rows = []
+    for r in _docs(sf).itertuples():
+        tk = r.text.split(" ")
+        lines = r.text.split("\n")
+        n = len(tk)
+        mwl = _round(sum(len(x) for x in tk) / n, 6)
+        awf = _round(sum(1 for x in tk if re.search("[A-Za-z]", x)) / n, 6)
+        sym = _round(sum(1 for x in tk if "#" in x or "..." in x) / n, 6)
+        bl = _round(sum(1 for l in lines if re.match(r"^[-*•]", l.strip())) / len(lines), 6)
+        el = _round(sum(1 for l in lines if l.endswith("...")) / len(lines), 6)
+        nst = sum(1 for w in sw_list if w in tk)
+        flags = (
+            50 <= n <= 100000, 3.0 <= mwl <= 10.0, sym <= 0.1,
+            bl <= 0.9, el <= 0.3, awf >= 0.8, nst >= 2,
+        )
+        rows.append((r.doc_id, n, mwl, awf, sym, bl, el, nst, *flags, all(flags)))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "n_words", "mean_word_len", "alpha_word_frac", "symbol_ratio",
+                 "bullet_line_frac", "ellipsis_line_frac", "n_stopwords", "word_count_ok",
+                 "mean_word_len_ok", "symbol_ratio_ok", "bullet_ok", "ellipsis_ok",
+                 "alpha_ok", "stopword_ok", "passes_gopher"],
+    )
+
+
+def chk_t25(sf):
+    c12, bgs = _bigram_stream(sf)
+    c1: Counter = Counter()
+    n1p: Counter = Counter()
+    cont: Counter = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p[w1] += 1
+        cont[w2] += 1
+    t = len(c12)
+    rows = []
+    for d, bl in sorted(bgs.items()):
+        s = sum(
+            math.log(
+                max(c12[bg] - 0.75, 0) / c1[bg[0]]
+                + 0.75 * n1p[bg[0]] / c1[bg[0]] * cont[bg[1]] / t
+            )
+            for bg in bl
+        )
+        rows.append((d, _round(-s / len(bl), 2)))
+    return pd.DataFrame(rows, columns=["doc_id", "kn_cross_entropy"])
+
+
+def chk_t26(sf):
+    tf = {}
+    df: Counter = Counter()
+    for r in _docs(sf).itertuples():
+        c = Counter(r.text.split(" "))
+        tf[r.doc_id] = c
+        df.update(c.keys())
+    n = len(tf)
+    rows = []
+    for d in sorted(tf):
+        if d >= 200:
+            continue
+        scored = sorted(
+            ((t, c * math.log(n / df[t])) for t, c in tf[d].items()),
+            key=lambda r: (-r[1], r[0]),
+        )[:3]
+        for rnk, (t, s) in enumerate(scored, 1):
+            rows.append((d, rnk, t, _round(s, 4)))
+    return pd.DataFrame(rows, columns=["doc_id", "rnk", "keyword", "tfidf"])
+
+
+CHECKERS.update({
+    "t15_bigram_cross_entropy": chk_t15,
+    "t16_vocab_growth": chk_t16,
+    "t17_char_entropy": chk_t17,
+    "t18_bpe_merges": chk_t18,
+    "t19_zipf_slope": chk_t19,
+    "t20_shingle_duplication": chk_t20,
+    "t21_langid_confusion": chk_t21,
+    "t23_dup_pair_evidence": chk_t23,
+    "t24_gopher_rules": chk_t24,
+    "t25_kneser_ney_entropy": chk_t25,
+    "t26_doc_keywords": chk_t26,
+    "t29_bpe_token_counts": chk_t29,
+})
+
+
 if __name__ == "__main__":
     sys.exit(main())
