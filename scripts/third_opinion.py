@@ -3713,5 +3713,293 @@ CHECKERS.update({
 })
 
 
+# --------------------------------------------------------------------------
+# r6/r7 dedup family completion (d16-d29): fuzzy joins, weighted sampling,
+# provenance/yield/cluster analytics, span-level excision, CDC chunking
+# --------------------------------------------------------------------------
+
+def _lev1(a, b):
+    if abs(len(a) - len(b)) > 1:
+        return False
+    if a == b:
+        return True
+    if len(a) == len(b):
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if len(a) > len(b):
+        a, b = b, a
+    i = 0
+    while i < len(a) and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def chk_d16(sf):
+    names = sorted(set(
+        duckdb.sql(f"SELECT c_name FROM '{sf}/customer.parquet'").fetchdf().c_name
+    ))
+    cnt: Counter = Counter()
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            if _lev1(names[i], names[j]):
+                cnt[names[i]] += 1
+                cnt[names[j]] += 1
+    rows = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame(rows, columns=["name", "n_neighbors"])
+
+
+def chk_d17(sf):
+    li = duckdb.sql(
+        f"SELECT l_orderkey, l_linenumber, l_quantity FROM '{sf}/lineitem.parquet'"
+        f" WHERE l_quantity > 0"
+    ).fetchdf()
+    rows = []
+    for r in li.itertuples():
+        u = int(hashlib.md5(f"guardian|{r.l_orderkey}#{r.l_linenumber}".encode()).hexdigest()[:13], 16)
+        wkey = math.log((u + 1.0) / 4503599627370496.0) / r.l_quantity
+        rows.append((r.l_orderkey, r.l_linenumber, _round(r.l_quantity, 2), _round(wkey * 1000000, 2)))
+    rows.sort(key=lambda t: (-t[3], t[0], t[1]))
+    return pd.DataFrame(rows[:25], columns=["l_orderkey", "l_linenumber", "weight", "key_micros"])
+
+
+def chk_d18(sf):
+    docs = _docs(sf)
+    _, scored = _jaccard_pairs(docs, 0.5)
+    src_of = dict(zip(docs.doc_id, docs.source))
+    mcnt: Counter = Counter()
+    for a, b, _ in scored:
+        mcnt[tuple(sorted((src_of[a], src_of[b])))] += 1
+    return pd.DataFrame(
+        sorted((a, b, c) for (a, b), c in mcnt.items()),
+        columns=["source_a", "source_b", "n_pairs"],
+    )
+
+
+def chk_d19(sf):
+    _, scored = _jaccard_pairs(_docs(sf), 0.5)
+    rows = []
+    for th in (0.5, 0.6, 0.7, 0.8, 0.9):
+        ps = [(a, b) for a, b, j in scored if j >= th]
+        rows.append((th, len(ps), len(set(b for _, b in ps))))
+    return pd.DataFrame(rows, columns=["threshold", "n_pairs", "n_docs_removed"])
+
+
+def chk_d20(sf):
+    docs = _docs(sf)
+    _, scored = _jaccard_pairs(docs, 0.7)
+    comp = _components([(a, b) for a, b, _ in scored])
+    doomed = {d for d, c in comp.items() if d != c}
+    ntok = {r.doc_id: len(r.text.split(" ")) for r in docs.itertuples()}
+    n, t = len(docs), sum(ntok.values())
+    kd = n - len(doomed)
+    kt = t - sum(ntok[d] for d in doomed)
+    return pd.DataFrame(
+        [(n, t, kd, kt, _round(kt * 100.0 / t, 2))],
+        columns=["n_docs", "n_tokens", "kept_docs", "kept_tokens", "kept_token_pct"],
+    )
+
+
+def chk_d21(sf):
+    _, scored = _jaccard_pairs(_docs(sf), 0.5)
+    rows = sorted((a, b, _round(j, 4)) for a, b, j in scored)
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def _clusters07(sf):
+    _, scored = _jaccard_pairs(_docs(sf), 0.7)
+    pairs = [(a, b) for a, b, _ in scored]
+    comp = _components(pairs)
+    clusters: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        clusters.setdefault(c, []).append(d)
+    return pairs, comp, clusters
+
+
+def chk_d22(sf):
+    _, _, clusters = _clusters07(sf)
+    hist = Counter(len(v) for v in clusters.values())
+    rows = sorted((cs, nc, cs * nc, (cs - 1) * nc) for cs, nc in hist.items())
+    return pd.DataFrame(rows, columns=["cluster_size", "n_clusters", "n_docs", "n_removable"])
+
+
+def chk_d23(sf):
+    _, _, clusters = _clusters07(sf)
+    picked = sorted(
+        clusters, key=lambda c: (hashlib.md5(f"guardian|{c}".encode()).hexdigest()[:8], c)
+    )[:5]
+    rows = [(c, d) for c in picked for d in sorted(clusters[c])]
+    return pd.DataFrame(rows, columns=["component", "doc_id"])
+
+
+def chk_d24(sf):
+    pairs, comp, clusters = _clusters07(sf)
+    ecnt: Counter = Counter()
+    for a, _ in pairs:
+        ecnt[comp[a]] += 1
+    rows = [
+        (c, len(mem), ecnt[c], _round(ecnt[c] * 2.0 / (len(mem) * (len(mem) - 1)), 4))
+        for c, mem in clusters.items()
+    ]
+    rows.sort(key=lambda r: (r[3], r[0]))
+    return pd.DataFrame(rows, columns=["component", "n_docs", "n_edges", "density"])
+
+
+def _span_islands(matches, seed, min_span):
+    """(a,b) -> [(pa,pb)...] -> maximal same-diagonal runs of length
+    run+seed-1 >= min_span; yields (a, b, start_a, start_b, span)."""
+    for (a, b), ms in matches.items():
+        bydiag: dict[int, list] = {}
+        for pa, pb in ms:
+            bydiag.setdefault(pa - pb, []).append(pa)
+        for diag, pas in bydiag.items():
+            pas = sorted(set(pas))
+            start, cnt = pas[0], 1
+            for k in range(1, len(pas)):
+                if pas[k] == pas[k - 1] + 1:
+                    cnt += 1
+                else:
+                    if cnt + seed - 1 >= min_span:
+                        yield (a, b, start, start - diag, cnt + seed - 1)
+                    start, cnt = pas[k], 1
+            if cnt + seed - 1 >= min_span:
+                yield (a, b, start, start - diag, cnt + seed - 1)
+
+
+def _ngram_positions(toks, n):
+    pos: dict[str, list] = {}
+    for d, tk in toks.items():
+        if len(tk) >= n:
+            for i in range(len(tk) - n + 1):
+                pos.setdefault(" ".join(tk[i : i + n]), []).append((d, i))
+    return pos
+
+
+def chk_d25(sf):
+    toks = {r.doc_id: r.text.split(" ") for r in _docs(sf).itertuples()}
+    matches: dict = {}
+    for occ in _ngram_positions(toks, 8).values():
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    matches.setdefault((da, db), []).append((pa, pb))
+    rows = list(_span_islands(matches, 8, 16))
+    rows.sort(key=lambda r: (-r[4], r[0], r[1], r[2], r[3]))
+    return pd.DataFrame(
+        rows[:50], columns=["id_a", "id_b", "start_a", "start_b", "span_tokens"]
+    )
+
+
+def _excise(toks, ivs):
+    rows = []
+    for d in sorted(ivs):
+        tk = toks[d]
+        kept = [tk[i] for i in range(len(tk)) if not any(s <= i < e for s, e in ivs[d])]
+        rows.append(
+            (d, len(tk), len(kept), len(ivs[d]),
+             hashlib.md5(" ".join(kept).encode()).hexdigest())
+        )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_before", "n_after", "n_spans_cut", "cleaned_md5"]
+    )
+
+
+def chk_d26(sf):
+    toks = {r.doc_id: r.text.split(" ") for r in _docs(sf).itertuples()}
+    matches: dict = {}
+    for occ in _ngram_positions(toks, 8).values():
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    matches.setdefault((da, db), []).append((pa, pb))
+    ivs: dict[int, list] = {}
+    for a, b, sa, sb, span in _span_islands(matches, 8, 16):
+        ivs.setdefault(b, []).append((sb, sb + span))
+    return _excise(toks, ivs)
+
+
+def chk_d27(sf):
+    toks = {r.doc_id: r.text.split(" ") for r in _docs(sf).itertuples()}
+    matches: dict = {}
+    for occ in _ngram_positions(toks, 4).values():
+        trains = [(d, p) for d, p in occ if d >= 10]
+        benches = [(d, p) for d, p in occ if d < 10]
+        for dt, pt in trains:
+            for db, pb in benches:
+                matches.setdefault((dt, db), []).append((pt, pb))
+    ivs: dict[int, list] = {}
+    for t, b, st, _, span in _span_islands(matches, 4, 8):
+        ivs.setdefault(t, []).append((st, st + span))
+    return _excise(toks, ivs)
+
+
+def chk_d28(sf):
+    toks = {r.doc_id: r.text.split(" ") for r in _docs(sf).itertuples()}
+    eg = {}
+    cg: set[str] = set()
+    for d, tk in toks.items():
+        if len(tk) < 4:
+            continue
+        gs = set(" ".join(tk[i : i + 4]) for i in range(len(tk) - 3))
+        if d < 10:
+            eg[d] = gs
+        else:
+            cg |= gs
+    rows = []
+    for d in sorted(eg):
+        n, c = len(eg[d]), len(eg[d] & cg)
+        frac = _round(c / n, 6)
+        rows.append((d, n, c, frac, frac > 0.0))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_grams", "n_contaminated", "contaminated_frac", "dirty"]
+    )
+
+
+def chk_d29(sf):
+    chunks: Counter = Counter()
+    docs_per: dict[str, set] = {}
+    ctokmin: dict[str, int] = {}
+    for r in _docs(sf).itertuples():
+        tk = r.text.split(" ")
+        # boundary flag at pos closes the NEXT token into a new chunk (the
+        # flagged token itself stays — chunk_id excludes its own flag)
+        b = [0] * (len(tk) + 1)
+        for pos in range(3, len(tk) + 1):
+            if hashlib.md5(f"{tk[pos-3]} {tk[pos-2]} {tk[pos-1]}".encode()).hexdigest()[0] == "0":
+                b[pos] = 1
+        groups: dict[int, list[str]] = {}
+        run = 0
+        for pos in range(1, len(tk) + 1):
+            groups.setdefault(1 + run, []).append(tk[pos - 1])
+            run += b[pos]
+        for ws in groups.values():
+            ch = " ".join(ws)
+            h = hashlib.md5(ch.encode()).hexdigest()
+            chunks[h] += 1
+            docs_per.setdefault(h, set()).add(r.doc_id)
+            ctokmin[h] = min(ctokmin.get(h, 10 ** 9), len(ws))
+    rows = [(h, len(docs_per[h]), chunks[h], ctokmin[h]) for h in chunks if chunks[h] >= 2]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return pd.DataFrame(
+        rows[:100], columns=["chunk_hash", "n_docs", "n_occurrences", "chunk_tokens"]
+    )
+
+
+CHECKERS.update({
+    "d16_edit_distance_pairs": chk_d16,
+    "d17_weighted_sample": chk_d17,
+    "d18_source_dup_matrix": chk_d18,
+    "d19_dedup_yield_curve": chk_d19,
+    "d20_effective_corpus_size": chk_d20,
+    "d21_prefix_filtered_jaccard": chk_d21,
+    "d22_cluster_size_histogram": chk_d22,
+    "d23_cluster_inspection_sample": chk_d23,
+    "d24_cluster_density": chk_d24,
+    "d25_duplicate_spans": chk_d25,
+    "d26_span_excision": chk_d26,
+    "d27_span_decontaminate": chk_d27,
+    "d28_eval_contamination": chk_d28,
+    "d29_cdc_chunk_dedup": chk_d29,
+})
+
+
 if __name__ == "__main__":
     sys.exit(main())
