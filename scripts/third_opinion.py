@@ -1945,25 +1945,35 @@ class _IvfPq:
             (V - self.C[[self.cids.index(a) for a in self.assign1]]) * _RESID
         )
         self.resid = resid
-        codes = np.tile((ids % self.ksub).astype(int).reshape(-1, 1), (1, self.m))
-        for it in range(pq_iters + 1):
+        def _means(codes):
             cbs = []
             for s in range(self.m):
                 sub = resid[:, s * self.dsub : (s + 1) * self.dsub]
                 cb = {}
                 for c in np.unique(codes[:, s]):
-                    sel = codes[:, s] == c
-                    cb[int(c)] = sub[sel].mean(axis=0)
+                    cb[int(c)] = sub[codes[:, s] == c].mean(axis=0)
                 cbs.append(cb)
-            if it == pq_iters:
-                break
+            return cbs
+
+        def _assign(cbs):
+            codes = np.empty((len(resid), self.m), dtype=int)
             for s in range(self.m):
                 sub = resid[:, s * self.dsub : (s + 1) * self.dsub]
                 cc = sorted(cbs[s])
                 M = np.array([cbs[s][c] for c in cc])
                 d = ((sub[:, None, :] - M[None, :, :]) ** 2).sum(axis=2)
                 codes[:, s] = np.array(cc)[np.argmin(d, axis=1)]
-        self.cbs, self.codes = cbs, codes
+            return codes
+
+        codes = np.tile((ids % self.ksub).astype(int).reshape(-1, 1), (1, self.m))
+        cbs = _means(codes)
+        for _ in range(pq_iters):
+            codes = _assign(cbs)
+            cbs = _means(codes)
+        # the operator RE-ENCODES with the final codebooks (pq_topk/ivfpq_topk
+        # assign after training completes) — without this the codes lag one
+        # Lloyd step and exact ADC rankings drift
+        self.cbs, self.codes = cbs, _assign(cbs)
 
     def probes(self, qidx, p):
         order = sorted(
@@ -3998,6 +4008,225 @@ CHECKERS.update({
     "d27_span_decontaminate": chk_d27,
     "d28_eval_contamination": chk_d28,
     "d29_cdc_chunk_dedup": chk_d29,
+})
+
+
+# --------------------------------------------------------------------------
+# r6/r7 similarity completion (s6-s15): MMR diversity, quantized and PQ
+# retrieval tiers, BM25, radius search, cluster cohesion, graph recall
+# --------------------------------------------------------------------------
+
+def _cosv(a, b):
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def chk_s6(sf):
+    V, ids, _ = _emb(sf)
+    idx = {v: i for i, v in enumerate(ids)}
+    qi = idx[0]
+    cands = sorted(
+        ((_cosv(V[i], V[qi]), ids[i]) for i in range(len(ids)) if ids[i] != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:24]
+    cand_ids = [c for _, c in cands]
+    rel = {c: _rnd_half_away(cs * 1000000) for cs, c in cands}
+    sim = {
+        (a, b): _rnd_half_away(_cosv(V[idx[a]], V[idx[b]]) * 1000000)
+        for a in cand_ids for b in cand_ids if a != b
+    }
+    sel: list[int] = []
+    for _ in range(8):
+        best = None
+        for c in cand_ids:
+            if c in sel:
+                continue
+            score = 7 * rel[c] - 3 * max((sim[(c, s)] for s in sel), default=0)
+            if best is None or score > best[0] or (score == best[0] and c < best[1]):
+                best = (score, c)
+        sel.append(best[1])
+    return pd.DataFrame(
+        [(r + 1, sel[r], rel[sel[r]]) for r in range(8)],
+        columns=["rank", "vec_id", "rel"],
+    )
+
+
+def chk_s7(sf):
+    V, ids, _ = _emb(sf)
+    idx = {v: i for i, v in enumerate(ids)}
+
+    def quant(v):
+        scale = np.abs(v).max() / 127.0 or 1.0
+        return np.array([_rnd_half_away(x / scale) for x in v], dtype=np.float64)
+
+    Q = np.stack([quant(V[i]) for i in range(len(ids))])
+    rows = []
+    for qi in np.where(ids < 5)[0]:
+        sc = sorted(
+            ((_cosv(Q[i], Q[qi]), ids[i]) for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probe = [c for _, c in sc[:12]]
+        rer = sorted(probe, key=lambda c: (-_cosv(V[idx[c]], V[qi]), c))[:3]
+        exact = sorted(
+            (ids[i] for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda c: (-_cosv(V[idx[c]], V[qi]), c),
+        )[:3]
+        rows.append((ids[qi], len(set(rer) & set(exact)) == 3))
+    return pd.DataFrame(rows, columns=["query_id", "recall_ok"])
+
+
+def chk_s8(sf):
+    tok = {r.doc_id: [t for t in r.text.split(" ") if t] for r in _docs(sf).itertuples()}
+    dfreq: Counter = Counter()
+    for tk in tok.values():
+        dfreq.update(set(tk))
+    qset = {t for t, _ in sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:3]}
+    dl = {d: len(tk) for d, tk in tok.items()}
+    n = len(tok)
+    avgdl = sum(dl.values()) / n
+    scores: Counter = Counter()
+    for d, tk in tok.items():
+        for t, f in Counter(x for x in tk if x in qset).items():
+            df = dfreq[t]
+            ts = (
+                math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                * (f * (1.2 + 1.0))
+                / (f + 1.2 * (1.0 - 0.75 + 0.75 * dl[d] / avgdl))
+            )
+            scores[d] += _rnd_half_away(ts * 1000000)
+    rows = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    return pd.DataFrame(rows, columns=["doc_id", "score_micros"])
+
+
+def chk_s9(sf):
+    ix = _ivfpq(sf)
+    Cn = ix.C / np.linalg.norm(ix.C, axis=1, keepdims=True)
+    Vn = ix.V / np.linalg.norm(ix.V, axis=1, keepdims=True)
+    cosm = Vn @ Cn.T
+    assign = np.argmax(cosm, axis=1)
+    rows = []
+    for j, c in enumerate(ix.cids):
+        sel = assign == j
+        if sel.any():
+            cs = cosm[sel, j]
+            rows.append((c, int(sel.sum()), _round(float(cs.mean()), 4), _round(float(cs.min()), 4)))
+    return pd.DataFrame(rows, columns=["cluster", "csize", "mean_cosine", "min_cosine"])
+
+
+def chk_s10(sf):
+    V, ids, _ = _emb(sf)
+    rows = []
+    for qi in np.where(ids < 3)[0]:
+        cs = [(_cosv(V[i], V[qi]), ids[i]) for i in range(len(ids)) if ids[i] != ids[qi]]
+        within = [(c, v) for c, v in cs if c >= 0.3]
+        rows.append(
+            (ids[qi], len(within), min((v for _, v in within), default=None),
+             _round(max(c for c, _ in cs), 4))
+        )
+    return pd.DataFrame(rows, columns=["query_id", "n_within", "first_id", "best_cosine"])
+
+
+def chk_s11(sf):
+    ix = _ivfpq(sf)
+    idx = {v: i for i, v in enumerate(ix.ids)}
+    hits = 0
+    for qi in np.where(ix.ids < 30)[0]:
+        ap = set(ix.ivf_topk(qi, 3, 4))
+        ex = set(
+            sorted(
+                (ix.ids[i] for i in range(len(ix.ids)) if ix.ids[i] != ix.ids[qi]),
+                key=lambda c: (-_cosv(ix.V[idx[c]], ix.V[qi]), c),
+            )[:3]
+        )
+        hits += len(ap & ex)
+    n_sampled = int((ix.ids < 30).sum())
+    return pd.DataFrame(
+        [(n_sampled, hits / (3 * n_sampled) >= 0.6)], columns=["n_sampled", "recall_ok"]
+    )
+
+
+def _raw_pq(sf, iters=3, m=16, ksub=32):
+    """Raw-vector PQ training (s14/s15; the operator re-encodes with the
+    FINAL codebooks after training). Returns (cbs, codes, dsub)."""
+    V, ids, _ = _emb(sf)
+    dsub = V.shape[1] // m
+
+    def means(codes):
+        cbs = []
+        for s in range(m):
+            sub = V[:, s * dsub : (s + 1) * dsub]
+            cbs.append({int(c): sub[codes[:, s] == c].mean(axis=0) for c in np.unique(codes[:, s])})
+        return cbs
+
+    def assign(cbs):
+        codes = np.empty((len(V), m), dtype=int)
+        for s in range(m):
+            sub = V[:, s * dsub : (s + 1) * dsub]
+            cc = sorted(cbs[s])
+            M = np.array([cbs[s][c] for c in cc])
+            d = ((sub[:, None, :] - M[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.array(cc)[np.argmin(d, axis=1)]
+        return codes
+
+    codes = np.tile((ids % ksub).astype(int).reshape(-1, 1), (1, m))
+    cbs = means(codes)
+    for _ in range(iters):
+        codes = assign(cbs)
+        cbs = means(codes)
+    return cbs, assign(cbs), dsub
+
+
+def _adc_scores(V, ids, qi, cbs, codes, dsub, m=16):
+    qv = V[qi]
+    qtab = []
+    for s in range(m):
+        cc = sorted(cbs[s])
+        M = np.array([cbs[s][c] for c in cc])
+        d = ((qv[s * dsub : (s + 1) * dsub][None, :] - M) ** 2).sum(axis=1)
+        qtab.append({c: d[i] for i, c in enumerate(cc)})
+    return sorted(
+        ((ids[i], sum(qtab[s][codes[i, s]] for s in range(m)))
+         for i in range(len(ids)) if ids[i] != ids[qi]),
+        key=lambda t: (t[1], t[0]),
+    )
+
+
+def chk_s14(sf):
+    V, ids, _ = _emb(sf)
+    cbs, codes, dsub = _raw_pq(sf)
+    rows = []
+    for qi in np.where(ids < 5)[0]:
+        for rnk, (c, adc) in enumerate(_adc_scores(V, ids, qi, cbs, codes, dsub)[:5], 1):
+            rows.append((ids[qi], c, _round(adc, 4), rnk))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "adc", "rnk"])
+
+
+def chk_s15(sf):
+    V, ids, _ = _emb(sf)
+    idx = {v: i for i, v in enumerate(ids)}
+    cbs, codes, dsub = _raw_pq(sf)
+    rows = []
+    for qi in np.where(ids < 10)[0]:
+        probe = [c for c, _ in _adc_scores(V, ids, qi, cbs, codes, dsub)[:20]]
+        d2 = {c: float(((V[idx[c]] - V[qi]) ** 2).sum()) for c in probe}
+        rer = sorted(probe, key=lambda c: (d2[c], c))[:5]
+        ex = sorted(
+            (ids[i] for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda c: (-_cosv(V[idx[c]], V[qi]), c),
+        )[:5]
+        rows.append((ids[qi], len(set(rer) & set(ex)) >= 1))
+    return pd.DataFrame(rows, columns=["query_id", "recall_ok"])
+
+
+CHECKERS.update({
+    "s6_mmr_diverse_topk": chk_s6,
+    "s7_quantized_rerank": chk_s7,
+    "s8_bm25_search": chk_s8,
+    "s9_cluster_cohesion": chk_s9,
+    "s10_radius_search": chk_s10,
+    "s11_knn_graph": chk_s11,
+    "s14_pq_adc_topk": chk_s14,
+    "s15_pq_rerank": chk_s15,
 })
 
 
