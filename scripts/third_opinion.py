@@ -4230,5 +4230,242 @@ CHECKERS.update({
 })
 
 
+# --------------------------------------------------------------------------
+# pipeline + maintenance completion (p1-p2, p6-p14, g9-g11): end-to-end
+# roundtrips, splits, curricula, datasheets, epoch plans, retention,
+# fixity manifests, replication diffs
+# --------------------------------------------------------------------------
+
+def _quality_scores(sf):
+    import re
+
+    qual = {}
+    for r in _docs(sf).itertuples():
+        tk = r.text.split(" ")
+        alpha = len(re.sub("[^A-Za-z]", "", r.text))
+        qual[r.doc_id] = _round(
+            min(len(tk) / 50.0, 1.0) * 0.3
+            + (len(set(tk)) / len(tk)) * 0.3
+            + (alpha / max(len(r.text), 1)) * 0.2
+            + min(len(set(tk) & _T3_STOPWORDS) / 4.0, 1.0) * 0.2,
+            4,
+        )
+    return qual
+
+
+def _md5_split(d):
+    h = hashlib.md5(f"guardian{d}".encode()).hexdigest()[:8]
+    return "train" if h < "cccccccc" else ("val" if h < "e6666665" else "test")
+
+
+def chk_p1(sf):
+    ev = _events(sf)
+    sub = ev[ev.event_id < 500]
+    rows = sorted((t, len(g), len(g), True) for t, g in sub.groupby("event_type"))
+    return pd.DataFrame(rows, columns=["topic", "n_in", "n_out", "equal"])
+
+
+def chk_p2(sf):
+    docs = _docs(sf)
+    qual = _quality_scores(sf)
+    passed = docs[docs.doc_id.map(qual) >= 0.6]
+    kept = passed.loc[passed.groupby("text").doc_id.idxmin()]
+    agg: dict = {}
+    for r in kept.itertuples():
+        key = (r.lang, _md5_split(r.doc_id))
+        q = qual[r.doc_id]
+        e = agg.setdefault(key, [0, None, None])
+        e[0] += 1
+        e[1] = q if e[1] is None else min(e[1], q)
+        e[2] = q if e[2] is None else max(e[2], q)
+    rows = sorted((l, s, v[0], v[1], v[2]) for (l, s), v in agg.items())
+    return pd.DataFrame(rows, columns=["lang", "split", "n_docs", "min_q", "max_q"])
+
+
+def chk_p6(sf):
+    rows = sorted(
+        (hashlib.md5(f"ord1:{d}".encode()).hexdigest(), d) for d in _docs(sf).doc_id
+    )
+    return pd.DataFrame(
+        [(i, d) for i, (_, d) in enumerate(rows)], columns=["position", "doc_id"]
+    )
+
+
+def chk_p7(sf):
+    docs = _docs(sf)
+    _, scored = _jaccard_pairs(docs, 0.7)
+    comp = _components([(a, b) for a, b, _ in scored])
+    base = {d: _md5_split(d) for d in docs.doc_id}
+    train_comps = {comp[d] for d in comp if base[d] == "train"}
+    cnt: Counter = Counter()
+    for d in docs.doc_id:
+        cnt["train" if (d in comp and comp[d] in train_comps) else base[d]] += 1
+    return pd.DataFrame(sorted(cnt.items()), columns=["split", "n_docs"])
+
+
+def chk_p8(sf):
+    qual = _quality_scores(sf)
+    vals = list(qual.values())
+    p25, p50, p75 = _qcont(vals, 0.25), _qcont(vals, 0.5), _qcont(vals, 0.75)
+    stages: dict[int, list[int]] = {}
+    for d, q in qual.items():
+        st = 1 if q >= p75 else (2 if q >= p50 else (3 if q >= p25 else 4))
+        stages.setdefault(st, []).append(d)
+    rows = []
+    for st in sorted(stages):
+        ds = stages[st]
+        qs = [qual[d] for d in ds]
+        first = min(ds, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        rows.append((st, len(ds), _round(min(qs), 4), _round(max(qs), 4), first))
+    return pd.DataFrame(rows, columns=["stage", "n_docs", "min_q", "max_q", "first_doc"])
+
+
+def chk_p9(sf):
+    docs = _docs(sf)
+    _, scored = _jaccard_pairs(docs, 0.7)
+    comp = _components([(a, b) for a, b, _ in scored])
+    cnt: Counter = Counter()
+    gsets: dict[int, set] = {}
+    for d in docs.doc_id:
+        g = comp.get(d, d)
+        fold = int(hashlib.md5(f"guardian|{g}".encode()).hexdigest()[:13], 16) % 5
+        cnt[fold] += 1
+        gsets.setdefault(fold, set()).add(g)
+    return pd.DataFrame(
+        [(f, cnt[f], len(gsets[f])) for f in sorted(cnt)],
+        columns=["fold", "n_docs", "n_groups"],
+    )
+
+
+def chk_p10(sf):
+    rows = []
+    for src, g in _docs(sf).groupby("source"):
+        nt = g.text.str.split(" ").str.len()
+        lost = (nt - 64).clip(lower=0)
+        rows.append(
+            (src, len(g), int(nt.sum()), int((nt > 64).sum()), int(lost.sum()),
+             _round(lost.sum() * 100.0 / nt.sum(), 2))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["source", "n_docs", "n_tokens", "n_truncated", "tokens_lost", "lost_pct"],
+    )
+
+
+def chk_p11(sf):
+    docs = _docs(sf)
+    docs_full = pd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    _, scored = _jaccard_pairs(docs, 0.7)
+    doomed = len(set(b for _, b, _ in scored))
+    nt = docs.text.str.split(" ").str.len()
+    return pd.DataFrame(
+        [(len(docs), int(nt.sum()), int(docs_full.n_chars.sum()), docs.lang.nunique(),
+          docs.source.nunique(), doomed, _round(nt.mean(), 2), int(nt.min()), int(nt.max()))],
+        columns=["n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
+                 "n_near_dups", "avg_tokens", "min_tokens", "max_tokens"],
+    )
+
+
+def chk_p12(sf):
+    c = {
+        src: (len(g), int(g.text.str.split(" ").str.len().sum()))
+        for src, g in _docs(sf).groupby("source")
+    }
+    den = sum(math.sqrt(float(t)) for _, (_, t) in sorted(c.items()))
+    total = float(sum(t for _, t in c.values()))
+    rows = []
+    for src in sorted(c):
+        nd, tok = c[src]
+        w = math.sqrt(float(tok)) / den
+        er = (w * 2.0 * total) / tok
+        ep = min(er, 4.0)
+        rows.append(
+            (src, nd, tok, _round(w, 6), _round(er, 4), _round(ep, 4),
+             _round(ep * tok, 2), _round((er - ep) * tok, 2))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["source", "n_docs", "n_tokens", "weight", "epochs_raw", "epochs",
+                 "realized_tokens", "budget_unfilled"],
+    )
+
+
+def chk_p14(sf):
+    keyed = []
+    for src, g in _docs(sf).groupby("source"):
+        ds = sorted(g.doc_id)
+        n = len(ds)
+        for r, d in enumerate(ds, 1):
+            keyed.append(((r - 0.5) / n, src, d))
+    keyed.sort()
+    return pd.DataFrame(
+        [(i + 1, src, d, _round(k, 6)) for i, (k, src, d) in enumerate(keyed[:200])],
+        columns=["position", "source", "doc_id", "stride_key"],
+    )
+
+
+def chk_g9(sf):
+    ev = _events(sf)
+    sub = ev[ev.event_id < 500]
+    sliced = sub.assign(h=sub.ts.dt.floor("h")).groupby("h").size()
+    t0 = sliced.index.min()
+    rows = sorted(
+        (h.strftime("%Y-%m-%dT%H:%M:%SZ"), n, h < t0 + pd.Timedelta(hours=12))
+        for h, n in sliced.items()
+    )
+    return pd.DataFrame(rows, columns=["slice", "n_records", "expire"])
+
+
+def chk_g10(sf):
+    ev = _events(sf)
+    agg: dict = {}
+    for r in ev[ev.event_id < 500].itertuples():
+        sl = r.ts.floor("h").strftime("%Y-%m-%dT%H:%M:%SZ")
+        h = hashlib.md5(
+            f"{r.event_type}|0|{r.event_id}|{r.user_id}|{r.props}|{r.ms}".encode()
+        ).hexdigest()
+        b4 = (int(h[0:2], 16) * 16777216 + int(h[2:4], 16) * 65536
+              + int(h[4:6], 16) * 256 + int(h[6:8], 16))
+        e = agg.setdefault(sl, [0, 0])
+        e[0] += 1
+        e[1] += b4
+    rows = sorted((sl, v[0], v[1], True) for sl, v in agg.items())
+    return pd.DataFrame(rows, columns=["slice", "n_records", "checksum", "verified"])
+
+
+def chk_g11(sf):
+    ev = _events(sf)
+    fmt = lambda d: d.ts.dt.floor("h").dt.strftime("%Y-%m-%dT%H:%MZ")  # noqa: E731
+    a = ev[ev.event_id < 500].assign(sl=fmt).groupby("sl").size()
+    b = ev[ev.event_id < 450].assign(sl=fmt).groupby("sl").size()
+    rows = []
+    for sl in sorted(a.index):
+        nb = b.get(sl)
+        status = "missing_b" if nb is None else ("in_sync" if a[sl] == nb else "divergent")
+        rows.append((sl, a[sl], nb, status))
+    mine = pd.DataFrame(rows, columns=["slice", "n_a", "n_b", "status"])
+    mine["n_b"] = mine.n_b.astype("float")
+    return mine
+
+
+CHECKERS.update({
+    "p1_backup_restore_roundtrip": chk_p1,
+    "p2_training_pipeline": chk_p2,
+    "p6_training_order": chk_p6,
+    "p7_leakage_free_split": chk_p7,
+    "p8_curriculum_stages": chk_p8,
+    "p9_grouped_kfold": chk_p9,
+    "p10_truncation_loss": chk_p10,
+    "p11_dataset_datasheet": chk_p11,
+    "p12_epoch_plan": chk_p12,
+    "p14_mixture_schedule": chk_p14,
+    "g9_retention_plan": chk_g9,
+    "g10_archive_manifest": chk_g10,
+    "g11_archive_replication_diff": chk_g11,
+})
+
+
 if __name__ == "__main__":
     sys.exit(main())
