@@ -4467,5 +4467,213 @@ CHECKERS.update({
 })
 
 
+# --------------------------------------------------------------------------
+# r6 relational/graph/itemset kernels (q47, q56, q59, q64-q66, q70-q74):
+# recursive depths, heavy hitters, integer PageRank, reset balances,
+# oriented triangles, skylines, a-priori mining, deterministic LPA, MAD
+# --------------------------------------------------------------------------
+
+def _h32(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def chk_q47(sf):
+    cust = duckdb.sql(
+        f"SELECT c_custkey FROM '{sf}/customer.parquet' WHERE c_custkey >= 1"
+    ).fetchdf()
+    parent = {k: k - 1 - (_h32(str(k)) % k) for k in cust.c_custkey}
+    rows = []
+    for k in sorted(parent):
+        depth, cur = 1, parent[k]
+        while cur != 0:
+            cur = parent[cur]
+            depth += 1
+        rows.append((k, depth))
+    return pd.DataFrame(rows, columns=["node", "depth"])
+
+
+def chk_q56(sf):
+    tokc: Counter = Counter()
+    for txt in _docs(sf).text:
+        tokc.update(txt.split(" "))
+    total = sum(tokc.values())
+    rows = sorted(
+        ((t, c) for t, c in tokc.items() if c >= total * 0.002),
+        key=lambda r: (-r[1], r[0]),
+    )
+    return pd.DataFrame(rows, columns=["token", "cnt"])
+
+
+def chk_q59(sf):
+    cust = duckdb.sql(
+        f"SELECT c_custkey FROM '{sf}/customer.parquet' WHERE c_custkey >= 1"
+    ).fetchdf()
+    edges = []
+    for k in cust.c_custkey:
+        edges.append((k, k - 1 - (_h32(str(k)) % k)))
+        edges.append((k, k - 1 - (_h32(f"{k}#2") % k)))
+    nodes = set(s for s, _ in edges) | set(d for _, d in edges)
+    deg = Counter(s for s, _ in edges)
+    rank = {n: 1000000 for n in nodes}
+    for _ in range(3):
+        contrib: Counter = Counter()
+        for s, d in edges:
+            contrib[d] += (rank[s] * 85) // (100 * deg[s])
+        rank = {n: 150000 + contrib.get(n, 0) for n in nodes}
+    rows = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    return pd.DataFrame(rows, columns=["node", "rank"])
+
+
+def chk_q64(sf):
+    rows = []
+    for uid, g in _events(sf).sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        bal = 0
+        for r in g.itertuples():
+            if r.event_type == "purchase":
+                bal = 0
+            else:
+                bal += _rnd_half_away(r.value * 100)
+            rows.append((uid, r.event_id, _round(bal / 100.0, 2)))
+    return pd.DataFrame(sorted(rows), columns=["user_id", "event_id", "balance"])
+
+
+def _copurchase_edges(sf):
+    li = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{sf}/lineitem.parquet'"
+        f" WHERE l_quantity >= 40"
+    ).fetchdf()
+    und: set = set()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(g.l_partkey)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                und.add((ps[i], ps[j]))
+    return und
+
+
+def chk_q65(sf):
+    und = _copurchase_edges(sf)
+    deg: Counter = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    adj: dict = {}
+    for a, b in und:
+        lo, hi = (a, b) if (deg[a], a) < (deg[b], b) else (b, a)
+        adj.setdefault(lo, set()).add(hi)
+    tri: Counter = Counter()
+    for lo, his in adj.items():
+        hs = sorted(his)
+        for i in range(len(hs)):
+            for j in range(i + 1, len(hs)):
+                y, z = hs[i], hs[j]
+                if (min(y, z), max(y, z)) in und:
+                    tri[lo] += 1
+                    tri[y] += 1
+                    tri[z] += 1
+    rows = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame(rows, columns=["node", "n_triangles"])
+
+
+def chk_q66(sf):
+    part = duckdb.sql(
+        f"SELECT p_partkey, p_retailprice, p_size FROM '{sf}/part.parquet'"
+    ).fetchdf()
+    P = list(part.itertuples())
+    rows = []
+    for a in P:
+        if not any(
+            b.p_retailprice <= a.p_retailprice and b.p_size >= a.p_size
+            and (b.p_retailprice < a.p_retailprice or b.p_size > a.p_size)
+            for b in P
+        ):
+            rows.append((a.p_partkey, _round(a.p_retailprice, 2), a.p_size))
+    return pd.DataFrame(sorted(rows), columns=["p_partkey", "price", "p_size"])
+
+
+def _basket_pairs(sf):
+    b = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM '{sf}/lineitem.parquet'"
+    ).fetchdf()
+    isup = b.groupby("it").size()
+    isup = isup[isup >= 25]
+    pruned = b[b.it.isin(isup.index)]
+    bsz = pruned.groupby("bk").size()
+    ok_b = set(bsz[(bsz >= 2) & (bsz <= 50)].index)
+    pairs: Counter = Counter()
+    for _, g in pruned[pruned.bk.isin(ok_b)].groupby("bk"):
+        its = sorted(g.it)
+        for i in range(len(its)):
+            for j in range(i + 1, len(its)):
+                pairs[(its[i], its[j])] += 1
+    return b, isup, {k: v for k, v in pairs.items() if v >= 2}
+
+
+def chk_q70(sf):
+    _, _, pairs = _basket_pairs(sf)
+    rows = sorted(((a, b, s) for (a, b), s in pairs.items()), key=lambda r: (-r[2], r[0], r[1]))
+    return pd.DataFrame(rows[:20], columns=["item_a", "item_b", "support"])
+
+
+def chk_q73(sf):
+    b, isup, pairs = _basket_pairs(sf)
+    nb = b.bk.nunique()
+    rows = []
+    for (a, b_), s in pairs.items():
+        for ant, con_ in ((a, b_), (b_, a)):
+            conf = s / isup[ant]
+            lift = conf / (isup[con_] / nb)
+            rows.append((ant, con_, s, _round(conf, 2), _round(lift, 2)))
+    rows.sort(key=lambda r: (-r[4], r[0], r[1]))
+    return pd.DataFrame(
+        rows[:20], columns=["antecedent", "consequent", "support", "confidence", "lift"]
+    )
+
+
+def chk_q71(sf):
+    und = _copurchase_edges(sf)
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    label = {n: n for n in nodes}
+    for _ in range(3):
+        label = {
+            n: sorted(Counter(label[m] for m in adj[n]).items(),
+                      key=lambda kv: (-kv[1], kv[0]))[0][0] if adj[n] else n
+            for n in nodes
+        }
+    rows = sorted(Counter(label.values()).items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return pd.DataFrame(rows, columns=["label", "n_nodes"])
+
+
+def chk_q74(sf):
+    ev = _events(sf)
+    rows = []
+    for t, g in ev.groupby("event_type"):
+        med = _qcont(g.value.values, 0.5)
+        adev = np.abs(g.value.values - med)
+        mad = _qcont(adev, 0.5)
+        rows.append((t, len(g), int((adev > 3 * mad).sum()), _round(med, 2), _round(mad, 2)))
+    return pd.DataFrame(
+        sorted(rows), columns=["event_type", "n", "n_outliers", "median_value", "mad"]
+    )
+
+
+CHECKERS.update({
+    "q47_hierarchy_depths": chk_q47,
+    "q56_heavy_hitters": chk_q56,
+    "q59_pagerank_fixed_point": chk_q59,
+    "q64_running_balance_with_resets": chk_q64,
+    "q65_triangle_counts": chk_q65,
+    "q66_skyline_pareto": chk_q66,
+    "q70_frequent_pairs": chk_q70,
+    "q71_label_propagation": chk_q71,
+    "q73_association_rules": chk_q73,
+    "q74_mad_outliers": chk_q74,
+})
+
+
 if __name__ == "__main__":
     sys.exit(main())
