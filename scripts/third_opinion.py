@@ -4675,5 +4675,362 @@ CHECKERS.update({
 })
 
 
+# --------------------------------------------------------------------------
+# r7 statistics battery (q97-q128): concentration, Markov chains, EWMA,
+# hypothesis tests, drift, forensics, ML evaluation, robust regression
+# --------------------------------------------------------------------------
+
+def chk_q97(sf):
+    j = duckdb.sql(
+        f"SELECT c.c_mktsegment AS seg, o.o_custkey AS k, o.o_totalprice AS p"
+        f" FROM '{sf}/orders.parquet' o"
+        f" JOIN '{sf}/customer.parquet' c ON c.c_custkey = o.o_custkey"
+    ).fetchdf()
+    spend = j.groupby(["seg", "k"]).p.sum().reset_index()
+    rows = []
+    for seg, g in spend.groupby("seg"):
+        g = g.sort_values(["p", "k"]).reset_index(drop=True)
+        n = len(g)
+        s = g.p.values
+        gini = 2.0 * sum((i + 1) * s[i] for i in range(n)) / (n * s.sum()) - (n + 1.0) / n
+        rows.append((seg, n, _round(float(s.sum()), 2), _round(gini, 4)))
+    return pd.DataFrame(sorted(rows), columns=["seg", "n_customers", "total_spend", "gini"])
+
+
+def chk_q98(sf):
+    trans: Counter = Counter()
+    for _, g in _events(sf).sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        prev = None
+        seq: list[str] = []
+        for r in g.itertuples():
+            if prev is not None:
+                # date_diff('second') counts SECOND boundaries, not elapsed us
+                if (r.ts.floor("s") - prev.floor("s")).total_seconds() > 1800:
+                    for a, b in zip(seq, seq[1:]):
+                        trans[(a, b)] += 1
+                    seq = []
+            seq.append(r.event_type)
+            prev = r.ts
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    row_tot: Counter = Counter()
+    for (a, _), n in trans.items():
+        row_tot[a] += n
+    rows = sorted((a, b, n, _round(n / row_tot[a], 4)) for (a, b), n in trans.items())
+    return pd.DataFrame(rows, columns=["from_type", "to_type", "n", "p"])
+
+
+def chk_q102(sf):
+    ev = _events(sf)
+    daily = (
+        ev[ev.user_id < 20].assign(day=ev.ts.dt.date)
+        .groupby(["user_id", "day"]).value.sum().reset_index()
+    )
+    rows = []
+    for uid, g in daily.groupby("user_id"):
+        g = g.sort_values("day").reset_index(drop=True)
+        xs = g.value.tolist()
+        for i in range(len(xs)):
+            num = den = 0.0
+            for lag in range(8):
+                if i - lag >= 0:
+                    wt = 0.7 ** lag
+                    num += wt * xs[i - lag]
+                    den += wt
+            rows.append((uid, g.day[i], _round(xs[i], 2), _round(num / den, 2)))
+    return pd.DataFrame(rows, columns=["user_id", "day", "total", "ewma"])
+
+
+def chk_q107(sf):
+    ev = _events(sf)
+    u = (
+        ev.assign(conv=((ev.event_type == "purchase") & (ev.value > 150)).astype(int))
+        .groupby("user_id").conv.max()
+    )
+    var = pd.Series(u.index % 2, index=u.index)
+    r0, r1 = int((var == 0).sum()), int((var == 1).sum())
+    a1, b1 = int(u[var == 0].sum()), int(u[var == 1].sum())
+    c1 = a1 + b1
+    c0 = r0 + r1 - c1
+    total = r0 + r1
+    chi2 = (
+        total * ((a1 * (r1 - b1) - b1 * (r0 - a1)) ** 2) / (r0 * r1 * c0 * c1)
+        if r0 * r1 * c0 * c1 > 0 else None
+    )
+    return pd.DataFrame(
+        [(r0, r1, _round(a1 / r0, 4), _round(b1 / r1, 4), _round(chi2, 4),
+          chi2 is not None and chi2 > 3.841458820694124)],
+        columns=["n_control", "n_treatment", "conv_rate_control", "conv_rate_treatment",
+                 "chi2", "significant"],
+    )
+
+
+def chk_q109(sf):
+    ev = _events(sf)
+    cut = pd.Timestamp("2024-01-15")
+    binned = ev.assign(
+        period=np.where(ev.ts < cut, "base", "current"),
+        bin=np.clip(np.floor(ev.value / 100.0).astype(int), 0, 9),
+    )
+    cnt = binned.groupby(["period", "bin"]).size()
+    tot = binned.groupby("period").size()
+    terms = {}
+    for b in range(10):
+        p = (cnt.get(("base", b), 0) + 0.5) / (tot.get("base", 0) + 5.0)
+        q = (cnt.get(("current", b), 0) + 0.5) / (tot.get("current", 0) + 5.0)
+        terms[b] = (p, q, (q - p) * math.log(q / p))
+    psi = sum(t[2] for t in terms.values())
+    rows = [
+        (b, _round(terms[b][0], 6), _round(terms[b][1], 6), _round(terms[b][2], 6),
+         _round(psi, 4))
+        for b in range(10)
+    ]
+    return pd.DataFrame(rows, columns=["bin", "p_base", "p_current", "psi_term", "psi_total"])
+
+
+def chk_q112(sf):
+    ev = _events(sf)
+    d = ev[ev.value >= 0.01]
+    digits = d.value.apply(lambda v: int(str(int(math.floor(v * 100)))[0]))
+    obs = digits.value_counts().sort_index()
+    t = obs.sum()
+    rows = []
+    for dg, n in obs.items():
+        bp = math.log(1.0 + 1.0 / dg) / math.log(10.0)
+        op = n / t
+        rows.append((dg, int(n), _round(op, 4), _round(bp, 4), _round((op - bp) ** 2 / bp, 6)))
+    return pd.DataFrame(rows, columns=["digit", "n", "observed_p", "benford_p", "gof_term"])
+
+
+def chk_q115(sf):
+    li = duckdb.sql(
+        f"SELECT l_partkey, CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)"
+        f" AS rq FROM '{sf}/lineitem.parquet'"
+    ).fetchdf()
+    rev = li.groupby("l_partkey").rq.sum().reset_index().rename(columns={"l_partkey": "part"})
+    rev = rev.sort_values(["rq", "part"], ascending=[False, True]).reset_index(drop=True)
+    t = int(rev.rq.sum())
+    cum = 0
+    agg: dict = {}
+    for r in rev.itertuples():
+        cum += r.rq
+        share = cum / t
+        k = "A" if share <= 0.8 else ("B" if share <= 0.95 else "C")
+        e = agg.setdefault(k, [0, 0])
+        e[0] += 1
+        e[1] += r.rq
+    rows = sorted(
+        (k, v[0], _round(v[1] / 10000.0, 2), _round(v[1] / t, 4)) for k, v in agg.items()
+    )
+    return pd.DataFrame(rows, columns=["klass", "n_parts", "revenue", "revenue_share"])
+
+
+def chk_q116(sf):
+    _, daily = _daily(sf)
+    rows = []
+    for t, g in daily.groupby("event_type"):
+        n = len(g)
+        sx, sy = int(g.x.sum()), int(g.y.sum())
+        sxx, syy, sxy = int((g.x * g.x).sum()), int((g.y * g.y).sum()), int((g.x * g.y).sum())
+        dx, dy, num = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+        rows.append(
+            (t, n, _round(num * 1.0 / dx, 6), _round((sy * dx - num * sx) * 1.0 / (n * dx), 6),
+             _round((num * 1.0 / dx) * (num * 1.0 / dy), 6))
+        )
+    return pd.DataFrame(sorted(rows), columns=["event_type", "n_days", "slope", "intercept", "r2"])
+
+
+def chk_q119(sf):
+    _, daily = _daily(sf)
+    rows = []
+    for t, g in daily.groupby("event_type"):
+        ymap = dict(zip(g.x, g.y))
+        n = len(g)
+        s, q = int(g.y.sum()), int((g.y * g.y).sum())
+        for k in range(1, 8):
+            P = A = B = npairs = 0
+            for x, y in ymap.items():
+                if x + k in ymap:
+                    P += y * ymap[x + k]
+                    A += y
+                    B += ymap[x + k]
+                    npairs += 1
+            acf = (n * n * P - n * s * (A + B) + npairs * s * s) * 1.0 / (n * n * q - n * s * s)
+            rows.append((t, k, npairs, _round(acf, 6)))
+    return pd.DataFrame(rows, columns=["event_type", "lag", "n_pairs", "acf"])
+
+
+def chk_q120(sf):
+    _, daily = _daily(sf)
+    rows = []
+    for t, g in daily.groupby("event_type"):
+        g = g.sort_values("x").reset_index(drop=True)
+        n = len(g)
+        s = int(g.y.sum())
+        best = None
+        c = 0
+        for i, r in enumerate(g.itertuples(), 1):
+            c += r.y
+            stat = abs(n * c - i * s)
+            if best is None or stat > best[0] or (stat == best[0] and r.x < best[1]):
+                best = (stat, r.x)
+        rows.append((t, best[1], best[0], _round(best[0] * 1.0 / n, 2)))
+    return pd.DataFrame(
+        sorted(rows), columns=["event_type", "change_day", "cusum_stat", "mean_shift_mass"]
+    )
+
+
+def chk_q122(sf):
+    ev = _events(sf)
+    u = (
+        ev.groupby("user_id")
+        .apply(
+            lambda g: pd.Series({
+                "score": int(sum(_rnd_half_away(v * 100) for v, t in zip(g.value, g.event_type)
+                                 if t != "purchase")),
+                "y": int(((g.event_type == "purchase") & (g.value > 150)).any()),
+            }),
+            include_groups=False,
+        )
+        .reset_index()
+    )
+    dom = u.groupby("score").agg(pos=("y", "sum"), neg=("y", lambda s: int((1 - s).sum()))).sort_index()
+    below = two_rs = np_ = nn = 0
+    for _, r in dom.iterrows():
+        two_rs += r.pos * (2 * below + r.pos + r.neg + 1)
+        below += r.pos + r.neg
+        np_ += r.pos
+        nn += r.neg
+    auc = (two_rs - np_ * (np_ + 1)) / (2 * np_ * nn)
+    return pd.DataFrame(
+        [(np_, nn, _round(auc, 6), _round(2 * auc - 1, 6))],
+        columns=["n_pos", "n_neg", "auc", "gini"],
+    )
+
+
+def chk_q123(sf):
+    docs = _docs(sf)
+    v = docs.text.str.split(" ").str.len()
+    df = pd.DataFrame({"g": docs.source, "v": v})
+    groups = sorted(df.g.unique())
+    vals = sorted(df.v.unique())
+    cdf = {}
+    nsz = {}
+    for g in groups:
+        sub = Counter(df[df.g == g].v)
+        nsz[g] = sum(sub.values())
+        c = 0
+        cc = {}
+        for x in vals:
+            c += sub.get(x, 0)
+            cc[x] = c
+        cdf[g] = cc
+    rows = []
+    for i, a in enumerate(groups):
+        for b in groups[i + 1:]:
+            best = None
+            for x in vals:
+                num = abs(cdf[a][x] * nsz[b] - cdf[b][x] * nsz[a])
+                if best is None or num > best[0] or (num == best[0] and x < best[1]):
+                    best = (num, x)
+            rows.append((a, b, nsz[a], nsz[b], best[1], _round(best[0] / (nsz[a] * nsz[b]), 6)))
+    return pd.DataFrame(rows, columns=["group_a", "group_b", "n_a", "n_b", "ks_at", "ks"])
+
+
+def chk_q125(sf):
+    li = duckdb.sql(
+        f"SELECT l_returnflag AS flag, CAST(round(l_extendedprice*100) AS BIGINT) AS pc,"
+        f" CAST(round(l_quantity) AS BIGINT) AS w FROM '{sf}/lineitem.parquet'"
+    ).fetchdf()
+    rows = []
+    for flag, g in li.groupby("flag"):
+        dom = g.groupby("pc").w.sum().sort_index()
+        total = int(dom.sum())
+        cum = 0
+        for pc, w in dom.items():
+            cum += w
+            if 2 * cum >= total:
+                rows.append((flag, total, _round(pc / 100.0, 2)))
+                break
+    return pd.DataFrame(sorted(rows), columns=["flag", "total_weight", "weighted_median_price"])
+
+
+def chk_q126(sf):
+    _, daily = _daily(sf)
+    rows = []
+    for t, g in daily.groupby("event_type"):
+        pts = sorted(zip(g.x, g.y))
+        sl = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dx = pts[j][0] - pts[i][0]
+                dy = int(pts[j][1]) - int(pts[i][1])
+                sl.append((dy * 1.0 / dx, dy, dx))
+        sl.sort()
+        rows.append((t, len(sl), _round(sl[(len(sl) + 1) // 2 - 1][0], 6)))
+    return pd.DataFrame(sorted(rows), columns=["event_type", "n_pairs", "theil_sen_slope"])
+
+
+def chk_q127(sf):
+    ev = _events(sf)
+    cells = (
+        ev.assign(dow=(ev.ts.dt.dayofweek + 1) % 7)  # duckdb dayofweek: Sunday = 0
+        .groupby(["event_type", "dow"]).size().rename("o").reset_index()
+    )
+    row_tot = cells.groupby("event_type").o.sum()
+    col_tot = cells.groupby("dow").o.sum()
+    grand = cells.o.sum()
+    terms = sorted(
+        ((r.event_type, r.dow),
+         r.o * math.log(r.o * grand / (row_tot[r.event_type] * col_tot[r.dow])))
+        for r in cells.itertuples() if r.o > 0
+    )
+    g = 2.0 * sum(t for _, t in terms)
+    return pd.DataFrame(
+        [(len(terms), _round(g, 4), g > 50.0)],
+        columns=["n_cells", "g_statistic", "dependent_at_50"],
+    )
+
+
+def chk_q128(sf):
+    _, daily = _daily(sf)
+    rows = []
+    for t, g in daily.groupby("event_type"):
+        g = g.sort_values("x").reset_index(drop=True)
+        xs, ys = g.x.tolist(), g.y.tolist()
+        n = mae1 = mae7 = 0
+        for i in range(len(xs)):
+            if i >= 7:  # lag over ROW order within the series
+                n += 1
+                mae1 += abs(ys[i] - ys[i - 1])
+                mae7 += abs(ys[i] - ys[i - 7])
+        rows.append((t, n, mae1, mae7, _round(mae7 / mae1, 4), mae7 < mae1))
+    return pd.DataFrame(
+        sorted(rows),
+        columns=["event_type", "n_days", "naive1_abs_err", "seasonal7_abs_err",
+                 "seasonal_skill_ratio", "weekly_cycle_detected"],
+    )
+
+
+CHECKERS.update({
+    "q97_gini_concentration": chk_q97,
+    "q98_markov_transitions": chk_q98,
+    "q102_ewma_smoothing": chk_q102,
+    "q107_ab_test_chisquare": chk_q107,
+    "q109_psi_drift": chk_q109,
+    "q112_benford_audit": chk_q112,
+    "q115_abc_pareto": chk_q115,
+    "q116_linear_trend": chk_q116,
+    "q119_autocorrelation": chk_q119,
+    "q120_cusum_changepoint": chk_q120,
+    "q122_auc_mann_whitney": chk_q122,
+    "q123_ks_drift": chk_q123,
+    "q125_weighted_median": chk_q125,
+    "q126_theil_sen_slope": chk_q126,
+    "q127_g_test_independence": chk_q127,
+    "q128_seasonal_naive_skill": chk_q128,
+})
+
+
 if __name__ == "__main__":
     sys.exit(main())
