@@ -18,10 +18,19 @@ Python replay of the p13 curation funnel (the one query with a driver-red
 history), and a full numpy reimplementation of the FAISS-style IVF/IVFPQ
 stack (id-mod-seeded Lloyd, 2^20-grid residuals, per-subspace PQ, ADC
 scoring, exact rerank) recomputing the s12/s16/s18 statistical verdicts
-from scratch. **103 checkers — every name in the round-9 attestation
-window, the round-10 never-attested pool, AND the round-4-attested
-cohort that rotates into round 11's window** — 103/103 green at sf0.01
-and sf0.001 (round 9).
+from scratch. **224 checkers (round 9)** — every name in the round-9
+attestation window and the round-10 never-attested pool, plus the
+complete d-family (d1-d39), s-family (s1-s25), t-family (t1-t41),
+p-family (p1-p21), g-family (g1-g16), m-family (m1-m14), and the
+formula-heavy statistics/graph/itemset relational cohort. 224/224 green
+at sf0.01 and sf0.001. The ~78 registry names without a checker are,
+by design, the lowest-value targets for this layer: plain ANSI-SQL
+relational shapes (q01-q36 basics, q55-q96 operational rollups) whose
+documented spec IS the oracle SQL — a pandas transliteration would
+re-type the same statement rather than re-derive it — and the
+sketch-backed bounded-assertion entries (q24, q48, q60) whose verdicts
+depend on engine-internal HLL/t-digest states no third implementation
+can reproduce.
 
 Run (no Spark session needed; ~1 min at sf0.01):
 
