@@ -18,13 +18,13 @@ Python replay of the p13 curation funnel (the one query with a driver-red
 history), and a full numpy reimplementation of the FAISS-style IVF/IVFPQ
 stack (id-mod-seeded Lloyd, 2^20-grid residuals, per-subspace PQ, ADC
 scoring, exact rerank) recomputing the s12/s16/s18 statistical verdicts
-from scratch. **241 checkers (round 9)** — every name in the round-9
+from scratch. **249 checkers (round 9)** — every name in the round-9
 attestation window and the round-10 never-attested pool, plus the
 complete d-family (d1-d39), s-family (s1-s25), t-family (t1-t41),
 p-family (p1-p21), g-family (g1-g16), m-family (m1-m14), and the
 formula-heavy statistics/graph/itemset relational cohort. 224/224 green
 at sf0.01 and sf0.001 (224/224 before the final q01-q19 extension).
-The ~61 registry names without a checker are,
+The ~53 registry names without a checker are,
 by design, the lowest-value targets for this layer: plain ANSI-SQL
 relational shapes (q01-q36 basics, q55-q96 operational rollups) whose
 documented spec IS the oracle SQL — a pandas transliteration would
@@ -5323,6 +5323,133 @@ CHECKERS.update({
     "q16_math_functions": chk_q16,
     "q18_array_functions": chk_q18,
     "q19_conditional_null": chk_q19,
+})
+
+
+# --------------------------------------------------------------------------
+# relational surface completion (q26-q36): pivot/unpivot, string/list agg,
+# window distributions, EXISTS, positional explode, bitwise, scalar subquery
+# --------------------------------------------------------------------------
+
+def chk_q26(sf):
+    ev = _events(sf)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    rows = []
+    for uid, g in ev[ev.user_id < 100].groupby("user_id"):
+        c = Counter(g.event_type)
+        rows.append((uid, *[c.get(k, 0) for k in kinds]))
+    return pd.DataFrame(sorted(rows), columns=["user_id"] + kinds)
+
+
+def _cust_nation(sf):
+    return duckdb.sql(
+        f"SELECT n.n_name, c.c_mktsegment, c.c_acctbal FROM '{sf}/customer.parquet' c"
+        f" JOIN '{sf}/nation.parquet' n ON c.c_nationkey = n.n_nationkey"
+    ).fetchdf()
+
+
+def chk_q28(sf):
+    rows = sorted(
+        (n, ",".join(sorted(set(g.c_mktsegment))), len(g), _round(_seqsum(g.c_acctbal), 2))
+        for n, g in _cust_nation(sf).groupby("n_name")
+    )
+    return pd.DataFrame(rows, columns=["n_name", "segments", "n_customers", "total_acctbal"])
+
+
+def chk_q29(sf):
+    rows = []
+    for n, g in _cust_nation(sf).groupby("n_name"):
+        tot = _round(_seqsum(g.c_acctbal), 2)
+        rows += [
+            (n, "avg_acctbal", math.floor(tot / len(g) * 100) / 100),
+            (n, "n_customers", float(len(g))),
+            (n, "total_acctbal", tot),
+        ]
+    return pd.DataFrame(sorted(rows), columns=["n_name", "measure", "val"])
+
+
+def chk_q30(sf):
+    cu = duckdb.sql(
+        f"SELECT c_mktsegment, c_custkey, c_acctbal FROM '{sf}/customer.parquet'"
+    ).fetchdf()
+    rows = []
+    for seg, g in cu.groupby("c_mktsegment"):
+        g = g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True]).reset_index(drop=True)
+        n = len(g)
+        base, rem = divmod(n, 4)
+        qt = []
+        for i in range(4):
+            qt += [i + 1] * (base + (1 if i < rem else 0))
+        for i, r in enumerate(g.itertuples()):
+            rows.append((seg, r.c_custkey, qt[i], i / (n - 1) if n > 1 else 0.0, (i + 1) / n))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pd.DataFrame(
+        rows, columns=["c_mktsegment", "c_custkey", "quartile", "pct_rank", "cume"]
+    )
+
+
+def chk_q32(sf):
+    sup = duckdb.sql(
+        f"SELECT s.s_suppkey, n.n_name FROM '{sf}/supplier.parquet' s"
+        f" JOIN '{sf}/nation.parquet' n ON s.s_nationkey = n.n_nationkey"
+    ).fetchdf()
+    heavy = set(
+        duckdb.sql(
+            f"SELECT DISTINCT l_suppkey FROM '{sf}/lineitem.parquet' WHERE l_quantity >= 48"
+        ).fetchdf().l_suppkey
+    )
+    rows = sorted(
+        (n, int(g.s_suppkey.isin(heavy).sum()), int((~g.s_suppkey.isin(heavy)).sum()))
+        for n, g in sup.groupby("n_name")
+    )
+    return pd.DataFrame(rows, columns=["n_name", "with_heavy", "without_heavy"])
+
+
+def chk_q34(sf):
+    pt = duckdb.sql(f"SELECT p_name FROM '{sf}/part.parquet'").fetchdf()
+    c: Counter = Counter()
+    for name in pt.p_name:
+        for pos, w in enumerate(name.split(" ")):
+            c[(pos, w)] += 1
+    rows = sorted((p, w, n) for (p, w), n in c.items() if n >= 3)
+    return pd.DataFrame(rows, columns=["pos", "word", "cnt"])
+
+
+def chk_q35(sf):
+    li = duckdb.sql(
+        f"SELECT l_orderkey, l_linenumber, l_partkey FROM '{sf}/lineitem.parquet'"
+        f" ORDER BY l_orderkey, l_linenumber LIMIT 50"
+    ).fetchdf()
+    rows = [
+        (r.l_orderkey, r.l_linenumber, r.l_orderkey & 255, r.l_orderkey ^ r.l_partkey,
+         r.l_orderkey << 2, r.l_orderkey >> 1, r.l_orderkey | 4096)
+        for r in li.itertuples()
+    ]
+    return pd.DataFrame(
+        rows, columns=["l_orderkey", "l_linenumber", "band", "xorv", "shl", "shr", "orv"]
+    )
+
+
+def chk_q36(sf):
+    od = duckdb.sql(f"SELECT o_custkey, o_totalprice FROM '{sf}/orders.parquet'").fetchdf()
+    mx = od.groupby("o_custkey").o_totalprice.max()
+    cnt = od.groupby("o_custkey").size()
+    cu = duckdb.sql(
+        f"SELECT c_custkey FROM '{sf}/customer.parquet' ORDER BY c_custkey LIMIT 100"
+    ).fetchdf()
+    rows = [(k, float(mx.get(k, 0.0)), int(cnt.get(k, 0))) for k in cu.c_custkey]
+    return pd.DataFrame(rows, columns=["c_custkey", "max_spend", "n_orders"])
+
+
+CHECKERS.update({
+    "q26_pivot": chk_q26,
+    "q28_string_agg": chk_q28,
+    "q29_unpivot": chk_q29,
+    "q30_window_distribution": chk_q30,
+    "q32_exists_subquery": chk_q32,
+    "q34_posexplode_ordinality": chk_q34,
+    "q35_bitwise_functions": chk_q35,
+    "q36_scalar_subquery_select": chk_q36,
 })
 
 
