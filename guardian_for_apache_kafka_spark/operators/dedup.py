@@ -161,6 +161,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_exact(
+    df: DataFrame,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """INTEGER-EXACT n-gram Jaccard threshold pairs: the same inverted-index
+    plan as :func:`ngram_jaccard_pairs`, but the threshold is a rational
+    num/den and the test J(A,B) = c/(|A|+|B|-c) >= num/den is decided by the
+    cross-multiplication ``den*c >= num*(|A|+|B|-c)`` — no division, no
+    float, so the verdict is bit-identical across engines and rounding
+    modes (the property the externally hash-attested p13 funnel needs; the
+    float-returning sibling keeps its published jaccard-score API).
+    Returns (id_a, id_b, n_common, n_union), all BIGINT, for pairs at or
+    above the threshold."""
+    pairs = _common_shingle_counts(df, n, id_col, content_col, max_bucket)
+    c = F.col("__common")
+    union = F.col("__na") + F.col("__nb") - c
+    return pairs.where(
+        F.lit(threshold_den) * c >= F.lit(threshold_num) * union
+    ).select(
+        "id_a",
+        "id_b",
+        c.cast("bigint").alias("n_common"),
+        union.cast("bigint").alias("n_union"),
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     n: int = 3,

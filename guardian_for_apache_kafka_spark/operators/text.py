@@ -1062,6 +1062,67 @@ def gopher_quality_flags(
     return out.withColumn("passes_gopher", passes)
 
 
+def gopher_quality_flags_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_len_lo: int = 3,
+    mean_len_hi: int = 10,
+    alpha_num: int = 4,
+    alpha_den: int = 5,
+) -> DataFrame:
+    """INTEGER-EXACT variant of the three yield-deciding Gopher rules
+    (word count, mean word length, alpha-word fraction) — the subset the
+    p13 curation funnel composes. Same semantics as
+    :func:`gopher_quality_flags` for those three flags, but every
+    threshold is decided by integer cross-multiplication instead of a
+    rounded float ratio:
+
+    - ``mean_word_len_ok``: lo <= sum_len/n <= hi becomes
+      ``lo*n <= sum_len AND sum_len <= hi*n``;
+    - ``alpha_ok``: n_alpha/n >= num/den becomes
+      ``den*n_alpha >= num*n``.
+
+    Zero float operations means the verdicts are bit-identical across
+    engines, libm builds, and rounding modes — the property an externally
+    hash-diffed funnel needs. The float-ratio battery above keeps its
+    published inspectable-ratio API; this variant exists for queries whose
+    OUTPUT is hash-attested cross-engine. Same plan shape: per-row JVM
+    higher-order expressions over the hoisted token array, map-only, zero
+    shuffles."""
+    df, toks = _with_tokens_scratch(df, text_col)
+    t = F.col(toks)
+    n_words = F.size(t).cast("bigint")
+    sum_len = F.aggregate(
+        t, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))).cast("bigint")
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+    ).select(
+        id_col,
+        "n_words",
+        "sum_word_len",
+        "n_alpha_words",
+        (
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        ).alias("word_count_ok"),
+        (
+            (F.lit(mean_len_lo) * F.col("n_words") <= F.col("sum_word_len"))
+            & (F.col("sum_word_len") <= F.lit(mean_len_hi) * F.col("n_words"))
+        ).alias("mean_word_len_ok"),
+        (
+            F.lit(alpha_den) * F.col("n_alpha_words")
+            >= F.lit(alpha_num) * F.col("n_words")
+        ).alias("alpha_ok"),
+    )
+
+
 def kneser_ney_cross_entropy(
     df: DataFrame,
     text_col: str = "text",
@@ -1296,8 +1357,12 @@ def dsir_importance_weights(
     its row count is at or below ``broadcast_vocab_limit`` (~2M entries,
     the unigram_cross_entropy gate); above it the score falls back to a
     token-keyed shuffle join — the model side stays vocabulary-sized, the
-    stream side carries only (id, token, rq). The probe costs one
-    limit-bounded count; force the choice with ``broadcast_model``.
+    stream side carries only (id, token, rq). The vocab frame is PERSISTED
+    around the probe (r9 advisor fix: LIMIT over an aggregate bounds rows
+    returned, not the aggregation work — unpersisted, the probe would pay
+    a full extra vocabulary-building pass and the ratio join a second
+    one), so the probe's count, the scalar totals, and the ratio join all
+    share one materialization; force the choice with ``broadcast_model``.
 
     Returns (id, n_tokens, weight_q: long micro-nat total, log_ratio:
     double mean nats)."""
@@ -1306,9 +1371,12 @@ def dsir_importance_weights(
     )
     raw = toks.groupBy("__t").agg(F.count("*").alias("__cr"))
     tgt = toks.where(F.col("__tgt")).groupBy("__t").agg(F.count("*").alias("__ct"))
+    # persisted: vocab feeds the scalar totals, the ratio projection, AND
+    # the broadcast-gate probe — three consumers of two token-keyed
+    # aggregations plus a join
     vocab = raw.join(tgt, "__t", "left").select(
         "__t", "__cr", F.coalesce("__ct", F.lit(0)).alias("__ct")
-    )
+    ).persist()
     scalars = vocab.agg(
         F.sum("__cr").alias("__nr"),
         F.sum("__ct").alias("__nt"),

@@ -4,8 +4,10 @@ Approximates the driver's correctness gate: run a registered query's Spark
 builder and its DuckDB oracle over the same parquet tables, canonicalize both
 result sets (sort columns by name, render values, sort rows), and diff.
 
-Canonicalization (FIXTURES.md §C): NULL -> ``\\N``; floats -> fixed 2dp;
-timestamps -> ``YYYY-MM-DD HH:MM:SS`` (UTC); bools -> true/false.
+Canonicalization (FIXTURES.md §C): NULL -> ``\\N``; floats -> fixed 2dp
+(cross-engine tolerance) or full round-trip repr in SELF-diff mode, where
+the whole point is seeing ~1e-12 run-order drift; timestamps ->
+``YYYY-MM-DD HH:MM:SS`` (UTC); bools -> true/false.
 """
 
 from __future__ import annotations
@@ -28,13 +30,17 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _render(v) -> str:
+def _render(v, precise: bool = False) -> str:
     if v is None:
         return "\\N"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.2f}"
+        # precise=True (self-diff mode): full round-trip repr — a self-vs-self
+        # diff must see ~1e-12 run-order float drift, which is exactly what
+        # the 2dp cross-engine tolerance hides (r9 advisor finding: the gate
+        # claimed "bit-identical" while canonicalizing at 2dp).
+        return repr(v) if precise else f"{v:.2f}"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, _dt.datetime):
@@ -46,14 +52,18 @@ def _render(v) -> str:
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_render(x) for x in v) + "]"
+        return "[" + ",".join(_render(x, precise) for x in v) + "]"
     return str(v)
 
 
-def _canon(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+def _canon(
+    columns: list[str], rows: list[tuple], precise: bool = False
+) -> tuple[list[str], list[str]]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     cols = [columns[i] for i in order]
-    rendered = sorted("|".join(_render(r[i]) for i in order) for r in rows)
+    rendered = sorted(
+        "|".join(_render(r[i], precise) for i in order) for r in rows
+    )
     return cols, rendered
 
 
@@ -141,12 +151,20 @@ def run_selfdiff(
     which is exactly the failure shape of a driver-red row that never
     reproduces in single-execution harnesses. Each repeat rebuilds the
     DataFrame from the registry builder, so per-run barriers
-    (persist/localCheckpoint) are re-established rather than reused."""
+    (persist/localCheckpoint) are re-established rather than reused.
+
+    Floats are rendered at FULL round-trip precision here (repr, 17
+    significant digits) — unlike the cross-engine oracle diff's 2dp
+    canonicalization, a self-vs-self diff must see ~1e-12 run-order
+    drift, one of the three failure classes this mode exists to catch
+    (r9 advisor fix)."""
     baseline: list[str] | None = None
     base_cols: list[str] | None = None
     for i in range(repeats):
         sdf = REGISTRY[name].builder(spark, sf_dir)
-        cols, rows = _canon(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        cols, rows = _canon(
+            list(sdf.columns), [tuple(r) for r in sdf.collect()], precise=True
+        )
         if baseline is None:
             baseline, base_cols = rows, cols
             continue

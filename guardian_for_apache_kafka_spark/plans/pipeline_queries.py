@@ -4577,10 +4577,10 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
       SELECT * FROM tr
       WHERE len(tk) BETWEEN 50 AND 100000
-        AND round(list_aggregate(list_transform(tk, x -> CAST(len(x) AS DOUBLE)),
-                                 'sum') / len(tk), 6) BETWEEN 3.0 AND 10.0
-        AND round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
-                       AS DOUBLE) / len(tk), 6) >= 0.8
+        AND 3 * len(tk) <= list_aggregate(list_transform(tk, x -> len(x)), 'sum')
+        AND list_aggregate(list_transform(tk, x -> len(x)), 'sum') <= 10 * len(tk)
+        AND 5 * len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+            >= 4 * len(tk)
     ),
     ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
     eq AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
@@ -4594,7 +4594,7 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
     doom AS (SELECT DISTINCT id_b AS doc_id
              FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
                      JOIN sz sb ON sb.doc_id = pr.id_b
-             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+             WHERE 2 * c >= sa.n + sb.n - c),
     nd AS (SELECT eq.* FROM eq ANTI JOIN doom USING (doc_id)),
     bg AS (SELECT DISTINCT unnest(list_transform(range(len(tk) - 3),
                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
@@ -4628,14 +4628,25 @@ def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, so the funnel attests the COMPOSITION semantics — yield
     accounting is what decides curation tradeoffs at 100 TB, and each
     stage's scale posture is its operator's (map-only filter, digest
-    shuffle, capped inverted index, broadcast bench grams)."""
+    shuffle, capped inverted index, broadcast bench grams).
+
+    Round-10 hardening: every stage verdict is now INTEGER-EXACT end to
+    end — the quality thresholds are cross-multiplied (3n <= sum_len <=
+    10n; 5*n_alpha >= 4n via gopher_quality_flags_exact) and the Jaccard
+    test is 2c >= |A|+|B|-c (ngram_jaccard_pairs_exact) — in the builder,
+    the DuckDB oracle, and the third-opinion checker alike. There is no
+    float operation anywhere in the funnel, so no libm/rounding-mode/
+    engine-version skew can flip a document across a stage boundary (the
+    one hypothesis left standing for the r8/r9 driver hash-reds after
+    engine nondeterminism was excluded by 302x2 self-diffs and a 50/50
+    window replay)."""
     from guardian_for_apache_kafka_spark.operators.dedup import (
         dedup_exact,
         ngram_decontaminate,
-        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_exact,
     )
     from guardian_for_apache_kafka_spark.operators.text import (
-        gopher_quality_flags,
+        gopher_quality_flags_exact,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4650,7 +4661,7 @@ def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
         )
 
-    flags = gopher_quality_flags(train)
+    flags = gopher_quality_flags_exact(train)
     ok = flags.where(
         F.col("word_count_ok") & F.col("mean_word_len_ok") & F.col("alpha_ok")
     ).select("doc_id")
@@ -4671,7 +4682,7 @@ def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this single-JVM harness local is both safe and one disk-write cheaper.
     s3 = dedup_exact(s2).localCheckpoint(eager=True)
     doomed = (
-        ngram_jaccard_pairs(s3, n=3, threshold=0.5)
+        ngram_jaccard_pairs_exact(s3, n=3, threshold_num=1, threshold_den=2)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -6039,10 +6050,17 @@ def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens
       FROM documents GROUP BY 1
     ),
+    w0s AS (
+      SELECT source, tokens, tokens * 1000000 AS t6,
+             CAST(floor(sqrt(CAST(tokens * 1000000 AS DOUBLE))) AS BIGINT) AS w0
+      FROM src
+    ),
     wts AS (
       SELECT source, tokens,
-             CAST(floor(sqrt(tokens * 1000000.0)) AS BIGINT) AS w
-      FROM src
+             CASE WHEN (w0 + 1) * (w0 + 1) <= t6 THEN w0 + 1
+                  WHEN w0 * w0 > t6 THEN w0 - 1
+                  ELSE w0 END AS w
+      FROM w0s
     ),
     tot AS (SELECT sum(w) AS tw, CAST(1000000 AS BIGINT) AS budget FROM wts),
     quo AS (
@@ -6059,8 +6077,8 @@ def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, tokens,
            CAST(base_quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
                 AS BIGINT) AS quota,
-           round((base_quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END)
-                 / 1000000.0, 6) AS share
+           CAST(base_quota + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS DOUBLE) / 1000000.0 AS share
     FROM ranked ORDER BY source
     """,
     tags=("pipeline", "mixture", "apportionment"),
@@ -6071,23 +6089,48 @@ def p15(spark: SparkSession, sf_dir: str) -> DataFrame:
     temperature-flattened source weights into INTEGER per-source token
     quotas that sum exactly to the budget (naive rounding over- or
     under-shoots; largest-remainder is the standard fix). Temperature
-    T = 2 flattening is sqrt — IEEE-exact correctly-rounded in both
-    engines — and the weight is floored to an integer at 1e6 scale, so
-    quota = budget * w div W and the remainder ranking are EXACT integer
-    arithmetic end to end: no float sum ever decides a quota. The sum of
-    quotas == budget invariant is pinned in tests. Plan: one corpus-sized
-    source aggregate (map-side combined), then source-count-sized windows
-    — at 100 TB the apportionment itself costs nothing; the token census
-    is the one scan."""
+    T = 2 flattening is sqrt of the integer token census at 1e6 scale —
+    and (round-10 hardening) the libm floor(sqrt(...)) seed is CORRECTED
+    to the true integer isqrt by two integer comparisons
+    (w+1 if (w+1)^2 <= t else w-1 if w^2 > t else w) in the builder, the
+    oracle, and the third-opinion checker (which uses math.isqrt — a
+    genuinely different algorithm), so no sqrt implementation difference
+    across engine versions can shift a weight by one ulp's floor. From the
+    weights on, quota = budget * w div W and the remainder ranking are
+    EXACT integer arithmetic; the share column is a single IEEE division
+    of an integer quota by 1e6 (correctly rounded, bit-identical in any
+    IEEE-754 engine — the round() call it replaced was the last
+    engine-version-sensitive function in the query). The sum of quotas ==
+    budget invariant is pinned in tests. Plan: one corpus-sized source
+    aggregate (map-side combined), then source-count-sized windows — at
+    100 TB the apportionment itself costs nothing; the token census is
+    the one scan."""
     docs = load_table(spark, sf_dir, "documents")
     src = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("tokens")
     )
     budget = F.lit(1000000).cast("long")
+    t6 = F.col("tokens") * F.lit(1000000).cast("long")
+    w0 = F.floor(F.sqrt(t6.cast("double"))).cast("long")
+    # integer-isqrt correction: the libm sqrt seed can be off by one ulp's
+    # floor on some builds; two integer comparisons pin w to the true
+    # floor(sqrt(t6)) under ANY libm (t6 ~ 1e13 << 2^52, so w0 is within
+    # +-1 of the true root and one step suffices).
     wts = src.select(
         "source",
         "tokens",
-        F.floor(F.sqrt(F.col("tokens") * 1000000.0)).cast("long").alias("w"),
+        t6.alias("t6"),
+        w0.alias("w0"),
+    ).select(
+        "source",
+        "tokens",
+        F.when(
+            (F.col("w0") + 1) * (F.col("w0") + 1) <= F.col("t6"),
+            F.col("w0") + 1,
+        )
+        .when(F.col("w0") * F.col("w0") > F.col("t6"), F.col("w0") - 1)
+        .otherwise(F.col("w0"))
+        .alias("w"),
     )
     w_all = Window.partitionBy()
     quo = wts.select(
@@ -6118,7 +6161,7 @@ def p15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "tokens",
         quota.cast("long").alias("quota"),
-        F.round(quota / 1000000.0, 6).alias("share"),
+        (quota.cast("double") / F.lit(1000000.0)).alias("share"),
     ).orderBy("source")
 
 
@@ -8804,7 +8847,9 @@ def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
            (cap IS NULL) AS overflow,
            n_docs, tokens,
            CAST(n_docs * cap - tokens AS BIGINT) AS bucket_padding,
-           CAST(n_docs * max(cap) OVER () - tokens AS BIGINT) AS naive_padding,
+           CASE WHEN cap IS NULL THEN NULL
+                ELSE CAST(n_docs * max(cap) OVER () - tokens AS BIGINT)
+           END AS naive_padding,
            round((n_docs * max(cap) OVER () - tokens - (n_docs * cap - tokens))
                  * 1.0 / nullif(n_docs * max(cap) OVER () - tokens, 0), 4)
              AS saved_frac
@@ -8845,10 +8890,17 @@ def p19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("long").alias("n_docs"),
         F.sum(F.col("n") * F.col("d")).cast("long").alias("tokens"),
     )
-    # max ignores NULLs, so the overflow bucket never defines the naive cap
+    # max ignores NULLs, so the overflow bucket never defines the naive cap;
+    # the overflow ROW's paddings are NULL outright (r9 advisor fix: a
+    # "pad to the tallest sized rung" number is meaningless — negative —
+    # for a document no rung fits, and the docstring always promised NULL).
+    # An all-overflow corpus makes gmax itself NULL, which NULLs every
+    # padding the same way — no ValueError analogue to guard.
     gmax = F.max("cap").over(Window.partitionBy())
     bucket_pad = F.col("n_docs") * F.col("cap") - F.col("tokens")
-    naive_pad = F.col("n_docs") * gmax - F.col("tokens")
+    naive_pad = F.when(
+        F.col("cap").isNotNull(), F.col("n_docs") * gmax - F.col("tokens")
+    )
     return per.select(
         F.coalesce(F.col("cap"), F.lit(-1)).cast("long").alias("cap"),
         F.col("cap").isNull().alias("overflow"),

@@ -18,12 +18,13 @@ Python replay of the p13 curation funnel (the one query with a driver-red
 history), and a full numpy reimplementation of the FAISS-style IVF/IVFPQ
 stack (id-mod-seeded Lloyd, 2^20-grid residuals, per-subspace PQ, ADC
 scoring, exact rerank) recomputing the s12/s16/s18 statistical verdicts
-from scratch. **249 checkers (round 9)** — every name in the round-9
-attestation window and the round-10 never-attested pool, plus the
-complete d-family (d1-d39), s-family (s1-s25), t-family (t1-t41),
-p-family (p1-p21), g-family (g1-g16), m-family (m1-m14), and the
-formula-heavy statistics/graph/itemset relational cohort. 224/224 green
-at sf0.01 and sf0.001 (224/224 before the final q01-q19 extension).
+from scratch. **249 checkers (round 9; round 10 kept them in lockstep
+with the p13/p15 integer-exact rewrite and the p19 overflow-NULL fix)**
+— every name in the round-9/10 attestation windows and never-attested
+pool, plus the complete d-family (d1-d39), s-family (s1-s25), t-family
+(t1-t41), p-family (p1-p21), g-family (g1-g16), m-family (m1-m14), and
+the formula-heavy statistics/graph/itemset relational cohort. 249/249
+green at sf0.01 and sf0.001 (round-10 re-run, post-rewrite).
 The ~53 registry names without a checker are,
 by design, the lowest-value targets for this layer: plain ANSI-SQL
 relational shapes (q01-q36 basics, q55-q96 operational rollups) whose
@@ -599,7 +600,8 @@ def chk_p19(sf):
         e = per.setdefault(cap, [0, 0])
         e[0] += 1
         e[1] += n
-    gmax = max(c for c in per if c is not None)
+    sized = [c for c in per if c is not None]
+    gmax = max(sized) if sized else None  # all-overflow corpus: no naive cap
     rows = []
     for cap in sorted(per, key=lambda c: -1 if c is None else c):
         nd, tk = per[cap]
@@ -1561,7 +1563,10 @@ def chk_d34(sf):
 def chk_p15(sf):
     docs = _docs(sf)
     src = docs.assign(n=docs.text.str.split(" ").str.len()).groupby("source").n.sum()
-    w = {s: math.floor(math.sqrt(t * 1000000.0)) for s, t in src.items()}
+    # true integer isqrt via math.isqrt — deliberately a DIFFERENT algorithm
+    # from the engines' libm-seed-plus-integer-correction (r10 rewrite):
+    # agreement proves the correction actually lands on floor(sqrt(t6)).
+    w = {s: math.isqrt(int(t) * 1000000) for s, t in src.items()}
     tw = sum(w.values())
     budget = 1000000
     base_q = {s: (budget * w[s]) // tw for s in w}
@@ -1570,7 +1575,7 @@ def chk_p15(sf):
     order = sorted(w, key=lambda s: (-rem[s], s))
     quota = {s: base_q[s] + (1 if i < leftover else 0) for i, s in enumerate(order)}
     rows = sorted(
-        (s, int(src[s]), quota[s], _round(quota[s] / 1000000.0, 6)) for s in w
+        (s, int(src[s]), quota[s], quota[s] / 1000000.0) for s in w
     )
     return pd.DataFrame(rows, columns=["source", "tokens", "quota", "share"])
 
@@ -1747,9 +1752,11 @@ def chk_p13(sf):
         n = len(tk)
         if not (50 <= n <= 100000):
             continue
-        if not (3.0 <= _round(sum(len(x) for x in tk) / n, 6) <= 10.0):
+        # r10 integer-exact thresholds (cross-multiplied, zero floats) —
+        # in lockstep with the builder/oracle rewrite
+        if not (3 * n <= sum(len(x) for x in tk) <= 10 * n):
             continue
-        if _round(sum(1 for x in tk if re.search("[A-Za-z]", x)) / n, 6) < 0.8:
+        if 5 * sum(1 for x in tk if re.search("[A-Za-z]", x)) < 4 * n:
             continue
         q[d] = tk
     bytext: dict[str, list[int]] = {}
@@ -1775,7 +1782,7 @@ def chk_p13(sf):
                 common[(a, b)] += 1
     doom = {
         b for (a, b), c in common.items()
-        if c / (len(sh[a]) + len(sh[b]) - c) >= 0.5
+        if 2 * c >= len(sh[a]) + len(sh[b]) - c
     }
     nd = {d: tk for d, tk in eq.items() if d not in doom}
     bg: set[str] = set()
