@@ -753,6 +753,9 @@ def test_p19_oversized_document_lands_in_overflow_bucket(spark):
     over = out[-1]
     assert over.overflow and over.n_docs == 1
     assert over.bucket_padding is None and over.saved_frac is None
+    # r10 (ADVICE r9): naive_padding is NULL too — "pad to the tallest
+    # sized rung" is meaningless (negative) for a doc no rung fits
+    assert over.naive_padding is None
     assert over.tokens == (1 << 20) + 1
     sized = out[8]
     assert not sized.overflow and sized.n_docs == 3
