@@ -16,10 +16,15 @@ the only source of content). Replica i > 0 gets:
   should scale ~linearly in corpus size. (Naive replication without the
   suffix would plant k-cliques of exact dups and measure an artificial
   quadratic pair blow-up instead of scaling.)
-- embeddings: vec_id += i * 10^7 and dimension 0 shifted by +1000 * i —
-  replicas become disjoint slabs in vector space; per-replica neighbor
-  structure is preserved, cross-replica candidates are (intentionally)
-  nil, so ANN work scales with N at fixed per-cell density.
+- embeddings: vec_id += i * 10^7 and the dimensions CYCLICALLY SHIFTED
+  by 7*i positions — a permutation is orthogonal, so every within-replica
+  cosine/L2 relationship is preserved EXACTLY, while cross-replica
+  similarities scramble to the corpus's background level. (v1 of this
+  script shifted dim 0 by +1000*i instead: that preserves L2 slabs but
+  makes every replica's vectors near-parallel in COSINE space — the
+  d6/s1/s11 cosine operators then measure an artificial within-replica
+  clique explosion, 2206 -> 2,007,206 pairs at x2. The permutation fixes
+  the methodology; doc-side numbers were never affected.)
 
 For each query we report wall seconds at each scale and the log-log
 scaling exponent between consecutive scales (1.0 = linear; sub-linear at
@@ -46,7 +51,7 @@ from guardian_for_apache_kafka_spark.plans import REGISTRY  # noqa: E402
 from guardian_for_apache_kafka_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-WORK = "/tmp/sparkgraft_scale_r10"
+WORK = "/tmp/sparkgraft_scale_r10_v2"  # v2: permutation embedding transform
 
 #: the heavy families worth scaling: inverted-index jaccard, banded LSH,
 #: brute cosine, IVF knn graph, vocabulary agg, the full funnel, and the
@@ -92,12 +97,14 @@ def build_scale(spark, k: int) -> str:
                 "n_chars",
             )
         )
+        dim = len(embs.select("embedding").head()[0])
+        rot = (7 * i) % dim
         e_parts.append(
             embs.select(
                 (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
                 F.concat(
-                    F.array((F.col("embedding")[0] + 1000.0 * i).cast("float")),
-                    F.slice("embedding", 2, 1_000_000),
+                    F.slice("embedding", rot + 1, dim - rot),
+                    F.slice("embedding", 1, rot),
                 ).alias("embedding"),
                 "label",
             )
