@@ -8405,9 +8405,14 @@ def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     keyed AS (
-      SELECT source, n, (r - 0.5) / n AS stride_key FROM sized
+      -- CAST to DOUBLE up front: without it t and the arithmetic around it
+      -- are DECIMAL in DuckDB but DOUBLE in Spark — same 2dp-rendered
+      -- values here, but a different TYPE and a different arithmetic for a
+      -- version-skewed driver engine to disagree in (r10 full-precision
+      -- audit finding; this was the one non-bit-identical window query)
+      SELECT source, n, (CAST(r AS DOUBLE) - 0.5) / n AS stride_key FROM sized
     ),
-    ts AS (SELECT unnest([0.1, 0.25, 0.5]) AS t),
+    ts AS (SELECT CAST(unnest([0.1, 0.25, 0.5]) AS DOUBLE) AS t),
     achieved AS (
       SELECT t, source,
              CAST(max(n) AS BIGINT) AS n_source,
