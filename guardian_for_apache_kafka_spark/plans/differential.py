@@ -4,9 +4,12 @@ Approximates the driver's correctness gate: run a registered query's Spark
 builder and its DuckDB oracle over the same parquet tables, canonicalize both
 result sets (sort columns by name, render values, sort rows), and diff.
 
-Canonicalization (FIXTURES.md §C): NULL -> ``\\N``; floats -> fixed 2dp
-(cross-engine tolerance) or full round-trip repr in SELF-diff mode, where
-the whole point is seeing ~1e-12 run-order drift; timestamps ->
+Canonicalization (FIXTURES.md §C): NULL -> ``\\N``; floats -> full
+round-trip repr by DEFAULT (r10 ratchet: an audit showed all 302 queries
+are bit-identical Spark vs DuckDB at every sf, so the gate now demands it
+— the determinism disciplines in FIXTURES.md §D make cross-engine floats
+exact, and a future query that only matches at 2dp should have to say so
+explicitly via ``precise=False`` / ``--tolerant``); timestamps ->
 ``YYYY-MM-DD HH:MM:SS`` (UTC); bools -> true/false.
 """
 
@@ -91,7 +94,13 @@ class DiffResult:
     detail: str = ""
 
 
-def run_one(spark: SparkSession, sf_dir: str, name: str, con=None) -> DiffResult:
+def run_one(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    con=None,
+    precise: bool = True,
+) -> DiffResult:
     q = REGISTRY[name]
     sdf = q.builder(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -109,8 +118,8 @@ def run_one(spark: SparkSession, sf_dir: str, name: str, con=None) -> DiffResult
     finally:
         if own_con:
             con.close()
-    sc, sr = _canon(spark_cols, spark_rows)
-    dc, dr = _canon(duck_cols, duck_rows)
+    sc, sr = _canon(spark_cols, spark_rows, precise=precise)
+    dc, dr = _canon(duck_cols, duck_rows, precise=precise)
     if sc != dc:
         return DiffResult(name, False, f"column mismatch: spark={sc} duckdb={dc}")
     stz = _tz_kinds(spark_cols, spark_rows)
@@ -125,13 +134,18 @@ def run_one(spark: SparkSession, sf_dir: str, name: str, con=None) -> DiffResult
     return DiffResult(name, True, f"{len(sr)} rows match")
 
 
-def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[DiffResult]:
+def run_all(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    precise: bool = True,
+) -> list[DiffResult]:
     con = duckdb_connection(sf_dir)
     out = []
     try:
         for name in names or list(REGISTRY):
             try:
-                out.append(run_one(spark, sf_dir, name, con))
+                out.append(run_one(spark, sf_dir, name, con, precise=precise))
             except Exception as e:  # surface, don't abort the sweep
                 out.append(DiffResult(name, False, f"EXCEPTION: {type(e).__name__}: {e}"))
     finally:
@@ -203,6 +217,10 @@ def _main() -> int:
                          "instead of against the DuckDB oracle")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--tolerant", action="store_true",
+                    help="render floats at 2dp in the oracle diff (legacy "
+                         "tolerance) instead of the default full-precision "
+                         "repr; self-diff mode is always full-precision")
     ap.add_argument("names", nargs="*", help="query names (default: whole registry)")
     args = ap.parse_args()
 
@@ -217,7 +235,9 @@ def _main() -> int:
         if args.selfdiff:
             results = run_selfdiff_all(spark, args.sf_dir, args.names or None, args.repeats)
         else:
-            results = run_all(spark, args.sf_dir, args.names or None)
+            results = run_all(
+                spark, args.sf_dir, args.names or None, precise=not args.tolerant
+            )
     finally:
         spark.stop()
     bad = [r for r in results if not r.ok]
