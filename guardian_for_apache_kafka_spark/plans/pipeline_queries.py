@@ -6104,7 +6104,13 @@ def p15(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget invariant is pinned in tests. Plan: one corpus-sized source
     aggregate (map-side combined), then source-count-sized windows — at
     100 TB the apportionment itself costs nothing; the token census is
-    the one scan."""
+    the one scan. Domain bound: the 1e6-scaled weight square lives in
+    int64, so per-source token counts are valid up to 2^63/1e6 ~ 9.2e12
+    tokens (~37 TB of text in ONE source at ~4 bytes/token; DuckDB
+    widens to HUGEINT and never overflows). Past that, drop quant_scale
+    to 1e4 or compute the census in decimal — noted rather than coded
+    because the correction arithmetic is deliberately frozen while the
+    driver attests the rewrite."""
     docs = load_table(spark, sf_dir, "documents")
     src = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("tokens")
