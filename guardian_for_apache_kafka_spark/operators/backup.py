@@ -246,22 +246,64 @@ def write_guardian_format(
     sliced = with_slice(records, config, anchor_us)
     last_slice_row = sliced.agg(F.max("slice").alias("m")).collect()[0]
     last_slice = last_slice_row["m"]
-    wire = (
-        sliced.select(
-            F.col("slice"),
-            F.col("topic"),
-            F.col("partition"),
-            F.col("offset"),
-            record_to_json_col().alias("json"),
-        )
-        .repartition("slice")
-        .sortWithinPartitions("slice", "topic", "partition", "offset")
+    wire = sliced.select(
+        F.col("slice"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        record_to_json_col().alias("json"),
+    )
+    return write_array_objects(
+        wire,
+        dest,
+        compression=compression,
+        compression_level=compression_level,
+        interrupted=interrupted,
+        last_slice=last_slice,
+    )
+
+
+def write_array_objects(
+    wire: DataFrame,
+    dest: str,
+    compression: str | None = None,
+    compression_level: int | None = None,
+    interrupted: bool = False,
+    last_slice=None,
+    key_decoration: str = "",
+) -> list[str]:
+    """Writer core shared by :func:`write_guardian_format` (slices computed
+    from a TimeConfiguration) and the commit layer's merge rewrite
+    (``operators/commitlog.committed_merge_slices`` assigns each group's
+    records the group's FIRST slice, so the merged object keeps a
+    time-parseable key and range pruning stays sound). ``wire`` columns:
+    ``(slice timestamp, topic, partition, offset, json)``; one output object
+    per distinct slice, named ``calculate_key(slice)``, reference array
+    framing, executors write their slices in parallel.
+
+    ``key_decoration`` is inserted between the ISO stem and the extension
+    (``<ISO><decoration>.json[.gz]``): the commit layer passes a unique
+    ``.m<uuid8>`` so a compaction rewrite NEVER reuses a name an older
+    snapshot still references (physical immutability — the property Delta
+    gets from UUID part names). `core.timeslice.key_to_datetime` parses
+    decorated keys by design (suffix-stripping loop)."""
+    _ensure_dest_dir(dest)
+    wire = wire.repartition("slice").sortWithinPartitions(
+        "slice", "topic", "partition", "offset"
     )
 
     if compression_level is not None and not 1 <= compression_level <= 9:
         raise ValueError(f"gzip level must be 1-9, got {compression_level}")
     comp = compression
     comp_level = compression_level if compression_level is not None else 6  # zlib default
+    decoration = key_decoration
+
+    def _decorate(key: str) -> str:
+        if not decoration:
+            return key
+        stem, ext = (key[:-3], ".gz") if key.endswith(".gz") else (key, "")
+        assert stem.endswith(".json")
+        return stem[: -len(".json")] + decoration + ".json" + ext
     interrupted_local = interrupted
     last_slice_bc = last_slice
 
@@ -282,7 +324,7 @@ def write_guardian_format(
                 raw = None
 
         for row in rows:
-            key = calculate_key(row["slice"], comp)
+            key = _decorate(calculate_key(row["slice"], comp))
             if key != cur_key:
                 finish(False)
                 cur_key = key
@@ -299,11 +341,12 @@ def write_guardian_format(
             fh.write(row["json"].encode("utf-8"))
             first = False
         if cur_key is not None:
-            is_last = last_slice_bc is not None and calculate_key(last_slice_bc, comp) == cur_key
+            is_last = last_slice_bc is not None and _decorate(calculate_key(last_slice_bc, comp)) == cur_key
             finish(interrupted_local and is_last)
 
     wire.foreachPartition(write_partition)
     keys = sorted(
-        calculate_key(r["slice"], comp) for r in sliced.select("slice").distinct().collect()
+        _decorate(calculate_key(r["slice"], comp))
+        for r in wire.select("slice").distinct().collect()
     )
     return keys

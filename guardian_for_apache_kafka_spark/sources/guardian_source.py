@@ -77,6 +77,12 @@ class GuardianReader(DataSourceReader):
             raise ValueError("guardian datasource requires a path")
         self.from_when = options.get("fromwhen")  # options arrive lowercased
         self.use_zonemap = (options.get("zonemap") or "").lower() in ("true", "1")
+        # snapshot isolation / time travel (operators/commitlog): pin the
+        # object set to a committed version AT PLAN TIME — concurrent
+        # commits can no longer change what this scan reads
+        self.use_snapshot = (options.get("snapshot") or "").lower() in ("true", "1")
+        vaso = options.get("versionasof")
+        self.version_as_of = int(vaso) if vaso is not None else None
         self.topics: set[str] | None = None
         self.require_key = False
 
@@ -107,7 +113,14 @@ class GuardianReader(DataSourceReader):
             prune_keys_from_when,
         )
 
-        keys = list_backup_keys(self.path)
+        if self.use_snapshot or self.version_as_of is not None:
+            from guardian_for_apache_kafka_spark.operators.commitlog import (
+                snapshot_keys,
+            )
+
+            keys = snapshot_keys(self.path, self.version_as_of)
+        else:
+            keys = list_backup_keys(self.path)
         if self.from_when:
             cut = _dt.datetime.fromisoformat(self.from_when.replace("Z", "+00:00"))
             keys = prune_keys_from_when(keys, cut)

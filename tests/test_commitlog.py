@@ -1,0 +1,267 @@
+"""Lakehouse commit layer (operators/commitlog): snapshot isolation, time
+travel, REPLACE compaction, loud concurrent-writer arbitration, vacuum —
+the table-level generalization of the reference's single-object resume
+protocol (BackupClientInterface.scala:361-408). Every flow drives REAL
+files through the guardian writer/reader."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from guardian_for_apache_kafka_spark.core import normalize_events_to_records
+from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
+from guardian_for_apache_kafka_spark.operators import (
+    list_backup_keys,
+    restore_batch,
+    write_guardian_format,
+)
+from guardian_for_apache_kafka_spark.operators.backup import physical_name
+from guardian_for_apache_kafka_spark.operators.commitlog import (
+    CommitConflictError,
+    commit,
+    committed_backup,
+    committed_merge_slices,
+    committed_retention,
+    init_commit_log,
+    list_versions,
+    read_commit,
+    read_log,
+    snapshot,
+    snapshot_keys,
+    time_travel_read,
+    vacuum,
+)
+from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture(scope="module")
+def records(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    return normalize_events_to_records(ev).withColumn(
+        "timestamp", F.timestamp_millis(F.unix_millis("timestamp"))
+    )
+
+
+def as_set(df):
+    return {
+        (r.topic, r.partition, r.offset, bytes(r.key) if r.key else None,
+         bytes(r.value), r.timestamp, r.timestamp_type)
+        for r in df.collect()
+    }
+
+
+def split_records(records):
+    """Two disjoint halves by event time — 'day one' and 'day two' backups."""
+    cut = records.agg(F.percentile_approx("timestamp", 0.5).alias("m")).collect()[0]["m"]
+    return (
+        records.where(F.col("timestamp") < F.lit(cut)),
+        records.where(F.col("timestamp") >= F.lit(cut)),
+    )
+
+
+def test_committed_backup_snapshot_and_time_travel(spark, records, tmp_path):
+    dest = str(tmp_path / "a")
+    first, second = split_records(records)
+    v0 = committed_backup(first, dest, ChronoUnitSlice("HOURS"))
+    assert v0 == 0
+    keys0 = snapshot_keys(dest)
+    assert keys0 == list_backup_keys(dest)
+    # the census on adds matches reality
+    total = sum(a["records"] for a in read_commit(dest, 0)["actions"])
+    assert total == first.count()
+
+    v1 = committed_backup(second, dest, ChronoUnitSlice("HOURS"))
+    assert v1 == 1
+    assert set(keys0) < set(snapshot_keys(dest))
+
+    # snapshot reads: latest sees everything, versionAsOf 0 sees day one only
+    assert as_set(time_travel_read(spark, dest)) == as_set(records)
+    assert as_set(time_travel_read(spark, dest, version=0)) == as_set(first)
+    # parity with the legacy listing-based restore at latest
+    assert as_set(restore_batch(spark, dest, fmt="guardian")) == as_set(records)
+
+
+def test_snapshot_isolated_from_uncommitted_writes(spark, records, tmp_path):
+    """A crash between write and commit leaves orphans snapshot-readers
+    never see (the kill/restart story of the data path)."""
+    dest = str(tmp_path / "b")
+    first, second = split_records(records)
+    committed_backup(first, dest, ChronoUnitSlice("HOURS"))
+    # simulate the crash: objects land, commit never happens
+    write_guardian_format(second, dest, ChronoUnitSlice("HOURS"))
+    assert len(list_backup_keys(dest)) > len(snapshot_keys(dest))
+    assert as_set(time_travel_read(spark, dest)) == as_set(first)
+    # restart recovery: vacuum(orphans=True) removes the debris, the
+    # snapshot is untouched, and the re-run backup commits cleanly
+    vacuum(dest, orphans=True)
+    assert list_backup_keys(dest) == snapshot_keys(dest)
+    committed_backup(second, dest, ChronoUnitSlice("HOURS"))
+    assert as_set(time_travel_read(spark, dest)) == as_set(records)
+
+
+def test_retention_is_logical_until_vacuum(spark, records, tmp_path):
+    dest = str(tmp_path / "c")
+    committed_backup(records, dest, ChronoUnitSlice("HOURS"))
+    keys = snapshot_keys(dest)
+    cutpoint = dt.datetime.fromisoformat(
+        keys[len(keys) // 2].split(".json")[0].replace("Z", "+00:00")
+    )
+    v1 = committed_retention(dest, cutpoint)
+    assert v1 == 1
+    live = snapshot_keys(dest)
+    assert all(
+        dt.datetime.fromisoformat(k.split(".json")[0].replace("Z", "+00:00"))
+        >= cutpoint
+        for k in live
+    )
+    # old snapshot still reads the full archive (bytes retained)
+    assert as_set(time_travel_read(spark, dest, version=0)) == as_set(records)
+    # vacuum drops the removed objects; latest snapshot unaffected
+    deleted = vacuum(dest, retain_versions=1)
+    assert sorted(deleted) == sorted(
+        physical_name(k) for k in set(keys) - set(live)
+    )
+    latest = time_travel_read(spark, dest)
+    assert latest.count() > 0
+    assert as_set(latest) == {
+        t for t in as_set(records) if t[5] >= cutpoint.replace(tzinfo=None)
+    }
+
+
+def test_merge_slices_replace_commit(spark, records, tmp_path):
+    dest = str(tmp_path / "d")
+    committed_backup(records, dest, ChronoUnitSlice("HOURS"))
+    keys0 = snapshot_keys(dest)
+    assert len(keys0) > 3, "fixture must produce several hourly objects"
+    v1 = committed_merge_slices(spark, dest, group_records=10**9)
+    assert v1 == 1
+    keys1 = snapshot_keys(dest)
+    assert len(keys1) == 1  # everything merged into one object
+    assert keys1[0] not in keys0  # physically NEW name (`.m<uuid>` decorated)
+    # record set preserved exactly across the REPLACE commit
+    assert as_set(time_travel_read(spark, dest)) == as_set(records)
+    # time travel to the pre-merge layout still works (bytes retained)
+    assert snapshot_keys(dest, 0) == keys0
+    assert as_set(time_travel_read(spark, dest, version=0)) == as_set(records)
+    # census carried through the merge
+    meta = snapshot(dest)["files"][keys1[0]]
+    assert meta["records"] == records.count()
+    # merged key is time-parseable and keyed by the FIRST group slice
+    from guardian_for_apache_kafka_spark.core.timeslice import key_to_datetime
+
+    assert key_to_datetime(keys1[0]) == key_to_datetime(keys0[0])
+    # vacuum then collects the superseded originals
+    deleted = vacuum(dest, retain_versions=1)
+    assert sorted(deleted) == sorted(physical_name(k) for k in keys0)
+    assert as_set(time_travel_read(spark, dest)) == as_set(records)
+
+
+def test_merge_preserves_gzip_flavor(spark, records, tmp_path):
+    dest = str(tmp_path / "dz")
+    committed_backup(
+        records, dest, ChronoUnitSlice("HOURS"), compression="gzip"
+    )
+    committed_merge_slices(spark, dest, group_records=10**9)
+    (merged,) = snapshot_keys(dest)
+    assert merged.endswith(".json.gz")
+    assert as_set(time_travel_read(spark, dest)) == as_set(records)
+
+
+def test_concurrent_writer_arbitration(records, tmp_path, spark, monkeypatch):
+    dest = str(tmp_path / "e")
+    committed_backup(records, dest, ChronoUnitSlice("HOURS"))
+    key = snapshot_keys(dest)[0]
+    # optimistic concurrency: a stale expected_version loses loudly
+    with pytest.raises(CommitConflictError):
+        commit(dest, [{"op": "remove", "key": key}], "retention",
+               expected_version=7)
+    # TOCTOU race on the same version number: the rival publishes version 1
+    # AFTER this writer listed the log (simulated with a stale listing) —
+    # the os.link create-exclusive must make the slow writer lose, leaving
+    # the rival's commit byte-identical and no temp debris behind
+    import json
+
+    from guardian_for_apache_kafka_spark.operators import commitlog as cl
+
+    log_dir = os.path.join(dest, "_guardian_log")
+    rival = os.path.join(log_dir, f"{1:020d}.json")
+    with open(rival, "w") as fh:
+        json.dump({"version": 1, "operation": "backup", "writer": "rival",
+                   "committed_at": "x", "actions": []}, fh)
+    before = open(rival, "rb").read()
+    monkeypatch.setattr(cl, "list_versions", lambda d: [0])  # stale view
+    with pytest.raises(CommitConflictError):
+        commit(dest, [{"op": "remove", "key": key}], "retention")
+    assert open(rival, "rb").read() == before
+    assert not [n for n in os.listdir(log_dir) if n.startswith(".tmp-")]
+    monkeypatch.undo()
+    # after re-reading the log, the loser can commit cleanly as version 2
+    assert commit(dest, [{"op": "remove", "key": key}], "retention") == 2
+
+
+def test_init_commit_log_converts_existing_archive(spark, records, tmp_path):
+    dest = str(tmp_path / "f")
+    write_guardian_format(records, dest, ChronoUnitSlice("HOURS"))
+    v0 = init_commit_log(dest)
+    assert v0 == 0
+    assert snapshot_keys(dest) == list_backup_keys(dest)
+    assert read_commit(dest, 0)["operation"] == "convert"
+    with pytest.raises(CommitConflictError):
+        init_commit_log(dest)
+    assert as_set(time_travel_read(spark, dest)) == as_set(records)
+
+
+def test_read_log_audit_surface(spark, records, tmp_path):
+    dest = str(tmp_path / "g")
+    first, second = split_records(records)
+    committed_backup(first, dest, ChronoUnitSlice("HOURS"))
+    committed_backup(second, dest, ChronoUnitSlice("HOURS"))
+    committed_merge_slices(spark, dest, group_records=10**9)
+    log = read_log(spark, dest)
+    ops = {
+        r["operation"]: r["n"]
+        for r in log.groupBy("operation").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(ops) == {"backup", "compact"}
+    # conservation: merged adds == sum of removed members' records
+    compact = log.where(F.col("operation") == "compact")
+    added = compact.where(F.col("op") == "add").agg(F.sum("records")).collect()[0][0]
+    assert added == records.count()
+    # every action row carries a parseable key and version ordering
+    assert log.where(F.col("version") < 0).count() == 0
+    assert log.where(F.col("op") == "add").where(F.col("md5").isNull()).count() == 0
+
+
+def test_guardian_datasource_version_as_of_option(spark, records, tmp_path):
+    """The DataSource option surface: spark.read.format('guardian')
+    .option('versionAsOf', n) — pruning still composes (fromWhen)."""
+    dest = str(tmp_path / "h")
+    first, second = split_records(records)
+    committed_backup(first, dest, ChronoUnitSlice("HOURS"))
+    committed_backup(second, dest, ChronoUnitSlice("HOURS"))
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        register_guardian_datasource,
+    )
+
+    register_guardian_datasource(spark)
+    df0 = (
+        spark.read.format("guardian")
+        .option("versionAsOf", "0")
+        .load(dest)
+    )
+    assert as_set(df0) == as_set(first)
+    # fromWhen pruning composes with the snapshot object set
+    mid = first.agg(F.max("timestamp").alias("m")).collect()[0]["m"]
+    pruned = (
+        spark.read.format("guardian")
+        .option("snapshot", "true")
+        .option("fromWhen", mid.replace(tzinfo=UTC).isoformat())  # option wants an offset
+        .load(dest)
+        .where(F.col("timestamp") >= F.lit(mid))
+    )
+    expected = {t for t in as_set(records) if t[5] >= mid}
+    assert as_set(pruned) == expected
