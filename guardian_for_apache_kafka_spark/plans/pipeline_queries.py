@@ -9286,3 +9286,295 @@ def p21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# g17-g19: lakehouse commit-layer semantics (round 11 — the first new
+# registrations since r7). The REAL commit layer (operators/commitlog.py:
+# atomic os.link arbitration, snapshot-pinned DataSource reads, vacuum) is
+# attested by tests/test_commitlog.py over real archive files; these three
+# queries attest the LOG SEMANTICS — the add/remove fold, as-of
+# reconstruction, and audit rollup — on a deterministic commit timeline
+# derived from the events census, so DuckDB can oracle them exactly. The
+# simulated timeline is the canonical lifecycle: one backup commit per
+# hourly slice, one REPLACE compaction commit per contiguous 6-slice group
+# (committed_merge_slices' plan shape, g13's contiguous grouping), then one
+# retention commit dropping every group that ends at or before the midpoint
+# slice (committed_retention's logical remove). All-integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_G17_SIM_CTES = """
+    slices AS (
+      SELECT date_trunc('hour', ts) AS slice, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    numbered AS (
+      SELECT slice, cnt,
+             CAST(row_number() OVER (ORDER BY slice) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM slices
+    ),
+    grouped AS (SELECT *, (rn - 1) // 6 AS grp FROM numbered),
+    grp_rollup AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS members,
+             CAST(sum(cnt) AS BIGINT) AS grecords,
+             min(slice) AS gfirst, max(slice) AS glast,
+             CAST(max(rn) AS BIGINT) AS glastrn,
+             CAST(max(n) AS BIGINT) AS n
+      FROM grouped GROUP BY grp
+    )
+"""
+
+
+def _g17_sim_frames(spark: SparkSession, sf_dir: str):
+    """Shared Spark derivation of the simulated commit timeline: the
+    (numbered, groups) pair both g17/g18/g19 fold. Domain-scale windows
+    only (slice count, retention-bounded — never corpus rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    slices = ev.groupBy(F.date_trunc("hour", "ts").alias("slice")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    numbered = slices.select(
+        "slice",
+        "cnt",
+        F.row_number().over(Window.orderBy("slice")).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    grouped = numbered.withColumn("grp", F.expr("(rn - 1) div 6"))
+    groups = grouped.groupBy("grp").agg(
+        F.count("*").cast("long").alias("members"),
+        F.sum("cnt").cast("long").alias("grecords"),
+        F.min("slice").alias("gfirst"),
+        F.max("slice").alias("glast"),
+        F.max("rn").cast("long").alias("glastrn"),
+        F.max("n").cast("long").alias("n"),
+    )
+    return numbered, groups
+
+
+@query(
+    "g17_snapshot_log",
+    oracle=f"""
+    WITH {_G17_SIM_CTES},
+    commits AS (
+      SELECT rn AS commit_version, 'backup' AS operation,
+             CAST(1 AS BIGINT) AS files_delta, cnt AS records_delta
+      FROM numbered
+      UNION ALL
+      SELECT n + grp + 1, 'compact', CAST(1 - members AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM grp_rollup
+      UNION ALL
+      SELECT CAST(max(n) + count(*) + 1 AS BIGINT), 'retention',
+             CAST(-sum(CASE WHEN glastrn <= n // 2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(-sum(CASE WHEN glastrn <= n // 2 THEN grecords ELSE 0 END) AS BIGINT)
+      FROM grp_rollup
+    )
+    SELECT commit_version, operation, files_delta, records_delta,
+           CAST(sum(files_delta) OVER (ORDER BY commit_version
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS live_files,
+           CAST(sum(records_delta) OVER (ORDER BY commit_version
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS live_records
+    FROM commits ORDER BY commit_version
+    """,
+    tags=("guardian", "lakehouse", "commitlog"),
+)
+def g17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log snapshot fold (operators/commitlog.snapshot, as a
+    relational query): the full version timeline — one backup commit per
+    hourly slice, one REPLACE compaction commit per contiguous 6-slice
+    group, one retention commit dropping groups ending at or before the
+    midpoint — with the cumulative live-file/live-record state after every
+    commit. The invariants the fold must preserve are visible in the
+    output: compaction commits have records_delta = 0 (REPLACE conserves
+    records while shrinking files), retention is the only negative
+    records_delta, and live_records after commit_version N equals the full
+    census. Windows run over the commit domain (slice-count bounded);
+    the one corpus-sized exchange is the hourly census aggregate."""
+    numbered, groups = _g17_sim_frames(spark, sf_dir)
+    backups = numbered.select(
+        F.col("rn").alias("commit_version"),
+        F.lit("backup").alias("operation"),
+        F.lit(1).cast("long").alias("files_delta"),
+        F.col("cnt").alias("records_delta"),
+    )
+    compacts = groups.select(
+        (F.col("n") + F.col("grp") + 1).cast("long").alias("commit_version"),
+        F.lit("compact").alias("operation"),
+        (F.lit(1) - F.col("members")).cast("long").alias("files_delta"),
+        F.lit(0).cast("long").alias("records_delta"),
+    )
+    doomed = F.when(F.col("glastrn") <= F.expr("n div 2"), 1).otherwise(0)
+    doomed_recs = F.when(
+        F.col("glastrn") <= F.expr("n div 2"), F.col("grecords")
+    ).otherwise(0)
+    retention = groups.agg(
+        (F.max("n") + F.count("*") + 1).cast("long").alias("commit_version"),
+        F.lit("retention").alias("operation"),
+        (-F.sum(doomed)).cast("long").alias("files_delta"),
+        (-F.sum(doomed_recs)).cast("long").alias("records_delta"),
+    )
+    commits = backups.unionByName(compacts).unionByName(retention)
+    w = Window.orderBy("commit_version").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return commits.select(
+        "commit_version",
+        "operation",
+        "files_delta",
+        "records_delta",
+        F.sum("files_delta").over(w).cast("long").alias("live_files"),
+        F.sum("records_delta").over(w).cast("long").alias("live_records"),
+    ).orderBy("commit_version")
+
+
+@query(
+    "g18_time_travel_read",
+    oracle=f"""
+    WITH {_G17_SIM_CTES}
+    SELECT 'post_backup' AS probe, CAST(max(n) AS BIGINT) AS commit_version,
+           CAST(max(n) AS BIGINT) AS n_files,
+           CAST(sum(grecords) AS BIGINT) AS n_records,
+           min(gfirst) AS first_slice, max(glast) AS last_slice
+    FROM grp_rollup
+    UNION ALL
+    SELECT 'post_compact', CAST(max(n) + count(*) AS BIGINT),
+           CAST(count(*) AS BIGINT), CAST(sum(grecords) AS BIGINT),
+           min(gfirst), max(glast)
+    FROM grp_rollup
+    UNION ALL
+    SELECT 'post_retention', CAST(max(n) + count(*) + 1 AS BIGINT),
+           CAST(sum(CASE WHEN glastrn > n // 2 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN glastrn > n // 2 THEN grecords ELSE 0 END) AS BIGINT),
+           min(CASE WHEN glastrn > n // 2 THEN gfirst END), max(glast)
+    FROM grp_rollup
+    ORDER BY commit_version
+    """,
+    tags=("guardian", "lakehouse", "timetravel"),
+)
+def g18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (operators/commitlog.time_travel_read semantics): the
+    archive state an as-of read reconstructs at the three lifecycle
+    probes — after all backups (version n), after compaction (n + G; same
+    records, G files), after retention (n + G + 1; only groups ending
+    past the midpoint survive, and first_slice advances to the first
+    survivor — exactly what a versionAsOf reader of the real log sees in
+    tests/test_commitlog.py). One aggregate over the group domain per
+    probe; no corpus-sized work beyond the shared census."""
+    _, groups = _g17_sim_frames(spark, sf_dir)
+    surv = F.col("glastrn") > F.expr("n div 2")
+    post_backup = groups.agg(
+        F.lit("post_backup").alias("probe"),
+        F.max("n").cast("long").alias("commit_version"),
+        F.max("n").cast("long").alias("n_files"),
+        F.sum("grecords").cast("long").alias("n_records"),
+        F.min("gfirst").alias("first_slice"),
+        F.max("glast").alias("last_slice"),
+    )
+    post_compact = groups.agg(
+        F.lit("post_compact").alias("probe"),
+        (F.max("n") + F.count("*")).cast("long").alias("commit_version"),
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("grecords").cast("long").alias("n_records"),
+        F.min("gfirst").alias("first_slice"),
+        F.max("glast").alias("last_slice"),
+    )
+    post_retention = groups.agg(
+        F.lit("post_retention").alias("probe"),
+        (F.max("n") + F.count("*") + 1).cast("long").alias("commit_version"),
+        F.sum(F.when(surv, 1).otherwise(0)).cast("long").alias("n_files"),
+        F.sum(F.when(surv, F.col("grecords")).otherwise(0))
+        .cast("long")
+        .alias("n_records"),
+        F.min(F.when(surv, F.col("gfirst"))).alias("first_slice"),
+        F.max("glast").alias("last_slice"),
+    )
+    return (
+        post_backup.unionByName(post_compact)
+        .unionByName(post_retention)
+        .orderBy("commit_version")
+    )
+
+
+@query(
+    "g19_commit_log_audit",
+    oracle=f"""
+    WITH {_G17_SIM_CTES},
+    actions AS (
+      SELECT 'backup' AS operation, CAST(1 AS BIGINT) AS files_added,
+             CAST(0 AS BIGINT) AS files_removed, cnt AS records_added,
+             CAST(0 AS BIGINT) AS records_removed
+      FROM numbered
+      UNION ALL
+      SELECT 'compact', CAST(1 AS BIGINT), members, grecords, grecords
+      FROM grp_rollup
+      UNION ALL
+      SELECT 'retention', CAST(0 AS BIGINT),
+             CAST(sum(CASE WHEN glastrn <= n // 2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(0 AS BIGINT),
+             CAST(sum(CASE WHEN glastrn <= n // 2 THEN grecords ELSE 0 END) AS BIGINT)
+      FROM grp_rollup
+    )
+    SELECT operation, CAST(count(*) AS BIGINT) AS n_commits,
+           CAST(sum(files_added) AS BIGINT) AS files_added,
+           CAST(sum(files_removed) AS BIGINT) AS files_removed,
+           CAST(sum(records_added) AS BIGINT) AS records_added,
+           CAST(sum(records_removed) AS BIGINT) AS records_removed,
+           CAST(sum(records_added) - sum(records_removed) AS BIGINT)
+             AS net_records
+    FROM actions GROUP BY operation ORDER BY operation
+    """,
+    tags=("guardian", "lakehouse", "audit"),
+)
+def g19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log audit rollup (operators/commitlog.read_log aggregated):
+    per operation, the commit count and GROSS file/record adds and
+    removes — the view an operator reads to answer 'what has been
+    churning this archive'. The lakehouse conservation laws land in the
+    numbers: compaction's records_added == records_removed (REPLACE
+    conserves; net_records = 0), backup only adds, retention only
+    removes. Mirrors tests/test_commitlog.py::test_read_log_audit_surface
+    over the real log."""
+    numbered, groups = _g17_sim_frames(spark, sf_dir)
+    backup_a = numbered.select(
+        F.lit("backup").alias("operation"),
+        F.lit(1).cast("long").alias("files_added"),
+        F.lit(0).cast("long").alias("files_removed"),
+        F.col("cnt").alias("records_added"),
+        F.lit(0).cast("long").alias("records_removed"),
+    )
+    compact_a = groups.select(
+        F.lit("compact").alias("operation"),
+        F.lit(1).cast("long").alias("files_added"),
+        F.col("members").alias("files_removed"),
+        F.col("grecords").alias("records_added"),
+        F.col("grecords").alias("records_removed"),
+    )
+    doomed = F.when(F.col("glastrn") <= F.expr("n div 2"), 1).otherwise(0)
+    doomed_recs = F.when(
+        F.col("glastrn") <= F.expr("n div 2"), F.col("grecords")
+    ).otherwise(0)
+    retention_a = groups.agg(
+        F.lit("retention").alias("operation"),
+        F.lit(0).cast("long").alias("files_added"),
+        F.sum(doomed).cast("long").alias("files_removed"),
+        F.lit(0).cast("long").alias("records_added"),
+        F.sum(doomed_recs).cast("long").alias("records_removed"),
+    )
+    actions = backup_a.unionByName(compact_a).unionByName(retention_a)
+    return (
+        actions.groupBy("operation")
+        .agg(
+            F.count("*").cast("long").alias("n_commits"),
+            F.sum("files_added").cast("long").alias("files_added"),
+            F.sum("files_removed").cast("long").alias("files_removed"),
+            F.sum("records_added").cast("long").alias("records_added"),
+            F.sum("records_removed").cast("long").alias("records_removed"),
+            (F.sum("records_added") - F.sum("records_removed"))
+            .cast("long")
+            .alias("net_records"),
+        )
+        .orderBy("operation")
+    )

@@ -5460,5 +5460,98 @@ CHECKERS.update({
 })
 
 
+def _g_sim_groups(sf):
+    """Shared round-11 lakehouse sim: hourly census -> (slices series,
+    per-group rollup list). Deliberately a different algorithm shape from
+    both engines: a sequential fold over the sorted census, not window
+    functions."""
+    ev = _events(sf)
+    census = ev.ts.dt.floor("h").value_counts().sort_index()
+    n = len(census)
+    grp_rollup = []  # (grp, members, grecords, gfirst, glast, glastrn)
+    for rn, (sl, cnt) in enumerate(census.items(), start=1):
+        g = (rn - 1) // 6
+        if g == len(grp_rollup):
+            grp_rollup.append([g, 0, 0, sl, sl, rn])
+        r = grp_rollup[g]
+        r[1] += 1
+        r[2] += int(cnt)
+        r[4] = sl
+        r[5] = rn
+    return census, grp_rollup, n
+
+
+def chk_g17(sf):
+    census, grp_rollup, n = _g_sim_groups(sf)
+    commits = []
+    for rn, (sl, cnt) in enumerate(census.items(), start=1):
+        commits.append((rn, "backup", 1, int(cnt)))
+    for g, members, grecords, gfirst, glast, glastrn in grp_rollup:
+        commits.append((n + g + 1, "compact", 1 - members, 0))
+    doomed = [r for r in grp_rollup if r[5] <= n // 2]
+    commits.append((
+        n + len(grp_rollup) + 1, "retention",
+        -len(doomed), -sum(r[2] for r in doomed),
+    ))
+    commits.sort()
+    rows, lf, lr = [], 0, 0
+    for ver, op, fd, rd in commits:
+        lf += fd
+        lr += rd
+        rows.append((ver, op, fd, rd, lf, lr))
+    return pd.DataFrame(
+        rows,
+        columns=["commit_version", "operation", "files_delta",
+                 "records_delta", "live_files", "live_records"],
+    )
+
+
+def chk_g18(sf):
+    _census, grp_rollup, n = _g_sim_groups(sf)
+    total = sum(r[2] for r in grp_rollup)
+    first = min(r[3] for r in grp_rollup)
+    last = max(r[4] for r in grp_rollup)
+    surv = [r for r in grp_rollup if r[5] > n // 2]
+    g_cnt = len(grp_rollup)
+    rows = [
+        ("post_backup", n, n, total, first, last),
+        ("post_compact", n + g_cnt, g_cnt, total, first, last),
+        ("post_retention", n + g_cnt + 1, len(surv),
+         sum(r[2] for r in surv), min(r[3] for r in surv), last),
+    ]
+    rows.sort(key=lambda r: r[1])
+    return pd.DataFrame(
+        rows,
+        columns=["probe", "commit_version", "n_files", "n_records",
+                 "first_slice", "last_slice"],
+    )
+
+
+def chk_g19(sf):
+    census, grp_rollup, n = _g_sim_groups(sf)
+    total = sum(r[2] for r in grp_rollup)
+    doomed = [r for r in grp_rollup if r[5] <= n // 2]
+    g_cnt = len(grp_rollup)
+    rows = [
+        ("backup", n, n, 0, total, 0, total),
+        ("compact", g_cnt, g_cnt, sum(r[1] for r in grp_rollup),
+         total, total, 0),
+        ("retention", 1, 0, len(doomed), 0,
+         sum(r[2] for r in doomed), -sum(r[2] for r in doomed)),
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["operation", "n_commits", "files_added", "files_removed",
+                 "records_added", "records_removed", "net_records"],
+    )
+
+
+CHECKERS.update({
+    "g17_snapshot_log": chk_g17,
+    "g18_time_travel_read": chk_g18,
+    "g19_commit_log_audit": chk_g19,
+})
+
+
 if __name__ == "__main__":
     sys.exit(main())
