@@ -164,6 +164,14 @@ def emit_result(result: dict) -> None:
 
     compact = {k: v for k, v in result.items() if k not in ("stock_queries", "ratio_vs_stock")}
     compact["full"] = "BENCH_RESULT.json"
+    if "sf1" in result:
+        sf1 = result["sf1"]
+        compact["sf1"] = {
+            "scale": sf1["scale"],
+            "total": sf1["total"],
+            "ratio_total": sf1["ratio_total"],
+            "queries": {k: round(v, 2) for k, v in sf1["queries"].items()},
+        }
     for ndigits in (4, 3, 2):
         compact["queries"] = {
             k: (round(v, ndigits) if v > 0 else v) for k, v in result["queries"].items()
@@ -181,6 +189,13 @@ def emit_result(result: dict) -> None:
             "dedup_latest_by_key", "tumbling_window", "semi_anti",
             "json_extract",
         }
+        if "sf1" in compact:  # shed sf1 per-query detail before ANY headline entry
+            compact["sf1"] = {
+                "scale": result["sf1"]["scale"],
+                "total": result["sf1"]["total"],
+                "ratio_total": result["sf1"]["ratio_total"],
+                "n": len(result["sf1"]["queries"]),
+            }
         ordered = sorted(
             result["queries"],
             key=lambda k: (k not in core, -result["queries"][k]),
@@ -298,6 +313,83 @@ def main() -> None:
             print(f"bench: {metric} ({qname}) failed: {exc}", file=sys.stderr)
             timings[metric] = -1.0
 
+    # ---- sf1 section (round 11, VERDICT r10 #4): the heavy dedup/
+    # similarity/text/pipeline families at 10x the corpus, where plan shape
+    # (not session overhead) dominates — BASELINE.md concedes sf0.1 is
+    # overhead-dominated. Corpus = the multi-scale sweep's replica scaling
+    # (scripts/scaling_stress_r10.build_scale: disjoint shingle sets,
+    # permuted embeddings — structure-preserving, no artificial cliques).
+    # Stock twins re-run over the SAME x10 views for the documents-table
+    # metrics plain SQL expresses; the heavy engine-only entries carry
+    # absolute seconds. Skip with SPARK_GRAFT_SF1=0.
+    sf1_result = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1").lower() not in ("0", "false"):
+        try:
+            from scaling_stress_r10 import build_scale
+
+            x10 = build_scale(spark, 10, base=sf_dir)
+            register_views(spark, x10)  # stock twins now read the x10 corpus
+            sf1_heavy = {
+                "d3_jaccard_pairs": "d3_ngram_jaccard_pairs",
+                "minhash_lsh": "d4_minhash_lsh_dedup",
+                "cosine_topk": "s1_cosine_topk",
+                "knn_graph": "s11_knn_graph",
+                "hapax_ratio": "t31_hapax_ratio",
+                "ngram_novelty": "t35_ngram_novelty",
+                "curation_funnel": "p13_curation_funnel",
+            }
+            sf1_twinned = ("quality_filter", "readability", "canonical_dedup")
+            sf1_q: dict[str, float] = {}
+            sf1_s: dict[str, float] = {}
+            for metric, qname in sf1_heavy.items():
+                builder = queries[qname]
+                build_engine = lambda: builder(spark, x10)  # noqa: E731
+                try:
+                    build_engine().collect()  # warm
+                    sf1_q[metric] = round(
+                        statistics.median(one_run(build_engine) for _ in range(2)), 4
+                    )
+                except Exception as exc:
+                    print(f"bench sf1: {metric} failed: {exc}", file=sys.stderr)
+                    sf1_q[metric] = -1.0
+            for metric in sf1_twinned:
+                builder = queries[HEADLINE[metric]]
+                sql = STOCK_QUERIES[metric]
+                build_engine = lambda: builder(spark, x10)  # noqa: E731
+                build_stock = lambda: spark.sql(sql)  # noqa: E731
+                try:
+                    build_engine().collect()
+                    build_stock().collect()
+                    e_runs, s_runs = [], []
+                    for _ in range(2):  # run-level alternation, as headline
+                        e_runs.append(one_run(build_engine))
+                        s_runs.append(one_run(build_stock))
+                    sf1_q[metric] = round(statistics.median(e_runs), 4)
+                    sf1_s[metric] = round(statistics.median(s_runs), 4)
+                except Exception as exc:
+                    print(f"bench sf1: {metric} failed: {exc}", file=sys.stderr)
+                    sf1_q[metric] = -1.0
+            sf1_ratios = {
+                m: round(sf1_q[m] / sf1_s[m], 3)
+                for m in sf1_s
+                if sf1_q.get(m, -1) > 0 and sf1_s[m] > 0
+            }
+            comp_e = sum(sf1_q[m] for m in sf1_ratios)
+            comp_s = sum(sf1_s[m] for m in sf1_ratios)
+            sf1_result = {
+                "scale": "10x",
+                "base": sf_dir,
+                "total": round(sum(v for v in sf1_q.values() if v > 0), 4),
+                "runs": 2,
+                "queries": sf1_q,
+                "stock_queries": sf1_s,
+                "ratio_vs_stock": sf1_ratios,
+                "ratio_total": round(comp_e / comp_s, 3) if comp_s else None,
+                "failed": sorted(k for k, v in sf1_q.items() if v < 0),
+            }
+        except Exception as exc:  # never lose the headline line to sf1
+            print(f"bench sf1 section failed wholesale: {exc}", file=sys.stderr)
+
     ratios = {
         m: round(timings[m] / stock[m], 3)
         for m in timings
@@ -321,6 +413,7 @@ def main() -> None:
                 round(comparable_engine / comparable_stock, 3) if comparable_stock else None
             ),
             "failed": sorted(k for k, v in timings.items() if v < 0),
+            **({"sf1": sf1_result} if sf1_result else {}),
         }
     )
 

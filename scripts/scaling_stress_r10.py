@@ -10,6 +10,13 @@ k replicas of the driver-generated sf0.1 tables (TESTDATA.md inputs stay
 the only source of content). Replica i > 0 gets:
 
 - documents: doc_id += i * 10^7 and every token suffixed with ``~i`` —
+  NOTE (advisor r10): the 2-char suffix shifts replica i>0's mean word
+  length by +2, so selectivity of mean-word-length quality rules (p13
+  stage 2) differs between replica 0 and the others; scaling exponents
+  for p13 therefore mix a selectivity change with scale. Quantified: the
+  fixture's mean token length is ~5, so suffixed replicas sit at ~7 —
+  still inside the 3..10 gopher band, which is why stage-2 yield stays
+  high; interpret p13's multi-scale numbers with that caveat. —
   token COUNTS and length distributions are preserved (plus 2 chars), but
   shingle/token SETS are disjoint across replicas, so each replica keeps
   exactly the original's near-dup/vocabulary structure and total work
@@ -67,14 +74,19 @@ QUERIES = [
 ]
 
 
-def build_scale(spark, k: int) -> str:
-    out = os.path.join(WORK, f"x{k}")
+def build_scale(spark, k: int, base: str = BASE) -> str:
+    # cache key includes the base label: an x10 built from sf0.01 must not
+    # be served to a caller scaling sf0.1 (bench.py passes its sf_dir)
+    out = os.path.join(WORK, f"x{k}-{os.path.basename(base.rstrip('/'))}")
     if os.path.exists(os.path.join(out, "_OK")):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    embs = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    embs = spark.read.parquet(f"{base}/embeddings.parquet")
+    # one dim lookup for ALL replicas (advisor r10: the head() inside the
+    # loop re-ran a Spark job per replica)
+    dim = len(embs.select("embedding").head()[0])
     d_parts = []
     e_parts = []
     for i in range(k):
@@ -97,7 +109,6 @@ def build_scale(spark, k: int) -> str:
                 "n_chars",
             )
         )
-        dim = len(embs.select("embedding").head()[0])
         rot = (7 * i) % dim
         e_parts.append(
             embs.select(
@@ -124,7 +135,7 @@ def build_scale(spark, k: int) -> str:
     for t in (
         "region nation customer supplier part orders lineitem events".split()
     ):
-        src = f"{BASE}/{t}.parquet"
+        src = f"{base}/{t}.parquet"
         dst = os.path.join(out, f"{t}.parquet")
         if os.path.exists(src) and not os.path.exists(dst):
             os.symlink(src, dst)
