@@ -179,6 +179,13 @@ def ngram_jaccard_pairs_exact(
     float-returning sibling keeps its published jaccard-score API).
     Returns (id_a, id_b, n_common, n_union), all BIGINT, for pairs at or
     above the threshold."""
+    if threshold_den <= 0 or threshold_num < 0:
+        # den=0 or negative would silently return all (or inverted)
+        # candidate pairs via the cross-multiplied test (r10 advisor)
+        raise ValueError(
+            f"threshold must be a nonnegative rational with positive "
+            f"denominator, got {threshold_num}/{threshold_den}"
+        )
     pairs = _common_shingle_counts(df, n, id_col, content_col, max_bucket)
     c = F.col("__common")
     union = F.col("__na") + F.col("__nb") - c

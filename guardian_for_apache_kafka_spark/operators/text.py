@@ -1091,7 +1091,14 @@ def gopher_quality_flags_exact(
     published inspectable-ratio API; this variant exists for queries whose
     OUTPUT is hash-attested cross-engine. Same plan shape: per-row JVM
     higher-order expressions over the hoisted token array, map-only, zero
-    shuffles."""
+    shuffles.
+
+    Degenerate docs (r10 advisor): at ``n_words == 0`` the two ratio flags
+    are NULL — matching the float battery, whose divisions are NULL there —
+    instead of the vacuous cross-multiplied ``0 <= 0`` pass; a caller
+    composing only ``alpha_ok`` therefore cannot admit empty documents.
+    (p13 was never affected: ``word_count_ok`` gates the composition, and
+    NULL & false = false.)"""
     df, toks = _with_tokens_scratch(df, text_col)
     t = F.col(toks)
     n_words = F.size(t).cast("bigint")
@@ -1112,13 +1119,15 @@ def gopher_quality_flags_exact(
         (
             (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
         ).alias("word_count_ok"),
-        (
+        F.when(
+            F.col("n_words") > 0,
             (F.lit(mean_len_lo) * F.col("n_words") <= F.col("sum_word_len"))
-            & (F.col("sum_word_len") <= F.lit(mean_len_hi) * F.col("n_words"))
+            & (F.col("sum_word_len") <= F.lit(mean_len_hi) * F.col("n_words")),
         ).alias("mean_word_len_ok"),
-        (
+        F.when(
+            F.col("n_words") > 0,
             F.lit(alpha_den) * F.col("n_alpha_words")
-            >= F.lit(alpha_num) * F.col("n_words")
+            >= F.lit(alpha_num) * F.col("n_words"),
         ).alias("alpha_ok"),
     )
 
@@ -1324,6 +1333,9 @@ def novelty_from_pairs(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+_DSIR_LAST_VOCAB = None  # one-slot persist cache, see dsir_importance_weights
+
+
 def dsir_importance_weights(
     df: DataFrame,
     target: Column,
@@ -1374,9 +1386,26 @@ def dsir_importance_weights(
     # persisted: vocab feeds the scalar totals, the ratio projection, AND
     # the broadcast-gate probe — three consumers of two token-keyed
     # aggregations plus a join
+    # one-slot persist cache (r10 advisor): the vocab frame must stay
+    # persisted for the caller's lazy consumption of the returned frame, so
+    # it cannot be unpersisted here — instead each call evicts the PREVIOUS
+    # call's vocab, bounding session storage to one vocab frame instead of
+    # one per call. A prior returned frame stays correct (its lineage simply
+    # recomputes on next access). Evict BEFORE persisting the successor:
+    # Spark's cache manager keys entries by logical plan, so an identical
+    # follow-up call would otherwise have its fresh cache entry evicted
+    # together with the old one.
+    global _DSIR_LAST_VOCAB
+    prev = _DSIR_LAST_VOCAB
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # the prior frame's session may already be stopped
     vocab = raw.join(tgt, "__t", "left").select(
         "__t", "__cr", F.coalesce("__ct", F.lit(0)).alias("__ct")
     ).persist()
+    _DSIR_LAST_VOCAB = vocab
     scalars = vocab.agg(
         F.sum("__cr").alias("__nr"),
         F.sum("__ct").alias("__nt"),

@@ -155,3 +155,71 @@ def test_p15_isqrt_correction_on_perfect_square_census(spark):
         assert got[s][1] == quota[s]
         assert got[s][2] == pytest.approx(quota[s] / 1_000_000.0, abs=0)
     assert sum(q for _, q, _ in got.values()) == budget
+
+
+def test_exact_flags_null_on_empty_docs(spark):
+    """r10 advisor: n_words == 0 must yield NULL ratio flags (matching the
+    float battery's divide-by-zero NULLs), never a vacuous 0<=0 pass."""
+    from guardian_for_apache_kafka_spark.operators.text import (
+        gopher_quality_flags_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "solid words of reasonable length here")],
+        "doc_id INT, text STRING",
+    )
+    # the tokenizer never yields empty tokens; "" tokenizes to zero words
+    rows = {r.doc_id: r for r in gopher_quality_flags_exact(df).collect()}
+    if rows[1].n_words == 0:
+        assert rows[1].mean_word_len_ok is None
+        assert rows[1].alpha_ok is None
+    assert rows[1].word_count_ok is False  # the composition gate still holds
+    assert rows[2].mean_word_len_ok is True
+    assert rows[2].alpha_ok is True
+
+
+def test_jaccard_exact_rejects_degenerate_threshold(spark):
+    """r10 advisor: den=0 / negative rationals must fail loudly, not return
+    all (or inverted) candidate pairs."""
+    import pytest as _pytest
+
+    from guardian_for_apache_kafka_spark.operators.dedup import (
+        ngram_jaccard_pairs_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id INT, text STRING"
+    )
+    for num, den in ((1, 0), (1, -2), (-1, 2)):
+        with _pytest.raises(ValueError):
+            ngram_jaccard_pairs_exact(df, threshold_num=num, threshold_den=den)
+
+
+def test_dsir_one_slot_persist_cache(spark, sf_dir):
+    """r10 advisor: repeated dsir_importance_weights calls must not
+    accumulate persisted vocab frames — each call evicts the previous."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.operators import text as text_mod
+    from guardian_for_apache_kafka_spark.operators.text import (
+        dsir_importance_weights,
+    )
+    from guardian_for_apache_kafka_spark.sources.tables import load_table
+
+    # two DIFFERENT inputs: Spark's cache manager is keyed by logical plan,
+    # so identical calls would alias one entry and hide the eviction
+    docs1 = load_table(spark, sf_dir, "documents").limit(200)
+    docs2 = load_table(spark, sf_dir, "documents").limit(150)
+    target = F.col("doc_id") % 5 == 0
+    r1 = dsir_importance_weights(docs1, target)
+    v1 = text_mod._DSIR_LAST_VOCAB
+    assert v1 is not None and v1.storageLevel.useMemory
+    n1 = r1.count()
+    r2 = dsir_importance_weights(docs2, target)
+    v2 = text_mod._DSIR_LAST_VOCAB
+    assert v2 is not v1
+    assert not v1.storageLevel.useMemory  # previous slot evicted
+    assert v2.storageLevel.useMemory
+    # and the first returned frame still computes correctly (recompute path)
+    assert r1.count() == n1
+    assert r2.count() > 0
