@@ -460,6 +460,30 @@ def build_parser() -> argparse.ArgumentParser:
                    help="audit per-instance roots under --archive")
     a.add_argument("--target", default=None,
                    help="optional parquet dir for the missing records themselves")
+
+    lg = sub.add_parser("log", help="commit-log inspection of a guardian archive "
+                        "(operators/commitlog): versions, snapshot state, per-"
+                        "commit summary; --init bootstraps an existing archive")
+    common(lg)
+    lg.add_argument("--dest", default=None, help="archive directory")
+    lg.add_argument("--version", type=int, default=None,
+                    help="report the snapshot as of this version (default: latest)")
+    lg.add_argument("--init", action="store_true",
+                    help="bootstrap: commit every existing object as version 0 "
+                         "(the CONVERT commit); refuses if a log exists")
+    lg.add_argument("--no-digest", action="store_true",
+                    help="skip md5 digests when --init snapshots existing objects")
+
+    vc = sub.add_parser("vacuum", help="physically delete archive objects "
+                        "unreferenced by the retained snapshots (logical removes "
+                        "become physical here; old versions stop time-traveling)")
+    common(vc)
+    vc.add_argument("--dest", default=None, help="archive directory")
+    vc.add_argument("--retain", type=int, default=1,
+                    help="newest versions kept readable (default 1)")
+    vc.add_argument("--orphans", action="store_true",
+                    help="also collect objects the log never referenced (crashed-"
+                         "writer debris); run only while no writer is active")
     return p
 
 
@@ -494,6 +518,55 @@ def main(argv: list[str] | None = None) -> int:
     cfg = _resolved_config(args)
     if args.dry_run:
         print(json.dumps(cfg, default=str))
+        return 0
+
+    # commit-log verbs are metadata-only (driver-side JSON fold) — no session
+    if args.command == "log":
+        from guardian_for_apache_kafka_spark.operators import commitlog as cl
+
+        if not args.dest:
+            raise SystemExit("--dest is required for log")
+        if args.init:
+            v = cl.init_commit_log(args.dest, digest=not args.no_digest)
+            print(json.dumps({"initialized_version": v}))
+            return 0
+        versions = cl.list_versions(args.dest)
+        if not versions:
+            raise SystemExit("no commit log at --dest (bootstrap with log --init)")
+        snap = cl.snapshot(args.dest, args.version)
+        commits = []
+        for v in versions:
+            c = cl.read_commit(args.dest, v)
+            commits.append({
+                "version": v,
+                "operation": c["operation"],
+                "writer": c["writer"],
+                "committed_at": c["committed_at"],
+                "adds": sum(1 for x in c["actions"] if x["op"] == "add"),
+                "removes": sum(1 for x in c["actions"] if x["op"] == "remove"),
+            })
+        recs = [m.get("records") for m in snap["files"].values()]
+        print(json.dumps({
+            "latest": versions[-1],
+            "snapshot_version": snap["version"],
+            "live_files": len(snap["files"]),
+            # census is best-effort metadata: None when any add lacks it
+            "live_records": (
+                sum(recs) if recs and all(r is not None for r in recs) else None
+            ),
+            "commits": commits,
+        }, default=str))
+        return 0
+
+    if args.command == "vacuum":
+        from guardian_for_apache_kafka_spark.operators import commitlog as cl
+
+        if not args.dest:
+            raise SystemExit("--dest is required for vacuum")
+        deleted = cl.vacuum(
+            args.dest, retain_versions=args.retain, orphans=args.orphans
+        )
+        print(json.dumps({"n_deleted": len(deleted), "deleted": deleted}))
         return 0
 
     from guardian_for_apache_kafka_spark.session import get_spark

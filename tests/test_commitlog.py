@@ -265,3 +265,32 @@ def test_guardian_datasource_version_as_of_option(spark, records, tmp_path):
     )
     expected = {t for t in as_set(records) if t[5] >= mid}
     assert as_set(pruned) == expected
+
+
+def test_cli_log_and_vacuum_verbs(spark, records, tmp_path, capsys):
+    """CLI surface: `log --init`, `log`, `vacuum` — metadata-only verbs
+    (no Spark session is built for them)."""
+    import json as _json
+
+    from guardian_for_apache_kafka_spark.cli import main as cli_main
+
+    dest = str(tmp_path / "cli")
+    write_guardian_format(records, dest, ChronoUnitSlice("HOURS"))
+    assert cli_main(["log", "--init", "--dest", dest, "--no-digest"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"initialized_version": 0}
+
+    committed_merge_slices(spark, dest, group_records=10**9)
+    assert cli_main(["log", "--dest", dest]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["latest"] == 1 and rep["live_files"] == 1
+    assert [c["operation"] for c in rep["commits"]] == ["convert", "compact"]
+    # as-of report sees the pre-merge file count
+    assert cli_main(["log", "--dest", dest, "--version", "0"]) == 0
+    rep0 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep0["live_files"] > 1 and rep0["snapshot_version"] == 0
+
+    assert cli_main(["vacuum", "--dest", dest, "--retain", "1"]) == 0
+    vac = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vac["n_deleted"] == rep0["live_files"]
+    assert as_set(time_travel_read(spark, dest)) == as_set(records)
