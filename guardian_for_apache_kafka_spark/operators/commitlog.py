@@ -105,6 +105,7 @@ def commit(
     operation: str,
     expected_version: int | None = None,
     writer: str | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Publish one atomic commit; return its version.
 
@@ -143,6 +144,7 @@ def commit(
         "writer": writer or f"pid-{os.getpid()}",
         "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         "actions": actions,
+        **(extra or {}),
     }
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}.json")
     final = os.path.join(log_dir, _version_name(version))
@@ -248,6 +250,91 @@ def committed_backup(
             meta["records"] = int(counts[k])
         actions.append(meta)
     return commit(dest, actions, "backup", expected_version=expected_version)
+
+
+def stream_committed_backup(
+    records,
+    dest: str,
+    checkpoint: str,
+    config,
+    compression: str | None = None,
+    available_now: bool = True,
+    digest: bool = True,
+):
+    """Streaming archival with lakehouse commits: every micro-batch writes
+    guardian-format objects decorated ``.b<batch_id>`` (deterministic, so a
+    replayed batch rewrites ITS OWN orphans, never a committed object) and
+    publishes one ``stream_backup`` commit carrying the batch id. Replay
+    safety is commit-log-exact — if the log already holds this batch's
+    commit, the batch is a no-op — which upgrades foreachBatch's
+    "idempotent because rewrites collide" story
+    (`streaming/pipeline.stream_backup_foreach_batch`) to exactly-once
+    WITHOUT relying on overwrite semantics: snapshot readers never see a
+    batch twice or half. A slice receives one object per batch that touched
+    it; `committed_merge_slices` is the matching small-object compactor.
+
+    ChronoUnitSlice only (an anchored PeriodFromFirst would need the
+    checkpointed-anchor machinery; compose stream_backup_foreach_batch +
+    init_commit_log for that layout instead). Returns the StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.core.model import record_to_json_col
+    from guardian_for_apache_kafka_spark.core.timeslice import (
+        ChronoUnitSlice,
+        calculate_key,
+    )
+    from guardian_for_apache_kafka_spark.operators.backup import (
+        with_slice,
+        write_array_objects,
+    )
+
+    if not isinstance(config, ChronoUnitSlice):
+        raise ValueError(
+            "stream_committed_backup requires a ChronoUnitSlice config"
+        )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        for v in list_versions(dest):
+            c = read_commit(dest, v)
+            if c.get("operation") == "stream_backup" and c.get("batch_id") == batch_id:
+                return  # replayed batch: already committed, exactly-once
+        sliced = with_slice(batch_df, config)
+        wire = sliced.select(
+            "slice", "topic", "partition", "offset",
+            record_to_json_col().alias("json"),
+        )
+        keys = write_array_objects(
+            wire, dest, compression=compression,
+            key_decoration=f".b{batch_id}",
+        )
+        if not keys:
+            return  # empty batch: no objects, no commit
+        comp = "gzip" if keys[0].endswith(".gz") else None
+        counts = {
+            _decorate_key(calculate_key(r["slice"], comp), batch_id): r["n"]
+            for r in sliced.groupBy("slice").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        actions = []
+        for k in keys:
+            meta = _file_meta(dest, k, digest)
+            if k in counts:
+                meta["records"] = int(counts[k])
+            actions.append(meta)
+        commit(dest, actions, "stream_backup", extra={"batch_id": batch_id})
+
+    writer = records.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _decorate_key(key: str, batch_id: int) -> str:
+    stem, ext = (key[:-3], ".gz") if key.endswith(".gz") else (key, "")
+    return stem[: -len(".json")] + f".b{batch_id}" + ".json" + ext
 
 
 def committed_retention(

@@ -294,3 +294,49 @@ def test_cli_log_and_vacuum_verbs(spark, records, tmp_path, capsys):
     vac = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert vac["n_deleted"] == rep0["live_files"]
     assert as_set(time_travel_read(spark, dest)) == as_set(records)
+
+
+def test_stream_committed_backup_exactly_once(spark, records, tmp_path):
+    """Streaming commits: one stream_backup commit per non-empty batch,
+    batch-decorated object names, snapshot == every streamed record, and a
+    replayed batch is a commit-log-exact no-op."""
+    from guardian_for_apache_kafka_spark.operators.commitlog import (
+        list_versions as _versions,
+        read_commit as _read,
+        stream_committed_backup,
+    )
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        records_file_stream,
+    )
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "arch")
+    ckpt = str(tmp_path / "ckpt")
+    records.coalesce(4).write.parquet(src)  # several files -> several batches
+    stream = records_file_stream(spark, src, max_files_per_trigger=2)
+    q = stream_committed_backup(stream, dest, ckpt, ChronoUnitSlice("HOURS"))
+    q.awaitTermination(120)
+    versions = _versions(dest)
+    assert versions, "stream produced no commits"
+    commits = [_read(dest, v) for v in versions]
+    assert all(c["operation"] == "stream_backup" for c in commits)
+    batch_ids = [c["batch_id"] for c in commits]
+    assert len(batch_ids) == len(set(batch_ids))
+    # every object name carries its batch decoration and parses to its slice
+    for c in commits:
+        for a in c["actions"]:
+            assert f".b{c['batch_id']}." in a["key"]
+    assert as_set(time_travel_read(spark, dest)) == as_set(records)
+    # census rode along
+    total = sum(a["records"] for c in commits for a in c["actions"])
+    assert total == records.count()
+    # restart with the same checkpoint: nothing new to process, no new commits
+    q2 = stream_committed_backup(
+        records_file_stream(spark, src, max_files_per_trigger=2),
+        dest, ckpt, ChronoUnitSlice("HOURS"),
+    )
+    q2.awaitTermination(120)
+    assert _versions(dest) == versions
+    # merge compaction then coalesces the per-batch objects
+    committed_merge_slices(spark, dest, group_records=10**9)
+    assert as_set(time_travel_read(spark, dest)) == as_set(records)
