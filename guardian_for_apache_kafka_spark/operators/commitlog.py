@@ -160,13 +160,70 @@ def commit(
         ) from e
     finally:
         os.unlink(tmp)
+    if version and version % CHECKPOINT_INTERVAL == 0:
+        try:
+            write_log_checkpoint(dest, version)
+        except OSError:
+            pass  # a missing checkpoint only costs fold time, never reads
     return version
 
 
-def snapshot(dest: str, version: int | None = None) -> dict:
+CHECKPOINT_INTERVAL = 32  # commits between snapshot checkpoints
+
+
+def _checkpoint_path(dest: str, version: int) -> str:
+    return os.path.join(_log_path(dest), f"{version:020d}.checkpoint.json")
+
+
+def write_log_checkpoint(dest: str, version: int | None = None) -> str:
+    """Materialize the folded snapshot at ``version`` as a checkpoint file —
+    the Delta-checkpoint analogue that bounds snapshot resolution to
+    O(commits since last checkpoint) instead of O(all commits). Readers use
+    it automatically; commits write one every ``CHECKPOINT_INTERVAL``
+    versions. Idempotent (same fold -> same content); a torn write cannot
+    corrupt reads because a checkpoint is only trusted if json-parseable,
+    with fall-back to the full fold."""
+    snap = snapshot(dest, version, use_checkpoint=False)
+    path = _checkpoint_path(dest, snap["version"])
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(snap, fh, sort_keys=True)
+    os.replace(tmp, path)
+    return path
+
+
+def _latest_checkpoint(dest: str, at_or_below: int) -> dict | None:
+    try:
+        names = os.listdir(_log_path(dest))
+    except FileNotFoundError:
+        return None
+    best = -1
+    for n in names:
+        if n.endswith(".checkpoint.json") and n[:20].isdigit():
+            v = int(n[:20])
+            if best < v <= at_or_below:
+                best = v
+    if best < 0:
+        return None
+    try:
+        with open(_checkpoint_path(dest, best)) as fh:
+            snap = json.load(fh)
+        if snap.get("version") == best and isinstance(snap.get("files"), dict):
+            return snap
+    except (OSError, ValueError):
+        pass  # unreadable/torn checkpoint: fall back to the full fold
+    return None
+
+
+def snapshot(
+    dest: str, version: int | None = None, use_checkpoint: bool = True
+) -> dict:
     """Fold the log up to ``version`` (default: latest). Returns
     ``{"version": v, "files": {logical_key: add-action-metadata}}`` — the
-    exact object set a snapshot-isolated read may touch."""
+    exact object set a snapshot-isolated read may touch. Resolution starts
+    from the newest readable checkpoint at or below ``version`` (see
+    :func:`write_log_checkpoint`), so a long-lived archive's read planning
+    stays O(CHECKPOINT_INTERVAL), not O(total commits)."""
     versions = list_versions(dest)
     if not versions:
         raise FileNotFoundError(f"no commit log at {dest!r} (run init_commit_log)")
@@ -175,7 +232,15 @@ def snapshot(dest: str, version: int | None = None) -> dict:
     elif version not in versions:
         raise ValueError(f"version {version} not in committed {versions}")
     files: dict[str, dict] = {}
+    start = 0
+    if use_checkpoint:
+        ckpt = _latest_checkpoint(dest, version)
+        if ckpt is not None:
+            files = dict(ckpt["files"])
+            start = ckpt["version"] + 1
     for v in versions:
+        if v < start:
+            continue
         if v > version:
             break
         for a in read_commit(dest, v)["actions"]:

@@ -340,3 +340,43 @@ def test_stream_committed_backup_exactly_once(spark, records, tmp_path):
     # merge compaction then coalesces the per-batch objects
     committed_merge_slices(spark, dest, group_records=10**9)
     assert as_set(time_travel_read(spark, dest)) == as_set(records)
+
+
+def test_log_checkpoint_bounds_replay(spark, records, tmp_path, monkeypatch):
+    """Snapshot resolution uses the newest checkpoint: the fold starts after
+    it, a torn checkpoint falls back to the full fold, and auto-checkpoints
+    land every CHECKPOINT_INTERVAL commits."""
+    import json as _json
+
+    from guardian_for_apache_kafka_spark.operators import commitlog as cl
+
+    dest = str(tmp_path / "ck")
+    committed_backup(records, dest, ChronoUnitSlice("HOURS"))
+    key0 = snapshot_keys(dest)[0]
+    # drive many tiny commits past one checkpoint interval
+    monkeypatch.setattr(cl, "CHECKPOINT_INTERVAL", 4)
+    for i in range(9):
+        op = "remove" if i % 2 == 0 else "add"
+        cl.commit(dest, [{"op": op, "key": key0}], "churn")
+    full = cl.snapshot(dest, use_checkpoint=False)
+    fast = cl.snapshot(dest)
+    assert fast == full
+    cks = [n for n in os.listdir(os.path.join(dest, "_guardian_log"))
+           if n.endswith(".checkpoint.json")]
+    assert cks, "auto-checkpoint never fired"
+    # historical as-of resolution agrees with the raw fold too
+    for v in (0, 3, 6):
+        assert cl.snapshot(dest, v) == cl.snapshot(dest, v, use_checkpoint=False)
+    # torn checkpoint: unparseable file must fall back, not corrupt reads
+    worst = os.path.join(dest, "_guardian_log", sorted(cks)[-1])
+    with open(worst, "w") as fh:
+        fh.write('{"version": 4, "files"')  # truncated json
+    assert cl.snapshot(dest) == full
+    # and an explicit rewrite repairs it
+    cl.write_log_checkpoint(dest)
+    assert cl.snapshot(dest) == full
+    # time_travel_read still round-trips through the checkpointed resolver
+    final_live = snapshot_keys(dest)
+    got = time_travel_read(spark, dest)
+    if key0 in final_live:
+        assert got.count() > 0
