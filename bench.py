@@ -329,19 +329,27 @@ def main() -> None:
 
             x10 = build_scale(spark, 10, base=sf_dir)
             register_views(spark, x10)  # stock twins now read the x10 corpus
+            # cheap-first so a tight budget sheds the expensive tail, and a
+            # wall budget so sf1 can NEVER cost the driver the headline line
             sf1_heavy = {
-                "d3_jaccard_pairs": "d3_ngram_jaccard_pairs",
-                "minhash_lsh": "d4_minhash_lsh_dedup",
-                "cosine_topk": "s1_cosine_topk",
-                "knn_graph": "s11_knn_graph",
                 "hapax_ratio": "t31_hapax_ratio",
+                "cosine_topk": "s1_cosine_topk",
                 "ngram_novelty": "t35_ngram_novelty",
+                "minhash_lsh": "d4_minhash_lsh_dedup",
+                "d3_jaccard_pairs": "d3_ngram_jaccard_pairs",
+                "knn_graph": "s11_knn_graph",
                 "curation_funnel": "p13_curation_funnel",
             }
             sf1_twinned = ("quality_filter", "readability", "canonical_dedup")
+            sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "300"))
+            sf1_t0 = time.perf_counter()
+            sf1_skipped: list[str] = []
             sf1_q: dict[str, float] = {}
             sf1_s: dict[str, float] = {}
             for metric, qname in sf1_heavy.items():
+                if time.perf_counter() - sf1_t0 > sf1_budget:
+                    sf1_skipped.append(metric)
+                    continue
                 builder = queries[qname]
                 build_engine = lambda: builder(spark, x10)  # noqa: E731
                 try:
@@ -353,6 +361,9 @@ def main() -> None:
                     print(f"bench sf1: {metric} failed: {exc}", file=sys.stderr)
                     sf1_q[metric] = -1.0
             for metric in sf1_twinned:
+                if time.perf_counter() - sf1_t0 > sf1_budget:
+                    sf1_skipped.append(metric)
+                    continue
                 builder = queries[HEADLINE[metric]]
                 sql = STOCK_QUERIES[metric]
                 build_engine = lambda: builder(spark, x10)  # noqa: E731
@@ -386,6 +397,8 @@ def main() -> None:
                 "ratio_vs_stock": sf1_ratios,
                 "ratio_total": round(comp_e / comp_s, 3) if comp_s else None,
                 "failed": sorted(k for k, v in sf1_q.items() if v < 0),
+                "budget_s": sf1_budget,
+                "skipped_over_budget": sf1_skipped,
             }
         except Exception as exc:  # never lose the headline line to sf1
             print(f"bench sf1 section failed wholesale: {exc}", file=sys.stderr)
