@@ -255,7 +255,10 @@ def snapshot_keys(dest: str, version: int | None = None) -> list[str]:
     """Live logical keys at a version, sorted by slice time (the commit-log
     replacement for `restore.list_backup_keys`'s directory listing)."""
     files = snapshot(dest, version)["files"]
-    return sorted(files, key=lambda k: key_to_datetime(k.removeprefix("slice=")))
+    return sorted(
+        files,
+        key=lambda k: (key_to_datetime(k.removeprefix("slice=")), k),
+    )
 
 
 def _file_meta(dest: str, key: str, digest: bool = True) -> dict:

@@ -86,16 +86,25 @@ def list_backup_keys(dest: str, spark: SparkSession | None = None) -> list[str]:
             names.append((key_to_datetime(stem), n))
         except ValueError:
             continue
-    names.sort(key=lambda p: p[0])
+    # tie-break by name: slices can hold SEVERAL objects (the commit layer's
+    # .b<batch> stream objects), and a time-only sort would order ties by
+    # directory-listing order — nondeterministic across filesystems
+    names.sort(key=lambda p: (p[0], p[1]))
     return [n for _, n in names]
 
 
 def prune_keys_from_when(keys: list[str], from_when: _dt.datetime) -> list[str]:
     """R3: drop keys strictly before the slice *preceding* the cutoff.
 
-    Mirrors RestoreClientInterface.scala:60-79 exactly: find the first key with
+    Mirrors RestoreClientInterface.scala:60-79: find the first key with
     time >= fromWhen and keep from (index - 1); if every key is earlier, keep
-    only the last (it may still straddle); index 0 keeps everything.
+    only the last slice (it may still straddle); index 0 keeps everything.
+
+    Multi-object slices (round 11): the commit layer's streaming sink puts
+    SEVERAL objects at one slice time (``<ISO>.b<batch>.json``), so "the
+    preceding slice" means every key SHARING that slice time — keeping just
+    one tied key would silently drop the other batches' straddling records.
+    The reference never has tied keys, so this is a strict generalization.
     """
     if not keys:
         return []
@@ -106,8 +115,13 @@ def prune_keys_from_when(keys: list[str], from_when: _dt.datetime) -> list[str]:
     times = [key_to_datetime(k[len("slice=") :] if k.startswith("slice=") else k) for k in keys]
     idx = next((i for i, t in enumerate(times) if t >= from_when), None)
     if idx is None:
-        return keys[-1:]
-    return keys[max(idx - 1, 0) :]
+        straddle_t = times[-1]
+    elif idx == 0:
+        return keys
+    else:
+        straddle_t = times[idx - 1]
+    first = next(i for i, t in enumerate(times) if t == straddle_t)
+    return keys[first:]
 
 
 def read_guardian_files(spark: SparkSession, paths: list[str] | str) -> DataFrame:

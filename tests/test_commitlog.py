@@ -380,3 +380,59 @@ def test_log_checkpoint_bounds_replay(spark, records, tmp_path, monkeypatch):
     got = time_travel_read(spark, dest)
     if key0 in final_live:
         assert got.count() > 0
+
+
+def test_fromwhen_straddle_keeps_all_tied_slice_objects():
+    """R3 pruning over multi-object slices: every object sharing the
+    straddling slice time survives the -1 rule (dropping all but one tied
+    key would lose the other batches' straddling records)."""
+    from guardian_for_apache_kafka_spark.operators.restore import (
+        prune_keys_from_when,
+    )
+
+    keys = [
+        "2024-01-01T00:00:00Z.b0.json",
+        "2024-01-01T01:00:00Z.b0.json",
+        "2024-01-01T01:00:00Z.b1.json",
+        "2024-01-01T01:00:00Z.b2.json",
+        "2024-01-01T02:00:00Z.b0.json",
+    ]
+    cut = dt.datetime(2024, 1, 1, 1, 30, tzinfo=UTC)
+    kept = prune_keys_from_when(keys, cut)
+    assert kept == keys[1:], "all three 01:00 objects straddle the cutoff"
+    # cutoff after everything: the whole LAST slice stays, not just one key
+    late = dt.datetime(2024, 1, 1, 9, 0, tzinfo=UTC)
+    assert prune_keys_from_when(keys[:4], late) == keys[1:4]
+    # cutoff before everything: keep all
+    early = dt.datetime(2023, 12, 31, tzinfo=UTC)
+    assert prune_keys_from_when(keys, early) == keys
+
+
+def test_stream_archive_fromwhen_restore_exact(spark, records, tmp_path):
+    """End-to-end: fromWhen restore over a multi-batch streamed archive is
+    record-exact (the straddle generalization, via real files)."""
+    from guardian_for_apache_kafka_spark.operators.commitlog import (
+        stream_committed_backup,
+    )
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        records_file_stream,
+    )
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "arch")
+    ckpt = str(tmp_path / "ckpt")
+    # repartition WITHOUT time ordering: each batch spans many slices, so
+    # most slices end up with several .b<id> objects
+    records.repartition(4).write.parquet(src)
+    q = stream_committed_backup(
+        records_file_stream(spark, src, max_files_per_trigger=1),
+        dest, ckpt, ChronoUnitSlice("HOURS"),
+    )
+    q.awaitTermination(120)
+    mid = records.agg(
+        F.percentile_approx("timestamp", 0.5).alias("m")
+    ).collect()[0]["m"]
+    cut = mid.replace(tzinfo=UTC)
+    got = restore_batch(spark, dest, fmt="guardian", from_when=cut)
+    expected = {t for t in as_set(records) if t[5] >= mid}
+    assert as_set(got) == expected
