@@ -83,6 +83,14 @@ def _version_name(version: int) -> str:
 
 def list_versions(dest: str) -> list[int]:
     """Committed versions, ascending. Missing log dir = uncommitted archive."""
+    if _is_remote(dest):
+        # loud, not a silent empty log: every reader funnels through here,
+        # and a remote archive silently reporting "no commits" would make
+        # snapshot readers fall back to nothing instead of failing
+        raise NotImplementedError(
+            "commit-log access over object-store URIs needs a CAS LogStore; "
+            "mount the archive (file://) or run from a coordinator with one"
+        )
     try:
         names = os.listdir(_log_path(dest))
     except FileNotFoundError:
@@ -583,6 +591,27 @@ def read_log(spark, dest: str):
                 a.get("md5"),
             ))
     return spark.createDataFrame(rows, _LOG_SCHEMA)
+
+
+def version_at_timestamp(dest: str, ts) -> int:
+    """Timestamp-based time travel: the newest version whose commit landed
+    at or before ``ts`` (ISO string or aware datetime) — Delta's
+    ``timestampAsOf`` semantics, resolved from the commits' ``committed_at``
+    wall-clock stamps. Raises if the earliest commit is later than ``ts``."""
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    best = None
+    for v in list_versions(dest):
+        at = _dt.datetime.fromisoformat(read_commit(dest, v)["committed_at"])
+        if at <= ts:
+            best = v
+        else:
+            break  # committed_at is monotone within one log
+    if best is None:
+        raise ValueError(f"no commit at or before {ts.isoformat()}")
+    return best
 
 
 def time_travel_read(spark, dest: str, version: int | None = None):

@@ -83,6 +83,7 @@ class GuardianReader(DataSourceReader):
         self.use_snapshot = (options.get("snapshot") or "").lower() in ("true", "1")
         vaso = options.get("versionasof")
         self.version_as_of = int(vaso) if vaso is not None else None
+        self.ts_as_of = options.get("timestampasof")  # ISO; resolved at plan time
         self.topics: set[str] | None = None
         self.require_key = False
 
@@ -113,12 +114,16 @@ class GuardianReader(DataSourceReader):
             prune_keys_from_when,
         )
 
-        if self.use_snapshot or self.version_as_of is not None:
+        if self.use_snapshot or self.version_as_of is not None or self.ts_as_of:
             from guardian_for_apache_kafka_spark.operators.commitlog import (
                 snapshot_keys,
+                version_at_timestamp,
             )
 
-            keys = snapshot_keys(self.path, self.version_as_of)
+            version = self.version_as_of
+            if version is None and self.ts_as_of:
+                version = version_at_timestamp(self.path, self.ts_as_of)
+            keys = snapshot_keys(self.path, version)
         else:
             keys = list_backup_keys(self.path)
         if self.from_when:

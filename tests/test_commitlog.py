@@ -436,3 +436,48 @@ def test_stream_archive_fromwhen_restore_exact(spark, records, tmp_path):
     got = restore_batch(spark, dest, fmt="guardian", from_when=cut)
     expected = {t for t in as_set(records) if t[5] >= mid}
     assert as_set(got) == expected
+
+
+def test_timestamp_as_of_time_travel(spark, records, tmp_path):
+    """Delta-style timestampAsOf: resolve the newest commit at or before a
+    wall-clock instant, through both the resolver and the DataSource option."""
+    from guardian_for_apache_kafka_spark.operators.commitlog import (
+        read_commit as _read,
+        version_at_timestamp,
+    )
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        register_guardian_datasource,
+    )
+
+    dest = str(tmp_path / "ts")
+    first, second = split_records(records)
+    committed_backup(first, dest, ChronoUnitSlice("HOURS"))
+    committed_backup(second, dest, ChronoUnitSlice("HOURS"))
+    at0 = _read(dest, 0)["committed_at"]
+    at1 = _read(dest, 1)["committed_at"]
+    assert version_at_timestamp(dest, at0) == 0
+    assert version_at_timestamp(dest, at1) == 1
+    assert version_at_timestamp(dest, "2999-01-01T00:00:00Z") == 1
+    with pytest.raises(ValueError):
+        version_at_timestamp(dest, "2000-01-01T00:00:00Z")
+    register_guardian_datasource(spark)
+    df = (
+        spark.read.format("guardian")
+        .option("timestampAsOf", at0)
+        .load(dest)
+    )
+    assert as_set(df) == as_set(first)
+
+
+def test_remote_scheme_commit_log_is_loud(tmp_path):
+    """Object-store URIs fail loudly at every commit-log surface instead of
+    silently reporting an empty log."""
+    from guardian_for_apache_kafka_spark.operators.commitlog import (
+        list_versions as _versions,
+        snapshot as _snapshot,
+        vacuum as _vacuum,
+    )
+
+    for fn in (_versions, _snapshot, _vacuum):
+        with pytest.raises(NotImplementedError):
+            fn("s3a://bucket/archive")
