@@ -18,13 +18,15 @@ Python replay of the p13 curation funnel (the one query with a driver-red
 history), and a full numpy reimplementation of the FAISS-style IVF/IVFPQ
 stack (id-mod-seeded Lloyd, 2^20-grid residuals, per-subspace PQ, ADC
 scoring, exact rerank) recomputing the s12/s16/s18 statistical verdicts
-from scratch. **249 checkers (round 9; round 10 kept them in lockstep
+from scratch. **261 checkers (round 11 adds the lakehouse trio g17-g19 and the nine resurfaced window veterans q24/q48/q55/q57/q58/q60-q63;
+round 10 kept them in lockstep
 with the p13/p15 integer-exact rewrite and the p19 overflow-NULL fix)**
 — every name in the round-9/10 attestation windows and never-attested
 pool, plus the complete d-family (d1-d39), s-family (s1-s25), t-family
-(t1-t41), p-family (p1-p21), g-family (g1-g16), m-family (m1-m14), and
-the formula-heavy statistics/graph/itemset relational cohort. 249/249
-green at sf0.01 and sf0.001 (round-10 re-run, post-rewrite).
+(t1-t41), p-family (p1-p21), g-family (g1-g19), m-family (m1-m14), and
+the formula-heavy statistics/graph/itemset relational cohort (g17-g19
+joined in round 11). 261/261
+green at sf0.01 and sf0.001 (round-11 re-run at both scales).
 The ~53 registry names without a checker are,
 by design, the lowest-value targets for this layer: plain ANSI-SQL
 relational shapes (q01-q36 basics, q55-q96 operational rollups) whose
@@ -5550,6 +5552,195 @@ CHECKERS.update({
     "g17_snapshot_log": chk_g17,
     "g18_time_travel_read": chk_g18,
     "g19_commit_log_audit": chk_g19,
+})
+
+
+# --- round-11 window veterans (r4-attested, resurfaced in the head-50
+# window after the r10 attestation-map regeneration) ---------------------
+
+
+def chk_q24(sf):
+    lf = duckdb.sql(f"SELECT l_returnflag FROM '{sf}/lineitem.parquet'").fetchdf()
+    g = lf.groupby("l_returnflag").size().sort_index()
+    return pd.DataFrame({
+        "l_returnflag": g.index, "n": g.values.astype("int64"),
+        "ndv_within_5pct": True, "median_within_2pct": True,
+    }).reset_index(drop=True)
+
+
+def chk_q48(sf):
+    ev = _events(sf)
+    g = (
+        ev.assign(day=ev.ts.dt.normalize())
+        .groupby("event_type").day.nunique().sort_index()
+    )
+    return pd.DataFrame({
+        "event_type": g.index, "n_days": g.values.astype("int64"),
+        "distinct_within_5pct": True,
+    }).reset_index(drop=True)
+
+
+def _orders_cents(sf):
+    od = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice, o_orderpriority FROM '{sf}/orders.parquet'"
+    ).fetchdf()
+    od["cents"] = (od.o_totalprice * 100).round().astype("int64")
+    return od
+
+
+def chk_q55(sf):
+    od = _orders_cents(sf)
+    rows = []
+    for r in od.itertuples():
+        k = r.o_orderkey
+        if k % 3 != 0 and k % 11 != 3:
+            c = r.cents + 100000 if (k % 7 == 0 and k % 11 != 3) else r.cents
+            rows.append((r.o_orderpriority, c))
+        if k % 3 == 0:
+            rows.append((r.o_orderpriority, r.cents))
+    m = pd.DataFrame(rows, columns=["pr", "cents"])
+    g = m.groupby("pr").agg(n=("cents", "size"), cents=("cents", "sum")).sort_index()
+    return pd.DataFrame({
+        "o_orderpriority": g.index, "n": g.n.values.astype("int64"),
+        "total_price": (g.cents / 100.0).round(2).values,
+    }).reset_index(drop=True)
+
+
+def _cdc_log(od, with_base_v3):
+    log = []  # (k, cents, pr, v, del)
+    for r in od.itertuples():
+        k = r.o_orderkey
+        if k % 3 != 0:
+            log.append((k, r.cents, r.o_orderpriority, 0, False))
+            if k % 7 == 0 and k % 11 != 3:
+                log.append((k, r.cents + 100000, r.o_orderpriority, 1, False))
+            if k % 11 == 3:
+                log.append((k, r.cents, r.o_orderpriority, 2, True))
+        elif with_base_v3:
+            log.append((k, r.cents, r.o_orderpriority, 3, False))
+    return log
+
+
+def chk_q57(sf):
+    od = _orders_cents(sf)
+    latest: dict = {}
+    for k, cents, pr, v, dl in _cdc_log(od, with_base_v3=False):
+        cur = latest.get(k)
+        if cur is None or v > cur[2]:
+            latest[k] = (cents, pr, v, dl)
+    rows = [
+        (k, pr, round(cents / 100.0, 2))
+        for k, (cents, pr, _v, dl) in sorted(latest.items()) if not dl
+    ]
+    return pd.DataFrame(rows, columns=["o_orderkey", "o_orderpriority", "price"])
+
+
+def chk_q61(sf):
+    od = _orders_cents(sf)
+    per_key: dict = {}
+    for k, cents, pr, v, dl in _cdc_log(od, with_base_v3=True):
+        per_key.setdefault(k, []).append((v, cents, pr, dl))
+    rows = []
+    for k in sorted(per_key):
+        hist = sorted(per_key[k])
+        for i, (v, cents, pr, dl) in enumerate(hist):
+            if dl:
+                continue
+            valid_to = hist[i + 1][0] if i + 1 < len(hist) else None
+            rows.append((k, round(cents / 100.0, 2), pr, v, valid_to))
+    out = pd.DataFrame(
+        rows, columns=["o_orderkey", "price", "o_orderpriority",
+                       "valid_from", "valid_to"]
+    )
+    out["valid_from"] = out.valid_from.astype("int64")
+    return out
+
+
+def chk_q58(sf):
+    ev = _events(sf)
+    cents = (ev["value"] * 100).round().astype("int64")
+    rows = []
+    for et in sorted(ev.event_type.unique()):
+        c = cents[ev.event_type == et]
+        bins = (c // 1000).value_counts().sort_index()
+        total = int(bins.sum())
+        cum = bins.cumsum()
+        import math as _math
+
+        p50_bin = int(cum.index[(cum >= _math.ceil(0.5 * total)).argmax()])
+        p95_bin = int(cum.index[(cum >= _math.ceil(0.95 * total)).argmax()])
+        e50 = float(c.quantile(0.5, interpolation="linear"))
+        e95 = float(c.quantile(0.95, interpolation="linear"))
+        rows.append((
+            et, total, p50_bin * 1000,
+            p50_bin * 1000 <= e50 <= p50_bin * 1000 + 1000,
+            p95_bin * 1000,
+            p95_bin * 1000 <= e95 <= p95_bin * 1000 + 1000,
+        ))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "n", "p50_cents", "p50_within_bin",
+        "p95_cents", "p95_within_bin",
+    ])
+
+
+def chk_q60(sf):
+    ev = _events(sf)
+    d = ev.assign(day=ev.ts.dt.normalize())[
+        ["event_type", "day", "user_id"]
+    ].drop_duplicates()
+    rows = []
+    for (et, day), _g in d.groupby(["event_type", "day"]):
+        lo = day - pd.Timedelta(days=6)
+        win = d[(d.event_type == et) & (d.day >= lo) & (d.day <= day)]
+        rows.append((et, day, win.user_id.nunique()))
+    out = pd.DataFrame(rows, columns=["event_type", "day", "n_exact"])
+    out["within_5pct"] = True
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def chk_q62(sf):
+    import math as _math
+
+    li = duckdb.sql(
+        f"SELECT l_orderkey, l_returnflag, l_extendedprice, l_discount "
+        f"FROM '{sf}/lineitem.parquet'"
+    ).fetchdf()
+    urgent = set(duckdb.sql(
+        f"SELECT o_orderkey FROM '{sf}/orders.parquet' "
+        f"WHERE o_orderpriority = '1-URGENT'"
+    ).fetchdf().o_orderkey)
+    li = li[li.l_orderkey.isin(urgent)]
+    rows = []
+    for rf, g in li.groupby("l_returnflag"):
+        rev = _math.fsum(g.l_extendedprice * (1 - g.l_discount))
+        rows.append((rf, len(g), round(rev, 2)))
+    return pd.DataFrame(rows, columns=["l_returnflag", "n_items", "revenue"])
+
+
+def chk_q63(sf):
+    import math as _math
+
+    ev = _events(sf)
+    e = ev.assign(day=ev.ts.dt.normalize())
+    counts = e.groupby("day").size()
+    keep = set(counts[counts % 3 == 0].index)
+    rows = []
+    for day in sorted(keep):
+        g = e[e.day == day]
+        rows.append((day, len(g), round(_math.fsum(g["value"]), 2)))
+    return pd.DataFrame(rows, columns=["day", "n", "total_value"])
+
+
+CHECKERS.update({
+    "q24_approx_aggregates": chk_q24,
+    "q48_sketch_rollup": chk_q48,
+    "q55_incremental_agg_maintenance": chk_q55,
+    "q57_snapshot_time_travel": chk_q57,
+    "q58_histogram_quantile_rollup": chk_q58,
+    "q60_rolling_distinct_sketch": chk_q60,
+    "q61_scd2_history": chk_q61,
+    "q62_runtime_filtered_join": chk_q62,
+    "q63_dynamic_partition_pruning": chk_q63,
 })
 
 
