@@ -531,8 +531,10 @@ def committed_merge_slices(
 def vacuum(dest: str, retain_versions: int = 1, orphans: bool = False) -> list[str]:
     """PHYSICAL delete of objects referenced by no retained snapshot. Keeps
     the newest ``retain_versions`` versions readable; older versions stop
-    time-traveling (their files may be gone) but their log entries remain
-    as the audit record. Returns deleted physical names.
+    time-traveling (a snapshot read that references a deleted object fails
+    at planning time with a vacuum diagnosis — guardian_source.partitions)
+    but their log entries remain as the audit record. Returns deleted
+    physical names.
 
     ``orphans=True`` additionally deletes listed archive objects the log
     has NEVER referenced — the debris of a writer that crashed between

@@ -114,6 +114,7 @@ class GuardianReader(DataSourceReader):
             prune_keys_from_when,
         )
 
+        pinned_version = None
         if self.use_snapshot or self.version_as_of is not None or self.ts_as_of:
             from guardian_for_apache_kafka_spark.operators.commitlog import (
                 snapshot_keys,
@@ -124,6 +125,7 @@ class GuardianReader(DataSourceReader):
             if version is None and self.ts_as_of:
                 version = version_at_timestamp(self.path, self.ts_as_of)
             keys = snapshot_keys(self.path, version)
+            pinned_version = version
         else:
             keys = list_backup_keys(self.path)
         if self.from_when:
@@ -157,10 +159,34 @@ class GuardianReader(DataSourceReader):
                     if topics is None or set(topics) & self.topics:
                         kept.append(k)  # unknown slices stay (stale-map safety)
                 keys = kept
-        return [
+        parts = [
             GuardianObjectPartition(os.path.join(self.path, physical_name(k)))
             for k in keys
         ]
+        if pinned_version is not None or self.use_snapshot:
+            # Fail at PLANNING time, with a diagnosis, if this snapshot
+            # references objects vacuum() has physically deleted — otherwise
+            # the read dies mid-job in an executor with a bare
+            # FileNotFoundError (easily mistaken for transient storage
+            # flake). Slice-count-bounded stat() calls, local-only by
+            # construction (snapshot mode requires the commit log, which
+            # refuses remote schemes).
+            missing = [p.path for p in parts if not os.path.exists(p.path)]
+            if missing:
+                from guardian_for_apache_kafka_spark.operators.commitlog import (
+                    list_versions,
+                )
+
+                shown = "latest" if pinned_version is None else pinned_version
+                raise ValueError(
+                    f"snapshot read at version {shown} references "
+                    f"{len(missing)} object(s) removed by vacuum() (first: "
+                    f"{os.path.basename(missing[0])!r}); this version's log "
+                    "entries remain as the audit record but its files are "
+                    "gone — re-read at a retained version (latest committed: "
+                    f"{list_versions(self.path)[-1]})"
+                )
+        return parts
 
     def read(self, partition: GuardianObjectPartition) -> Iterator[tuple]:
         blob = _open_bytes(partition.path)

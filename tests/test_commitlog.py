@@ -130,6 +130,11 @@ def test_retention_is_logical_until_vacuum(spark, records, tmp_path):
     assert as_set(latest) == {
         t for t in as_set(records) if t[5] >= cutpoint.replace(tzinfo=None)
     }
+    # the vacuumed version now fails at PLANNING time with a diagnosis
+    # (which version, how many objects gone, where to re-read) instead of
+    # dying mid-job in an executor with a bare FileNotFoundError
+    with pytest.raises(Exception, match=r"version 0 .*vacuum"):
+        time_travel_read(spark, dest, version=0).collect()
 
 
 def test_merge_slices_replace_commit(spark, records, tmp_path):
