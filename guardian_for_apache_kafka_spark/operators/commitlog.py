@@ -310,20 +310,49 @@ def committed_backup(
         write_guardian_format,
     )
 
+    from pyspark.sql import functions as F
+
     keys = write_guardian_format(records, dest, config, **writer_kwargs)
-    # per-slice record census for the log (one map-side-combined aggregate;
-    # the census is what lets committed_merge_slices PLAN without scanning)
+    # per-slice census + per-(topic, partition) offset zone maps for the log
+    # (ONE map-side-combined aggregate; slices x topic-partitions rows —
+    # metadata scale). The census lets committed_merge_slices PLAN without
+    # scanning; the offset ranges let snapshot reads SKIP whole objects
+    # against pushed offset predicates (guardian_source.partitions) — the
+    # object-level analogue of parquet row-group stats, stored in the
+    # commit log instead of a sidecar.
     comp = "gzip" if any(k.endswith(".gz") for k in keys) else None
-    counts = {
-        calculate_key(r["slice"], comp): r["n"]
-        for r in with_slice(records, config, writer_kwargs.get("anchor_us"))
-        .groupBy("slice").count().withColumnRenamed("count", "n").collect()
-    }
+    stats = (
+        with_slice(records, config, writer_kwargs.get("anchor_us"))
+        .groupBy("slice", "topic", "partition")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+        )
+        .collect()
+    )
+    counts: dict[str, int] = {}
+    offmaps: dict[str, dict[str, list[int]]] = {}
+    incomplete: set[str] = set()
+    for r in stats:
+        key = calculate_key(r["slice"], comp)
+        counts[key] = counts.get(key, 0) + int(r["n"])
+        if r["lo"] is None or r["hi"] is None:
+            # an all-NULL-offset group: this object's zone map cannot prove
+            # absence for its topic, so publish NO map at all (readers keep
+            # stat-less objects — stale-safety)
+            incomplete.add(key)
+        else:
+            offmaps.setdefault(key, {})[f"{r['topic']}/{r['partition']}"] = [
+                int(r["lo"]), int(r["hi"]),
+            ]
     actions = []
     for k in keys:
         meta = _file_meta(dest, k, digest)
         if k in counts:
-            meta["records"] = int(counts[k])
+            meta["records"] = counts[k]
+        if k in offmaps and k not in incomplete:
+            meta["offsets"] = offmaps[k]
         actions.append(meta)
     return commit(dest, actions, "backup", expected_version=expected_version)
 
@@ -522,6 +551,19 @@ def committed_merge_slices(
                 counts = [snap["files"][k].get("records") for k in members]
                 if all(c is not None for c in counts):
                     meta["records"] = int(sum(counts))
+                offs = [snap["files"][k].get("offsets") for k in members]
+                if all(offs):
+                    # zone-map union: the merged object's per-(topic,
+                    # partition) range is the envelope of its members'
+                    merged_off: dict[str, list[int]] = {}
+                    for o in offs:
+                        for tp, (lo, hi) in o.items():
+                            cur = merged_off.get(tp)
+                            merged_off[tp] = (
+                                [lo, hi] if cur is None
+                                else [min(cur[0], lo), max(cur[1], hi)]
+                            )
+                    meta["offsets"] = merged_off
             actions.append(meta)
     if not actions:
         return snap["version"]

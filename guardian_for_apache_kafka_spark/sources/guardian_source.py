@@ -14,7 +14,13 @@ native source with:
 - row-level FILTER PUSHDOWN via the DataSource ``pushFilters`` API:
   ``EqualTo``/``In`` on ``topic`` and ``IsNotNull`` on ``key`` are
   consumed inside the reader (records die at parse time); everything else
-  is handed back to Spark.
+  is handed back to Spark;
+- OBJECT SKIPPING from commit-log zone maps (snapshot/time-travel reads):
+  backup and compact commits record per-(topic, partition) min/max offsets
+  per object (operators/commitlog.committed_backup), and pushed
+  topic/offset predicates prune whole objects at planning time — the
+  object-level analogue of parquet row-group stats, with stale-safety
+  (stat-less objects always scan).
 
 This is the INTEGRATION surface — schema, partitioning and pushdown for
 ad-hoc SQL over archives. The JVM-side ``operators/restore.py`` paths
@@ -38,9 +44,13 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
     IsNotNull,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -86,12 +96,31 @@ class GuardianReader(DataSourceReader):
         self.ts_as_of = options.get("timestampasof")  # ISO; resolved at plan time
         self.topics: set[str] | None = None
         self.require_key = False
+        # inclusive offset window accumulated from pushed comparisons; used
+        # ONLY to skip whole objects against the commit log's per-(topic,
+        # partition) offset zone maps — the filters themselves are handed
+        # back so Spark still row-filters surviving objects
+        self.off_lo: int | None = None
+        self.off_hi: int | None = None
+
+    def _narrow_offsets(self, lo: int | None, hi: int | None) -> None:
+        if lo is not None:
+            self.off_lo = lo if self.off_lo is None else max(self.off_lo, lo)
+        if hi is not None:
+            self.off_hi = hi if self.off_hi is None else min(self.off_hi, hi)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         def narrow(values: set) -> None:
             # filters arrive as a CONJUNCTION: successive topic predicates
             # INTERSECT (overwriting would wrongly widen consumed filters)
             self.topics = values if self.topics is None else (self.topics & values)
+
+        def is_off(f) -> bool:
+            return (
+                f.attribute == ("offset",)
+                and isinstance(f.value, int)
+                and not isinstance(f.value, bool)
+            )
 
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("topic",):
@@ -100,6 +129,21 @@ class GuardianReader(DataSourceReader):
                 narrow(set(f.value))  # the In dataclass field is `value`
             elif isinstance(f, IsNotNull) and f.attribute == ("key",):
                 self.require_key = True
+            elif isinstance(f, GreaterThan) and is_off(f):
+                self._narrow_offsets(f.value + 1, None)
+                yield f
+            elif isinstance(f, GreaterThanOrEqual) and is_off(f):
+                self._narrow_offsets(f.value, None)
+                yield f
+            elif isinstance(f, LessThan) and is_off(f):
+                self._narrow_offsets(None, f.value - 1)
+                yield f
+            elif isinstance(f, LessThanOrEqual) and is_off(f):
+                self._narrow_offsets(None, f.value)
+                yield f
+            elif isinstance(f, EqualTo) and is_off(f):
+                self._narrow_offsets(f.value, f.value)
+                yield f
             else:
                 yield f  # not consumed — Spark applies it post-scan
 
@@ -115,17 +159,27 @@ class GuardianReader(DataSourceReader):
         )
 
         pinned_version = None
+        snap_meta: dict | None = None
         if self.use_snapshot or self.version_as_of is not None or self.ts_as_of:
+            from guardian_for_apache_kafka_spark.core.timeslice import (
+                key_to_datetime,
+            )
             from guardian_for_apache_kafka_spark.operators.commitlog import (
-                snapshot_keys,
+                snapshot,
                 version_at_timestamp,
             )
 
             version = self.version_as_of
             if version is None and self.ts_as_of:
                 version = version_at_timestamp(self.path, self.ts_as_of)
-            keys = snapshot_keys(self.path, version)
-            pinned_version = version
+            snap = snapshot(self.path, version)
+            pinned_version = snap["version"]
+            snap_meta = snap["files"]
+            # snapshot_keys' slice-time ordering, from the already-folded map
+            keys = sorted(
+                snap_meta,
+                key=lambda k: (key_to_datetime(k.removeprefix("slice=")), k),
+            )
         else:
             keys = list_backup_keys(self.path)
         if self.from_when:
@@ -159,27 +213,59 @@ class GuardianReader(DataSourceReader):
                     if topics is None or set(topics) & self.topics:
                         kept.append(k)  # unknown slices stay (stale-map safety)
                 keys = kept
+        if snap_meta is not None and (
+            self.off_lo is not None
+            or self.off_hi is not None
+            or self.topics is not None
+        ):
+            # commit-log zone-map skipping: each backup/compact commit records
+            # per-(topic, partition) min/max offsets for its objects
+            # (operators/commitlog.committed_backup) — the object-level
+            # analogue of parquet row-group stats. An object is skipped only
+            # when its recorded ranges PROVE no row can satisfy the pushed
+            # topic set and offset window; objects without recorded stats
+            # (converted logs, pre-stats commits) always stay.
+            kept = []
+            for k in keys:
+                ranges = (snap_meta.get(k) or {}).get("offsets")
+                if not ranges:
+                    kept.append(k)
+                    continue
+                for tp, (lo, hi) in ranges.items():
+                    if (
+                        self.topics is not None
+                        and tp.rsplit("/", 1)[0] not in self.topics
+                    ):
+                        continue
+                    if self.off_lo is not None and hi < self.off_lo:
+                        continue
+                    if self.off_hi is not None and lo > self.off_hi:
+                        continue
+                    kept.append(k)
+                    break
+            keys = kept
         parts = [
             GuardianObjectPartition(os.path.join(self.path, physical_name(k)))
             for k in keys
         ]
-        if pinned_version is not None or self.use_snapshot:
+        if snap_meta is not None:
             # Fail at PLANNING time, with a diagnosis, if this snapshot
             # references objects vacuum() has physically deleted — otherwise
             # the read dies mid-job in an executor with a bare
             # FileNotFoundError (easily mistaken for transient storage
             # flake). Slice-count-bounded stat() calls, local-only by
             # construction (snapshot mode requires the commit log, which
-            # refuses remote schemes).
+            # refuses remote schemes); zone-map-skipped objects are exempt
+            # (they are never opened, so their bytes may be legitimately
+            # vacuumed).
             missing = [p.path for p in parts if not os.path.exists(p.path)]
             if missing:
                 from guardian_for_apache_kafka_spark.operators.commitlog import (
                     list_versions,
                 )
 
-                shown = "latest" if pinned_version is None else pinned_version
                 raise ValueError(
-                    f"snapshot read at version {shown} references "
+                    f"snapshot read at version {pinned_version} references "
                     f"{len(missing)} object(s) removed by vacuum() (first: "
                     f"{os.path.basename(missing[0])!r}); this version's log "
                     "entries remain as the audit record but its files are "

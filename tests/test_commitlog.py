@@ -387,6 +387,62 @@ def test_log_checkpoint_bounds_replay(spark, records, tmp_path, monkeypatch):
         assert got.count() > 0
 
 
+def test_commit_offset_zonemaps_prune_snapshot_reads(spark, records, tmp_path):
+    """Backup commits record per-(topic, partition) min/max offsets per
+    object; snapshot reads skip whole objects a pushed offset window can
+    prove empty (the parquet row-group-stats analogue, stored in the
+    commit log), and REPLACE compaction carries the envelope forward."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        GuardianReader,
+    )
+
+    dest = str(tmp_path / "oz")
+    committed_backup(records, dest, ChronoUnitSlice("HOURS"))
+    metas = list(snapshot(dest)["files"].values())
+    assert metas and all("offsets" in m for m in metas)
+    for m in metas:
+        for tp, (lo, hi) in m["offsets"].items():
+            assert "/" in tp and lo <= hi
+
+    total = len(GuardianReader({"path": dest, "snapshot": "true"}).partitions())
+    gmax = max(hi for m in metas for (_, hi) in m["offsets"].values())
+    r = GuardianReader({"path": dest, "snapshot": "true"})
+    leftover = list(r.pushFilters([GreaterThanOrEqual(("offset",), gmax)]))
+    assert len(leftover) == 1, "offset filters return to Spark for row filtering"
+    assert 0 < len(r.partitions()) < total, "window prunes objects, keeps hits"
+
+    # end-to-end: the pruned scan returns exactly the filtered rows
+    want = records.where(F.col("offset") >= gmax)
+    got = time_travel_read(spark, dest).where(F.col("offset") >= gmax)
+    assert as_set(got) == as_set(want)
+
+    # compaction merges member zone maps into the merged object's envelope
+    committed_merge_slices(spark, dest, group_records=50)
+    snap2 = snapshot(dest)
+    assert all("offsets" in m for m in snap2["files"].values())
+    got2 = time_travel_read(spark, dest).where(F.col("offset") >= gmax)
+    assert as_set(got2) == as_set(want)
+
+
+def test_offset_pruning_stale_safety_on_converted_log(spark, records, tmp_path):
+    """A CONVERTed archive's version-0 actions carry no offset stats —
+    an offset-filtered snapshot read must keep (not skip) every object."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        GuardianReader,
+    )
+
+    dest = str(tmp_path / "cv")
+    write_guardian_format(records, dest, ChronoUnitSlice("HOURS"))
+    init_commit_log(dest)
+    r = GuardianReader({"path": dest, "snapshot": "true"})
+    list(r.pushFilters([GreaterThanOrEqual(("offset",), 1 << 60)]))
+    assert len(r.partitions()) == len(snapshot_keys(dest))
+
+
 def test_fromwhen_straddle_keeps_all_tied_slice_objects():
     """R3 pruning over multi-object slices: every object sharing the
     straddling slice time survives the -1 rule (dropping all but one tied
