@@ -65,6 +65,29 @@ class GuardianObjectPartition(InputPartition):
         self.path = path
 
 
+def zone_map_may_match(
+    ranges: dict | None,
+    topics: set | None,
+    off_lo: int | None,
+    off_hi: int | None,
+) -> bool:
+    """Object-skip decision for commit-log zone maps: False ONLY when the
+    recorded per-(topic, partition) offset ranges PROVE no row can satisfy
+    the pushed topic set and inclusive offset window. Missing or empty
+    ranges keep the object (stale-safety) — soundness over completeness."""
+    if not ranges:
+        return True
+    for tp, (lo, hi) in ranges.items():
+        if topics is not None and tp.rsplit("/", 1)[0] not in topics:
+            continue
+        if off_lo is not None and hi < off_lo:
+            continue
+        if off_hi is not None and lo > off_hi:
+            continue
+        return True
+    return False
+
+
 def _open_bytes(path: str) -> bytes:
     """Read one archive object. ``scheme://`` paths go through
     ``pyarrow.fs.FileSystem.from_uri`` (the executor-side FS dispatch the
@@ -225,25 +248,13 @@ class GuardianReader(DataSourceReader):
             # when its recorded ranges PROVE no row can satisfy the pushed
             # topic set and offset window; objects without recorded stats
             # (converted logs, pre-stats commits) always stay.
-            kept = []
-            for k in keys:
-                ranges = (snap_meta.get(k) or {}).get("offsets")
-                if not ranges:
-                    kept.append(k)
-                    continue
-                for tp, (lo, hi) in ranges.items():
-                    if (
-                        self.topics is not None
-                        and tp.rsplit("/", 1)[0] not in self.topics
-                    ):
-                        continue
-                    if self.off_lo is not None and hi < self.off_lo:
-                        continue
-                    if self.off_hi is not None and lo > self.off_hi:
-                        continue
-                    kept.append(k)
-                    break
-            keys = kept
+            keys = [
+                k for k in keys
+                if zone_map_may_match(
+                    (snap_meta.get(k) or {}).get("offsets"),
+                    self.topics, self.off_lo, self.off_hi,
+                )
+            ]
         parts = [
             GuardianObjectPartition(os.path.join(self.path, physical_name(k)))
             for k in keys

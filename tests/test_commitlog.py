@@ -426,6 +426,57 @@ def test_commit_offset_zonemaps_prune_snapshot_reads(spark, records, tmp_path):
     assert as_set(got2) == as_set(want)
 
 
+def test_zone_map_skip_is_sound_property():
+    """Property (hypothesis): zone_map_may_match may return False ONLY when
+    no row in the object satisfies the pushed topic set + offset window —
+    an unsound skip silently loses rows, so this is the invariant that
+    matters; completeness (skipping everything skippable) is not required."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from guardian_for_apache_kafka_spark.sources.guardian_source import (
+        zone_map_may_match,
+    )
+
+    rows_st = st.lists(
+        st.tuples(
+            st.sampled_from("abc"),            # topic
+            st.integers(0, 2),                 # partition
+            st.integers(0, 60),                # offset
+        ),
+        min_size=0, max_size=25,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        rows=rows_st,
+        topics=st.one_of(
+            st.none(), st.sets(st.sampled_from("abcd"), max_size=3)
+        ),
+        lo=st.one_of(st.none(), st.integers(-5, 65)),
+        hi=st.one_of(st.none(), st.integers(-5, 65)),
+    )
+    def check(rows, topics, lo, hi):
+        ranges: dict = {}
+        for t, p, o in rows:
+            tp = f"{t}/{p}"
+            cur = ranges.get(tp)
+            ranges[tp] = (
+                [o, o] if cur is None
+                else [min(cur[0], o), max(cur[1], o)]
+            )
+        if not zone_map_may_match(ranges, topics, lo, hi):
+            for t, _, o in rows:
+                satisfies = (
+                    (topics is None or t in topics)
+                    and (lo is None or o >= lo)
+                    and (hi is None or o <= hi)
+                )
+                assert not satisfies, (rows, topics, lo, hi)
+
+    check()
+
+
 def test_offset_pruning_stale_safety_on_converted_log(spark, records, tmp_path):
     """A CONVERTed archive's version-0 actions carry no offset stats —
     an offset-filtered snapshot read must keep (not skip) every object."""
