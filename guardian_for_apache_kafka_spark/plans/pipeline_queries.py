@@ -9578,3 +9578,74 @@ def g19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("operation")
     )
+
+
+@query(
+    "g20_zone_map_skipping",
+    oracle="""
+    WITH mx AS (
+      SELECT (3 * max(event_id)) // 4 AS w_lo FROM events
+    ),
+    per AS (
+      SELECT date_trunc('hour', ts) AS slice,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_ranges,
+             min(CASE WHEN event_type = 'click' THEN event_id END)
+               AS click_lo,
+             max(CASE WHEN event_type = 'click' THEN event_id END)
+               AS click_hi,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           AND event_id >= (SELECT w_lo FROM mx)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS matched_rows
+      FROM events GROUP BY 1
+    )
+    SELECT slice, n_ranges, click_lo, click_hi,
+           CAST(CASE WHEN click_hi >= (SELECT w_lo FROM mx)
+                THEN 1 ELSE 0 END AS BIGINT) AS scanned,
+           matched_rows
+    FROM per ORDER BY slice
+    """,
+    tags=("guardian", "lakehouse", "zonemap"),
+)
+def g20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log offset-zone-map skip plan (sources/guardian_source.
+    zone_map_may_match over operators/commitlog.committed_backup's
+    per-(topic, partition) min/max-offset stats), as a relational query
+    the oracle can replay exactly: for the canonical one-object-per-hour
+    archive and the pushed predicate ``topic = 'click' AND offset >=
+    w_lo`` (w_lo = 3/4 of the max offset, all-integer), emit each
+    object's recorded click range, whether the planner scans or skips
+    it, and how many rows actually match. The zone-map soundness
+    invariant is visible in the output: scanned = 0 rows always carry
+    matched_rows = 0 (a skip is only ever proven-empty), while the
+    incompleteness direction (scanned = 1 with matched_rows = 0) is
+    allowed — min/max envelopes over-approximate. One corpus-sized
+    aggregate; the skip decision itself is metadata-scale, exactly as in
+    the real planner where it runs driver-side over the folded log."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.expr("(3 * max(event_id)) div 4").alias("__w"))
+    is_click = F.col("event_type") == "click"
+    per = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy(F.date_trunc("hour", "ts").alias("slice"))
+        .agg(
+            F.countDistinct("event_type").cast("long").alias("n_ranges"),
+            F.min(F.when(is_click, F.col("event_id"))).alias("click_lo"),
+            F.max(F.when(is_click, F.col("event_id"))).alias("click_hi"),
+            F.sum(
+                F.when(is_click & (F.col("event_id") >= F.col("__w")), 1)
+                .otherwise(0)
+            ).cast("long").alias("matched_rows"),
+            F.max("__w").alias("__w"),
+        )
+    )
+    return per.select(
+        "slice",
+        "n_ranges",
+        "click_lo",
+        "click_hi",
+        F.when(F.col("click_hi") >= F.col("__w"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("scanned"),
+        "matched_rows",
+    ).orderBy("slice")

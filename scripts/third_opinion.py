@@ -18,13 +18,13 @@ Python replay of the p13 curation funnel (the one query with a driver-red
 history), and a full numpy reimplementation of the FAISS-style IVF/IVFPQ
 stack (id-mod-seeded Lloyd, 2^20-grid residuals, per-subspace PQ, ADC
 scoring, exact rerank) recomputing the s12/s16/s18 statistical verdicts
-from scratch. **261 checkers (round 11 adds the lakehouse trio g17-g19 and the nine resurfaced window veterans q24/q48/q55/q57/q58/q60-q63;
+from scratch. **262 checkers (round 11 adds the lakehouse g17-g20 and the nine resurfaced window veterans q24/q48/q55/q57/q58/q60-q63;
 round 10 kept them in lockstep
 with the p13/p15 integer-exact rewrite and the p19 overflow-NULL fix)**
 — every name in the round-9/10 attestation windows and never-attested
 pool, plus the complete d-family (d1-d39), s-family (s1-s25), t-family
 (t1-t41), p-family (p1-p21), g-family (g1-g19), m-family (m1-m14), and
-the formula-heavy statistics/graph/itemset relational cohort (g17-g19
+the formula-heavy statistics/graph/itemset relational cohort (g17-g20
 joined in round 11). 261/261
 green at sf0.01 and sf0.001 (round-11 re-run at both scales).
 The ~53 registry names without a checker are,
@@ -5548,10 +5548,32 @@ def chk_g19(sf):
     )
 
 
+def chk_g20(sf):
+    ev = _events(sf)
+    w_lo = (3 * int(ev.event_id.max())) // 4
+    rows = []
+    for sl, grp in sorted(ev.groupby(ev.ts.dt.floor("h")), key=lambda kv: kv[0]):
+        clicks = grp[grp.event_type == "click"]
+        click_lo = int(clicks.event_id.min()) if len(clicks) else None
+        click_hi = int(clicks.event_id.max()) if len(clicks) else None
+        scanned = 1 if (click_hi is not None and click_hi >= w_lo) else 0
+        matched = int((clicks.event_id >= w_lo).sum())
+        rows.append((
+            sl, int(grp.event_type.nunique()), click_lo, click_hi,
+            scanned, matched,
+        ))
+    return pd.DataFrame(
+        rows,
+        columns=["slice", "n_ranges", "click_lo", "click_hi",
+                 "scanned", "matched_rows"],
+    )
+
+
 CHECKERS.update({
     "g17_snapshot_log": chk_g17,
     "g18_time_travel_read": chk_g18,
     "g19_commit_log_audit": chk_g19,
+    "g20_zone_map_skipping": chk_g20,
 })
 
 
