@@ -339,6 +339,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="archive layout to read (matches the backup --format)")
     r.add_argument("--instances", action="store_true",
                    help="read per-instance roots under --source (concurrent-backup layout; json format)")
+    r.add_argument("--snapshot", action="store_true",
+                   help="restore from the latest committed snapshot (commit-log "
+                        "archives; orphans of crashed writers stay invisible)")
+    r.add_argument("--version", type=int, default=None, dest="as_of_version",
+                   help="restore the archive as of a committed version "
+                        "(point-in-time restore; implies --snapshot)")
     r.add_argument("--target", default=None,
                    help="output parquet dir (or Kafka when bootstrap servers are given)")
 
@@ -662,6 +668,8 @@ def main(argv: list[str] | None = None) -> int:
             from_when=args.from_when,
             fmt=args.format,
             instances=args.instances,
+            snapshot=args.snapshot,
+            version=args.as_of_version,
         )
         overrides = _parse_override_topics(args.override_topics)
         if bootstrap:

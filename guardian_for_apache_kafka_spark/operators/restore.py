@@ -261,6 +261,8 @@ def restore_batch(
     from_when: _dt.datetime | None = None,
     fmt: str = "guardian",
     instances: bool = False,
+    snapshot: bool = False,
+    version: int | None = None,
 ) -> DataFrame:
     """Full restore read: prune slices (R3), parse (R4/R5), filter records (R6).
 
@@ -270,11 +272,27 @@ def restore_batch(
     ``instances=True`` (json only): per-instance roots under ``source``
     (the concurrent-backup layout); the straddle lower bound still prunes —
     it is conservative per instance since every instance shares the cutoff.
+
+    ``snapshot=True`` / ``version=N`` (guardian format, commit-log archives —
+    operators/commitlog): restore from a pinned committed snapshot instead of
+    the directory listing — a crashed writer's orphans stay invisible, a
+    concurrent commit cannot change the object set mid-restore, and
+    ``version`` makes the restore point-in-time (the bulk-path twin of the
+    DataSource's ``versionAsOf`` read).
     """
+    if (snapshot or version is not None) and fmt != "guardian":
+        raise ValueError("snapshot/version restore requires fmt='guardian'")
     if fmt == "guardian":
         if instances:
             raise ValueError("instances=True requires fmt='json'")
-        keys = list_backup_keys(source, spark)
+        if snapshot or version is not None:
+            from guardian_for_apache_kafka_spark.operators.commitlog import (
+                snapshot_keys,
+            )
+
+            keys = snapshot_keys(source, version)
+        else:
+            keys = list_backup_keys(source, spark)
         if from_when is not None:
             keys = prune_keys_from_when(keys, from_when)
         if not keys:

@@ -387,6 +387,44 @@ def test_log_checkpoint_bounds_replay(spark, records, tmp_path, monkeypatch):
         assert got.count() > 0
 
 
+def test_restore_batch_snapshot_and_version(spark, records, tmp_path):
+    """Bulk restore from a pinned snapshot: point-in-time (version=N),
+    latest-committed (snapshot=True), and orphan invisibility — a crashed
+    writer's uncommitted object reaches the directory-listing restore but
+    never the snapshot restore."""
+    import shutil
+
+    dest = str(tmp_path / "rs")
+    committed_backup(records, dest, ChronoUnitSlice("HOURS"))
+    keys = snapshot_keys(dest)
+    cutpoint = dt.datetime.fromisoformat(
+        keys[len(keys) // 2].split(".json")[0].replace("Z", "+00:00")
+    )
+    committed_retention(dest, cutpoint)
+
+    assert as_set(
+        restore_batch(spark, dest, fmt="guardian", version=0)
+    ) == as_set(records)
+    retained = {
+        t for t in as_set(records) if t[5] >= cutpoint.replace(tzinfo=None)
+    }
+    assert as_set(
+        restore_batch(spark, dest, fmt="guardian", snapshot=True)
+    ) == retained
+
+    # orphan: a valid-looking object the log never referenced
+    shutil.copy(
+        os.path.join(dest, physical_name(keys[0])),
+        os.path.join(dest, physical_name("2030-01-01T00:00:00Z.json")),
+    )
+    n_listing = restore_batch(spark, dest, fmt="guardian").count()
+    n_snapshot = restore_batch(spark, dest, fmt="guardian", snapshot=True).count()
+    assert n_snapshot == len(retained) < n_listing
+
+    with pytest.raises(ValueError, match="fmt='guardian'"):
+        restore_batch(spark, dest, fmt="json", snapshot=True)
+
+
 def test_commit_offset_zonemaps_prune_snapshot_reads(spark, records, tmp_path):
     """Backup commits record per-(topic, partition) min/max offsets per
     object; snapshot reads skip whole objects a pushed offset window can
