@@ -334,13 +334,18 @@ def main() -> None:
             sf1_heavy = {
                 "hapax_ratio": "t31_hapax_ratio",
                 "cosine_topk": "s1_cosine_topk",
-                "ngram_novelty": "t35_ngram_novelty",
                 "minhash_lsh": "d4_minhash_lsh_dedup",
                 "d3_jaccard_pairs": "d3_ngram_jaccard_pairs",
                 "knn_graph": "s11_knn_graph",
                 "curation_funnel": "p13_curation_funnel",
             }
-            sf1_twinned = ("quality_filter", "readability", "canonical_dedup")
+            sf1_twinned = (
+                "quality_filter", "readability", "canonical_dedup",
+                # the naive shingle-keyed SQL vs the engine's de-skewed
+                # owner-attribution aggregate — the r8 de-skew, measured
+                # where it matters (10x corpus)
+                "ngram_novelty",
+            )
             sf1_budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "300"))
             sf1_t0 = time.perf_counter()
             sf1_skipped: list[str] = []

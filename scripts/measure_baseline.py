@@ -234,6 +234,32 @@ QUERIES = {
                      - (84.6 * (n_syll * 1.0 / n_words)), 3) AS flesch
         FROM d ORDER BY doc_id LIMIT 200
     """,
+    # the NAIVE shingle-keyed formulation (explode -> GROUP BY shingle ->
+    # join back): what a stock user writes for first-contribution novelty;
+    # the engine's t35 computes the same result via the de-skewed
+    # owner-attribution aggregate (operators/text.py novelty_from_pairs)
+    "ngram_novelty": """
+        WITH toks AS (SELECT doc_id, split(text, ' ') AS tk FROM documents),
+        shl AS (
+          SELECT doc_id,
+                 array_distinct(transform(sequence(0, size(tk) - 3),
+                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+          FROM toks WHERE size(tk) >= 3
+        ),
+        inv AS (SELECT doc_id, explode(sh) AS s FROM shl),
+        owner AS (SELECT s, min(doc_id) AS o FROM inv GROUP BY s),
+        novel AS (SELECT o AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+                  FROM owner GROUP BY o),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                FROM inv GROUP BY doc_id)
+        SELECT t.doc_id, t.n_shingles,
+               CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+               round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / t.n_shingles, 4)
+                 AS novelty_ratio
+        FROM tot t LEFT JOIN novel n ON n.doc_id = t.doc_id
+        ORDER BY t.doc_id
+        LIMIT 100
+    """,
     "auc": """
         WITH u AS (
           SELECT user_id,
