@@ -416,16 +416,37 @@ def stream_committed_backup(
         if not keys:
             return  # empty batch: no objects, no commit
         comp = "gzip" if keys[0].endswith(".gz") else None
-        counts = {
-            _decorate_key(calculate_key(r["slice"], comp), batch_id): r["n"]
-            for r in sliced.groupBy("slice").count()
-            .withColumnRenamed("count", "n").collect()
-        }
+        # same census + offset zone maps as committed_backup (one batch-scale
+        # aggregate): streaming-built archives skip objects on snapshot
+        # reads exactly like batch-built ones
+        stats = (
+            sliced.groupBy("slice", "topic", "partition")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("offset").alias("lo"),
+                F.max("offset").alias("hi"),
+            )
+            .collect()
+        )
+        counts: dict[str, int] = {}
+        offmaps: dict[str, dict[str, list[int]]] = {}
+        incomplete: set[str] = set()
+        for r in stats:
+            k = _decorate_key(calculate_key(r["slice"], comp), batch_id)
+            counts[k] = counts.get(k, 0) + int(r["n"])
+            if r["lo"] is None or r["hi"] is None:
+                incomplete.add(k)
+            else:
+                offmaps.setdefault(k, {})[f"{r['topic']}/{r['partition']}"] = [
+                    int(r["lo"]), int(r["hi"]),
+                ]
         actions = []
         for k in keys:
             meta = _file_meta(dest, k, digest)
             if k in counts:
-                meta["records"] = int(counts[k])
+                meta["records"] = counts[k]
+            if k in offmaps and k not in incomplete:
+                meta["offsets"] = offmaps[k]
             actions.append(meta)
         commit(dest, actions, "stream_backup", extra={"batch_id": batch_id})
 

@@ -332,9 +332,15 @@ def test_stream_committed_backup_exactly_once(spark, records, tmp_path):
         for a in c["actions"]:
             assert f".b{c['batch_id']}." in a["key"]
     assert as_set(time_travel_read(spark, dest)) == as_set(records)
-    # census rode along
+    # census + offset zone maps rode along (streaming-built archives skip
+    # objects on snapshot reads exactly like batch-built ones)
     total = sum(a["records"] for c in commits for a in c["actions"])
     assert total == records.count()
+    assert all("offsets" in a for c in commits for a in c["actions"])
+    for c in commits:
+        for a in c["actions"]:
+            assert sum(1 for _ in a["offsets"]) >= 1
+            assert all(lo <= hi for lo, hi in a["offsets"].values())
     # restart with the same checkpoint: nothing new to process, no new commits
     q2 = stream_committed_backup(
         records_file_stream(spark, src, max_files_per_trigger=2),
