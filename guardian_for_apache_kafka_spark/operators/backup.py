@@ -225,7 +225,8 @@ def write_guardian_format(
     interrupted: bool = False,
     anchor_us: int | None = None,
     compression_level: int | None = None,
-) -> list[str]:
+    return_stats: bool = False,
+):
     """Byte-exact reference format: per slice, one file named
     ``calculate_key(slice_start)`` containing a JSON array of wire records in
     (topic, partition, offset) order; the final file gets ``null]`` instead of
@@ -260,6 +261,7 @@ def write_guardian_format(
         compression_level=compression_level,
         interrupted=interrupted,
         last_slice=last_slice,
+        return_stats=return_stats,
     )
 
 
@@ -271,7 +273,8 @@ def write_array_objects(
     interrupted: bool = False,
     last_slice=None,
     key_decoration: str = "",
-) -> list[str]:
+    return_stats: bool = False,
+):
     """Writer core shared by :func:`write_guardian_format` (slices computed
     from a TimeConfiguration) and the commit layer's merge rewrite
     (``operators/commitlog.committed_merge_slices`` assigns each group's
@@ -280,6 +283,16 @@ def write_array_objects(
     ``(slice timestamp, topic, partition, offset, json)``; one output object
     per distinct slice, named ``calculate_key(slice)``, reference array
     framing, executors write their slices in parallel.
+
+    The write is ONE job: each task writes its objects and returns
+    per-(object, topic, partition) stats computed from exactly the rows it
+    wrote, which also yields the key list — no second evaluation of
+    ``wire``, so the stats describe the written bytes even for inputs that
+    would not replay identically. ``return_stats=True`` returns
+    ``(keys, {key: {"records": n, "offsets": {"topic/partition": [lo, hi]}
+    | None}})`` — ``offsets`` is None when any (topic, partition) group in
+    the object holds only NULL offsets (an incomplete zone map must not be
+    published; see commitlog.committed_backup).
 
     ``key_decoration`` is inserted between the ISO stem and the extension
     (``<ISO><decoration>.json[.gz]``): the commit layer passes a unique
@@ -307,11 +320,14 @@ def write_array_objects(
     interrupted_local = interrupted
     last_slice_bc = last_slice
 
-    def write_partition(rows) -> None:
+    def write_partition(rows):
         cur_key = None
         fh = None
         raw = None
         first = True
+        # (key, topic, partition) -> [rows, non-null-offset rows, lo, hi],
+        # accumulated from exactly the rows this task writes
+        stats: dict = {}
 
         def finish(terminate_interrupted: bool) -> None:
             nonlocal fh, raw
@@ -340,13 +356,50 @@ def write_array_objects(
                 fh.write(b",")
             fh.write(row["json"].encode("utf-8"))
             first = False
+            st = stats.setdefault(
+                (cur_key, row["topic"], row["partition"]), [0, 0, None, None]
+            )
+            st[0] += 1
+            off = row["offset"]
+            if off is not None:
+                st[1] += 1
+                st[2] = off if st[2] is None else min(st[2], off)
+                st[3] = off if st[3] is None else max(st[3], off)
         if cur_key is not None:
             is_last = last_slice_bc is not None and _decorate(calculate_key(last_slice_bc, comp)) == cur_key
             finish(interrupted_local and is_last)
+        return [
+            (k, t, p, n, nn, lo, hi)
+            for (k, t, p), (n, nn, lo, hi) in stats.items()
+        ]
 
-    wire.foreachPartition(write_partition)
-    keys = sorted(
-        _decorate(calculate_key(r["slice"], comp))
-        for r in wire.select("slice").distinct().collect()
-    )
-    return keys
+    # ONE job writes and reports: keys + census + offset envelopes all come
+    # from the rows actually written (no re-evaluation of `wire`)
+    rows_stats = wire.rdd.mapPartitions(write_partition).collect()
+    records_by_key: dict = {}
+    tp_agg: dict = {}
+    for k, t, p, n, nn, lo, hi in rows_stats:
+        records_by_key[k] = records_by_key.get(k, 0) + n
+        e = tp_agg.setdefault((k, f"{t}/{p}"), [0, None, None])
+        e[0] += nn
+        if lo is not None:
+            e[1] = lo if e[1] is None else min(e[1], lo)
+            e[2] = hi if e[2] is None else max(e[2], hi)
+    keys = sorted(records_by_key)
+    if not return_stats:
+        return keys
+    stats_out: dict = {
+        k: {"records": records_by_key[k], "offsets": {}} for k in keys
+    }
+    incomplete: set = set()
+    for (k, tp), (nn, lo, hi) in tp_agg.items():
+        if nn == 0:
+            # a (topic, partition) group whose offsets are all NULL: the
+            # object's map can't prove absence for that topic — publish none
+            incomplete.add(k)
+        else:
+            stats_out[k]["offsets"][tp] = [int(lo), int(hi)]
+    for k in keys:
+        if k in incomplete or not stats_out[k]["offsets"]:
+            stats_out[k]["offsets"] = None
+    return keys, stats_out

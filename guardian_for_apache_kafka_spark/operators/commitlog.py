@@ -269,6 +269,32 @@ def snapshot_keys(dest: str, version: int | None = None) -> list[str]:
     )
 
 
+def ensure_snapshot_objects_present(
+    dest: str, keys, version: int | None = None
+) -> None:
+    """Planning-time guard shared by every snapshot reader (the guardian
+    DataSource and `restore.restore_batch`): raise a vacuum diagnosis if any
+    referenced object's bytes are gone, instead of letting the job die
+    mid-flight in an executor with a bare FileNotFoundError (easily mistaken
+    for transient storage flake). Slice-count-bounded stat() calls; handles
+    bare and ``file://`` paths exactly like every other commit-log accessor
+    (snapshot mode refuses other remote schemes via :func:`list_versions`)."""
+    root = _local_root(dest)
+    missing = [
+        k for k in keys
+        if not os.path.exists(os.path.join(root, physical_name(k)))
+    ]
+    if missing:
+        shown = "latest" if version is None else version
+        raise ValueError(
+            f"snapshot read at version {shown} references {len(missing)} "
+            "object(s) removed by vacuum() (first: "
+            f"{physical_name(missing[0])!r}); this version's log entries "
+            "remain as the audit record but its files are gone — re-read at "
+            f"a retained version (latest committed: {list_versions(dest)[-1]})"
+        )
+
+
 def _file_meta(dest: str, key: str, digest: bool = True) -> dict:
     path = os.path.join(_local_root(dest), physical_name(key))
     meta: dict = {"op": "add", "key": key, "size": os.path.getsize(path)}
@@ -304,57 +330,43 @@ def committed_backup(
     written keys. Objects land before the commit, so a crash between the
     two leaves orphans INVISIBLE to snapshot readers (vacuum(orphans=True)
     collects them) — write-then-commit is what makes the data path atomic."""
-    from guardian_for_apache_kafka_spark.core.timeslice import calculate_key
     from guardian_for_apache_kafka_spark.operators.backup import (
-        with_slice,
         write_guardian_format,
     )
 
-    from pyspark.sql import functions as F
-
-    keys = write_guardian_format(records, dest, config, **writer_kwargs)
-    # per-slice census + per-(topic, partition) offset zone maps for the log
-    # (ONE map-side-combined aggregate; slices x topic-partitions rows —
-    # metadata scale). The census lets committed_merge_slices PLAN without
+    # the writer's ONE job returns keys + census + per-(topic, partition)
+    # offset envelopes computed from exactly the rows it wrote (no second
+    # evaluation of `records` — the stats describe the written bytes by
+    # construction). The census lets committed_merge_slices PLAN without
     # scanning; the offset ranges let snapshot reads SKIP whole objects
     # against pushed offset predicates (guardian_source.partitions) — the
     # object-level analogue of parquet row-group stats, stored in the
     # commit log instead of a sidecar.
-    comp = "gzip" if any(k.endswith(".gz") for k in keys) else None
-    stats = (
-        with_slice(records, config, writer_kwargs.get("anchor_us"))
-        .groupBy("slice", "topic", "partition")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("offset").alias("lo"),
-            F.max("offset").alias("hi"),
-        )
-        .collect()
+    keys, stats = write_guardian_format(
+        records, dest, config, return_stats=True, **writer_kwargs
     )
-    counts: dict[str, int] = {}
-    offmaps: dict[str, dict[str, list[int]]] = {}
-    incomplete: set[str] = set()
-    for r in stats:
-        key = calculate_key(r["slice"], comp)
-        counts[key] = counts.get(key, 0) + int(r["n"])
-        if r["lo"] is None or r["hi"] is None:
-            # an all-NULL-offset group: this object's zone map cannot prove
-            # absence for its topic, so publish NO map at all (readers keep
-            # stat-less objects — stale-safety)
-            incomplete.add(key)
-        else:
-            offmaps.setdefault(key, {})[f"{r['topic']}/{r['partition']}"] = [
-                int(r["lo"]), int(r["hi"]),
-            ]
+    return commit(
+        dest,
+        _stats_actions(dest, keys, stats, digest),
+        "backup",
+        expected_version=expected_version,
+    )
+
+
+def _stats_actions(dest: str, keys, stats: dict, digest: bool) -> list[dict]:
+    """``add`` actions for freshly written objects: file meta + the writer's
+    census/offset stats (``offsets`` omitted when the writer marked the
+    object's map incomplete — readers keep stat-less objects)."""
     actions = []
     for k in keys:
         meta = _file_meta(dest, k, digest)
-        if k in counts:
-            meta["records"] = counts[k]
-        if k in offmaps and k not in incomplete:
-            meta["offsets"] = offmaps[k]
+        st = stats.get(k)
+        if st is not None:
+            meta["records"] = int(st["records"])
+            if st["offsets"]:
+                meta["offsets"] = st["offsets"]
         actions.append(meta)
-    return commit(dest, actions, "backup", expected_version=expected_version)
+    return actions
 
 
 def stream_committed_backup(
@@ -382,13 +394,8 @@ def stream_committed_backup(
     checkpointed-anchor machinery; compose stream_backup_foreach_batch +
     init_commit_log for that layout instead). Returns the StreamingQuery.
     """
-    from pyspark.sql import functions as F
-
     from guardian_for_apache_kafka_spark.core.model import record_to_json_col
-    from guardian_for_apache_kafka_spark.core.timeslice import (
-        ChronoUnitSlice,
-        calculate_key,
-    )
+    from guardian_for_apache_kafka_spark.core.timeslice import ChronoUnitSlice
     from guardian_for_apache_kafka_spark.operators.backup import (
         with_slice,
         write_array_objects,
@@ -409,46 +416,21 @@ def stream_committed_backup(
             "slice", "topic", "partition", "offset",
             record_to_json_col().alias("json"),
         )
-        keys = write_array_objects(
+        # the writer's one-job stats give streaming-built archives the same
+        # census + offset zone maps as batch committed_backup, computed from
+        # exactly the written rows
+        keys, stats = write_array_objects(
             wire, dest, compression=compression,
-            key_decoration=f".b{batch_id}",
+            key_decoration=f".b{batch_id}", return_stats=True,
         )
         if not keys:
             return  # empty batch: no objects, no commit
-        comp = "gzip" if keys[0].endswith(".gz") else None
-        # same census + offset zone maps as committed_backup (one batch-scale
-        # aggregate): streaming-built archives skip objects on snapshot
-        # reads exactly like batch-built ones
-        stats = (
-            sliced.groupBy("slice", "topic", "partition")
-            .agg(
-                F.count("*").alias("n"),
-                F.min("offset").alias("lo"),
-                F.max("offset").alias("hi"),
-            )
-            .collect()
+        commit(
+            dest,
+            _stats_actions(dest, keys, stats, digest),
+            "stream_backup",
+            extra={"batch_id": batch_id},
         )
-        counts: dict[str, int] = {}
-        offmaps: dict[str, dict[str, list[int]]] = {}
-        incomplete: set[str] = set()
-        for r in stats:
-            k = _decorate_key(calculate_key(r["slice"], comp), batch_id)
-            counts[k] = counts.get(k, 0) + int(r["n"])
-            if r["lo"] is None or r["hi"] is None:
-                incomplete.add(k)
-            else:
-                offmaps.setdefault(k, {})[f"{r['topic']}/{r['partition']}"] = [
-                    int(r["lo"]), int(r["hi"]),
-                ]
-        actions = []
-        for k in keys:
-            meta = _file_meta(dest, k, digest)
-            if k in counts:
-                meta["records"] = counts[k]
-            if k in offmaps and k not in incomplete:
-                meta["offsets"] = offmaps[k]
-            actions.append(meta)
-        commit(dest, actions, "stream_backup", extra={"batch_id": batch_id})
 
     writer = records.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
@@ -456,11 +438,6 @@ def stream_committed_backup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
-
-
-def _decorate_key(key: str, batch_id: int) -> str:
-    stem, ext = (key[:-3], ".gz") if key.endswith(".gz") else (key, "")
-    return stem[: -len(".json")] + f".b{batch_id}" + ".json" + ext
 
 
 def committed_retention(
@@ -554,38 +531,22 @@ def committed_merge_slices(
         )
         # a unique decoration per rewrite: the merged object NEVER reuses a
         # name an older snapshot references (physical immutability), and a
-        # racing compactor's orphans can never collide with the winner's
-        new_keys = write_array_objects(
+        # racing compactor's orphans can never collide with the winner's.
+        # Census + offset envelopes come from the writer's own one-job
+        # stats — i.e. from the rows actually written into each merged
+        # object — NOT from folding the members' recorded metadata: groups
+        # that share a first-slice time (possible when tied-time `.b<id>`
+        # keys split across groups) physically merge into ONE object, and
+        # only write-side stats describe that object correctly.
+        new_keys, stats = write_array_objects(
             wire, dest, compression=comp,
             key_decoration=f".m{uuid.uuid4().hex[:8]}",
+            return_stats=True,
         )
-        by_first = {
-            key_to_datetime(g[0].removeprefix("slice=")): g for g in plan
-        }
         for grp in plan:
             for k in grp:
                 actions.append({"op": "remove", "key": k})
-        for nk in new_keys:
-            meta = _file_meta(dest, nk, digest)
-            members = by_first.get(key_to_datetime(nk))
-            if members is not None:
-                counts = [snap["files"][k].get("records") for k in members]
-                if all(c is not None for c in counts):
-                    meta["records"] = int(sum(counts))
-                offs = [snap["files"][k].get("offsets") for k in members]
-                if all(offs):
-                    # zone-map union: the merged object's per-(topic,
-                    # partition) range is the envelope of its members'
-                    merged_off: dict[str, list[int]] = {}
-                    for o in offs:
-                        for tp, (lo, hi) in o.items():
-                            cur = merged_off.get(tp)
-                            merged_off[tp] = (
-                                [lo, hi] if cur is None
-                                else [min(cur[0], lo), max(cur[1], hi)]
-                            )
-                    meta["offsets"] = merged_off
-            actions.append(meta)
+        actions.extend(_stats_actions(dest, new_keys, stats, digest))
     if not actions:
         return snap["version"]
     return commit(dest, actions, "compact", expected_version=expected_version)

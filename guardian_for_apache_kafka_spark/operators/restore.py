@@ -287,14 +287,20 @@ def restore_batch(
             raise ValueError("instances=True requires fmt='json'")
         if snapshot or version is not None:
             from guardian_for_apache_kafka_spark.operators.commitlog import (
+                ensure_snapshot_objects_present,
                 snapshot_keys,
             )
 
             keys = snapshot_keys(source, version)
+            if from_when is not None:
+                keys = prune_keys_from_when(keys, from_when)
+            # same planning-time vacuum diagnosis as the DataSource path —
+            # never a bare executor FileNotFoundError on a vacuumed version
+            ensure_snapshot_objects_present(source, keys, version)
         else:
             keys = list_backup_keys(source, spark)
-        if from_when is not None:
-            keys = prune_keys_from_when(keys, from_when)
+            if from_when is not None:
+                keys = prune_keys_from_when(keys, from_when)
         if not keys:
             return spark.createDataFrame([], schema="topic string")
         records = read_guardian_files(spark, [os.path.join(source, physical_name(k)) for k in keys])

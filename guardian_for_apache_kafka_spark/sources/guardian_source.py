@@ -255,35 +255,20 @@ class GuardianReader(DataSourceReader):
                     self.topics, self.off_lo, self.off_hi,
                 )
             ]
-        parts = [
+        if snap_meta is not None:
+            # Fail at PLANNING time with a vacuum diagnosis if this snapshot
+            # references deleted objects (zone-map-skipped objects are
+            # exempt — never opened, so their bytes may be legitimately
+            # vacuumed). Shared guard handles bare and file:// paths.
+            from guardian_for_apache_kafka_spark.operators.commitlog import (
+                ensure_snapshot_objects_present,
+            )
+
+            ensure_snapshot_objects_present(self.path, keys, pinned_version)
+        return [
             GuardianObjectPartition(os.path.join(self.path, physical_name(k)))
             for k in keys
         ]
-        if snap_meta is not None:
-            # Fail at PLANNING time, with a diagnosis, if this snapshot
-            # references objects vacuum() has physically deleted — otherwise
-            # the read dies mid-job in an executor with a bare
-            # FileNotFoundError (easily mistaken for transient storage
-            # flake). Slice-count-bounded stat() calls, local-only by
-            # construction (snapshot mode requires the commit log, which
-            # refuses remote schemes); zone-map-skipped objects are exempt
-            # (they are never opened, so their bytes may be legitimately
-            # vacuumed).
-            missing = [p.path for p in parts if not os.path.exists(p.path)]
-            if missing:
-                from guardian_for_apache_kafka_spark.operators.commitlog import (
-                    list_versions,
-                )
-
-                raise ValueError(
-                    f"snapshot read at version {pinned_version} references "
-                    f"{len(missing)} object(s) removed by vacuum() (first: "
-                    f"{os.path.basename(missing[0])!r}); this version's log "
-                    "entries remain as the audit record but its files are "
-                    "gone — re-read at a retained version (latest committed: "
-                    f"{list_versions(self.path)[-1]})"
-                )
-        return parts
 
     def read(self, partition: GuardianObjectPartition) -> Iterator[tuple]:
         blob = _open_bytes(partition.path)

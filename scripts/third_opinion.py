@@ -23,10 +23,11 @@ round 10 kept them in lockstep
 with the p13/p15 integer-exact rewrite and the p19 overflow-NULL fix)**
 — every name in the round-9/10 attestation windows and never-attested
 pool, plus the complete d-family (d1-d39), s-family (s1-s25), t-family
-(t1-t41), p-family (p1-p21), g-family (g1-g19), m-family (m1-m14), and
+(t1-t41), p-family (p1-p21), g-family (g1-g20), m-family (m1-m14), and
 the formula-heavy statistics/graph/itemset relational cohort (g17-g20
-joined in round 11). 261/261
-green at sf0.01 and sf0.001 (round-11 re-run at both scales).
+joined in round 11). 262/262
+green at sf0.01 and sf0.001 (round-11 full re-run at both scales recorded
+in SCALE.md).
 The ~53 registry names without a checker are,
 by design, the lowest-value targets for this layer: plain ANSI-SQL
 relational shapes (q01-q36 basics, q55-q96 operational rollups) whose

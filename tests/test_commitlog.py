@@ -470,6 +470,94 @@ def test_commit_offset_zonemaps_prune_snapshot_reads(spark, records, tmp_path):
     assert as_set(got2) == as_set(want)
 
 
+def test_merge_tied_time_groups_stats_exact(spark, records, tmp_path):
+    """Stats of a merged object come from the rows actually written, not a
+    fold of member metadata: tied-time `.b<id>` keys split across two plan
+    groups physically merge into ONE object (same first slice), and its
+    census/zone map must cover every member — an envelope from only one
+    group would let offset-filtered snapshot reads skip live rows."""
+    from guardian_for_apache_kafka_spark.operators.commitlog import (
+        committed_merge_slices,
+        stream_committed_backup,
+    )
+    from guardian_for_apache_kafka_spark.streaming.pipeline import (
+        records_file_stream,
+    )
+
+    # 40 records inside ONE hour, offsets 0..39, four single-file batches
+    one_hour = records.orderBy("offset").limit(40).collect()
+    base = one_hour[0].timestamp.replace(minute=0, second=0, microsecond=0)
+    rows = [
+        r.asDict() | {
+            "timestamp": base + dt.timedelta(minutes=(i % 50)),
+            "offset": i,
+            "topic": "t",
+            "partition": 0,
+        }
+        for i, r in enumerate(one_hour)
+    ]
+    recs = spark.createDataFrame(rows, records.schema)
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "arch")
+    recs.repartition(4).write.parquet(src)
+    q = stream_committed_backup(
+        records_file_stream(spark, src, max_files_per_trigger=1),
+        dest, str(tmp_path / "ckpt"), ChronoUnitSlice("HOURS"),
+    )
+    q.awaitTermination(120)
+    keys = snapshot_keys(dest)
+    assert len(keys) == 4 and len({k.split(".b")[0] for k in keys}) == 1, (
+        "setup: four tied-time objects for one slice"
+    )
+    snap0 = snapshot(dest)
+    n_by_key = {k: snap0["files"][k]["records"] for k in keys}
+    # close group 1 after exactly the first two tied keys: both plan groups
+    # then share the same first-slice time and merge into ONE object
+    committed_merge_slices(
+        spark, dest, group_records=n_by_key[keys[0]] + n_by_key[keys[1]]
+    )
+    snap = snapshot(dest)
+    merged = [k for k in snap["files"] if ".m" in k]
+    assert len(snap["files"]) == 1 and len(merged) == 1, (
+        "tied-time groups physically merge into one object"
+    )
+    meta = snap["files"][merged[0]]
+    assert meta["records"] == 40, "census covers EVERY member group"
+    assert meta["offsets"] == {"t/0": [0, 39]}, (
+        "zone map is the envelope of the written rows, not one group's"
+    )
+    # the decisive check: an offset window must never skip live rows
+    got = time_travel_read(spark, dest).where(F.col("offset") <= 5)
+    assert got.count() == 6
+
+
+def test_snapshot_read_over_file_uri(spark, records, tmp_path):
+    """file:// archives are first-class for the commit log; the vacuum
+    presence guard must not mistake scheme-prefixed paths for missing
+    files (os.path.exists('file:///...') is always False)."""
+    dest = str(tmp_path / "u")
+    committed_backup(records, dest, ChronoUnitSlice("HOURS"))
+    got = time_travel_read(spark, "file://" + dest)
+    assert as_set(got) == as_set(records)
+
+
+def test_restore_batch_vacuumed_version_is_loud(spark, records, tmp_path):
+    """The bulk-restore snapshot path shares the DataSource's planning-time
+    vacuum diagnosis — never a bare executor FileNotFoundError."""
+    dest = str(tmp_path / "rv")
+    committed_backup(records, dest, ChronoUnitSlice("HOURS"))
+    keys = snapshot_keys(dest)
+    cutpoint = dt.datetime.fromisoformat(
+        keys[len(keys) // 2].split(".json")[0].replace("Z", "+00:00")
+    )
+    committed_retention(dest, cutpoint)
+    vacuum(dest, retain_versions=1)
+    with pytest.raises(ValueError, match=r"version 0 .*vacuum"):
+        restore_batch(spark, dest, fmt="guardian", version=0)
+    # the retained snapshot still restores
+    assert restore_batch(spark, dest, fmt="guardian", snapshot=True).count() > 0
+
+
 def test_zone_map_skip_is_sound_property():
     """Property (hypothesis): zone_map_may_match may return False ONLY when
     no row in the object satisfies the pushed topic set + offset window —
