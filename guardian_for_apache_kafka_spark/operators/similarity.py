@@ -131,21 +131,6 @@ def cosine_topk(
     )
 
 
-def _mean_vectors(assigned: DataFrame, vec_col: str) -> DataFrame:
-    """(cid, vec) -> (cid, centroid=mean vec): explode positions, average,
-    re-assemble in order — pure aggregates, partial map-side at scale."""
-    exploded = assigned.select(
-        "cid", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
-    )
-    return (
-        exploded.groupBy("cid", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
-    )
-
-
 def _assign_cluster_udf(cents: list[tuple[int, list[float]]]):
     """Arrow-vectorized argmax-cosine cluster assignment against the (small)
     centroid matrix shipped in the UDF closure: one numpy matmul per batch —
@@ -234,6 +219,37 @@ def _assign_fn(
     return assign
 
 
+def _topn_lists_udf(cents: list[tuple[int, list[float]]], n: int):
+    """Arrow-vectorized top-``n`` nearest-centroid lists per row as
+    ``array<long>`` of cids, ordered (cosine desc, cid asc) — the probe
+    rule of ``ivf_topk``'s ranking-window formulation without the window:
+    the nlist scores per row never leave the projection, so the corpus
+    (or a corpus-sized query side, as in ``knn_graph``) is not exchanged
+    nlist-fold just to rank its own row-local scores. Tie discipline
+    matches the window exactly: centroids arrive cid-ascending and the
+    argsort is STABLE, so equal cosines keep the smaller cid first (the
+    same first-max rule `_assign_cluster_udf` relies on, underwritten by
+    the asserted argmax margin budget)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    keep = min(n, len(cents))
+
+    @pandas_udf("array<long>")
+    def probe(vs: pd.Series) -> pd.Series:
+        V = np.array(vs.tolist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Cn.T
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :keep]
+        return pd.Series([cids[row].tolist() for row in idx])
+
+    return probe
+
+
 def auto_nlist(n_rows: int) -> int:
     """Default IVF list count from corpus size: ~sqrt(n) (the classic IVF
     sizing — per-list scan work and probe fan-out balance), clamped to
@@ -265,10 +281,25 @@ def _centroid_rows(
     shape, several shard-sized closures instead of one big one."""
 
     def mean_rows(assigned: DataFrame) -> dict[int, list[float]]:
-        return {
-            r["cid"]: list(r["centroid"])
-            for r in _mean_vectors(assigned, vec_col).collect()
-        }
+        # collect the (cid, pos, mean) rows straight off the ONE per-position
+        # aggregate and assemble vectors on the driver: the second
+        # cid-keyed exchange (+ array_sort re-assembly) _mean_vectors pays
+        # to stay distributed buys nothing for a result that is collected
+        # anyway — nlist x dim rows, the same bounded-scalar volume either
+        # way (r11: one exchange per Lloyd round instead of two)
+        rows = (
+            assigned.select(
+                "cid",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in rows:
+            acc.setdefault(r["cid"], {})[r["pos"]] = float(r["m"])
+        return {cid: [d[p] for p in range(len(d))] for cid, d in acc.items()}
 
     # the per-row fold cosines are the CPU cost — parallelize a narrow scan
     # before every Lloyd pass rather than fold on one core (layout.py)
@@ -287,23 +318,6 @@ def _centroid_rows(
         merged.update(refined)
         cur = merged
     return sorted(cur.items())
-
-
-def _centroids(
-    corpus: DataFrame,
-    nlist: int,
-    id_col: str,
-    vec_col: str,
-    kmeans_iterations: int = 2,
-    shard_elems: int | None = None,
-) -> DataFrame:
-    """Coarse centroids as a (cid, centroid) frame — the broadcast-join side
-    for IVF probing. Computation happens in ``_centroid_rows`` (driver-
-    collected Lloyd schedule); this wrapper only re-frames the result."""
-    rows = _centroid_rows(corpus, nlist, id_col, vec_col, kmeans_iterations, shard_elems)
-    return corpus.sparkSession.createDataFrame(
-        [(cid, vec) for cid, vec in rows], "cid long, centroid array<double>"
-    )
 
 
 def ivf_topk(
@@ -325,41 +339,55 @@ def ivf_topk(
     ``nlist=None`` auto-sizes the list count to ~sqrt(|corpus|)
     (:func:`auto_nlist`; one count() job) — the right default when the
     caller does not know the corpus scale. Past the closure gate the
-    centroid set shards (``_assign_fn``)."""
+    centroid set shards (``_assign_fn``).
+
+    Assignment/probing ride the scans as Arrow argmax/arg-top-``nprobe``
+    kernels against the literal centroid matrix (r11; previously a
+    crossJoin-with-centroids + ranking window, whose exchange carried
+    ``nlist`` copies of every vector through a shuffle just to rank
+    row-local scores — the guide-§8 payload-shuffle anti-pattern). Tie
+    discipline is unchanged (first max / stable argsort = smaller cid);
+    past the closure-size gate the corpus argmax shards via ``_assign_fn``
+    and the nprobe probe falls back to the window formulation (queries
+    are the small side everywhere but knn_graph)."""
     if nlist is None:
         nlist = auto_nlist(corpus.count())
-    cents = _centroids(corpus, nlist, id_col, vec_col, kmeans_iterations, shard_elems)
-
-    def nearest(df: DataFrame, idc: str, vcol: str, keep: int, out: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            F.col(idc),
-            F.col(vcol),
+    cent_rows = _centroid_rows(
+        corpus, nlist, id_col, vec_col, kmeans_iterations, shard_elems
+    )
+    assign = _assign_fn(cent_rows, shard_elems)
+    c_assigned = (
+        spread_narrow_scan(corpus)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+        .select("vec_id", "__cv", assign(F.col("__cv")).alias("list_id"))
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    limit = shard_elems or _CENTROID_SHARD_ELEMS
+    dim = max(1, len(cent_rows[0][1])) if cent_rows else 1
+    if len(cent_rows) * dim <= limit:
+        probe = _topn_lists_udf(cent_rows, nprobe)
+        q_probes = q.select(
+            "query_id", "__qv", F.explode(probe(F.col("__qv"))).alias("list_id")
+        )
+    else:
+        # sharded-codebook fallback: rank with the window formulation
+        cents = corpus.sparkSession.createDataFrame(
+            [(cid, vec) for cid, vec in cent_rows], "cid long, centroid array<double>"
+        )
+        scored = q.crossJoin(F.broadcast(cents)).select(
+            "query_id",
+            "__qv",
             F.col("cid"),
-            cosine_similarity(F.col(vcol), F.col("centroid")).alias("__cs"),
+            cosine_similarity(F.col("__qv"), F.col("centroid")).alias("__cs"),
         )
-        w = Window.partitionBy(idc).orderBy(F.col("__cs").desc(), F.col("cid"))
-        return (
+        w = Window.partitionBy("query_id").orderBy(F.col("__cs").desc(), F.col("cid"))
+        q_probes = (
             scored.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= keep)
-            .select(idc, vcol, F.col("cid").alias(out))
+            .where(F.col("__r") <= nprobe)
+            .select("query_id", "__qv", F.col("cid").alias("list_id"))
         )
-
-    c_assigned = nearest(
-        spread_narrow_scan(corpus).select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv")
-        ),
-        "vec_id",
-        "__cv",
-        1,
-        "list_id",
-    )
-    q_probes = nearest(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
-        "query_id",
-        "__qv",
-        nprobe,
-        "list_id",
-    )
     scored = (
         c_assigned.join(q_probes, "list_id")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -653,11 +681,55 @@ def knn_graph(
     ivf_topk with the corpus as its own query set: candidate pairs exist
     only within probed lists, so the pair count is sum over lists of
     |list| * |probers| — bucketed, never the all-pairs square. Returns
-    (query_id, vec_id, cosine, rnk <= k)."""
-    q = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col))
-    return ivf_topk(
-        corpus, q, k=k, nlist=nlist, nprobe=nprobe,
-        id_col=id_col, vec_col=vec_col, shard_elems=shard_elems,
+    (query_id, vec_id, cosine, rnk <= k).
+
+    Corpus-as-query specialization (r11): assignment and probing share ONE
+    Arrow top-``nprobe`` pass — the assigned list is by definition the
+    first probed list (argmax = top-1 of the same (cosine desc, cid)
+    ordering) — and the ranked frame is materialized once (lazy local
+    checkpoint) so the probe kernel does not run again per join side.
+    Past the centroid closure gate this falls back to the generic
+    ``ivf_topk`` (sharded-closure) path."""
+    if nlist is None:
+        nlist = auto_nlist(corpus.count())
+    limit = shard_elems or _CENTROID_SHARD_ELEMS
+    cent_rows = _centroid_rows(corpus, nlist, id_col, vec_col, 2, shard_elems)
+    dim = max(1, len(cent_rows[0][1])) if cent_rows else 1
+    if len(cent_rows) * dim > limit:
+        q = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        return ivf_topk(
+            corpus, q, k=k, nlist=nlist, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col, shard_elems=shard_elems,
+        )
+    probe = _topn_lists_udf(cent_rows, max(nprobe, 1))
+    ranked = (
+        spread_narrow_scan(corpus)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+        .select("vec_id", "__cv", probe(F.col("__cv")).alias("__lists"))
+        .localCheckpoint(eager=False)
+    )
+    c_assigned = ranked.select(
+        "vec_id", "__cv", F.element_at("__lists", 1).alias("list_id")
+    )
+    q_probes = ranked.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__cv").alias("__qv"),
+        F.explode(F.slice("__lists", 1, nprobe)).alias("list_id"),
+    )
+    scored = (
+        c_assigned.join(q_probes, "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
     )
 
 
@@ -668,6 +740,7 @@ def pq_train(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> list[dict[int, list[float]]]:
     """Product-quantization codebooks by per-subspace Lloyd refinement:
     the vector space splits into ``m`` contiguous subspaces, each trained
@@ -688,7 +761,10 @@ def pq_train(
     and therefore the codes, the next round's groups, and the final
     codebooks — are bit-identical across engines."""
     v = F.col(vec_col).cast("array<double>")
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        # callers that already know the dimensionality pass it and skip
+        # this one-row probe job (r11: ivfpq_topk knows it from cent_rows)
+        dim = len(corpus.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     dsub = dim // m
@@ -1000,7 +1076,9 @@ def ivfpq_topk(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     dsub = dim // m
-    cbs = pq_train(resid, m=m, ksub=ksub, iters=iters, id_col="vec_id", vec_col="__v")
+    cbs = pq_train(
+        resid, m=m, ksub=ksub, iters=iters, id_col="vec_id", vec_col="__v", dim=dim
+    )
     coded = resid.select(
         "vec_id", "list_id", _pq_assign_udf(cbs, dsub)(F.col("__v")).alias("__codes")
     )

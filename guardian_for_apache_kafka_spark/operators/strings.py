@@ -102,7 +102,15 @@ def edit_distance_pairs(
     :func:`edit_distance_dropped_report` (same variant index, one tiny
     aggregate job) — the d16-style registry callers record it in SCALE.md.
     """
-    inv = _variant_index(df, col)
+    # materialize the variant index ONCE (lazy local checkpoint — the cost
+    # lands inside the first consuming job, not at plan-build time): the
+    # index feeds the hot-bucket count AND both join sides, and without the
+    # checkpoint each consumer re-runs the distinct + variant explode +
+    # xxhash64 from the scan (the r11 plan showed 3 Generate subtrees; with
+    # the d16 caller's two union branches, 8). The index is (string, int64)
+    # rows — the same order of magnitude as the shuffle it feeds, so the
+    # one-time materialization is strictly cheaper than re-deriving it.
+    inv = _variant_index(df, col).localCheckpoint(eager=False)
     if max_bucket is not None:
         hot = (
             inv.groupBy("__h")

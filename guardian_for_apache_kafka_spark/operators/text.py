@@ -452,6 +452,10 @@ def unigram_cross_entropy(
         # counting a huge vocabulary to the end
         probe = freq_df.limit(broadcast_vocab_limit + 1).count()
         broadcast_model = probe <= broadcast_vocab_limit
+    # the vocab table feeds BOTH the scalar total and the model projection;
+    # materialize it once (lazy local checkpoint, vocabulary-sized) so the
+    # total does not re-run the corpus token aggregate (r11 plan audit)
+    freq_df = freq_df.localCheckpoint(eager=False)
     total = freq_df.agg(F.sum("__c").alias("__s"))
     model = freq_df.crossJoin(F.broadcast(total)).select(
         "__t", F.log(F.col("__c") / F.col("__s")).alias("__logp")
@@ -505,11 +509,18 @@ def bigram_cross_entropy(
         id_col, F.col("__b.w1").alias("__w1"), F.col("__b.w2").alias("__w2")
     )
     c12 = bg.groupBy("__w1", "__w2").agg(F.count("*").alias("__c12"))
-    c1 = c12.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
-    v = bg.agg(F.count_distinct("__w2").alias("__v"))
     if broadcast_model is None:
         probe = c12.limit(broadcast_vocab_limit + 1).count()
         broadcast_model = probe <= broadcast_vocab_limit
+    # the bigram-type table feeds c1, V and the model join; materialize it
+    # once (lazy local checkpoint, model-sized) — unchecked, the r11 plan
+    # audit showed the corpus bigram explode evaluated 4x in one query
+    c12 = c12.localCheckpoint(eager=False)
+    c1 = c12.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
+    # V = distinct continuation types; every __w2 in the bigram stream is a
+    # key of c12, so counting over the TYPE table is identical to counting
+    # over the stream — and model-sized instead of corpus-sized
+    v = c12.agg(F.count_distinct("__w2").alias("__v"))
     model = (
         c12.join(c1, "__w1")
         .crossJoin(F.broadcast(v))
@@ -1176,15 +1187,19 @@ def kneser_ney_cross_entropy(
         id_col, F.col("__b.w1").alias("__w1"), F.col("__b.w2").alias("__w2")
     )
     c12 = bg.groupBy("__w1", "__w2").agg(F.count("*").alias("__c12"))
-    # every model statistic below re-aggregates c12 (model-sized), not bg
+    if broadcast_model is None:
+        probe = c12.limit(broadcast_vocab_limit + 1).count()
+        broadcast_model = probe <= broadcast_vocab_limit
+    # every model statistic below re-aggregates c12 (model-sized), not bg —
+    # and c12 itself is materialized once (lazy local checkpoint) so its
+    # four consumers (left, cont, total, the model join) do not each re-run
+    # the corpus bigram explode (r11 plan audit: 5 Generate subtrees)
+    c12 = c12.localCheckpoint(eager=False)
     left = c12.groupBy("__w1").agg(
         F.sum("__c12").alias("__c1"), F.count("*").alias("__n1p")
     )
     cont = c12.groupBy("__w2").agg(F.count("*").alias("__nc"))
     total = c12.agg(F.count("*").alias("__t"))
-    if broadcast_model is None:
-        probe = c12.limit(broadcast_vocab_limit + 1).count()
-        broadcast_model = probe <= broadcast_vocab_limit
     d = F.lit(float(discount))
     model = (
         c12.join(left, "__w1")
@@ -1333,9 +1348,6 @@ def novelty_from_pairs(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-_DSIR_LAST_VOCAB = None  # one-slot persist cache, see dsir_importance_weights
-
-
 def dsir_importance_weights(
     df: DataFrame,
     target: Column,
@@ -1383,29 +1395,18 @@ def dsir_importance_weights(
     )
     raw = toks.groupBy("__t").agg(F.count("*").alias("__cr"))
     tgt = toks.where(F.col("__tgt")).groupBy("__t").agg(F.count("*").alias("__ct"))
-    # persisted: vocab feeds the scalar totals, the ratio projection, AND
-    # the broadcast-gate probe — three consumers of two token-keyed
-    # aggregations plus a join
-    # one-slot persist cache (r10 advisor): the vocab frame must stay
-    # persisted for the caller's lazy consumption of the returned frame, so
-    # it cannot be unpersisted here — instead each call evicts the PREVIOUS
-    # call's vocab, bounding session storage to one vocab frame instead of
-    # one per call. A prior returned frame stays correct (its lineage simply
-    # recomputes on next access). Evict BEFORE persisting the successor:
-    # Spark's cache manager keys entries by logical plan, so an identical
-    # follow-up call would otherwise have its fresh cache entry evicted
-    # together with the old one.
-    global _DSIR_LAST_VOCAB
-    prev = _DSIR_LAST_VOCAB
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # the prior frame's session may already be stopped
+    # vocab feeds the scalar totals, the ratio projection, AND the
+    # broadcast-gate probe — three consumers of two token-keyed
+    # aggregations plus a join. Materialize it once with a LAZY LOCAL
+    # CHECKPOINT (r11, replacing the r10 one-slot persist cache): checkpoint
+    # blocks are instance-scoped and GC'd with the frame, so repeated calls
+    # leak nothing (the r10 advisor finding), and — unlike ``persist()`` —
+    # nothing lands in Spark's logical-plan-keyed cache manager, so a later
+    # identical call can never silently serve the previous call's
+    # materialization (each call recomputes from its own inputs).
     vocab = raw.join(tgt, "__t", "left").select(
         "__t", "__cr", F.coalesce("__ct", F.lit(0)).alias("__ct")
-    ).persist()
-    _DSIR_LAST_VOCAB = vocab
+    ).localCheckpoint(eager=False)
     scalars = vocab.agg(
         F.sum("__cr").alias("__nr"),
         F.sum("__ct").alias("__nt"),

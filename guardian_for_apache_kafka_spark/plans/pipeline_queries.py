@@ -2971,8 +2971,11 @@ def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     pairs = edit_distance_pairs(cust, "c_name")
-    u = pairs.select(F.col("s_a").alias("name")).unionAll(
-        pairs.select(F.col("s_b").alias("name"))
+    # one row per (pair, endpoint) via explode — NOT unionAll of two
+    # selects, which re-evaluates the whole SymSpell join per branch
+    # (r11 plan audit: the union doubled every exchange in the query)
+    u = pairs.select(
+        F.explode(F.array(F.col("s_a"), F.col("s_b"))).alias("name")
     )
     return (
         u.groupBy("name")
@@ -7714,11 +7717,17 @@ def t37(spark: SparkSession, sf_dir: str) -> DataFrame:
     float reductions. Corpus work: one token rollup; everything after
     lives on the 20 x |sources| grid."""
     d = load_table(spark, sf_dir, "documents")
+    # tf is the ONLY corpus-scale work; materialize it once (lazy local
+    # checkpoint — the t18/p13 lineage-truncation discipline) because
+    # top20, totals and the grid each reference it and the z-matrix is
+    # self-joined: unchecked, the r11 plan audit counted 24 Generate
+    # (explode) subtrees — 8 full token-rollup re-evaluations
     tf = (
         d.select("source", F.explode(F.split("text", " ")).alias("t"))
         .where(F.col("t") != "")
         .groupBy("source", "t")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     top20 = (
         tf.groupBy("t")
@@ -7741,6 +7750,9 @@ def t37(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t",
             (F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("n")).alias("f"),
         )
+        # 20 x |sources| rows feeding stats, var_, z and the z self-join —
+        # checkpoint the tiny frontier so everything downstream is local
+        .localCheckpoint(eager=False)
     )
 
     def fold_sorted(struct_col):

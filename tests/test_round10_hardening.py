@@ -195,31 +195,28 @@ def test_jaccard_exact_rejects_degenerate_threshold(spark):
             ngram_jaccard_pairs_exact(df, threshold_num=num, threshold_den=den)
 
 
-def test_dsir_one_slot_persist_cache(spark, sf_dir):
-    """r10 advisor: repeated dsir_importance_weights calls must not
-    accumulate persisted vocab frames — each call evicts the previous."""
+def test_dsir_vocab_never_enters_cache_manager(spark, sf_dir):
+    """r11 (replacing the r10 one-slot persist cache): the DSIR vocab is
+    materialized via a lazy localCheckpoint, so repeated calls leak no
+    persisted frames AND nothing lands in Spark's logical-plan-keyed cache
+    manager (where an identical later call could silently serve the
+    previous call's materialization)."""
     from pyspark.sql import functions as F
 
-    from guardian_for_apache_kafka_spark.operators import text as text_mod
     from guardian_for_apache_kafka_spark.operators.text import (
         dsir_importance_weights,
     )
     from guardian_for_apache_kafka_spark.sources.tables import load_table
 
-    # two DIFFERENT inputs: Spark's cache manager is keyed by logical plan,
-    # so identical calls would alias one entry and hide the eviction
+    spark.catalog.clearCache()
     docs1 = load_table(spark, sf_dir, "documents").limit(200)
-    docs2 = load_table(spark, sf_dir, "documents").limit(150)
     target = F.col("doc_id") % 5 == 0
     r1 = dsir_importance_weights(docs1, target)
-    v1 = text_mod._DSIR_LAST_VOCAB
-    assert v1 is not None and v1.storageLevel.useMemory
     n1 = r1.count()
-    r2 = dsir_importance_weights(docs2, target)
-    v2 = text_mod._DSIR_LAST_VOCAB
-    assert v2 is not v1
-    assert not v1.storageLevel.useMemory  # previous slot evicted
-    assert v2.storageLevel.useMemory
-    # and the first returned frame still computes correctly (recompute path)
+    # identical second call: must recompute from its own inputs, not a cache
+    r2 = dsir_importance_weights(docs1, target)
+    assert r2.count() == n1
+    # nothing was registered with the cache manager by either call
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    # and the first returned frame still computes correctly
     assert r1.count() == n1
-    assert r2.count() > 0
