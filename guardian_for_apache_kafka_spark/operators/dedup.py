@@ -82,10 +82,10 @@ def _common_shingle_counts(
     that shares at least one non-hot shingle. The only semantic loss is
     recall on pairs whose entire overlap is stop-shingles — the pairs the cap
     exists to not compare."""
-    # persisted: the shingle arrays feed sizes + both inverted-index join
+    # materialized once (lazy local checkpoint): the shingle arrays feed sizes + both inverted-index join
     # sides — without the barrier the (expensive, string-building) shingle
     # expression re-runs once per branch
-    sh = _shingled(df, id_col, content_col, n).persist()
+    sh = _shingled(df, id_col, content_col, n).localCheckpoint(eager=False)
     sizes = sh.select("__id", F.size("__shingles").alias("__n"))
     # the inverted index joins on shingle IDENTITY only, so hash each
     # shingle to int64 first: the explode+shuffle then carries 8-byte longs
@@ -285,10 +285,12 @@ def minhash_lsh_candidates(
     ).where(F.col("__sig").isNotNull())
     # The signature frame feeds four plan branches (two self-join sides, two
     # candidate re-attachments); without a materialization barrier each branch
-    # re-runs the scan + UDF. Persist it — |docs| x num_hashes longs, orders of
-    # magnitude smaller than the corpus, spills to disk if not. Long-lived
-    # sessions can reclaim with spark.catalog.clearCache().
-    sig = sig.persist()
+    # re-runs the scan + UDF. Lazy local checkpoint (r11, was persist()) —
+    # |docs| x num_hashes longs, orders of magnitude smaller than the corpus;
+    # instance-scoped, so nothing enters the plan-keyed cache manager (where
+    # an identical later plan would silently reuse this materialization) and
+    # the blocks are GC'd with the frame instead of leaking per call.
+    sig = sig.localCheckpoint(eager=False)
     pairs = _band_pairs(sig, bands, r)
     sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
     sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
@@ -352,7 +354,7 @@ def minhash_verified_dedup(
     Scale shape: ONE corpus pass computes both the LSH signature and the
     exact shingle-hash set (n-gram over per-token xxhash64s — identical set
     cardinalities to word-string shingles modulo 64-bit collisions, so
-    identical Jaccard) into one persisted feature frame; the candidate join
+    identical Jaccard) into one materialized feature frame; the candidate join
     carries ids only; exact verification joins the (small) candidate set
     against the per-doc shingle arrays (8-byte elements), never all pairs
     and never raw text."""
@@ -378,7 +380,7 @@ def minhash_verified_dedup(
             shingle_hashes.alias("__sh"),
         )
         .where(F.col("__sig").isNotNull())
-        .persist()
+        .localCheckpoint(eager=False)
     )
     cand = _band_pairs(feat, bands, r)
     sa = feat.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
@@ -441,11 +443,11 @@ def simhash_pairs(
         F.col(id_col).alias("__id"),
         F.transform(tokens_col(content_col), lambda t: tok_hash(t)).alias("__th"),
     )
-    # materialized + persisted: feeds both join sides and both re-attachments
+    # materialized once (lazy local checkpoint): feeds both join sides and both re-attachments
     fp = (
         hashed.select("__id", simhash_words_udf(words, bits_per_word)("__th").alias("__fp"))
         .where(F.col("__fp").isNotNull())
-        .persist()
+        .localCheckpoint(eager=False)
     )
     blocks = fp.select("__id", F.posexplode("__fp").alias("q", "qv"))
     l = blocks.select(F.col("__id").alias("id_a"), "q", "qv")
@@ -508,7 +510,7 @@ def embedding_near_dup_pairs(
         hyperplane_signs(emb.sparkSession, dim, planes, tables, sign_hash=sign_hash)
     )
 
-    # persisted: evaluate the buckets once, then both join sides and the
+    # materialized once (lazy local checkpoint): evaluate the buckets once, then both join sides and the
     # vector re-attachments read the materialized frame
     b = (
         spread_narrow_scan(emb).select(
@@ -516,7 +518,7 @@ def embedding_near_dup_pairs(
             F.col(vec_col).alias("__v"),
             F.posexplode(bk_udf(F.col(vec_col).cast("array<double>"))).alias("tbl", "bk"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     l = b.select(F.col("__id").alias("id_a"), "tbl", "bk")
     rt = b.select(F.col("__id").alias("id_b"), "tbl", "bk")
@@ -556,8 +558,8 @@ def cross_jaccard_pairs(
     caps candidate generation on the REFERENCE side's bucket sizes (the side
     that scales), with the exact intersection then computed from full shingle
     sets. Returns (new_id, ref_id, jaccard >= threshold)."""
-    sn = _shingled(new, id_col, content_col, n).persist()
-    sr = _shingled(ref, id_col, content_col, n).persist()
+    sn = _shingled(new, id_col, content_col, n).localCheckpoint(eager=False)
+    sr = _shingled(ref, id_col, content_col, n).localCheckpoint(eager=False)
     inv_n = sn.select(
         F.col("__id").alias("new_id"),
         F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
@@ -651,12 +653,12 @@ def semantic_dedup(
 
     from guardian_for_apache_kafka_spark.operators.similarity import kmeans_assign
 
-    # persisted: the assignment feeds the pair scan and the final anti-join.
+    # materialized once (lazy local checkpoint): the assignment feeds the pair scan and the final anti-join.
     # The frame is (id, cluster): sub-linear in corpus payload.
     assigned = (
         kmeans_assign(emb, nlist, iterations, id_col, vec_col)
         .select("vec_id", "cluster")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
     av = assigned.join(vecs, "vec_id")
@@ -880,7 +882,7 @@ def ngram_jaccard_pairs_prefix(
     canonical order here being plain hash order (frequency order would
     shrink buckets further but costs a global df pass; the ``max_bucket``
     cap in d3 remains the stop-shingle valve for that regime)."""
-    sh = _shingled(df, id_col, content_col, n).persist()
+    sh = _shingled(df, id_col, content_col, n).localCheckpoint(eager=False)
     hashes = sh.select(
         "__id",
         F.array_sort(

@@ -5817,7 +5817,7 @@ def d32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = hashed.select(
         "__id", minhash_signature_udf(64, 3)("__th").alias("__sig")
-    ).where(F.col("__sig").isNotNull()).persist()
+    ).where(F.col("__sig").isNotNull()).localCheckpoint(eager=False)
     sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
     sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
     est = (
