@@ -53,12 +53,25 @@ def dedup_exact(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
-def _shingled(df: DataFrame, id_col: str, content_col: str, n: int) -> DataFrame:
-    df = spread_narrow_scan(df)
-    return df.select(
-        F.col(id_col).alias("__id"),
-        ngram_shingles(tokens_col(content_col), n).alias("__shingles"),
-    ).where(F.size("__shingles") > 0)
+def _shingled_hashes(
+    df: DataFrame, id_col: str, content_col: str, n: int, sort: bool = False
+) -> DataFrame:
+    """(__id, __h: array<long>) — the distinct n-gram shingles hashed to
+    int64 in ONE projection. Every consumer of ``_shingled`` hashes
+    immediately (the index joins on identity only), so the materialization
+    barrier should hold the 8-byte hashes, not the ~3-word shingle strings:
+    xxhash64 evaluates once instead of once per consumer and the
+    checkpointed bytes shrink several-fold (r11). ``sort=True`` for the
+    prefix-filter variant, which needs canonical hash order."""
+    hashes = F.transform(ngram_shingles(tokens_col(content_col), n),
+                         lambda c: F.xxhash64(c))
+    if sort:
+        hashes = F.array_sort(hashes)
+    return (
+        spread_narrow_scan(df)
+        .select(F.col(id_col).alias("__id"), hashes.alias("__h"))
+        .where(F.size("__h") > 0)
+    )
 
 
 def _common_shingle_counts(
@@ -82,20 +95,18 @@ def _common_shingle_counts(
     that shares at least one non-hot shingle. The only semantic loss is
     recall on pairs whose entire overlap is stop-shingles — the pairs the cap
     exists to not compare."""
-    # materialized once (lazy local checkpoint): the shingle arrays feed sizes + both inverted-index join
-    # sides — without the barrier the (expensive, string-building) shingle
-    # expression re-runs once per branch
-    sh = _shingled(df, id_col, content_col, n).localCheckpoint(eager=False)
-    sizes = sh.select("__id", F.size("__shingles").alias("__n"))
-    # the inverted index joins on shingle IDENTITY only, so hash each
-    # shingle to int64 first: the explode+shuffle then carries 8-byte longs
-    # instead of ~3-word strings (2-3x less shuffle volume at scale) and the
-    # join compares longs. A 64-bit collision would need two distinct
-    # shingles in the same bucket — ~n_shingles^2 / 2^64, negligible.
-    inv = sh.select(
-        "__id",
-        F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
-    )
+    # materialized once (lazy local checkpoint): the HASHED shingle arrays
+    # feed sizes + both inverted-index join sides + the exact verify —
+    # without the barrier the (expensive, string-building) shingle
+    # expression re-runs once per branch. The index joins on shingle
+    # IDENTITY only, so the barrier holds int64 hashes, never the ~3-word
+    # strings: the explode+shuffle carries 8-byte longs (2-3x less shuffle
+    # volume at scale) and the join compares longs. A 64-bit collision
+    # would need two distinct shingles in the same bucket —
+    # ~n_shingles^2 / 2^64, negligible.
+    sh = _shingled_hashes(df, id_col, content_col, n).localCheckpoint(eager=False)
+    sizes = sh.select("__id", F.size("__h").alias("__n"))
+    inv = sh.select("__id", F.explode("__h").alias("__s"))
     if max_bucket is None:
         a = inv.select(F.col("__id").alias("id_a"), "__s")
         b = inv.select(F.col("__id").alias("id_b"), "__s")
@@ -116,11 +127,8 @@ def _common_shingle_counts(
             .select("id_a", "id_b")
             .distinct()
         )
-        hashes = sh.select(
-            "__id", F.transform("__shingles", lambda c: F.xxhash64(c)).alias("__sh")
-        )
-        ha = hashes.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__ha"))
-        hb = hashes.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__hb"))
+        ha = sh.select(F.col("__id").alias("id_a"), F.col("__h").alias("__ha"))
+        hb = sh.select(F.col("__id").alias("id_b"), F.col("__h").alias("__hb"))
         common = (
             cand.join(ha, "id_a")
             .join(hb, "id_b")
@@ -558,16 +566,12 @@ def cross_jaccard_pairs(
     caps candidate generation on the REFERENCE side's bucket sizes (the side
     that scales), with the exact intersection then computed from full shingle
     sets. Returns (new_id, ref_id, jaccard >= threshold)."""
-    sn = _shingled(new, id_col, content_col, n).localCheckpoint(eager=False)
-    sr = _shingled(ref, id_col, content_col, n).localCheckpoint(eager=False)
-    inv_n = sn.select(
-        F.col("__id").alias("new_id"),
-        F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
-    )
-    inv_r = sr.select(
-        F.col("__id").alias("ref_id"),
-        F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
-    )
+    # hashed at the barrier (see _shingled_hashes): both inverted indexes
+    # and both exact-verify re-attachments read 8-byte hash arrays
+    sn = _shingled_hashes(new, id_col, content_col, n).localCheckpoint(eager=False)
+    sr = _shingled_hashes(ref, id_col, content_col, n).localCheckpoint(eager=False)
+    inv_n = sn.select(F.col("__id").alias("new_id"), F.explode("__h").alias("__s"))
+    inv_r = sr.select(F.col("__id").alias("ref_id"), F.explode("__h").alias("__s"))
     if max_bucket is not None:
         hot = inv_r.groupBy("__s").count().where(F.col("count") > max_bucket).select("__s")
         inv_n = inv_n.join(F.broadcast(hot), "__s", "left_anti")
@@ -575,13 +579,13 @@ def cross_jaccard_pairs(
     cand = inv_n.join(inv_r, "__s").select("new_id", "ref_id").distinct()
     hn = sn.select(
         F.col("__id").alias("new_id"),
-        F.transform("__shingles", lambda c: F.xxhash64(c)).alias("__hn"),
-        F.size("__shingles").alias("__nn"),
+        F.col("__h").alias("__hn"),
+        F.size("__h").alias("__nn"),
     )
     hr = sr.select(
         F.col("__id").alias("ref_id"),
-        F.transform("__shingles", lambda c: F.xxhash64(c)).alias("__hr"),
-        F.size("__shingles").alias("__nr"),
+        F.col("__h").alias("__hr"),
+        F.size("__h").alias("__nr"),
     )
     common = F.size(F.array_intersect("__hn", "__hr"))
     return (
@@ -882,12 +886,11 @@ def ngram_jaccard_pairs_prefix(
     canonical order here being plain hash order (frequency order would
     shrink buckets further but costs a global df pass; the ``max_bucket``
     cap in d3 remains the stop-shingle valve for that regime)."""
-    sh = _shingled(df, id_col, content_col, n).localCheckpoint(eager=False)
-    hashes = sh.select(
-        "__id",
-        F.array_sort(
-            F.transform("__shingles", lambda c: F.xxhash64(c))
-        ).alias("__h"),
+    # the barrier holds the SORTED hash arrays (canonical order is what the
+    # prefix filter slices), so the transform + sort run once, not once per
+    # consumer (prefix index, both verify re-attachments)
+    hashes = _shingled_hashes(df, id_col, content_col, n, sort=True).localCheckpoint(
+        eager=False
     )
     sizes = hashes.select("__id", F.size("__h").alias("__n"))
     prefix_len = (
