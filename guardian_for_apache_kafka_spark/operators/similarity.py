@@ -558,15 +558,22 @@ def mmr_topk(
     per query."""
     cands = cosine_topk(corpus, query, k=pool, id_col=id_col, vec_col=vec_col,
                         query_id_col=query_id_col)
+    # pool-sized barriers (r11, guide §5): rel fans out to ids/ra/rb/combined
+    # and cv to both pair sides — without them the corpus-scale cosine_topk
+    # subtree (scan + crossJoin + ranking window) re-evaluates once per
+    # consumer (24 parquet scans in the measured plan). The checkpointed
+    # frames are |queries|*pool rows — model-sized, never corpus-sized.
     rel = cands.select(
         F.col("query_id"),
         F.col("vec_id"),
         F.round(F.col("cosine") * 1_000_000).cast("long").alias("rel"),
-    )
+    ).localCheckpoint(eager=False)
     ids = rel.select(F.col("vec_id").alias("__id")).distinct()
-    cv = corpus.join(
-        F.broadcast(ids), corpus[id_col] == ids["__id"], "inner"
-    ).select(F.col("__id"), F.col(vec_col).alias("__v"))
+    cv = (
+        corpus.join(F.broadcast(ids), corpus[id_col] == ids["__id"], "inner")
+        .select(F.col("__id"), F.col(vec_col).alias("__v"))
+        .localCheckpoint(eager=False)
+    )
     ra = rel.select("query_id", F.col("vec_id").alias("ia"))
     rb = rel.select("query_id", F.col("vec_id").alias("ib"))
     pairs = (
@@ -649,7 +656,9 @@ def quantized_rerank_topk(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     rer = (
-        probe.join(full, "vec_id")
+        # probe is |queries|*probe_k id pairs — broadcast keeps the corpus
+        # side of the rerank join map-side (r11, guide §3.1; the s23 idiom)
+        F.broadcast(probe).join(full, "vec_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
@@ -965,8 +974,12 @@ def pq_rerank_topk(
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
+    # the candidate list is |queries|*k*probe_mult (query_id, vec_id) rows —
+    # broadcast it so the rerank is the promised semi-join: the planner's
+    # default was a SortMergeJoin that shuffled the CORPUS by vec_id to meet
+    # ~200 candidate rows (r11, guide §3.1/§8)
     scored = (
-        cand.join(full, "vec_id")
+        F.broadcast(cand).join(full, "vec_id")
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "vec_id", d2.alias("d2"))
     )
@@ -1165,8 +1178,10 @@ def ivfpq_rerank_topk(
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
+    # broadcast the candidate id list so the refine stage is the promised
+    # semi-join — never a corpus shuffle by vec_id (r11, guide §3.1/§8)
     scored = (
-        cand.join(full, "vec_id")
+        F.broadcast(cand).join(full, "vec_id")
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "vec_id", d2.alias("d2"))
     )

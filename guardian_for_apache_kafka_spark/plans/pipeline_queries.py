@@ -2498,8 +2498,14 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("__rv")
     )
     # exact squared-L2 top-5 == exact cosine top-5 on unit-norm vectors;
-    # reuse the oracled cosine scorer as ground truth
-    exact = cosine_topk(e, q, k=5).select("query_id", F.col("vec_id").alias("__ev"))
+    # reuse the oracled cosine scorer as ground truth. Checkpointed (lazy,
+    # 50 rows): it feeds both the hit join and the per-query spine — without
+    # the barrier the brute-force crossJoin+window subtree runs twice (r11).
+    exact = (
+        cosine_topk(e, q, k=5)
+        .select("query_id", F.col("vec_id").alias("__ev"))
+        .localCheckpoint(eager=False)
+    )
     hits = (
         exact.join(rer, ["query_id"])
         .where(F.col("__ev") == F.col("__rv"))
@@ -6246,7 +6252,13 @@ def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
     rer = ivfpq_rerank_topk(
         e, q, k=5, probe_mult=4, nlist=8, nprobe=4, m=16, ksub=32, iters=2
     ).select("query_id", F.col("vec_id").alias("__rv"))
-    exact = cosine_topk(e, q, k=5).select("query_id", F.col("vec_id").alias("__ev"))
+    # lazy checkpoint (50 rows): exact feeds the hit join AND the per-query
+    # spine — the barrier stops the brute-force subtree running twice (r11)
+    exact = (
+        cosine_topk(e, q, k=5)
+        .select("query_id", F.col("vec_id").alias("__ev"))
+        .localCheckpoint(eager=False)
+    )
     hits = (
         exact.join(rer, ["query_id"])
         .where(F.col("__ev") == F.col("__rv"))
@@ -6549,7 +6561,13 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = cosine_topk(e, sample, k=5).select("query_id", "vec_id")
+    # lazy checkpoint (50 rows): exact joins against all four probe-budget
+    # frames — the barrier stops the brute-force subtree running 4x (r11)
+    exact = (
+        cosine_topk(e, sample, k=5)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     n = sample.count()
     counts = []
     for p in (1, 2, 4, 8):
