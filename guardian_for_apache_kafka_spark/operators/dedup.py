@@ -1009,6 +1009,11 @@ def duplicate_spans(
     if min_span_tokens is None:
         min_span_tokens = 2 * n
     pos = _positional_shingles(df, id_col, content_col, n, max_bucket)
+    # both self-join sides consume pos, and the planner builds them as
+    # separate subtrees (the broadcast side cannot reuse the other side's
+    # exchange) — without a barrier the corpus-scale tokenize+posexplode+
+    # hash runs once PER SIDE (r11, guide §5)
+    pos = pos.localCheckpoint(eager=False)
     a = pos.select(F.col("__id").alias("id_a"), F.col("__p").alias("__pa"), "__s")
     b = pos.select(F.col("__id").alias("id_b"), F.col("__p").alias("__pb"), "__s")
     m = (

@@ -5346,17 +5346,27 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
     the curve's fixed point."""
     from guardian_for_apache_kafka_spark.operators.similarity import (
         cosine_topk,
-        knn_graph,
+        knn_graph_at_budgets,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
     sample = e.where(F.col("vec_id") < 30).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = cosine_topk(e, sample, k=3).select("query_id", "vec_id")
+    # lazy checkpoint (90 rows): exact feeds all four budget joins plus the
+    # denominator count — the barrier stops the brute-force crossJoin+window
+    # subtree running 5x (r11); one trained index serves the whole curve
+    # (knn_graph_at_budgets: top-p lists are a prefix of the shared top-8
+    # kernel, so per-budget results are bit-identical to solo calls)
+    exact = (
+        cosine_topk(e, sample, k=3)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    approx = knn_graph_at_budgets(e, k=3, nlist=8, budgets=(1, 2, 4, 8))
     counts = []
     for p in (1, 2, 4, 8):
-        ap = knn_graph(e, k=3, nlist=8, nprobe=p).select("query_id", "vec_id")
+        ap = approx[p].select("query_id", "vec_id")
         counts.append(
             ap.join(exact, ["query_id", "vec_id"])
             .agg(F.count("*").alias("hits"))
@@ -6554,6 +6564,7 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking error inside the probed cell."""
     from guardian_for_apache_kafka_spark.operators.similarity import (
         cosine_topk,
+        ivfpq_model,
         ivfpq_rerank_topk,
     )
 
@@ -6569,11 +6580,14 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n = sample.count()
+    # ONE trained index for the whole curve (r11): only the probe stage
+    # depends on nprobe, so training per budget repeated the identical
+    # Lloyd + PQ + encode work 4x; determinism makes the reuse exact
+    model = ivfpq_model(e, nlist=8, m=16, ksub=32, iters=2, share=True)
     counts = []
     for p in (1, 2, 4, 8):
         ap = ivfpq_rerank_topk(
-            e, sample, k=5, probe_mult=4, nlist=8, nprobe=p, m=16, ksub=32,
-            iters=2,
+            e, sample, k=5, probe_mult=4, nprobe=p, model=model,
         ).select("query_id", "vec_id")
         counts.append(
             ap.join(exact, ["query_id", "vec_id"])

@@ -60,3 +60,59 @@ def test_knn_graph_specialization_matches_generic_ivf(spark, sf_dir):
     a = sorted(tuple(r) for r in fast.collect())
     b = sorted(tuple(r) for r in generic.collect())
     assert a == b
+
+
+def test_knn_graph_budget_curve_matches_independent_calls(spark, sf_dir):
+    # the s12 curve shares ONE training + top-max(budgets) kernel pass;
+    # each budget's frame must be bit-identical to an independent
+    # knn_graph call at that nprobe (top-p lists are a prefix of the
+    # shared top-8 list under the same (cosine desc, cid) stable order)
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_at_budgets,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    shared = knn_graph_at_budgets(e, k=3, nlist=8, budgets=(1, 2, 4))
+    for p in (1, 2, 4):
+        solo = sorted(tuple(r) for r in knn_graph(e, k=3, nlist=8, nprobe=p).collect())
+        curve = sorted(tuple(r) for r in shared[p].collect())
+        assert curve == solo, f"nprobe={p}"
+
+
+def test_ivfpq_shared_model_matches_per_call_training(spark, sf_dir):
+    # the s18 curve trains the IVF-PQ index once (ivfpq_model) and probes
+    # it per budget; training is deterministic, so the shared-model result
+    # must equal a fresh train-and-probe call at the same nprobe
+    from guardian_for_apache_kafka_spark.operators.similarity import (
+        ivfpq_model,
+        ivfpq_rerank_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    model = ivfpq_model(e, nlist=8, m=16, ksub=32, iters=2, share=True)
+    for p in (1, 4):
+        fresh = ivfpq_rerank_topk(
+            e, q, k=3, probe_mult=4, nlist=8, nprobe=p, m=16, ksub=32, iters=2
+        )
+        shared = ivfpq_rerank_topk(e, q, k=3, probe_mult=4, nprobe=p, model=model)
+        a = sorted(tuple(r) for r in fresh.collect())
+        b = sorted(tuple(r) for r in shared.collect())
+        assert a == b, f"nprobe={p}"
+
+
+def test_duplicate_spans_barrier_is_not_cached_and_deterministic(spark, sf_dir):
+    # the positional-shingle frame feeding both self-join sides materializes
+    # via lazy localCheckpoint (instance-scoped): repeated calls recompute
+    # from parquet and agree, and nothing enters the plan-keyed cache manager
+    from guardian_for_apache_kafka_spark.operators.dedup import duplicate_spans
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    r1 = sorted(tuple(r) for r in duplicate_spans(docs, n=8, min_span_tokens=16).collect())
+    r2 = sorted(tuple(r) for r in duplicate_spans(docs, n=8, min_span_tokens=16).collect())
+    assert r1 == r2
+    assert _cache_manager_empty(spark)
