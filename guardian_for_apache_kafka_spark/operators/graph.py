@@ -88,6 +88,11 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
         (F.least("y", "z") == F.col("p")) & (F.greatest("y", "z") == F.col("q")),
         "leftsemi",
     )
+    # triangle-set-sized barrier: corners fans tri out to three consumers —
+    # without it each union branch replays the two-path join + closing
+    # semi-join (AQE stage reuse hides most of the wall cost, but the plan
+    # is honest and non-reusable branches can't regress it) (r11, guide §5)
+    tri = tri.localCheckpoint(eager=False)
     corners = (
         tri.select(F.col("x").alias("node"))
         .unionByName(tri.select(F.col("y").alias("node")))

@@ -367,7 +367,13 @@ def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     approx = ivf_topk(e, q, k=3, nlist=8, nprobe=4).select("query_id", "vec_id")
-    exact = cosine_topk(e, q, k=3).select("query_id", "vec_id")
+    # lazy checkpoint (15 rows): exact feeds the hit join AND the per-query
+    # spine — the barrier stops the brute-force subtree running twice (r11)
+    exact = (
+        cosine_topk(e, q, k=3)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
         F.count("*").alias("__hits")
     )
@@ -5072,7 +5078,13 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = e.where(F.col("vec_id") < 30).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = cosine_topk(e, sample, k=3).select("query_id", "vec_id")
+    # lazy checkpoint (90 rows): exact feeds the hit join AND the sampled-
+    # query spine — the barrier stops the brute-force subtree running twice
+    exact = (
+        cosine_topk(e, sample, k=3)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     hits = approx.join(exact, ["query_id", "vec_id"])
     return (
         exact.select("query_id")
@@ -6995,8 +7007,12 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_full = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = cosine_topk(e, q_full, k=k).select(
-        "query_id", F.col("vec_id").alias("__ev")
+    # lazy checkpoint (tiny): exact feeds the hit join AND the per-query
+    # spine — the barrier stops the brute-force subtree running twice (r11)
+    exact = (
+        cosine_topk(e, q_full, k=k)
+        .select("query_id", F.col("vec_id").alias("__ev"))
+        .localCheckpoint(eager=False)
     )
     hits = (
         exact.join(rer, ["query_id"])
