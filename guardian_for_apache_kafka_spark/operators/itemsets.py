@@ -24,6 +24,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _basket_items(baskets: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Distinct (basket, item) frame behind every a-priori level, lazily
+    checkpointed (r11, guide §5): it feeds at least the singleton-support
+    aggregate AND the pruning join in every consumer (4 consumers in the
+    level-3 ladder), and without the barrier each consumer re-runs the
+    corpus-scale scan + distinct exchange."""
+    return (
+        baskets.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
 def frequent_pairs(
     baskets: DataFrame,
     basket_col: str,
@@ -31,14 +44,19 @@ def frequent_pairs(
     min_item_support: int,
     min_pair_support: int,
     max_basket: int = 50,
+    _distinct_items: DataFrame | None = None,
 ) -> DataFrame:
     """Frequent item pairs from (basket, item) rows (duplicates tolerated —
     support counts DISTINCT baskets). Returns (item_a, item_b, support)
     with item_a < item_b, for pairs co-occurring in >= ``min_pair_support``
-    baskets whose items each occur in >= ``min_item_support`` baskets."""
-    b = baskets.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    baskets whose items each occur in >= ``min_item_support`` baskets.
+    ``_distinct_items`` lets the level-3/rules ladders pass their shared
+    :func:`_basket_items` frame instead of re-deriving it."""
+    b = (
+        _distinct_items
+        if _distinct_items is not None
+        else _basket_items(baskets, basket_col, item_col)
+    )
     freq_items = (
         b.groupBy("__i")
         .agg(F.count("*").alias("__s"))
@@ -94,9 +112,7 @@ def association_rules(
     a-priori bookkeeping), while pair supports inherit the declared
     ``max_basket`` cap. Division order is fixed (support/sa, then /(sb/n))
     so doubles replay bit-identically in the oracle."""
-    b = baskets.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    b = _basket_items(baskets, basket_col, item_col)
     item_support = b.groupBy("__i").agg(F.count("*").alias("__s")).where(
         F.col("__s") >= min_item_support
     )
@@ -106,6 +122,7 @@ def association_rules(
         min_item_support=min_item_support,
         min_pair_support=min_pair_support,
         max_basket=max_basket,
+        _distinct_items=b,
     )
     directed = pairs.select(
         F.explode(
@@ -164,9 +181,7 @@ def frequent_triples(
     ``max_basket`` cap — tighter than level 2's, as the fan-out is cubic);
     the one shuffle carries (int, int, int) triple keys. Returns
     (item_a, item_b, item_c, support), a < b < c."""
-    b = baskets.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    b = _basket_items(baskets, basket_col, item_col)
     freq_items = (
         b.groupBy("__i")
         .agg(F.count("*").alias("__s"))
@@ -179,6 +194,7 @@ def frequent_triples(
         min_item_support=min_item_support,
         min_pair_support=min_pair_support,
         max_basket=max_basket,
+        _distinct_items=b,
     )
     pair_items = (
         pairs.select(F.col("item_a").alias("__i"))

@@ -4030,19 +4030,34 @@ def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
     from guardian_for_apache_kafka_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.9).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    # pair-count-sized barrier: pairs feeds the participant-id spine AND the
+    # evidence join (r11, guide §5)
+    pairs = (
+        ngram_jaccard_pairs(d, n=3, threshold=0.9)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .localCheckpoint(eager=False)
     )
     shl = d.select(
         "doc_id", ngram_shingles(tokens_col("text"), 3).alias("sh")
     ).where(F.size("sh") > 0)
+    # evidence arrays are needed only for pair PARTICIPANTS: semi-join the
+    # corpus-scale shingle build down to that id set once (broadcast — the
+    # id spine is pair-count-sized), barrier it, and reattach per side —
+    # previously the whole corpus shingle subtree ran once PER JOIN SIDE
+    # and the planner shuffled the string arrays by doc id (r11, guide §8)
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shl_f = shl.join(F.broadcast(ids), "doc_id").localCheckpoint(eager=False)
     ev = (
         pairs.join(
-            shl.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa")),
+            shl_f.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa")),
             "id_a",
         )
         .join(
-            shl.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb")),
+            shl_f.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb")),
             "id_b",
         )
         .select(
@@ -5747,9 +5762,14 @@ def d31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    labels = leakage_free_split_label(
-        d, {"train": 0.8, "val": 0.1, "test": 0.1}
-    ).select("doc_id", "split")
+    # id-domain-sized barrier: the label frame (shingle join + iterative CC
+    # + reassignment) feeds BOTH sides of the pair join; without it the
+    # whole split-label subtree runs once per side (r11, guide §5)
+    labels = (
+        leakage_free_split_label(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split")
+        .localCheckpoint(eager=False)
+    )
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.7).select("id_a", "id_b")
     la = labels.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
     lb = labels.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
