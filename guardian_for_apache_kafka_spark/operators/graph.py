@@ -74,7 +74,9 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     via the canonical (lo,hi) form, which already stores the oriented
     pair. Each triangle is counted exactly once (its orientation-minimal
     node is the pivot x), then credited to all three corners."""
-    o = orient_edges(edges, src, dst).localCheckpoint()
+    # lazy barrier (r11 bench honesty): o feeds e1/e2/closing; eager would
+    # run the orientation joins at plan-build time, outside the timed action
+    o = orient_edges(edges, src, dst).localCheckpoint(eager=False)
     e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
     two_paths = e1.join(e2, "x").where(F.col("y") < F.col("z"))
@@ -132,7 +134,7 @@ def label_propagation(
             .where(F.col("a") != F.col("b"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy: fixed-round loop, no driver probe (r11)
     )
     nodes = und.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
@@ -153,6 +155,6 @@ def label_propagation(
                 "node",
                 F.coalesce("label", F.col("node")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels

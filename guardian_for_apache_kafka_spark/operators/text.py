@@ -955,7 +955,14 @@ def shingle_duplication_profile(
         "__id",
         F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
     )
-    pairs = inv.groupBy("__id", "__s").agg(F.count("*").alias("__k")).localCheckpoint()
+    # lazy barrier (r11 bench honesty): the rollup feeds uniq AND doc_tot;
+    # eager would materialize the corpus-scale explode at plan-build time,
+    # outside any timed action
+    pairs = (
+        inv.groupBy("__id", "__s")
+        .agg(F.count("*").alias("__k"))
+        .localCheckpoint(eager=False)
+    )
     # df == 1  =>  exactly one (doc, shingle) row with __k == 1, so
     # max(__id) is THE owning document of a globally-unique shingle
     uniq = (
@@ -1317,7 +1324,7 @@ def shingle_novelty_profile(
     pairs = sh.select(
         "__id",
         F.explode(F.transform("__shingles", lambda c: F.xxhash64(c))).alias("__s"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy: keep the explode inside the timed action (r11)
     return novelty_from_pairs(pairs, id_col)
 
 
