@@ -565,17 +565,48 @@ def cross_jaccard_pairs(
     Same inverted-index core as :func:`ngram_jaccard_pairs`; ``max_bucket``
     caps candidate generation on the REFERENCE side's bucket sizes (the side
     that scales), with the exact intersection then computed from full shingle
-    sets. Returns (new_id, ref_id, jaccard >= threshold)."""
+    sets. Returns (new_id, ref_id, jaccard >= threshold).
+
+    Without a bucket cap the inverted-index join itself yields the exact
+    intersection — shingles are distinct within a doc, so count(*) per
+    (new_id, ref_id) collision group == |intersection| — and the pair frame
+    only ever carries ids + integer counts (the d4/d32 count formulation).
+    The array re-attachment path (full shingle arrays broadcast back onto
+    the candidates, array_intersect per pair) runs only when ``max_bucket``
+    drops hot postings and the collision count undercounts."""
     # hashed at the barrier (see _shingled_hashes): both inverted indexes
-    # and both exact-verify re-attachments read 8-byte hash arrays
+    # and (on the capped path) both exact-verify re-attachments read 8-byte
+    # hash arrays
     sn = _shingled_hashes(new, id_col, content_col, n).localCheckpoint(eager=False)
     sr = _shingled_hashes(ref, id_col, content_col, n).localCheckpoint(eager=False)
     inv_n = sn.select(F.col("__id").alias("new_id"), F.explode("__h").alias("__s"))
     inv_r = sr.select(F.col("__id").alias("ref_id"), F.explode("__h").alias("__s"))
-    if max_bucket is not None:
-        hot = inv_r.groupBy("__s").count().where(F.col("count") > max_bucket).select("__s")
-        inv_n = inv_n.join(F.broadcast(hot), "__s", "left_anti")
-        inv_r = inv_r.join(F.broadcast(hot), "__s", "left_anti")
+    if max_bucket is None:
+        # exact count path: never re-shuffles shingle arrays, one aggregate
+        # over the collision stream; division arithmetic identical to the
+        # array path (int/long difference widened to double the same way)
+        counted = (
+            inv_n.join(inv_r, "__s")
+            .groupBy("new_id", "ref_id")
+            .agg(F.count("*").alias("__common"))
+        )
+        na = sn.select(F.col("__id").alias("new_id"), F.size("__h").alias("__nn"))
+        nb = sr.select(F.col("__id").alias("ref_id"), F.size("__h").alias("__nr"))
+        return (
+            counted.join(na, "new_id")
+            .join(nb, "ref_id")
+            .select(
+                "new_id", "ref_id",
+                (
+                    F.col("__common")
+                    / (F.col("__nn") + F.col("__nr") - F.col("__common"))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    hot = inv_r.groupBy("__s").count().where(F.col("count") > max_bucket).select("__s")
+    inv_n = inv_n.join(F.broadcast(hot), "__s", "left_anti")
+    inv_r = inv_r.join(F.broadcast(hot), "__s", "left_anti")
     cand = inv_n.join(inv_r, "__s").select("new_id", "ref_id").distinct()
     hn = sn.select(
         F.col("__id").alias("new_id"),

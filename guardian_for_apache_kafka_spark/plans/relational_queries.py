@@ -1394,7 +1394,14 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply (e.g. broadcast-ineligible dims, or pre-AQE engines). The oracle
     is the plain unsalted join: same rows, same aggregate. The measure is
     integer cents (floor(value*100) x integer weight) so the per-key sum is
-    order-independent — a float sum lands on different last bits per engine."""
+    order-independent — a float sum lands on different last bits per engine.
+
+    The dim here is 5 literal rows (80 after salt replication) so it
+    carries an explicit broadcast hint: without it the stats-less
+    createDataFrame side defeats auto-broadcast and Spark broadcasts the
+    EVENTS side instead (BuildLeft over the fact table — backwards at any
+    scale). ``salted_join`` itself stays strategy-neutral: its target case
+    is the broadcast-INELIGIBLE dim, where the salted shuffle is the point."""
     from guardian_for_apache_kafka_spark.functions.skew import salted_join
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
@@ -1402,7 +1409,7 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5), ("logout", 3)],
         "event_type string, weight long",
     )
-    j = salted_join(ev, dim, on="event_type", buckets=16)
+    j = salted_join(ev, F.broadcast(dim), on="event_type", buckets=16)
     return (
         j.select(
             "event_type",
@@ -4496,34 +4503,46 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphaned children and childless
     parents across the lineitem->orders and orders->customer foreign
     keys — the RELATIONSHIP-level data-quality check beside q50's
-    column-level profile (a broken ingest shows up here first). Each
-    count is an anti-join (LeftAnti, broadcast-able dim side); nothing
-    wider than keys ever shuffles. The six counts are bounded scalar
-    aggregates collected at plan-BUILD time (the s5 Lloyd note applies to
-    bench timings); the report itself is 2 rows."""
+    column-level profile (a broken ingest shows up here first).
+
+    One declarative plan per relationship: group each side down to its
+    key, full-outer join the two key spines, and read all three counts
+    off the match pattern (child count where parent side is null =
+    orphans; parent count where child side is null = childless). Exactly
+    the anti-join semantics — a null FK never equi-matches, so null-key
+    child groups land on the orphan side, as LeftAnti counts them.
+    Nothing wider than (key, count) ever shuffles, and the whole audit is
+    ONE action instead of six driver-blocking counts at plan-build time
+    (r11: 19 build jobs / 8.5 s -> 0; the s5 Lloyd caveat no longer
+    applies here)."""
 
     def audit(child, ckey, parent, pkey, name):
-        n_children = child.count()
-        orphans = child.join(
-            parent, child[ckey] == parent[pkey], "left_anti"
-        ).count()
-        childless = parent.join(
-            child, child[ckey] == parent[pkey], "left_anti"
-        ).count()
-        return (name, n_children, orphans, childless)
+        ca = child.groupBy(F.col(ckey).alias("__k")).agg(F.count("*").alias("__c"))
+        pa = parent.groupBy(F.col(pkey).alias("__k")).agg(F.count("*").alias("__p"))
+        return ca.join(pa, "__k", "full_outer").agg(
+            F.lit(name).alias("relationship"),
+            F.coalesce(F.sum("__c"), F.lit(0)).alias("n_children"),
+            F.coalesce(
+                F.sum(F.when(F.col("__p").isNull(), F.col("__c"))), F.lit(0)
+            ).alias("n_orphans"),
+            F.coalesce(
+                F.sum(F.when(F.col("__c").isNull(), F.col("__p"))), F.lit(0)
+            ).alias("n_childless_parents"),
+        )
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    rows = [
-        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
-        audit(o, "o_custkey", c, "c_custkey", "orders->customer"),
-    ]
-    return spark.createDataFrame(
-        rows,
-        "relationship string, n_children long, n_orphans long, "
-        "n_childless_parents long",
-    ).orderBy("relationship")
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(
+            audit(
+                o.select("o_custkey"), "o_custkey", c, "c_custkey",
+                "orders->customer",
+            )
+        )
+        .orderBy("relationship")
+    )
 
 
 @query(

@@ -228,18 +228,29 @@ def test_q39_salted_join_spreads_hot_keys(spark, sf_dir):
     broadcast-ineligible build sides, pre-AQE engines), the salted join's
     exchanges must hash-partition on (event_type, __salt): each hot key
     spreads over `buckets` reducer keys instead of landing on one reducer.
-    The build side replicates via explode."""
+    The build side replicates via explode.
+
+    Exercised through ``salted_join`` with an UNHINTED dim (q39's builder
+    now carries an explicit broadcast hint on its literal 5-row dim — the
+    right local plan for that query — and a hint overrides the threshold
+    conf, so the no-broadcast regime this test pins is the operator's)."""
     import re
 
-    from guardian_for_apache_kafka_spark.plans import all_queries
+    from guardian_for_apache_kafka_spark.functions.skew import salted_join
+    from guardian_for_apache_kafka_spark.plans.relational_queries import load_table
 
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5), ("logout", 3)],
+        "event_type string, weight long",
+    )
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = (
-            all_queries()["q39_salted_skew_join"](spark, sf_dir)
+            salted_join(ev, dim, on="event_type", buckets=16)
             ._jdf.queryExecution()
             .explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -255,6 +266,24 @@ def test_q39_salted_join_spreads_hot_keys(spark, sf_dir):
     assert "explode(" in plan, plan
     # and the probe side's salt is deterministic (xxhash64, not rand)
     assert "xxhash64" in plan, plan
+
+
+def test_q39_query_builds_broadcast_on_dim(spark, sf_dir):
+    """q39's own plan must broadcast the replicated DIM side, never the
+    events fact table: the stats-less createDataFrame dim used to defeat
+    auto-broadcast, flipping Spark to BuildLeft over events — backwards
+    at any scale (r11 tier-3 fix: explicit hint in the builder)."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+
+    plan = (
+        all_queries()["q39_salted_skew_join"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    assert "BuildRight" in plan, plan
+    assert "BuildLeft" not in plan, plan
 
 
 def test_t7_repetition_stats_zero_shuffle(plans):

@@ -116,3 +116,47 @@ def test_duplicate_spans_barrier_is_not_cached_and_deterministic(spark, sf_dir):
     r2 = sorted(tuple(r) for r in duplicate_spans(docs, n=8, min_span_tokens=16).collect())
     assert r1 == r2
     assert _cache_manager_empty(spark)
+
+
+def test_cross_jaccard_count_path_matches_array_verify_path(spark, sf_dir):
+    """The tier-3 rewrite computes the exact intersection from inverted-index
+    collision counts when no bucket cap drops postings (max_bucket=None);
+    the capped path re-verifies from full shingle arrays. With a cap high
+    enough to drop NOTHING the two formulations must emit identical
+    (new_id, ref_id, jaccard) rows — same pairs, same division bits."""
+    from guardian_for_apache_kafka_spark.operators.dedup import cross_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    counted = sorted(
+        tuple(r) for r in cross_jaccard_pairs(new, ref, threshold=0.3).collect()
+    )
+    arrayed = sorted(
+        tuple(r)
+        for r in cross_jaccard_pairs(
+            new, ref, threshold=0.3, max_bucket=1 << 30
+        ).collect()
+    )
+    assert counted == arrayed
+    assert _cache_manager_empty(spark)
+
+
+def test_q99_builder_launches_no_jobs(spark, sf_dir):
+    """q99's audit counts used to run as six driver-blocking .count() jobs at
+    plan-BUILD time (19 Spark jobs before any timed action). The declarative
+    rewrite must build with ZERO jobs — the whole audit is one lazy plan."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+
+    sc = spark.sparkContext
+    # first build warms the parquet file-listing (planning-time I/O jobs);
+    # the rewrite is pinned on the SECOND build: the old builder ran its six
+    # .count() jobs on EVERY build, the declarative one runs none
+    all_queries()["q99_referential_audit"](spark, sf_dir)
+    before = sc._jsc.sc().dagScheduler().nextJobId()
+    df = all_queries()["q99_referential_audit"](spark, sf_dir)
+    after = sc._jsc.sc().dagScheduler().nextJobId()
+    assert after == before, f"builder launched {after - before} jobs"
+    # and the plan reads parquet directly (no driver-computed local relation)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "applySchemaToPythonRDD" not in plan, plan
