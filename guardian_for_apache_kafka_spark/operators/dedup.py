@@ -74,6 +74,24 @@ def _shingled_hashes(
     )
 
 
+def _hashed_grams(th: F.Column, n: int) -> F.Column:
+    """Distinct n-gram identities as int64 hashes computed from a TOKEN-HASH
+    array (xxhash64 over each n-token-hash window — the d4 verify idiom):
+    identical distinctness to word-string shingles modulo 64-bit collisions
+    (~n_grams^2/2^64), with zero string building — no array_join, no
+    multi-word string allocation, and any downstream explode/join carries
+    8-byte longs. Empty when the document has fewer than n tokens."""
+    return F.when(
+        F.size(th) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(th) - n),
+                lambda i: F.xxhash64(F.slice(th, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def _common_shingle_counts(
     df: DataFrame,
     n: int,
@@ -370,15 +388,7 @@ def minhash_verified_dedup(
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
     th = F.transform(tokens_col(content_col), lambda t: F.xxhash64(t))
-    shingle_hashes = F.when(
-        F.size("__th") >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("__th") - n),
-                lambda i: F.xxhash64(F.slice("__th", i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    shingle_hashes = _hashed_grams(F.col("__th"), n)
     feat = (
         spread_narrow_scan(df)
         .select(F.col(id_col).alias("__id"), th.alias("__th"))
@@ -518,12 +528,16 @@ def embedding_near_dup_pairs(
         hyperplane_signs(emb.sparkSession, dim, planes, tables, sign_hash=sign_hash)
     )
 
-    # materialized once (lazy local checkpoint): evaluate the buckets once, then both join sides and the
-    # vector re-attachments read the materialized frame
+    # materialized once (lazy local checkpoint): the bucket UDF runs one
+    # corpus pass and the barrier holds (id, tbl, bk) INTS ONLY — tables x
+    # corpus small rows. Holding the vector here would materialize every
+    # embedding ``tables`` times and force two sort-aggregate dedups to
+    # undo the explode (the r11 tier-4 finding: that shape tripled d6);
+    # the exact-verify vectors re-attach from the source scan instead —
+    # a pruned columnar read, the s7/s15 rerank idiom.
     b = (
         spread_narrow_scan(emb).select(
             F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
             F.posexplode(bk_udf(F.col(vec_col).cast("array<double>"))).alias("tbl", "bk"),
         )
         .localCheckpoint(eager=False)
@@ -536,8 +550,8 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = b.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")).dropDuplicates(["id_a"])
-    vb = b.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")).dropDuplicates(["id_b"])
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
@@ -815,13 +829,17 @@ def build_gram_bloom(
     FPs only cost wasted exact-join work, never correctness, so m is a
     throughput knob. The 2^16-bit default is 8 KiB and is deliberately
     small for the test corpus; for ~1% FP size m at roughly 10 bits per
-    gram (e.g. ~5e4 grams -> m ~= 2^19 bits = 64 KiB)."""
+    gram (e.g. ~5e4 grams -> m ~= 2^19 bits = 64 KiB).
+
+    Gram identity is the int64 token-hash-window hash (:func:`_hashed_grams`)
+    — the probe side (:func:`bloom_contamination_report`) uses the same
+    representation, so insertion and membership positions agree by
+    construction and neither side ever builds gram strings."""
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
+    th = F.transform(tokens_col(content_col), lambda t: F.xxhash64(t))
     grams = (
-        eval_set.select(
-            F.explode(ngram_shingles(tokens_col(content_col), n)).alias("__g")
-        ).distinct()
+        eval_set.select(F.explode(_hashed_grams(th, n)).alias("__g")).distinct()
     )
     pos_exprs = [
         _BLOOM_POS_SQL.format(col="__g", i=i, m=m_bits) for i in range(k)
@@ -866,11 +884,21 @@ def bloom_contamination_report(
     constant-size broadcast (the filter words) and turns the decontamination
     join's dominant cost — exchanging every corpus gram — into an exchange
     of the ~FP+true-hit slice. The same operator serves URL/domain
-    blocklist filtering with ``n=1`` over a url column."""
+    blocklist filtering with ``n=1`` over a url column.
+
+    Grams are identified by int64 hashes of n-token-hash windows
+    (:func:`_hashed_grams`, the d3/d4 discipline) on BOTH the build and the
+    probe/confirm sides: no 3-word gram strings are ever materialized, the
+    bloom positions hash one long instead of a ~20-byte string, the exploded
+    stream and the confirm join carry 8-byte keys. Exactness caveat is the
+    registry-standard one: a 64-bit collision between two distinct grams
+    (~n_grams^2/2^64) could merge identities — the same budget d3/d4/d12
+    already carry, differentially attested per scale."""
     filter_words = build_gram_bloom(eval_set, n, m_bits, k, eval_content_col)
+    th = F.transform(tokens_col(content_col), lambda t: F.xxhash64(t))
     ce = spread_narrow_scan(corpus).select(
         F.col(id_col),
-        F.explode(ngram_shingles(tokens_col(content_col), n)).alias("__g"),
+        F.explode(_hashed_grams(th, n)).alias("__g"),
     ).withColumn("__bloom", F.lit(filter_words).cast("array<long>"))
     ce = ce.withColumns(
         {
@@ -881,11 +909,8 @@ def bloom_contamination_report(
     candidates = ce.where(
         F.expr(_bloom_probe_sql("__p1", "__p2", k, m_bits, "__bloom"))
     ).drop("__bloom", "__p1", "__p2")
-    ee = (
-        eval_set.select(
-            F.explode(ngram_shingles(tokens_col(eval_content_col), n)).alias("__g")
-        ).distinct()
-    )
+    eth = F.transform(tokens_col(eval_content_col), lambda t: F.xxhash64(t))
+    ee = eval_set.select(F.explode(_hashed_grams(eth, n)).alias("__g")).distinct()
     return (
         candidates.join(ee, "__g")
         .groupBy(id_col)
