@@ -1228,23 +1228,45 @@ def kneser_ney_cross_entropy(
     return scored.groupBy(id_col).agg((-F.avg("__logp")).alias("kn_cross_entropy"))
 
 
-def cdc_chunks(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Content-defined chunking (rolling-hash boundaries, the
-    rsync/LBFS/dedup-storage trick): a chunk boundary falls after any token
-    whose trailing 3-gram's md5 starts with hex '0' (P = 1/16, expected
-    chunk ~16 tokens). Unlike t9's fixed windows, boundaries are
-    CONTENT-ANCHORED — inserting one token early in a document shifts every
-    fixed window but leaves all later CDC chunks byte-identical, which is
-    what makes chunk-level dedup robust to edits.
+def _cdc_chunk_list(text: str | None) -> list[str] | None:
+    """Pure-Python twin of the CDC state machine (one linear pass; see
+    :func:`cdc_chunks` for the boundary rule). Replicates the Catalyst
+    fold's semantics exactly, INCLUDING the empty-token quirk: ``cur == ""``
+    means "chunk has no non-empty prefix yet", so a chunk-leading empty
+    token contributes no separator — the invariant the d29 oracle's
+    ``string_agg`` replay depends on."""
+    if text is None:
+        return None
+    import hashlib
 
-    Map-only: one ``aggregate`` fold per document builds the chunk array in
-    O(tokens) (state = built chunks + current chunk + last two tokens +
-    position), then explodes — zero shuffles until the caller aggregates
-    chunk hashes. The boundary hash is md5-derived, so DuckDB replays the
-    identical segmentation with lag windows (the d29 oracle)."""
-    hoisted = df.select(F.col(id_col), tokens_col(text_col).alias("__tk"))
+    md5 = hashlib.md5
+    chunks: list[str] = []
+    cur = ""
+    p1 = ""
+    p2 = ""
+    for pos, t in enumerate(text.split(" ")):
+        cur = t if cur == "" else cur + " " + t
+        if (
+            pos >= 2
+            and md5((p2 + " " + p1 + " " + t).encode("utf-8")).hexdigest()[0]
+            == "0"
+        ):
+            chunks.append(cur)
+            cur = ""
+        p2 = p1
+        p1 = t
+    if cur != "":
+        chunks.append(cur)
+    return chunks
+
+
+def _cdc_chunks_fold(tk: Column) -> Column:
+    """Pure-JVM reference twin of :func:`_cdc_chunk_list` over a token
+    array: the original Catalyst ``aggregate`` fold (state = built chunks +
+    current chunk + last two tokens + position). Kept for the parity test —
+    higher-order functions are interpreted (no codegen) and the
+    copy-on-append chunk array makes this ~4x the Arrow kernel's cost, so
+    the hot path uses the kernel."""
     init = F.struct(
         F.array().cast("array<string>").alias("chunks"),
         F.lit("").alias("cur"),
@@ -1271,16 +1293,47 @@ def cdc_chunks(
             (acc["pos"] + 1).alias("pos"),
         )
 
-    folded = hoisted.select(
-        F.col(id_col),
-        F.aggregate(
-            F.col("__tk"),
-            init,
-            step,
-            lambda acc: F.when(
-                acc["cur"] == "", acc["chunks"]
-            ).otherwise(F.concat(acc["chunks"], F.array(acc["cur"]))),
-        ).alias("__chunks"),
+    return F.aggregate(
+        tk,
+        init,
+        step,
+        lambda acc: F.when(acc["cur"] == "", acc["chunks"]).otherwise(
+            F.concat(acc["chunks"], F.array(acc["cur"]))
+        ),
+    )
+
+
+def cdc_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries, the
+    rsync/LBFS/dedup-storage trick): a chunk boundary falls after any token
+    whose trailing 3-gram's md5 starts with hex '0' (P = 1/16, expected
+    chunk ~16 tokens). Unlike t9's fixed windows, boundaries are
+    CONTENT-ANCHORED — inserting one token early in a document shifts every
+    fixed window but leaves all later CDC chunks byte-identical, which is
+    what makes chunk-level dedup robust to edits.
+
+    Map-only: one Arrow-batched kernel pass per document builds the chunk
+    array in O(tokens) (:func:`_cdc_chunk_list` — the segmentation is pure
+    string/hash logic, no float association, so the Python twin is
+    bit-identical to the Catalyst fold kept in :func:`_cdc_chunks_fold` and
+    parity-tested against it), then explodes — zero shuffles until the
+    caller aggregates chunk hashes. The interpreted-HOF fold this replaces
+    copied the accumulated chunk array on every boundary (r11 tier-4: 3.4 s
+    of the d29 plan's 3.4 s noop at sf0.1). The boundary hash is
+    md5-derived, so DuckDB replays the identical segmentation with lag
+    windows (the d29 oracle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
+
+    @pandas_udf("array<string>")
+    def _cdc_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(_cdc_chunk_list)
+
+    folded = spread_narrow_scan(df).select(
+        F.col(id_col), _cdc_udf(F.col(text_col)).alias("__chunks")
     )
     return folded.select(
         F.col(id_col),
@@ -1456,43 +1509,52 @@ def ngram_diversity_profile(
     self-repetition / memorization-risk profile of a corpus slice (a
     low-diversity source is template spam; Self-BLEU's cheap cousin).
 
-    The exploded stream carries (group, n, md5(ngram)) — the 32-hex digest,
-    never the n-gram text (the d33 exchange discipline), and the
-    count-distinct runs on the digest so both engines count the same
-    collision-free keys. One union of |orders| per-row expansions, one
+    The exploded stream carries (group, n, digest) — an int64 n-gram
+    identity (xxhash64 over the n-token-hash window, the d3/d4 discipline),
+    never the n-gram text, and the count-distinct runs on the digest so the
+    distinct exchange compares 8-byte longs (the old md5-hex form shuffled a
+    32-char string per gram and built the gram string first; collision
+    budget is the registry-standard ~n_grams^2/2^64, differentially
+    attested per scale). ONE scan, ONE per-row expansion covering every
+    order (the old shape unioned |orders| full scan+tokenize branches), one
     grouped aggregate (map-side combined). Built with the column DSL over
     the shared ``tokens_col`` tokenizer (ADVICE r8: the old raw-SQL string
     broke on column names needing quoting and could drift from the other
-    text operators' tokenization), with the token array hoisted once per
-    row rather than re-split per order."""
-    df, scratch = _with_tokens_scratch(df, text_col)
-    toks = F.col(scratch)
+    text operators' tokenization), with the token-hash array hoisted once
+    per row rather than re-derived per order."""
+    from guardian_for_apache_kafka_spark.operators.layout import spread_narrow_scan
 
-    def gram_digests(n: int) -> Column:
+    # one scan feeds ALL orders now, so the per-row expansion work that the
+    # old 3-branch union spread over 3 concurrent scan stages lands in one
+    # stage — spread it across the cores (no-op when the scan already has
+    # parallelism)
+    df, scratch = _with_tokens_scratch(spread_narrow_scan(df), text_col)
+    hoisted = df.select(
+        F.col(group_col).alias("grp"),
+        F.transform(F.col(scratch), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+
+    def gram_structs(n: int) -> Column:
         # NB: the inner lambda must stay UNARY — PySpark dispatches on the
         # lambda's arity, and a second parameter (even a defaulted `n=n`
         # binding) silently selects the (element, index) binary transform
         # form, turning the bound constant into the array index
-        return F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, F.lit(n)), " ")),
-        )
+        return F.when(
+            F.size(th) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(th) - n),
+                lambda i: F.struct(
+                    F.lit(n).cast("int").alias("n"),
+                    F.xxhash64(F.slice(th, i + 1, n)).alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,h:bigint>>"))
 
-    parts = []
-    for n in orders:
-        grams = F.when(F.size(toks) >= n, gram_digests(n)).otherwise(
-            F.array().cast("array<string>")
-        )
-        parts.append(
-            df.select(
-                F.col(group_col).alias("grp"),
-                F.lit(n).cast("int").alias("n"),
-                F.explode(grams).alias("__g"),
-            )
-        )
-    allg = parts[0]
-    for p in parts[1:]:
-        allg = allg.unionByName(p)
+    allg = hoisted.select(
+        "grp",
+        F.explode(F.concat(*[gram_structs(n) for n in orders])).alias("__s"),
+    ).select("grp", F.col("__s.n").alias("n"), F.col("__s.h").alias("__g"))
     return (
         allg.groupBy("grp", "n")
         .agg(

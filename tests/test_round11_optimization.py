@@ -160,3 +160,40 @@ def test_q99_builder_launches_no_jobs(spark, sf_dir):
     # and the plan reads parquet directly (no driver-computed local relation)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "applySchemaToPythonRDD" not in plan, plan
+
+
+def test_cdc_kernel_matches_catalyst_fold(spark, sf_dir):
+    """cdc_chunks' Arrow kernel must segment bit-identically to the pure-JVM
+    Catalyst fold it replaced (r11 tier-4) — same chunks, same order, on the
+    real corpus plus the empty-token edge cases the state machine's
+    ``cur == ""`` quirk makes tricky (chunk-leading empty tokens contribute
+    no separator)."""
+    from guardian_for_apache_kafka_spark.functions.columns import tokens_col
+    from guardian_for_apache_kafka_spark.operators.text import (
+        _cdc_chunks_fold,
+        cdc_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    edge = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, "a"),
+            (100003, "a b"),
+            (100004, " leading space"),
+            (100005, "double  space inside and trailing "),
+            (100006, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionAll(edge)
+    kernel = sorted(tuple(r) for r in cdc_chunks(both).collect())
+    fold = sorted(
+        tuple(r)
+        for r in both.select(
+            F.col("doc_id"), _cdc_chunks_fold(tokens_col("text")).alias("__c")
+        )
+        .select("doc_id", F.posexplode("__c").alias("chunk_index", "chunk"))
+        .collect()
+    )
+    assert kernel == fold
