@@ -5290,7 +5290,12 @@ def m8(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     ).withColumn("blob", F.col("text").cast("binary"))
-    fr = audio_fingerprints(attach_media(corpus, "blob", "audio", "wav"))
+    # barrier (lazy local checkpoint): the fingerprint frame feeds BOTH
+    # self-join sides — without it each side re-runs the decode MapInPandas
+    # (r11 tier-4: the plan held 4 decode nodes). (doc_id, fp) longs only.
+    fr = audio_fingerprints(
+        attach_media(corpus, "blob", "audio", "wav")
+    ).localCheckpoint(eager=False)
     a = fr.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fr.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
@@ -8202,6 +8207,10 @@ def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = attach_media(d, "blob", "image", "png")
     grid = extract_patch_grid(media, grid=2)
+    # barrier (lazy local checkpoint): sig feeds the owner rollup AND the
+    # per-doc totals — without it each consumer re-runs the decode
+    # MapInPandas, making the docstring's "one decode pass" false in the
+    # physical plan (r11 tier-4). (doc_id, int signature) rows only.
     sig = grid.select(
         "doc_id",
         (
@@ -8209,7 +8218,7 @@ def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.floor(F.col("mean_intensity") / 32) * 8
             + F.floor(F.col("std_intensity") / 32)
         ).alias("__s"),
-    )
+    ).localCheckpoint(eager=False)
     owner = sig.groupBy("__s").agg(
         F.count("*").cast("long").alias("__df"), F.min("doc_id").alias("__o")
     )

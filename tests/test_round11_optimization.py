@@ -197,3 +197,18 @@ def test_cdc_kernel_matches_catalyst_fold(spark, sf_dir):
         .collect()
     )
     assert kernel == fold
+
+
+def test_multimodal_dedup_decodes_once(spark, sf_dir):
+    """m8/m12 fan their decoded feature frame out to two consumers; the
+    barrier must keep the decode MapInPandas BELOW the checkpoint scan so
+    each blob is decoded once per execution, not once per consumer (the
+    multimodal families' one-decode-pass contract). In the physical plan
+    that shows as ZERO Python nodes above the barrier."""
+    from guardian_for_apache_kafka_spark.plans import all_queries
+
+    qs = all_queries()
+    for name in ("m8_audio_fingerprint_dedup", "m12_patch_signature_dedup"):
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+            assert node not in plan, f"{name}: {node} above the decode barrier"
