@@ -393,7 +393,13 @@ def hyperplane_buckets_udf(signs):
                 out[idxs[start + j]] = row
         return pd.Series(out)
 
-    return _bk
+    # asNondeterministic: the posexplode/joins downstream make the optimizer
+    # infer isnotnull/size filters on the bucket column and push them below
+    # the spread exchange, evaluating the kernel once per consumer (observed
+    # as two _bk nodes in s19/s20's executed plans — optimization guide
+    # §4.4). The kernel is deterministic in fact; the marker only forbids
+    # the optimizer from duplicating or reordering it.
+    return _bk.asNondeterministic()
 
 
 

@@ -154,7 +154,12 @@ def _assign_cluster_udf(cents: list[tuple[int, list[float]]]):
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         return pd.Series(cids[(Vn @ Cn.T).argmax(axis=1)])
 
-    return assign
+    # asNondeterministic: joins/filters on the assigned cid make the
+    # optimizer infer isnotnull(assign(..)) and push it below the spread
+    # exchange, evaluating the corpus kernel TWICE (guide §4.4 — observed in
+    # s5/s9/s2's executed plans). The kernel is deterministic in fact; the
+    # marker only forbids the optimizer from duplicating or reordering it.
+    return assign.asNondeterministic()
 
 
 # closure-size gate for the literal centroid matrix: above this many doubles
@@ -186,7 +191,8 @@ def _shard_winner_udf(cents: list[tuple[int, list[float]]]):
         j = S.argmax(axis=1)
         return pd.DataFrame({"cid": cids[j], "score": S[np.arange(len(j)), j]})
 
-    return win
+    # see _assign_cluster_udf: forbid optimizer duplication of the kernel
+    return win.asNondeterministic()
 
 
 def _assign_fn(
@@ -210,11 +216,23 @@ def _assign_fn(
     udfs = [_shard_winner_udf(s) for s in shards]
 
     def assign(vec):
-        best = udfs[0](vec)
-        for u in udfs[1:]:
-            c = u(vec)
-            best = F.when(c["score"] > best["score"], c).otherwise(best)
-        return best["cid"]
+        # each shard UDF is referenced EXACTLY ONCE: the kernels are marked
+        # nondeterministic (so the optimizer cannot duplicate them under
+        # inferred filters — guide §4.4), which also disables common-
+        # subexpression merging, so the old when-chain (whose `best` branch
+        # re-appeared per fold step) would re-evaluate earlier shards per
+        # reference. Collect the winners into one array and take the max by
+        # (score, -cid): ties on score resolve to the smaller cid — the same
+        # discipline as the old strict-> fold (shards ascend in cid, so the
+        # earlier shard's winner IS the smaller cid on an exact tie).
+        winners = F.array(*[u(vec) for u in udfs])
+        ranked = F.transform(
+            winners,
+            lambda s: F.struct(
+                s["score"].alias("score"), (-s["cid"]).alias("negcid")
+            ),
+        )
+        return -F.array_max(ranked)["negcid"]
 
     return assign
 
@@ -247,7 +265,8 @@ def _topn_lists_udf(cents: list[tuple[int, list[float]]], n: int):
         idx = np.argsort(-S, axis=1, kind="stable")[:, :keep]
         return pd.Series([cids[row].tolist() for row in idx])
 
-    return probe
+    # see _assign_cluster_udf: forbid optimizer duplication of the kernel
+    return probe.asNondeterministic()
 
 
 def auto_nlist(n_rows: int) -> int:

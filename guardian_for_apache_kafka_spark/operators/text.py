@@ -1332,8 +1332,15 @@ def cdc_chunks(
     def _cdc_udf(texts: pd.Series) -> pd.Series:
         return texts.map(_cdc_chunk_list)
 
+    # asNondeterministic: the downstream posexplode makes the optimizer infer
+    # a size(__chunks) > 0 filter and PUSH IT BELOW the spread exchange —
+    # duplicating the chunker so every document is segmented twice (guide
+    # §4.4). The kernel is in fact deterministic; the marker only forbids the
+    # optimizer from copying/reordering it.
+    _cdc_once = _cdc_udf.asNondeterministic()
+
     folded = spread_narrow_scan(df).select(
-        F.col(id_col), _cdc_udf(F.col(text_col)).alias("__chunks")
+        F.col(id_col), _cdc_once(F.col(text_col)).alias("__chunks")
     )
     return folded.select(
         F.col(id_col),

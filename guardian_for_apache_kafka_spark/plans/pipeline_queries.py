@@ -6930,10 +6930,16 @@ def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
     signs = hyperplane_signs(spark, dim, planes=32, tables=2, sign_hash="md5")
     bk = hyperplane_buckets_udf(signs)
+    # ONE kernel call per row: the nondeterministic marker (which stops the
+    # optimizer duplicating the kernel under inferred filters) also disables
+    # common-subexpression merging, so two bk() calls in one projection
+    # would evaluate twice — hoist the array, slice it twice
     sigs = spread_narrow_scan(e).select(
+        "vec_id", bk(F.col("embedding")).alias("__bk")
+    ).select(
         "vec_id",
-        F.element_at(bk(F.col("embedding")), 1).alias("w0"),
-        F.element_at(bk(F.col("embedding")), 2).alias("w1"),
+        F.element_at("__bk", 1).alias("w0"),
+        F.element_at("__bk", 2).alias("w1"),
     )
     q = sigs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -6986,10 +6992,13 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, probe_mult = 5, 16
     signs = hyperplane_signs(spark, 64, planes=32, tables=2, sign_hash="md5")
     bk = hyperplane_buckets_udf(signs)
+    # one kernel call per row, sliced twice (see s19)
     sigs = spread_narrow_scan(e).select(
+        "vec_id", bk(F.col("embedding")).alias("__bk")
+    ).select(
         "vec_id",
-        F.element_at(bk(F.col("embedding")), 1).alias("w0"),
-        F.element_at(bk(F.col("embedding")), 2).alias("w1"),
+        F.element_at("__bk", 1).alias("w0"),
+        F.element_at("__bk", 2).alias("w1"),
     )
     qs = sigs.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
