@@ -264,6 +264,57 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
 
 
+def cosine_similarity_udf():
+    """Arrow-vectorized twin of :func:`cosine_similarity` for PAIR-SCALE
+    verify stages (millions of candidate rows): the JVM fold is a
+    higher-order expression, so it runs interpreted (no codegen) and was
+    measured as ~60% of d6's wall at the 10x corpus. Bit-identical by the
+    same argument the hyperplane kernel relies on: ``np.cumsum`` performs
+    the identical sequential left-to-right additions as the Catalyst
+    ``aggregate`` fold (the fold's 0.0 seed adds exactly, float32 inputs
+    widen to the same doubles), and the final dot/(sqrt*sqrt) is a single
+    expression both sides share — parity-asserted element-for-element in
+    tests/test_round11_optimization.py. Null rows and length-mismatched
+    pairs yield NULL (the fold's zip_with null semantics). Marked
+    nondeterministic like every expensive kernel so the optimizer cannot
+    duplicate it under inferred filters (guide §4.4)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = [None] * len(a)
+        by_len: dict[int, tuple[list[int], list, list]] = {}
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x is None or y is None:
+                continue
+            lx = len(x)
+            if lx != len(y):
+                # zip_with pads the shorter side with nulls -> fold NULL
+                continue
+            if lx == 0:
+                out[i] = float("nan")  # fold: 0.0/(0*0) = NaN
+                continue
+            idxs, xs, ys = by_len.setdefault(lx, ([], [], []))
+            idxs.append(i)
+            xs.append(x)
+            ys.append(y)
+        for _n, (idxs, xs, ys) in by_len.items():
+            X = np.array(xs, dtype=np.float64)
+            Y = np.array(ys, dtype=np.float64)
+            # cumsum = the fold's sequential left-to-right adds
+            dot = np.cumsum(X * Y, axis=1)[:, -1]
+            na = np.cumsum(X * X, axis=1)[:, -1]
+            nb = np.cumsum(Y * Y, axis=1)[:, -1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = dot / (np.sqrt(na) * np.sqrt(nb))
+            for j, i in enumerate(idxs):
+                out[i] = float(c[j])
+        return pd.Series(out, dtype="float64")
+
+    return _cos.asNondeterministic()
+
+
 def rolling_fingerprint(tokens: Column, mod: int = 1_000_000_007) -> Column:
     """Order-sensitive polynomial rolling hash over tokens:
     fold (acc*31 + code(token)) % mod with code = length*17 + ascii(first char).

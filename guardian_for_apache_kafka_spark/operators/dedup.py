@@ -552,12 +552,20 @@ def embedding_near_dup_pairs(
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # exact verify via the Arrow cosine kernel: the candidate set is
+    # pair-scale (quadratic in bucket density), and the interpreted JVM fold
+    # was measured at ~60% of the whole query's wall at the 10x corpus;
+    # cumsum association makes the kernel bit-identical to the fold
+    # (parity-pinned in tests/test_round11_optimization.py)
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        cosine_similarity_udf,
+    )
+
+    cos = cosine_similarity_udf()
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
-            "id_a", "id_b", cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine")
-        )
+        .select("id_a", "id_b", cos(F.col("__va"), F.col("__vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

@@ -212,3 +212,46 @@ def test_multimodal_dedup_decodes_once(spark, sf_dir):
         plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
             assert node not in plan, f"{name}: {node} above the decode barrier"
+
+
+def test_cosine_kernel_matches_jvm_fold_bitwise(spark, sf_dir):
+    """The Arrow cosine kernel must equal the Catalyst fold BIT-FOR-BIT on
+    the real embeddings (cumsum = the fold's sequential adds) — the property
+    d6's verify stage and its full-precision oracle depend on — plus the
+    null/length-mismatch edge semantics (NULL, like zip_with's padding)."""
+    from pyspark.sql import functions as F
+
+    from guardian_for_apache_kafka_spark.functions.columns import (
+        cosine_similarity,
+        cosine_similarity_udf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(300)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__b"))
+    pairs = a.crossJoin(b).where((F.col("id_a") % 7 == 0) & (F.col("id_b") % 5 == 0))
+    cos = cosine_similarity_udf()
+    rows = pairs.select(
+        "id_a",
+        "id_b",
+        cosine_similarity(F.col("__a"), F.col("__b")).alias("fold"),
+        cos(F.col("__a"), F.col("__b")).alias("kernel"),
+    ).collect()
+    assert rows
+    import struct
+
+    for r in rows:
+        fb = struct.pack("<d", r.fold)
+        kb = struct.pack("<d", r.kernel)
+        assert fb == kb, f"({r.id_a},{r.id_b}): {r.fold!r} != {r.kernel!r}"
+
+    edge = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], [1.0, 2.0, 3.0]),  # length mismatch -> NULL
+            (2, None, [1.0, 2.0]),  # null side -> NULL
+            (3, [1.0, 0.0], [0.0, 1.0]),  # orthogonal -> 0.0
+        ],
+        "i long, a array<double>, b array<double>",
+    )
+    got = {r.i: r.c for r in edge.select("i", cos("a", "b").alias("c")).collect()}
+    assert got[1] is None and got[2] is None and got[3] == 0.0
