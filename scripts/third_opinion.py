@@ -1578,9 +1578,9 @@ def chk_p15(sf):
     order = sorted(w, key=lambda s: (-rem[s], s))
     quota = {s: base_q[s] + (1 if i < leftover else 0) for i, s in enumerate(order)}
     rows = sorted(
-        (s, int(src[s]), quota[s], quota[s] / 1000000.0) for s in w
+        (s, int(src[s]), quota[s], quota[s]) for s in w
     )
-    return pd.DataFrame(rows, columns=["source", "tokens", "quota", "share"])
+    return pd.DataFrame(rows, columns=["source", "tokens", "quota", "share_ppm"])
 
 
 def chk_g12(sf):

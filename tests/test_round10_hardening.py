@@ -137,7 +137,7 @@ def test_p15_isqrt_correction_on_perfect_square_census(spark):
             did += 1
     d = _docs_dir(spark, rows)
     got = {
-        r.source: (r.tokens, r.quota, r.share)
+        r.source: (r.tokens, r.quota, r.share_ppm)
         for r in REGISTRY["p15_budget_apportionment"].builder(spark, d).collect()
     }
     # independent replay with math.isqrt
@@ -153,7 +153,9 @@ def test_p15_isqrt_correction_on_perfect_square_census(spark):
     for s in totals:
         assert got[s][0] == totals[s]
         assert got[s][1] == quota[s]
-        assert got[s][2] == pytest.approx(quota[s] / 1_000_000.0, abs=0)
+        # share_ppm is the integer ppm of the budget (r12 quantization:
+        # the DOUBLE quota/1e6 column was the last float in the output)
+        assert got[s][2] == quota[s]
     assert sum(q for _, q, _ in got.values()) == budget
 
 
