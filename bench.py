@@ -8,7 +8,11 @@ Prints ONE JSON line:
 The eight headline metrics mirror BASELINE.md §2 (stock-PySpark measured
 baseline, same data, same hardware) so the per-round BENCH_r{N}.json is
 directly comparable. Each timing = median of N_RUNS warm runs, collect()
-included (same protocol as BASELINE.md).
+included (same protocol as BASELINE.md). Since round 12 BENCH_RESULT.json
+additionally carries ``queries_noop`` — the same queries timed through the
+noop sink (guide §1.4, computation without result transfer) — as a SEPARATE
+column measured after the collect() protocol; the driver-compared numbers
+remain the collect() medians, methodology unchanged.
 
 Self-normalizing: the stock-PySpark formulations (scripts/measure_baseline.py)
 run in the SAME process, interleaved per metric with the engine runs, and the
@@ -38,7 +42,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from guardian_for_apache_kafka_spark.plans import all_queries  # noqa: E402
-from guardian_for_apache_kafka_spark.session import get_spark  # noqa: E402
+from guardian_for_apache_kafka_spark.session import (  # noqa: E402
+    free_local_checkpoints,
+    get_spark,
+)
 
 # metric name (BASELINE.md §2) -> registry query name
 HEADLINE = {
@@ -162,7 +169,11 @@ def emit_result(result: dict) -> None:
     with open(os.path.join(here, "BENCH_RESULT.json"), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
-    compact = {k: v for k, v in result.items() if k not in ("stock_queries", "ratio_vs_stock")}
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k not in ("stock_queries", "ratio_vs_stock", "queries_noop")
+    }
     compact["full"] = "BENCH_RESULT.json"
     if "sf1" in result:
         sf1 = result["sf1"]
@@ -230,6 +241,10 @@ def full_sweep() -> None:
         except Exception as exc:
             print(f"bench --full: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # free the query's dead checkpoint blocks so sweep timings do not
+        # depend on how much block/GC drag earlier queries left behind
+        # (r12, VERDICT r11 ask #6 — the tier-3 21x session-drag finding)
+        free_local_checkpoints(spark)
     result = {
         "metric": "full_registry_wall",
         "value": round(time.perf_counter() - t_all, 4),
@@ -275,18 +290,38 @@ def main() -> None:
         construction is a fixed driver cost — py4j chatter for the engine, SQL
         parse for stock — not per-query execution work); a fresh plan instance
         per run means no AQE query-stage reuse, so collect() re-executes the
-        whole plan."""
+        whole plan. After the timer stops, the run's dead localCheckpoint
+        blocks are freed (r12, VERDICT r11 ask #6): each fresh plan leaves
+        its own blocks behind, and accumulated blocks were measured to drag
+        later queries via GC pressure — the timed region is untouched, the
+        session no longer carries state from one run into the next."""
         df = build()
         t0 = time.perf_counter()
         df.collect()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        free_local_checkpoints(spark)
+        return dt
+
+    def one_run_noop(build) -> float:
+        """Same protocol through the noop sink (guide §1.4): computes every
+        column of every row, discards the write — isolates computation from
+        result transfer. Reported as a SEPARATE column next to collect();
+        the driver's comparable number remains the collect() median."""
+        df = build()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        free_local_checkpoints(spark)
+        return dt
 
     def timed(build) -> float:
         build().collect()  # warm-up (file listing, codegen, JIT)
+        free_local_checkpoints(spark)
         return round(statistics.median(one_run(build) for _ in range(N_RUNS)), 4)
 
     timings: dict[str, float] = {}
     stock: dict[str, float] = {}
+    noop: dict[str, float] = {}
     for metric, qname in HEADLINE.items():
         builder = queries.get(qname)
         if builder is None:
@@ -296,22 +331,33 @@ def main() -> None:
         try:
             if sql is None:
                 timings[metric] = timed(build_engine)
-                continue
-            # run-level alternation: engine run i and stock run i execute
-            # back-to-back, so machine-load drift and JVM warm-up slope hit
-            # both sides equally — the ratio is the load-robust number
-            build_stock = lambda: spark.sql(sql)  # noqa: E731
-            build_engine().collect()
-            build_stock().collect()
-            e_runs, s_runs = [], []
-            for _ in range(N_RUNS):
-                e_runs.append(one_run(build_engine))
-                s_runs.append(one_run(build_stock))
-            timings[metric] = round(statistics.median(e_runs), 4)
-            stock[metric] = round(statistics.median(s_runs), 4)
+            else:
+                # run-level alternation: engine run i and stock run i execute
+                # back-to-back, so machine-load drift and JVM warm-up slope hit
+                # both sides equally — the ratio is the load-robust number
+                build_stock = lambda: spark.sql(sql)  # noqa: E731
+                build_engine().collect()
+                free_local_checkpoints(spark)
+                build_stock().collect()
+                e_runs, s_runs = [], []
+                for _ in range(N_RUNS):
+                    e_runs.append(one_run(build_engine))
+                    s_runs.append(one_run(build_stock))
+                timings[metric] = round(statistics.median(e_runs), 4)
+                stock[metric] = round(statistics.median(s_runs), 4)
         except Exception as exc:  # keep the bench line parseable even on failure
             print(f"bench: {metric} ({qname}) failed: {exc}", file=sys.stderr)
             timings[metric] = -1.0
+            continue
+        try:
+            # noop-sink column (r12, VERDICT r11 ask #8): runs AFTER the
+            # collect()-timed protocol above, so the driver-comparable
+            # numbers are produced by the byte-identical r11 methodology
+            noop[metric] = round(
+                statistics.median(one_run_noop(build_engine) for _ in range(2)), 4
+            )
+        except Exception as exc:  # noop column is additive; never fail the metric
+            print(f"bench: {metric} noop failed: {exc}", file=sys.stderr)
 
     # ---- sf1 section (round 11, VERDICT r10 #4): the heavy dedup/
     # similarity/text/pipeline families at 10x the corpus, where plan shape
@@ -338,6 +384,19 @@ def main() -> None:
                 "d3_jaccard_pairs": "d3_ngram_jaccard_pairs",
                 "knn_graph": "s11_knn_graph",
                 "curation_funnel": "p13_curation_funnel",
+                # r12 additions (VERDICT r11 ask #2): the queries whose r11
+                # scale-posture trades (kept broadcasts, Arrow kernels,
+                # hashed grams, single-pass digests, NDV split) were argued
+                # from the 100 TB posture but unmeasured at 10x — cheapest
+                # first so the wall budget sheds only the expensive tail
+                "approx_aggregates": "q24_approx_aggregates",
+                "cdc_chunk_dedup": "d29_cdc_chunk_dedup",
+                "ngram_diversity": "t41_ngram_diversity",
+                "bloom_decontaminate": "d15_bloom_decontaminate",
+                "pq_rerank": "s15_pq_rerank",
+                "ivfpq_rerank": "s16_ivfpq_rerank",
+                "embedding_near_dup": "d6_embedding_near_dup",
+                "ivfpq_nprobe_curve": "s18_ivfpq_nprobe_curve",
             }
             sf1_twinned = (
                 "quality_filter", "readability", "canonical_dedup",
@@ -359,6 +418,7 @@ def main() -> None:
                 build_engine = lambda: builder(spark, x10)  # noqa: E731
                 try:
                     build_engine().collect()  # warm
+                    free_local_checkpoints(spark)
                     sf1_q[metric] = round(
                         statistics.median(one_run(build_engine) for _ in range(2)), 4
                     )
@@ -375,6 +435,7 @@ def main() -> None:
                 build_stock = lambda: spark.sql(sql)  # noqa: E731
                 try:
                     build_engine().collect()
+                    free_local_checkpoints(spark)
                     build_stock().collect()
                     e_runs, s_runs = [], []
                     for _ in range(2):  # run-level alternation, as headline
@@ -426,6 +487,8 @@ def main() -> None:
             "sf": sf,
             "runs": N_RUNS,
             "stock_queries": stock,
+            "queries_noop": noop,
+            "noop_runs": 2,
             "ratio_vs_stock": ratios,
             "ratio_total": (
                 round(comparable_engine / comparable_stock, 3) if comparable_stock else None

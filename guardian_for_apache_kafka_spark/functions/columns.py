@@ -274,10 +274,19 @@ def cosine_similarity_udf():
     ``aggregate`` fold (the fold's 0.0 seed adds exactly, float32 inputs
     widen to the same doubles), and the final dot/(sqrt*sqrt) is a single
     expression both sides share — parity-asserted element-for-element in
-    tests/test_round11_optimization.py. Null rows and length-mismatched
-    pairs yield NULL (the fold's zip_with null semantics). Marked
-    nondeterministic like every expensive kernel so the optimizer cannot
-    duplicate it under inferred filters (guide §4.4)."""
+    tests/test_round11_optimization.py. Null ROWS and length-mismatched
+    pairs yield NULL (the fold's zip_with null semantics). Null ELEMENTS
+    inside a vector are OUT OF CONTRACT (r12, advisor finding): Arrow
+    converts a list<float> null element to NaN in the float ndarray the
+    kernel receives, erasing the null-vs-NaN distinction before any
+    kernel code runs — so the fold's NULL-element result (NULL, pair
+    dropped by a threshold filter) cannot be reproduced without also
+    breaking parity for genuine-NaN elements (fold: NaN, pair KEPT under
+    Spark's NaN-greatest ordering). Callers must not feed vectors with
+    null elements (the embedding fixtures and every operator call site
+    are dense float32); a vector-level null or length mismatch remains
+    exact. Marked nondeterministic like every expensive kernel so the
+    optimizer cannot duplicate it under inferred filters (guide §4.4)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 

@@ -206,6 +206,13 @@ def _assign_fn(
     is a JVM-side struct fold over the per-shard winners. Tie discipline is
     preserved: within a shard argmax takes the FIRST max (smallest cid);
     across shards strict ``>`` keeps the earlier (smaller-cid) shard."""
+    # enforce the cid-ascending invariant here rather than assert it at call
+    # sites (r12 advisor): the argmax/array_max tie disciplines ("first max
+    # wins" == smallest cid; sharded max(score, -cid)) are only equivalent to
+    # the window formulation's (cosine desc, cid asc) rule while centroids
+    # ascend in cid — a driver-side sort of nlist tuples is free and makes
+    # the discipline impossible to drift if a caller's ordering changes.
+    cents = sorted(cents)
     limit = shard_elems or _CENTROID_SHARD_ELEMS
     dim = max(1, len(cents[0][1])) if cents else 1
     per = max(1, limit // dim)
@@ -252,6 +259,7 @@ def _topn_lists_udf(cents: list[tuple[int, list[float]]], n: int):
 
     from pyspark.sql.functions import pandas_udf
 
+    cents = sorted(cents)  # the stable-argsort tie rule REQUIRES cid-asc (r12)
     cids = np.array([cid for cid, _ in cents], dtype=np.int64)
     C = np.array([c for _, c in cents], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)

@@ -62,6 +62,31 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def free_local_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD in the session; returns how many were
+    freed. This is the explicit lifecycle for the engine's lazy
+    ``localCheckpoint`` barriers (VERDICT r11 ask #6): checkpoint blocks are
+    plan-instance-scoped and are never re-read once their DataFrame is
+    discarded, but Spark only GCs them when the Python-side plan object is
+    collected — in a long-lived session (a full-registry sweep, a service)
+    dead blocks accumulate and the resulting memory/GC pressure was measured
+    to slow later queries up to 21x (the r11 tier-3 q23 finding).
+
+    Call ONLY between queries, when no live DataFrame from a previous build
+    will be collected again: a local checkpoint TRUNCATES lineage, so a
+    freed frame cannot be recomputed. Harness use (bench.py between timed
+    runs, the profiler between queries) satisfies this — every run builds a
+    fresh plan. Blocking so the removal cannot bleed into the next timed
+    region."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    # py4j exposes the java.util.Map as a Python mapping; snapshot the values
+    # first — unpersist mutates the underlying persistentRdds map
+    rdds = list(jmap.values())
+    for rdd in rdds:
+        rdd.unpersist(True)
+    return len(rdds)
+
+
 def cluster_defaults(
     total_cores: int = 4000,
     executor_cores: int = 4,
