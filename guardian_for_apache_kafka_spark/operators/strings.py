@@ -101,31 +101,96 @@ def edit_distance_pairs(
     The cap's recall cost is measurable with
     :func:`edit_distance_dropped_report` (same variant index, one tiny
     aggregate job) — the d16-style registry callers record it in SCALE.md.
+
+    Candidate pruning is POSITION-AUGMENTED (r12, §2.3/§8 — know what the
+    optimizer cannot): two DISTINCT strings sharing a deletion variant are
+    within ED 1 only via (a) a substitution — equal length, and then they
+    MUST share a variant produced by deleting the SAME position i
+    (deleting the differing position from both yields equal strings;
+    deleting any other position keeps the differing character), or (b) an
+    insertion/deletion — the short string IS a deletion variant of the
+    long one (its self-slot row). So each index posting carries its
+    deletion position and self flag, the join stays ONE equi-join on the
+    int64 variant hash (same exchange count and key as before), and a
+    two-integer-compare filter ``(i_a == i_b) XOR exactly-one-self``
+    prunes the candidate stream to exactly the true ED<=1 pairs BEFORE
+    the O(len^2) ``levenshtein`` verify runs (the verify stays, killing
+    int64 hash collisions): on the sf0.1 digit-dense name fixture this
+    cuts the verify stream from 977.5k candidates (every same-bucket ED-2
+    pair) to the 262.5k true pairs. Unlike a candidate heuristic the cut
+    is an invariant, so recall is untouched, and the ``max_bucket`` cap
+    semantics are UNCHANGED: hot buckets are still detected on the plain
+    distinct-variant index (the exact counts
+    :func:`edit_distance_dropped_report` reports).
     """
-    # materialize the variant index ONCE (lazy local checkpoint — the cost
-    # lands inside the first consuming job, not at plan-build time): the
-    # index feeds the hot-bucket count AND both join sides, and without the
-    # checkpoint each consumer re-runs the distinct + variant explode +
-    # xxhash64 from the scan (the r11 plan showed 3 Generate subtrees; with
-    # the d16 caller's two union branches, 8). The index is (string, int64)
-    # rows — the same order of magnitude as the shuffle it feeds, so the
-    # one-time materialization is strictly cheaper than re-deriving it.
-    inv = _variant_index(df, col).localCheckpoint(eager=False)
+    names = (
+        df.select(F.col(col).alias("__s")).where(F.col("__s").isNotNull()).distinct()
+    )
+    # one posexplode over the UNDEDUPLICATED variant list: position i in
+    # 0..len-1 is the deletion del_i; slot i == len is the string itself
+    # (substr past the end yields ''+s = s, same as deletion_variants' last
+    # slot). The lazy checkpoint materializes the index ONCE (cost lands
+    # inside the first consuming job): it feeds both join sides, and its
+    # rows are (string, int64, int, bool) — no variant text survives the
+    # projection. Repeated deletions of one string can produce duplicate
+    # (s, v) postings at different positions (e.g. 'aa' -> 'a' twice);
+    # they only duplicate candidate rows, which the final distinct absorbs.
+    # explode(sequence) + scalar substr/concat instead of a transform() HOF
+    # over a built array: higher-order functions run interpreted, while this
+    # whole projection stays in whole-stage codegen (measured ~0.3 s of the
+    # index build at sf0.1)
+    idx = names.select(
+        "__s", F.explode(F.sequence(F.lit(0), F.length("__s"))).alias("__i")
+    )
+    variant = F.concat(
+        F.col("__s").substr(F.lit(1), F.col("__i")),
+        F.col("__s").substr(F.col("__i") + F.lit(2), F.length("__s")),
+    )
+    inv = idx.select(
+        "__s",
+        F.col("__i"),
+        (F.col("__i") == F.length("__s")).alias("__self"),
+        # __first marks the variant's FIRST occurrence among this string's
+        # deletion slots: del_i(s) == del_j(s) (i < j) iff s[i..j] is a run
+        # of one character, so a deletion is a repeat exactly when the
+        # previous character equals the deleted one; the self slot is never
+        # a repeat (its length differs from every deletion). Summing
+        # __first per bucket reproduces the old distinct-variant posting
+        # counts (= edit_distance_dropped_report's accounting) with a
+        # plain aggregate over the checkpoint — no distinct exchange, no
+        # re-derived index subtree, all in codegen.
+        (
+            (F.col("__i") == F.length("__s"))
+            | (F.col("__i") == 0)
+            | (
+                F.col("__s").substr(F.col("__i"), F.lit(1))
+                != F.col("__s").substr(F.col("__i") + F.lit(1), F.lit(1))
+            )
+        ).alias("__first"),
+        F.xxhash64(variant).alias("__h"),
+    ).localCheckpoint(eager=False)
     if max_bucket is not None:
         hot = (
             inv.groupBy("__h")
-            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.sum(F.when(F.col("__first"), 1)).alias("__n"))
             .where(F.col("__n") > max_bucket)
         )
         inv = inv.join(F.broadcast(hot.select("__h")), "__h", "left_anti")
-    a = inv.select(F.col("__s").alias("s_a"), "__h")
-    b = inv.select(F.col("__s").alias("s_b"), "__h")
+    a = inv.select(F.col("__s").alias("s_a"), F.col("__i").alias("__ia"),
+                   F.col("__self").alias("__sa"), "__h")
+    b = inv.select(F.col("__s").alias("s_b"), F.col("__i").alias("__ib"),
+                   F.col("__self").alias("__sb"), "__h")
     # shuffled-hash beats sort-merge here: the int64 key needs no sort and
-    # the build side is variant-index-sized; the exact levenshtein verify
-    # runs BEFORE the pair distinct, so the distinct's exchange carries
-    # only true pairs (~4x fewer rows than candidates on digit-dense keys
-    # where the delete1-intersection admits ED-2 false positives)
+    # the build side is variant-index-sized. The position discipline prunes
+    # ED-2 collisions with two integer compares; the exact levenshtein
+    # verify then only pays for true pairs + hash collisions, and the
+    # distinct's exchange carries only true pairs
     cand = a.join(b.hint("shuffle_hash"), "__h").where(
-        (F.col("s_a") < F.col("s_b")) & (F.levenshtein("s_a", "s_b") <= 1)
+        (F.col("s_a") < F.col("s_b"))
+        & (
+            (~F.col("__sa") & ~F.col("__sb") & (F.col("__ia") == F.col("__ib")))
+            | (F.col("__sa") != F.col("__sb"))
+        )
+        & (F.levenshtein("s_a", "s_b") <= 1)
     )
     return cand.select("s_a", "s_b").distinct()

@@ -723,14 +723,17 @@ def test_q72_interval_coalesce_single_user_exchange(plans):
 
 def test_d16_join_key_is_variant_hash_not_text(plans):
     """SymSpell join: the candidate equi-join's key must be the int64
-    variant hash (__h), never raw variant strings, and the exact
-    levenshtein verify must sit after the join (candidates only). The
-    join strategy is Catalyst's choice (broadcast at test scale, shuffled
-    hash at corpus scale) — only the key is contractual. Since the r11
-    barrier, the variant index enters the plan as a checkpointed RDD scan
-    (the xxhash64 computation materializes once below it — the t20 shape),
-    so the key contract is asserted on the join keys' int64 type, not on
-    the hash expression's presence in the dumped tree."""
+    variant hash (__h), never raw variant strings; the r12
+    position-augmented discipline (same-deletion-position for
+    substitutions, exactly-one-self for indels) must sit in the join
+    condition BEFORE the exact levenshtein verify, so the O(len^2) verify
+    only pays for true pairs + hash collisions. The join strategy is
+    Catalyst's choice (broadcast at test scale, shuffled hash at corpus
+    scale) — only the key and the filter order are contractual. Since the
+    r11 barrier, the variant index enters the plan as a checkpointed RDD
+    scan (the xxhash64 computation materializes once below it — the t20
+    shape), so the key contract is asserted on the join keys' int64 type,
+    not on the hash expression's presence in the dumped tree."""
     import re
 
     plan = plans("d16_edit_distance_pairs")
@@ -738,6 +741,14 @@ def test_d16_join_key_is_variant_hash_not_text(plans):
     assert "levenshtein" in plan, plan
     assert re.search(r"Left keys \[1\]: \[__h#\d+L\]", plan), plan
     assert re.search(r"Right keys \[1\]: \[__h#\d+L\]", plan), plan
+    # the position/self discipline is part of the candidate join's
+    # condition (other joins in the tree — the hot-bucket anti-join —
+    # carry none)
+    conds = re.findall(r"Join condition: .*", plan)
+    assert any("__ia" in c and "__sa" in c and "levenshtein" in c for c in conds), plan
+    # no equi-join keys on raw strings anywhere in the candidate tree
+    for m in re.finditer(r"(Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan):
+        assert "__s#" not in m.group(2) and "__v#" not in m.group(2), m.group(0)
 
 
 def test_t20_exchanges_carry_hashes_not_text(plans):
