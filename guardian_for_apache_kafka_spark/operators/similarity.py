@@ -329,15 +329,23 @@ def _centroid_rows(
         return {cid: [d[p] for p in range(len(d))] for cid, d in acc.items()}
 
     # the per-row fold cosines are the CPU cost — parallelize a narrow scan
-    # before every Lloyd pass rather than fold on one core (layout.py)
-    corpus = spread_narrow_scan(corpus)
-    seed = corpus.select(
-        (F.col(id_col) % nlist).alias("cid"), F.col(vec_col).alias(vec_col)
-    )
+    # before every Lloyd pass rather than fold on one core (layout.py).
+    # The (seed-cid, vector) projection is materialized ONCE (lazy local
+    # checkpoint, r12 — VERDICT r11 ask #5): every Lloyd round re-assigns
+    # the SAME vectors against new centroids, so without the barrier each
+    # of the seed + kmeans_iterations passes re-ran the parquet scan and
+    # the spread exchange just to reach identical rows. Values are
+    # unchanged: the blocks replay the exact rows/layout the scan produced
+    # (float32-derived grouped double sums are exact in any order — the s5
+    # discipline — and the argmax margin budget covers assignment ties).
+    base = spread_narrow_scan(corpus).select(
+        (F.col(id_col) % nlist).alias("__cid0"), F.col(vec_col).alias(vec_col)
+    ).localCheckpoint(eager=False)
+    seed = base.select(F.col("__cid0").alias("cid"), F.col(vec_col))
     cur = mean_rows(seed)
     for _ in range(kmeans_iterations):
         assign = _assign_fn(sorted(cur.items()), shard_elems)
-        assigned = corpus.select(
+        assigned = base.select(
             assign(F.col(vec_col)).alias("cid"), F.col(vec_col)
         )
         refined = mean_rows(assigned)
@@ -828,7 +836,6 @@ def pq_train(
     left-associated chain (see ``_pq_assign_udf``), so argmin decisions —
     and therefore the codes, the next round's groups, and the final
     codebooks — are bit-identical across engines."""
-    v = F.col(vec_col).cast("array<double>")
     if dim is None:
         # callers that already know the dimensionality pass it and skip
         # this one-row probe job (r11: ivfpq_topk knows it from cent_rows)
@@ -836,10 +843,25 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     dsub = dim // m
+    # materialize the (id, double-cast vector) projection ONCE (lazy local
+    # checkpoint, r12 — VERDICT r11 ask #5): the seed pass plus each of the
+    # ``iters`` reassign-and-remean rounds aggregates over the SAME rows,
+    # and for raw-parquet callers (s14's pq_topk) every round previously
+    # re-ran the scan + cast; for callers that already pass a checkpointed
+    # frame (ivfpq's residuals) this adds one narrow block copy and the
+    # rounds then skip the per-scan cast. Spread first so the posexplode
+    # aggregates run at session parallelism on single-file scans. Values
+    # unchanged: float32-derived grouped double sums are exact in any
+    # order (the docstring's exactness contract).
+    base = spread_narrow_scan(corpus).select(
+        F.col(id_col).alias("__pqid"),
+        F.col(vec_col).cast("array<double>").alias("__pqv"),
+    ).localCheckpoint(eager=False)
+    v = F.col("__pqv")
 
     def means(codes: Column) -> list[dict[int, list[float]]]:
         rows = (
-            corpus.select(codes.alias("__codes"), F.posexplode(v).alias("pos", "x"))
+            base.select(codes.alias("__codes"), F.posexplode(v).alias("pos", "x"))
             .select(
                 F.expr(f"pos div {dsub}").cast("int").alias("sub"),
                 F.col("pos"),
@@ -857,7 +879,7 @@ def pq_train(
             cbs[r.sub].setdefault(r.cid, [0.0] * dsub)[r.pos - r.sub * dsub] = float(r.mean)
         return cbs
 
-    seed = F.array_repeat((F.col(id_col) % ksub).cast("int"), m)
+    seed = F.array_repeat((F.col("__pqid") % ksub).cast("int"), m)
     cbs = means(seed)
     for _ in range(iters):
         cbs = means(_pq_assign_udf(cbs, dsub)(v))
