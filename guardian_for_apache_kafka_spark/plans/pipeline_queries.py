@@ -6978,10 +6978,20 @@ def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("__bk", 1).alias("w0"),
         F.element_at("__bk", 2).alias("w1"),
     )
-    q = sigs.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w0").alias("q0"),
-        F.col("w1").alias("q1"),
+    # query signatures from a PRE-FILTERED scan, not from `sigs`: the
+    # nondeterministic marker stops `vec_id < 5` pushing below the kernel,
+    # so deriving q from sigs ran the hyperplane kernel over the ENTIRE
+    # corpus a second time to produce 5 rows (r12 advisor finding; the
+    # executed plan held two full-corpus ArrowEvalPython nodes). The kernel
+    # is per-row deterministic in value, so filtering first is exact — and
+    # cheaper than a barrier on sigs, which would trade the duplicate pass
+    # for a corpus-sized block materialization.
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), bk(F.col("embedding")).alias("__qbk")
+    ).select(
+        "query_id",
+        F.element_at("__qbk", 1).alias("q0"),
+        F.element_at("__qbk", 2).alias("q1"),
     )
     hamming = F.bit_count(F.col("w0").bitwiseXOR(F.col("q0"))) + F.bit_count(
         F.col("w1").bitwiseXOR(F.col("q1"))
@@ -7037,10 +7047,15 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("__bk", 1).alias("w0"),
         F.element_at("__bk", 2).alias("w1"),
     )
-    qs = sigs.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w0").alias("q0"),
-        F.col("w1").alias("q1"),
+    # pre-filtered query-side kernel pass — see the s19 comment (the
+    # nondeterministic marker blocks the filter pushdown, so deriving the
+    # 10 query signatures from `sigs` re-ran the kernel over the corpus)
+    qs = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), bk(F.col("embedding")).alias("__qbk")
+    ).select(
+        "query_id",
+        F.element_at("__qbk", 1).alias("q0"),
+        F.element_at("__qbk", 2).alias("q1"),
     )
     hamming = F.bit_count(F.col("w0").bitwiseXOR(F.col("q0"))) + F.bit_count(
         F.col("w1").bitwiseXOR(F.col("q1"))
