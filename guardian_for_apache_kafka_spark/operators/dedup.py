@@ -76,11 +76,19 @@ def _shingled_hashes(
 
 def _hashed_grams(th: F.Column, n: int) -> F.Column:
     """Distinct n-gram identities as int64 hashes computed from a TOKEN-HASH
-    array (xxhash64 over each n-token-hash window — the d4 verify idiom):
-    identical distinctness to word-string shingles modulo 64-bit collisions
-    (~n_grams^2/2^64), with zero string building — no array_join, no
-    multi-word string allocation, and any downstream explode/join carries
-    8-byte longs. Empty when the document has fewer than n tokens."""
+    array (multi-arg xxhash64 over the n window lookups — the d4 verify
+    idiom): identical distinctness to word-string shingles modulo 64-bit
+    collisions (~n_grams^2/2^64), with zero string building — no array_join,
+    no multi-word string allocation, and any downstream explode/join carries
+    8-byte longs. Empty when the document has fewer than n tokens.
+
+    r12 note: the t41 multi-arg digest (``xxhash64(th[i+1], .., th[i+n])``,
+    which avoids the per-gram slice allocation and won −41% there) was
+    TESTED here and measured 2x SLOWER (interleaved 10x A/B: slice 1.53 s
+    vs multi-arg 3.12 s median) — under ``array_distinct`` the slice form
+    wins, under t41's struct-emitting transform the multi-arg form wins.
+    Kept per measurement; the two digests never meet (each consumer family
+    derives both sides from its own function)."""
     return F.when(
         F.size(th) >= n,
         F.array_distinct(
