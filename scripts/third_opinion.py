@@ -25,17 +25,19 @@ with the p13/p15 integer-exact rewrite and the p19 overflow-NULL fix)**
 pool, plus the complete d-family (d1-d39), s-family (s1-s25), t-family
 (t1-t41), p-family (p1-p21), g-family (g1-g20), m-family (m1-m14), and
 the formula-heavy statistics/graph/itemset relational cohort (g17-g20
-joined in round 11). 262/262
-green at sf0.01 and sf0.001 (round-11 full re-run at both scales recorded
-in SCALE.md).
-The ~53 registry names without a checker are,
-by design, the lowest-value targets for this layer: plain ANSI-SQL
-relational shapes (q01-q36 basics, q55-q96 operational rollups) whose
-documented spec IS the oracle SQL — a pandas transliteration would
-re-type the same statement rather than re-derive it — and the
-sketch-backed bounded-assertion entries (q24, q48, q60) whose verdicts
-depend on engine-internal HLL/t-digest states no third implementation
-can reproduce.
+joined in round 11; round 12 adds the 28 q67-q100 window veterans the
+r11 attestation-map regeneration rotated into the head-50 —
+sessionization/as-of/a-priori shapes replayed as sequential per-user or
+per-basket walks rather than windowed SQL transliterations). **290
+checkers**, 290/290 green at sf0.01 and 0.001 (round-12 full re-run).
+The remaining registry names without a checker are, by design, the
+lowest-value targets for this layer: plain ANSI-SQL relational shapes
+(q01-q36 basics) whose documented spec IS the oracle SQL — a pandas
+transliteration would re-type the same statement rather than re-derive
+it. One cross-engine subtlety the r12 cohort surfaced: DuckDB's
+quantile_cont interpolates lo*(1-f) + hi*f while numpy/pandas use
+lo + (hi-lo)*f — an ulp apart, enough to flip a round() at the half
+(see _qcont).
 
 Run (no Spark session needed; ~1 min at sf0.01):
 
@@ -5764,6 +5766,724 @@ CHECKERS.update({
     "q61_scd2_history": chk_q61,
     "q62_runtime_filtered_join": chk_q62,
     "q63_dynamic_partition_pruning": chk_q63,
+})
+
+
+
+
+# --------------------------------------------------------------------------
+# round-12 window veterans (r6-r9-attested relational queries resurfaced in
+# the head-50 window after the r11 attestation-map regeneration) — pandas
+# reimplementations from the documented specs; sessionization, as-of and
+# a-priori ladders are sequential per-user/basket replays rather than
+# windowed SQL transliterations.
+# --------------------------------------------------------------------------
+
+
+
+def _qcont(values, q):
+    """DuckDB quantile_cont: index q*(n-1), interpolate lo*(1-f) + hi*f —
+    NOT numpy/pandas' lo + (hi-lo)*f, which differs in the last ulp and can
+    flip a round() at the half (the q85 p99 finding)."""
+    v = np.sort(np.asarray(list(values), dtype=float))
+    idx = q * (len(v) - 1)
+    lo = math.floor(idx)
+    hi = math.ceil(idx)
+    f = idx - lo
+    return float(v[lo] * (1 - f) + v[hi] * f)
+
+
+def _events_sorted(sf):
+    ev = _events(sf)
+    return ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
+def chk_q67(sf):
+    ev = _events(sf)
+    old = {int(r.event_id): (int(r.user_id), r.event_type, float(r.value))
+           for r in ev.itertuples()}
+    new = {}
+    for r in ev.itertuples():
+        u = int(r.user_id)
+        if u % 17 == 0:
+            continue
+        v = float(r.value) + 1 if u % 10 == 0 else float(r.value)
+        new[int(r.event_id)] = (u, r.event_type, v)
+        if u % 23 == 0:
+            new[int(r.event_id) + 100000000] = (u, r.event_type, float(r.value))
+    changes = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            ct = "insert"
+        elif k not in new:
+            ct = "delete"
+        elif old[k] != new[k]:
+            ct = "update"
+        else:
+            continue
+        changes.setdefault(ct, []).append(k)
+    rows = [
+        (ct, len(ks), min(ks), max(ks)) for ct, ks in sorted(changes.items())
+    ]
+    return pd.DataFrame(rows, columns=["change_type", "n", "min_key", "max_key"])
+
+
+def _q68_intervals(ev, etype, mod):
+    sub = ev[ev.event_type == etype]
+    dur = 1 + (sub["value"] * 100).map(lambda v: abs(_rnd_half_away(v))) % mod
+    s = sub.ts.values.astype("datetime64[s]").astype("int64")
+    e = s + dur.values.astype("int64") * 60
+    order = np.argsort(s, kind="stable")
+    return s[order], e[order]
+
+
+def chk_q68(sf):
+    ev = _events(sf)
+    a_s, a_e = _q68_intervals(ev, "purchase", 10)
+    b_s, b_e = _q68_intervals(ev, "error", 10)
+    out = {}
+    for i in range(len(a_s)):
+        lo = np.searchsorted(b_s, a_s[i] - 600, side="left")
+        hi = np.searchsorted(b_s, a_e[i], side="right")
+        for j in range(lo, hi):
+            if b_e[j] >= a_s[i]:
+                ov = min(a_e[i], b_e[j]) - max(a_s[i], b_s[j])
+                day = np.datetime64(int(a_s[i]), "s").astype("datetime64[D]")
+                n, t = out.get(day, (0, 0))
+                out[day] = (n + 1, t + int(ov))
+    rows = [(pd.Timestamp(d), n, t) for d, (n, t) in sorted(out.items())]
+    df = pd.DataFrame(rows, columns=["day", "n_pairs", "overlap_sec"])
+    df["day"] = df.day.dt.date
+    return df
+
+
+def chk_q69(sf):
+    p = pd.read_parquet(f"{sf}/part.parquet", columns=["p_retailprice", "p_size"])
+    pc = (p.p_retailprice * 100).map(_rnd_half_away).astype("int64").values
+    sz = p.p_size.astype("int64").values
+    nx = (pc - pc.min()) * 65535 // (pc.max() - pc.min())
+    ny = (sz - sz.min()) * 65535 // (sz.max() - sz.min())
+    z = np.zeros_like(nx)
+    for i in range(16):
+        z += ((nx >> i) & 1) << (2 * i)
+        z += ((ny >> i) & 1) << (2 * i + 1)
+    rows = []
+    for method, bucket in (("zorder", z >> 28), ("lexicographic", nx >> 12)):
+        for b in sorted(set(bucket.tolist())):
+            m = bucket == b
+            rows.append((method, int(b), int(m.sum()),
+                         int(nx[m].max() - nx[m].min()),
+                         int(ny[m].max() - ny[m].min())))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pd.DataFrame(
+        rows, columns=["method", "bucket", "n", "x_span", "y_span"]
+    ).astype({"bucket": "int32"})
+
+
+def chk_q72(sf):
+    ev = _events_sorted(sf)
+    dur = 1 + (ev["value"] * 100).map(lambda v: abs(_rnd_half_away(v))) % 30
+    s = ev.ts.values.astype("datetime64[s]").astype("int64")
+    e = s + dur.values.astype("int64") * 60
+    per_day = {}
+    for _u, idx in ev.groupby("user_id", sort=False).indices.items():
+        iv = sorted(zip(s[idx], e[idx]))
+        cur_s = cur_e = None
+        n_merged = 0
+
+        def close():
+            day = np.datetime64(int(cur_s), "s").astype("datetime64[D]")
+            ni, cov, mx = per_day.get(day, (0, 0, 0))
+            per_day[day] = (ni + 1, cov + int(cur_e - cur_s), max(mx, n_merged))
+
+        for ss, ee in iv:
+            if cur_s is None or ss > cur_e:
+                if cur_s is not None:
+                    close()
+                cur_s, cur_e, n_merged = ss, ee, 1
+            else:
+                cur_e = max(cur_e, ee)
+                n_merged += 1
+        if cur_s is not None:
+            close()
+    rows = [(pd.Timestamp(d).date(), n, c, m)
+            for d, (n, c, m) in sorted(per_day.items())]
+    return pd.DataFrame(
+        rows, columns=["day", "n_islands", "covered_sec", "max_merged"]
+    )
+
+
+def chk_q75(sf):
+    ev = _events_sorted(sf)
+    agg = {}
+    for _u, g in ev.groupby("user_id", sort=False):
+        last_np = None
+        for r in g.itertuples():
+            if r.event_type == "purchase":
+                ch = last_np if last_np is not None else "direct"
+                n, rev = agg.get(ch, (0, 0.0))
+                agg[ch] = (n + 1, rev + float(r.value))
+            else:
+                last_np = r.event_type
+    rows = [(ch, n, _round(rev, 2)) for ch, (n, rev) in sorted(agg.items())]
+    return pd.DataFrame(rows, columns=["channel", "n_purchases", "revenue"])
+
+
+def chk_q76(sf):
+    ev = _events(sf)
+    fv = ev[ev.event_type == "view"].groupby("user_id").ts.min()
+    pur = ev[ev.event_type == "purchase"][["user_id", "ts"]]
+    pur = pur.join(fv.rename("first_view"), on="user_id")
+    pur = pur[pur.first_view.notna() & (pur.ts >= pur.first_view)]
+    conv = pur.groupby("user_id").agg(
+        first_view=("first_view", "min"), first_purchase=("ts", "min")
+    )
+    conv["cohort_day"] = conv.first_view.dt.normalize().dt.date
+    conv["ttc"] = (
+        conv.first_purchase.values.astype("datetime64[s]").astype("int64")
+        - conv.first_view.values.astype("datetime64[s]").astype("int64")
+    )
+    rows = []
+    for day, g in conv.groupby("cohort_day"):
+        rows.append((
+            day, len(g),
+            _rnd_half_away(_qcont(g.ttc, 0.5)),
+            _rnd_half_away(_qcont(g.ttc, 0.9)),
+        ))
+    return pd.DataFrame(
+        rows, columns=["cohort_day", "n_converted", "median_ttc_sec", "p90_ttc_sec"]
+    )
+
+
+def chk_q77(sf):
+    ev = _events(sf)
+    daily = (
+        ev.assign(day=ev.ts.dt.normalize())
+        .groupby(["day", "event_type"])
+        .agg(n=("event_id", "size"), rev=("value", "sum"))
+        .reset_index()
+    )
+    prev = daily.assign(day=daily.day + pd.Timedelta(days=7)).rename(
+        columns={"n": "n_prev", "rev": "rev_prev"}
+    )
+    j = daily.merge(prev, on=["day", "event_type"]).sort_values(
+        ["day", "event_type"]
+    )
+    return pd.DataFrame({
+        "day": j.day.dt.date,
+        "event_type": j.event_type,
+        "n": j.n.astype("int64"),
+        "n_prev_week": j.n_prev.astype("int64"),
+        "n_pct_change": [
+            _round((float(a) - b) * 100.0 / b, 2) for a, b in zip(j.n, j.n_prev)
+        ],
+        "rev_pct_change": [
+            _round((a - b) * 100.0 / b, 2) for a, b in zip(j.rev, j.rev_prev)
+        ],
+    }).reset_index(drop=True)
+
+
+def _sessions(ev, gap_s=1800):
+    """Per-user 30-min-gap session ids over (ts, event_id)-sorted events."""
+    sess = np.zeros(len(ev), dtype="int64")
+    ts = ev.ts.values.astype("datetime64[s]").astype("int64")
+    for _u, idx in ev.groupby("user_id", sort=False).indices.items():
+        cur = 0
+        prev_t = None
+        for i in idx:
+            if prev_t is None or ts[i] - prev_t > gap_s:
+                cur += 1
+            sess[i] = cur
+            prev_t = ts[i]
+    return sess, ts
+
+
+def chk_q78(sf):
+    ev = _events_sorted(sf)
+    sess, ts = _sessions(ev)
+    d = ev.assign(sess=sess, t=ts)
+    g = d.groupby(["user_id", "sess"]).agg(
+        start=("t", "min"), n=("t", "size")
+    )
+    g["day"] = pd.to_datetime(g.start, unit="s").dt.date
+    rows = []
+    for day, gg in g.groupby("day"):
+        n = len(gg)
+        b = int((gg.n == 1).sum())
+        rows.append((day, n, b, _round(b * 100.0 / n, 2)))
+    return pd.DataFrame(
+        rows, columns=["day", "n_sessions", "n_bounces", "bounce_pct"]
+    )
+
+
+def chk_q79(sf):
+    ev = _events(sf)
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        v = g["value"].astype(float)
+        p05 = _qcont(v, 0.05)
+        p95 = _qcont(v, 0.95)
+        clipped = v.clip(p05, p95)
+        rows.append((
+            et, len(v), int(((v < p05) | (v > p95)).sum()),
+            _round(float(clipped.mean()), 2), _round(float(v.mean()), 2),
+        ))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "n_clipped", "winsorized_mean", "raw_mean"]
+    )
+
+
+def chk_q80(sf):
+    ev = _events(sf)
+    pur = ev[ev.event_type == "purchase"]
+    day = pur.ts.dt.normalize()
+    week = day - pd.to_timedelta(day.dt.weekday, unit="D")
+    wk = set(zip(pur.user_id, week))
+    max_w = max(w for _u, w in wk)
+    agg = {}
+    for u, w in wk:
+        if w >= max_w:
+            continue
+        n, c = agg.get(w, (0, 0))
+        agg[w] = (n + 1, c + (0 if (u, w + pd.Timedelta(days=7)) in wk else 1))
+    rows = [
+        (w.date(), n, c, _round(c * 100.0 / n, 2))
+        for w, (n, c) in sorted(agg.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["week", "n_active", "n_churned", "churn_pct"]
+    )
+
+
+def chk_q81(sf):
+    import json
+
+    ev = _events(sf)
+
+    def k_of(props):
+        try:
+            v = json.loads(props).get("k")
+        except Exception:
+            return None
+        return int(v) if isinstance(v, (int, float)) else None
+
+    ks = ev.props.map(k_of)
+    rows = []
+    for et, g in ev.assign(k=ks).groupby("event_type"):
+        kk = g.k.dropna().astype("int64")
+        rows.append((
+            et, len(g), len(kk), int(kk.min()), int(kk.max()),
+            _round(float(kk.mean()), 2), int(kk.nunique()),
+        ))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n", "n_k", "min_k", "max_k", "avg_k", "ndv_k"]
+    )
+    return out.astype({"min_k": "int32", "max_k": "int32"})
+
+
+def chk_q82(sf):
+    ev = _events_sorted(sf)
+    sess, _ts = _sessions(ev)
+    cnt = Counter()
+    d = ev.assign(sess=sess)
+    for (_u, _s), g in d.groupby(["user_id", "sess"], sort=False):
+        et = g.event_type.tolist()
+        for i in range(len(et) - 2):
+            cnt[f"{et[i]}>{et[i+1]}>{et[i+2]}"] += 1
+    rows = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    return pd.DataFrame(rows, columns=["path", "n"])
+
+
+def chk_q83(sf):
+    li = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM '{sf}/lineitem.parquet'"
+    ).fetchdf()
+    isup = li.groupby("it").size()
+    freq_items = set(isup[isup >= 25].index)
+    pruned = li[li.it.isin(freq_items)]
+    baskets = {bk: sorted(g.it) for bk, g in pruned.groupby("bk")}
+    pair_cnt = Counter()
+    for bk, items in baskets.items():
+        if 2 <= len(items) <= 20:
+            for i, a in enumerate(items):
+                for b in items[i + 1:]:
+                    pair_cnt[(a, b)] += 1
+    pitems = set()
+    for (a, b), c in pair_cnt.items():
+        if c >= 2:
+            pitems.add(a)
+            pitems.add(b)
+    tri_cnt = Counter()
+    for bk, items in baskets.items():
+        it2 = [i for i in items if i in pitems]
+        if 3 <= len(it2) <= 20:
+            for c3 in itertools.combinations(it2, 3):
+                tri_cnt[c3] += 1
+    rows = sorted(
+        ((a, b, c, n) for (a, b, c), n in tri_cnt.items()),
+        key=lambda r: (-r[3], r[0], r[1], r[2]),
+    )[:20]
+    return pd.DataFrame(rows, columns=["item_a", "item_b", "item_c", "support"])
+
+
+def chk_q84(sf):
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_partkey"])
+    c = li.groupby("l_partkey").size()
+    n_rows, n_keys, avg = int(c.sum()), len(c), float(c.mean())
+    top = sorted(zip(c.values, c.index), key=lambda t: (-t[0], t[1]))[:10]
+    return pd.DataFrame(
+        [
+            (k, int(n), _round(n * 100.0 / n_rows, 4), _round(n / avg, 2), n_keys)
+            for n, k in top
+        ],
+        columns=["key", "cnt", "pct_of_rows", "skew_factor", "n_keys"],
+    )
+
+
+def chk_q85(sf):
+    ev = _events(sf)
+    rows = []
+    for (day, et), g in ev.assign(day=ev.ts.dt.normalize().dt.date).groupby(
+        ["day", "event_type"]
+    ):
+        v = g["value"].astype(float)
+        rows.append((
+            day, et, len(v),
+            _round(_qcont(v, 0.50), 3),
+            _round(_qcont(v, 0.90), 3),
+            _round(_qcont(v, 0.99), 3),
+        ))
+    return pd.DataFrame(rows, columns=["day", "event_type", "n", "p50", "p90", "p99"])
+
+
+def chk_q86(sf):
+    od = _orders_cents(sf)
+    merged = []  # (region, cents)
+    upd = {}
+    for r in od.itertuples():
+        k = r.o_orderkey
+        if k % 3 != 0 and k % 7 == 0:
+            upd[k] = r.cents + 100000
+    for r in od.itertuples():
+        k = r.o_orderkey
+        if k % 3 != 0:
+            if k in upd:
+                merged.append(("eu-west", upd[k]))
+            else:
+                merged.append(("(legacy)", r.cents))
+        else:
+            merged.append(("us-east", r.cents))
+    g = pd.DataFrame(merged, columns=["region", "cents"]).groupby("region").agg(
+        n=("cents", "size"), cents=("cents", "sum")
+    ).sort_index()
+    return pd.DataFrame({
+        "region": g.index, "n": g.n.values.astype("int64"),
+        "total_price": (g.cents / 100.0).round(2).values,
+    }).reset_index(drop=True)
+
+
+def chk_q87(sf):
+    od = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderdate"
+        f" FROM '{sf}/orders.parquet'"
+    ).fetchdf()
+    od["cents"] = (od.o_totalprice * 100).round().astype("int64")
+    od["k"] = od.o_orderkey % 997
+    od = od.sort_values(["k", "o_orderdate", "o_orderkey"])
+    cutoff = pd.Timestamp("1996-12-31")
+    picked = {}
+    for k, g in od.groupby("k", sort=True):
+        g = g.reset_index(drop=True)
+        best = None  # (valid_ts, txn, cents, pr)
+        for txn, r in enumerate(g.itertuples(), 1):
+            if txn > 3:
+                break
+            vt = pd.Timestamp(r.o_orderdate)
+            if vt <= cutoff:
+                cand = (vt, txn, r.cents, r.o_orderpriority)
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        if best is not None:
+            picked[k] = best
+    agg = {}
+    for _k, (_vt, _txn, cents, pr) in picked.items():
+        n, c = agg.get(pr, (0, 0))
+        agg[pr] = (n + 1, c + cents)
+    rows = [
+        (pr, n, round(c / 100.0, 2)) for pr, (n, c) in sorted(agg.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["o_orderpriority", "n_keys", "total_price"]
+    )
+
+
+def chk_q88(sf):
+    ev = _events_sorted(sf)
+    ts = ev.ts.values.astype("datetime64[s]").astype("int64")
+    rows = []
+    for u, idx in ev.groupby("user_id", sort=False).indices.items():
+        t = ts[idx]
+        if len(t) < 2:
+            continue
+        gaps = np.diff(t)
+        rows.append((u, int(gaps.max()), int((gaps > 86400).sum())))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return pd.DataFrame(
+        rows[:25], columns=["user_id", "max_gap_sec", "n_day_gaps"]
+    )
+
+
+def chk_q89(sf):
+    ev = _events_sorted(sf)
+    per_day = {}
+    for _u, g in ev.groupby("user_id", sort=False):
+        last_view = last_error = None
+        for r in g.itertuples():
+            if (
+                r.event_type == "purchase"
+                and last_view is not None
+                and (r.ts - last_view).total_seconds() <= 3600
+                and (last_error is None or last_error < last_view)
+            ):
+                day = r.ts.normalize().date()
+                n, rev = per_day.get(day, (0, 0.0))
+                per_day[day] = (n + 1, rev + float(r.value))
+            if r.event_type == "view":
+                last_view = r.ts
+            elif r.event_type == "error":
+                last_error = r.ts
+    rows = [
+        (d, n, _round(rev, 2)) for d, (n, rev) in sorted(per_day.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["day", "n_clean_purchases", "clean_revenue"]
+    )
+
+
+def chk_q90(sf):
+    ev = _events_sorted(sf)
+    agg = {}
+    for _u, g in ev.groupby("user_id", sort=False):
+        tier = 0
+        for r in g.itertuples():
+            if r.event_type in ("signup", "click"):
+                tier += 1
+            elif r.event_type == "purchase":
+                n, rev = agg.get(tier, (0, 0.0))
+                agg[tier] = (n + 1, rev + float(r.value))
+    rows = [(t, n, _round(rev, 2)) for t, (n, rev) in sorted(agg.items())]
+    return pd.DataFrame(rows, columns=["tier", "n_purchases", "revenue"])
+
+
+def chk_q91(sf):
+    ev = _events(sf).sort_values(
+        ["user_id", "event_type", "ts", "event_id"]
+    ).reset_index(drop=True)
+    ts = ev.ts.values.astype("datetime64[s]").astype("int64")
+    agg = {}
+    for (_u, et), idx in ev.groupby(
+        ["user_id", "event_type"], sort=False
+    ).indices.items():
+        prev = None
+        for i in idx:
+            keep = prev is None or ts[i] - prev > 300
+            n_raw, n_kept, val = agg.get(et, (0, 0, 0.0))
+            agg[et] = (
+                n_raw + 1,
+                n_kept + (1 if keep else 0),
+                val + (float(ev["value"].iloc[i]) if keep else 0.0),
+            )
+            prev = ts[i]
+    rows = [
+        (et, n, k, _round(k * 100.0 / n, 2), _round(v, 2))
+        for et, (n, k, v) in sorted(agg.items())
+    ]
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_raw", "n_kept", "kept_pct", "kept_value"]
+    )
+
+
+def chk_q92(sf):
+    od = duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice FROM '{sf}/orders.parquet'"
+    ).fetchdf()
+    rows = []
+    for r in od.itertuples():
+        k = int(r.o_orderkey)
+        if k % 5 == 0 and k % 7 == 0:
+            pa = _round(float(r.o_totalprice) * 1.10, 2)
+            pb = _round(float(r.o_totalprice) + 500, 2)
+            if pa != pb:
+                rows.append((k, pa, pb, _round(abs(pa - pb), 2)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return pd.DataFrame(
+        rows[:20],
+        columns=["o_orderkey", "price_txn_a", "price_txn_b", "divergence"],
+    )
+
+
+def chk_q93(sf):
+    od = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_totalprice"])
+    v = od.o_totalprice.astype(float)
+    rows = [
+        (b, _round(_qcont(v, b / 8.0), 2))
+        for b in range(1, 8)
+    ]
+    return pd.DataFrame(rows, columns=["bucket", "split_point"])
+
+
+def chk_q94(sf):
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    rows = []
+    combos = (
+        (["l_returnflag", "l_linestatus"], 0, 0),
+        (["l_returnflag"], 0, 1),
+        (["l_linestatus"], 1, 0),
+        ([], 1, 1),
+    )
+    for keys, g_rf, g_ls in combos:
+        if keys:
+            grouped = li.groupby(keys)
+        else:
+            grouped = [((), li)]
+        for kv, g in grouped:
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            d = dict(zip(keys, kv))
+            rows.append((
+                d.get("l_returnflag", "(all)"),
+                d.get("l_linestatus", "(all)"),
+                len(g),
+                _round(float(g.l_quantity.sum()), 2),
+                g_rf, g_ls,
+            ))
+    rows.sort(key=lambda r: (r[4], r[5], r[0], r[1]))
+    return pd.DataFrame(
+        rows,
+        columns=["returnflag", "linestatus", "n", "sum_qty", "g_rf", "g_ls"],
+    )
+
+
+def chk_q95(sf):
+    ev = _events(sf)
+    a = ev[["user_id", "event_type"]].drop_duplicates()
+    per_user = a.groupby("user_id").event_type.apply(sorted)
+    cnt = Counter()
+    for types in per_user:
+        for x, y in itertools.combinations(types, 2):
+            cnt[(x, y)] += 1
+    rows = [(x, y, n) for (x, y), n in sorted(cnt.items())]
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "n_both"])
+
+
+def chk_q96(sf):
+    od = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    od = od.sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True],
+    )
+    od["rn"] = od.groupby("o_custkey").cumcount() + 1
+    top = od[od.rn <= 2].sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(15)
+    return pd.DataFrame({
+        "o_orderkey": top.o_orderkey.values,
+        "o_custkey": top.o_custkey.values,
+        "price": [_round(float(p), 2) for p in top.o_totalprice],
+        "rank_within_cust": top.rn.values.astype("int64"),
+    })
+
+
+def chk_q99(sf):
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey"])
+    od = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cu = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey"])
+    ok = set(od.o_orderkey.dropna())
+    ck = set(cu.c_custkey.dropna())
+    lk = li.l_orderkey
+    uk = od.o_custkey
+    rows = [
+        (
+            "lineitem->orders", len(li),
+            int((~lk.isin(ok)).sum()),
+            int((~pd.Series(sorted(ok)).isin(set(lk.dropna()))).sum()),
+        ),
+        (
+            "orders->customer", len(od),
+            int((~uk.isin(ck)).sum()),
+            int((~pd.Series(sorted(ck)).isin(set(uk.dropna()))).sum()),
+        ),
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["relationship", "n_children", "n_orphans", "n_childless_parents"],
+    )
+
+
+def chk_q100(sf):
+    import json
+
+    ev = _events(sf)
+    enum = {"click", "error", "purchase", "signup", "view"}
+
+    def missing_k(props):
+        try:
+            return json.loads(props).get("k") is None
+        except Exception:
+            return True
+
+    lo = pd.Timestamp("2024-01-01")
+    hi = pd.Timestamp("2024-02-01")
+    n = len(ev)
+    checks = {
+        "event_id_not_null": int(ev.event_id.isna().sum()),
+        "event_type_enum": int(
+            (~ev.event_type.isin(enum) & ev.event_type.notna()).sum()
+        ),
+        "props_has_k": int(ev.props.map(missing_k).sum()),
+        "ts_in_window": int(((ev.ts < lo) | (ev.ts >= hi)).sum()),
+        "value_range": int(((ev["value"] < 0) | (ev["value"] > 1000)).sum()),
+    }
+    rows = [(k, v, n, v == 0) for k, v in sorted(checks.items())]
+    return pd.DataFrame(
+        rows, columns=["check_name", "n_violations", "n_rows", "passed"]
+    )
+
+
+CHECKERS.update({
+    "q67_snapshot_diff": chk_q67,
+    "q68_interval_overlap_join": chk_q68,
+    "q69_zorder_locality": chk_q69,
+    "q72_interval_coalesce": chk_q72,
+    "q75_last_touch_attribution": chk_q75,
+    "q76_time_to_convert": chk_q76,
+    "q77_week_over_week": chk_q77,
+    "q78_bounce_rate": chk_q78,
+    "q79_winsorized_stats": chk_q79,
+    "q80_weekly_churn": chk_q80,
+    "q81_variant_json_stats": chk_q81,
+    "q82_session_paths": chk_q82,
+    "q83_frequent_triples": chk_q83,
+    "q84_join_skew_report": chk_q84,
+    "q85_latency_bands": chk_q85,
+    "q86_merge_schema_evolution": chk_q86,
+    "q87_bitemporal_asof": chk_q87,
+    "q88_silence_gaps": chk_q88,
+    "q89_guarded_sequence": chk_q89,
+    "q90_scd2_fact_join": chk_q90,
+    "q91_event_debounce": chk_q91,
+    "q92_write_conflicts": chk_q92,
+    "q93_range_split_points": chk_q93,
+    "q94_cube_aggregate": chk_q94,
+    "q95_audience_overlap": chk_q95,
+    "q96_diverse_topk": chk_q96,
+    "q99_referential_audit": chk_q99,
+    "q100_contract_checks": chk_q100,
 })
 
 
