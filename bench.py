@@ -410,21 +410,10 @@ def main() -> None:
             sf1_skipped: list[str] = []
             sf1_q: dict[str, float] = {}
             sf1_s: dict[str, float] = {}
-            for metric, qname in sf1_heavy.items():
-                if time.perf_counter() - sf1_t0 > sf1_budget:
-                    sf1_skipped.append(metric)
-                    continue
-                builder = queries[qname]
-                build_engine = lambda: builder(spark, x10)  # noqa: E731
-                try:
-                    build_engine().collect()  # warm
-                    free_local_checkpoints(spark)
-                    sf1_q[metric] = round(
-                        statistics.median(one_run(build_engine) for _ in range(2)), 4
-                    )
-                except Exception as exc:
-                    print(f"bench sf1: {metric} failed: {exc}", file=sys.stderr)
-                    sf1_q[metric] = -1.0
+            # the TWINNED set runs FIRST (r12): it is cheap, and its
+            # engine/stock ratios are the comparable sf1 signal — with the 8
+            # new heavy engine-only entries ahead of it, a tight budget shed
+            # ngram_novelty and ratio_total silently changed composition
             for metric in sf1_twinned:
                 if time.perf_counter() - sf1_t0 > sf1_budget:
                     sf1_skipped.append(metric)
@@ -443,6 +432,21 @@ def main() -> None:
                         s_runs.append(one_run(build_stock))
                     sf1_q[metric] = round(statistics.median(e_runs), 4)
                     sf1_s[metric] = round(statistics.median(s_runs), 4)
+                except Exception as exc:
+                    print(f"bench sf1: {metric} failed: {exc}", file=sys.stderr)
+                    sf1_q[metric] = -1.0
+            for metric, qname in sf1_heavy.items():
+                if time.perf_counter() - sf1_t0 > sf1_budget:
+                    sf1_skipped.append(metric)
+                    continue
+                builder = queries[qname]
+                build_engine = lambda: builder(spark, x10)  # noqa: E731
+                try:
+                    build_engine().collect()  # warm
+                    free_local_checkpoints(spark)
+                    sf1_q[metric] = round(
+                        statistics.median(one_run(build_engine) for _ in range(2)), 4
+                    )
                 except Exception as exc:
                     print(f"bench sf1: {metric} failed: {exc}", file=sys.stderr)
                     sf1_q[metric] = -1.0
